@@ -1,0 +1,83 @@
+"""Expression helpers that keep Spark results value-identical to the
+DuckDB oracle (the driver hash-matches values — SURVEY.md §4.3).
+
+Double summation is order-dependent across Spark partitions, and even a
+decimal→double cast can differ by 1 ulp between engines. So:
+
+- Exact aggregates (sums/products of fixture doubles that are really
+  fixed-point money/rates) are computed in DECIMAL and *kept* decimal,
+  cast on both sides to an identical (38, s) — digit-identical output,
+  no float conversion anywhere.
+- Intrinsically inexact values (averages, stddev, correlations) are
+  rounded to a fixed number of decimals on both sides; a 1-ulp input
+  difference survives rounding only within ~1e-11 of a boundary, and
+  these values are never exact decimals, so systematic ties cannot
+  occur. (Never round an *exact* scale-s decimal at a coarser scale —
+  ties at digit '5' flip between engines ~1% of the time.)
+
+Precision budget: money = DECIMAL(10,2), rates = DECIMAL(6,4). Spark's
+multiply rule (p1+p2+1) then keeps disc_price at (18,6) and charge at
+(26,10) — exact, no 38-precision overflow, scales equal to DuckDB's.
+
+At 100 TB this is still whole-stage-codegen JVM arithmetic; the decimal
+casts add no shuffle and no Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dec2(c: str | Column) -> Column:
+    """Money-precision decimal view of a double column (exact to cents)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("decimal(10,2)")
+
+
+def dec4(c: str | Column) -> Column:
+    """Rate-precision decimal (discount/tax fractions)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("decimal(6,4)")
+
+
+def dsum(e: Column, alias: str, scale: int = 2) -> Column:
+    """Exact decimal sum, surfaced at a fixed (38, scale)."""
+    return F.sum(e).cast(f"decimal(38,{scale})").alias(alias)
+
+
+def davg(e: Column, alias: str, ndigits: int = 6) -> Column:
+    """Average as rounded double: exact decimal sum ÷ exact count."""
+    return F.round(F.sum(e).cast("double") / F.count(F.lit(1)), ndigits).alias(alias)
+
+
+def disc_price() -> Column:
+    """l_extendedprice * (1 - l_discount); exact DECIMAL(18,6)."""
+    return dec2("l_extendedprice") * (F.lit(1) - dec4("l_discount"))
+
+
+def charge() -> Column:
+    """l_extendedprice * (1 - l_discount) * (1 + l_tax); exact (26,10)."""
+    return disc_price() * (F.lit(1) + dec4("l_tax"))
+
+
+def ts_sec(c: str | Column) -> Column:
+    """events.ts truncated to seconds — neutralizes the ns(DuckDB) vs
+    µs(Spark) physical-precision gap on the events fixture."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.date_trunc("second", c).cast("timestamp_ntz")
+
+
+# Oracle-side (DuckDB SQL) fragments mirroring the helpers above.
+SQL_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
+)
+SQL_CHARGE = SQL_DISC_PRICE + " * (1 + CAST(l_tax AS DECIMAL(6,4)))"
+
+
+def sql_dsum(inner: str, alias: str, scale: int = 2) -> str:
+    return f"CAST(SUM({inner}) AS DECIMAL(38,{scale})) AS {alias}"
+
+
+def sql_davg(inner: str, alias: str, ndigits: int = 6) -> str:
+    return f"round(CAST(SUM({inner}) AS DOUBLE) / COUNT(*), {ndigits}) AS {alias}"

@@ -1,0 +1,129 @@
+"""Fixture table loaders with explicit schemas (never inference).
+
+Schemas verified against the parquet footers (FIXTURES.md §B). Explicit
+schemas keep engine/oracle comparisons deterministic and make column
+pruning obvious in scans. Timestamp columns are TIMESTAMP_NTZ: the
+fixtures were written by pandas without a timezone (isAdjustedToUTC =
+false), and NTZ round-trips to naive datetimes exactly like DuckDB.
+
+Note ``events.ts`` is physically ``timestamp[ns]``; Spark truncates to
+µs on read while DuckDB keeps ns — oracle-checked queries must truncate
+both sides (see ``functions.compat``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _schema(*fields: tuple[str, object]) -> StructType:
+    return StructType([StructField(n, t, True) for n, t in fields])
+
+
+SCHEMAS: dict[str, StructType] = {
+    "region": _schema(
+        ("r_regionkey", IntegerType()),
+        ("r_name", StringType()),
+    ),
+    "nation": _schema(
+        ("n_nationkey", IntegerType()),
+        ("n_name", StringType()),
+        ("n_regionkey", IntegerType()),
+    ),
+    "customer": _schema(
+        ("c_custkey", LongType()),
+        ("c_name", StringType()),
+        ("c_nationkey", IntegerType()),
+        ("c_acctbal", DoubleType()),
+        ("c_mktsegment", StringType()),
+    ),
+    "supplier": _schema(
+        ("s_suppkey", LongType()),
+        ("s_name", StringType()),
+        ("s_nationkey", IntegerType()),
+        ("s_acctbal", DoubleType()),
+    ),
+    "part": _schema(
+        ("p_partkey", LongType()),
+        ("p_name", StringType()),
+        ("p_brand", StringType()),
+        ("p_type", StringType()),
+        ("p_size", IntegerType()),
+        ("p_retailprice", DoubleType()),
+    ),
+    "orders": _schema(
+        ("o_orderkey", LongType()),
+        ("o_custkey", LongType()),
+        ("o_orderstatus", StringType()),
+        ("o_totalprice", DoubleType()),
+        ("o_orderdate", TimestampNTZType()),
+        ("o_orderpriority", StringType()),
+    ),
+    "lineitem": _schema(
+        ("l_orderkey", LongType()),
+        ("l_partkey", LongType()),
+        ("l_suppkey", LongType()),
+        ("l_linenumber", IntegerType()),
+        ("l_quantity", DoubleType()),
+        ("l_extendedprice", DoubleType()),
+        ("l_discount", DoubleType()),
+        ("l_tax", DoubleType()),
+        ("l_returnflag", StringType()),
+        ("l_linestatus", StringType()),
+        ("l_shipdate", TimestampNTZType()),
+    ),
+    "events": _schema(
+        ("event_id", LongType()),
+        ("ts", TimestampNTZType()),
+        ("user_id", LongType()),
+        ("event_type", StringType()),
+        ("value", DoubleType()),
+        ("props", StringType()),
+    ),
+    "documents": _schema(
+        ("doc_id", LongType()),
+        ("text", StringType()),
+        ("lang", StringType()),
+        ("source", StringType()),
+        ("n_chars", LongType()),
+    ),
+    "embeddings": _schema(
+        ("vec_id", LongType()),
+        ("embedding", ArrayType(FloatType())),
+        ("label", IntegerType()),
+    ),
+}
+
+TABLES: tuple[str, ...] = tuple(SCHEMAS)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table with its declared schema.
+
+    Explicit ``.schema(...)`` + declarative downstream plans keep filter
+    pushdown and column pruning intact (check ``PushedFilters`` /
+    ``ReadSchema`` in ``df.explain("formatted")``).
+    """
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)

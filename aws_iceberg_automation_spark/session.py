@@ -1,0 +1,93 @@
+"""SparkSession construction profiles.
+
+The reference pins its session config in
+``create_iceberg_tables.py:120-131`` (Glue catalog + Iceberg runtime +
+S3FileIO + DynamoDB lock).  We keep that wiring as the *cloud* profile
+(config only — never exercised in tests, no AWS here) and add a *local*
+profile used by tests/bench: ``local[N]`` master, AQE on, UTC session
+timezone, fixed shuffle partitions for determinism.
+
+Iceberg support is capability-gated: if the Iceberg Spark runtime JAR is
+on the classpath (env ``SPARK_GRAFT_ICEBERG_JAR``) we configure a local
+hadoop-type Iceberg catalog; otherwise the engine falls back to the
+built-in ``spark_catalog`` with parquet tables (same DDL surface minus
+format-version properties — see ``catalog.py``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def iceberg_jar() -> str | None:
+    """Path to the Iceberg Spark runtime JAR, if one is available."""
+    jar = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
+    if jar and os.path.exists(jar):
+        return jar
+    return None
+
+
+def get_spark(
+    app_name: str = "aws-iceberg-automation-spark",
+    profile: str = "local",
+    cpus: str | int | None = None,
+    warehouse: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession for the given profile.
+
+    local profile notes for 100 TB posture: AQE handles runtime partition
+    coalescing and skew-join splitting; ``spark.sql.shuffle.partitions``
+    is a fixed small number for local determinism — on a real cluster set
+    it ~2-3× total cores (AQE coalesces down).
+    """
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    b = SparkSession.builder.appName(app_name)
+    if profile == "local":
+        b = b.master(f"local[{cpus}]")
+        b = b.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    b = (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # keep scalar Python UDFs (rare) Arrow-batched rather than pickled rows
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    jar = iceberg_jar()
+    if jar and warehouse:
+        # Local hadoop-type Iceberg catalog: identical SQL surface to the
+        # reference's Glue catalog (create_iceberg_tables.py:121-128)
+        # without any AWS dependency.
+        b = (
+            b.config("spark.jars", jar)
+            .config("spark.sql.extensions",
+                    "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions")
+            .config("spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.local.type", "hadoop")
+            .config("spark.sql.catalog.local.warehouse", warehouse)
+        )
+    elif warehouse:
+        b = b.config("spark.sql.warehouse.dir", warehouse)
+    if profile == "cloud":
+        # Mirror of the reference's production wiring
+        # (create_iceberg_tables.py:120-131); requires the Iceberg + AWS
+        # bundle JARs and AWS credentials. Never exercised in tests.
+        b = (
+            b.config("spark.sql.extensions",
+                    "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions")
+            .config("spark.sql.catalog.glue_catalog", "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.glue_catalog.catalog-impl",
+                    "org.apache.iceberg.aws.glue.GlueCatalog")
+            .config("spark.sql.catalog.glue_catalog.io-impl",
+                    "org.apache.iceberg.aws.s3.S3FileIO")
+            .config("spark.sql.defaultCatalog", "glue_catalog")
+        )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
