@@ -1,0 +1,221 @@
+"""Catalog & table lifecycle management (SURVEY.md §2.1 #1-12, §2.2).
+
+Replaces the reference's split-brain namespace handling (Spark SQL at
+`create_iceberg_tables.py:142` *and* boto3 Glue at `:14-22`) with a
+single Spark-catalog path, and its swallowed-exception DDL execution
+(`:149-156`) with fail-loud semantics.
+
+Format capability gating: with the Iceberg runtime on the classpath the
+manager emits `USING iceberg` DDL and native `MERGE INTO`/`DELETE`/
+`UPDATE` SQL (enabled by the Iceberg session extensions — reference
+`create_iceberg_tables.py:127`). Without it (this container has no
+network), the same API runs on `USING parquet` tables in the built-in
+``spark_catalog``, and row-level ops fall back to an equivalent
+DataFrame rewrite (anti-join + union + overwrite) — the semantics of
+Iceberg v2 copy-on-write MERGE, expressed Spark-first.
+
+100 TB notes: the fallback MERGE is a full-table rewrite (as is
+Iceberg COW); at scale you'd choose Iceberg merge-on-read
+(`write.merge.mode=merge-on-read` table property, spec'd via
+``TableSpec.properties``) so MERGE writes only delete files + new rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from .session import iceberg_jar
+from .tablespec import TableSpec
+
+
+class CatalogError(RuntimeError):
+    pass
+
+
+@dataclass
+class TableManager:
+    spark: SparkSession
+    catalog: str | None = None  # None → session default (spark_catalog)
+    using: str | None = None  # None → "iceberg" if available else "parquet"
+
+    def __post_init__(self) -> None:
+        if self.using is None:
+            self.using = "iceberg" if self._iceberg_available() else "parquet"
+
+    def _iceberg_available(self) -> bool:
+        if iceberg_jar() is None:
+            return False
+        try:
+            self.spark._jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.SparkCatalog"
+            )
+            return True
+        except Exception:
+            return False
+
+    # -- identifiers ---------------------------------------------------
+
+    def _fq(self, name: str) -> str:
+        return f"{self.catalog}.{name}" if self.catalog else name
+
+    # -- namespaces (#6, #7, #8) --------------------------------------
+
+    def ensure_namespace(self, database: str) -> None:
+        self.spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self._fq(database)}")
+
+    def drop_namespace(self, database: str, cascade: bool = False) -> None:
+        suffix = " CASCADE" if cascade else ""
+        self.spark.sql(f"DROP NAMESPACE IF EXISTS {self._fq(database)}{suffix}")
+
+    def list_namespaces(self) -> list[str]:
+        rows = self.spark.sql(
+            f"SHOW NAMESPACES IN {self.catalog}" if self.catalog else "SHOW NAMESPACES"
+        ).collect()
+        return sorted(r[0] for r in rows)
+
+    # -- tables (#1-#5, #9) -------------------------------------------
+
+    def create_table(self, spec: TableSpec, if_not_exists: bool = True) -> str:
+        """Render + execute CREATE TABLE from a validated spec; returns the
+        DDL. Fails loudly on error (unlike `create_iceberg_tables.py:153`)."""
+        self.ensure_namespace(spec.database)
+        include_location = spec.location is not None and (
+            self.using == "iceberg" or not str(spec.location).startswith("s3://")
+        )
+        ddl = spec.to_ddl(
+            catalog=self.catalog,
+            using=self.using,
+            if_not_exists=if_not_exists,
+            include_location=include_location,
+        )
+        self.spark.sql(ddl)
+        return ddl
+
+    def create_from_yaml(self, path: str) -> str:
+        return self.create_table(TableSpec.from_yaml(path))
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(self._fq(name))
+
+    def list_tables(self, database: str) -> list[str]:
+        rows = self.spark.sql(f"SHOW TABLES IN {self._fq(database)}").collect()
+        return sorted(r["tableName"] for r in rows)
+
+    def describe(self, name: str) -> list[Row]:
+        return self.spark.sql(f"DESCRIBE TABLE EXTENDED {self._fq(name)}").collect()
+
+    def show_create(self, name: str) -> str:
+        return self.spark.sql(f"SHOW CREATE TABLE {self._fq(name)}").collect()[0][0]
+
+    def drop_table(self, name: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._fq(name)}")
+
+    # -- write paths (#17, #18) ---------------------------------------
+
+    def _aligned(self, fq: str, df: DataFrame) -> DataFrame:
+        """Reorder columns by name to the table's physical order —
+        V1 tables put partition columns last and insertInto is positional."""
+        return df.select(*self.spark.table(fq).columns)
+
+    def append(self, name: str, df: DataFrame) -> None:
+        if self.using == "iceberg":
+            df.writeTo(self._fq(name)).append()
+        else:
+            # DataFrameWriterV2 doesn't resolve V1 session-catalog tables;
+            # V1 insertInto is the equivalent append there.
+            fq = self._fq(name)
+            self._aligned(fq, df).write.insertInto(fq)
+
+    def overwrite_all(self, name: str, df: DataFrame) -> None:
+        fq = self._fq(name)
+        self._aligned(fq, df).write.insertInto(fq, overwrite=True)
+
+    # -- row-level ops (#19, #20) -------------------------------------
+
+    def merge_upsert(
+        self,
+        name: str,
+        source: DataFrame,
+        on: list[str],
+        update_cols: list[str] | None = None,
+    ) -> None:
+        """MERGE INTO target USING source ON keys
+        WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT.
+
+        Iceberg: native SQL (extensions). Parquet fallback: equivalent
+        copy-on-write rewrite — keep non-matching target rows, then union
+        the source (source wins on key collision).
+        """
+        fq = self._fq(name)
+        if self.using == "iceberg":
+            source.createOrReplaceTempView("_merge_source")
+            cond = " AND ".join(f"t.{k} = s.{k}" for k in on)
+            cols = update_cols or [c for c in source.columns if c not in on]
+            sets = ", ".join(f"t.{c} = s.{c}" for c in cols)
+            self.spark.sql(
+                f"MERGE INTO {fq} t USING _merge_source s ON {cond} "
+                f"WHEN MATCHED THEN UPDATE SET {sets} "
+                f"WHEN NOT MATCHED THEN INSERT *"
+            )
+            return
+        target = self.spark.table(fq)
+        # dropDuplicates: MERGE requires unique source keys; deterministic
+        keep = target.join(source.select(on).distinct(), on=on, how="left_anti")
+        merged = keep.unionByName(source.select(*target.columns))
+        # Materialize before overwrite: the plan reads the table it rewrites.
+        self._rewrite(fq, merged)
+
+    def delete_where(self, name: str, predicate: str) -> None:
+        fq = self._fq(name)
+        if self.using == "iceberg":
+            self.spark.sql(f"DELETE FROM {fq} WHERE {predicate}")
+            return
+        remaining = self.spark.table(fq).filter(f"NOT ({predicate})")
+        self._rewrite(fq, remaining)
+
+    def update_where(self, name: str, predicate: str, assignments: dict[str, str]) -> None:
+        fq = self._fq(name)
+        if self.using == "iceberg":
+            sets = ", ".join(f"{k} = {v}" for k, v in assignments.items())
+            self.spark.sql(f"UPDATE {fq} SET {sets} WHERE {predicate}")
+            return
+        t = self.spark.table(fq)
+        cols = []
+        for c in t.columns:
+            if c in assignments:
+                cols.append(
+                    F.when(F.expr(predicate), F.expr(assignments[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            else:
+                cols.append(F.col(c))
+        self._rewrite(fq, t.select(*cols))
+
+    def _rewrite(self, fq: str, df: DataFrame) -> None:
+        """Copy-on-write table rewrite for the parquet fallback. The new
+        contents derive from the table being overwritten, so they are
+        materialized (localCheckpoint cuts the self-referencing lineage)
+        before the overwrite — same read-before-write discipline Iceberg
+        gets from snapshot isolation."""
+        materialized = self._aligned(fq, df.localCheckpoint(eager=True))
+        materialized.write.insertInto(fq, overwrite=True)
+
+    # -- diagnostics (#8, #12 analog of test_iceberg.py) ---------------
+
+    def diagnostics(self) -> dict[str, object]:
+        """Session/catalog health snapshot (the reference's smoke script,
+        `test_iceberg.py:26-86`, as a real API that can actually fail)."""
+        return {
+            "spark_version": self.spark.version,
+            "using": self.using,
+            "iceberg_available": self._iceberg_available(),
+            "default_catalog": self.spark.conf.get(
+                "spark.sql.defaultCatalog", "spark_catalog"
+            ),
+            "namespaces": self.list_namespaces(),
+            "extensions": self.spark.conf.get("spark.sql.extensions", ""),
+        }

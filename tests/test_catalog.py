@@ -1,0 +1,86 @@
+"""Layer-A runtime tests: namespace/table lifecycle + row-level ops on
+the capability-gated catalog (parquet fallback in this container —
+identical API surface to the Iceberg path; SURVEY §2.1/§2.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_iceberg_automation_spark.catalog import TableManager
+from aws_iceberg_automation_spark.tablespec import TableSpec
+
+
+@pytest.fixture(scope="module")
+def mgr(spark):
+    m = TableManager(spark)
+    yield m
+    m.drop_namespace("it_db", cascade=True)
+
+
+@pytest.fixture(scope="module")
+def spec(tmp_path_factory):
+    loc = tmp_path_factory.mktemp("warehouse") / "it_db" / "people"
+    return TableSpec.from_dict(
+        {
+            "database": "it_db",
+            "table": "people",
+            "location": str(loc),
+            "partitioned_by": ["country"],
+            "columns": [
+                {"name": "id", "type": "bigint"},
+                {"name": "name", "type": "string"},
+                {"name": "country", "type": "string"},
+                {"name": "balance", "type": "double"},
+            ],
+        }
+    )
+
+
+def test_create_and_describe(mgr, spec):
+    ddl = mgr.create_table(spec)
+    assert "CREATE TABLE IF NOT EXISTS it_db.people" in ddl
+    assert "people" in mgr.list_tables("it_db")
+    assert "it_db" in mgr.list_namespaces()
+    # idempotent (IF NOT EXISTS — reference behavior #1)
+    mgr.create_table(spec)
+    created = mgr.show_create("it_db.people")
+    assert "id BIGINT" in created or "id bigint" in created.lower()
+
+
+def test_append_and_read(mgr, spec, spark):
+    df = spark.createDataFrame(
+        [(1, "ada", "DE", 10.0), (2, "bo", "US", 20.0), (3, "cy", "DE", 30.0)],
+        schema=spec.to_struct_type(),
+    )
+    mgr.append("it_db.people", df)
+    assert mgr.table("it_db.people").count() == 3
+
+
+def test_merge_upsert(mgr, spec, spark):
+    src = spark.createDataFrame(
+        [(2, "bo2", "US", 25.0), (4, "di", "FR", 40.0)],
+        schema=spec.to_struct_type(),
+    )
+    mgr.merge_upsert("it_db.people", src, on=["id"])
+    rows = {r.id: r for r in mgr.table("it_db.people").collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[2].name == "bo2" and rows[2].balance == 25.0  # matched → updated
+    assert rows[4].country == "FR"  # not matched → inserted
+
+
+def test_update_where(mgr):
+    mgr.update_where("it_db.people", "country = 'DE'", {"balance": "balance + 1.0"})
+    rows = {r.id: r.balance for r in mgr.table("it_db.people").collect()}
+    assert rows[1] == 11.0 and rows[3] == 31.0 and rows[2] == 25.0
+
+
+def test_delete_where(mgr):
+    mgr.delete_where("it_db.people", "balance > 26.0")  # removes id 3 (31.0) and 4 (40.0)
+    assert {r.id for r in mgr.table("it_db.people").collect()} == {1, 2}
+
+
+def test_diagnostics(mgr):
+    d = mgr.diagnostics()
+    assert d["using"] in ("parquet", "iceberg")
+    assert "it_db" in d["namespaces"]
+    assert d["spark_version"].startswith("4.")
