@@ -87,9 +87,12 @@ SCHEMAS: dict[str, StructType] = {
         ("l_linestatus", StringType()),
         ("l_shipdate", TimestampNTZType()),
     ),
+    # ts is physically TIMESTAMP(NANOS) which Spark's parquet reader
+    # rejects outright; read the raw int64 nanos and rebuild TIMESTAMP_NTZ
+    # in the loader (see _events_ts_ntz).
     "events": _schema(
         ("event_id", LongType()),
-        ("ts", TimestampNTZType()),
+        ("ts", LongType()),
         ("user_id", LongType()),
         ("event_type", StringType()),
         ("value", DoubleType()),
@@ -112,6 +115,21 @@ SCHEMAS: dict[str, StructType] = {
 TABLES: tuple[str, ...] = tuple(SCHEMAS)
 
 
+# Rebuild TIMESTAMP_NTZ from int64 nanoseconds, truncated to µs, without
+# ever passing through a timezone-dependent cast (LTZ↔NTZ conversions use
+# the session tz, which the verification driver does not pin to UTC).
+# make_dt_interval's seconds arg is DECIMAL(8,6), hence the d/h/m/s split;
+# all arithmetic is integral/decimal → exact.
+_EVENTS_TS_NTZ = """
+TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval(
+  CAST(ts DIV 86400000000000 AS INT),
+  CAST((ts % 86400000000000) DIV 3600000000000 AS INT),
+  CAST((ts % 3600000000000) DIV 60000000000 AS INT),
+  CAST((ts % 60000000000) DIV 1000 AS DECIMAL(20,0)) / 1000000
+)
+"""
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its declared schema.
 
@@ -122,7 +140,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in SCHEMAS:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    return spark.read.schema(SCHEMAS[name]).parquet(path)
+    df = spark.read.schema(SCHEMAS[name]).parquet(path)
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.expr(_EVENTS_TS_NTZ).cast("timestamp_ntz"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

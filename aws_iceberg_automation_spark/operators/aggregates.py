@@ -1,0 +1,308 @@
+"""Aggregation operators (SURVEY.md §2.5 #38-49).
+
+All aggregates run as two-phase HashAggregate (partial map-side combine
+→ shuffle of |groups| rows → final) — the shape that scales: the wire
+traffic is group cardinality, not input rows. collect_list/collect_set
+are used only on provably bounded groups (documented guardrail #44).
+Sort-based fallback (#49) is automatic: Spark demotes Hash→ObjectHash→
+SortAggregate when hash state spills — no code needed.
+
+Oracle notes: Spark's skewness/kurtosis are population moments while
+DuckDB's are sample-bias-corrected; the oracle SQL converts via the
+standard correction factors rather than loosening the comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.compat import (
+    SQL_DISC_PRICE,
+    davg,
+    dec2,
+    disc_price,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "q38_hash_agg_groupby",
+    oracle=f"""
+SELECT l_partkey,
+  COUNT(*) AS n_items,
+  {sql_dsum("CAST(l_quantity AS DECIMAL(10,2))", "sum_qty")},
+  {sql_dsum(SQL_DISC_PRICE, "revenue", 6)},
+  min(l_extendedprice) AS min_price,
+  max(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_partkey
+""",
+    tags=("agg", "bench"),
+)
+def q38_hash_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate on a mid-cardinality key (#38): partial+final
+    automatic; shuffle carries one row per (partition, key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(dec2("l_quantity"), "sum_qty"),
+        dsum(disc_price(), "revenue", 6),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
+    "q39_global_aggs",
+    oracle=f"""
+SELECT
+  COUNT(*) AS n_rows,
+  {sql_dsum("CAST(l_quantity AS DECIMAL(10,2))", "sum_qty")},
+  {sql_davg("CAST(l_extendedprice AS DECIMAL(10,2))", "avg_price")},
+  min(l_shipdate) AS first_ship,
+  max(l_shipdate) AS last_ship,
+  min(l_extendedprice) AS min_price,
+  max(l_extendedprice) AS max_price
+FROM lineitem
+""",
+    tags=("agg",),
+)
+def q39_global_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-group) aggregates (#39): partial per partition, single
+    final row — no meaningful shuffle at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(dec2("l_quantity"), "sum_qty"),
+        davg(dec2("l_extendedprice"), "avg_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
+    "q40_count_distinct",
+    oracle="""
+SELECT l_returnflag,
+  COUNT(DISTINCT l_partkey) AS distinct_parts,
+  COUNT(DISTINCT l_suppkey) AS distinct_supps,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def q40_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) ×2 (#40): Catalyst plans the Expand +
+    two-phase aggregate; at scale prefer #41's sketch when ±2% is fine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("q41_approx_count_distinct", oracle=None, tags=("agg", "approx"))
+def q41_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct (#41). No oracle (DuckDB's HLL differs
+    by construction); tests assert ≤5% relative error vs exact — the
+    100 TB path for count-distinct (constant memory per group)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "q42_percentiles",
+    oracle="""
+SELECT l_returnflag,
+  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+  round(median(l_extendedprice), 4) AS median_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def q42_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (#42). ``percentile_approx``
+    (t-digest/GK sketch) is exercised without an oracle in tests — at
+    100 TB exact percentile sorts each group; the sketch doesn't."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+    )
+
+
+@register(
+    "q43_stats_aggs",
+    oracle="""
+SELECT l_returnflag,
+  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+  round(var_samp(l_extendedprice), 4) AS var_price,
+  round(stddev_pop(l_extendedprice), 4) AS sdp_price,
+  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def q43_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-family statistics (#43), rounded on both sides (merge
+    order of central moments is not bit-stable across partitionings)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_extendedprice"), 4).alias("var_price"),
+        F.round(F.stddev_pop("l_extendedprice"), 4).alias("sdp_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@register(
+    "q43b_higher_moments",
+    oracle="""
+SELECT l_returnflag,
+  round(skewness(l_extendedprice) * (COUNT(*) - 2)
+        / sqrt(COUNT(*) * (COUNT(*) - 1.0)), 5) AS skew_pop,
+  round(( kurtosis(l_extendedprice) * (COUNT(*)-2.0) * (COUNT(*)-3.0)
+          / (COUNT(*)-1.0) - 6.0 ) / (COUNT(*) + 1.0), 5) AS kurt_pop
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def q43b_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness/kurtosis (#43): Spark reports population moments, DuckDB
+    sample-corrected ones — the oracle inverts the standard corrections
+    (g1_samp = g1_pop·√(n(n-1))/(n-2); likewise for excess kurtosis)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_extendedprice"), 5).alias("skew_pop"),
+        F.round(F.kurtosis("l_extendedprice"), 5).alias("kurt_pop"),
+    )
+
+
+@register(
+    "q44_collect_aggs",
+    oracle="""
+SELECT l_returnflag,
+  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+  list_sort(list(DISTINCT l_suppkey)) AS suppliers
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def q44_collect_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set (#44), sorted for determinism. Guardrail: only on
+    provably bounded domains (statuses ≤3, suppliers = |supplier| —
+    a dimension). Never collect an unbounded fact column at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.sort_array(F.collect_set("l_suppkey")).alias("suppliers"),
+    )
+
+
+@register(
+    "q45_first_last_by_order",
+    oracle="""
+SELECT o_custkey,
+  arg_min(o_totalprice, o_orderkey) AS first_order_price,
+  arg_max(o_totalprice, o_orderkey) AS last_order_price,
+  arg_min(o_orderdate, o_orderkey) AS first_order_date,
+  min(o_orderkey) AS any_orderkey
+FROM orders
+GROUP BY o_custkey
+""",
+    tags=("agg",),
+)
+def q45_first_last_by_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/any_value semantics (#45) made deterministic: min_by/
+    max_by over the unique orderkey (bare first()/any_value() are
+    partition-order-dependent — fine for speed, unfit for an oracle)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min_by("o_totalprice", "o_orderkey").alias("first_order_price"),
+        F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"),
+        F.min_by("o_orderdate", "o_orderkey").alias("first_order_date"),
+        F.min("o_orderkey").alias("any_orderkey"),
+    )
+
+
+@register(
+    "q46_distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus, l_suppkey FROM lineitem",
+    tags=("agg",),
+)
+def q46_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT rows (#46) — planned as a group-by on all columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus", "l_suppkey").distinct()
+
+
+@register(
+    "q47_rollup_cube",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+  COUNT(*) AS n_rows,
+  {sql_dsum("CAST(l_quantity AS DECIMAL(10,2))", "sum_qty")}
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    tags=("agg",),
+)
+def q47_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (#47) with per-column grouping flags (the
+    bit-packed grouping_id() is engine-specific; per-column GROUPING()
+    is portable). ROLLUP/GROUPING SETS share the same Expand plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(dec2("l_quantity"), "sum_qty"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q48_pivot",
+    oracle=f"""
+SELECT (user_id % 10) AS user_band,
+  {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(10,2)) END) AS DECIMAL(38,2)) AS {t}" for t in _EVENT_TYPES)}
+FROM events
+GROUP BY (user_id % 10)
+""",
+    tags=("agg",),
+)
+def q48_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (#48) with explicit pivot values — skipping the extra
+    distinct-values job Spark otherwise runs (mandatory at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_band"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(dec2("value")).cast("decimal(38,2)"))
+    )

@@ -1,0 +1,235 @@
+"""Join operators (SURVEY.md §2.4 #28-34, #37).
+
+Scale posture (100 TB): dimension tables (region/nation/customer at
+TPC-H ratios, any side < ~200 MB) are broadcast — explicitly where we
+know (``F.broadcast``), otherwise via AQE's runtime size estimate. Fact-
+fact joins shuffle on the join key; at 1000 executors that is the plan
+you want (hash-partitioned SMJ/SHJ), with AQE skew-split handling hot
+keys. Non-equi joins never run as bare BroadcastNestedLoop against a
+big probe side unless the build side is tiny (here: a 4-row band dim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.compat import SQL_DISC_PRICE, disc_price, dsum, sql_dsum
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "q28_inner_equi_join",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus, o.o_totalprice
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 150000.0
+""",
+    tags=("join",),
+)
+def q28_inner_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join (#28): fact⋈fact on the natural key. Catalyst
+    picks SMJ/SHJ; at sf0.01 AQE converts to broadcast-hash since the
+    filtered orders side is tiny. Filter pushes below the join."""
+    li, o = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    return li.join(o, li.l_orderkey == o.o_orderkey, "inner").where(
+        F.col("o_totalprice") > 150000.0
+    ).select("l_orderkey", "l_linenumber", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "q29_outer_joins",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+FROM customer c
+FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 450000.0) o
+  ON c.c_custkey = o.o_custkey AND c.c_acctbal > 0.0
+""",
+    tags=("join",),
+)
+def q29_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join (#29) with null-producing rows on both sides
+    (left/right outer are the two halves of this plan)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000.0)
+    cond = (c.c_custkey == o.o_custkey) & (c.c_acctbal > 0.0)
+    return c.join(o, cond, "full_outer").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q30_semi_join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+""",
+    tags=("join",),
+)
+def q30_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join / EXISTS (#30): returns each customer at most once
+    — no fact-side fan-out, so the shuffle carries only distinct keys."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q31_anti_join",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    tags=("join",),
+)
+def q31_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join / NOT EXISTS (#31)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "q32_broadcast_dim_join",
+    oracle="""
+SELECT r.r_name AS region, n.n_name AS nation,
+       COUNT(*) AS customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    tags=("join", "bench"),
+)
+def q32_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dimension join (#32): nation/region are broadcast
+    explicitly — zero shuffle for the joins; only the final aggregate
+    exchanges data. The canonical snowflake pattern at any scale."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(10,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "q33_range_band_join",
+    oracle=f"""
+WITH bands(band, lo, hi) AS (
+  VALUES ('small', 0.0, 20000.0), ('mid', 20000.0, 60000.0),
+         ('large', 60000.0, 90000.0), ('jumbo', 90000.0, 1e18)
+)
+SELECT b.band, COUNT(*) AS n_items,
+  {sql_dsum(SQL_DISC_PRICE, "revenue", 6)}
+FROM lineitem l JOIN bands b
+  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+GROUP BY b.band
+""",
+    tags=("join",),
+)
+def q33_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join (#33): fact × tiny band dimension on interval
+    predicates. The 4-row build side is broadcast, so the non-equi join
+    is a BroadcastNestedLoop over a trivially small inner — the only
+    safe shape for theta joins at scale (never NLJ two big sides; for
+    big-big range joins, pre-bucket into coarse equi-keys — see #36)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [
+            ("small", 0.0, 20000.0),
+            ("mid", 20000.0, 60000.0),
+            ("large", 60000.0, 90000.0),
+            ("jumbo", 90000.0, 1e18),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(disc_price(), "revenue", 6),
+        )
+    )
+
+
+@register(
+    "q34_cross_join",
+    oracle="""
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+WHERE n.n_regionkey <> r.r_regionkey
+""",
+    tags=("join",),
+)
+def q34_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (#34), guarded: both sides are bounded dimensions
+    (5×25). Cross joins over unbounded inputs are a bug, not an operator
+    — the similarity operators (#83) always LSH/bucket-prune first."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).filter(F.col("n_regionkey") != F.col("r_regionkey")).select(
+        "r_name", "n_name"
+    )
+
+
+@register(
+    "q37_star_join_revenue",
+    oracle=f"""
+SELECT n.n_name AS nation,
+  {sql_dsum(SQL_DISC_PRICE, "revenue", 6)},
+  COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+""",
+    tags=("join", "bench"),
+)
+def q37_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (#37, TPC-H Q5 shape): one shuffle join on the
+    fact keys (lineitem⋈orders), everything else broadcast; region
+    filter prunes before joining. AQE reorders/locally-optimizes the
+    chain at runtime."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(disc_price(), "revenue", 6), F.count(F.lit(1)).alias("n_lineitems"))
+    )

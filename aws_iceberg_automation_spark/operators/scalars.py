@@ -1,0 +1,299 @@
+"""Scalar function families (SURVEY.md §2.9 #65-71): string, date/time,
+math, array (incl. higher-order), map, JSON, hash.
+
+Everything here is a built-in ``pyspark.sql.functions`` expression —
+JVM-side, whole-stage-codegen'd, zero Python boundary. That is the
+point of this module: the 100 TB hot path never leaves the JVM.
+
+Oracle notes: both engines get IEEE-identical doubles for arithmetic on
+identical inputs; libm-backed functions (exp/log/pow) are rounded to 6
+decimals since JVM StrictMath and C libm may differ in the last ulp.
+Engine-specific hashes (xxhash64, crc32, Spark's murmur ``hash``) are
+exercised rows-only in q71b.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.compat import ts_sec
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "q65_string_funcs",
+    oracle="""
+SELECT c_custkey,
+  lower(c_name) AS name_lower,
+  upper(c_mktsegment) AS seg_upper,
+  trim(concat('  ', c_name, '  ')) AS name_trimmed,
+  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+  substring(c_name, 1, 8) AS name_prefix,
+  concat_ws('|', c_mktsegment, c_name) AS seg_name,
+  length(c_name) AS name_len,
+  regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+  regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+  replace(c_name, 'Customer', 'Cust') AS name_replaced,
+  reverse(c_mktsegment) AS seg_reversed,
+  split(c_name, '#') AS name_parts,
+  CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS lev_to_building
+FROM customer
+""",
+    tags=("scalar",),
+)
+def q65_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family (#65)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias(
+            "name_trimmed"
+        ),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("name_masked"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias(
+            "name_replaced"
+        ),
+        F.reverse("c_mktsegment").alias("seg_reversed"),
+        F.split("c_name", "#").alias("name_parts"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("lev_to_building"),
+    )
+
+
+@register(
+    "q66_datetime_funcs",
+    oracle="""
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS INT) AS yr,
+  CAST(month(o_orderdate) AS INT) AS mo,
+  CAST(day(o_orderdate) AS INT) AS dom,
+  CAST(quarter(o_orderdate) AS INT) AS qtr,
+  CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+  CAST(o_orderdate AS DATE) AS order_date,
+  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+  CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS INT) AS days_to_y2k,
+  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+  strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+""",
+    tags=("scalar",),
+)
+def q66_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family (#66), all NTZ-safe (no session-tz dependence).
+    Day-of-week uses ISO numbering (Spark's dayofweek is Sunday=1,
+    DuckDB's dow Sunday=0 — isodow is the portable one)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.quarter(d).alias("qtr"),
+        (F.weekday(d) + 1).cast("int").alias("iso_dow"),
+        F.dayofyear(d).alias("doy"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        d.cast("date").alias("order_date"),
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).alias(
+            "days_to_y2k"
+        ),
+        F.last_day(d.cast("date")).alias("month_end"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    )
+
+
+@register(
+    "q67_math_funcs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+  round(l_extendedprice, 1) AS price_r1,
+  floor(l_extendedprice) AS price_floor,
+  ceil(l_extendedprice) AS price_ceil,
+  abs(l_discount - 0.05) AS disc_dev,
+  CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+  round(sqrt(l_extendedprice), 6) AS price_sqrt,
+  round(pow(1.0 + l_discount, 2), 10) AS disc_sq,
+  round(ln(l_extendedprice), 6) AS price_ln,
+  round(log10(l_extendedprice), 6) AS price_log10,
+  greatest(l_quantity, 25.0) AS qty_floor25,
+  least(l_tax, l_discount) AS min_rate,
+  CAST(l_quantity AS BIGINT) % 7 AS qty_mod7
+FROM lineitem
+""",
+    tags=("scalar",),
+)
+def q67_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family (#67). floor/ceil return DOUBLE in DuckDB vs BIGINT in
+    Spark — cast to double; libm-backed results rounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(p, 1).alias("price_r1"),
+        F.floor(p).cast("double").alias("price_floor"),
+        F.ceil(p).cast("double").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.round(F.sqrt(p), 6).alias("price_sqrt"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_discount"), 2), 10).alias("disc_sq"),
+        F.round(F.log(p), 6).alias("price_ln"),
+        F.round(F.log10(p), 6).alias("price_log10"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("qty_floor25"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+    )
+
+
+@register(
+    "q68_array_funcs",
+    oracle="""
+SELECT vec_id,
+  len(embedding) AS dim,
+  round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+  round(CAST(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')
+        AS DOUBLE), 4) AS elem_sum,
+  round(CAST(list_aggregate(list_transform(list_slice(embedding, 1, 8),
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS DOUBLE), 4) AS head_sq_norm,
+  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+  round(CAST(list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[1] AS DOUBLE), 6)
+    AS min_elem
+FROM embeddings
+""",
+    tags=("scalar", "vector"),
+)
+def q68_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + higher-order functions (#68) over the embedding column —
+    the JVM-side vector-math toolkit (transform/filter/aggregate/slice)
+    that similarity search (#83) builds on. Element math is widened
+    float→double on both sides before folding (left-to-right, same
+    order ⇒ identical doubles), and sums rounded."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    as_double = F.transform(emb, lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_elem"),
+        F.round(
+            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("elem_sum"),
+        F.round(
+            F.aggregate(
+                F.transform(F.slice(emb, 1, 8), lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("head_sq_norm"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        F.round(F.array_min(as_double), 6).alias("min_elem"),
+    )
+
+
+@register(
+    "q69_map_funcs",
+    oracle="""
+SELECT event_id,
+  ['k'] AS prop_keys,
+  [CAST(props->>'$.k' AS INT)] AS prop_values,
+  CAST(props->>'$.k' AS INT) AS k_value,
+  CAST(props->>'$.k' AS INT) IS NOT NULL AS has_k
+FROM events
+""",
+    tags=("scalar",),
+)
+def q69_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family (#69): events.props parsed into MAP<STRING,INT>, then
+    map_keys/map_values/element_at/map_contains_key (DuckDB mirrors via
+    JSON paths — its JSON→MAP story differs, values are what's checked)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.map_values(m).alias("prop_values"),
+        F.element_at(m, "k").alias("k_value"),
+        F.map_contains_key(m, "k").alias("has_k"),
+    )
+
+
+@register(
+    "q70_json_funcs",
+    oracle="""
+SELECT event_id,
+  CAST(props->>'$.k' AS INT) AS k_typed,
+  props->>'$.k' AS k_string,
+  json_valid(props) AS is_valid_json,
+  to_json(struct_pack(event_type := event_type, k := CAST(props->>'$.k' AS INT)))
+    AS packed
+FROM events
+""",
+    tags=("scalar",),
+)
+def q70_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family (#70): schema'd from_json, path extraction
+    (get_json_object), and to_json re-serialization of a struct."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "struct<k:int>")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_typed"),
+        F.get_json_object("props", "$.k").alias("k_string"),
+        F.from_json("props", "map<string,string>").isNotNull().alias("is_valid_json"),
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("event_type"),
+                parsed.getField("k").alias("k"),
+            )
+        ).alias("packed"),
+    )
+
+
+@register(
+    "q71_hash_funcs",
+    oracle="""
+SELECT doc_id,
+  md5(text) AS text_md5,
+  sha256(text) AS text_sha256,
+  CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+""",
+    tags=("scalar", "hash"),
+)
+def q71_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-stable hashes (#71): md5 / sha-256 hex — the exact-
+    dedup keys of #81."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.length("text").cast("bigint").alias("text_len"),
+    )
+
+
+@register("q71b_engine_hashes", oracle=None, tags=("scalar", "hash"))
+def q71b_engine_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-specific hashes (#71, rows-only): xxhash64 / crc32 /
+    murmur3 ``hash`` — cheap JVM hashes used for salting, sampling and
+    sketch bucketing at scale; invariants tested in pytest."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("text_xxh64"),
+        F.crc32("text").alias("text_crc32"),
+        F.hash("text").alias("text_murmur"),
+        F.abs(F.xxhash64("text") % 64).alias("salt_bucket"),
+    )

@@ -1,0 +1,113 @@
+"""Sort / limit / top-k operators (SURVEY.md §2.7 #56-60).
+
+Scale notes: global orderBy range-partitions on sampled bounds — an
+all-to-all shuffle; use it only when the user truly needs total order.
+Top-k compiles to TakeOrderedAndProject (per-partition heap of k, then
+k·partitions merged on the driver) — no global sort. Per-group top-k is
+one window shuffle. sortWithinPartitions is shuffle-free (write-layout
+tool). All orderings include a unique key so limits are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "q56_global_sort",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderpriority,
+       nullif(o_orderpriority, '5-LOW') AS pri_or_null
+FROM orders
+ORDER BY pri_or_null DESC NULLS LAST, o_totalprice DESC, o_orderkey
+""",
+    tags=("sort",),
+)
+def q56_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-key sort (#56) with explicit null ordering. (The
+    oracle hash is order-insensitive, so the sort is verified by the
+    deterministic limit queries below; this one exercises the plan.)"""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.nullif("o_orderpriority", F.lit("5-LOW")).alias("pri_or_null"),
+    ).orderBy(
+        F.col("pri_or_null").desc_nulls_last(),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey"),
+    )
+
+
+@register(
+    "q57_partition_local_sort",
+    oracle="SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem",
+    tags=("sort",),
+)
+def q57_partition_local_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sortWithinPartitions (#57): no shuffle; row *set* is unchanged
+    (which is exactly what the order-insensitive oracle checks). Used as
+    a write-layout optimization — sorted runs compress better and give
+    parquet/Iceberg tighter min-max stats for scan pruning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_shipdate").sortWithinPartitions(
+        "l_shipdate"
+    )
+
+
+@register(
+    "q59_topk_global",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50
+""",
+    tags=("sort",),
+)
+def q59_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (#59) — and the deterministic form of limit (#58):
+    orderBy(unique tiebreak).limit(k) → TakeOrderedAndProject, which
+    never materializes a global sort regardless of input size."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+@register(
+    "q60_topk_per_group",
+    oracle="""
+SELECT * FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer)
+WHERE rk <= 3
+""",
+    tags=("sort",),
+)
+def q60_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (#60): rank-filter over one window shuffle. At
+    scale this beats any collect-and-sort approach; with heavy skew,
+    pre-aggregate a candidate set per (group, salt) first."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )

@@ -1,0 +1,211 @@
+"""Window-function operators (SURVEY.md §2.6 #50-55).
+
+Each window spec shuffles once on its partition key then sorts within
+partitions — so at scale the partition key choice is the whole story:
+per-user/per-customer keys give millions of small partitions (good);
+a constant key funnels everything to one task (never do that — all
+specs here partition on real keys). Ordering always includes a unique
+tiebreaker column so results are deterministic for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.compat import dec2
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "q50_ranking_functions",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+  row_number() OVER w AS rn,
+  rank()       OVER w AS rnk,
+  dense_rank() OVER w AS drnk,
+  ntile(4)     OVER w AS quartile,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    tags=("window",),
+)
+def q50_ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family (#50) over per-priority windows; o_orderkey breaks
+    price ties so every rank is reproducible."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "q51_lag_lead",
+    oracle="""
+SELECT event_id, user_id,
+  lag(value)  OVER w AS prev_value,
+  lead(value) OVER w AS next_value,
+  lag(value, 2, -1.0) OVER w AS prev2_or_default,
+  value - lag(value) OVER w AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    tags=("window", "timeseries"),
+)
+def q51_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic offsets (#51) on the event stream, per user in event-time
+    order (ts ties broken by event_id). value-deltas stay exact: raw
+    double subtraction is IEEE-deterministic on identical inputs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("value", 2, -1.0).over(w).alias("prev2_or_default"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "q52_running_totals",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) OVER w AS DECIMAL(38,2)) AS running_spend,
+  COUNT(*) OVER w AS orders_so_far,
+  CAST(max(CAST(o_totalprice AS DECIMAL(10,2))) OVER w AS DECIMAL(38,2)) AS max_so_far
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    tags=("window",),
+)
+def q52_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed running aggregates (#52) + explicit cumulative row frame
+    (#53's unbounded-preceding case). Decimal sums keep every prefix
+    exact, so the cumulative column is order-proof."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec2("o_totalprice")).over(w).cast("decimal(38,2)").alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("orders_so_far"),
+        F.max(dec2("o_totalprice")).over(w).cast("decimal(38,2)").alias("max_so_far"),
+    )
+
+
+@register(
+    "q53_moving_window",
+    oracle="""
+SELECT event_id, user_id,
+  CAST(SUM(CAST(value AS DECIMAL(10,2))) OVER w AS DECIMAL(38,2)) AS sum_7,
+  COUNT(*) OVER w AS cnt_7,
+  round(CAST(SUM(CAST(value AS DECIMAL(10,2))) OVER w AS DOUBLE) / COUNT(*) OVER w, 6)
+    AS moving_avg_7
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "timeseries"),
+)
+def q53_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded row frame (#53): trailing-7-rows moving aggregate; the
+    moving average derives from the exact decimal sum ÷ frame count."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    sum7 = F.sum(dec2("value")).over(w)
+    cnt7 = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        sum7.cast("decimal(38,2)").alias("sum_7"),
+        cnt7.alias("cnt_7"),
+        F.round(sum7.cast("double") / cnt7, 6).alias("moving_avg_7"),
+    )
+
+
+@register(
+    "q54_range_frame_time",
+    oracle="""
+SELECT event_id, user_id,
+  CAST(SUM(CAST(value AS DECIMAL(10,2)))
+       OVER (PARTITION BY user_id ORDER BY date_diff('second', TIMESTAMP '2024-01-01', ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2))
+    AS sum_last_hour
+FROM events
+""",
+    tags=("window", "timeseries"),
+)
+def q54_range_frame_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value/time-range frame (#54): trailing 1-hour window keyed on
+    seconds-since-epoch-of-a-fixed-literal — timestampdiff on NTZ is
+    timezone-independent, so the oracle agrees whatever the session tz.
+    (Spark's rangeBetween needs a numeric ordering key; ns truncation
+    doesn't matter because only second-level differences are compared —
+    both engines floor to whole seconds.)"""
+    ev = load_table(spark, sf_dir, "events")
+    secs = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(dec2("value")).over(w).cast("decimal(38,2)").alias("sum_last_hour"),
+    )
+
+
+@register(
+    "q55_first_last_value",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+  first_value(o_totalprice) OVER w AS first_price,
+  last_value(o_totalprice)  OVER w AS latest_price,
+  nth_value(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    tags=("window",),
+)
+def q55_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over an explicit full frame (#55) — the
+    default frame would make last_value just the current row."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("latest_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )

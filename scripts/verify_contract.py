@@ -22,28 +22,30 @@ sys.path.insert(0, REPO)
 
 
 def canon(v):
-    """Canonicalize one cell so Spark and DuckDB values compare exactly."""
+    """Canonicalize one cell so Spark and DuckDB values compare exactly.
+    Every result is a (tag, payload) tuple of strings so mixed NULL /
+    non-NULL columns still sort (Python can't order str vs tuple)."""
     if v is None:
-        return "∅"
+        return ("0n", "")
     if isinstance(v, bool):
-        return ("b", v)
+        return ("b", str(v))
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return ("f", repr(v))
+        return ("f", "NaN" if math.isnan(v) else repr(v))
     if isinstance(v, Decimal):
         return ("f", repr(float(v)))
     if isinstance(v, int):
-        return ("i", v)
+        return ("i", str(v).rjust(24))
     if isinstance(v, datetime):
         return ("t", v.replace(tzinfo=None).isoformat())
     if isinstance(v, date):
         return ("t", v.isoformat())
+    if isinstance(v, bytes):
+        return ("y", v.hex())
     if isinstance(v, (list, tuple)):
-        return tuple(canon(x) for x in v)
+        return ("l", repr(tuple(canon(x) for x in v)))
     if isinstance(v, dict):
-        return tuple(sorted((k, canon(x)) for k, x in v.items()))
-    return str(v)
+        return ("d", repr(tuple(sorted((str(k), canon(x)) for k, x in v.items()))))
+    return ("s", str(v))
 
 
 def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
