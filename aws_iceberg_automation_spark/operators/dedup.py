@@ -1,0 +1,327 @@
+"""Deduplication operators (SURVEY.md §2.11 #81-82) — exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Everything is built-in JVM expressions (higher-order array functions +
+xxhash64); no Python boundary, no MLlib model fitting — the signature
+computation is a pure map, so it scales linearly and shuffles only
+(band_hash → bucket) pairs, never full signatures of all docs to one
+place.
+
+Shapes at 100 TB:
+- exact: groupBy(sha256) with min-id winner — one shuffle of (hash, id).
+- MinHash/LSH: per-doc signature (map) → explode B bands (map) →
+  self-join on (band, band_hash) buckets (shuffle ~B·N tiny rows) →
+  verify candidates with exact Jaccard (join back to shingle sets).
+  Bucket skew (boilerplate docs) is the known hazard: cap bucket sizes
+  / salt giant buckets before pairing.
+- transitive closure: iterative min-id propagation with localCheckpoint
+  each round (lineage cut), rounds = O(log component-diameter).
+
+The fixture corpus is all-distinct word soup (FIXTURES.md), so the
+threshold queries legitimately return few/zero rows at low sf; tests
+inject controlled duplicates and assert the pipeline finds them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+# --- shared shingle/signature expressions (JVM-side, codegen'd) -------
+
+
+def word_shingles(text: str | Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a whitespace-tokenized text."""
+    tokens = F.split(text if isinstance(text, Column) else F.col(text), " ")
+    n = F.size(tokens)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: per seed h, min over shingles of xxhash64(s, h).
+    One array column — no N×H explosion, no shuffle."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda h: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, h))),
+    )
+
+
+def lsh_bands(sig: Column, bands: int = 8, rows: int = 4) -> Column:
+    """Band the signature: array of (band_id, band_hash) structs. Two
+    docs sharing any band bucket become a candidate pair."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.concat_ws(",", F.transform(F.slice(sig, b * rows + 1, rows), lambda x: x.cast("string")))
+            ).alias("band_hash"),
+        ),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+
+
+@register(
+    "q81_exact_dedup",
+    oracle="""
+SELECT md5(text) AS content_key,
+       min(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+    tags=("dedup", "llm"),
+)
+def q81_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (#81): hash-groupBy with deterministic min-id winner.
+    At scale the shuffle carries (32-byte key, id) per row — nothing
+    else; the keeper join back to full rows is a second, semi-join-
+    shaped pass when materializing the deduped corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_key")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "q81b_normalized_dedup",
+    oracle="""
+SELECT min(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_key
+FROM documents
+GROUP BY 3
+""",
+    tags=("dedup", "llm"),
+)
+def q81b_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after canonicalization (lowercase, trim, whitespace
+    collapse) — catches trivially-reformatted duplicates."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.groupBy(F.md5(norm).alias("norm_key")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline over (doc_id, text): returns
+    verified pairs (doc_id_a < doc_id_b, jaccard ≥ threshold)."""
+    rows = num_hashes // bands
+    sh = docs.select(
+        "doc_id", word_shingles(F.col("text"), k).alias("shingles")
+    )
+    banded = sh.select(
+        "doc_id",
+        F.explode(lsh_bands(minhash_signature(F.col("shingles"), num_hashes), bands, rows)).alias("b"),
+    ).select("doc_id", "b.band", "b.band_hash")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@register("q82_minhash_lsh_neardup", oracle=None, tags=("dedup", "llm"))
+def q82_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs (#82), exact-Jaccard-verified.
+    Rows-only check (xxhash seeds are engine-specific); pytest injects
+    synthetic near-dups and asserts they surface. 0 rows on the
+    all-distinct fixture corpus is the correct answer."""
+    return minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q82b_ngram_jaccard_pairs",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 1, 2)),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+         )) AS sh
+  FROM documents WHERE doc_id < 120
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(a.sh || b.sh)) >= 0.02
+""",
+    tags=("dedup", "llm"),
+)
+def q82b_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity (#82 ground truth): all-pairs on
+    a deterministic 120-doc slice (the oracle must run it too). The
+    production path is q82_minhash_lsh_neardup — this exact variant is
+    the verifier and the oracle bridge for it."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    sh = d.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    jac = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+        .filter(jac >= 0.02)
+        .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register("q82c_simhash", oracle=None, tags=("dedup", "llm"))
+def q82c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (#82): 64-bit locality-sensitive fingerprint — per bit,
+    sign of Σ±1 over token hashes; near-dups have small Hamming
+    distance. Pure expression pipeline (rows-only: engine hash).
+    Output includes a 16-bit prefix band usable as a blocking key."""
+    d = load_table(spark, sf_dir, "documents")
+    # SQL-expression form: the Python shiftleft/shiftright wrappers only
+    # take literal ints, but the SQL functions accept expressions — which
+    # the per-bit lambda needs.
+    simhash = F.expr(
+        """
+aggregate(
+  zip_with(
+    transform(sequence(0, 63),
+      b -> aggregate(transform(array_distinct(split(text, ' ')), t -> xxhash64(t)),
+                     0,
+                     (acc, h) -> acc + IF(shiftright(h, b) & 1 = 1, 1, -1))),
+    sequence(0, 63),
+    (v, b) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
+  CAST(0 AS BIGINT),
+  (acc, x) -> acc | x)
+"""
+    )
+    return d.select(
+        "doc_id",
+        simhash.alias("simhash"),
+        F.shiftright(simhash, 48).alias("band_prefix"),
+    )
+
+
+@register(
+    "q82d_embedding_neardup",
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 150)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       a.label AS label_a, b.label AS label_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+         AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.8
+""",
+    tags=("dedup", "llm", "vector"),
+)
+def q82d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (#82) on a deterministic
+    150-vector slice (all-pairs is the oracle-checkable ground truth;
+    the scale path is the LSH bucketing in similarity.py). Both engines
+    compute the identical sequential fold, so raw doubles agree."""
+    from ..functions.vectors import cosine
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    e = e.select("vec_id", "label", F.col("embedding").alias("v"))
+    a = e.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("label").alias("label_a"),
+        F.col("v").alias("va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+    )
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .filter(cos >= 0.8)
+        .select(
+            "vec_id_a", "vec_id_b", "label_a", "label_b",
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Transitive closure of near-dup pairs → (doc_id, component_id =
+    min reachable id). Iterative min-id propagation; each round is two
+    small joins + localCheckpoint (cuts lineage — mandatory in loops).
+    Rounds needed = O(log diameter); dedup components are tiny, so this
+    converges in 2-3 rounds in practice."""
+    edges = (
+        pairs.selectExpr("doc_id_a AS src", "doc_id_b AS dst")
+        .union(pairs.selectExpr("doc_id_b AS src", "doc_id_a AS dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component_id"))

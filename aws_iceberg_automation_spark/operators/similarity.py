@@ -1,0 +1,207 @@
+"""Similarity search over embeddings (SURVEY.md §2.11 #83).
+
+Two paths, same output shape:
+
+- Exact brute-force cosine top-k: query set ⨯ corpus via broadcast
+  nested-loop (query side broadcast — the corpus side streams), dot
+  products as JVM folds, per-query row_number ≤ k. Correct baseline;
+  O(|Q|·N) — fine when |Q| is small or N is oracle-scale.
+- LSH-bucketed ANN: sign-random-projection (SRP) bucket keys computed
+  with deterministic hash-derived hyperplanes, candidates = bucket
+  collisions across probe permutations, exact re-rank inside buckets.
+  At 100 TB: bucket key is a cheap map-side expression; the join is a
+  hash join on (bucket), i.e. candidates ≪ N — this is the scale path.
+  Recall tuning = more planes/probes; tests measure recall vs exact.
+
+Ranking determinism: ranks order by cosine rounded to 6 then vec_id,
+so engine-level 1-ulp drift cannot flip neighbor order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, dot
+from ..io import load_table
+from ..registry import register
+
+_N_QUERIES = 10
+_TOP_K = 5
+
+
+@register(
+    "q83_cosine_topk_exact",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+    round(list_dot_product(q.qv, e.v)
+          / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6)
+      AS cosine
+  FROM q JOIN e ON e.vec_id <> q.q_id
+)
+SELECT q_id, neighbor_id, neighbor_label, cosine, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored)
+WHERE rk <= {_TOP_K}
+""",
+    tags=("similarity", "llm", "vector", "bench"),
+)
+def q83_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k (#83 baseline): 10 query vectors vs the whole
+    corpus; broadcast the small query side so the corpus never shuffles;
+    TakeOrdered-style rank-filter per query."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    q = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _TOP_K
+    )
+
+
+def srp_bucket(v, planes: int = 12, seed: str = "srp") -> F.Column:
+    """Sign-random-projection bucket key: ``planes`` pseudo-random
+    hyperplanes with coefficients derived from xxhash64(seed, plane,
+    dim) — deterministic, no stored model, computed map-side. Returns a
+    LONG bucket id (one bit per plane)."""
+    def coef(p: int, i):
+        # uniform-ish in [-0.5, 0.5): engine-hash driven, stable across runs
+        return (
+            F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(100003)).cast("double")
+            / 100003.0
+            - 0.5
+        )
+
+    def plane_bit(p: int):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, i: x.cast("double") * coef(p, i),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    # Unrolled over the (small, static) plane count: the Python shift
+    # wrappers need literal shift amounts.
+    bucket = plane_bit(0)
+    for p in range(1, planes):
+        bucket = bucket.bitwiseOR(plane_bit(p))
+    return bucket
+
+
+@register("q83b_ann_lsh_topk", oracle=None, tags=("similarity", "llm", "vector"))
+def q83b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via SRP-LSH bucketing (#83 scale path): join
+    queries to corpus on bucket equality over two independent hash
+    tables (OR-amplification), exact cosine re-rank inside the
+    candidate set. Rows-only check; pytest measures recall vs q83."""
+    n_tables, planes = 4, 4  # tuned for the fixtures' near-orthogonal
+    # geometry (top-1 cosine ≈ 0.33 ⇒ p = 1-θ/π ≈ 0.61 per plane;
+    # 1-(1-p⁴)⁴ ≈ 0.45 expected recall). Tighter corpora → more planes.
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    # (table_id, bucket) rows: bucket membership becomes a plain equi-key
+    # → hash join, not an OR-condition nested loop.
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                srp_bucket(F.col("v"), planes=planes, seed=f"srp{t}").alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    corpus = e.withColumn("tb", F.explode(buckets)).select(
+        "vec_id", "label", "v", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    )
+    q = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        "t",
+        "bucket",
+    )
+    cand = (
+        F.broadcast(q)
+        .join(corpus, ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "qv", "vec_id", "label", "v")
+        .distinct()  # a pair colliding in several tables re-ranks once
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _TOP_K)
+
+
+@register(
+    "q83c_dot_topk_normalized",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv FROM e),
+q AS (SELECT vec_id AS q_id, nv AS qv FROM n WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.q_id, n.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, n.nv), 6) AS dot_sim
+  FROM q JOIN n ON n.vec_id <> q.q_id
+)
+SELECT q_id, neighbor_id, dot_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dot_sim DESC, neighbor_id) AS rk
+  FROM scored)
+WHERE rk <= {_TOP_K}
+""",
+    tags=("similarity", "llm", "vector"),
+)
+def q83c_dot_topk_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-normalized dot-product top-k (#83): normalize once, then
+    similarity is a plain dot — at scale you store normalized vectors
+    and halve the arithmetic per candidate."""
+    from ..functions.vectors import normalize
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", normalize(F.col("embedding")).alias("nv")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("nv").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot(F.col("qv"), F.col("nv")), 6).alias("dot_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dot_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .drop("rk")
+    )

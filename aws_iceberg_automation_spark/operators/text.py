@@ -1,0 +1,269 @@
+"""Text-analysis operators over `documents` (SURVEY.md §2.11 #85-86):
+token statistics, term frequencies, TF-IDF, language-ID heuristic,
+quality scoring, document fingerprinting.
+
+All JVM expressions (split/explode/higher-order folds) — the tokenizer
+hot path never enters Python. Explode-based term counting shuffles
+(token, 1) pairs with map-side partial aggregation, the same shape as
+any word-count at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+# Tiny per-language stopword lists for the n-gram/stopword langid
+# heuristic. Real pipelines plug fasttext/cld3 via a pandas UDF; the
+# heuristic keeps the operator self-contained and oracle-checkable.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+    "zh": ["的", "是", "不", "了", "在", "人"],
+}
+
+
+@register(
+    "q85_token_stats",
+    oracle="""
+SELECT doc_id, lang, source,
+  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+  round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token,
+  CAST(length(text) AS BIGINT) AS n_chars_computed,
+  (CAST(length(text) AS BIGINT) = n_chars) AS n_chars_consistent
+FROM documents
+""",
+    tags=("text", "llm"),
+)
+def q85_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (#85): whitespace tokenization, distinct-token
+    cardinality, chars/token — plus the fixture's n_chars self-check."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(tokens).alias("n_tokens"),
+        F.size(F.array_distinct(tokens)).alias("n_distinct_tokens"),
+        F.round(F.length("text").cast("double") / F.size(tokens), 6).alias(
+            "chars_per_token"
+        ),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+        (F.length("text").cast("bigint") == F.col("n_chars")).alias(
+            "n_chars_consistent"
+        ),
+    )
+
+
+@register(
+    "q85b_top_terms",
+    oracle="""
+SELECT term, n_occurrences, n_docs, rk FROM (
+  SELECT term,
+    CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+    row_number() OVER (ORDER BY COUNT(*) DESC, term) AS rk
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term)
+WHERE rk <= 50
+""",
+    tags=("text", "llm", "bench"),
+)
+def q85b_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies (#85): explode → two-phase count → top-50
+    (count desc, term asc — fully deterministic)."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    counts = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term"))
+    return counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 50)
+
+
+@register(
+    "q85c_tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id < 100
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok
+)
+SELECT doc_id, term, rk, tfidf FROM (
+  SELECT tf.doc_id, tf.term,
+    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf,
+    row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                                tf.term) AS rk
+  FROM tf JOIN df USING (term) CROSS JOIN n)
+WHERE rk <= 3
+""",
+    tags=("text", "llm"),
+)
+def q85c_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top terms per document (#85) on a deterministic 100-doc
+    slice: tf × ln(N/df), top-3 per doc. The doc-frequency side is tiny
+    relative to the corpus → broadcast at scale."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tok.select("doc_id").distinct().count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("raw"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("raw").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "rk", F.round("raw", 6).alias("tfidf"))
+    )
+
+
+def _langid_scores():
+    """(lang, score-column) pairs: stopword hits per language."""
+    tokens = F.array_distinct(F.split("text", " "))
+    return [
+        (lang, F.size(F.array_intersect(tokens, F.array(*[F.lit(w) for w in words]))))
+        for lang, words in sorted(_LANG_MARKERS.items())
+    ]
+
+
+@register(
+    "q85d_langid_heuristic",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang AS actual_lang,
+  {", ".join(f"CAST(len(list_intersect(list_distinct(string_split(text, ' ')), {words!r}::VARCHAR[])) AS INT) AS score_{lang}" for lang, words in sorted(_LANG_MARKERS.items()))}
+  FROM documents
+)
+SELECT doc_id, actual_lang,
+  CASE
+    {" ".join(f"WHEN score_{lang} = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN '{lang}'" for lang in sorted(_LANG_MARKERS))}
+  END AS predicted_lang,
+  greatest(score_de, score_en, score_es, score_fr, score_zh) AS best_score
+FROM scored
+""",
+    tags=("text", "llm"),
+)
+def q85d_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (#85): stopword-marker hits per language,
+    argmax with deterministic alphabetical tie-break (the fixture text
+    is synthetic word soup, so scores are mostly 0 → 'de'; the operator
+    shape — N marker probes + argmax — is what a real lexicon plugs
+    into)."""
+    d = load_table(spark, sf_dir, "documents")
+    scores = _langid_scores()
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.coalesce(
+        *[F.when(s == best, F.lit(lang)) for lang, s in scores]
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        pred.alias("predicted_lang"),
+        best.cast("int").alias("best_score"),
+    )
+
+
+@register(
+    "q86_quality_filter",
+    oracle="""
+WITH q AS (
+  SELECT doc_id, lang, n_chars,
+    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+    round(CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+          / length(text), 6) AS alpha_ratio,
+    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')), 6) AS distinct_ratio,
+    round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6)
+      AS chars_per_token
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens, alpha_ratio, distinct_ratio, chars_per_token,
+  (n_tokens BETWEEN 20 AND 200
+   AND chars_per_token BETWEEN 3.0 AND 12.0
+   AND distinct_ratio >= 0.3) AS keep
+FROM q
+""",
+    tags=("text", "llm"),
+)
+def q86_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + filter flags (#86): length bounds, alphabetic
+    ratio, vocabulary diversity, chars/token — plain derived-column
+    predicates, trivially parallel."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    n_tokens = F.size(tokens)
+    alpha_ratio = F.round(
+        F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("double")
+        / F.length("text"),
+        6,
+    )
+    distinct_ratio = F.round(
+        F.size(F.array_distinct(tokens)).cast("double") / n_tokens, 6
+    )
+    cpt = F.round(F.length("text").cast("double") / n_tokens, 6)
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        cpt.alias("chars_per_token"),
+        (
+            n_tokens.between(20, 200)
+            & cpt.between(3.0, 12.0)
+            & (distinct_ratio >= 0.3)
+        ).alias("keep"),
+    )
+
+
+@register(
+    "q85e_fingerprint",
+    oracle="""
+SELECT doc_id,
+  list_aggregate(list_transform(range(1, greatest(length(text) - 6, 2)),
+                                i -> md5(substring(text, CAST(i AS INT), 8))), 'min')
+    AS min_gram_fp,
+  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+    AS bag_of_words_fp
+FROM documents
+""",
+    tags=("text", "llm", "hash"),
+)
+def q85e_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (#85): (a) min-of-rolling-8-gram-hash —
+    a 1-of-winnowing sketch robust to local edits; (b) sorted bag-of-
+    words hash — robust to word order. Both md5-based so the oracle
+    agrees; production would swap xxhash64 (see q71b) for speed."""
+    d = load_table(spark, sf_dir, "documents")
+    min_gram = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1))),
+            lambda i: F.md5(F.col("text").substr(i, F.lit(8))),
+        )
+    )
+    bow = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    )
+    return d.select(
+        "doc_id",
+        min_gram.alias("min_gram_fp"),
+        bow.alias("bag_of_words_fp"),
+    )
