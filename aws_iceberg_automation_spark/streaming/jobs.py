@@ -1,0 +1,227 @@
+"""Structured Streaming operators (SURVEY.md §2.10 #72-79).
+
+Batch/stream parity by construction: every windowed aggregation here
+calls the *same* expression builders as the batch twins in
+``operators/events.py``, so the file-replay tests can assert
+stream == batch — the only real oracle a stream has (#80).
+
+Replay harness: the fixture parquet is re-chunked into several files in
+event-time order and streamed with ``maxFilesPerTrigger=1`` +
+``Trigger.AvailableNow`` — a deterministic multi-microbatch execution
+in which watermarks actually advance and late rows actually drop.
+
+Scale posture (100 TB/day): these plans are the standard production
+shapes — watermark-bounded state in per-key aggregates, dropDuplicates
+state keyed by event_id with the watermark bounding retention (#76),
+stream-static broadcast joins for dimension enrichment (#79), and an
+``applyInPandasWithState`` Arrow-batched custom stateful operator
+(#77). Sinks: parquet/Iceberg append with checkpointing (#22).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.compat import dec2, ts_sec
+from ..io import SCHEMAS, _EVENTS_TS_NTZ
+
+
+def prepare_replay_dir(spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 5) -> str:
+    """Split the events fixture into n time-ordered parquet files so a
+    file-source stream replays it as multiple microbatches."""
+    # Raw physical schema (ts = int64 nanos) so the replayed files look
+    # exactly like the source and the stream reader's ts rebuild applies.
+    ev = spark.read.schema(SCHEMAS["events"]).parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    total = ev.count()
+    per = (total + n_chunks - 1) // n_chunks
+    rows = ev.orderBy("ts", "event_id").collect()
+    for i in range(n_chunks):
+        chunk = rows[i * per : (i + 1) * per]
+        if not chunk:
+            continue
+        spark.createDataFrame(chunk, schema=ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"chunk={i}"))
+    return out_dir
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream of events (#22 source): same physical schema
+    as the batch loader (int64 ns → TIMESTAMP_NTZ rebuild)."""
+    reader = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+    )
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.expr(_EVENTS_TS_NTZ).cast("timestamp_ntz"))
+
+
+def with_watermark(events: DataFrame, delay: str = "2 hours") -> DataFrame:
+    """Event-time watermark (#72): bounds all downstream state; rows
+    older than max(event time) - delay are dropped (#78).
+
+    Spark only accepts TIMESTAMP (LTZ) as an event-time column, so the
+    NTZ ts is cast here; window outputs cast back to NTZ — an exact
+    round trip under the engine's pinned UTC session timezone."""
+    return events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", delay
+    )
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """Streaming twin of q73_tumbling_window (#73)."""
+    return (
+        events.groupBy(F.window(ts_sec("ts"), "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec2("value")).cast("decimal(38,2)").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame) -> DataFrame:
+    """Streaming twin of q74_sliding_window (#74)."""
+    return (
+        events.groupBy(F.window(ts_sec("ts"), "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec2("value")).cast("decimal(38,2)").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_agg(events: DataFrame) -> DataFrame:
+    """Streaming twin of q75_session_window (#75): session_window state
+    merges adjacent gaps; watermark closes sessions."""
+    return (
+        events.groupBy(
+            F.session_window(ts_sec("ts"), "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec2("value")).cast("decimal(38,2)").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame) -> DataFrame:
+    """Streaming dedup (#76): exactly-once on event_id with watermark-
+    bounded state (without the watermark, state grows unboundedly)."""
+    return events.dropDuplicates(["event_id"])
+
+
+def stream_static_join(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static dimension join (#79): the static side is broadcast
+    to every microbatch — no state, no shuffle of the stream."""
+    return events.join(F.broadcast(dim), "user_id", "left")
+
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("events_seen", LongType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+
+
+def _running_user_totals(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState kernel (#77): per-user running event count
+    and value sum, persisted across microbatches in GroupState."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "events_seen": [n], "value_sum": [round(total, 2)]}
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful per-key processing (#77) via Arrow-batched
+    applyInPandasWithState — the Spark-idiomatic 'custom operator'
+    escape hatch when built-in windows can't express the state
+    machine."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_user_totals,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    sdf: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming frame to completion with Trigger.AvailableNow
+    into a memory sink; returns the materialized result table."""
+    spark = sdf.sparkSession
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def write_stream_parquet(sdf: DataFrame, path: str, checkpoint: str, output_mode: str = "append"):
+    """Streaming sink (#22): parquet append with checkpointing (swap
+    format('iceberg') when the runtime is on the classpath — identical
+    call shape)."""
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return path

@@ -1,0 +1,93 @@
+"""Driver-visible streaming queries (SURVEY.md §2.10 #72-77): each runs
+a real multi-microbatch Structured Streaming execution (file replay +
+availableNow) and returns the materialized result, so the DuckDB oracle
+can hash-check *streaming* output against batch SQL — the strongest
+form of #80's batch-equivalence requirement.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from . import jobs
+
+_REPLAY_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _replay(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _REPLAY_CACHE:
+        d = tempfile.mkdtemp(prefix="events_replay_")
+        _REPLAY_CACHE[key] = jobs.prepare_replay_dir(spark, sf_dir, d, n_chunks=5)
+    return _REPLAY_CACHE[key]
+
+
+def _stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.read_events_stream(spark, _replay(spark, sf_dir))
+
+
+@register(
+    "q72_stream_tumbling_replay",
+    oracle="""
+SELECT time_bucket(INTERVAL 1 HOUR, date_trunc('second', ts)) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming",),
+)
+def q72_stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation executed as a genuine
+    stream (5 microbatches, watermark advancing) — output hash-matches
+    the batch SQL oracle (#72, #73, #80)."""
+    out = jobs.run_to_memory(
+        jobs.tumbling_agg(jobs.with_watermark(_stream(spark, sf_dir))),
+        f"q72_mem_{uuid.uuid4().hex[:8]}",
+    )
+    return out
+
+
+@register(
+    "q76_stream_dedup_replay",
+    oracle="""
+SELECT event_id, user_id, event_type, value FROM events
+""",
+    tags=("streaming",),
+)
+def q76_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates with watermark-bounded state (#76):
+    event_ids are unique in the fixture, so exactly-once output equals
+    the full table — which is precisely what the oracle asserts."""
+    out = jobs.run_to_memory(
+        jobs.streaming_dedup(jobs.with_watermark(_stream(spark, sf_dir))),
+        f"q76_mem_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+@register(
+    "q77_stream_stateful_totals",
+    oracle="""
+SELECT user_id, COUNT(*) AS events_seen FROM events GROUP BY user_id
+""",
+    tags=("streaming",),
+)
+def q77_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (#77): applyInPandasWithState running
+    totals across microbatches; the final per-user state must equal the
+    batch group-by — update-mode emissions collapsed by max."""
+    out = jobs.run_to_memory(
+        jobs.stateful_user_totals(jobs.with_watermark(_stream(spark, sf_dir))),
+        f"q77_mem_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+    return out.groupBy("user_id").agg(F.max("events_seen").alias("events_seen"))

@@ -1,0 +1,124 @@
+"""Streaming tests (SURVEY §2.10, §5.2 Phase 5): multi-microbatch file
+replay with availableNow; the oracle is batch equality (#80) plus state
+invariants for dedup/stateful ops."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_iceberg_automation_spark.io import load_table
+from aws_iceberg_automation_spark.registry import all_specs
+from aws_iceberg_automation_spark.streaming import jobs
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_replay"))
+    return jobs.prepare_replay_dir(spark, SF_DIR, d, n_chunks=5)
+
+
+@pytest.fixture(scope="module")
+def stream(spark, replay_dir):
+    def make():
+        return jobs.read_events_stream(spark, replay_dir)
+
+    return make
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_is_streaming(stream):
+    assert stream().isStreaming
+
+
+def test_tumbling_stream_equals_batch(spark, stream):
+    out = jobs.run_to_memory(
+        jobs.tumbling_agg(jobs.with_watermark(stream())), "t_tumbling"
+    )
+    batch = all_specs()["q73_tumbling_window"].fn(spark, SF_DIR)
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_sliding_stream_equals_batch(spark, stream):
+    out = jobs.run_to_memory(
+        jobs.sliding_agg(jobs.with_watermark(stream())), "t_sliding"
+    )
+    batch = all_specs()["q74_sliding_window"].fn(spark, SF_DIR)
+    cols = ["window_start", "n_events", "total_value"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_session_stream_equals_batch(spark, stream):
+    out = jobs.run_to_memory(
+        jobs.session_agg(jobs.with_watermark(stream())), "t_session"
+    )
+    batch = all_specs()["q75_session_window"].fn(spark, SF_DIR)
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_streaming_dedup(spark, stream):
+    out = jobs.run_to_memory(
+        jobs.streaming_dedup(jobs.with_watermark(stream())), "t_dedup",
+        output_mode="append",
+    )
+    n_unique = load_table(spark, SF_DIR, "events").select("event_id").distinct().count()
+    assert out.select("event_id").distinct().count() == n_unique
+    assert out.count() == n_unique
+
+
+def test_stream_static_join(spark, stream):
+    dim = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_seen"))
+    )
+    out = jobs.run_to_memory(
+        jobs.stream_static_join(stream(), dim), "t_enrich", output_mode="append"
+    )
+    total = load_table(spark, SF_DIR, "events").count()
+    assert out.count() == total
+    assert out.filter(F.col("first_seen").isNull()).count() == 0
+
+
+def test_stateful_user_totals(spark, stream):
+    out = jobs.run_to_memory(
+        jobs.stateful_user_totals(jobs.with_watermark(stream())),
+        "t_stateful",
+        output_mode="update",
+    )
+    # update-mode memory sink keeps every microbatch's emission; the
+    # final state per user is the max events_seen — compare to batch.
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("events_seen").alias("events_seen"))
+        .collect()
+    )
+    batch = {
+        r.user_id: r.n
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r.user_id: r.events_seen for r in final} == batch
+
+
+def test_parquet_sink_checkpoint(spark, stream, tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("sink_out"))
+    ckpt = str(tmp_path_factory.mktemp("sink_ckpt"))
+    jobs.write_stream_parquet(
+        jobs.streaming_dedup(jobs.with_watermark(stream())), out_dir, ckpt
+    )
+    written = spark.read.parquet(out_dir)
+    assert written.count() == load_table(spark, SF_DIR, "events").count()
+    # restart with same checkpoint: no duplicate output (exactly-once)
+    jobs.write_stream_parquet(
+        jobs.streaming_dedup(jobs.with_watermark(stream())), out_dir, ckpt
+    )
+    assert spark.read.parquet(out_dir).count() == written.count()
