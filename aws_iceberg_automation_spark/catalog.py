@@ -98,7 +98,39 @@ class TableManager:
         return self.create_table(TableSpec.from_yaml(path))
 
     def table(self, name: str) -> DataFrame:
+        """Managed-table scan (#13): snapshot-isolated and partition-
+        pruned under Iceberg; plain catalog read under the fallback."""
         return self.spark.table(self._fq(name))
+
+    def table_at(
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        as_of_timestamp: str | None = None,
+    ) -> DataFrame:
+        """Iceberg time-travel scan (#15): VERSION AS OF / TIMESTAMP AS
+        OF. Requires the Iceberg runtime — the parquet fallback has no
+        snapshot lineage, so this fails loudly rather than silently
+        returning current data."""
+        if self.using != "iceberg":
+            raise CatalogError(
+                "time travel requires an Iceberg table (format capability "
+                f"'{self.using}' has no snapshot history)"
+            )
+        fq = self._fq(name)
+        if snapshot_id is not None:
+            return self.spark.sql(f"SELECT * FROM {fq} FOR VERSION AS OF {snapshot_id}")
+        if as_of_timestamp is not None:
+            return self.spark.sql(
+                f"SELECT * FROM {fq} FOR TIMESTAMP AS OF '{as_of_timestamp}'"
+            )
+        raise CatalogError("pass snapshot_id or as_of_timestamp")
+
+    def snapshots(self, name: str) -> list[Row]:
+        """Iceberg snapshot log (metadata table) — time-travel anchor."""
+        if self.using != "iceberg":
+            raise CatalogError("snapshot history requires an Iceberg table")
+        return self.spark.sql(f"SELECT * FROM {self._fq(name)}.snapshots").collect()
 
     def list_tables(self, database: str) -> list[str]:
         rows = self.spark.sql(f"SHOW TABLES IN {self._fq(database)}").collect()

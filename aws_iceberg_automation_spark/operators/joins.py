@@ -26,7 +26,7 @@ SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus, o.o_totalprice
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_totalprice > 150000.0
 """,
-    tags=("join",),
+    tags=("join", "bench"),
 )
 def q28_inner_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inner equi-join (#28): fact⋈fact on the natural key. Catalyst

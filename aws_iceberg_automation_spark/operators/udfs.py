@@ -1,0 +1,139 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.12 #87-91).
+
+Doctrine: UDFs are the slow path — every operator elsewhere in this
+engine is JVM expressions. This module exists to prove the full Python
+extension surface with the right defaults when you *must* cross:
+
+- #87 scalar Python UDF: Arrow-batched (spark 4 default via
+  ``spark.sql.execution.pythonUDF.arrow.enabled``), still ~row-wise —
+  last resort.
+- #88 pandas (vectorized) UDF: Series→Series over Arrow batches; numpy
+  vectorization, 10-100× the scalar path.
+- #89 grouped-agg pandas UDF: usable inside agg()/over().
+- #90 grouped-map applyInPandas: per-group DataFrame→DataFrame (UDTF
+  shape; mapInPandas lives in multimodal.py).
+- #91 SQL registration: spark.udf.register so SQL surfaces reach it.
+
+Oracle note: numpy reductions are pairwise (not sequential), so UDF
+outputs are rounded on both sides rather than compared exactly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from ..io import load_table
+from ..registry import register
+
+
+@F.pandas_udf(DoubleType())
+def vec_norm_udf(emb: pd.Series) -> pd.Series:
+    """#88: vectorized L2 norm of ARRAY<FLOAT> via numpy per Arrow batch."""
+    import numpy as np
+
+    return emb.map(lambda v: float(np.sqrt(np.dot(v, v))))
+
+
+@F.pandas_udf(DoubleType())
+def grouped_mean_positive(v: pd.Series) -> float:  # type: ignore[misc]
+    """#89: grouped-agg pandas UDF — mean of positive values per group."""
+    pos = v[v > 0]
+    return float(pos.mean()) if len(pos) else 0.0
+
+
+@register(
+    "q88_pandas_udf_vecnorm",
+    oracle="""
+SELECT vec_id,
+  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6)
+    AS l2_norm
+FROM embeddings
+""",
+    tags=("udf", "vector"),
+)
+def q88_pandas_udf_vecnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF (#88): per-batch numpy norms; rounded since
+    numpy's pairwise reduction ≠ sequential fold at the last ulp."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", F.round(vec_norm_udf("embedding"), 6).alias("l2_norm"))
+
+
+@register(
+    "q89_grouped_agg_udf",
+    oracle="""
+SELECT l_returnflag,
+  round(avg(l_extendedprice) FILTER (WHERE l_extendedprice > 0), 4) AS mean_positive
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("udf",),
+)
+def q89_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (#89) inside a regular agg()."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(grouped_mean_positive("l_extendedprice"), 4).alias("mean_positive")
+    )
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """#90 kernel: z-score normalize order totals within a priority
+    class (population stddev; ddof=0 matches SQL stddev_pop)."""
+    mu = pdf["o_totalprice"].mean()
+    sd = pdf["o_totalprice"].std(ddof=0)
+    out = pdf[["o_orderkey", "o_orderpriority"]].copy()
+    out["zscore"] = ((pdf["o_totalprice"] - mu) / sd if sd > 0 else 0.0).round(4)
+    return out
+
+
+@register(
+    "q90_apply_in_pandas",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+  round((o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_orderpriority))
+        / stddev_pop(o_totalprice) OVER (PARTITION BY o_orderpriority), 4) AS zscore
+FROM orders
+""",
+    tags=("udf",),
+)
+def q90_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (#90): whole-group pandas transform —
+    the shape for per-group model scoring / custom normalization. Each
+    group must fit in one worker's memory: partition keys at scale are
+    chosen with that bound in mind."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").applyInPandas(
+        _zscore_group, schema="o_orderkey long, o_orderpriority string, zscore double"
+    )
+
+
+@register(
+    "q91_sql_registered_udf",
+    oracle="""
+SELECT doc_id,
+  CAST(round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) * 100, 0) AS BIGINT)
+    AS verbosity_centi
+FROM documents
+""",
+    tags=("udf",),
+)
+def q91_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-registered Python UDF (#91): register once, call from SQL —
+    how notebook/SQL users reach Python logic. Arrow-batched scalar UDF
+    (#87's path, with the batching that makes it tolerable). The kernel
+    rounds half-away (Decimal ROUND_HALF_UP) — Python's built-in round
+    is banker's rounding, which SQL engines don't use."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udf_view")
+
+    def verbosity_centi(text: str) -> int:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        ratio = len(text) / len(text.split(" ")) * 100
+        return int(Decimal(ratio).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+    spark.udf.register("verbosity_centi", verbosity_centi, "bigint")
+    return spark.sql(
+        "SELECT doc_id, verbosity_centi(text) AS verbosity_centi FROM docs_udf_view"
+    )

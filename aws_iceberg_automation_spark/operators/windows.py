@@ -31,7 +31,7 @@ SELECT o_orderkey, o_orderpriority,
 FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
 """,
-    tags=("window",),
+    tags=("window", "bench"),
 )
 def q50_ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking family (#50) over per-priority windows; o_orderkey breaks

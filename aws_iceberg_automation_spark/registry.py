@@ -42,6 +42,7 @@ _OPERATOR_MODULES = [
     "aws_iceberg_automation_spark.operators.similarity",
     "aws_iceberg_automation_spark.operators.text",
     "aws_iceberg_automation_spark.operators.multimodal",
+    "aws_iceberg_automation_spark.operators.udfs",
     "aws_iceberg_automation_spark.streaming.queries",
 ]
 

@@ -79,6 +79,17 @@ def test_delete_where(mgr):
     assert {r.id for r in mgr.table("it_db.people").collect()} == {1, 2}
 
 
+def test_time_travel_gated_without_iceberg(mgr):
+    from aws_iceberg_automation_spark.catalog import CatalogError
+
+    if mgr.using == "iceberg":
+        pytest.skip("iceberg available — gating path not applicable")
+    with pytest.raises(CatalogError, match="snapshot"):
+        mgr.table_at("it_db.people", snapshot_id=1)
+    with pytest.raises(CatalogError, match="snapshot"):
+        mgr.snapshots("it_db.people")
+
+
 def test_diagnostics(mgr):
     d = mgr.diagnostics()
     assert d["using"] in ("parquet", "iceberg")
