@@ -58,6 +58,40 @@ def q38_hash_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q38b_salted_two_phase_agg",
+    oracle=f"""
+SELECT l_returnflag,
+  COUNT(*) AS n_rows,
+  {sql_dsum(SQL_DISC_PRICE, "revenue", 6)}
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "skew"),
+)
+def q38b_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted aggregation (#38 at scale): a 3-value group key
+    funnels the final aggregate through 3 reducers; salting first
+    aggregates on (key, salt∈0..15) — 48 evenly-sized partials — then
+    re-aggregates the tiny partials on the real key. Decimal partials
+    re-sum exactly, so the result is identical to the direct group-by
+    (which is precisely what the oracle asserts). Same pattern AQE's
+    skew handling applies to joins; for aggregation you salt by hand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = (
+        li.withColumn("salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(disc_price()).alias("prev"),
+        )
+    )
+    return salted.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n_rows"),
+        F.sum("prev").cast("decimal(38,6)").alias("revenue"),
+    )
+
+
+@register(
     "q39_global_aggs",
     oracle=f"""
 SELECT

@@ -77,6 +77,34 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q22_sql_entry_subquery",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+""",
+    tags=("sql", "subquery"),
+)
+def q22_sql_entry_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql() entry path with scalar + IN subqueries. The reference
+    funnels *all* execution through spark.sql (create_iceberg_tables.py:151,
+    test_iceberg.py:86) — this query keeps that interface first-class,
+    and exercises Catalyst's subquery decorrelation (SURVEY §4.2): the
+    scalar subquery becomes a broadcast, the IN becomes a semi-join."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer_v
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v)
+          AND c_nationkey IN (SELECT n_nationkey FROM nation_v WHERE n_regionkey = 2)
+        """
+    )
+
+
+@register(
     "q23_projection",
     oracle=f"""
 SELECT

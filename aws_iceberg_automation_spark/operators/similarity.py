@@ -160,6 +160,58 @@ def q83b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _TOP_K)
 
 
+@register("q83d_ann_ivf_topk", oracle=None, tags=("similarity", "llm", "vector"))
+def q83d_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (#83 alternative scale path): a deterministic
+    coarse quantizer (every 31st vector is a centroid — a k-means-free
+    stand-in with the same plan shape), corpus partitioned by nearest
+    centroid (inverted lists), queries probe their nprobe=3 closest
+    lists, exact re-rank inside. The centroid table is tiny → broadcast
+    at both assignment and probe; the candidate join is an equi-join on
+    centroid id. Swap the centroid source for k-means output in
+    production — the Spark plan is identical."""
+    nprobe = 3
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    centroids = e.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+
+    def nearest(df, vec_col, out, n):
+        w = Window.partitionBy(df.columns[0]).orderBy(
+            F.col("_sim").desc(), F.col("c_id")
+        )
+        return (
+            df.join(F.broadcast(centroids))
+            .withColumn("_sim", cosine(F.col(vec_col), F.col("cv")))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n)
+            .drop("cv", "_sim", "_rk")
+            .withColumnRenamed("c_id", out)
+        )
+
+    lists = nearest(e, "v", "list_id", 1)  # inverted-list assignment
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    probes = nearest(q, "qv", "list_id", nprobe)
+    cand = (
+        F.broadcast(probes)
+        .join(lists, "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _TOP_K)
+
+
 @register(
     "q83c_dot_topk_normalized",
     oracle=f"""

@@ -61,6 +61,21 @@ def q57_partition_local_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q58_limit",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100
+""",
+    tags=("sort",),
+)
+def q58_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Limit (#58). A bare limit() is any-k rows (legal but
+    nondeterministic); pairing with a unique-key orderBy makes it
+    reproducible — GlobalLimit planned as TakeOrdered, no full sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_totalprice").orderBy("o_orderkey").limit(100)
+
+
+@register(
     "q59_topk_global",
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice

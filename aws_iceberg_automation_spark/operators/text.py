@@ -235,6 +235,34 @@ def q86_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q85f_bpe_ish_tokens",
+    oracle="""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INT) AS bpe_ish_tokens,
+  round(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS DOUBLE)
+        / len(string_split(text, ' ')), 6) AS tokens_per_word
+FROM documents
+""",
+    tags=("text", "llm"),
+)
+def q85f_bpe_ish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (#85): a GPT-2-style pre-tokenizer regex
+    (letter runs | single digits | punctuation) as the cheap proxy for
+    LLM token budgets — the standard corpus-costing pass before training
+    runs. Whitespace count alongside for the ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " "))
+    bpe = F.size(F.regexp_extract_all("text", F.lit("([a-z]+|[0-9]|[^a-z0-9 ])"), 0))
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+        F.round(bpe.cast("double") / ws, 6).alias("tokens_per_word"),
+    )
+
+
+@register(
     "q85e_fingerprint",
     oracle="""
 SELECT doc_id,

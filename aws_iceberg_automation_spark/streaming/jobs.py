@@ -80,17 +80,20 @@ def with_watermark(events: DataFrame, delay: str = "2 hours") -> DataFrame:
     older than max(event time) - delay are dropped (#78).
 
     Spark only accepts TIMESTAMP (LTZ) as an event-time column, so the
-    NTZ ts is cast here; window outputs cast back to NTZ — an exact
-    round trip under the engine's pinned UTC session timezone."""
-    return events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
-        "ts", delay
-    )
+    NTZ ts is cast here (and truncated to seconds — the engine-wide
+    events convention); window outputs cast back to NTZ — an exact round
+    trip under the engine's pinned UTC session timezone. The window
+    expressions downstream reference this exact column, which is what
+    lets append mode recognize the aggregation as watermarked."""
+    return events.withColumn(
+        "ts", ts_sec("ts").cast("timestamp")
+    ).withWatermark("ts", delay)
 
 
 def tumbling_agg(events: DataFrame) -> DataFrame:
     """Streaming twin of q73_tumbling_window (#73)."""
     return (
-        events.groupBy(F.window(ts_sec("ts"), "1 hour").alias("w"), F.col("event_type"))
+        events.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(dec2("value")).cast("decimal(38,2)").alias("total_value"),
@@ -107,7 +110,7 @@ def tumbling_agg(events: DataFrame) -> DataFrame:
 def sliding_agg(events: DataFrame) -> DataFrame:
     """Streaming twin of q74_sliding_window (#74)."""
     return (
-        events.groupBy(F.window(ts_sec("ts"), "1 hour", "15 minutes").alias("w"))
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(dec2("value")).cast("decimal(38,2)").alias("total_value"),
@@ -125,7 +128,7 @@ def session_agg(events: DataFrame) -> DataFrame:
     merges adjacent gaps; watermark closes sessions."""
     return (
         events.groupBy(
-            F.session_window(ts_sec("ts"), "30 minutes").alias("w"), F.col("user_id")
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),

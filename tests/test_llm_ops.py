@@ -89,9 +89,10 @@ aggregate(
     assert sum(h <= 16 for h in hammings) >= 8, f"simhash hammings too large: {hammings}"
 
 
-def test_ann_lsh_recall_vs_exact(spark):
+@pytest.mark.parametrize("ann", ["q83b_ann_lsh_topk", "q83d_ann_ivf_topk"])
+def test_ann_recall_vs_exact(spark, ann):
     exact = SPECS["q83_cosine_topk_exact"].fn(spark, SF_DIR).collect()
-    approx = SPECS["q83b_ann_lsh_topk"].fn(spark, SF_DIR).collect()
+    approx = SPECS[ann].fn(spark, SF_DIR).collect()
     exact_sets = {}
     for r in exact:
         exact_sets.setdefault(r.q_id, set()).add(r.neighbor_id)

@@ -109,6 +109,53 @@ def test_stateful_user_totals(spark, stream):
     assert {r.user_id: r.events_seen for r in final} == batch
 
 
+def test_late_data_dropped_beyond_watermark(spark, tmp_path_factory):
+    """#78: rows older than watermark are discarded. Two replays —
+    [early, latest] vs [early, latest, late-copies] — must emit the same
+    append-mode window results: the late chunk lands behind the already-
+    advanced watermark and is dropped."""
+    import os
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    raw = spark.read.schema(SCHEMAS["events"]).parquet(
+        os.path.join(SF_DIR, "events.parquet")
+    )
+    rows = raw.orderBy("ts", "event_id").collect()
+    early, latest = rows[:400], rows[-400:]
+    late_copies = [
+        type(r)(r.event_id + 1_000_000, r.ts, r.user_id, r.event_type, r.value, r.props)
+        for r in rows[:50]
+    ]
+
+    def build(dirname, chunks):
+        d = str(tmp_path_factory.mktemp(dirname))
+        for i, chunk in enumerate(chunks):
+            spark.createDataFrame(chunk, schema=raw.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(d, f"chunk={i}"))
+        return d
+
+    def run(path, name):
+        s = jobs.read_events_stream(spark, path)
+        out = jobs.run_to_memory(
+            jobs.tumbling_agg(jobs.with_watermark(s, "2 hours")),
+            name,
+            output_mode="append",
+        )
+        return sorted(
+            (r.window_start, r.event_type, r.n_events, r.total_value)
+            for r in out.collect()
+        )
+
+    on_time = run(build("replay_ontime", [early, latest]), "t_late_a")
+    with_late = run(
+        build("replay_late", [early, latest, late_copies]), "t_late_b"
+    )
+    assert on_time == with_late, "late rows leaked past the watermark"
+    assert len(on_time) > 0  # append mode emitted the closed windows
+
+
 def test_parquet_sink_checkpoint(spark, stream, tmp_path_factory):
     out_dir = str(tmp_path_factory.mktemp("sink_out"))
     ckpt = str(tmp_path_factory.mktemp("sink_ckpt"))
