@@ -1,0 +1,72 @@
+"""CLI — parity with the reference's two entry points, fail-loud.
+
+- ``create-table <spec.yml> [--warehouse DIR]`` mirrors
+  ``python create_iceberg_table.py <config_yaml> <warehouse_path>``
+  (reference `create_iceberg_tables.py:59-65`): validate the YAML spec,
+  ensure the namespace, execute the DDL, print it. Unlike the reference
+  (which swallows DDL errors at `:153-156` and always exits 0), any
+  failure exits non-zero.
+- ``diagnose`` mirrors the CI smoke script (`test_iceberg.py`): session
+  + catalog health, but as real checks with a meaningful exit code
+  instead of printed checkmarks that never fail the job.
+
+Usage::
+
+    python -m aws_iceberg_automation_spark.cli create-table spec.yml
+    python -m aws_iceberg_automation_spark.cli diagnose
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="aws-iceberg-automation-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("create-table", help="create a table from a YAML spec")
+    c.add_argument("spec", help="path to the YAML table spec")
+    c.add_argument("--warehouse", default=None, help="warehouse directory")
+    c.add_argument(
+        "--catalog", default=None, help="target catalog (default: session catalog)"
+    )
+
+    sub.add_parser("diagnose", help="session/catalog health check")
+
+    args = p.parse_args(argv)
+
+    from .catalog import TableManager
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"cli-{args.cmd}", warehouse=getattr(args, "warehouse", None))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "create-table":
+        from .tablespec import SpecError, TableSpec
+
+        try:
+            spec = TableSpec.from_yaml(args.spec)
+            mgr = TableManager(spark, catalog=args.catalog)
+            ddl = mgr.create_table(spec)
+        except (SpecError, Exception) as e:  # noqa: BLE001 — fail loud, exit 1
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        print(ddl)
+        print(f"created {spec.qualified_name} (format capability: {mgr.using})")
+        return 0
+
+    if args.cmd == "diagnose":
+        mgr = TableManager(spark)
+        diag = mgr.diagnostics()
+        print(json.dumps(diag, indent=2, default=str))
+        healthy = bool(diag["spark_version"]) and isinstance(diag["namespaces"], list)
+        return 0 if healthy else 1
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

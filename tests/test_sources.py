@@ -1,0 +1,86 @@
+"""File source/sink tests (SURVEY §2.2): schema'd CSV/JSON round-trips
+and layout-aware partitioned writes."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_iceberg_automation_spark.io import SCHEMAS, load_table
+from aws_iceberg_automation_spark.sources import files
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF_DIR, "events")
+
+
+def test_json_roundtrip(spark, events, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("json_rt"))
+    # JSON has no timestamp type — serialize ts as ISO strings
+    out = events.withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    out.coalesce(2).write.mode("overwrite").json(d)
+    back = files.read_json(spark, d, out.schema)
+    assert back.count() == events.count()
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
+
+
+def test_csv_roundtrip(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("csv_rt"))
+    c = load_table(spark, SF_DIR, "customer")
+    c.coalesce(1).write.mode("overwrite").option("header", "true").csv(d)
+    back = files.read_csv(spark, d, SCHEMAS["customer"])
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, c.collect()))
+
+
+def test_csv_failfast_on_malformed(spark, tmp_path):
+    bad = tmp_path / "bad.csv"
+    bad.write_text("c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment\nnot_a_number,x,1,2.0,SEG\n")
+    with pytest.raises(Exception, match="(?i)malformed|failfast|cannot"):
+        files.read_csv(spark, str(bad), SCHEMAS["customer"]).collect()
+
+
+def test_partitioned_write_layout(spark, events, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("part_out"))
+    day = events.withColumn("day", F.col("ts").cast("date").cast("string"))
+    files.write_partitioned(day, d, partition_by=["day"], sort_within=["user_id", "ts"])
+    dirs = sorted(x for x in os.listdir(d) if x.startswith("day="))
+    assert len(dirs) == 30  # events span 2024-01-01..30
+    back = spark.read.schema(day.schema).parquet(d)
+    assert back.count() == events.count()
+    # one task per partition value → no small-file explosion
+    files_in_first = [
+        f for f in os.listdir(os.path.join(d, dirs[0])) if f.endswith(".parquet")
+    ]
+    assert len(files_in_first) == 1
+
+
+def test_cli_create_table_and_diagnose(tmp_path, capsys):
+    from aws_iceberg_automation_spark import cli
+
+    spec = tmp_path / "spec.yml"
+    spec.write_text(
+        f"""
+database: cli_db
+table: cli_demo
+location: {tmp_path}/wh/cli_db/cli_demo
+columns:
+  - {{name: id, type: bigint}}
+  - {{name: name, type: string}}
+"""
+    )
+    assert cli.main(["create-table", str(spec)]) == 0
+    out = capsys.readouterr().out
+    assert "CREATE TABLE IF NOT EXISTS cli_db.cli_demo" in out
+
+    assert cli.main(["diagnose"]) == 0
+    assert "cli_db" in capsys.readouterr().out
+
+    bad = tmp_path / "bad.yml"
+    bad.write_text("database: x\ntable: y\ncolumns:\n  - {name: a, type: nope}\n")
+    assert cli.main(["create-table", str(bad)]) == 1
