@@ -82,6 +82,16 @@ class TableManager:
         """Render + execute CREATE TABLE from a validated spec; returns the
         DDL. Fails loudly on error (unlike `create_iceberg_tables.py:153`)."""
         self.ensure_namespace(spec.database)
+        if self.using != "iceberg":
+            transforms = [p for p in spec.partitioned_by if p.transform != "identity"]
+            if transforms:
+                raise CatalogError(
+                    "partition transforms "
+                    f"{[p.to_ddl() for p in transforms]} require an Iceberg "
+                    "catalog; the parquet fallback supports identity "
+                    "partitioning only (materialize the transform as a "
+                    "derived column instead)"
+                )
         include_location = spec.location is not None and (
             self.using == "iceberg" or not str(spec.location).startswith("s3://")
         )
@@ -182,6 +192,13 @@ class TableManager:
         the source (source wins on key collision).
         """
         fq = self._fq(name)
+        dup_keys = source.groupBy(on).count().filter(F.col("count") > 1).limit(1).count()
+        if dup_keys:
+            raise CatalogError(
+                f"merge source has duplicate keys on {on} — MERGE semantics "
+                "require at most one source row per target row (dedupe the "
+                "source first, e.g. row_number() = 1 per key)"
+            )
         if self.using == "iceberg":
             source.createOrReplaceTempView("_merge_source")
             cond = " AND ".join(f"t.{k} = s.{k}" for k in on)

@@ -29,6 +29,10 @@ def _replay(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The watermark path round-trips NTZ→LTZ→NTZ; with a non-whole-hour
+    # session timezone the hour buckets would shift vs the oracle. Pin
+    # UTC for the session running these queries.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return jobs.read_events_stream(spark, _replay(spark, sf_dir))
 
 

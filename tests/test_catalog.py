@@ -79,6 +79,37 @@ def test_delete_where(mgr):
     assert {r.id for r in mgr.table("it_db.people").collect()} == {1, 2}
 
 
+def test_merge_duplicate_source_keys_rejected(mgr, spec, spark):
+    from aws_iceberg_automation_spark.catalog import CatalogError
+
+    dup = spark.createDataFrame(
+        [(7, "x", "DE", 1.0), (7, "y", "DE", 2.0)], schema=spec.to_struct_type()
+    )
+    with pytest.raises(CatalogError, match="duplicate keys"):
+        mgr.merge_upsert("it_db.people", dup, on=["id"])
+
+
+def test_transform_partitioning_gated_without_iceberg(mgr, tmp_path):
+    from aws_iceberg_automation_spark.catalog import CatalogError
+
+    if mgr.using == "iceberg":
+        pytest.skip("iceberg available")
+    spec = TableSpec.from_dict(
+        {
+            "database": "it_db",
+            "table": "events_daily",
+            "location": str(tmp_path / "events_daily"),
+            "partitioned_by": ["days(ts)"],
+            "columns": [
+                {"name": "ts", "type": "timestamp_ntz"},
+                {"name": "n", "type": "bigint"},
+            ],
+        }
+    )
+    with pytest.raises(CatalogError, match="Iceberg"):
+        mgr.create_table(spec)
+
+
 def test_time_travel_gated_without_iceberg(mgr):
     from aws_iceberg_automation_spark.catalog import CatalogError
 
