@@ -82,6 +82,26 @@ def test_flagship_single_data_shuffle(spark):
     assert count_exchanges(q("q01_pricing_summary", spark)) <= 2
 
 
+def test_partition_pruning_on_layout(spark, tmp_path_factory):
+    """Day-partitioned layout (sources.write_partitioned) must prune:
+    a day-filtered scan reads only matching partition dirs."""
+    import pyspark.sql.functions as F
+
+    from aws_iceberg_automation_spark.io import load_table
+    from aws_iceberg_automation_spark.plans.explain import plan_string
+    from aws_iceberg_automation_spark.sources.files import write_partitioned
+
+    d = str(tmp_path_factory.mktemp("pruned"))
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.col("ts").cast("date").cast("string")
+    )
+    write_partitioned(ev, d, partition_by=["day"], sort_within=["ts"])
+    scan = spark.read.parquet(d).filter(F.col("day") == "2024-01-05")
+    p = plan_string(scan)
+    assert "PartitionFilters" in p and "2024-01-05" in p
+    assert scan.count() == ev.filter(F.col("day") == "2024-01-05").count()
+
+
 def test_projection_is_scan_only(spark):
     df = q("q23_projection", spark)
     assert count_exchanges(df) == 0
