@@ -1,0 +1,183 @@
+"""Behavioral / event-analytics composites over `events` and
+`documents`: deterministic sampling, sessionization with explicit ids,
+funnel conversion, cohort retention. These are the day-two queries of
+any event lakehouse; each is one or two shuffles with per-user keys.
+
+Sampling note: ``df.sample()`` depends on partitioning (rows-only
+check territory); the reproducible pattern at any scale is *hash-gate
+sampling* — a content hash compared to a threshold — which is exact,
+stable under repartitioning, and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.compat import dec2, ts_sec
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "q96_hash_gate_sample",
+    oracle="""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+""",
+    tags=("sampling", "llm"),
+)
+def q96_hash_gate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via md5 prefix gate ('1a'/'100' ≈ 10.2%
+    of the hex space): reproducible across runs, engines, cluster shapes
+    — the sane way to carve eval/holdout splits from a 100 TB corpus.
+    (df.sample() is partitioning-dependent; never use it for splits you
+    must reproduce.)"""
+    d = load_table(spark, sf_dir, "documents")
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
+    return d.filter(gate).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "q75b_sessionize_ids",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_id, date_trunc('second', ts) AS tsec, value,
+    CASE WHEN date_trunc('second', ts)
+              - lag(date_trunc('second', ts))
+                OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id)
+              > INTERVAL 30 MINUTE
+         OR lag(date_trunc('second', ts))
+            OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id) IS NULL
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+)
+SELECT user_id, event_id,
+  SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+FROM t
+""",
+    tags=("timeseries",),
+)
+def q75b_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with explicit per-user session numbers (the
+    row-level complement of session_window #75, which only emits
+    session aggregates): gap-flag + running sum — two window passes over
+    one user-key shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    tsec = ts_sec("ts")
+    # ANSI forbids timestamp→numeric casts; derive epoch-ish seconds
+    # with tz-independent NTZ interval arithmetic instead.
+    secs = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00',"
+        " date_trunc('second', ts))"
+    )
+    order = Window.partitionBy("user_id").orderBy(tsec, "event_id")
+    gap = secs - F.lag(secs).over(order)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy(tsec, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(is_new).over(running).alias("session_no"),
+    )
+
+
+@register(
+    "q97_funnel_conversion",
+    oracle="""
+WITH stages AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'signup' THEN date_trunc('second', ts) END) AS t_signup,
+    min(CASE WHEN event_type = 'click' THEN date_trunc('second', ts) END) AS t_click,
+    min(CASE WHEN event_type = 'purchase' THEN date_trunc('second', ts) END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT
+  COUNT(*) AS n_users,
+  CAST(COUNT(t_signup) AS BIGINT) AS reached_signup,
+  CAST(SUM(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_signup,
+  CAST(SUM(CASE WHEN t_purchase > t_click AND t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT)
+    AS full_funnel
+FROM stages
+""",
+    tags=("timeseries", "analytics"),
+)
+def q97_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → click → purchase): first-touch per stage
+    via conditional min, order conditions on the timestamps. One shuffle
+    at user grain, then a single-row rollup — the standard conversion
+    query at any event volume."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_of(t: str):
+        # second-truncated so a ns-vs-µs physical gap can't flip an
+        # ordering comparison between engine and oracle
+        return F.min(F.when(F.col("event_type") == t, ts_sec("ts")))
+
+    stages = ev.groupBy("user_id").agg(
+        first_of("signup").alias("t_signup"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("reached_signup"),
+        F.sum(
+            F.when(F.col("t_click") > F.col("t_signup"), 1).otherwise(0)
+        ).alias("clicked_after_signup"),
+        F.sum(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_signup")),
+                1,
+            ).otherwise(0)
+        ).alias("full_funnel"),
+    )
+
+
+@register(
+    "q98_cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+    CAST(floor(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+      AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_day, week_offset, CAST(COUNT(*) AS BIGINT) AS active_users
+FROM activity
+GROUP BY cohort_day, week_offset
+""",
+    tags=("timeseries", "analytics"),
+)
+def q98_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen day, counted per
+    week-offset of later activity. The firsts table is user-grain
+    (small relative to events) → broadcast at scale; week arithmetic is
+    date-only (tz-proof)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("cohort_day"))
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (
+                F.floor(
+                    F.datediff(F.col("ts").cast("date"), F.col("cohort_day")) / 7
+                )
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "week_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )

@@ -37,6 +37,7 @@ _OPERATOR_MODULES = [
     "aws_iceberg_automation_spark.operators.setops",
     "aws_iceberg_automation_spark.operators.scalars",
     "aws_iceberg_automation_spark.operators.analytics",
+    "aws_iceberg_automation_spark.operators.behavioral",
     "aws_iceberg_automation_spark.operators.timeseries",
     "aws_iceberg_automation_spark.operators.events",
     "aws_iceberg_automation_spark.operators.dedup",

@@ -156,6 +156,45 @@ def test_late_data_dropped_beyond_watermark(spark, tmp_path_factory):
     assert len(on_time) > 0  # append mode emitted the closed windows
 
 
+def test_foreach_batch_upsert(spark, stream, tmp_path_factory):
+    """Streaming MERGE sink: per-microbatch keyed upsert lands exactly
+    the distinct user set, with the latest value winning."""
+    from aws_iceberg_automation_spark.catalog import TableManager
+    from aws_iceberg_automation_spark.tablespec import TableSpec
+
+    mgr = TableManager(spark)
+    loc = str(tmp_path_factory.mktemp("upsert_tbl"))
+    mgr.create_table(
+        TableSpec.from_dict(
+            {
+                "database": "stream_db",
+                "table": "user_latest",
+                "location": loc,
+                "columns": [
+                    {"name": "user_id", "type": "bigint"},
+                    {"name": "event_id", "type": "bigint"},
+                    {"name": "ts", "type": "timestamp"},
+                    {"name": "value", "type": "double"},
+                ],
+            }
+        )
+    )
+    ckpt = str(tmp_path_factory.mktemp("upsert_ckpt"))
+    s = jobs.with_watermark(stream()).select("user_id", "event_id", "ts", "value")
+    jobs.foreach_batch_upsert(s, mgr, "stream_db.user_latest", ["user_id"], ckpt)
+
+    got = {r.user_id: r.event_id for r in mgr.table("stream_db.user_latest").collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    latest = {
+        r.user_id: r.event_id
+        for r in ev.groupBy("user_id")
+        .agg(F.max_by("event_id", F.struct("ts", "event_id")).alias("event_id"))
+        .collect()
+    }
+    assert got == latest
+    mgr.drop_namespace("stream_db", cascade=True)
+
+
 def test_parquet_sink_checkpoint(spark, stream, tmp_path_factory):
     out_dir = str(tmp_path_factory.mktemp("sink_out"))
     ckpt = str(tmp_path_factory.mktemp("sink_ckpt"))
