@@ -156,6 +156,22 @@ def q41_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q42b_percentile_sketch", oracle=None, tags=("agg", "approx"))
+def q42b_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (#42 scale path): percentile_approx
+    (Greenwald-Khanna) with accuracy 10000 next to the exact value —
+    at 100 TB the sketch merges in constant memory per group while
+    exact percentile sorts the group. Rows-only; pytest bounds the
+    sketch error."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.percentile_approx("l_extendedprice", 0.5, 10000), 4
+        ).alias("p50_sketch"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_exact"),
+    )
+
+
 @register(
     "q42_percentiles",
     oracle="""

@@ -111,6 +111,41 @@ def q84b_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(decode_media_batch, schema=_DECODE_SCHEMA)
 
 
+def resize_media_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: 'resize' each blob to a fixed-size thumbnail
+    payload (deterministic byte subsampling stands in for pixel
+    resampling). STUB kernel — PIL's Image.resize goes here — with real
+    binary-in/binary-out Arrow plumbing."""
+    for pdf in frames:
+        if _HAVE_PIL:
+            raise NotImplementedError(
+                "real image resize not implemented in this environment"
+            )
+        thumbs = [bytes(p[:: max(len(p) // 16, 1)][:16]) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "thumb": thumbs,
+                "thumb_bytes": [len(t) for t in thumbs],
+                "orig_bytes": [len(p) for p in pdf["payload"]],
+            }
+        )
+
+
+@register("q84d_resize_thumbnails", oracle=None, tags=("multimodal", "llm"))
+def q84d_resize_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize (#84): binary→binary mapInPandas transform producing
+    bounded-size thumbnails (rows-only; pytest asserts size bound,
+    row preservation, determinism)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return d.mapInPandas(
+        resize_media_batch,
+        schema="doc_id long, thumb binary, thumb_bytes int, orig_bytes int",
+    )
+
+
 def sample_frames_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: 1→N expansion, as a video frame-sampler would
     produce (every ~1000 'ticks' of the fake duration). STUB kernel,

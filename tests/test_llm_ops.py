@@ -127,6 +127,22 @@ def test_decode_features_plumbing(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def test_resize_thumbnails(spark):
+    out = SPECS["q84d_resize_thumbnails"].fn(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert len(out) == n_docs
+    assert all(r.thumb_bytes <= 16 and r.thumb_bytes >= 1 for r in out)
+    assert all(r.orig_bytes >= r.thumb_bytes for r in out)
+    again = SPECS["q84d_resize_thumbnails"].fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_percentile_sketch_error_bounded(spark):
+    rows = SPECS["q42b_percentile_sketch"].fn(spark, SF_DIR).collect()
+    for r in rows:
+        assert abs(r.p50_sketch - r.p50_exact) <= 0.02 * abs(r.p50_exact)
+
+
 def test_frame_sampling_expansion(spark):
     out = SPECS["q84c_frame_sampling"].fn(spark, SF_DIR)
     per_doc = out.groupBy("doc_id").count().collect()
