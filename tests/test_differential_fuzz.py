@@ -1,0 +1,94 @@
+"""Differential fuzzing: random small tables + a random
+filter/group/aggregate plan run through Spark AND DuckDB, compared
+exactly (same canonicalization as the driver gate). Catches semantic
+drift (null handling, type coercion, aggregate edge cases) that
+hand-written per-operator oracles can miss.
+
+Kept deliberately within the engine's determinism contract: doubles are
+money-like (2-decimal) and aggregated through DECIMAL casts; the fuzz
+space is predicates × group keys × aggregate sets.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from scripts.verify_contract import canon_rows
+
+_money = st.integers(-99999, 99999).map(lambda c: c / 100.0)
+
+
+@st.composite
+def tables(draw):
+    n = draw(st.integers(1, 40))
+    ks = draw(st.lists(st.integers(0, 5) | st.none(), min_size=n, max_size=n))
+    vs = draw(st.lists(_money | st.none(), min_size=n, max_size=n))
+    tags = draw(
+        st.lists(st.sampled_from(["a", "b", "c"]) | st.none(), min_size=n, max_size=n)
+    )
+    return pd.DataFrame(
+        {
+            "k": pd.array(ks, dtype="Int64"),
+            "v": pd.array(vs, dtype="float64"),
+            "tag": pd.array(tags, dtype=object),
+        }
+    )
+
+
+_PREDICATES = [
+    "v > 100.0",
+    "v IS NULL",
+    "v IS NOT NULL AND k IS NOT NULL",
+    "k IN (1, 3, 5)",
+    "tag = 'a' OR v < -50.0",
+    "coalesce(k, 0) % 2 = 0",
+    "tag IS NULL",
+    "NOT (tag = 'b')",
+    "v BETWEEN -100.0 AND 250.0",
+]
+
+
+@pytest.fixture(scope="module")
+def duck_fuzz():
+    import duckdb
+
+    return duckdb.connect()
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(pdf=tables(), pred=st.sampled_from(_PREDICATES))
+def test_filter_group_agg_agrees(spark, duck_fuzz, pdf, pred):
+    sql = f"""
+SELECT k,
+  COUNT(*) AS n,
+  CAST(COUNT(v) AS BIGINT) AS n_v,
+  CAST(SUM(CAST(v AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_v,
+  min(tag) AS min_tag,
+  max(v) AS max_v
+FROM t
+WHERE {pred}
+GROUP BY k
+"""
+    sdf = spark.createDataFrame(pdf.astype(object).where(pdf.notna(), None),
+                                schema="k long, v double, tag string")
+    sdf.createOrReplaceTempView("t")
+    sres = spark.sql(sql)
+    scols, srows = sres.columns, [tuple(r) for r in sres.collect()]
+
+    duck_fuzz.register("t", pdf)
+    rel = duck_fuzz.sql(sql)
+    ocols = [d[0] for d in rel.description]
+    orows = rel.fetchall()
+    duck_fuzz.unregister("t")
+
+    assert sorted(scols) == sorted(ocols)
+    assert canon_rows(scols, srows) == canon_rows(ocols, orows), (
+        f"divergence for predicate {pred!r} on\n{pdf}"
+    )
