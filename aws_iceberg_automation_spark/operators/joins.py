@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.compat import SQL_DISC_PRICE, disc_price, dsum, sql_dsum
+from ..functions.compat import SQL_DISC_PRICE, dec2, disc_price, dsum, sql_dsum
 from ..io import load_table
 from ..registry import register
 
@@ -121,9 +121,7 @@ def q32_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(10,2)"))
-            .cast("decimal(38,2)")
-            .alias("total_acctbal"),
+            F.sum(dec2("c_acctbal")).cast("decimal(38,2)").alias("total_acctbal"),
         )
     )
 
