@@ -1,0 +1,105 @@
+"""Scale-up stress: synthesize an N×-replicated copy of the sf0.1
+fixtures (key-shifted so joins stay consistent and cardinalities really
+grow), written as multiple parquet files per table, then run the bench
+headline queries against it. This is the 'would the plan survive a
+scale-up' probe the local fixtures can't provide: multi-file parallel
+scans, bigger shuffles, same plans.
+
+Usage: python scripts/scale_stress.py [factor] [base_sf_dir]
+Writes to /tmp/scale_stress_sf<factor>/ and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from aws_iceberg_automation_spark.io import SCHEMAS, load_table  # noqa: E402
+from aws_iceberg_automation_spark.registry import all_specs  # noqa: E402
+from aws_iceberg_automation_spark.session import get_spark  # noqa: E402
+
+# key columns shifted per replica so fact/dim multiplicities scale
+_SHIFT = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "region": [],
+    "nation": [],
+}
+_STRIDE = 10_000_000
+
+
+def build(spark, base: str, out: str, factor: int) -> None:
+    for t, keys in _SHIFT.items():
+        src = (
+            spark.read.schema(SCHEMAS[t]).parquet(os.path.join(base, f"{t}.parquet"))
+            if t == "events"
+            else load_table(spark, base, t)
+        )
+        if not keys or factor == 1 or t in ("region", "nation"):
+            rep = src
+        else:
+            copies = []
+            for i in range(factor):
+                c = src
+                for k in keys:
+                    c = c.withColumn(k, F.col(k) + F.lit(i * _STRIDE))
+                copies.append(c)
+            rep = copies[0]
+            for c in copies[1:]:
+                rep = rep.unionByName(c)
+        n_files = 16 if t in ("lineitem", "orders", "events") else 4
+        rep.repartition(n_files).write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
+        )
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out = f"/tmp/scale_stress_x{factor}"
+    spark = get_spark(app_name="scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    t0 = time.monotonic()
+    build(spark, base, out, factor)
+    build_sec = round(time.monotonic() - t0, 1)
+
+    specs = all_specs()
+    headline = [n for n, s in specs.items() if "bench" in s.tags]
+    specs[headline[0]].fn(spark, out).write.format("noop").mode("overwrite").save()
+    timings = {}
+    for name in headline:
+        t0 = time.monotonic()
+        specs[name].fn(spark, out).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+    print(
+        json.dumps(
+            {
+                "factor": factor,
+                "build_sec": build_sec,
+                "total_sec": round(sum(timings.values()), 3),
+                "queries": timings,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
