@@ -203,6 +203,33 @@ def q68_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q68b_posexplode",
+    oracle="""
+SELECT vec_id, pos, round(raw, 6) AS elem FROM (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS raw
+  FROM embeddings WHERE vec_id < 25)
+WHERE raw > 0.2
+""",
+    tags=("scalar", "vector"),
+)
+def q68b_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (#68): array → (position, element) rows — the lateral
+    flatten used to pivot vector columns into long form (bounded slice;
+    at scale prefer staying in array form, exploding 64× multiplies the
+    shuffle)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 25)
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "raw"))
+        .filter(F.col("raw").cast("double") > 0.2)
+        .select(
+            "vec_id", "pos", F.round(F.col("raw").cast("double"), 6).alias("elem")
+        )
+    )
+
+
+@register(
     "q69_map_funcs",
     oracle="""
 SELECT event_id,

@@ -63,6 +63,64 @@ def q62_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q61b_union_by_name_missing",
+    oracle="""
+SELECT c_nationkey AS nationkey, c_acctbal AS balance, 'customer' AS side
+FROM customer WHERE c_acctbal > 5000.0
+UNION ALL
+SELECT s_nationkey AS nationkey, NULL AS balance, 'supplier' AS side FROM supplier
+""",
+    tags=("setop",),
+)
+def q61b_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True) (#61): schema-drift-safe
+    union — the absent column nulls in, by name, not by position."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000.0)
+    s = load_table(spark, sf_dir, "supplier")
+    left = c.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("balance"),
+        F.lit("customer").alias("side"),
+    )
+    right = s.select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return left.unionByName(right, allowMissingColumns=True)
+
+
+@register(
+    "q63b_intersect_all",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000.0
+INTERSECT ALL
+SELECT s_nationkey FROM supplier
+""",
+    tags=("setop",),
+)
+def q63b_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (#63): bag semantics — multiplicity = min of the
+    two sides' counts."""
+    left, right = _buyers_and_suppliers(spark, sf_dir)
+    return left.select("nationkey").intersectAll(right.select("nationkey"))
+
+
+@register(
+    "q64b_except_all",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000.0
+EXCEPT ALL
+SELECT s_nationkey FROM supplier
+""",
+    tags=("setop",),
+)
+def q64b_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (#64): bag difference — copies beyond the right side's
+    per-key count survive (contrast with q64's distinct EXCEPT)."""
+    left, right = _buyers_and_suppliers(spark, sf_dir)
+    return left.select("nationkey").exceptAll(right.select("nationkey"))
+
+
+@register(
     "q63_intersect",
     oracle="""
 SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000.0

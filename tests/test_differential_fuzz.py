@@ -58,6 +58,40 @@ def duck_fuzz():
     return duckdb.connect()
 
 
+_JOIN_KINDS = ["JOIN", "LEFT JOIN", "FULL OUTER JOIN"]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(a=tables(), b=tables(), kind=st.sampled_from(_JOIN_KINDS))
+def test_join_agrees(spark, duck_fuzz, a, b, kind):
+    """Join fuzz: null keys never match, outer sides null-extend — the
+    classic places engines disagree."""
+    sql = f"""
+SELECT a.k AS ak, b.k AS bk, a.tag AS atag, b.tag AS btag, a.v AS av, b.v AS bv
+FROM ta a {kind} tb b ON a.k = b.k AND a.tag = b.tag
+"""
+    for name, pdf in (("ta", a), ("tb", b)):
+        spark.createDataFrame(
+            pdf.astype(object).where(pdf.notna(), None),
+            schema="k long, v double, tag string",
+        ).createOrReplaceTempView(name)
+        duck_fuzz.register(name, pdf)
+    sres = spark.sql(sql)
+    scols, srows = sres.columns, [tuple(r) for r in sres.collect()]
+    rel = duck_fuzz.sql(sql)
+    ocols, orows = [d[0] for d in rel.description], rel.fetchall()
+    duck_fuzz.unregister("ta")
+    duck_fuzz.unregister("tb")
+    assert len(srows) == len(orows)
+    assert canon_rows(scols, srows) == canon_rows(ocols, orows), (
+        f"join divergence ({kind})"
+    )
+
+
 @settings(
     max_examples=25,
     deadline=None,
