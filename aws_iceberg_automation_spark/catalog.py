@@ -35,6 +35,32 @@ class CatalogError(RuntimeError):
     pass
 
 
+def render_merge_sql(
+    target: str, source_view: str, on: list[str], update_cols: list[str]
+) -> str:
+    """The Iceberg-path MERGE statement (#19) — factored so the SQL the
+    extensions execute is unit-tested even where the runtime JAR is
+    absent."""
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in on)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in update_cols)
+    return (
+        f"MERGE INTO {target} t USING {source_view} s ON {cond} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def render_delete_sql(target: str, predicate: str) -> str:
+    """Iceberg-path DELETE (#20)."""
+    return f"DELETE FROM {target} WHERE {predicate}"
+
+
+def render_update_sql(target: str, predicate: str, assignments: dict[str, str]) -> str:
+    """Iceberg-path UPDATE (#20)."""
+    sets = ", ".join(f"{k} = {v}" for k, v in assignments.items())
+    return f"UPDATE {target} SET {sets} WHERE {predicate}"
+
+
 @dataclass
 class TableManager:
     spark: SparkSession
@@ -201,13 +227,9 @@ class TableManager:
             )
         if self.using == "iceberg":
             source.createOrReplaceTempView("_merge_source")
-            cond = " AND ".join(f"t.{k} = s.{k}" for k in on)
-            cols = update_cols or [c for c in source.columns if c not in on]
-            sets = ", ".join(f"t.{c} = s.{c}" for c in cols)
             self.spark.sql(
-                f"MERGE INTO {fq} t USING _merge_source s ON {cond} "
-                f"WHEN MATCHED THEN UPDATE SET {sets} "
-                f"WHEN NOT MATCHED THEN INSERT *"
+                render_merge_sql(fq, "_merge_source", on,
+                                 update_cols or [c for c in source.columns if c not in on])
             )
             return
         target = self.spark.table(fq)
@@ -220,7 +242,7 @@ class TableManager:
     def delete_where(self, name: str, predicate: str) -> None:
         fq = self._fq(name)
         if self.using == "iceberg":
-            self.spark.sql(f"DELETE FROM {fq} WHERE {predicate}")
+            self.spark.sql(render_delete_sql(fq, predicate))
             return
         remaining = self.spark.table(fq).filter(f"NOT ({predicate})")
         self._rewrite(fq, remaining)
@@ -228,8 +250,7 @@ class TableManager:
     def update_where(self, name: str, predicate: str, assignments: dict[str, str]) -> None:
         fq = self._fq(name)
         if self.using == "iceberg":
-            sets = ", ".join(f"{k} = {v}" for k, v in assignments.items())
-            self.spark.sql(f"UPDATE {fq} SET {sets} WHERE {predicate}")
+            self.spark.sql(render_update_sql(fq, predicate, assignments))
             return
         t = self.spark.table(fq)
         cols = []

@@ -130,6 +130,70 @@ def q94_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q99_priority_late_orders",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+    tags=("analytics",),
+)
+def q99_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4 shape: correlated EXISTS with an inequality on columns
+    from both sides — Catalyst decorrelates to a semi-join whose
+    residual condition evaluates post-match. Counts orders per priority
+    having any lineitem shipped >60 days after ordering."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q100_promo_revenue_share",
+    oracle=f"""
+SELECT
+  round(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {SQL_DISC_PRICE} END) AS DOUBLE)
+        / CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE), 6) AS promo_share_pct,
+  COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1997-07-01'
+""",
+    tags=("analytics",),
+)
+def q100_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14 shape: conditional-aggregate ratio over a fact⋈dim
+    join (part broadcast). Both sums are exact decimals; the ratio is
+    the one double op, rounded."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", disc_price())
+    ).cast("double")
+    total = F.sum(disc_price()).cast("double")
+    return joined.agg(
+        F.round(F.lit(100.0) * promo / total, 6).alias("promo_share_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
     "q95_large_volume_customers",
     oracle="""
 WITH big AS (

@@ -79,6 +79,28 @@ def test_delete_where(mgr):
     assert {r.id for r in mgr.table("it_db.people").collect()} == {1, 2}
 
 
+def test_iceberg_sql_renderers():
+    """Unit coverage for the Iceberg-path statements (#19/#20) — the
+    strings the extensions execute where the runtime JAR exists."""
+    from aws_iceberg_automation_spark.catalog import (
+        render_delete_sql,
+        render_merge_sql,
+        render_update_sql,
+    )
+
+    m = render_merge_sql("db.t", "src", ["id", "day"], ["v", "tag"])
+    assert m == (
+        "MERGE INTO db.t t USING src s ON t.id = s.id AND t.day = s.day "
+        "WHEN MATCHED THEN UPDATE SET t.v = s.v, t.tag = s.tag "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert render_delete_sql("db.t", "v > 3") == "DELETE FROM db.t WHERE v > 3"
+    assert (
+        render_update_sql("db.t", "tag = 'a'", {"v": "v + 1"})
+        == "UPDATE db.t SET v = v + 1 WHERE tag = 'a'"
+    )
+
+
 def test_merge_duplicate_source_keys_rejected(mgr, spec, spark):
     from aws_iceberg_automation_spark.catalog import CatalogError
 
