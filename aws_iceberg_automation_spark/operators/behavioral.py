@@ -39,6 +39,18 @@ def q96_hash_gate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(gate).select("doc_id", "lang", "n_chars")
 
 
+@register("q96b_stratified_sample", oracle=None, tags=("sampling", "llm"))
+def q96b_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling via sampleBy (per-language fractions, fixed
+    seed): the corpus-rebalancing primitive (upweight rare languages,
+    downweight dominant ones). Rows-only — Bernoulli sampling depends on
+    partitioning; for *reproducible* splits use the hash-gate pattern
+    (q96). Invariants bound the per-stratum rates."""
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.2, "de": 0.8, "es": 0.5, "fr": 0.5, "zh": 0.8}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")
+
+
 @register(
     "q75b_sessionize_ids",
     oracle="""

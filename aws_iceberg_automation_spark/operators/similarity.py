@@ -212,6 +212,54 @@ def q83d_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _TOP_K)
 
 
+@register("q83e_topk_vectorized", oracle=None, tags=("similarity", "llm", "vector", "bench"))
+def q83e_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized brute-force top-k (#83 throughput path): the
+    query matrix rides into every task as a broadcast numpy array; a
+    mapInPandas kernel scores each Arrow batch with one matmul and
+    emits only per-batch top-k candidates, which a final per-query rank
+    reduces. Higher-order-function folds break whole-stage codegen and
+    score one pair at a time — the matmul path is the 10-100× batch
+    alternative when exactness-vs-oracle isn't required (rows-only:
+    numpy's pairwise reductions differ from sequential folds in the
+    last ulp). Invariant-tested against q83's neighbor sets."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q_rows = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in q_rows])
+    qm = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, qm))
+
+    def score(batches):
+        ids, qmat = bc.value
+        for pdf in batches:
+            cm = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = qmat @ cm.T  # |Q| × batch
+            out = {"q_id": [], "neighbor_id": [], "cosine": []}
+            k = min(_TOP_K + 1, sims.shape[1])
+            for qi, q_id in enumerate(ids):
+                top = np.argpartition(-sims[qi], k - 1)[:k]
+                for ci in top:
+                    out["q_id"].append(int(q_id))
+                    out["neighbor_id"].append(int(pdf["vec_id"].iloc[ci]))
+                    out["cosine"].append(round(float(sims[qi, ci]), 6))
+            yield pd.DataFrame(out)
+
+    cand = e.select("vec_id", "embedding").mapInPandas(
+        score, schema="q_id long, neighbor_id long, cosine double"
+    ).filter(F.col("neighbor_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _TOP_K)
+
+
 @register(
     "q83c_dot_topk_normalized",
     oracle=f"""

@@ -58,6 +58,44 @@ def duck_fuzz():
     return duckdb.connect()
 
 
+_WINDOW_EXPRS = [
+    "row_number() OVER (PARTITION BY tag ORDER BY v DESC NULLS LAST, k NULLS FIRST)",
+    "rank() OVER (PARTITION BY tag ORDER BY v NULLS FIRST)",
+    "CAST(SUM(CAST(v AS DECIMAL(10,2))) OVER (PARTITION BY tag ORDER BY k NULLS FIRST, v NULLS FIRST "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2))",
+    "lag(k) OVER (PARTITION BY tag ORDER BY k NULLS FIRST, v NULLS FIRST)",
+    "count(v) OVER (PARTITION BY k)",
+]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(pdf=tables(), wexpr=st.sampled_from(_WINDOW_EXPRS))
+def test_window_agrees(spark, duck_fuzz, pdf, wexpr):
+    """Window fuzz: NULL ordering + frames are where engines classically
+    diverge. Deterministic orderings only (unique-ish tiebreaks); rank
+    ties are identical-by-construction across engines."""
+    # row_number over ties is nondeterministic — make rows unique
+    pdf = pdf.drop_duplicates().reset_index(drop=True)
+    sql = f"SELECT k, v, tag, {wexpr} AS w FROM t"
+    spark.createDataFrame(
+        pdf.astype(object).where(pdf.notna(), None),
+        schema="k long, v double, tag string",
+    ).createOrReplaceTempView("t")
+    sres = spark.sql(sql)
+    scols, srows = sres.columns, [tuple(r) for r in sres.collect()]
+    duck_fuzz.register("t", pdf)
+    rel = duck_fuzz.sql(sql)
+    ocols, orows = [d[0] for d in rel.description], rel.fetchall()
+    duck_fuzz.unregister("t")
+    assert canon_rows(scols, srows) == canon_rows(ocols, orows), (
+        f"window divergence for {wexpr!r}"
+    )
+
+
 _JOIN_KINDS = ["JOIN", "LEFT JOIN", "FULL OUTER JOIN"]
 
 

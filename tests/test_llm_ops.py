@@ -89,6 +89,20 @@ aggregate(
     assert sum(h <= 16 for h in hammings) >= 8, f"simhash hammings too large: {hammings}"
 
 
+def test_vectorized_topk_matches_exact(spark):
+    """The numpy matmul path must produce the same neighbor sets as the
+    fold-based exact query (cosine values may differ in the last ulp;
+    neighbor identity at top-5 must not)."""
+    exact = SPECS["q83_cosine_topk_exact"].fn(spark, SF_DIR).collect()
+    fast = SPECS["q83e_topk_vectorized"].fn(spark, SF_DIR).collect()
+    es, fs = {}, {}
+    for r in exact:
+        es.setdefault(r.q_id, set()).add(r.neighbor_id)
+    for r in fast:
+        fs.setdefault(r.q_id, set()).add(r.neighbor_id)
+    assert es == fs
+
+
 @pytest.mark.parametrize("ann", ["q83b_ann_lsh_topk", "q83d_ann_ivf_topk"])
 def test_ann_recall_vs_exact(spark, ann):
     exact = SPECS["q83_cosine_topk_exact"].fn(spark, SF_DIR).collect()
@@ -107,6 +121,22 @@ def test_ann_recall_vs_exact(spark, ann):
     # every query finds *something* and never itself
     for q, ns in approx_sets.items():
         assert q not in ns
+
+
+def test_stratified_sample_rates(spark):
+    fractions = {"en": 0.2, "de": 0.8, "es": 0.5, "fr": 0.5, "zh": 0.8}
+    totals = {
+        r.lang: r["count"]
+        for r in load_table(spark, SF_DIR, "documents").groupBy("lang").count().collect()
+    }
+    got = {
+        r.lang: r["count"]
+        for r in SPECS["q96b_stratified_sample"].fn(spark, SF_DIR)
+        .groupBy("lang").count().collect()
+    }
+    for lang, frac in fractions.items():
+        rate = got.get(lang, 0) / totals[lang]
+        assert abs(rate - frac) < 0.25, f"{lang}: rate {rate:.2f} vs target {frac}"
 
 
 def test_approx_count_distinct_close(spark):
