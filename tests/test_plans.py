@@ -102,6 +102,90 @@ def test_partition_pruning_on_layout(spark, tmp_path_factory):
     assert scan.count() == ev.filter(F.col("day") == "2024-01-05").count()
 
 
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path_factory):
+    """Bucketing (the lakehouse co-location layout): two tables bucketed
+    on the join key into the same bucket count join WITHOUT a shuffle —
+    the scan itself satisfies the join's distribution requirement. This
+    is the `bucket(N, key)` Iceberg transform story, exercised on the
+    session catalog."""
+    import pyspark.sql.functions as F
+
+    from aws_iceberg_automation_spark.io import load_table
+    from aws_iceberg_automation_spark.plans.explain import count_exchanges
+
+    wh = str(tmp_path_factory.mktemp("bucketed_wh"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt")
+    for t in ["orders", "lineitem"]:
+        spark.sql(f"DROP TABLE IF EXISTS bkt.{t}_b")
+    load_table(spark, SF_DIR, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).option("path", f"{wh}/orders_b").saveAsTable("bkt.orders_b")
+    load_table(spark, SF_DIR, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).option("path", f"{wh}/lineitem_b").saveAsTable("bkt.lineitem_b")
+
+    o, li = spark.table("bkt.orders_b"), spark.table("bkt.lineitem_b")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_totalprice"
+    )
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert count_exchanges(joined) == 0, "bucketed join still shuffles"
+        assert joined.count() == load_table(spark, SF_DIR, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bkt.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bkt.lineitem_b")
+        spark.sql("DROP DATABASE IF EXISTS bkt")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling: a 95%-one-key join gets its hot partition
+    split at runtime (the final adaptive plan marks the join skew=true).
+    This is the engine's answer to hot keys when salting isn't wired."""
+    import pyspark.sql.functions as F
+
+    from aws_iceberg_automation_spark.io import load_table
+
+    # The skewed side must come from MULTIPLE map tasks: AQE splits a hot
+    # reduce partition at map-output granularity, so a single-mapper
+    # stage (one-file scan) is one unsplittable chunk. (At 100 TB there
+    # are always many mappers; on the 1-file fixture we repartition.)
+    li = load_table(spark, SF_DIR, "lineitem").repartition(8)
+    # independent lineages: a shared shuffle would be a ReusedExchange,
+    # which the skew optimizer refuses to split
+    skewed = li.withColumn(
+        "skey", F.when(F.col("l_linenumber") >= 2, F.lit(0)).otherwise(F.col("l_orderkey"))
+    )
+    dim = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("skey"), "o_totalprice"
+    )
+    conf_keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf_keys}
+    for k, v in conf_keys.items():
+        spark.conf.set(k, v)
+    try:
+        joined = skewed.join(dim, "skey").select("skey", "l_orderkey", "o_totalprice")
+        # collect() executes *this* DataFrame's queryExecution — a write
+        # sink would build its own plan and leave this one un-adapted
+        assert len(joined.collect()) > 0
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, "AQE did not split the skewed partition"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_projection_is_scan_only(spark):
     df = q("q23_projection", spark)
     assert count_exchanges(df) == 0
