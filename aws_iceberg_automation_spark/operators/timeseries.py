@@ -84,6 +84,113 @@ def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q35b_ohlc_resample",
+    oracle="""
+SELECT user_id,
+  time_bucket(INTERVAL 6 HOUR, date_trunc('second', ts)) AS bucket_start,
+  arg_min(value, ts) AS open,
+  max(value) AS high,
+  min(value) AS low,
+  arg_max(value, ts) AS close,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("timeseries",),
+)
+def q35b_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: 6-hour bars per user — open/close via
+    min_by/max_by on event time, high/low plain extremes. One hash
+    aggregate; the canonical time-series resample at any volume.
+    (Timestamps within a bar are unique at second grain in the fixture,
+    so first/last are well-defined for the oracle.)"""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.window(ts_sec("ts"), "6 hours")
+    return (
+        ev.groupBy(F.col("user_id"), bucket.alias("w"))
+        .agg(
+            F.min_by("value", ts_sec("ts")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ts_sec("ts")).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("bucket_start"),
+            "open", "high", "low", "close", "n_events",
+        )
+    )
+
+
+@register(
+    "q35c_gap_fill_forward",
+    oracle="""
+WITH grid AS (
+  SELECT u.user_id, g.t AS grid_ts
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                            TIMESTAMP '2024-01-30',
+                                            INTERVAL 1 DAY)) AS t) g
+), obs AS (
+  SELECT user_id, date_trunc('second', ts) AS ots, value FROM events
+)
+SELECT g.user_id, g.grid_ts,
+       o.value AS last_value,
+       o.ots AS last_event_ts
+FROM grid g ASOF LEFT JOIN obs o
+  ON g.user_id = o.user_id AND g.grid_ts >= o.ots
+""",
+    tags=("timeseries",),
+)
+def q35c_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling with forward-fill: a daily grid per user, each grid
+    point carrying the latest observation at-or-before it — the
+    composite of grid generation (sequence+explode) and the as-of
+    carry-forward (#35). DuckDB's native ASOF LEFT JOIN is the oracle.
+    At scale the grid is generated, never materialized from driver."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+                    F.lit("2024-01-30 00:00:00").cast("timestamp_ntz"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("grid_ts"),
+        )
+        .select(
+            "user_id", "grid_ts", F.lit(1).alias("side"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("timestamp_ntz").alias("ots"),
+        )
+    )
+    obs = ev.select(
+        "user_id",
+        ts_sec("ts").alias("grid_ts"),
+        F.lit(0).alias("side"),
+        "value",
+        ts_sec("ts").alias("ots"),
+    )
+    tagged = grid.unionByName(obs)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("grid_ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_value", F.last("value", ignorenulls=True).over(w))
+        .withColumn("last_event_ts", F.last("ots", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("user_id", "grid_ts", "last_value", "last_event_ts")
+    )
+
+
+@register(
     "q36_interval_join",
     oracle=f"""
 WITH sessions AS (
