@@ -212,7 +212,7 @@ def q83d_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _TOP_K)
 
 
-@register("q83e_topk_vectorized", oracle=None, tags=("similarity", "llm", "vector", "bench"))
+@register("q83e_topk_vectorized", oracle=None, tags=("similarity", "llm", "vector"))
 def q83e_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized brute-force top-k (#83 throughput path): the
     query matrix rides into every task as a broadcast numpy array; a
