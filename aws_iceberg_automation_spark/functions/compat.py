@@ -5,9 +5,17 @@ Double summation is order-dependent across Spark partitions, and even a
 decimal→double cast can differ by 1 ulp between engines. So:
 
 - Exact aggregates (sums/products of fixture doubles that are really
-  fixed-point money/rates) are computed in DECIMAL and *kept* decimal,
-  cast on both sides to an identical (38, s) — digit-identical output,
-  no float conversion anywhere.
+  fixed-point money/rates) are computed in DECIMAL — exact and
+  order-independent — then **surfaced as STRING** in the final
+  projection on both sides ("decimal inside, string out").
+  Rationale (round-2 lesson): the external driver canonicalizes via
+  pandas, where DuckDB decimals degrade to float64 while Spark returns
+  decimal.Decimal — never hash-equal. A decimal→DOUBLE cast is no fix:
+  DuckDB's decimal→double is *not* correctly rounded (measured ~8%
+  of random 15+-digit values off by ≥1 ulp in this container), while
+  the JVM's is. CAST(dec AS STRING/VARCHAR) renders identical plain
+  digit strings at the same scale in both engines (verified incl.
+  scale-10 sub-1e-6 values) — digit-exact through any canonicalizer.
 - Intrinsically inexact values (averages, stddev, correlations) are
   rounded to a fixed number of decimals on both sides; a 1-ulp input
   difference survives rounding only within ~1e-11 of a boundary, and
@@ -20,7 +28,8 @@ multiply rule (p1+p2+1) then keeps disc_price at (18,6) and charge at
 (26,10) — exact, no 38-precision overflow, scales equal to DuckDB's.
 
 At 100 TB this is still whole-stage-codegen JVM arithmetic; the decimal
-casts add no shuffle and no Python boundary.
+casts add no shuffle and no Python boundary. The final string render
+touches |result| rows only — for aggregates that is |groups|, not |input|.
 """
 
 from __future__ import annotations
@@ -48,8 +57,21 @@ def dec4(c: str | Column) -> Column:
 
 
 def dsum(e: Column, alias: str, scale: int = 2) -> Column:
-    """Exact decimal sum, surfaced at a fixed (38, scale)."""
-    return F.sum(e).cast(f"decimal(38,{scale})").alias(alias)
+    """Exact decimal sum, surfaced as the plain digit string of its
+    (38, scale) value — see module docstring ("decimal inside, string
+    out")."""
+    return F.sum(e).cast(f"decimal(38,{scale})").cast("string").alias(alias)
+
+
+def dec_out(c: Column, alias: str, scale: int = 2) -> Column:
+    """Surface any exact decimal expression as its (38, scale) digit
+    string — the final-projection convention for non-sum decimals
+    (window sums, pivot cells, per-row products)."""
+    return c.cast(f"decimal(38,{scale})").cast("string").alias(alias)
+
+
+def sql_dec_out(inner: str, alias: str, scale: int = 2) -> str:
+    return f"CAST(CAST({inner} AS DECIMAL(38,{scale})) AS VARCHAR) AS {alias}"
 
 
 def davg(e: Column, alias: str, ndigits: int = 6) -> Column:
@@ -84,7 +106,7 @@ SQL_CHARGE = SQL_DISC_PRICE + " * (1 + CAST(l_tax AS DECIMAL(6,4)))"
 
 
 def sql_dsum(inner: str, alias: str, scale: int = 2) -> str:
-    return f"CAST(SUM({inner}) AS DECIMAL(38,{scale})) AS {alias}"
+    return f"CAST(CAST(SUM({inner}) AS DECIMAL(38,{scale})) AS VARCHAR) AS {alias}"
 
 
 def sql_davg(inner: str, alias: str, ndigits: int = 6) -> str:

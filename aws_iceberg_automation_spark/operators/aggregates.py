@@ -87,7 +87,7 @@ def q38b_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return salted.groupBy("l_returnflag").agg(
         F.sum("pn").alias("n_rows"),
-        F.sum("prev").cast("decimal(38,6)").alias("revenue"),
+        F.sum("prev").cast("decimal(38,6)").cast("string").alias("revenue"),
     )
 
 
@@ -253,8 +253,8 @@ def q43b_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q44_collect_aggs",
     oracle="""
 SELECT l_returnflag,
-  list_sort(list(DISTINCT l_linestatus)) AS statuses,
-  list_sort(list(DISTINCT l_suppkey)) AS suppliers
+  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+  array_to_string(list_sort(list(DISTINCT l_suppkey)), ',') AS suppliers
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -263,11 +263,18 @@ GROUP BY l_returnflag
 def q44_collect_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set (#44), sorted for determinism. Guardrail: only on
     provably bounded domains (statuses ≤3, suppliers = |supplier| —
-    a dimension). Never collect an unbounded fact column at scale."""
+    a dimension). Never collect an unbounded fact column at scale.
+    Final projection joins the sorted arrays to CSV strings — ARRAY
+    cells crash the driver's pandas canonicalizer (round-1 lesson);
+    arrays stay arrays in intermediate stages only."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
-        F.sort_array(F.collect_set("l_suppkey")).alias("suppliers"),
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
+        F.array_join(
+            F.sort_array(F.collect_set("l_suppkey")).cast("array<string>"), ","
+        ).alias("suppliers"),
     )
 
 
@@ -341,7 +348,7 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     "q48_pivot",
     oracle=f"""
 SELECT (user_id % 10) AS user_band,
-  {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(10,2)) END) AS DECIMAL(38,2)) AS {t}" for t in _EVENT_TYPES)}
+  {", ".join(f"CAST(CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(10,2)) END) AS DECIMAL(38,2)) AS VARCHAR) AS {t}" for t in _EVENT_TYPES)}
 FROM events
 GROUP BY (user_id % 10)
 """,
@@ -354,5 +361,5 @@ def q48_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy((F.col("user_id") % 10).alias("user_band"))
         .pivot("event_type", _EVENT_TYPES)
-        .agg(F.sum(dec2("value")).cast("decimal(38,2)"))
+        .agg(F.sum(dec2("value")).cast("decimal(38,2)").cast("string"))
     )

@@ -60,8 +60,8 @@ def q92_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q93_forecast_revenue_change",
     oracle="""
 SELECT
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(6,4)))
-       AS DECIMAL(38,6)) AS potential_revenue,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(6,4)))
+       AS DECIMAL(38,6)) AS VARCHAR) AS potential_revenue,
   COUNT(*) AS n_qualifying
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -85,6 +85,7 @@ def q93_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(dec2("l_extendedprice") * dec4("l_discount"))
             .cast("decimal(38,6)")
+            .cast("string")
             .alias("potential_revenue"),
             F.count(F.lit(1)).alias("n_qualifying"),
         )
@@ -202,7 +203,7 @@ WITH big AS (
 )
 SELECT c.c_custkey, c.c_name, o.o_orderkey,
   CAST(o.o_orderdate AS DATE) AS orderdate,
-  CAST(sum_qty AS DECIMAL(38,2)) AS total_qty
+  CAST(CAST(sum_qty AS DECIMAL(38,2)) AS VARCHAR) AS total_qty
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(10,2))) AS sum_qty
@@ -232,6 +233,6 @@ def q95_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"),
-            F.col("sum_qty").cast("decimal(38,2)").alias("total_qty"),
+            F.col("sum_qty").cast("decimal(38,2)").cast("string").alias("total_qty"),
         )
     )

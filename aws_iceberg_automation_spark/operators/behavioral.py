@@ -66,8 +66,9 @@ WITH t AS (
   FROM events
 )
 SELECT user_id, event_id,
-  SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsec, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS session_no
 FROM t
 """,
     tags=("timeseries",),

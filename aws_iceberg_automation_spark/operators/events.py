@@ -29,7 +29,7 @@ _TSEC = "date_trunc('second', ts)"
 SELECT time_bucket(INTERVAL 1 HOUR, {_TSEC}) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS total_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -46,7 +46,7 @@ def q73_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec2("value")).cast("decimal(38,2)").alias("total_value"),
+            F.sum(dec2("value")).cast("decimal(38,2)").cast("string").alias("total_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),
@@ -62,7 +62,7 @@ def q73_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT time_bucket(INTERVAL '1 hour', {_TSEC}, INTERVAL (off) MINUTE) AS window_start,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS total_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_value
 FROM events, (VALUES (0), (15), (30), (45)) AS offsets(off)
 GROUP BY 1
 """,
@@ -77,7 +77,7 @@ def q74_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window(ts_sec("ts"), "1 hour", "15 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec2("value")).cast("decimal(38,2)").alias("total_value"),
+            F.sum(dec2("value")).cast("decimal(38,2)").cast("string").alias("total_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),
@@ -107,7 +107,7 @@ SELECT user_id,
        min(tsec) AS session_start,
        max(tsec) + INTERVAL 30 MINUTE AS session_end,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS total_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_value
 FROM s
 GROUP BY user_id, session_no
 """,
@@ -124,7 +124,7 @@ def q75_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec2("value")).cast("decimal(38,2)").alias("total_value"),
+            F.sum(dec2("value")).cast("decimal(38,2)").cast("string").alias("total_value"),
         )
         .select(
             "user_id",

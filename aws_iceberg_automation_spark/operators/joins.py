@@ -100,7 +100,7 @@ def q31_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT r.r_name AS region, n.n_name AS nation,
        COUNT(*) AS customers,
-       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS total_acctbal
+       CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_acctbal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -121,7 +121,7 @@ def q32_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("customers"),
-            F.sum(dec2("c_acctbal")).cast("decimal(38,2)").alias("total_acctbal"),
+            F.sum(dec2("c_acctbal")).cast("decimal(38,2)").cast("string").alias("total_acctbal"),
         )
     )
 

@@ -108,7 +108,12 @@ def q84b_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
-    return d.mapInPandas(decode_media_batch, schema=_DECODE_SCHEMA)
+    # CSV-join the feature vector in the registered surface: ARRAY cells
+    # crash the driver's pandas canonicalizer (array form is pytest-
+    # checked via decode_media_batch directly).
+    return d.mapInPandas(decode_media_batch, schema=_DECODE_SCHEMA).withColumn(
+        "features", F.array_join(F.col("features").cast("array<string>"), ",")
+    )
 
 
 def resize_media_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

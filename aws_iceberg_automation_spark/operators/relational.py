@@ -21,6 +21,7 @@ from ..functions.compat import (
     dec2,
     dec4,
     disc_price,
+    dec_out,
     dsum,
     sql_davg,
     sql_dsum,
@@ -110,9 +111,9 @@ def q22_sql_entry_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   l_orderkey,
   l_linenumber,
-  CAST({SQL_DISC_PRICE} AS DECIMAL(18,6)) AS revenue,
-  CAST(CAST(l_quantity AS DECIMAL(10,2)) * CAST(l_extendedprice AS DECIMAL(10,2)) AS DECIMAL(22,4))
-    AS qty_value,
+  CAST(CAST({SQL_DISC_PRICE} AS DECIMAL(38,6)) AS VARCHAR) AS revenue,
+  CAST(CAST(CAST(l_quantity AS DECIMAL(10,2)) * CAST(l_extendedprice AS DECIMAL(10,2))
+            AS DECIMAL(38,4)) AS VARCHAR) AS qty_value,
   upper(l_returnflag) AS flag_upper
 FROM lineitem
 """,
@@ -125,8 +126,8 @@ def q23_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        disc_price().cast("decimal(18,6)").alias("revenue"),
-        (dec2("l_quantity") * dec2("l_extendedprice")).cast("decimal(22,4)").alias("qty_value"),
+        dec_out(disc_price(), "revenue", 6),
+        dec_out(dec2("l_quantity") * dec2("l_extendedprice"), "qty_value", 4),
         F.upper("l_returnflag").alias("flag_upper"),
     )
 

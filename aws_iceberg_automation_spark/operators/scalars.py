@@ -37,7 +37,7 @@ SELECT c_custkey,
   regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
   replace(c_name, 'Customer', 'Cust') AS name_replaced,
   reverse(c_mktsegment) AS seg_reversed,
-  split(c_name, '#') AS name_parts,
+  array_to_string(string_split(c_name, '#'), ',') AS name_parts,
   CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS lev_to_building
 FROM customer
 """,
@@ -63,7 +63,7 @@ def q65_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name_replaced"
         ),
         F.reverse("c_mktsegment").alias("seg_reversed"),
-        F.split("c_name", "#").alias("name_parts"),
+        F.array_join(F.split("c_name", "#"), ",").alias("name_parts"),
         F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("lev_to_building"),
     )
 
@@ -233,8 +233,8 @@ def q68b_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q69_map_funcs",
     oracle="""
 SELECT event_id,
-  ['k'] AS prop_keys,
-  [CAST(props->>'$.k' AS INT)] AS prop_values,
+  'k' AS prop_keys,
+  CAST(CAST(props->>'$.k' AS INT) AS VARCHAR) AS prop_values,
   CAST(props->>'$.k' AS INT) AS k_value,
   CAST(props->>'$.k' AS INT) IS NOT NULL AS has_k
 FROM events
@@ -244,13 +244,17 @@ FROM events
 def q69_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map family (#69): events.props parsed into MAP<STRING,INT>, then
     map_keys/map_values/element_at/map_contains_key (DuckDB mirrors via
-    JSON paths — its JSON→MAP story differs, values are what's checked)."""
+    JSON paths — its JSON→MAP story differs, values are what's checked).
+    Key/value arrays surface as CSV strings — ARRAY cells crash the
+    driver's pandas canonicalizer."""
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,int>")
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
-        F.map_values(m).alias("prop_values"),
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        F.array_join(F.map_values(m).cast("array<string>"), ",").alias(
+            "prop_values"
+        ),
         F.element_at(m, "k").alias("k_value"),
         F.map_contains_key(m, "k").alias("has_k"),
     )

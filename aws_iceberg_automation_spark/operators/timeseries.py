@@ -204,7 +204,7 @@ WITH sessions AS (
 )
 SELECT s.session_id, s.user_id,
   COUNT(c.event_id) AS clicks_in_window,
-  CAST(SUM(CAST(c.value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS click_value
+  CAST(CAST(SUM(CAST(c.value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS VARCHAR) AS click_value
 FROM sessions s LEFT JOIN clicks c
   ON s.user_id = c.user_id AND c.c_sec >= s.s_start AND c.c_sec < s.s_end
 GROUP BY s.session_id, s.user_id
@@ -257,5 +257,5 @@ def q36_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_id"), F.col("s_user").alias("user_id")
     ).agg(
         F.count("event_id").alias("clicks_in_window"),
-        F.sum(dec2("value")).cast("decimal(38,2)").alias("click_value"),
+        F.sum(dec2("value")).cast("decimal(38,2)").cast("string").alias("click_value"),
     )

@@ -84,7 +84,14 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     mu = pdf["o_totalprice"].mean()
     sd = pdf["o_totalprice"].std(ddof=0)
     out = pdf[["o_orderkey", "o_orderpriority"]].copy()
-    out["zscore"] = ((pdf["o_totalprice"] - mu) / sd if sd > 0 else 0.0).round(4)
+    # Degenerate group (sd == 0) → NaN, matching the oracle's
+    # NULLIF(stddev_pop, 0) NULL (NULL and NaN unify in float64).
+    z = (
+        (pdf["o_totalprice"] - mu) / sd
+        if sd > 0
+        else pd.Series(float("nan"), index=pdf.index)
+    )
+    out["zscore"] = z.round(4)
     return out
 
 
@@ -93,7 +100,8 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     oracle="""
 SELECT o_orderkey, o_orderpriority,
   round((o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_orderpriority))
-        / stddev_pop(o_totalprice) OVER (PARTITION BY o_orderpriority), 4) AS zscore
+        / NULLIF(stddev_pop(o_totalprice) OVER (PARTITION BY o_orderpriority), 0), 4)
+    AS zscore
 FROM orders
 """,
     tags=("udf",),

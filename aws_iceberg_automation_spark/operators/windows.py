@@ -85,9 +85,9 @@ def q51_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q52_running_totals",
     oracle="""
 SELECT o_custkey, o_orderkey,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) OVER w AS DECIMAL(38,2)) AS running_spend,
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) OVER w AS DECIMAL(38,2)) AS VARCHAR) AS running_spend,
   COUNT(*) OVER w AS orders_so_far,
-  CAST(max(CAST(o_totalprice AS DECIMAL(10,2))) OVER w AS DECIMAL(38,2)) AS max_so_far
+  CAST(CAST(max(CAST(o_totalprice AS DECIMAL(10,2))) OVER w AS DECIMAL(38,2)) AS VARCHAR) AS max_so_far
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -107,9 +107,9 @@ def q52_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(dec2("o_totalprice")).over(w).cast("decimal(38,2)").alias("running_spend"),
+        F.sum(dec2("o_totalprice")).over(w).cast("decimal(38,2)").cast("string").alias("running_spend"),
         F.count(F.lit(1)).over(w).alias("orders_so_far"),
-        F.max(dec2("o_totalprice")).over(w).cast("decimal(38,2)").alias("max_so_far"),
+        F.max(dec2("o_totalprice")).over(w).cast("decimal(38,2)").cast("string").alias("max_so_far"),
     )
 
 
@@ -117,7 +117,7 @@ def q52_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q53_moving_window",
     oracle="""
 SELECT event_id, user_id,
-  CAST(SUM(CAST(value AS DECIMAL(10,2))) OVER w AS DECIMAL(38,2)) AS sum_7,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(10,2))) OVER w AS DECIMAL(38,2)) AS VARCHAR) AS sum_7,
   COUNT(*) OVER w AS cnt_7,
   round(CAST(SUM(CAST(value AS DECIMAL(10,2))) OVER w AS DOUBLE) / COUNT(*) OVER w, 6)
     AS moving_avg_7
@@ -141,7 +141,7 @@ def q53_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        sum7.cast("decimal(38,2)").alias("sum_7"),
+        sum7.cast("decimal(38,2)").cast("string").alias("sum_7"),
         cnt7.alias("cnt_7"),
         F.round(sum7.cast("double") / cnt7, 6).alias("moving_avg_7"),
     )
@@ -151,9 +151,9 @@ def q53_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q54_range_frame_time",
     oracle="""
 SELECT event_id, user_id,
-  CAST(SUM(CAST(value AS DECIMAL(10,2)))
+  CAST(CAST(SUM(CAST(value AS DECIMAL(10,2)))
        OVER (PARTITION BY user_id ORDER BY date_diff('second', TIMESTAMP '2024-01-01', ts)
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2))
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS VARCHAR)
     AS sum_last_hour
 FROM events
 """,
@@ -176,7 +176,7 @@ def q54_range_frame_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.sum(dec2("value")).over(w).cast("decimal(38,2)").alias("sum_last_hour"),
+        F.sum(dec2("value")).over(w).cast("decimal(38,2)").cast("string").alias("sum_last_hour"),
     )
 
 

@@ -90,7 +90,7 @@ def tumbling_agg(events: DataFrame) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec2("value")).cast("decimal(38,2)").alias("total_value"),
+            F.sum(dec2("value")).cast("decimal(38,2)").cast("string").alias("total_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),
@@ -107,7 +107,7 @@ def sliding_agg(events: DataFrame) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec2("value")).cast("decimal(38,2)").alias("total_value"),
+            F.sum(dec2("value")).cast("decimal(38,2)").cast("string").alias("total_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),
@@ -126,7 +126,7 @@ def session_agg(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec2("value")).cast("decimal(38,2)").alias("total_value"),
+            F.sum(dec2("value")).cast("decimal(38,2)").cast("string").alias("total_value"),
         )
         .select(
             "user_id",

@@ -42,7 +42,7 @@ def _stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT time_bucket(INTERVAL 1 HOUR, date_trunc('second', ts)) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS total_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_value
 FROM events
 GROUP BY 1, 2
 """,

@@ -1,9 +1,26 @@
-"""Mirror of the driver's correctness gate, runnable locally.
+"""Driver-faithful mirror of the external correctness gate.
 
-Runs ``entry(spark)`` as a smoke check, then every ``queries()`` entry
-against its ``oracle_sql()`` DuckDB counterpart at the given scale
-factor: row-count, sorted-column-name schema, and an order-insensitive
-exact value comparison (the driver hashes values, so exact is the bar).
+Round-1 lesson (VERDICT.md "What's wrong" #3): the old mirror coerced
+Decimal→float before comparing — exactly the coercion the real driver
+does NOT perform — so 14 driver-red queries were green locally. This
+version reproduces the driver's observed canonicalization:
+
+- DuckDB side fetched via ``.df()`` (pandas): DECIMAL → float64,
+  DATE/TIMESTAMP → datetime64[us], BLOB → bytearray (verified in this
+  container).
+- Spark side via ``toPandas()``: DECIMAL → decimal.Decimal objects
+  (NOT coerced), ARRAY → list cells.
+- Both frames: columns reordered by sorted name, rows sorted by all
+  columns with pandas ``sort_values`` — list/dict cells make pandas
+  factorize raise ``TypeError: unhashable type`` (the exact r01 crash
+  for q44/q65); reported as CRASH here, never as a pass.
+- Cell equality is type-family-strict: Decimal vs float64 is a
+  MISMATCH even when numerically equal (that is what the driver's
+  value hash sees). Date-likes (datetime.date vs midnight Timestamp)
+  are unified — r01 shows the driver equates them (q66 green).
+
+Calibration bar: run against CORRECTNESS_r01.json's 50 checked queries
+at HEAD~ and the red/green rows must match row-for-row.
 
 Usage: python scripts/verify_contract.py [sf_dir] [query_name ...]
 """
@@ -20,39 +37,105 @@ from decimal import Decimal
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+import numpy as np
+import pandas as pd
 
-def canon(v):
-    """Canonicalize one cell so Spark and DuckDB values compare exactly.
-    Every result is a (tag, payload) tuple of strings so mixed NULL /
-    non-NULL columns still sort (Python can't order str vs tuple)."""
+
+class DriverCrash(Exception):
+    """The driver's canonicalizer would crash on this result."""
+
+
+def _ocell(v):
+    """Canonicalize one object-dtype cell, type-family-tagged so that
+    cross-family 'equality' (Decimal vs float) stays unequal."""
     if v is None:
-        return ("0n", "")
-    if isinstance(v, bool):
-        return ("b", str(v))
-    if isinstance(v, float):
-        return ("f", "NaN" if math.isnan(v) else repr(v))
+        return "\x00null"
+    if isinstance(v, (list, dict, set, np.ndarray)):
+        raise DriverCrash(f"unhashable {type(v).__name__} cell")
     if isinstance(v, Decimal):
-        return ("f", repr(float(v)))
-    if isinstance(v, int):
-        return ("i", str(v).rjust(24))
-    if isinstance(v, datetime):
-        return ("t", v.replace(tzinfo=None).isoformat())
+        return "dec:" + str(v)
+    if isinstance(v, (bool, np.bool_)):
+        return "b:" + str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return "i:" + str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "\x00null" if math.isnan(f) else "f:" + repr(f)
+    if isinstance(v, (pd.Timestamp, datetime)):
+        if v != v:  # NaT
+            return "\x00null"
+        return "t:" + pd.Timestamp(v).tz_localize(None).isoformat()
     if isinstance(v, date):
-        return ("t", v.isoformat())
-    if isinstance(v, bytes):
-        return ("y", v.hex())
-    if isinstance(v, (list, tuple)):
-        return ("l", repr(tuple(canon(x) for x in v)))
-    if isinstance(v, dict):
-        return ("d", repr(tuple(sorted((str(k), canon(x)) for k, x in v.items()))))
-    return ("s", str(v))
+        return "t:" + pd.Timestamp(v).isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return "y:" + bytes(v).hex()
+    if isinstance(v, str):
+        return "s:" + v
+    return "?:" + repr(v)
 
 
-def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(canon(r[i]) for i in order) for r in rows]
-    out.sort()
-    return out
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sorted-column, sorted-row canonical frame — the driver's shape.
+    Raises DriverCrash where the driver's pandas sort would throw."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    try:
+        df = df.sort_values(by=cols, kind="mergesort", na_position="last")
+    except TypeError as e:
+        raise DriverCrash(str(e)) from e
+    return df.reset_index(drop=True)
+
+
+def _col_diff(a: pd.Series, b: pd.Series) -> int | None:
+    """Index of first differing row between two canonical columns, or
+    None. Family-strict: int64 vs float64 (and Decimal-object vs
+    float64) are mismatches regardless of numeric equality."""
+    ka, kb = a.dtype.kind, b.dtype.kind
+    if ka == "O" or kb == "O":
+        ca = [_ocell(v) for v in a]
+        cb = [_ocell(v) for v in b]
+        for i, (x, y) in enumerate(zip(ca, cb)):
+            if x != y:
+                return i
+        return None
+    if ka in "Mm" and kb in "Mm":
+        eq = (a.values == b.values) | (pd.isna(a).values & pd.isna(b).values)
+    elif ka == "f" and kb == "f":
+        av, bv = a.values, b.values
+        eq = (av == bv) | (np.isnan(av) & np.isnan(bv))
+    elif ka in "iu" and kb in "iu":
+        eq = a.values == b.values
+    elif ka == "b" and kb == "b":
+        eq = a.values == b.values
+    else:
+        # cross-family dtype (e.g. int64 vs float64): the driver's hash
+        # sees different value families → every row "differs"
+        return 0
+    bad = np.nonzero(~eq)[0]
+    return int(bad[0]) if len(bad) else None
+
+
+def compare(spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if sorted(spark_pd.columns) != sorted(duck_pd.columns):
+        problems.append(
+            f"schema {sorted(spark_pd.columns)} != {sorted(duck_pd.columns)}"
+        )
+        return problems
+    if len(spark_pd) != len(duck_pd):
+        problems.append(f"rowcount {len(spark_pd)} != {len(duck_pd)}")
+        return problems
+    cs, co = _canon(spark_pd), _canon(duck_pd)
+    for col in cs.columns:
+        i = _col_diff(cs[col], co[col])
+        if i is not None:
+            problems.append(
+                f"col {col!r} first diff at canon row {i}: "
+                f"spark={cs[col].iloc[i]!r} ({cs[col].dtype}) "
+                f"duck={co[col].iloc[i]!r} ({co[col].dtype})"
+            )
+            break
+    return problems
 
 
 def run(sf_dir: str, only: list[str]) -> int:
@@ -79,44 +162,46 @@ def run(sf_dir: str, only: list[str]) -> int:
         t0 = time.monotonic()
         try:
             df = qs[name](spark, sf_dir)
-            scols = df.columns
-            srows = [tuple(r) for r in df.collect()]
+            spark_pd = df.toPandas()
         except Exception as ex:
             failed.append(name)
             print(f"[FAIL] {name}: spark error: {ex}")
             continue
         if name not in oracles:
-            print(f"[rows-only] {name}: {len(srows)} rows "
-                  f"({time.monotonic()-t0:.1f}s)", flush=True)
+            # driver records rows-only — but its canonicalizer may still
+            # touch the frame; surface would-be crashes here too
+            try:
+                _canon(spark_pd)
+                note = ""
+            except DriverCrash as ex:
+                note = f"  [warn: canon would crash: {ex}]"
+            print(
+                f"[rows-only] {name}: {len(spark_pd)} rows "
+                f"({time.monotonic()-t0:.1f}s){note}",
+                flush=True,
+            )
             continue
         try:
-            rel = con.sql(oracles[name])
-            ocols = [d[0] for d in rel.description]
-            orows = rel.fetchall()
+            duck_pd = con.sql(oracles[name]).df()
         except Exception as ex:
             failed.append(name)
             print(f"[FAIL] {name}: oracle error: {ex}")
             continue
-        problems = []
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"schema {sorted(scols)} != {sorted(ocols)}")
-        if len(srows) != len(orows):
-            problems.append(f"rowcount {len(srows)} != {len(orows)}")
-        if not problems:
-            cs, co = canon_rows(scols, srows), canon_rows(ocols, orows)
-            if cs != co:
-                for i, (a, b) in enumerate(zip(cs, co)):
-                    if a != b:
-                        problems.append(f"first diff row {i}:\n  spark={a}\n  duck ={b}")
-                        break
-                else:
-                    problems.append("value diff at tail")
+        try:
+            problems = compare(spark_pd, duck_pd)
+        except DriverCrash as ex:
+            failed.append(name)
+            print(f"[CRASH] {name}: driver canonicalizer would die: {ex}")
+            continue
         if problems:
             failed.append(name)
             print(f"[FAIL] {name}: " + "; ".join(problems))
         else:
-            print(f"[ok] {name}: {len(srows)} rows match "
-                  f"({time.monotonic()-t0:.1f}s)", flush=True)
+            print(
+                f"[ok] {name}: {len(spark_pd)} rows match "
+                f"({time.monotonic()-t0:.1f}s)",
+                flush=True,
+            )
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
     if failed:
         print("failed:", " ".join(failed))

@@ -14,7 +14,7 @@ sys.path.insert(0, REPO)
 
 from aws_iceberg_automation_spark.io import TABLES  # noqa: E402
 from aws_iceberg_automation_spark.session import get_spark  # noqa: E402
-from scripts.verify_contract import canon_rows  # noqa: E402
+from scripts.verify_contract import DriverCrash, _canon, compare  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
@@ -38,21 +38,18 @@ def duck():
 
 @pytest.fixture(scope="session")
 def oracle_check(duck):
-    """Assert a Spark DataFrame matches DuckDB SQL exactly
-    (schema by sorted names, row count, order-insensitive values)."""
+    """Assert a Spark DataFrame matches DuckDB SQL under the external
+    driver's observed canonicalization (pandas on both sides, Decimal≠
+    float64, unhashable cells = crash) — see scripts/verify_contract.py."""
 
     def check(df, sql: str):
-        scols = df.columns
-        srows = [tuple(r) for r in df.collect()]
-        rel = duck.sql(sql)
-        ocols = [d[0] for d in rel.description]
-        orows = rel.fetchall()
-        assert sorted(scols) == sorted(ocols), f"schema: {sorted(scols)} != {sorted(ocols)}"
-        assert len(srows) == len(orows), f"rowcount: {len(srows)} != {len(orows)}"
-        cs, co = canon_rows(scols, srows), canon_rows(ocols, orows)
-        if cs != co:
-            diffs = [(a, b) for a, b in zip(cs, co) if a != b][:3]
-            raise AssertionError(f"value mismatch; first diffs: {diffs}")
-        return len(srows)
+        spark_pd = df.toPandas()
+        duck_pd = duck.sql(sql).df()
+        try:
+            problems = compare(spark_pd, duck_pd)
+        except DriverCrash as e:
+            raise AssertionError(f"driver canonicalizer would crash: {e}") from e
+        assert not problems, "; ".join(problems)
+        return len(spark_pd)
 
     return check

@@ -16,7 +16,39 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from scripts.verify_contract import canon_rows
+import math
+from datetime import date, datetime
+from decimal import Decimal
+
+
+def _canon_cell(v):
+    """Value-canon for same-SQL-both-engines fuzzing: here BOTH sides
+    come from raw row fetches (Spark collect / DuckDB fetchall), so
+    decimals are Decimal objects on both and numeric coercion is safe.
+    (The driver-contract mirror in scripts/verify_contract.py is
+    intentionally stricter — do not reuse this there.)"""
+    if v is None:
+        return ("0n", "")
+    if isinstance(v, bool):
+        return ("b", str(v))
+    if isinstance(v, float):
+        return ("f", "NaN" if math.isnan(v) else repr(v))
+    if isinstance(v, Decimal):
+        return ("f", repr(float(v)))
+    if isinstance(v, int):
+        return ("i", str(v).rjust(24))
+    if isinstance(v, datetime):
+        return ("t", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, date):
+        return ("t", v.isoformat())
+    return ("s", str(v))
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_canon_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
 
 _money = st.integers(-99999, 99999).map(lambda c: c / 100.0)
 

@@ -150,7 +150,9 @@ def test_decode_features_plumbing(spark):
     out = fn(spark, SF_DIR).collect()
     n_docs = load_table(spark, SF_DIR, "documents").count()
     assert len(out) == n_docs  # row-preserving map
-    assert all(len(r.features) == 8 for r in out)
+    # features surface as a CSV string (driver-canonicalizer-safe);
+    # still an 8-dim vector underneath
+    assert all(len(r.features.split(",")) == 8 for r in out)
     assert all(1 <= r.width <= 64 and 1 <= r.height <= 48 for r in out)
     # determinism
     again = fn(spark, SF_DIR).collect()

@@ -26,6 +26,35 @@ def test_query_matches_oracle(name, spark, oracle_check):
         oracle_check(df, spec.oracle)
 
 
+def test_driver_priority_names_exist():
+    """Every name in the driver-ordering list must be a registered query
+    (a stale name would silently waste a verification slot), and the
+    ordered registry must put the priority names first."""
+    from aws_iceberg_automation_spark.registry import _DRIVER_PRIORITY
+
+    missing = [n for n in _DRIVER_PRIORITY if n not in SPECS]
+    assert not missing, f"stale priority names: {missing}"
+    assert list(SPECS)[: len(_DRIVER_PRIORITY)] == [
+        n for n in _DRIVER_PRIORITY if n in SPECS
+    ]
+
+
+def test_first_50_specs_have_no_untestable_outputs(spark):
+    """The driver's 50-spec budget must not be burned on queries whose
+    final schema the driver cannot canonicalize (array/map/struct) or
+    that surface raw DECIMAL (never hash-equal vs DuckDB float64)."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    first50 = list(SPECS)[:50]
+    bad: list[str] = []
+    for name in first50:
+        df = SPECS[name].fn(spark, SF_DIR)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType, DecimalType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, bad
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
