@@ -35,23 +35,40 @@ from ..io import SCHEMAS, _EVENTS_TS_NTZ
 
 
 def prepare_replay_dir(spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 5) -> str:
-    """Split the events fixture into n time-ordered parquet files so a
-    file-source stream replays it as multiple microbatches."""
+    """Split the events fixture into n time-ordered parquet chunks so a
+    file-source stream replays it as multiple microbatches.
+
+    Fully distributed (round-2 fix: the old version did
+    ``orderBy(...).collect()`` — materializing the whole fixture on the
+    driver, a scale-killer on any real event table):
+    ``repartitionByRange`` range-partitions rows by event time across
+    executors, ``spark_partition_id`` labels each range, and each chunk
+    is written by a filter+write job. Chunks are written sequentially
+    (oldest range first) so file modification times preserve replay
+    order for the file-stream source. ``coalesce(1)`` per chunk keeps
+    the fixture's one-file-per-microbatch shape; at production scale
+    drop it and raise ``maxFilesPerTrigger`` instead."""
     # Raw physical schema (ts = int64 nanos) so the replayed files look
     # exactly like the source and the stream reader's ts rebuild applies.
     ev = spark.read.schema(SCHEMAS["events"]).parquet(
         os.path.join(sf_dir, "events.parquet")
     )
-    total = ev.count()
-    per = (total + n_chunks - 1) // n_chunks
-    rows = ev.orderBy("ts", "event_id").collect()
-    for i in range(n_chunks):
-        chunk = rows[i * per : (i + 1) * per]
-        if not chunk:
-            continue
-        spark.createDataFrame(chunk, schema=ev.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out_dir, f"chunk={i}"))
+    chunked = (
+        ev.repartitionByRange(n_chunks, F.col("ts"), F.col("event_id"))
+        .withColumn("chunk", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        for i in range(n_chunks):
+            (
+                chunked.filter(F.col("chunk") == i)
+                .drop("chunk")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, f"chunk={i}"))
+            )
+    finally:
+        chunked.unpersist()
     return out_dir
 
 
