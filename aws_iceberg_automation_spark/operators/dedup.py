@@ -12,8 +12,13 @@ Shapes at 100 TB:
 - MinHash/LSH: per-doc signature (map) → explode B bands (map) →
   self-join on (band, band_hash) buckets (shuffle ~B·N tiny rows) →
   verify candidates with exact Jaccard (join back to shingle sets).
-  Bucket skew (boilerplate docs) is the known hazard: cap bucket sizes
-  / salt giant buckets before pairing.
+  Bucket skew (boilerplate docs) is the known hazard and is ENFORCED
+  against here: buckets over ``bucket_cap`` are salted into
+  ceil(size/cap) deterministic sub-groups before pairing, bounding
+  per-bucket work at ~size·cap instead of size² (one hot bucket of
+  10M boilerplate docs is 5·10¹³ pairs uncapped). Pairs across salt
+  groups of the same giant bucket are traded away; the transitive
+  closure below re-merges the cluster, so dedup coverage survives.
 - transitive closure: iterative min-id propagation with localCheckpoint
   each round (lineage cut), rounds = O(log component-diameter).
 
@@ -121,9 +126,23 @@ def minhash_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    bucket_cap: int = 64,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline over (doc_id, text): returns
-    verified pairs (doc_id_a < doc_id_b, jaccard ≥ threshold)."""
+    verified pairs (doc_id_a < doc_id_b, jaccard ≥ threshold).
+
+    Skew guardrail: a (band, band_hash) bucket holding b docs yields
+    C(b,2) candidate pairs — boilerplate corpora concentrate millions
+    of docs in one bucket and the self-join goes quadratic. Buckets
+    larger than ``bucket_cap`` are split into ceil(b/cap) sub-groups by
+    a deterministic hash of doc_id; pairing then happens within
+    sub-groups only, bounding the bucket's work at ~b·cap pairs. Docs
+    in a giant bucket still pair with ~cap co-members per band, and
+    the transitive closure (connected_components) recovers the full
+    cluster, so the dedup decision is preserved — only redundant
+    intra-cluster edges are dropped. The size count shuffles on the
+    same (band, band_hash) key as the join, so AQE coalesces it into
+    the existing exchange."""
     rows = num_hashes // bands
     sh = docs.select(
         "doc_id", word_shingles(F.col("text"), k).alias("shingles")
@@ -132,12 +151,25 @@ def minhash_candidate_pairs(
         "doc_id",
         F.explode(lsh_bands(minhash_signature(F.col("shingles"), num_hashes), bands, rows)).alias("b"),
     ).select("doc_id", "b.band", "b.band_hash")
-    a, b = banded.alias("a"), banded.alias("b")
+    sizes = banded.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    n_groups = F.ceil(F.col("bucket_size") / bucket_cap).cast("long")
+    salted = banded.join(sizes, ["band", "band_hash"]).select(
+        "doc_id",
+        "band",
+        "band_hash",
+        F.when(F.col("bucket_size") <= bucket_cap, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64(F.col("doc_id"), F.lit("lsh-salt")), n_groups))
+        .alias("salt"),
+    )
+    a, b = salted.alias("a"), salted.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

@@ -114,12 +114,20 @@ def srp_bucket(v, planes: int = 12, seed: str = "srp") -> F.Column:
 @register("q83b_ann_lsh_topk", oracle=None, tags=("similarity", "llm", "vector"))
 def q83b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via SRP-LSH bucketing (#83 scale path): join
-    queries to corpus on bucket equality over two independent hash
-    tables (OR-amplification), exact cosine re-rank inside the
-    candidate set. Rows-only check; pytest measures recall vs q83."""
-    n_tables, planes = 4, 4  # tuned for the fixtures' near-orthogonal
-    # geometry (top-1 cosine ≈ 0.33 ⇒ p = 1-θ/π ≈ 0.61 per plane;
-    # 1-(1-p⁴)⁴ ≈ 0.45 expected recall). Tighter corpora → more planes.
+    queries to corpus on bucket equality over independent hash tables
+    (OR-amplification), exact cosine re-rank inside the candidate set.
+    Rows-only check; pytest asserts mean recall ≥ 0.8 vs q83.
+
+    Tuning math (p = 1 - θ/π per plane; recall = 1-(1-p^planes)^tables):
+    the fixture corpus is near-orthogonal (top-1 cosine ≈ 0.33 ⇒
+    p ≈ 0.61), so 3 planes × 8 tables gives ≈ 0.87 expected recall.
+    Near-orthogonal data is LSH's worst case — hitting a recall floor
+    there costs candidate-set size (2³ buckets/table ⇒ ~N/8 candidates
+    per probe). On a real embedding corpus true neighbors sit at
+    cosine ≥ 0.8 (p ≥ 0.80, p³ ≈ 0.52) while random pairs stay near
+    p ≈ 0.5 (p³ ≈ 0.13): the same recall needs fewer tables *and*
+    prunes harder — raise `planes` with corpus tightness."""
+    n_tables, planes = 8, 3
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").alias("v")
     )

@@ -44,6 +44,43 @@ def test_minhash_lsh_finds_injected_neardups(docs_with_dups):
         assert 0.0 <= r.jaccard <= 1.0
 
 
+def test_lsh_bucket_cap_bounds_boilerplate_blowup(spark, docs_with_dups):
+    """Adversarial boilerplate corpus: 1000 near-identical docs all land
+    in the same LSH buckets. Uncapped, the bucket self-join is C(1000,2)
+    ≈ 500k candidate pairs per band; with bucket_cap=8 the salting must
+    bound distinct candidates near 1000·cap/2·bands, while (a) nearly
+    every boilerplate doc still pairs with a co-member (transitive
+    closure then merges the cluster) and (b) injected near-dups living
+    in normal-size buckets are untouched by the cap."""
+    base = " ".join(f"w{i}" for i in range(50))
+    boiler = spark.range(200000, 201000).select(
+        F.col("id").alias("doc_id"),
+        # one word mutated per doc → pairwise jaccard stays high
+        F.concat_ws(
+            " ",
+            F.lit(base),
+            F.concat(F.lit("tail"), (F.col("id") % 3).cast("string")),
+        ).alias("text"),
+    )
+    corpus = docs_with_dups.unionByName(boiler)
+    pairs = minhash_candidate_pairs(corpus, threshold=0.5, bucket_cap=8)
+    rows = pairs.collect()
+    boiler_pairs = [
+        r for r in rows if r.doc_id_a >= 200000 and r.doc_id_b >= 200000
+    ]
+    # blowup bound: uncapped would exceed 400k boilerplate pairs
+    assert 0 < len(boiler_pairs) < 100_000, len(boiler_pairs)
+    # coverage: ≥95% of boilerplate docs appear in some verified pair
+    covered = {r.doc_id_a for r in boiler_pairs} | {
+        r.doc_id_b for r in boiler_pairs
+    }
+    assert len(covered) >= 950, len(covered)
+    # normal buckets unaffected: the 10 injected near-dups still surface
+    found = {(r.doc_id_a, r.doc_id_b) for r in rows}
+    expected = {(i, i + 100000) for i in range(10)}
+    assert len(expected - found) <= 2, expected - found
+
+
 def test_connected_components_groups_dups(spark, docs_with_dups):
     pairs = minhash_candidate_pairs(docs_with_dups, threshold=0.5)
     comp = connected_components(pairs).collect()
@@ -103,8 +140,19 @@ def test_vectorized_topk_matches_exact(spark):
     assert es == fs
 
 
-@pytest.mark.parametrize("ann", ["q83b_ann_lsh_topk", "q83d_ann_ivf_topk"])
-def test_ann_recall_vs_exact(spark, ann):
+@pytest.mark.parametrize(
+    ("ann", "floor"),
+    [
+        # SRP-LSH tuned to a hard recall target even on the fixtures'
+        # near-orthogonal (worst-case) geometry: 3 planes × 8 tables
+        # ⇒ expected ≈ 0.87 (similarity.py docstring)
+        ("q83b_ann_lsh_topk", 0.8),
+        # IVF with the deterministic stand-in quantizer + nprobe=3:
+        # plan-shape demo, recall floor is a collapse guard
+        ("q83d_ann_ivf_topk", 0.25),
+    ],
+)
+def test_ann_recall_vs_exact(spark, ann, floor):
     exact = SPECS["q83_cosine_topk_exact"].fn(spark, SF_DIR).collect()
     approx = SPECS[ann].fn(spark, SF_DIR).collect()
     exact_sets = {}
@@ -117,7 +165,8 @@ def test_ann_recall_vs_exact(spark, ann):
         len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
         for q in exact_sets
     ]
-    assert sum(recalls) / len(recalls) >= 0.25, f"ANN recall collapsed: {recalls}"
+    mean = sum(recalls) / len(recalls)
+    assert mean >= floor, f"ANN recall {mean:.2f} < {floor}: {recalls}"
     # every query finds *something* and never itself
     for q, ns in approx_sets.items():
         assert q not in ns
