@@ -168,22 +168,73 @@ def q83b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _TOP_K)
 
 
+def spherical_kmeans(
+    vectors: DataFrame,
+    vec_col: str = "v",
+    k: int = 16,
+    max_iter: int = 3,
+) -> DataFrame:
+    """Distributed spherical k-means (the IVF coarse quantizer) in pure
+    DataFrame ops — no MLlib model object, no driver-side data:
+
+    - init: the k hash-least vectors (``orderBy(xxhash64).limit(k)`` =
+      TakeOrdered — deterministic pseudo-random spread, no RNG state);
+    - assign: broadcast the k centroids, nearest-by-cosine via a
+      row_number window over the k candidates per vector;
+    - update: per-cluster elementwise mean as ``dim`` codegen'd
+      ``avg(v[i])`` aggregates (one hash agg, no explode — at 64 dims
+      the shuffle row is k rows wide, nothing else), then re-normalize
+      (spherical variant: mean direction is the cosine-optimal
+      centroid).
+
+    Each iteration is one broadcast join + one hash agg — at 100 TB the
+    corpus streams twice per iteration and only k·dim doubles ever
+    concentrate. Empty clusters drop out (k shrinks), which IVF
+    tolerates. Returns (c_id, cv) with unit-norm cv."""
+    from ..functions.vectors import normalize
+
+    dim = len(vectors.select(vec_col).head()[0])
+    nv = vectors.select("vec_id", normalize(F.col(vec_col)).alias("nv"))
+    seed_w = Window.orderBy("vec_id")  # k rows only after the limit
+    cent = (
+        nv.orderBy(F.xxhash64(F.col("vec_id"), F.lit("kmeans-init")), "vec_id")
+        .limit(k)
+        .withColumn("c_id", F.row_number().over(seed_w))
+        .select("c_id", F.col("nv").alias("cv"))
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.col("_sim").desc(), F.col("c_id")
+    )
+    for _ in range(max_iter):
+        assigned = (
+            nv.join(F.broadcast(cent))
+            .withColumn("_sim", dot(F.col("nv"), F.col("cv")))
+            .withColumn("_rk", F.row_number().over(assign_w))
+            .filter(F.col("_rk") == 1)
+        )
+        cent = assigned.groupBy("c_id").agg(
+            *[F.avg(F.col("nv")[i]).alias(f"_d{i}") for i in range(dim)]
+        ).select(
+            "c_id",
+            normalize(F.array(*[F.col(f"_d{i}") for i in range(dim)])).alias("cv"),
+        )
+    return cent
+
+
 @register("q83d_ann_ivf_topk", oracle=None, tags=("similarity", "llm", "vector"))
 def q83d_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (#83 alternative scale path): a deterministic
-    coarse quantizer (every 31st vector is a centroid — a k-means-free
-    stand-in with the same plan shape), corpus partitioned by nearest
-    centroid (inverted lists), queries probe their nprobe=3 closest
-    lists, exact re-rank inside. The centroid table is tiny → broadcast
-    at both assignment and probe; the candidate join is an equi-join on
-    centroid id. Swap the centroid source for k-means output in
-    production — the Spark plan is identical."""
+    """IVF ANN (#83 alternative scale path): a spherical-k-means coarse
+    quantizer (distributed Lloyd iterations, see spherical_kmeans),
+    corpus partitioned by nearest centroid (inverted lists), queries
+    probe their nprobe=3 closest lists, exact re-rank inside. The
+    centroid table is tiny → broadcast at both assignment and probe;
+    the candidate join is an equi-join on centroid id."""
     nprobe = 3
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").alias("v")
     )
-    centroids = e.filter(F.col("vec_id") % 31 == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    centroids = spherical_kmeans(e, "v", k=16, max_iter=2).select(
+        "c_id", F.col("cv")
     )
 
     def nearest(df, vec_col, out, n):

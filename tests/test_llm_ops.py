@@ -140,6 +140,43 @@ def test_vectorized_topk_matches_exact(spark):
     assert es == fs
 
 
+def test_spherical_kmeans_improves_objective(spark):
+    """Lloyd iterations must improve the spherical objective (mean
+    cosine of each vector to its assigned centroid) over the raw seed
+    centroids, keep ≤ k unit-norm centroids, and stay deterministic in
+    cluster count."""
+    import math
+
+    from aws_iceberg_automation_spark.operators.similarity import (
+        spherical_kmeans,
+    )
+
+    e = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", F.col("embedding").alias("v"))
+    )
+
+    def objective(cent):
+        from aws_iceberg_automation_spark.functions.vectors import cosine
+
+        best = (
+            e.join(F.broadcast(cent))
+            .withColumn("_sim", cosine(F.col("v"), F.col("cv")))
+            .groupBy("vec_id")
+            .agg(F.max("_sim").alias("best"))
+        )
+        return best.agg(F.avg("best")).collect()[0][0]
+
+    seed = spherical_kmeans(e, "v", k=16, max_iter=0)
+    fitted = spherical_kmeans(e, "v", k=16, max_iter=3)
+    assert objective(fitted) >= objective(seed) - 1e-9
+    rows = fitted.collect()
+    assert 1 <= len(rows) <= 16
+    for r in rows:
+        norm = math.sqrt(sum(x * x for x in r.cv))
+        assert abs(norm - 1.0) < 1e-6
+
+
 @pytest.mark.parametrize(
     ("ann", "floor"),
     [
