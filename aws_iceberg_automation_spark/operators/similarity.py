@@ -202,15 +202,20 @@ def spherical_kmeans(
         .withColumn("c_id", F.row_number().over(seed_w))
         .select("c_id", F.col("nv").alias("cv"))
     )
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.col("_sim").desc(), F.col("c_id")
-    )
     for _ in range(max_iter):
+        # argmax by max_by instead of a row_number window: the N×k
+        # scored rows collapse to N map-side (partial agg) before any
+        # shuffle; ties break to the smallest c_id via the struct key
         assigned = (
             nv.join(F.broadcast(cent))
             .withColumn("_sim", dot(F.col("nv"), F.col("cv")))
-            .withColumn("_rk", F.row_number().over(assign_w))
-            .filter(F.col("_rk") == 1)
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    "c_id", F.struct(F.col("_sim"), (-F.col("c_id")).alias("_t"))
+                ).alias("c_id"),
+                F.any_value(F.col("nv")).alias("nv"),
+            )
         )
         cent = assigned.groupBy("c_id").agg(
             *[F.avg(F.col("nv")[i]).alias(f"_d{i}") for i in range(dim)]
@@ -218,6 +223,9 @@ def spherical_kmeans(
             "c_id",
             normalize(F.array(*[F.col(f"_d{i}") for i in range(dim)])).alias("cv"),
         )
+        # k·dim doubles — cutting lineage here is bounded at any scale
+        # and stops downstream consumers re-running every Lloyd pass
+        cent = cent.localCheckpoint(eager=True)
     return cent
 
 
@@ -238,13 +246,25 @@ def q83d_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def nearest(df, vec_col, out, n):
-        w = Window.partitionBy(df.columns[0]).orderBy(
-            F.col("_sim").desc(), F.col("c_id")
+        """n nearest centroids per row. n=1 goes through max_by (N×k
+        collapses to N map-side, no window shuffle — the shape used for
+        the full-corpus inverted-list assignment); n>1 keeps the
+        row_number window (only the tiny query side needs it)."""
+        key = df.columns[0]
+        scored = df.join(F.broadcast(centroids)).withColumn(
+            "_sim", cosine(F.col(vec_col), F.col("cv"))
         )
+        if n == 1:
+            others = [c for c in df.columns if c != key]
+            return scored.groupBy(key).agg(
+                F.max_by(
+                    "c_id", F.struct(F.col("_sim"), (-F.col("c_id")).alias("_t"))
+                ).alias(out),
+                *[F.any_value(F.col(c)).alias(c) for c in others],
+            )
+        w = Window.partitionBy(key).orderBy(F.col("_sim").desc(), F.col("c_id"))
         return (
-            df.join(F.broadcast(centroids))
-            .withColumn("_sim", cosine(F.col(vec_col), F.col("cv")))
-            .withColumn("_rk", F.row_number().over(w))
+            scored.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= n)
             .drop("cv", "_sim", "_rk")
             .withColumnRenamed("c_id", out)
