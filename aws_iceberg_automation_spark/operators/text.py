@@ -263,6 +263,85 @@ def q85f_bpe_ish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q101_corpus_curation",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, lang,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_key,
+    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      / len(string_split(text, ' ')) AS distinct_ratio
+  FROM documents
+), keep AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY norm_key) AS keeper FROM norm)
+  WHERE doc_id = keeper
+), qual AS (
+  SELECT * FROM keep
+  WHERE n_tokens BETWEEN 20 AND 200 AND distinct_ratio >= 0.3
+), labeled AS (
+  SELECT *,
+    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+         THEN 'eval' ELSE 'train' END AS split
+  FROM qual
+)
+SELECT lang, split,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS token_budget
+FROM labeled
+GROUP BY lang, split
+""",
+    tags=("text", "llm", "pipeline"),
+)
+def q101_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation — the composite a real
+    pretraining data pipeline runs nightly, as ONE declarative plan:
+
+    normalize → exact-dedup (min-id winner per normalized hash, #81b) →
+    quality filter (#86) → deterministic hash-gate train/eval split
+    (q96's pattern — reproducible under any partitioning) → per
+    (lang, split) document counts and token budget (#85).
+
+    Plan shape at 100 TB: one shuffle on norm_key (the dedup window),
+    everything before and after is map-side except the final tiny
+    aggregate; filters sit below the window so dropped docs never
+    shuffle. No Python anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    n_tokens = F.size(tokens)
+    norm = d.select(
+        "doc_id",
+        "lang",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("norm_key"),
+        n_tokens.alias("n_tokens"),
+        (F.size(F.array_distinct(tokens)).cast("double") / n_tokens).alias(
+            "distinct_ratio"
+        ),
+    )
+    w = Window.partitionBy("norm_key")
+    keep = norm.withColumn("keeper", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("keeper")
+    )
+    qual = keep.filter(
+        F.col("n_tokens").between(20, 200) & (F.col("distinct_ratio") >= 0.3)
+    )
+    split = (
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "0d",
+            F.lit("eval"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split")
+    )
+    return qual.groupBy("lang", split).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("token_budget"),
+    )
+
+
+@register(
     "q85e_fingerprint",
     oracle="""
 SELECT doc_id,

@@ -153,6 +153,7 @@ _DRIVER_PRIORITY = [
     "q85e_fingerprint",
     "q85f_bpe_ish_tokens",
     "q99_priority_late_orders",
+    "q101_corpus_curation",
 ]
 
 
