@@ -173,6 +173,7 @@ def spherical_kmeans(
     vec_col: str = "v",
     k: int = 16,
     max_iter: int = 3,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Distributed spherical k-means (the IVF coarse quantizer) in pure
     DataFrame ops — no MLlib model object, no driver-side data:
@@ -225,7 +226,9 @@ def spherical_kmeans(
         )
         # k·dim doubles — cutting lineage here is bounded at any scale
         # and stops downstream consumers re-running every Lloyd pass
-        cent = cent.localCheckpoint(eager=True)
+        # (checkpoint=False keeps the lazy plan for plan-shape tests)
+        if checkpoint:
+            cent = cent.localCheckpoint(eager=True)
     return cent
 
 

@@ -193,3 +193,57 @@ def test_projection_is_scan_only(spark):
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_discount", "l_returnflag",
     }
+
+
+def test_corpus_curation_single_wide_shuffle(spark):
+    """q101's only wide dependency is the dedup window on norm_key: one
+    Exchange for the window, one for the final (tiny) aggregate —
+    filters run below, nothing else shuffles the corpus."""
+    df = q("q101_corpus_curation", spark)
+    assert count_exchanges(df) <= 2, plan_string_excerpt(df)
+    assert "SortMergeJoin" not in join_strategies(df)
+
+
+def test_kmeans_assignment_is_broadcast_plus_partial_agg(spark):
+    """Lloyd assignment must broadcast the k-row centroid table (never
+    shuffle the corpus for the join) and reduce the N×k scored rows
+    through a partial (map-side) aggregate."""
+    from pyspark.sql import functions as F
+
+    from aws_iceberg_automation_spark.io import load_table
+    from aws_iceberg_automation_spark.operators.similarity import (
+        spherical_kmeans,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    cent = spherical_kmeans(e, "v", k=8, max_iter=1, checkpoint=False)
+    assert has_operator(cent, "BroadcastHashJoin") or has_operator(
+        cent, "BroadcastNestedLoopJoin"
+    )
+    assert has_operator(cent, "partial_max_by") or has_operator(
+        cent, "HashAggregate"
+    )
+    assert "SortMergeJoin" not in join_strategies(cent)
+
+
+def test_lsh_capped_pairing_stays_hash_join(spark):
+    """The salted LSH candidate join must remain a hash join on the
+    (band, band_hash, salt) equi-keys — a nested loop over two corpus
+    sides is the quadratic failure mode the cap exists to prevent."""
+    from aws_iceberg_automation_spark.io import load_table
+    from aws_iceberg_automation_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    pairs = minhash_candidate_pairs(docs)
+    strategies = join_strategies(pairs)
+    assert not any("NestedLoop" in s for s in strategies), strategies
+
+
+def plan_string_excerpt(df):
+    from aws_iceberg_automation_spark.plans.explain import plan_string
+
+    return plan_string(df)[:2000]
