@@ -146,6 +146,15 @@ def run(sf_dir: str, only: list[str]) -> int:
     from aws_iceberg_automation_spark.session import get_spark
 
     spark = get_spark(app_name="verify-contract")
+    # Hostile-session sweep hook: the external driver runs queries in
+    # ITS OWN session whose timezone/partitioning/ANSI configs we don't
+    # control — results must not depend on them. e.g.:
+    #   SPARK_GRAFT_VERIFY_CONF="spark.sql.session.timeZone=Asia/Kolkata;\
+    #     spark.sql.shuffle.partitions=7;spark.sql.ansi.enabled=false"
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_VERIFY_CONF", "").split(";")):
+        k, _, v = kv.strip().partition("=")
+        spark.conf.set(k, v)
+        print(f"[conf] {k}={v}", flush=True)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
