@@ -145,13 +145,18 @@ class TableManager:
         as_of_timestamp: str | None = None,
     ) -> DataFrame:
         """Iceberg time-travel scan (#15): VERSION AS OF / TIMESTAMP AS
-        OF. Requires the Iceberg runtime — the parquet fallback has no
-        snapshot lineage, so this fails loudly rather than silently
-        returning current data."""
+        OF. Requires the Iceberg runtime — catalog parquet tables have
+        no snapshot lineage, so this fails loudly rather than silently
+        returning current data. For time travel WITHOUT the Iceberg
+        JAR, use the path-based ``versioning.VersionedTable``
+        (``TableManager.versioned``) — snapshot manifests over
+        immutable parquet, same read semantics."""
         if self.using != "iceberg":
             raise CatalogError(
                 "time travel requires an Iceberg table (format capability "
-                f"'{self.using}' has no snapshot history)"
+                f"'{self.using}' has no snapshot history); use "
+                "TableManager.versioned(path) for the snapshot-manifest "
+                "fallback"
             )
         fq = self._fq(name)
         if snapshot_id is not None:
@@ -161,6 +166,14 @@ class TableManager:
                 f"SELECT * FROM {fq} FOR TIMESTAMP AS OF '{as_of_timestamp}'"
             )
         raise CatalogError("pass snapshot_id or as_of_timestamp")
+
+    def versioned(self, root: str):
+        """Path-based versioned parquet table (#15 fallback): snapshot
+        manifests + CURRENT pointer over immutable files — Iceberg's
+        mechanic without the runtime JAR. See versioning.py."""
+        from .versioning import VersionedTable
+
+        return VersionedTable(self.spark, root)
 
     def snapshots(self, name: str) -> list[Row]:
         """Iceberg snapshot log (metadata table) — time-travel anchor."""

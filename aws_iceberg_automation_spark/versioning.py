@@ -1,0 +1,179 @@
+"""Versioned parquet tables: time travel (#15) without the Iceberg JAR.
+
+Iceberg's snapshot model, re-expressed minimally (parity target:
+reference tables are Iceberg format-version 2, whose time travel the
+gated path in catalog.py:141 exposes via ``FOR VERSION AS OF``): a
+table is an append-only set of immutable data files plus a chain of
+tiny JSON manifests, one per committed snapshot, each listing exactly
+the files visible at that version; a CURRENT pointer names the live
+snapshot. Readers resolve a manifest and scan only its files — old
+snapshots stay readable forever, writers never mutate what a reader
+might hold.
+
+Layout::
+
+    <root>/data/v<N>/part-*.parquet   immutable per-commit file sets
+    <root>/_versions/v<N>.json        {"version", "parent", "ts", "op", "files"}
+    <root>/_versions/CURRENT          the live version number
+
+Scale/honesty notes:
+
+- Data writes are fully distributed (plain ``df.write.parquet`` into a
+  fresh directory); only the manifest (a file list) touches the driver,
+  same as Iceberg's metadata layer.
+- File enumeration goes through ``DataFrame.inputFiles()`` — the Hadoop
+  FileSystem API — so any fs scheme Spark can read works.
+- Commit atomicity is a tmp-write + rename of CURRENT: safe for a
+  single writer. Concurrent-writer CAS is exactly what a real catalog
+  (Iceberg + Glue/Hive/REST) provides — use the Iceberg path when the
+  runtime is present; this class is the fallback that keeps the #15
+  semantics (and your rollback story) working everywhere else.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersioningError(RuntimeError):
+    pass
+
+
+@dataclass
+class Snapshot:
+    version: int
+    parent: int | None
+    ts: str  # ISO-8601 UTC commit time
+    op: str  # "append" | "overwrite"
+    files: list[str]
+
+
+class VersionedTable:
+    """Path-based versioned table (the shape of Iceberg's HadoopTables)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._meta = os.path.join(self.root, "_versions")
+        os.makedirs(self._meta, exist_ok=True)
+
+    # -- metadata ------------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._meta, f"v{version}.json")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(os.path.join(self._meta, "CURRENT")) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def snapshot(self, version: int) -> Snapshot:
+        try:
+            with open(self._manifest_path(version)) as f:
+                return Snapshot(**json.load(f))
+        except FileNotFoundError:
+            raise VersioningError(
+                f"no snapshot v{version} in {self.root} "
+                f"(have: {[s.version for s in self.snapshots()]})"
+            ) from None
+
+    def snapshots(self) -> list[Snapshot]:
+        """The snapshot log (Iceberg's ``<table>.snapshots`` analog)."""
+        out = []
+        for name in sorted(os.listdir(self._meta)):
+            if name.startswith("v") and name.endswith(".json"):
+                with open(os.path.join(self._meta, name)) as f:
+                    out.append(Snapshot(**json.load(f)))
+        return sorted(out, key=lambda s: s.version)
+
+    def _next_version(self) -> int:
+        """Monotonic across rollback branches (Iceberg snapshot-id
+        style): an abandoned snapshot's number is never reused, so its
+        immutable data directory can't collide with a new commit."""
+        versions = [s.version for s in self.snapshots()]
+        return (max(versions) if versions else 0) + 1
+
+    def _commit(self, files: list[str], op: str, parent: int | None, version: int) -> int:
+        manifest = Snapshot(
+            version=version,
+            parent=parent,
+            ts=datetime.now(timezone.utc).isoformat(),
+            op=op,
+            files=sorted(files),
+        )
+        path = self._manifest_path(version)
+        if os.path.exists(path):
+            raise VersioningError(
+                f"snapshot v{version} already exists — concurrent writer? "
+                "(single-writer commit protocol; use Iceberg for multi-writer)"
+            )
+        with open(path, "w") as f:
+            json.dump(manifest.__dict__, f)
+        tmp = os.path.join(self._meta, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(self._meta, "CURRENT"))
+        return version
+
+    # -- write (#17/#18 with history) ----------------------------------
+
+    def write(self, df: DataFrame, mode: str = "append") -> int:
+        """Commit df as a new snapshot; returns the new version.
+        ``append`` keeps the parent's files visible, ``overwrite``
+        replaces the visible set — either way data files are only ever
+        ADDED on disk, so every prior snapshot stays readable."""
+        if mode not in ("append", "overwrite"):
+            raise VersioningError(f"mode must be append/overwrite, got {mode!r}")
+        parent = self.current_version()
+        new_version = self._next_version()
+        data_dir = os.path.join(self.root, "data", f"v{new_version}")
+        df.write.mode("errorifexists").parquet(data_dir)
+        new_files = self.spark.read.parquet(data_dir).inputFiles()
+        files = list(new_files)
+        if mode == "append" and parent is not None:
+            files += self.snapshot(parent).files
+        return self._commit(files, mode, parent, new_version)
+
+    # -- read (#13/#15) ------------------------------------------------
+
+    def read(
+        self,
+        version: int | None = None,
+        as_of_timestamp: str | None = None,
+    ) -> DataFrame:
+        """Snapshot-isolated scan. ``version`` = VERSION AS OF;
+        ``as_of_timestamp`` (ISO-8601) = TIMESTAMP AS OF (latest
+        snapshot committed at-or-before); neither = CURRENT."""
+        if version is not None and as_of_timestamp is not None:
+            raise VersioningError("pass version OR as_of_timestamp, not both")
+        if as_of_timestamp is not None:
+            eligible = [s for s in self.snapshots() if s.ts <= as_of_timestamp]
+            if not eligible:
+                raise VersioningError(
+                    f"no snapshot at or before {as_of_timestamp!r}"
+                )
+            version = eligible[-1].version
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise VersioningError(f"empty versioned table at {self.root}")
+        files = self.snapshot(version).files
+        return self.spark.read.parquet(*files)
+
+    # -- rollback (Iceberg rollback_to_snapshot analog) ----------------
+
+    def rollback(self, version: int) -> None:
+        """Point CURRENT at an older snapshot (new writes branch from
+        it). The abandoned snapshots' manifests remain for audit."""
+        self.snapshot(version)  # validates existence
+        tmp = os.path.join(self._meta, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(self._meta, "CURRENT"))

@@ -1,0 +1,78 @@
+"""Time-travel fallback (#15): versioned parquet tables — snapshot
+isolation, VERSION/TIMESTAMP AS OF reads, rollback, immutability of
+published snapshots."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_iceberg_automation_spark.versioning import VersionedTable, VersioningError
+
+
+@pytest.fixture()
+def vt(spark, tmp_path):
+    return VersionedTable(spark, str(tmp_path / "t"))
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id"), (F.col("id") * 10).alias("v"))
+
+
+def test_append_overwrite_and_version_reads(spark, vt):
+    v1 = vt.write(_df(spark, 0, 5), mode="append")
+    v2 = vt.write(_df(spark, 5, 8), mode="append")
+    v3 = vt.write(_df(spark, 100, 102), mode="overwrite")
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert vt.read(version=1).count() == 5
+    assert vt.read(version=2).count() == 8  # append accumulates
+    assert vt.read().count() == 2  # CURRENT = overwritten set
+    assert sorted(r.id for r in vt.read(version=3).collect()) == [100, 101]
+    # old snapshot still intact after the overwrite (immutability)
+    assert sorted(r.id for r in vt.read(version=1).collect()) == [0, 1, 2, 3, 4]
+
+
+def test_timestamp_as_of(spark, vt):
+    vt.write(_df(spark, 0, 3))
+    ts_between = vt.snapshot(1).ts
+    vt.write(_df(spark, 3, 6))
+    assert vt.read(as_of_timestamp=ts_between).count() == 3
+    assert vt.read(as_of_timestamp="9999-01-01").count() == 6
+    with pytest.raises(VersioningError, match="at or before"):
+        vt.read(as_of_timestamp="1999-01-01")
+
+
+def test_rollback_then_branch(spark, vt):
+    vt.write(_df(spark, 0, 4))
+    vt.write(_df(spark, 4, 9))
+    vt.rollback(1)
+    assert vt.read().count() == 4
+    # new writes branch from the rolled-back snapshot; the abandoned
+    # snapshot's number is never reused (monotonic ids, Iceberg-style)
+    v3 = vt.write(_df(spark, 50, 52), mode="append")
+    assert v3 == 3
+    assert vt.snapshot(3).parent == 1
+    assert vt.read().count() == 6
+    # snapshot log remains auditable, including the abandoned branch
+    assert [s.version for s in vt.snapshots()] == [1, 2, 3]
+
+
+def test_loud_failures(spark, vt):
+    with pytest.raises(VersioningError, match="empty versioned table"):
+        vt.read()
+    vt.write(_df(spark, 0, 2))
+    with pytest.raises(VersioningError, match="no snapshot v9"):
+        vt.read(version=9)
+    with pytest.raises(VersioningError, match="not both"):
+        vt.read(version=1, as_of_timestamp="2030-01-01")
+    with pytest.raises(VersioningError, match="append/overwrite"):
+        vt.write(_df(spark, 0, 1), mode="replace")
+
+
+def test_manager_entrypoint(spark, tmp_path):
+    from aws_iceberg_automation_spark.catalog import TableManager
+
+    mgr = TableManager(spark)
+    vt = mgr.versioned(str(tmp_path / "m"))
+    vt.write(_df(spark, 0, 3))
+    assert vt.read().count() == 3
