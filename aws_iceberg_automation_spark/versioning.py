@@ -167,6 +167,30 @@ class VersionedTable:
         files = self.snapshot(version).files
         return self.spark.read.parquet(*files)
 
+    # -- row-level ops with history (#19/#20 × #15) --------------------
+
+    def merge(self, source: DataFrame, on: list[str]) -> int:
+        """Copy-on-write MERGE committing a NEW snapshot: matched target
+        rows are replaced by source rows, unmatched source rows are
+        inserted — and the pre-merge state stays time-travelable (the
+        audit/undo story that makes snapshot tables worth having).
+        Same COW semantics as catalog.TableManager.merge_upsert's
+        parquet fallback, plus history."""
+        dups = source.groupBy(on).count().filter("count > 1").limit(1).count()
+        if dups:
+            raise VersioningError(
+                f"merge source has duplicate keys on {on} — dedupe first"
+            )
+        cur = self.read()
+        keep = cur.join(source.select(on).distinct(), on=on, how="left_anti")
+        merged = keep.unionByName(source.select(*cur.columns))
+        return self.write(merged, mode="overwrite")
+
+    def delete_where(self, predicate: str) -> int:
+        """COW DELETE as a new snapshot; deleted rows remain readable
+        at prior versions."""
+        return self.write(self.read().filter(f"NOT ({predicate})"), mode="overwrite")
+
     # -- rollback (Iceberg rollback_to_snapshot analog) ----------------
 
     def rollback(self, version: int) -> None:

@@ -76,3 +76,23 @@ def test_manager_entrypoint(spark, tmp_path):
     vt = mgr.versioned(str(tmp_path / "m"))
     vt.write(_df(spark, 0, 3))
     assert vt.read().count() == 3
+
+
+def test_merge_and_delete_keep_history(spark, vt):
+    vt.write(_df(spark, 0, 5))
+    # upsert: ids 3,4 updated (v = id*1000), id 9 inserted
+    source = spark.range(3, 5).select(
+        F.col("id"), (F.col("id") * 1000).alias("v")
+    ).unionByName(spark.range(9, 10).select(F.col("id"), (F.col("id") * 1000).alias("v")))
+    v2 = vt.merge(source, on=["id"])
+    assert v2 == 2
+    now = {r.id: r.v for r in vt.read().collect()}
+    assert now == {0: 0, 1: 10, 2: 20, 3: 3000, 4: 4000, 9: 9000}
+    # pre-merge state still time-travelable
+    before = {r.id: r.v for r in vt.read(version=1).collect()}
+    assert before == {0: 0, 1: 10, 2: 20, 3: 30, 4: 40}
+    v3 = vt.delete_where("id >= 4")
+    assert sorted(r.id for r in vt.read().collect()) == [0, 1, 2, 3]
+    assert vt.read(version=v2).count() == 6  # deleted rows readable at v2
+    with pytest.raises(VersioningError, match="duplicate keys"):
+        vt.merge(source.unionByName(source), on=["id"])
