@@ -208,3 +208,31 @@ def test_parquet_sink_checkpoint(spark, stream, tmp_path_factory):
         jobs.streaming_dedup(jobs.with_watermark(stream())), out_dir, ckpt
     )
     assert spark.read.parquet(out_dir).count() == written.count()
+
+
+def test_foreach_batch_versioned_upsert(spark, stream, tmp_path_factory):
+    """CDC into a versioned (time-travelable) table without Iceberg:
+    each microbatch commits a snapshot; final state equals the batch
+    latest-per-user, and earlier snapshots expose the partial state the
+    stream had at that commit."""
+    from aws_iceberg_automation_spark.versioning import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path_factory.mktemp("vt_upsert")))
+    ckpt = str(tmp_path_factory.mktemp("vt_ckpt"))
+    s = jobs.with_watermark(stream()).select("user_id", "event_id", "ts", "value")
+    jobs.foreach_batch_versioned_upsert(s, vt, ["user_id"], ckpt)
+
+    snaps = vt.snapshots()
+    assert len(snaps) >= 2  # multiple microbatches committed
+    got = {r.user_id: r.event_id for r in vt.read().collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    latest = {
+        r.user_id: r.event_id
+        for r in ev.groupBy("user_id")
+        .agg(F.max_by("event_id", F.struct("ts", "event_id")).alias("event_id"))
+        .collect()
+    }
+    assert got == latest
+    # history: the first snapshot holds a strict subset of the final keys
+    first = vt.read(version=snaps[0].version)
+    assert 0 < first.count() <= len(got)
