@@ -174,6 +174,7 @@ SELECT k,
   COUNT(*) AS n,
   CAST(COUNT(v) AS BIGINT) AS n_v,
   CAST(SUM(CAST(v AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_v,
+  CAST(CAST(SUM(CAST(v AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS VARCHAR(48)) AS sum_v_str,
   min(tag) AS min_tag,
   max(v) AS max_v
 FROM t
