@@ -9,11 +9,16 @@
 - ``diagnose`` mirrors the CI smoke script (`test_iceberg.py`): session
   + catalog health, but as real checks with a meaningful exit code
   instead of printed checkmarks that never fail the job.
+- ``snapshots`` / ``rollback`` expose the versioned-table time-travel
+  surface (#15 fallback, versioning.py) for operators: inspect the
+  snapshot log, rewind a table to an earlier committed state.
 
 Usage::
 
     python -m aws_iceberg_automation_spark.cli create-table spec.yml
     python -m aws_iceberg_automation_spark.cli diagnose
+    python -m aws_iceberg_automation_spark.cli snapshots /path/to/table
+    python -m aws_iceberg_automation_spark.cli rollback /path/to/table 3
 """
 
 from __future__ import annotations
@@ -35,6 +40,13 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     sub.add_parser("diagnose", help="session/catalog health check")
+
+    s = sub.add_parser("snapshots", help="versioned-table snapshot log")
+    s.add_argument("root", help="versioned table root path")
+
+    r = sub.add_parser("rollback", help="rewind a versioned table")
+    r.add_argument("root", help="versioned table root path")
+    r.add_argument("version", type=int, help="snapshot version to restore")
 
     args = p.parse_args(argv)
 
@@ -64,6 +76,26 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(diag, indent=2, default=str))
         healthy = bool(diag["spark_version"]) and isinstance(diag["namespaces"], list)
         return 0 if healthy else 1
+
+    if args.cmd in ("snapshots", "rollback"):
+        from .versioning import VersionedTable, VersioningError
+
+        vt = VersionedTable(spark, args.root)
+        try:
+            if args.cmd == "rollback":
+                vt.rollback(args.version)
+            log = [s.__dict__ | {"n_files": len(s.files)} for s in vt.snapshots()]
+            for entry in log:
+                entry.pop("files")
+            print(
+                json.dumps(
+                    {"current": vt.current_version(), "snapshots": log}, indent=2
+                )
+            )
+        except VersioningError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        return 0
 
     return 2
 

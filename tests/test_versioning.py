@@ -96,3 +96,20 @@ def test_merge_and_delete_keep_history(spark, vt):
     assert vt.read(version=v2).count() == 6  # deleted rows readable at v2
     with pytest.raises(VersioningError, match="duplicate keys"):
         vt.merge(source.unionByName(source), on=["id"])
+
+
+def test_cli_snapshots_and_rollback(spark, tmp_path, capsys):
+    import json
+
+    from aws_iceberg_automation_spark.cli import main
+
+    vt = VersionedTable(spark, str(tmp_path / "cli_t"))
+    vt.write(_df(spark, 0, 3))
+    vt.write(_df(spark, 3, 5))
+    assert main(["snapshots", vt.root]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["current"] == 2
+    assert [s["version"] for s in out["snapshots"]] == [1, 2]
+    assert main(["rollback", vt.root, "1"]) == 0
+    assert json.loads(capsys.readouterr().out)["current"] == 1
+    assert main(["rollback", vt.root, "9"]) == 1
