@@ -57,15 +57,18 @@ def q73_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q74_sliding_window",
-    oracle=f"""
+ORACLE_SLIDING = f"""
 SELECT time_bucket(INTERVAL '1 hour', {_TSEC}, INTERVAL (off) MINUTE) AS window_start,
        COUNT(*) AS n_events,
        CAST(CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_value
 FROM events, (VALUES (0), (15), (30), (45)) AS offsets(off)
 GROUP BY 1
-""",
+"""
+
+
+@register(
+    "q74_sliding_window",
+    oracle=ORACLE_SLIDING,
     tags=("timeseries", "window"),
 )
 def q74_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,9 +90,7 @@ def q74_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q75_session_window",
-    oracle=f"""
+ORACLE_SESSION = f"""
 WITH t AS (
   SELECT user_id, {_TSEC} AS tsec, value,
          CASE WHEN {_TSEC} - lag({_TSEC}) OVER (PARTITION BY user_id ORDER BY {_TSEC})
@@ -110,7 +111,12 @@ SELECT user_id,
        CAST(CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_value
 FROM s
 GROUP BY user_id, session_no
-""",
+"""
+
+
+@register(
+    "q75_session_window",
+    oracle=ORACLE_SESSION,
     tags=("timeseries", "window"),
 )
 def q75_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -262,6 +262,26 @@ def q85f_bpe_ish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q85g_freq_terms_sketch", oracle=None, tags=("text", "llm"))
+def q85g_freq_terms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (#85 sketch path): Spark's built-in
+    ``stat.freqItems`` (Karp-Schenker-Papadimitriou one-pass counting)
+    over the exploded term stream. Guarantees a SUPERSET of every term
+    with frequency ≥ support — the cheap first pass that shortlists
+    candidate boilerplate/stopword terms at 100 TB before an exact
+    count of only the candidates (q85b's shape on a tiny set).
+    Rows-only: the false-positive tail is algorithm/partitioning
+    dependent; pytest asserts the superset guarantee vs exact top
+    terms."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(F.explode(F.split("text", " ")).alias("term"))
+    freq = terms.stat.freqItems(["term"], support=0.001)
+    return (
+        freq.select(F.explode("term_freqItems").alias("term"))
+        .orderBy("term")
+    )
+
+
 @register(
     "q101_corpus_curation",
     oracle="""

@@ -154,6 +154,8 @@ _DRIVER_PRIORITY = [
     "q85f_bpe_ish_tokens",
     "q99_priority_late_orders",
     "q101_corpus_curation",
+    "q74b_stream_sliding_replay",
+    "q75c_stream_session_replay",
 ]
 
 

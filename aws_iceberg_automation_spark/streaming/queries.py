@@ -59,6 +59,40 @@ def q72_stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _sliding_oracle() -> str:
+    from ..operators.events import ORACLE_SLIDING
+
+    return ORACLE_SLIDING
+
+
+def _session_oracle() -> str:
+    from ..operators.events import ORACLE_SESSION
+
+    return ORACLE_SESSION
+
+
+@register("q74b_stream_sliding_replay", oracle=_sliding_oracle(), tags=("streaming",))
+def q74b_stream_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window as a genuine replayed stream (#74 + #80): same
+    expression builder as the q74 batch twin, verified against the
+    identical oracle — stream == batch == oracle, transitively."""
+    return jobs.run_to_memory(
+        jobs.sliding_agg(jobs.with_watermark(_stream(spark, sf_dir))),
+        f"q74b_mem_{uuid.uuid4().hex[:8]}",
+    )
+
+
+@register("q75c_stream_session_replay", oracle=_session_oracle(), tags=("streaming",))
+def q75c_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window as a genuine replayed stream (#75 + #80): session
+    state merges across microbatches, watermark closes sessions; output
+    hash-matches the lag/cumulative-flag SQL oracle."""
+    return jobs.run_to_memory(
+        jobs.session_agg(jobs.with_watermark(_stream(spark, sf_dir))),
+        f"q75c_mem_{uuid.uuid4().hex[:8]}",
+    )
+
+
 @register(
     "q76_stream_dedup_replay",
     oracle="""

@@ -270,3 +270,16 @@ def test_frame_sampling_expansion(spark):
     }
     for r in per_doc:
         assert r["count"] == max(docs[r.doc_id] * 10 // 1000, 1)
+
+
+def test_freq_items_superset_of_exact_top_terms(spark):
+    """freqItems guarantees every term above the support threshold
+    appears in its output — the exact top-10 terms (all far above
+    support on this corpus) must be a subset."""
+    sketch = {r.term for r in SPECS["q85g_freq_terms_sketch"].fn(spark, SF_DIR).collect()}
+    exact_top = {
+        r.term
+        for r in SPECS["q85b_top_terms"].fn(spark, SF_DIR).collect()
+        if r.rk <= 10
+    }
+    assert exact_top <= sketch, exact_top - sketch
