@@ -124,7 +124,7 @@ class VersionedTable:
 
     # -- write (#17/#18 with history) ----------------------------------
 
-    def write(self, df: DataFrame, mode: str = "append") -> int:
+    def write(self, df: DataFrame, mode: str = "append", _op: str | None = None) -> int:
         """Commit df as a new snapshot; returns the new version.
         ``append`` keeps the parent's files visible, ``overwrite``
         replaces the visible set — either way data files are only ever
@@ -139,7 +139,7 @@ class VersionedTable:
         files = list(new_files)
         if mode == "append" and parent is not None:
             files += self.snapshot(parent).files
-        return self._commit(files, mode, parent, new_version)
+        return self._commit(files, _op or mode, parent, new_version)
 
     # -- read (#13/#15) ------------------------------------------------
 
@@ -190,6 +190,29 @@ class VersionedTable:
         """COW DELETE as a new snapshot; deleted rows remain readable
         at prior versions."""
         return self.write(self.read().filter(f"NOT ({predicate})"), mode="overwrite")
+
+    # -- maintenance (Iceberg rewrite_data_files analog) ---------------
+
+    def compact(self, target_files: int | None = None) -> int:
+        """Bin-pack the CURRENT snapshot's files into fewer, larger ones
+        and commit the rewrite as a new snapshot (op="compact") with
+        byte-identical contents. The maintenance pass every
+        micro-committing producer needs: the streaming CDC sink lands
+        one file set per microbatch, and scan planning degrades with
+        file count long before it degrades with bytes. Old snapshots
+        keep their original small files (still time-travelable); data
+        is only ever added, GC of unreachable files is a separate
+        concern (as in Iceberg's expire_snapshots)."""
+        cur = self.current_version()
+        if cur is None:
+            raise VersioningError(f"empty versioned table at {self.root}")
+        snap = self.snapshot(cur)
+        if target_files is None:
+            # ~128 MB target from observed on-disk size
+            total = sum(os.path.getsize(f.removeprefix("file:")) for f in snap.files)
+            target_files = max(1, total // (128 << 20) + (total % (128 << 20) > 0))
+        df = self.read(version=cur).coalesce(int(target_files))
+        return self.write(df, mode="overwrite", _op="compact")
 
     # -- rollback (Iceberg rollback_to_snapshot analog) ----------------
 

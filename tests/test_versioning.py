@@ -113,3 +113,19 @@ def test_cli_snapshots_and_rollback(spark, tmp_path, capsys):
     assert main(["rollback", vt.root, "1"]) == 0
     assert json.loads(capsys.readouterr().out)["current"] == 1
     assert main(["rollback", vt.root, "9"]) == 1
+
+
+def test_compaction_preserves_data_and_history(spark, vt):
+    for lo in range(0, 40, 5):  # 8 small commits -> many small files
+        vt.write(_df(spark, lo, lo + 5).repartition(4))
+    pre = vt.snapshot(vt.current_version())
+    assert len(pre.files) >= 16
+    v = vt.compact(target_files=2)
+    post = vt.snapshot(v)
+    assert post.op == "compact"
+    assert len(post.files) <= 2
+    assert sorted(r.id for r in vt.read().collect()) == list(range(40))
+    # pre-compaction snapshot untouched, same data through old files
+    assert sorted(r.id for r in vt.read(version=pre.version).collect()) == list(
+        range(40)
+    )
