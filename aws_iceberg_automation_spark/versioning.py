@@ -214,6 +214,36 @@ class VersionedTable:
         df = self.read(version=cur).coalesce(int(target_files))
         return self.write(df, mode="overwrite", _op="compact")
 
+    def expire_snapshots(self, keep_last: int = 2) -> dict[str, int]:
+        """GC (Iceberg ``expire_snapshots`` analog): drop all snapshot
+        manifests except the most recent ``keep_last`` (the CURRENT
+        snapshot is always kept, even after a rollback), then delete
+        data files referenced by no surviving snapshot. This is the
+        piece that bounds storage growth under COW — every
+        merge/delete/compact commit rewrites the visible file set and
+        the old files stay on disk until expiry. Returns counts."""
+        if keep_last < 1:
+            raise VersioningError("keep_last must be >= 1")
+        cur = self.current_version()
+        if cur is None:
+            return {"expired_snapshots": 0, "deleted_files": 0}
+        snaps = self.snapshots()
+        keep = {s.version for s in snaps[-keep_last:]} | {cur}
+        live_files = set()
+        for v in keep:
+            live_files.update(self.snapshot(v).files)
+        expired = [s for s in snaps if s.version not in keep]
+        dead_files = set()
+        for s in expired:
+            dead_files.update(f for f in s.files if f not in live_files)
+        for f in dead_files:
+            local = f.removeprefix("file:")
+            if os.path.exists(local):
+                os.remove(local)
+        for s in expired:
+            os.remove(self._manifest_path(s.version))
+        return {"expired_snapshots": len(expired), "deleted_files": len(dead_files)}
+
     # -- rollback (Iceberg rollback_to_snapshot analog) ----------------
 
     def rollback(self, version: int) -> None:

@@ -129,3 +129,26 @@ def test_compaction_preserves_data_and_history(spark, vt):
     assert sorted(r.id for r in vt.read(version=pre.version).collect()) == list(
         range(40)
     )
+
+
+def test_expire_snapshots_gc(spark, vt):
+    vt.write(_df(spark, 0, 10))
+    vt.write(_df(spark, 10, 12), mode="overwrite")  # v1's files now dead-if-expired
+    vt.write(_df(spark, 12, 15), mode="append")
+    v1_files = set(vt.snapshot(1).files)
+    stats = vt.expire_snapshots(keep_last=2)
+    assert stats["expired_snapshots"] == 1
+    assert stats["deleted_files"] == len(v1_files)
+    import os
+
+    assert all(not os.path.exists(f.removeprefix("file:")) for f in v1_files)
+    # survivors read fine
+    assert vt.read().count() == 5
+    assert vt.read(version=2).count() == 2
+    # expired snapshot is gone, loudly
+    with pytest.raises(VersioningError, match="no snapshot v1"):
+        vt.read(version=1)
+    # expiring down to CURRENT only still keeps CURRENT readable
+    vt.rollback(2)
+    vt.expire_snapshots(keep_last=1)
+    assert vt.read().count() == 2
