@@ -152,3 +152,69 @@ def test_expire_snapshots_gc(spark, vt):
     vt.rollback(2)
     vt.expire_snapshots(keep_last=1)
     assert vt.read().count() == 2
+
+
+def test_random_op_sequences_match_model(spark, tmp_path):
+    """Model-based check: a seeded random sequence of lifecycle ops
+    (append/overwrite/merge/delete/rollback/compact) applied to both
+    the real VersionedTable and a pure-Python model must agree on the
+    visible rows after every step, and every still-existing snapshot
+    must replay its recorded model state exactly."""
+    import random
+
+    rng = random.Random(20260813)
+    vt = VersionedTable(spark, str(tmp_path / "model_t"))
+    model: dict[int, int] = {}
+    history: dict[int, dict[int, int]] = {}
+    next_id = 0
+
+    def fresh_rows(n):
+        nonlocal next_id
+        rows = {next_id + i: (next_id + i) * 7 for i in range(n)}
+        next_id += n
+        return rows
+
+    def to_df(rows):
+        return spark.createDataFrame(
+            [(k, v) for k, v in rows.items()], "id long, v long"
+        )
+
+    for _ in range(18):
+        op = rng.choice(
+            ["append", "overwrite", "merge", "delete", "rollback", "compact"]
+        )
+        if op == "append" or not history:
+            rows = fresh_rows(rng.randint(1, 4))
+            ver = vt.write(to_df(rows), mode="append")
+            model = {**model, **rows}
+        elif op == "overwrite":
+            rows = fresh_rows(rng.randint(1, 4))
+            ver = vt.write(to_df(rows), mode="overwrite")
+            model = dict(rows)
+        elif op == "merge":
+            updates = {
+                k: k * 1000 for k in rng.sample(sorted(model), min(2, len(model)))
+            }
+            inserts = fresh_rows(1)
+            ver = vt.merge(to_df({**updates, **inserts}), on=["id"])
+            model = {**model, **updates, **inserts}
+        elif op == "delete":
+            cut = rng.choice(sorted(model))
+            ver = vt.delete_where(f"id = {cut}")
+            model = {k: v for k, v in model.items() if k != cut}
+        elif op == "rollback":
+            ver = rng.choice(sorted(history))
+            vt.rollback(ver)
+            model = dict(history[ver])
+            continue  # no new snapshot committed
+        else:  # compact
+            ver = vt.compact(target_files=1)
+        history[ver] = dict(model)
+        got = {r.id: r.v for r in vt.read().collect()}
+        assert got == model, f"after {op}: {got} != {model}"
+
+    # every surviving snapshot replays its recorded state
+    for s in vt.snapshots():
+        if s.version in history:
+            got = {r.id: r.v for r in vt.read(version=s.version).collect()}
+            assert got == history[s.version], f"v{s.version} drifted"
