@@ -52,6 +52,92 @@ def q96b_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q96c_stratified_exact_n",
+    oracle="""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+WHERE rk <= 40
+""",
+    tags=("sampling", "llm"),
+)
+def q96c_stratified_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-N stratified sampling: exactly min(N, |stratum|) docs per
+    language, chosen by hash order — deterministic under any
+    partitioning/cluster shape (q96's reproducibility property, with
+    exact quotas instead of Bernoulli rates — what an eval-set builder
+    actually wants). One shuffle on the stratum key; at extreme
+    per-stratum cardinality, pre-filter with an approximate hash gate
+    sized to ~3N before ranking so the window sees a sliver."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 40)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "q102_sequence_packing",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, lang, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM toks
+)
+SELECT lang,
+  CAST(floor((cum_tokens - n_tokens) / 2048) AS BIGINT) AS seq_bin,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+FROM cum
+GROUP BY lang, seq_bin
+""",
+    tags=("text", "llm", "pipeline"),
+)
+def q102_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget training
+    bins (2048 here) — the pretraining batch-assembly pass. Streaming
+    greedy packing expressed as a running token sum per stream (lang)
+    with bin = floor(start_offset / budget): fully declarative, one
+    window shuffle, deterministic doc order. At 100 TB the stream key
+    becomes (lang, shard) so no single window partition exceeds a
+    worker; the bin arithmetic is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        cum.select(
+            "lang",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 2048)
+            .cast("bigint")
+            .alias("seq_bin"),
+            "n_tokens",
+        )
+        .groupBy("lang", "seq_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        )
+    )
+
+
+@register(
     "q75b_sessionize_ids",
     oracle="""
 WITH t AS (

@@ -156,6 +156,8 @@ _DRIVER_PRIORITY = [
     "q101_corpus_curation",
     "q74b_stream_sliding_replay",
     "q75c_stream_session_replay",
+    "q96c_stratified_exact_n",
+    "q102_sequence_packing",
 ]
 
 
