@@ -1,0 +1,464 @@
+"""Corpus-curation operators for LLM training-data pipelines (extends
+SURVEY.md §2.11 beyond the reference surface): PII scrubbing,
+benchmark-contamination detection, intra-document repetition signals,
+domain-mixture resampling, SemDeDup-style embedding pruning, and
+tokenizer-fertility accounting.
+
+Scale stories (all pure JVM expressions unless noted):
+
+- PII scrub (q103): three chained ``regexp_replace`` passes — a map-only
+  stage, no shuffle, whole-stage codegen. At 100 TB this is the cheapest
+  kind of pass there is; the only cost knob is regex complexity.
+- Contamination (q104): explode train-doc n-grams and LEFT SEMI join
+  against the distinct n-gram set of the eval/benchmark docs. Benchmark
+  suites are tiny (≤ millions of n-grams) → the eval side broadcasts and
+  the 100 TB train side never shuffles; per-doc counts are a map-side
+  partial agg on doc_id (already co-located after explode).
+- Repetition (q105): per-doc n-gram distinct ratios are array
+  expressions (O(doc length) each, no shuffle); the top-term fraction
+  uses explode → two-phase hash agg on (doc_id, term), the word-count
+  shape — never a per-doc quadratic loop.
+- Mixture resampling (q106): one tiny per-language token census
+  (broadcast back), then a deterministic md5-gate filter — map-only on
+  the corpus. ``df.sample`` is partitioning-dependent; the hash gate
+  reproduces the exact same sample on any cluster shape, which is what
+  makes a training mixture auditable.
+- SemDeDup (q107): spherical k-means (similarity.spherical_kmeans —
+  broadcast centroids, one hash agg per Lloyd round) restricts the
+  near-dup pair search to within-cluster, so the pairwise stage is
+  bounded by cluster size, not corpus size. Semantics: drop any vector
+  with a strictly-lower-id in-cluster neighbor above the cosine
+  threshold — deterministic, order-free.
+- Fertility (q108): plain two-phase hash agg per (lang, source) over
+  regexp token counts; byte counts via octet_length (UTF-8 aware on
+  both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+# RE2-compatible (DuckDB) and Java-compatible (Spark) alike: no
+# lookaround, no backreferences.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+_SSN_RE = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+def _augmented_text() -> F.Column:
+    """The documents fixture is synthetic word salad with no PII, so the
+    operator injects a deterministic contact block per doc (derived from
+    doc_id alone) and then scrubs it — exercising the real regex path
+    end-to-end with an oracle-checkable result."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.format_string("%04d", (F.col("doc_id") % 10000).cast("int")),
+        F.lit(" ref 123-45-6789"),
+    )
+
+
+_SQL_AUG = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com or "
+    "+1-555-' || printf('%04d', CAST(doc_id % 10000 AS INT)) || ' ref 123-45-6789'"
+)
+
+
+@register(
+    "q103_pii_scrub",
+    oracle=f"""
+WITH aug AS (SELECT doc_id, {_SQL_AUG} AS t FROM documents),
+scrub AS (
+  SELECT doc_id, t,
+    regexp_replace(regexp_replace(regexp_replace(t,
+      '{_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{_PHONE_RE}', '<PHONE>', 'g'),
+      '{_SSN_RE}', '<ID>', 'g') AS clean_text
+  FROM aug)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS INT) AS n_phones,
+  CAST(len(regexp_extract_all(t, '{_SSN_RE}')) AS INT) AS n_ids,
+  md5(clean_text) AS scrubbed_md5,
+  CAST(strlen(clean_text) AS BIGINT) AS scrubbed_bytes,
+  NOT regexp_matches(clean_text, '{_EMAIL_RE}|{_PHONE_RE}|{_SSN_RE}') AS is_clean
+FROM scrub
+""",
+    tags=("curation", "llm"),
+)
+def q103_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count then scrub emails/phones/SSN-shaped ids with
+    chained regexp_replace; emit the scrubbed-text md5 (value proof
+    without an unbounded text column) and an is_clean re-scan flag."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = _augmented_text()
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _SSN_RE,
+        "<ID>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_count(aug, F.lit(_SSN_RE)).cast("int").alias("n_ids"),
+        F.md5(clean).alias("scrubbed_md5"),
+        F.octet_length(clean).cast("bigint").alias("scrubbed_bytes"),
+        (~clean.rlike(f"{_EMAIL_RE}|{_PHONE_RE}|{_SSN_RE}")).alias("is_clean"),
+    )
+
+
+def _ngrams(tokens: F.Column, n: int) -> F.Column:
+    """Word n-grams as an array expression. Guarded: Spark's sequence()
+    runs DESCENDING when start > stop, so short docs must short-circuit
+    to an empty array explicitly."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.array_join(F.slice(tokens, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "q104_contamination_check",
+    oracle="""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+ng AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(t) >= 3
+      THEN list_transform(range(1, len(t) - 1),
+                          i -> array_to_string(t[i:i+2], ' '))
+      ELSE [] END) AS gs
+  FROM tk),
+eval_ng AS (SELECT DISTINCT unnest(gs) AS g FROM ng WHERE doc_id % 97 = 0),
+train AS (SELECT doc_id, unnest(gs) AS g FROM ng WHERE doc_id % 97 <> 0),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams
+        FROM train GROUP BY doc_id),
+hit AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+        FROM train t JOIN eval_ng e ON t.g = e.g GROUP BY t.doc_id)
+SELECT tot.doc_id, n_ngrams,
+  COALESCE(n_contaminated, 0) AS n_contaminated,
+  round(CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_ngrams, 6)
+    AS contamination_rate
+FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+""",
+    tags=("curation", "llm"),
+)
+def q104_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: the held-out set is the
+    doc_id % 97 == 0 slice standing in for an eval benchmark; every
+    training doc reports how many of its distinct word 3-grams appear
+    in the eval n-gram set. 3-grams (not the production 8-13) because
+    the fixture vocabulary is ~40 words; the plan shape is n-agnostic.
+    Eval n-grams broadcast; the train side never shuffles for the semi
+    join, then aggregates on the exploded doc_id (map-side partials)."""
+    d = load_table(spark, sf_dir, "documents")
+    ng = d.select(
+        "doc_id", F.array_distinct(_ngrams(F.split("text", " "), 3)).alias("gs")
+    )
+    eval_ng = (
+        ng.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    train = ng.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode("gs").alias("g")
+    )
+    tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hit = (
+        train.join(F.broadcast(eval_ng), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return tot.join(hit, "doc_id", "left").select(
+        "doc_id",
+        "n_ngrams",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        F.round(
+            F.coalesce("n_contaminated", F.lit(0)).cast("double")
+            / F.col("n_ngrams"),
+            6,
+        ).alias("contamination_rate"),
+    )
+
+
+@register(
+    "q105_repetition_stats",
+    oracle="""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+ngr AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)),
+      i -> array_to_string(t[i:i+1], ' ')) ELSE [] END AS g2,
+    CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
+      i -> array_to_string(t[i:i+2], ' ')) ELSE [] END AS g3
+  FROM tk),
+ngf AS (
+  SELECT doc_id,
+    CASE WHEN len(g2) > 0 THEN round(
+      1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+      ELSE 0.0 END AS dup_2gram_frac,
+    CASE WHEN len(g3) > 0 THEN round(
+      1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+      ELSE 0.0 END AS dup_3gram_frac
+  FROM ngr),
+cnt AS (SELECT doc_id, term, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS term FROM tk)
+        GROUP BY doc_id, term),
+agg AS (SELECT doc_id,
+          CAST(SUM(c) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) AS BIGINT) AS n_distinct,
+          CAST(MAX(c) AS BIGINT) AS top_cnt
+        FROM cnt GROUP BY doc_id)
+SELECT agg.doc_id, n_tokens,
+  round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+  round(CAST(top_cnt AS DOUBLE) / n_tokens, 6) AS top_term_frac,
+  dup_2gram_frac, dup_3gram_frac
+FROM agg JOIN ngf ON agg.doc_id = ngf.doc_id
+""",
+    tags=("curation", "llm"),
+)
+def q105_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (Gopher-style quality rules):
+    type-token ratio, top-term fraction, duplicated 2-/3-gram
+    fractions. High duplicate-n-gram fractions mark boilerplate and
+    degenerate generations. Term stats go explode → (doc_id, term) hash
+    agg (never a per-doc nested loop); n-gram distinct ratios stay
+    array-local per row."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select("doc_id", toks.alias("t"))
+    g2, g3 = _ngrams(F.col("t"), 2), _ngrams(F.col("t"), 3)
+
+    def dup_frac(g: F.Column) -> F.Column:
+        return F.when(
+            F.size(g) > 0,
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / F.size(g),
+                6,
+            ),
+        ).otherwise(F.lit(0.0))
+
+    ngf = base.select(
+        "doc_id",
+        dup_frac(g2).alias("dup_2gram_frac"),
+        dup_frac(g3).alias("dup_3gram_frac"),
+    )
+    cnt = (
+        base.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_cnt"),
+    )
+    return agg.join(ngf, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(F.col("top_cnt").cast("double") / F.col("n_tokens"), 6).alias(
+            "top_term_frac"
+        ),
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+    )
+
+
+# Target language shares for the training mixture (sum to 1.0). A real
+# pipeline reads these from a run config; constants keep the operator
+# oracle-checkable.
+_MIX_TARGETS = {"en": 0.40, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+_SQL_MIX_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _MIX_TARGETS.items()
+) + " ELSE 0.0 END"
+
+
+@register(
+    "q106_domain_mixture",
+    oracle=f"""
+WITH dt AS (SELECT doc_id, lang,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents),
+census AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS lang_toks FROM dt GROUP BY lang),
+tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total_toks FROM dt),
+rates AS (SELECT lang,
+            least(CAST(1.0 AS DOUBLE),
+                  ({_SQL_MIX_CASE}) * total_toks / lang_toks) AS rate
+          FROM census, tot)
+SELECT doc_id, dt.lang, n_tok, round(rate, 6) AS sample_rate
+FROM dt JOIN rates ON dt.lang = rates.lang
+WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+      / 16777216.0 < rate
+""",
+    tags=("curation", "sampling", "llm"),
+)
+def q106_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language mixture resampling: census per-language token
+    mass, derive the per-language keep rate that moves the corpus
+    toward the target shares (capped at 1.0 — upsampling is a separate
+    epoch-weighting concern), then take a deterministic md5-gate sample
+    at that rate. Hash gating (not df.sample) makes the mixture
+    reproducible on any cluster shape/partitioning — auditable
+    training data. The census is |languages| rows → broadcast back;
+    the corpus pass is map-only."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    census = dt.groupBy("lang").agg(F.sum("n_tok").alias("lang_toks"))
+    total = dt.groupBy().agg(F.sum("n_tok").alias("total_toks"))
+    target = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in _MIX_TARGETS.items()
+        ],
+        F.lit(0.0),
+    )
+    rates = census.crossJoin(F.broadcast(total)).select(
+        "lang",
+        F.least(
+            F.lit(1.0), target * F.col("total_toks") / F.col("lang_toks")
+        ).alias("rate"),
+    )
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        / F.lit(16777216.0)
+    )
+    return (
+        dt.join(F.broadcast(rates), "lang")
+        .filter(gate < F.col("rate"))
+        .select("doc_id", "lang", "n_tok", F.round("rate", 6).alias("sample_rate"))
+    )
+
+
+@register("q107_semdedup", oracle=None, tags=("curation", "dedup", "llm", "vector"))
+def q107_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning: cluster embeddings with the
+    distributed spherical k-means coarse quantizer, then inside each
+    cluster drop every vector that has a strictly-lower-id neighbor
+    with cosine ≥ τ. Clustering bounds the pairwise stage to cluster
+    size (vs corpus-quadratic); the min-id rule is deterministic and
+    order-free, so results are reproducible across cluster shapes.
+    Rows-only for the driver (k-means is not SQL-expressible); pytest
+    asserts the kept-set separation and dropped-justification
+    invariants.
+
+    The fixture's 500 embeddings are near-orthogonal (max pairwise
+    cosine 0.51 — no natural near-dups), so the operator injects a
+    deterministic near-identical copy of every vec_id < 50 at
+    vec_id + 100000 (one coordinate scaled 5%); the prune must drop
+    exactly the injected copies and keep every original."""
+    from ..functions.vectors import dot, normalize
+    from .similarity import spherical_kmeans
+
+    tau = 0.92
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    copies = base.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: F.when(i == 0, x * F.lit(1.05)).otherwise(x)
+        ).alias("v"),
+    )
+    e = base.unionAll(copies)
+    cent = spherical_kmeans(e, "v", k=8, max_iter=2)
+    nv = e.select("vec_id", normalize(F.col("v")).alias("nv"))
+    assigned = (
+        nv.join(F.broadcast(cent))
+        .withColumn("_sim", dot(F.col("nv"), F.col("cv")))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "c_id", F.struct(F.col("_sim"), (-F.col("c_id")).alias("_t"))
+            ).alias("c_id"),
+            F.any_value("nv").alias("nv"),
+        )
+    )
+    a = assigned.select(
+        F.col("c_id"), F.col("vec_id").alias("id_a"), F.col("nv").alias("nv_a")
+    )
+    b = assigned.select(
+        F.col("c_id"), F.col("vec_id").alias("id_b"), F.col("nv").alias("nv_b")
+    )
+    dup = (
+        a.join(b, ["c_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot(F.col("nv_a"), F.col("nv_b")))
+        .filter(F.col("cos") >= tau)
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.round(F.max("cos"), 6).alias("max_sim_to_lower"))
+    )
+    return (
+        assigned.join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "c_id",
+            F.col("max_sim_to_lower").isNull().alias("kept"),
+            F.coalesce("max_sim_to_lower", F.lit(0.0)).alias("max_sim_to_lower"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "q108_tokenizer_fertility",
+    oracle="""
+SELECT lang, source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]'))) AS BIGINT)
+    AS bpe_ish_tokens,
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+  CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+  round(CAST(SUM(strlen(text)) AS DOUBLE)
+        / SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]'))), 6)
+    AS bytes_per_token,
+  round(CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]'))) AS DOUBLE)
+        / SUM(len(string_split(text, ' '))), 6) AS fertility
+FROM documents
+GROUP BY lang, source
+""",
+    tags=("curation", "text", "llm"),
+)
+def q108_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility accounting per (lang, source): BPE-ish token
+    counts (q85f's GPT-2-style pre-tokenizer regex) vs bytes and
+    whitespace words — the corpus-costing numbers (bytes/token,
+    tokens/word) that size a training run and expose languages a
+    tokenizer fragments badly. Two-phase hash agg; the regex runs
+    map-side once per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all("text", F.lit("([a-z]+|[0-9]|[^a-z0-9 ])"), 0))
+    ws = F.size(F.split("text", " "))
+    nb = F.octet_length("text")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(bpe).alias("bpe_ish_tokens"),
+            F.sum(ws).alias("ws_tokens"),
+            F.sum(nb).alias("n_bytes"),
+            F.round(
+                F.sum(nb).cast("double") / F.sum(bpe), 6
+            ).alias("bytes_per_token"),
+            F.round(F.sum(bpe).cast("double") / F.sum(ws), 6).alias("fertility"),
+        )
+    )

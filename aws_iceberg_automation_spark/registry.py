@@ -55,6 +55,7 @@ _OPERATOR_MODULES = [
     "aws_iceberg_automation_spark.operators.text",
     "aws_iceberg_automation_spark.operators.multimodal",
     "aws_iceberg_automation_spark.operators.udfs",
+    "aws_iceberg_automation_spark.operators.curation",
     "aws_iceberg_automation_spark.streaming.queries",
 ]
 
@@ -158,6 +159,11 @@ _DRIVER_PRIORITY = [
     "q75c_stream_session_replay",
     "q96c_stratified_exact_n",
     "q102_sequence_packing",
+    "q103_pii_scrub",
+    "q104_contamination_check",
+    "q105_repetition_stats",
+    "q106_domain_mixture",
+    "q108_tokenizer_fertility",
 ]
 
 

