@@ -218,3 +218,104 @@ def test_random_op_sequences_match_model(spark, tmp_path):
         if s.version in history:
             got = {r.id: r.v for r in vt.read(version=s.version).collect()}
             assert got == history[s.version], f"v{s.version} drifted"
+
+
+# -- manifest-level data skipping (scan pruning) -----------------------
+
+
+def _ranged_df(spark, n=400, nfiles=4):
+    """Rows 0..n-1 range-partitioned into nfiles disjoint id ranges so
+    footer min/max bounds are tight and non-overlapping."""
+    return (
+        spark.range(0, n)
+        .select(F.col("id"), (F.col("id") % 7).alias("v"), F.lit("x").alias("s"))
+        .repartitionByRange(nfiles, "id")
+        .sortWithinPartitions("id")
+    )
+
+
+def test_scan_prunes_files_and_matches_full_filter(spark, vt):
+    vt.write(_ranged_df(spark), mode="append")
+    all_files = vt.read().inputFiles()
+    assert len(all_files) == 4
+    pruned = vt.scan([("id", ">=", 350)])
+    assert len(pruned.inputFiles()) < len(all_files)
+    expect = sorted(r.id for r in vt.read().filter("id >= 350").collect())
+    assert sorted(r.id for r in pruned.collect()) == expect
+
+
+def test_scan_equality_and_in_prune_to_one_file(spark, vt):
+    vt.write(_ranged_df(spark), mode="append")
+    one = vt.scan([("id", "=", 5)])
+    assert len(one.inputFiles()) == 1
+    assert [r.id for r in one.collect()] == [5]
+    got = vt.scan([("id", "in", [5, 7])])
+    assert len(got.inputFiles()) == 1
+    assert sorted(r.id for r in got.collect()) == [5, 7]
+
+
+def test_scan_is_exact_not_just_pruned(spark, vt):
+    """Bounds admit a file; the residual filter must still drop the
+    non-matching rows inside it (v is low-cardinality: every file's
+    v-range is [0, 6], no pruning possible — correctness must not
+    depend on stats helping)."""
+    vt.write(_ranged_df(spark), mode="append")
+    got = vt.scan([("v", "=", 3)])
+    assert len(got.inputFiles()) == 4  # stats can't prune this
+    expect = sorted(r.id for r in vt.read().filter("v = 3").collect())
+    assert sorted(r.id for r in got.collect()) == expect
+
+
+def test_scan_empty_result_short_circuits(spark, vt):
+    vt.write(_ranged_df(spark), mode="append")
+    got = vt.scan([("id", ">", 10_000)])
+    assert got.count() == 0
+    assert set(got.columns) == {"id", "v", "s"}
+
+
+def test_scan_respects_time_travel(spark, vt):
+    vt.write(_ranged_df(spark, n=100, nfiles=2), mode="append")
+    vt.write(
+        spark.range(1000, 1100).select(
+            F.col("id"), (F.col("id") % 7).alias("v"), F.lit("y").alias("s")
+        ),
+        mode="append",
+    )
+    # v1 never contained ids >= 1000: pruning proves it without IO
+    old = vt.scan([("id", ">=", 1000)], version=1)
+    assert old.count() == 0
+    cur = vt.scan([("id", ">=", 1000)])
+    assert cur.count() == 100
+
+
+def test_scan_conservative_without_stats(spark, vt, tmp_path):
+    """A manifest with no stats (pre-stats table, or unreadable
+    footers) must keep every file and still answer correctly."""
+    vt.write(_ranged_df(spark), mode="append")
+    snap = vt.snapshot(vt.current_version())
+    import json as _json
+    import os as _os
+
+    manifest = vt._manifest_path(snap.version)
+    with open(manifest) as f:
+        m = _json.load(f)
+    m["stats"] = {}
+    _os.remove(manifest)
+    with open(manifest, "w") as f:
+        _json.dump(m, f)
+    got = vt.scan([("id", ">=", 350)])
+    assert len(got.inputFiles()) == 4  # nothing pruned
+    assert got.count() == 50
+
+
+def test_scan_after_compact_and_merge(spark, vt):
+    """Rewrite commits (compact, merge) collect fresh stats for their
+    new files; pruning keeps working across the rewrite."""
+    vt.write(_ranged_df(spark), mode="append")
+    vt.compact(target_files=2)
+    got = vt.scan([("id", ">=", 350)])
+    assert len(got.inputFiles()) <= 2
+    assert got.count() == 50
+    src = spark.createDataFrame([(399, 999, "z")], "id long, v long, s string")
+    vt.merge(src, on=["id"])
+    assert vt.scan([("id", "=", 399)]).collect()[0].v == 999
