@@ -247,3 +247,31 @@ def plan_string_excerpt(df):
     from aws_iceberg_automation_spark.plans.explain import plan_string
 
     return plan_string(df)[:2000]
+
+
+def test_pii_scrub_is_map_only(spark):
+    """q103 is chained regexp_replace over one table — zero Exchange,
+    zero joins; the cheapest possible pass shape at any scale."""
+    df = q("q103_pii_scrub", spark)
+    assert count_exchanges(df) == 0
+    assert join_strategies(df) == []
+
+
+def test_contamination_eval_side_broadcasts(spark):
+    """q104's eval n-gram probe must reach the train side as a
+    broadcast (LEFT SEMI) — shuffling the 100 TB train explode on the
+    n-gram key would be the scale killer. Per-doc counts then aggregate
+    on doc_id with map-side partials."""
+    df = q("q104_contamination_check", spark)
+    strategies = join_strategies(df)
+    assert any("Broadcast" in s for s in strategies), strategies
+    assert "SortMergeJoin" not in strategies
+
+
+def test_domain_mixture_census_broadcasts_back(spark):
+    """q106's per-language rate table is |languages| rows — it must
+    broadcast back onto the corpus, never shuffle the corpus on lang."""
+    df = q("q106_domain_mixture", spark)
+    strategies = join_strategies(df)
+    assert any("Broadcast" in s for s in strategies), strategies
+    assert "SortMergeJoin" not in strategies
