@@ -132,7 +132,13 @@ def q91_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     how notebook/SQL users reach Python logic. Arrow-batched scalar UDF
     (#87's path, with the batching that makes it tolerable). The kernel
     rounds half-away (Decimal ROUND_HALF_UP) — Python's built-in round
-    is banker's rounding, which SQL engines don't use."""
+    is banker's rounding, which SQL engines don't use.
+
+    Gotcha pinned by the registry-wide plan lint: ``spark.udf.register
+    (name, fn, "type")`` ignores ``spark.sql.execution.pythonUDF.arrow.
+    enabled`` and plans row-at-a-time BatchEvalPython; only registering
+    an explicit ``F.udf(..., useArrow=True)`` object plans the
+    Arrow-batched ArrowEvalPython."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udf_view")
 
     def verbosity_centi(text: str) -> int:
@@ -141,7 +147,9 @@ def q91_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio = len(text) / len(text.split(" ")) * 100
         return int(Decimal(ratio).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
 
-    spark.udf.register("verbosity_centi", verbosity_centi, "bigint")
+    spark.udf.register(
+        "verbosity_centi", F.udf(verbosity_centi, "bigint", useArrow=True)
+    )
     return spark.sql(
         "SELECT doc_id, verbosity_centi(text) AS verbosity_centi FROM docs_udf_view"
     )

@@ -275,3 +275,42 @@ def test_domain_mixture_census_broadcasts_back(spark):
     strategies = join_strategies(df)
     assert any("Broadcast" in s for s in strategies), strategies
     assert "SortMergeJoin" not in strategies
+
+
+def test_registry_wide_plan_lint(spark):
+    """Every registered batch query's physical plan, linted:
+
+    - no ``BatchEvalPython`` anywhere — row-at-a-time Python UDFs are
+      banned from the engine outright (Arrow-batched ``ArrowEvalPython``
+      / ``FlatMapGroupsInPandas`` etc. are the sanctioned Python
+      boundary, and only in queries tagged for it);
+    - no ``CartesianProduct`` except queries explicitly tagged
+      ``allpairs`` (bounded ground-truth slices) or ``cross`` (the
+      guarded cross-join demo);
+    - Python boundaries only in tagged queries (udf / vector /
+      multimodal / sketch consumers).
+
+    One stray .collect()-shaped regression or accidental udf in a hot
+    path fails here, not at 100 TB."""
+    from aws_iceberg_automation_spark.plans.explain import plan_string
+
+    py_ok_tags = {"udf", "vector", "multimodal", "streaming"}
+    problems: list[str] = []
+    for name, spec in SPECS.items():
+        if "streaming" in spec.tags:
+            continue  # replay harness queries run side effects; linted via their batch twins
+        df = spec.fn(spark, SF_DIR)
+        p = plan_string(df)
+        if "BatchEvalPython" in p:
+            problems.append(f"{name}: row-at-a-time Python UDF")
+        if "CartesianProduct" in p and not (
+            {"allpairs", "cross"} & set(spec.tags)
+        ):
+            problems.append(f"{name}: untagged CartesianProduct")
+        if (
+            any(op in p for op in ("ArrowEvalPython", "FlatMapGroupsInPandas",
+                                   "MapInPandas", "AggregateInPandas"))
+            and not (py_ok_tags & set(spec.tags))
+        ):
+            problems.append(f"{name}: Python boundary in untagged query")
+    assert not problems, problems
