@@ -339,6 +339,63 @@ class VersionedTable:
             )
         return self.spark.read.parquet(*kept).filter(residual)
 
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental scan (Iceberg's ``incremental append scan``):
+        the rows added strictly AFTER ``from_version`` up to and
+        including ``to_version`` (default CURRENT), read from only the
+        files that joined the table in that window — the primitive that
+        turns a 100 TB corpus refresh into "process the new files",
+        never a full re-read.
+
+        Only append commits are representable as a pure file-set diff;
+        if any commit in the window rewrote visible data (overwrite /
+        merge / delete / compact), this fails loudly — downstream
+        incremental consumers would otherwise silently double- or
+        under-count. (Iceberg's incremental scan has the same
+        append-only restriction.)"""
+        if to_version is None:
+            to_version = self.current_version()
+            if to_version is None:
+                raise VersioningError(f"empty versioned table at {self.root}")
+        if from_version > to_version:
+            raise VersioningError(
+                f"from_version {from_version} > to_version {to_version}"
+            )
+        self.snapshot(from_version)  # validates existence
+        window = [
+            s
+            for s in self.snapshots()
+            if from_version < s.version <= to_version
+        ]
+        # walk the parent chain: only snapshots on to_version's lineage
+        # count (rollback branches must not leak in)
+        lineage: set[int] = set()
+        v: int | None = to_version
+        while v is not None and v > from_version:
+            snap = self.snapshot(v)
+            lineage.add(v)
+            v = snap.parent
+        if v != from_version and from_version != 0:
+            raise VersioningError(
+                f"v{from_version} is not an ancestor of v{to_version} "
+                "(rollback branch?) — incremental read undefined"
+            )
+        window = [s for s in window if s.version in lineage]
+        non_append = [s.version for s in window if s.op != "append"]
+        if non_append:
+            raise VersioningError(
+                f"snapshots {non_append} are not pure appends — "
+                "incremental file-diff read would be incorrect; "
+                "re-read the snapshot or consume the CDC stream instead"
+            )
+        base = set(self.snapshot(from_version).files)
+        new_files = sorted(
+            {f for s in window for f in s.files if f not in base}
+        )
+        if not new_files:
+            return self.read(version=to_version).where(F.lit(False))
+        return self.spark.read.parquet(*new_files)
+
     # -- row-level ops with history (#19/#20 × #15) --------------------
 
     def merge(self, source: DataFrame, on: list[str]) -> int:

@@ -319,3 +319,42 @@ def test_scan_after_compact_and_merge(spark, vt):
     src = spark.createDataFrame([(399, 999, "z")], "id long, v long, s string")
     vt.merge(src, on=["id"])
     assert vt.scan([("id", "=", 399)]).collect()[0].v == 999
+
+
+# -- incremental (append-diff) reads -----------------------------------
+
+
+def test_changes_reads_only_new_files(spark, vt):
+    vt.write(_df(spark, 0, 5), mode="append")
+    vt.write(_df(spark, 5, 8), mode="append")
+    vt.write(_df(spark, 8, 20), mode="append")
+    inc = vt.changes(from_version=1)
+    assert sorted(r.id for r in inc.collect()) == list(range(5, 20))
+    # bounded window
+    mid = vt.changes(from_version=1, to_version=2)
+    assert sorted(r.id for r in mid.collect()) == [5, 6, 7]
+    # no change → empty with schema
+    none = vt.changes(from_version=3, to_version=3)
+    assert none.count() == 0 and set(none.columns) == {"id", "v"}
+    # file-level: the incremental scan must not reopen v1's files
+    v1_files = set(vt.snapshot(1).files)
+    assert not (set(inc.inputFiles()) & v1_files)
+
+
+def test_changes_refuses_rewrites_and_branches(spark, vt):
+    vt.write(_df(spark, 0, 5), mode="append")
+    vt.write(_df(spark, 5, 8), mode="append")
+    vt.delete_where("id = 6")  # v3: overwrite commit
+    with pytest.raises(VersioningError, match="not pure appends"):
+        vt.changes(from_version=1)
+    # but a window that avoids the rewrite still works
+    assert vt.changes(from_version=1, to_version=2).count() == 3
+    # rollback branch: v4 branches from v2; from_version=3 is off-lineage
+    vt.rollback(2)
+    vt.write(_df(spark, 100, 102), mode="append")  # v4, parent=2
+    with pytest.raises(VersioningError, match="not an ancestor"):
+        vt.changes(from_version=3, to_version=4)
+    assert sorted(r.id for r in vt.changes(from_version=2, to_version=4).collect()) == [
+        100,
+        101,
+    ]
