@@ -92,7 +92,6 @@ _DRIVER_PRIORITY = [
     "q75_session_window",
     # time-series joins (#35-36)
     "q35_asof_join",
-    "q35b_ohlc_resample",
     "q36_interval_join",
     # scalar families (#68-71)
     "q68_array_funcs",
@@ -106,7 +105,6 @@ _DRIVER_PRIORITY = [
     "q91_sql_registered_udf",
     # LLM pipeline: dedup (#81-82)
     "q81_exact_dedup",
-    "q81b_normalized_dedup",
     "q82b_ngram_jaccard_pairs",
     "q82d_embedding_neardup",
     # LLM pipeline: similarity (#83)
@@ -148,6 +146,9 @@ _DRIVER_PRIORITY = [
     "q65_string_funcs",
     # ---- 50-slot budget line (driver stops here) ----
     # round-3 queue: oracle-backed variants not yet driver-verified
+    # (family representatives above: q35→q35b/q35c, q81→q81b)
+    "q35b_ohlc_resample",
+    "q81b_normalized_dedup",
     "q35c_gap_fill_forward",
     "q68b_posexplode",
     "q75b_sessionize_ids",
