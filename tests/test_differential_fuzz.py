@@ -197,3 +197,72 @@ GROUP BY k
     assert canon_rows(scols, srows) == canon_rows(ocols, orows), (
         f"divergence for predicate {pred!r} on\n{pdf}"
     )
+
+
+@st.composite
+def str_tables(draw):
+    n = draw(st.integers(1, 30))
+    text = st.text(
+        alphabet="abcxyzABCXYZ019 _-.,!*%",
+        min_size=0,
+        max_size=12,
+    )
+    ss = draw(st.lists(text | st.none(), min_size=n, max_size=n))
+    t2 = draw(st.lists(text | st.none(), min_size=n, max_size=n))
+    return pd.DataFrame(
+        {"s": pd.array(ss, dtype=object), "t2": pd.array(t2, dtype=object)}
+    )
+
+
+# Same-SQL-both-engines string surface. Divergences this fuzz found,
+# excluded/guarded with the workaround any oracle must use:
+# - concat(...): DuckDB skips NULL args, Spark null-propagates — use
+#   `||`, which null-propagates in both;
+# - split_part(NULL, d, n): Spark → NULL, DuckDB → '' — guard the
+#   input with coalesce on both sides before split_part.
+_STRING_EXPRS = [
+    "upper(s)",
+    "lower(s)",
+    "trim(s)",
+    "ltrim(s)",
+    "rtrim(s)",
+    "length(s)",
+    "reverse(s)",
+    "replace(s, 'a', 'XY')",
+    "substring(s, 2, 3)",
+    "left(s, 4)",
+    "right(s, 2)",
+    "lpad(s, 8, '*')",
+    "rpad(s, 8, '*')",
+    "s || '_' || t2",
+    "split_part(coalesce(s, ''), ' ', 1)",
+    "position('a' IN s)",
+    "repeat(s, 2)",
+    "md5(coalesce(s, ''))",
+]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(pdf=str_tables(), expr=st.sampled_from(_STRING_EXPRS))
+def test_string_funcs_agree(spark, duck_fuzz, pdf, expr):
+    """String-function fuzz: case/trim/pad/slice/split/search over
+    random short strings incl. NULLs and empties — the surface where
+    engines disagree on NULL propagation, 1-based indexing, and
+    out-of-range slices."""
+    sql = f"SELECT s, t2, {expr} AS r FROM t"
+    spark.createDataFrame(
+        pdf.astype(object).where(pdf.notna(), None), schema="s string, t2 string"
+    ).createOrReplaceTempView("t")
+    sres = spark.sql(sql)
+    scols, srows = sres.columns, [tuple(r) for r in sres.collect()]
+    duck_fuzz.register("t", pdf)
+    rel = duck_fuzz.sql(sql)
+    ocols, orows = [d[0] for d in rel.description], rel.fetchall()
+    duck_fuzz.unregister("t")
+    assert canon_rows(scols, srows) == canon_rows(ocols, orows), (
+        f"string divergence for {expr!r}"
+    )
