@@ -48,6 +48,15 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("root", help="versioned table root path")
     r.add_argument("version", type=int, help="snapshot version to restore")
 
+    ch = sub.add_parser(
+        "changes", help="incremental append-diff row count between snapshots"
+    )
+    ch.add_argument("root", help="versioned table root path")
+    ch.add_argument("from_version", type=int, help="exclusive lower snapshot")
+    ch.add_argument(
+        "--to", type=int, default=None, help="inclusive upper snapshot (default CURRENT)"
+    )
+
     args = p.parse_args(argv)
 
     from .catalog import TableManager
@@ -77,6 +86,27 @@ def main(argv: list[str] | None = None) -> int:
         healthy = bool(diag["spark_version"]) and isinstance(diag["namespaces"], list)
         return 0 if healthy else 1
 
+    if args.cmd == "changes":
+        from .versioning import VersionedTable, VersioningError
+
+        vt = VersionedTable(spark, args.root)
+        try:
+            delta = vt.changes(args.from_version, args.to)
+            print(
+                json.dumps(
+                    {
+                        "from": args.from_version,
+                        "to": args.to if args.to is not None else vt.current_version(),
+                        "rows": delta.count(),
+                        "files": len(delta.inputFiles()),
+                    }
+                )
+            )
+        except VersioningError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        return 0
+
     if args.cmd in ("snapshots", "rollback"):
         from .versioning import VersionedTable, VersioningError
 
@@ -87,6 +117,7 @@ def main(argv: list[str] | None = None) -> int:
             log = [s.__dict__ | {"n_files": len(s.files)} for s in vt.snapshots()]
             for entry in log:
                 entry.pop("files")
+                entry.pop("stats", None)  # per-file bounds — too wide for the log view
             print(
                 json.dumps(
                     {"current": vt.current_version(), "snapshots": log}, indent=2

@@ -314,3 +314,35 @@ def write_stream_parquet(sdf: DataFrame, path: str, checkpoint: str, output_mode
     )
     q.awaitTermination()
     return path
+
+
+def foreach_batch_versioned_append(
+    sdf: DataFrame,
+    versioned,
+    checkpoint: str,
+):
+    """Exactly-once streaming APPEND into a versioned table — the
+    immutable-log ingest shape (event streams, crawled documents) where
+    rows are facts, not upserts. Each microbatch commits one snapshot
+    tagged ``stream-append:<batch_id>``; a redelivered microbatch (the
+    failure mode blind append gets wrong) is detected by its batch id
+    in the snapshot log and skipped, which is how Iceberg's own
+    streaming sink achieves exactly-once. Because every commit is a
+    pure append, downstream consumers can read
+    ``versioned.changes(from_v)`` and process only the delta."""
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        op = f"stream-append:{batch_id}"
+        if any(s.op == op for s in versioned.snapshots()):
+            return  # redelivered microbatch — already committed
+        versioned.write(batch_df, mode="append", _op=op)
+
+    q = (
+        sdf.writeStream.foreachBatch(append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -381,7 +381,13 @@ class VersionedTable:
                 "(rollback branch?) — incremental read undefined"
             )
         window = [s for s in window if s.version in lineage]
-        non_append = [s.version for s in window if s.op != "append"]
+        # "append" (batch) and "stream-append:<batch_id>" (exactly-once
+        # streaming sink) commits are both pure file additions
+        non_append = [
+            s.version
+            for s in window
+            if not (s.op == "append" or s.op.startswith("stream-append:"))
+        ]
         if non_append:
             raise VersioningError(
                 f"snapshots {non_append} are not pure appends — "

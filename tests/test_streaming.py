@@ -236,3 +236,36 @@ def test_foreach_batch_versioned_upsert(spark, stream, tmp_path_factory):
     # history: the first snapshot holds a strict subset of the final keys
     first = vt.read(version=snaps[0].version)
     assert 0 < first.count() <= len(got)
+
+
+def test_foreach_batch_versioned_append_incremental(spark, stream, tmp_path_factory):
+    """End-to-end incremental pipeline: exactly-once streaming append
+    into a versioned table, then a downstream consumer reads only the
+    delta via changes(). Restart with the same checkpoint must commit
+    nothing new (batch-id dedup), and the append-diff read must equal
+    exactly the rows of the later snapshots."""
+    from aws_iceberg_automation_spark.versioning import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path_factory.mktemp("vt_append")))
+    ckpt = str(tmp_path_factory.mktemp("vt_append_ckpt"))
+    cols = ["event_id", "user_id", "ts", "value"]
+    jobs.foreach_batch_versioned_append(stream().select(*cols), vt, ckpt)
+
+    snaps = vt.snapshots()
+    assert len(snaps) >= 2
+    assert all(s.op.startswith("stream-append:") for s in snaps)
+    total = vt.read().count()
+    assert total == load_table(spark, SF_DIR, "events").count()
+
+    # delta read: everything after the first commit
+    first_v = snaps[0].version
+    delta = vt.changes(from_version=first_v)
+    assert delta.count() == total - vt.read(version=first_v).count()
+    # and the delta is disjoint from the first snapshot's rows
+    first_ids = {r.event_id for r in vt.read(version=first_v).collect()}
+    assert not ({r.event_id for r in delta.collect()} & first_ids)
+
+    # restart = redelivery: same checkpoint, no new snapshots, no dupes
+    jobs.foreach_batch_versioned_append(stream().select(*cols), vt, ckpt)
+    assert len(vt.snapshots()) == len(snaps)
+    assert vt.read().count() == total

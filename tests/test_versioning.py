@@ -358,3 +358,19 @@ def test_changes_refuses_rewrites_and_branches(spark, vt):
         100,
         101,
     ]
+
+
+def test_cli_changes(spark, tmp_path, capsys):
+    import json as _json
+
+    from aws_iceberg_automation_spark.cli import main
+
+    vt = VersionedTable(spark, str(tmp_path / "cli_changes_t"))
+    vt.write(_df(spark, 0, 5), mode="append")
+    vt.write(_df(spark, 5, 9), mode="append")
+    assert main(["changes", vt.root, "1"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"from": 1, "to": 2, "rows": 4, "files": out["files"]}
+    # refused window surfaces as exit 1, not a stack trace
+    vt.delete_where("id = 0")
+    assert main(["changes", vt.root, "1"]) == 1
