@@ -236,3 +236,347 @@ def q95_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_qty").cast("decimal(38,2)").cast("string").alias("total_qty"),
         )
     )
+
+
+@register(
+    "q109_local_supplier_volume",
+    oracle=f"""
+SELECT n.n_name AS nation, {sql_dsum(SQL_DISC_PRICE, "revenue", 6)}
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+    tags=("analytics",),
+)
+def q109_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5 shape: 6-way snowflake join where the supplier must sit
+    in the customer's nation — the second join condition rides on the
+    already-joined customer row, so it is a post-join residual, not a
+    key. Dims (supplier/nation/region) broadcast; the two facts shuffle
+    once each on orderkey."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(disc_price(), "revenue", 6))
+    )
+
+
+@register(
+    "q110_volume_shipping",
+    oracle=f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS ship_year,
+  {sql_dsum(SQL_DISC_PRICE, "revenue", 6)}
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY sn.n_name, cn.n_name, ship_year
+""",
+    tags=("analytics",),
+)
+def q110_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7 shape: bilateral trade volume between two nations by
+    ship year. The nation dim joins twice under different aliases (the
+    classic self-alias dim pattern); the disjunctive nation-pair
+    predicate is a post-join residual over broadcast dims, so the fact
+    tables still join on pure equi-keys."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    sn = F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"),
+                                F.col("n_name").alias("supp_nation")))
+    cn = F.broadcast(nat.select(F.col("n_nationkey").alias("cn_key"),
+                                F.col("n_name").alias("cust_nation")))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(dsum(disc_price(), "revenue", 6))
+    )
+
+
+@register(
+    "q111_market_share",
+    oracle=f"""
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS order_year,
+  round(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3' THEN {SQL_DISC_PRICE} END) AS DOUBLE)
+        / CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE), 6) AS mkt_share
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN region r   ON cn.n_regionkey = r.r_regionkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+GROUP BY order_year
+""",
+    tags=("analytics",),
+)
+def q111_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8 shape: one nation's share of a region's market per
+    year — an 8-way join whose numerator is a conditional slice of the
+    denominator, so one aggregation pass computes both (no second scan,
+    no self-join). Exact decimal sums; the share ratio is the single
+    double op, rounded on both sides."""
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cn = F.broadcast(
+        nat.join(reg, nat.n_regionkey == reg.r_regionkey)
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    sn = F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"),
+                                F.col("n_name").alias("supp_nation")))
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_3", disc_price())).cast("double")
+    den = F.sum(disc_price()).cast("double")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"), "inner")
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(F.round(num / den, 6).alias("mkt_share"))
+    )
+
+
+@register(
+    "q112_part_type_profit",
+    oracle="""
+SELECT sn.n_name AS nation,
+  CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS order_year,
+  CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l.l_discount AS DECIMAL(6,4)))
+                - CAST(p.p_retailprice AS DECIMAL(10,2)) * CAST(l.l_quantity AS DECIMAL(10,2)) * CAST(0.1 AS DECIMAL(3,1)))
+       AS DECIMAL(38,6)) AS VARCHAR) AS profit
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY nation, order_year
+""",
+    tags=("analytics",),
+)
+def q112_part_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9 shape (adapted: the fixture has no partsupp, so supply
+    cost is proxied at 10% of p_retailprice): per-nation per-year profit
+    on parts matching a name pattern. The profit expression mixes
+    columns from three tables — it must evaluate post-join, and stays
+    an exact decimal throughout."""
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    o = load_table(spark, sf_dir, "orders")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    profit = disc_price() - dec2("p_retailprice") * dec2("l_quantity") * F.lit(
+        "0.1"
+    ).cast("decimal(3,1)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(dsum(profit, "profit", 6))
+    )
+
+
+@register(
+    "q113_top_supplier",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey, {sql_dsum(SQL_DISC_PRICE, "total_revenue", 6)},
+         SUM({SQL_DISC_PRICE}) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, rev.total_revenue
+FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+WHERE rev.rev_dec = (SELECT MAX(rev_dec) FROM rev)
+""",
+    tags=("analytics",),
+)
+def q113_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15 shape: suppliers achieving the maximum quarterly
+    revenue — an aggregate of an aggregate. The per-supplier revenue is
+    computed once and reused for both the max and the final rows (plan
+    shows one agg feeding both sides); ties all surface, exactly as the
+    correlated-max SQL does. Max compares exact decimals, so engines
+    cannot disagree on the winner."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(disc_price()).alias("rev_dec")
+    )
+    top = rev.agg(F.max("rev_dec").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top), rev.rev_dec == top.max_rev, "left_semi")
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("decimal(38,6)").cast("string").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q114_small_qty_revenue",
+    oracle="""
+WITH pavg AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(10,2))) AS qty_sum,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS VARCHAR)
+         AS small_qty_revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p  ON p.p_partkey = l.l_partkey
+JOIN pavg    ON pavg.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND CAST(l.l_quantity AS DECIMAL(10,2)) * pavg.n * 2 < pavg.qty_sum
+""",
+    tags=("analytics",),
+)
+def q114_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17 shape: revenue lost to small-quantity orders — each
+    lineitem compares against its part's *average* quantity. The
+    correlated average decorrelates into a per-part aggregate joined
+    back to the fact; the threshold ``qty < 0.5 * avg`` is evaluated as
+    the cross-multiplied integer/decimal inequality ``qty * n * 2 <
+    sum`` so both engines compare exact values (no double division
+    anywhere near the decision boundary)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    )
+    pavg = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        F.sum(dec2("l_quantity")).alias("qty_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(pavg, li.l_partkey == F.col("pa_key"))
+        .filter(dec2("l_quantity") * F.col("n") * F.lit(2) < F.col("qty_sum"))
+        .agg(
+            F.sum(dec2("l_extendedprice"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q115_brand_discount_revenue",
+    oracle="""
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l.l_discount AS DECIMAL(6,4))))
+       AS DECIMAL(38,6)) AS VARCHAR) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    tags=("analytics",),
+)
+def q115_brand_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19 shape: disjunctive multi-clause predicate spanning both
+    join sides. Catalyst splits the OR: the part-only conjuncts
+    (brand/size) push below the join into the broadcast build side, the
+    quantity bounds push into the lineitem scan
+    (l_quantity BETWEEN 1 AND 30 is implied), and only the cross-table
+    residual evaluates post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    qual = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(qual)
+        .agg(
+            dsum(disc_price(), "revenue", 6),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
