@@ -1,0 +1,291 @@
+"""Data-quality validation over warehouse tables — the Deequ-shaped
+constraint layer a 100 TB lakehouse ingest needs between "files landed"
+and "table is queryable": column profiles, declarative row-constraint
+checks, key uniqueness, and referential (FK) integrity.
+
+Everything is expressed as *one-pass conditional aggregation* so a full
+rule suite costs exactly one scan of the table regardless of how many
+rules it carries:
+
+- ``validate(df, rules)`` compiles N row-level rules into N
+  ``SUM(CASE WHEN NOT(rule) ...)`` expressions inside a single global
+  aggregate (map-side partials → one 1-row reduce), then pivots the
+  wide result to a long ``(rule, n_violations, passed)`` report via
+  ``stack`` — a driver-free, shuffle-free transposition of one row.
+  NULL handling: a rule that evaluates to NULL on a row counts as a
+  violation (``NOT coalesce(rule, false)``), matching SQL's
+  three-valued-logic trap rather than hiding it.
+- ``profile(df, cols)`` computes per-column null counts, exact distinct
+  counts, and min/max in the same single-aggregate style. Multiple
+  exact COUNT(DISTINCT) in one aggregate plans as one Expand +
+  two-phase agg — input ×|cols| rows on the wire but still one scan;
+  at 100 TB swap exact for ``approx_count_distinct`` per column (the
+  engine's q41 pattern) if ±2% suffices.
+- ``orphan_rows(child, parent, fk, pk)`` counts child rows whose FK
+  has no parent — a LEFT ANTI join that AQE broadcasts when the parent
+  side is small and shuffles on the key otherwise; this is the one DQ
+  check that inherently costs a join at scale.
+
+Min/max surface as *decimal or date strings*, never raw doubles: the
+report schema is uniform strings, and digit strings are the engine's
+cross-engine-exact output convention (functions/compat.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+@dataclass(frozen=True)
+class Rule:
+    """A named row-level constraint: ``satisfied`` must be true (and
+    non-NULL) on every row for the rule to pass."""
+
+    name: str
+    satisfied: Column
+
+
+def violations(rule: Rule) -> Column:
+    """Aggregate expression: number of rows violating ``rule``."""
+    bad = ~F.coalesce(rule.satisfied, F.lit(False))
+    return F.sum(bad.cast("bigint")).alias(rule.name)
+
+
+def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """One-scan rule suite → long report (rule, n_violations, passed)."""
+    wide = df.agg(*[violations(r) for r in rules])
+    pairs = ", ".join(f"'{r.name}', `{r.name}`" for r in rules)
+    return (
+        wide.select(
+            F.expr(f"stack({len(rules)}, {pairs}) AS (rule, n_violations)")
+        )
+        .withColumn("passed", F.col("n_violations") == 0)
+    )
+
+
+def profile(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
+    """One-scan column profile → long (col_name, n_nulls, n_distinct,
+    min_val, max_val). ``cols`` maps column name → a *typed comparable*
+    view (decimal/date/string) — min/max compare in that type's order
+    and only the final result renders to string, so numerics never
+    suffer lexicographic min/max ("7" > "10")."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for name, typed in cols.items():
+        c = F.col(name)
+        aggs += [
+            F.sum(c.isNull().cast("bigint")).alias(f"{name}__nulls"),
+            F.count_distinct(c).alias(f"{name}__distinct"),
+            F.min(typed).cast("string").alias(f"{name}__min"),
+            F.max(typed).cast("string").alias(f"{name}__max"),
+        ]
+    wide = df.agg(*aggs)
+    rows = ", ".join(
+        f"'{n}', `{n}__nulls`, `{n}__distinct`, `{n}__min`, `{n}__max`"
+        for n in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {rows}) AS"
+            " (col_name, n_nulls, n_distinct, min_val, max_val)"
+        )
+    )
+
+
+def orphan_rows(child: DataFrame, parent: DataFrame, fk: str, pk: str) -> DataFrame:
+    """Child rows with no matching parent key (NULL FKs are orphans of
+    record-keeping, not referential integrity — excluded, as SQL's
+    NOT EXISTS would)."""
+    return child.filter(F.col(fk).isNotNull()).join(
+        parent.select(F.col(pk).alias("__pk")),
+        F.col(fk) == F.col("__pk"),
+        "left_anti",
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+
+@register(
+    "q116_dq_profile",
+    oracle="""
+WITH w AS (
+  SELECT
+    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
+    COUNT(DISTINCT l_quantity) AS q_distinct,
+    CAST(MIN(CAST(l_quantity AS DECIMAL(10,2))) AS VARCHAR) AS q_min,
+    CAST(MAX(CAST(l_quantity AS DECIMAL(10,2))) AS VARCHAR) AS q_max,
+    CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_nulls,
+    COUNT(DISTINCT l_discount) AS d_distinct,
+    CAST(MIN(CAST(l_discount AS DECIMAL(6,4))) AS VARCHAR) AS d_min,
+    CAST(MAX(CAST(l_discount AS DECIMAL(6,4))) AS VARCHAR) AS d_max,
+    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nulls,
+    COUNT(DISTINCT l_shipdate) AS s_distinct,
+    CAST(MIN(CAST(l_shipdate AS DATE)) AS VARCHAR) AS s_min,
+    CAST(MAX(CAST(l_shipdate AS DATE)) AS VARCHAR) AS s_max,
+    CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r_nulls,
+    COUNT(DISTINCT l_returnflag) AS r_distinct,
+    MIN(l_returnflag) AS r_min,
+    MAX(l_returnflag) AS r_max
+  FROM lineitem
+)
+SELECT 'l_quantity' AS col_name, q_nulls AS n_nulls, q_distinct AS n_distinct,
+       q_min AS min_val, q_max AS max_val FROM w
+UNION ALL
+SELECT 'l_discount', d_nulls, d_distinct, d_min, d_max FROM w
+UNION ALL
+SELECT 'l_shipdate', s_nulls, s_distinct, s_min, s_max FROM w
+UNION ALL
+SELECT 'l_returnflag', r_nulls, r_distinct, r_min, r_max FROM w
+""",
+    tags=("dq",),
+)
+def q116_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan profile of four lineitem columns: nulls, exact distinct
+    cardinality, min/max rendered as exact decimal/date strings. Plan:
+    single Expand-backed multi-distinct aggregate — one table scan for
+    the whole profile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile(
+        li,
+        {
+            "l_quantity": F.col("l_quantity").cast("decimal(10,2)"),
+            "l_discount": F.col("l_discount").cast("decimal(6,4)"),
+            "l_shipdate": F.col("l_shipdate").cast("date"),
+            "l_returnflag": F.col("l_returnflag"),
+        },
+    )
+
+
+@register(
+    "q117_dq_referential",
+    oracle="""
+SELECT 'lineitem.l_orderkey -> orders' AS fk, (
+  SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_partkey -> part', (
+  SELECT COUNT(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+)
+UNION ALL
+SELECT 'lineitem.l_suppkey -> supplier', (
+  SELECT COUNT(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+)
+UNION ALL
+SELECT 'orders.o_custkey -> customer', (
+  SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+""",
+    tags=("dq",),
+)
+def q117_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK integrity across the star schema: orphan-row counts for four
+    foreign keys, each a LEFT ANTI join (dims broadcast; the
+    orders/customer side is AQE's call). Four joins but each reads only
+    its key column — column pruning keeps the scans narrow."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def count_orphans(name: str, child, parent, fk, pk) -> DataFrame:
+        return orphan_rows(child, parent, fk, pk).agg(
+            F.lit(name).alias("fk"), F.count(F.lit(1)).alias("n_orphans")
+        )
+
+    return (
+        count_orphans(
+            "lineitem.l_orderkey -> orders", li, o, "l_orderkey", "o_orderkey"
+        )
+        .unionAll(
+            count_orphans(
+                "lineitem.l_partkey -> part",
+                li,
+                F.broadcast(load_table(spark, sf_dir, "part")),
+                "l_partkey",
+                "p_partkey",
+            )
+        )
+        .unionAll(
+            count_orphans(
+                "lineitem.l_suppkey -> supplier",
+                li,
+                F.broadcast(load_table(spark, sf_dir, "supplier")),
+                "l_suppkey",
+                "s_suppkey",
+            )
+        )
+        .unionAll(
+            count_orphans(
+                "orders.o_custkey -> customer",
+                o,
+                load_table(spark, sf_dir, "customer"),
+                "o_custkey",
+                "c_custkey",
+            )
+        )
+    )
+
+
+@register(
+    "q118_dq_constraints",
+    oracle="""
+WITH w AS (
+  SELECT
+    CAST(SUM(CASE WHEN NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+    CAST(SUM(CASE WHEN NOT COALESCE(l_discount BETWEEN 0 AND 1, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+    CAST(SUM(CASE WHEN NOT COALESCE(l_tax >= 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+    CAST(SUM(CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS r4,
+    CAST(SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS r5,
+    CAST(SUM(CASE WHEN NOT COALESCE(l_shipdate IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS r6,
+    COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS r7
+  FROM lineitem
+)
+SELECT 'quantity_in_1_50' AS rule, r1 AS n_violations, r1 = 0 AS passed FROM w
+UNION ALL SELECT 'discount_in_0_1', r2, r2 = 0 FROM w
+UNION ALL SELECT 'tax_non_negative', r3, r3 = 0 FROM w
+UNION ALL SELECT 'extendedprice_positive', r4, r4 = 0 FROM w
+UNION ALL SELECT 'returnflag_in_domain', r5, r5 = 0 FROM w
+UNION ALL SELECT 'shipdate_not_null', r6, r6 = 0 FROM w
+UNION ALL SELECT 'pk_orderkey_linenumber_unique', r7, r7 = 0 FROM w
+""",
+    tags=("dq",),
+)
+def q118_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite over lineitem — six row rules
+    compiled into one conditional aggregate (the ``validate`` API) plus
+    a composite-key uniqueness metric, reported in one long table. The
+    whole suite costs one scan + one 1-row reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    report = validate(
+        li,
+        [
+            Rule("quantity_in_1_50", F.col("l_quantity").between(1, 50)),
+            Rule("discount_in_0_1", F.col("l_discount").between(0, 1)),
+            Rule("tax_non_negative", F.col("l_tax") >= 0),
+            Rule("extendedprice_positive", F.col("l_extendedprice") > 0),
+            Rule(
+                "returnflag_in_domain",
+                F.col("l_returnflag").isin("A", "N", "R"),
+            ),
+            Rule("shipdate_not_null", F.col("l_shipdate").isNotNull()),
+        ],
+    )
+    uniq = li.agg(
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
+        ).alias("n_violations")
+    ).select(
+        F.lit("pk_orderkey_linenumber_unique").alias("rule"),
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+    return report.unionAll(uniq)

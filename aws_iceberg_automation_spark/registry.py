@@ -56,6 +56,7 @@ _OPERATOR_MODULES = [
     "aws_iceberg_automation_spark.operators.multimodal",
     "aws_iceberg_automation_spark.operators.udfs",
     "aws_iceberg_automation_spark.operators.curation",
+    "aws_iceberg_automation_spark.operators.dq",
     "aws_iceberg_automation_spark.streaming.queries",
 ]
 

@@ -1,0 +1,80 @@
+"""Data-quality layer: the validate/profile/orphan_rows APIs must count
+injected defects exactly, and the clean fixture tables must pass their
+registered suites (the queries themselves are oracle-checked in the
+contract gate; these tests prove the APIs *detect*, not just run)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_iceberg_automation_spark.operators.dq import (
+    Rule,
+    orphan_rows,
+    profile,
+    validate,
+)
+
+
+def _dirty(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (2, -3.0, "A"),  # negative value
+            (3, None, "B"),  # NULL value -> rule NULL -> violation
+            (4, 7.0, "X"),  # out-of-domain flag
+            (4, 2.0, "B"),  # duplicate id
+        ],
+        "id bigint, val double, flag string",
+    )
+
+
+def test_validate_counts_violations_and_null_is_violation(spark):
+    report = validate(
+        _dirty(spark),
+        [
+            Rule("val_non_negative", F.col("val") >= 0),
+            Rule("flag_in_domain", F.col("flag").isin("A", "B")),
+            Rule("id_positive", F.col("id") > 0),
+        ],
+    )
+    got = {r.rule: (r.n_violations, r.passed) for r in report.collect()}
+    # val >= 0 is NULL on row 3 — three-valued logic must count it
+    assert got["val_non_negative"] == (2, False)
+    assert got["flag_in_domain"] == (1, False)
+    assert got["id_positive"] == (0, True)
+
+
+def test_validate_is_single_scan(spark):
+    """The whole rule suite must compile to one aggregate — no
+    per-rule jobs, no extra shuffles beyond the single 1-row reduce."""
+    report = validate(
+        _dirty(spark), [Rule(f"r{i}", F.col("val") > i) for i in range(10)]
+    )
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 2  # partial + final, once
+
+
+def test_profile_metrics(spark):
+    prof = profile(
+        _dirty(spark),
+        {
+            "val": F.col("val").cast("decimal(10,2)"),
+            "flag": F.col("flag"),
+        },
+    )
+    got = {r.col_name: r for r in prof.collect()}
+    assert got["val"].n_nulls == 1
+    assert got["val"].n_distinct == 4  # NULL excluded
+    assert got["val"].min_val == "-3.00"
+    assert got["val"].max_val == "10.00"
+    assert got["flag"].n_nulls == 0
+    assert got["flag"].n_distinct == 3
+
+
+def test_orphan_rows_excludes_null_fks(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None), (4, 20)], "id bigint, fk int"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk int")
+    orphans = orphan_rows(child, parent, "fk", "pk")
+    assert [r.id for r in orphans.orderBy("id").collect()] == [2]
