@@ -62,3 +62,49 @@ def write_partitioned(
         out = out.sortWithinPartitions(*sort_within)
     out.write.mode(mode).partitionBy(*partition_by).format(file_format).save(path)
     return path
+
+
+def read_json_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines ingest that *quarantines* malformed rows instead of
+    failing the job — the right stance for raw crawl/vendor drops where
+    one bad line among billions must not kill a 100 TB ingest (FAILFAST
+    remains the right stance for data you produced yourself).
+
+    Returns ``(clean, quarantine)``: ``clean`` has exactly ``schema``;
+    ``quarantine`` carries the raw offending line for triage.
+
+    Implementation deliberately avoids the JSON *source*'s PERMISSIVE
+    corrupt-record column: Spark refuses any query whose referenced
+    columns reduce to only the corrupt column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — column
+    pruning makes exactly the quarantine side illegal), and the
+    documented workaround is caching the whole parse. Instead the file
+    is scanned as *text* and parsed with the ``from_json`` expression —
+    same Jackson parse inside whole-stage codegen, but the raw line is
+    a first-class column, both outputs are plain filters over one scan,
+    and nothing needs caching. A line is quarantined if it fails to
+    parse OR parses with a type mismatch (``from_json``'s own
+    corrupt-record slot catches the latter)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField
+
+    full = StructType(
+        list(schema.fields) + [StructField(corrupt_col, StringType())]
+    )
+    parsed = spark.read.text(path).select(
+        F.col("value").alias("raw_line"),
+        F.from_json(
+            "value", full, {"columnNameOfCorruptRecord": corrupt_col}
+        ).alias("rec"),
+    )
+    bad = F.col("rec").isNull() | F.col(f"rec.{corrupt_col}").isNotNull()
+    clean = parsed.filter(~bad).select(
+        *[F.col(f"rec.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    quarantine = parsed.filter(bad).select("raw_line")
+    return clean, quarantine

@@ -84,3 +84,31 @@ columns:
     bad = tmp_path / "bad.yml"
     bad.write_text("database: x\ntable: y\ncolumns:\n  - {name: a, type: nope}\n")
     assert cli.main(["create-table", str(bad)]) == 1
+
+
+def test_json_quarantine_splits_clean_and_corrupt(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from aws_iceberg_automation_spark.sources.files import read_json_quarantine
+
+    p = tmp_path / "drop"
+    p.mkdir()
+    (p / "part-0.jsonl").write_text(
+        '{"id": 1, "t": "ok"}\n'
+        '{"id": 2, "t": "also ok"}\n'
+        '{"id": broken!!\n'
+        "not json at all\n"
+        '{"id": "type-mismatch", "t": "x"}\n'
+    )
+    schema = StructType([StructField("id", LongType()), StructField("t", StringType())])
+    clean, quar = read_json_quarantine(spark, str(p), schema)
+    assert clean.schema == schema
+    assert sorted((r.id, r.t) for r in clean.collect()) == [
+        (1, "ok"),
+        (2, "also ok"),
+    ]
+    got_bad = sorted(r.raw_line for r in quar.collect())
+    assert '{"id": broken!!' in got_bad
+    assert "not json at all" in got_bad
+    assert '{"id": "type-mismatch", "t": "x"}' in got_bad
+    assert len(got_bad) == 3
