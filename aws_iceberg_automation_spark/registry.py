@@ -57,6 +57,7 @@ _OPERATOR_MODULES = [
     "aws_iceberg_automation_spark.operators.udfs",
     "aws_iceberg_automation_spark.operators.curation",
     "aws_iceberg_automation_spark.operators.dq",
+    "aws_iceberg_automation_spark.operators.graph",
     "aws_iceberg_automation_spark.streaming.queries",
 ]
 
