@@ -289,3 +289,70 @@ def q118_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_violations") == 0).alias("passed"),
     )
     return report.unionAll(uniq)
+
+
+@register(
+    "q120_drift_psi",
+    oracle="""
+WITH binned AS (
+  SELECT
+    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref' ELSE 'cur' END AS period,
+    CAST(LEAST(GREATEST(FLOOR(value / 50.0), 0), 9) AS INTEGER) AS bucket
+  FROM events WHERE value IS NOT NULL
+),
+counts AS (
+  SELECT bucket,
+    CAST(SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+    CAST(SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM binned GROUP BY bucket
+),
+tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts)
+SELECT
+  round(SUM(
+    (CAST(n_ref + 1 AS DOUBLE) / (t_ref + 10) - CAST(n_cur + 1 AS DOUBLE) / (t_cur + 10))
+    * LN((CAST(n_ref + 1 AS DOUBLE) / (t_ref + 10)) / (CAST(n_cur + 1 AS DOUBLE) / (t_cur + 10)))
+  ), 6) AS psi,
+  CAST(MAX(t_ref) AS BIGINT) AS n_ref_rows,
+  CAST(MAX(t_cur) AS BIGINT) AS n_cur_rows
+FROM counts, tot
+""",
+    tags=("dq",),
+)
+def q120_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between two halves of the
+    events stream (reference = first 15 days, current = rest): fixed
+    equal-width bins with +1 Laplace smoothing so empty buckets stay
+    finite. One scan — period and bucket are row expressions, then a
+    10-row aggregate and a scalar fold; at 100 TB this is the shape of
+    a daily drift monitor over any metric column (bins fixed up front,
+    never data-dependent — quantile-based bins would cost an extra
+    pass and make runs incomparable)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    nbins, width = 10, 50.0
+    binned = ev.select(
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp_ntz"), "ref"
+        )
+        .otherwise("cur")
+        .alias("period"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / width), F.lit(0)), F.lit(nbins - 1)
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    counts = binned.groupBy("bucket").agg(
+        F.sum((F.col("period") == "ref").cast("bigint")).alias("n_ref"),
+        F.sum((F.col("period") == "cur").cast("bigint")).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + nbins)
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + nbins)
+    return j.agg(
+        F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+        F.max("t_ref").cast("bigint").alias("n_ref_rows"),
+        F.max("t_cur").cast("bigint").alias("n_cur_rows"),
+    )
