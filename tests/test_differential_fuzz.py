@@ -266,3 +266,85 @@ def test_string_funcs_agree(spark, duck_fuzz, pdf, expr):
     assert canon_rows(scols, srows) == canon_rows(ocols, orows), (
         f"string divergence for {expr!r}"
     )
+
+
+@st.composite
+def ts_tables(draw):
+    base = datetime(2024, 1, 1)
+    span = st.integers(0, 400 * 24 * 3600)
+    micros = st.integers(0, 999_999)
+    mk = st.builds(
+        lambda s, us: pd.Timestamp(base) + pd.Timedelta(seconds=s, microseconds=us),
+        span,
+        micros,
+    )
+    n = draw(st.integers(1, 30))
+    a = draw(st.lists(mk | st.none(), min_size=n, max_size=n))
+    b = draw(st.lists(mk | st.none(), min_size=n, max_size=n))
+    # real datetime64 dtype (NaT for NULL) so DuckDB binds TIMESTAMP
+    # even for all-NULL columns
+    return pd.DataFrame(
+        {
+            "ts": pd.Series(a, dtype="datetime64[us]"),
+            "t2": pd.Series(b, dtype="datetime64[us]"),
+        }
+    )
+
+
+# Same-SQL-both-engines datetime surface. Known divergences kept OUT of
+# the list (any oracle must avoid or guard them):
+# - EXTRACT(DOW ...): DuckDB Sunday=0..6, Spark Sunday=1..7 — never use
+#   raw DOW cross-engine; map through CASE or use date_format patterns
+#   per-engine;
+# - date - date: DuckDB → INTEGER days, Spark → INTERVAL — use
+#   datediff-free formulations;
+# - date_format/strftime: pattern languages differ entirely;
+# - date_trunc at date grain ('day'/'month'/'week'): DuckDB returns
+#   DATE, Spark returns TIMESTAMP — always CAST the trunc to DATE
+#   explicitly on both sides (sub-day grains agree on TIMESTAMP).
+_TS_EXPRS = [
+    "CAST(ts AS DATE)",
+    "CAST(date_trunc('day', ts) AS DATE)",
+    "date_trunc('hour', ts)",
+    "CAST(date_trunc('month', ts) AS DATE)",
+    "CAST(date_trunc('week', ts) AS DATE)",
+    "EXTRACT(YEAR FROM ts)",
+    "EXTRACT(MONTH FROM ts)",
+    "EXTRACT(DAY FROM ts)",
+    "EXTRACT(HOUR FROM ts)",
+    "EXTRACT(MINUTE FROM ts)",
+    "ts + INTERVAL 5 DAY",
+    "ts - INTERVAL 90 MINUTE",
+    "greatest(ts, t2)",
+    "least(ts, t2)",
+    "last_day(CAST(ts AS DATE))",
+    "ts < t2",
+    "ts BETWEEN t2 - INTERVAL 7 DAY AND t2",
+]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(pdf=ts_tables(), expr=st.sampled_from(_TS_EXPRS))
+def test_datetime_funcs_agree(spark, duck_fuzz, pdf, expr):
+    """Datetime fuzz over microsecond-grain NTZ timestamps incl. NULLs:
+    truncation boundaries, extract fields, interval arithmetic,
+    comparisons — the surface where week starts, DOW numbering, and
+    date-difference typing diverge between engines."""
+    sql = f"SELECT ts, t2, {expr} AS r FROM t"
+    spark.createDataFrame(
+        pdf.astype(object).where(pdf.notna(), None),
+        schema="ts timestamp_ntz, t2 timestamp_ntz",
+    ).createOrReplaceTempView("t")
+    sres = spark.sql(sql)
+    scols, srows = sres.columns, [tuple(r) for r in sres.collect()]
+    duck_fuzz.register("t", pdf)
+    rel = duck_fuzz.sql(sql)
+    ocols, orows = [d[0] for d in rel.description], rel.fetchall()
+    duck_fuzz.unregister("t")
+    assert canon_rows(scols, srows) == canon_rows(ocols, orows), (
+        f"datetime divergence for {expr!r}"
+    )
