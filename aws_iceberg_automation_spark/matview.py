@@ -1,0 +1,167 @@
+"""Incrementally-maintained materialized aggregates over versioned
+tables — the lakehouse pattern that turns "refresh the daily revenue
+rollup over 100 TB" into "aggregate the files appended since the last
+refresh and merge one small table".
+
+Works on any append-only ``VersionedTable`` source: each refresh reads
+``source.changes(last_refreshed, current)`` (only the files that joined
+the table in that window — never a full scan), computes the same
+grouped aggregate over just that delta, and merges it into the stored
+state with a full-outer join on the group keys. Merge cost is
+O(|state| + |delta groups|), independent of source size. The refresh
+commits the new state as a snapshot tagged ``refresh:<source_version>``,
+so the view's own history records exactly which source version each
+state reflects — ``staleness()`` is a metadata read, and a crashed
+refresh is simply re-run (same tag, idempotent outcome).
+
+Only *mergeable* measures are supported (sum / count / min / max — and
+avg as a derived sum÷count at read time). Non-mergeable aggregates
+(exact distinct, medians) inherently need re-aggregation; at scale
+those go through sketches (HLL / GK, the engine's q41/q42b patterns)
+whose partials ARE mergeable. If the source window contains a rewrite
+commit (overwrite/merge/delete/compact), ``changes()`` refuses it and
+the refresh falls back to a full rebuild — correct over fast, loudly.
+
+Semantics note: group keys may be NULL (SQL GROUP BY treats NULL as a
+real group), so the state merge joins with *null-safe* key equality.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .versioning import VersionedTable, VersioningError
+
+_KINDS = ("sum", "count", "min", "max")
+
+
+@dataclass(frozen=True)
+class Measure:
+    """A mergeable aggregate: ``kind`` in sum/count/min/max; ``expr``
+    is the input expression (ignored for count, which counts rows)."""
+
+    alias: str
+    kind: str
+    expr: Column | None = None
+
+    def __post_init__(self):
+        if self.kind not in _KINDS:
+            raise ValueError(f"measure kind must be one of {_KINDS}, got {self.kind!r}")
+        if self.kind != "count" and self.expr is None:
+            raise ValueError(f"measure {self.alias!r} ({self.kind}) needs an expr")
+
+
+class IncrementalAggView:
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: VersionedTable,
+        root: str,
+        group_by: list[str],
+        measures: list[Measure],
+    ):
+        if not measures:
+            raise ValueError("at least one measure required")
+        self.spark = spark
+        self.source = source
+        self.state = VersionedTable(spark, root)
+        self.group_by = list(group_by)
+        self.measures = list(measures)
+
+    # -- metadata ------------------------------------------------------
+
+    def last_refreshed_source_version(self) -> int | None:
+        """Source version the stored state reflects (from snapshot tags)."""
+        refreshed = [
+            int(s.op.split(":", 1)[1])
+            for s in self.state.snapshots()
+            if s.op.startswith("refresh:")
+        ]
+        return max(refreshed) if refreshed else None
+
+    def staleness(self) -> int:
+        """How many source versions behind the view is (0 = fresh)."""
+        cur = self.source.current_version()
+        last = self.last_refreshed_source_version()
+        if cur is None:
+            return 0
+        return cur if last is None else cur - last
+
+    # -- aggregation ---------------------------------------------------
+
+    def _partial(self, df: DataFrame) -> DataFrame:
+        aggs = []
+        for m in self.measures:
+            if m.kind == "sum":
+                aggs.append(F.sum(m.expr).alias(m.alias))
+            elif m.kind == "count":
+                aggs.append(F.count(F.lit(1)).alias(m.alias))
+            elif m.kind == "min":
+                aggs.append(F.min(m.expr).alias(m.alias))
+            else:
+                aggs.append(F.max(m.expr).alias(m.alias))
+        return df.groupBy(*self.group_by).agg(*aggs)
+
+    def _merge(self, old: DataFrame, delta: DataFrame) -> DataFrame:
+        o, n = old.alias("o"), delta.alias("n")
+        cond = None
+        for k in self.group_by:
+            eq = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+            cond = eq if cond is None else (cond & eq)
+        joined = o.join(n, cond, "full_outer")
+        out = [
+            F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k)
+            for k in self.group_by
+        ]
+        for m in self.measures:
+            ov, nv = F.col(f"o.{m.alias}"), F.col(f"n.{m.alias}")
+            if m.kind in ("sum", "count"):
+                merged = (
+                    F.when(ov.isNull(), nv)
+                    .when(nv.isNull(), ov)
+                    .otherwise(ov + nv)
+                )
+            elif m.kind == "min":
+                merged = (
+                    F.when(ov.isNull(), nv)
+                    .when(nv.isNull(), ov)
+                    .otherwise(F.least(ov, nv))
+                )
+            else:
+                merged = (
+                    F.when(ov.isNull(), nv)
+                    .when(nv.isNull(), ov)
+                    .otherwise(F.greatest(ov, nv))
+                )
+            out.append(merged.alias(m.alias))
+        return joined.select(*out)
+
+    # -- refresh -------------------------------------------------------
+
+    def refresh(self) -> int | None:
+        """Bring the view up to the source's current version. Returns
+        the new state-table version, or None if already fresh."""
+        src_v = self.source.current_version()
+        if src_v is None:
+            raise VersioningError("source table is empty — nothing to materialize")
+        last = self.last_refreshed_source_version()
+        if last == src_v:
+            return None
+        tag = f"refresh:{src_v}"
+        if last is None:
+            new_state = self._partial(self.source.read())
+        else:
+            try:
+                delta = self.source.changes(last, src_v)
+            except VersioningError:
+                # rewrite commit inside the window — rebuild from scratch
+                new_state = self._partial(self.source.read())
+                return self.state.write(new_state, mode="overwrite", _op=tag)
+            new_state = self._merge(self.state.read(), self._partial(delta))
+        return self.state.write(new_state, mode="overwrite", _op=tag)
+
+    def read(self) -> DataFrame:
+        return self.state.read()

@@ -5,8 +5,10 @@ headline queries against it. This is the 'would the plan survive a
 scale-up' probe the local fixtures can't provide: multi-file parallel
 scans, bigger shuffles, same plans.
 
-Usage: python scripts/scale_stress.py [factor] [base_sf_dir]
-Writes to /tmp/scale_stress_sf<factor>/ and prints one JSON line.
+Usage: python scripts/scale_stress.py [factor] [base_sf_dir] [extra_query ...]
+Runs the bench-tagged headline set plus any extra named registry
+queries. Writes to /tmp/scale_stress_sf<factor>/ and prints one JSON
+line.
 """
 
 from __future__ import annotations
@@ -82,6 +84,7 @@ def main() -> None:
 
     specs = all_specs()
     headline = [n for n, s in specs.items() if "bench" in s.tags]
+    headline += [n for n in sys.argv[3:] if n in specs and n not in headline]
     specs[headline[0]].fn(spark, out).write.format("noop").mode("overwrite").save()
     timings = {}
     for name in headline:

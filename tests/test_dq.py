@@ -78,3 +78,12 @@ def test_orphan_rows_excludes_null_fks(spark):
     parent = spark.createDataFrame([(10,), (20,)], "pk int")
     orphans = orphan_rows(child, parent, "fk", "pk")
     assert [r.id for r in orphans.orderBy("id").collect()] == [2]
+
+
+def test_profile_approx_mode_close_to_exact(spark):
+    df = spark.range(0, 5000).select((F.col("id") % 997).alias("val"))
+    prof = profile(df, {"val": F.col("val")}, approx=True)
+    row = prof.collect()[0]
+    assert abs(row.n_distinct - 997) / 997 < 0.05
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan  # the whole point of approx mode
