@@ -346,3 +346,60 @@ def foreach_batch_versioned_append(
         .start()
     )
     q.awaitTermination()
+
+
+def foreach_batch_validated_append(
+    sdf: DataFrame,
+    versioned,
+    quarantine,
+    rules,
+    checkpoint: str,
+):
+    """Validated streaming ingest: the DQ rule suite (operators/dq.py)
+    gates every microbatch — rows passing ALL rules commit to the main
+    versioned table, violating rows commit to a quarantine table with
+    the names of the rules they broke. Both sides are exactly-once via
+    batch-id-tagged snapshots (same dedup-on-redelivery contract as
+    ``foreach_batch_versioned_append``).
+
+    The split is two filters over one row-level violation bitmap
+    (computed once as array_compact of per-rule CASE markers — a map
+    stage, no extra scan, no Python). This is the ingest shape that
+    keeps a 100 TB/day pipeline queryable: bad vendor drops land in
+    quarantine with a reason, never silently into the corpus and never
+    as a dead job at 3am (FAILFAST's failure mode)."""
+    from ..operators.dq import Rule  # noqa: F401  (documents the rule type)
+
+    def split(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        op = f"stream-append:{batch_id}"
+        markers = F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        ~F.coalesce(r.satisfied, F.lit(False)), F.lit(r.name)
+                    )
+                    for r in rules
+                ]
+            )
+        )
+        tagged = batch_df.withColumn("__broken", markers)
+        clean = tagged.filter(F.size("__broken") == 0).drop("__broken")
+        bad = tagged.filter(F.size("__broken") > 0).withColumn(
+            "violated_rules", F.array_join("__broken", ",")
+        ).drop("__broken")
+        if not any(s.op == op for s in versioned.snapshots()):
+            if not clean.isEmpty():
+                versioned.write(clean, mode="append", _op=op)
+        if not any(s.op == op for s in quarantine.snapshots()):
+            if not bad.isEmpty():
+                quarantine.write(bad, mode="append", _op=op)
+
+    q = (
+        sdf.writeStream.foreachBatch(split)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -269,3 +269,46 @@ def test_foreach_batch_versioned_append_incremental(spark, stream, tmp_path_fact
     jobs.foreach_batch_versioned_append(stream().select(*cols), vt, ckpt)
     assert len(vt.snapshots()) == len(snaps)
     assert vt.read().count() == total
+
+
+def test_foreach_batch_validated_append(spark, stream, tmp_path_factory):
+    """DQ-gated streaming ingest: clean and quarantined row counts must
+    add up to the source, quarantine rows must carry the violated rule
+    names, the main table must contain no violating row, and a restart
+    must not double-commit either side."""
+    from aws_iceberg_automation_spark.operators.dq import Rule
+    from aws_iceberg_automation_spark.versioning import VersionedTable
+
+    main = VersionedTable(spark, str(tmp_path_factory.mktemp("vt_main")))
+    quar = VersionedTable(spark, str(tmp_path_factory.mktemp("vt_quar")))
+    ckpt = str(tmp_path_factory.mktemp("vt_dq_ckpt"))
+    rules = [
+        Rule("value_under_300", F.col("value") < 300),
+        Rule("type_in_domain", F.col("event_type").isin("click", "view", "purchase")),
+    ]
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    jobs.foreach_batch_validated_append(
+        stream().select(*cols), main, quar, rules, ckpt
+    )
+
+    src = load_table(spark, SF_DIR, "events")
+    n_src = src.count()
+    n_clean, n_bad = main.read().count(), quar.read().count()
+    assert n_clean + n_bad == n_src
+    assert n_bad > 0  # fixture has values >= 300 and non-domain event types
+    # main side satisfies every rule
+    assert main.read().filter(
+        (F.col("value") >= 300)
+        | ~F.col("event_type").isin("click", "view", "purchase")
+    ).count() == 0
+    # quarantine carries reasons
+    reasons = {r.violated_rules for r in quar.read().select("violated_rules").distinct().collect()}
+    assert all(reasons)
+    assert any("value_under_300" in x for x in reasons)
+
+    # restart = redelivery: nothing double-commits
+    jobs.foreach_batch_validated_append(
+        stream().select(*cols), main, quar, rules, ckpt
+    )
+    assert main.read().count() == n_clean
+    assert quar.read().count() == n_bad
