@@ -29,7 +29,7 @@ inject controlled duplicates and assert the pipeline finds them.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -357,3 +357,98 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component_id"))
+
+
+def set_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    set_col: str = "tokens",
+) -> DataFrame:
+    """Prefix-filtered set-similarity join (AllPairs/PPJoin family):
+    all cross pairs with Jaccard(left.tokens, right.tokens) ≥ threshold
+    — entity resolution / fuzzy matching between two catalogs without
+    the all-pairs cross product.
+
+    The filter that makes it scale: order each set's tokens globally by
+    (corpus frequency, token) — rarest first — and keep only the first
+    ``|x| - ceil(t·|x|) + 1`` tokens as the *prefix*. Any pair with
+    Jaccard ≥ t MUST share at least one prefix token (pigeonhole on the
+    required overlap ``t/(1+t)·(|r|+|s|)``), so candidates come from an
+    equi-join on prefix tokens only: rare tokens generate few pairs,
+    and the frequent tokens that would explode the join are exactly the
+    ones the prefix excludes. Candidates then verify with the exact
+    Jaccard expression. No false negatives (asserted vs all-pairs in
+    tests); shuffles: one token-frequency agg, one window per side on
+    (side, id), one equi-join on rare tokens, one verify join.
+
+    Inputs must carry (id_col, set_col) with distinct array elements.
+    """
+    l_ = left.select(F.col(id_col).alias("lid"), F.col(set_col).alias("lset"))
+    r_ = right.select(F.col(id_col).alias("rid"), F.col(set_col).alias("rset"))
+
+    def prefix(side: DataFrame, idc: str, setc: str, freq: DataFrame) -> DataFrame:
+        ex = side.select(idc, F.size(setc).alias("n"), F.explode(setc).alias("tok"))
+        ranked = ex.join(freq, "tok").withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(idc).orderBy("freq", "tok")
+            ),
+        )
+        plen = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        return ranked.filter(F.col("rn") <= plen).select(idc, "tok")
+
+    vocab = (
+        l_.select(F.explode("lset").alias("tok"))
+        .union(r_.select(F.explode("rset").alias("tok")))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cand = (
+        prefix(l_, "lid", "lset", vocab)
+        .join(prefix(r_, "rid", "rset", vocab), "tok")
+        .select("lid", "rid")
+        .distinct()
+    )
+    jac = jaccard(F.col("lset"), F.col("rset"))
+    return (
+        cand.join(l_, "lid")
+        .join(r_, "rid")
+        .filter(jac >= threshold)
+        .select("lid", "rid", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "q121_fuzzy_catalog_match",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id < 300
+)
+SELECT a.doc_id AS lid, b.doc_id AS rid,
+  round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+        / len(list_distinct(a.tok || b.tok)), 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+      / len(list_distinct(a.tok || b.tok)) >= 0.9
+""",
+    tags=("dedup", "llm"),
+)
+def q121_fuzzy_catalog_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching between two catalogs (even-id docs vs
+    odd-id docs, unigram Jaccard ≥ 0.9) through the prefix-filtered
+    set-similarity join. The oracle recomputes the answer as an exact
+    all-pairs join on the bounded slice — so a hash match here proves
+    the prefix filter dropped no qualifying pair."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = d.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(F.split("text", " ")).alias("tokens"),
+    )
+    return set_similarity_join(
+        toks.filter(F.col("id") % 2 == 0),
+        toks.filter(F.col("id") % 2 == 1),
+        threshold=0.9,
+    )

@@ -283,3 +283,40 @@ def test_freq_items_superset_of_exact_top_terms(spark):
         if r.rk <= 10
     }
     assert exact_top <= sketch, exact_top - sketch
+
+
+def test_set_similarity_join_no_false_negatives(spark):
+    """Prefix-filtered join must equal exact all-pairs at several
+    thresholds on adversarial sets (shared hot tokens, tiny sets,
+    identical sets across sides)."""
+    from aws_iceberg_automation_spark.operators.dedup import (
+        jaccard,
+        set_similarity_join,
+    )
+
+    def sets(side):
+        base = [
+            (0, ["the", "a", "of", "x0"]),
+            (1, ["the", "a", "of", "x1"]),
+            (2, ["unique2", "only2"]),
+            (3, ["the", "a", "of", "x0"]),  # identical to 0
+            (4, ["q", "w", "e", "r", "t", "y"]),
+            (5, ["q", "w", "e", "r", "t", "z"]),
+            (6, ["solo"]),
+        ]
+        return spark.createDataFrame(base, "id long, tokens array<string>")
+
+    left, right = sets("l"), sets("r")
+    for t in (0.5, 0.8, 1.0):
+        got = {
+            (r.lid, r.rid)
+            for r in set_similarity_join(left, right, t).collect()
+        }
+        exact = {
+            (r.lid, r.rid)
+            for r in left.selectExpr("id AS lid", "tokens AS lset")
+            .crossJoin(right.selectExpr("id AS rid", "tokens AS rset"))
+            .filter(jaccard(F.col("lset"), F.col("rset")) >= t)
+            .collect()
+        }
+        assert got == exact, (t, got ^ exact)
