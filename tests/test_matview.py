@@ -101,3 +101,52 @@ def test_rewrite_in_window_falls_back_to_rebuild(spark, view):
     mv.refresh()
     assert _got(mv) == _expect(spark, src)
     assert mv.staleness() == 0
+
+
+def test_streaming_ingest_feeds_incremental_view(spark, tmp_path):
+    """End-to-end ingest→rollup: day-by-day appends into a versioned
+    table (the shape the exactly-once streaming sink commits), each
+    followed by an incremental view refresh that reads only that day's
+    delta — no full rescan after the first build, final state equal to
+    the from-scratch aggregate."""
+    from aws_iceberg_automation_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    src = VersionedTable(spark, str(tmp_path / "stream_src"))
+    mv = IncrementalAggView(
+        spark,
+        src,
+        str(tmp_path / "stream_mv"),
+        group_by=["event_type"],
+        measures=[
+            Measure("total", "sum", F.col("value").cast("decimal(18,2)")),
+            Measure("n", "count"),
+        ],
+    )
+    ev = load_table(spark, SF_DIR, "events")
+
+    # first "day": half the events land, view built
+    half = ev.count() // 2
+    first = ev.orderBy("event_id").limit(half)
+    src.write(first)
+    mv.refresh()
+    v_after_first = mv.last_refreshed_source_version()
+
+    # second "day": the rest appended; refresh consumes only the delta
+    rest = ev.join(first.select("event_id"), "event_id", "left_anti")
+    src.write(rest, mode="append")
+    assert mv.staleness() == 1
+    mv.refresh()
+
+    expect = {
+        r.event_type: (float(r.total), r.n)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    got = {r.event_type: (float(r.total), r.n) for r in mv.read().collect()}
+    assert got == expect
+    assert mv.last_refreshed_source_version() == v_after_first + 1
