@@ -19,6 +19,7 @@ Usage::
     python -m aws_iceberg_automation_spark.cli diagnose
     python -m aws_iceberg_automation_spark.cli snapshots /path/to/table
     python -m aws_iceberg_automation_spark.cli rollback /path/to/table 3
+    python -m aws_iceberg_automation_spark.cli dq-check data.parquet rules.yml
 """
 
 from __future__ import annotations
@@ -57,6 +58,12 @@ def main(argv: list[str] | None = None) -> int:
         "--to", type=int, default=None, help="inclusive upper snapshot (default CURRENT)"
     )
 
+    dq = sub.add_parser(
+        "dq-check", help="run a YAML rule suite against a parquet table"
+    )
+    dq.add_argument("path", help="parquet file/directory to validate")
+    dq.add_argument("rules", help="YAML rule file: rules: [{name, expr}, ...]")
+
     args = p.parse_args(argv)
 
     from .catalog import TableManager
@@ -85,6 +92,32 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(diag, indent=2, default=str))
         healthy = bool(diag["spark_version"]) and isinstance(diag["namespaces"], list)
         return 0 if healthy else 1
+
+    if args.cmd == "dq-check":
+        import yaml
+
+        from pyspark.sql import functions as F
+
+        from .operators.dq import Rule, validate
+
+        with open(args.rules) as fh:
+            doc = yaml.safe_load(fh)
+        entries = (doc or {}).get("rules") or []
+        if not entries:
+            print("error: no rules in spec", file=sys.stderr)
+            return 1
+        try:
+            rules = [Rule(e["name"], F.expr(e["expr"])) for e in entries]
+            report = validate(spark.read.parquet(args.path), rules).collect()
+        except Exception as e:  # noqa: BLE001 — fail loud, exit 1
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        out = [
+            {"rule": r.rule, "n_violations": r.n_violations, "passed": r.passed}
+            for r in report
+        ]
+        print(json.dumps({"table": args.path, "report": out}, indent=2))
+        return 0 if all(r.passed for r in report) else 1
 
     if args.cmd == "changes":
         from .versioning import VersionedTable, VersioningError

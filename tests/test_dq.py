@@ -87,3 +87,28 @@ def test_profile_approx_mode_close_to_exact(spark):
     assert abs(row.n_distinct - 997) / 997 < 0.05
     plan = prof._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan  # the whole point of approx mode
+
+
+def test_cli_dq_check(spark, tmp_path, capsys):
+    import json
+
+    from aws_iceberg_automation_spark.cli import main
+
+    data = tmp_path / "t.parquet"
+    _dirty(spark).write.parquet(str(data))
+    rules = tmp_path / "rules.yml"
+    rules.write_text(
+        "rules:\n"
+        "  - name: val_non_negative\n"
+        "    expr: val >= 0\n"
+        "  - name: id_positive\n"
+        "    expr: id > 0\n"
+    )
+    assert main(["dq-check", str(data), str(rules)]) == 1  # violations exist
+    out = json.loads(capsys.readouterr().out)
+    got = {r["rule"]: (r["n_violations"], r["passed"]) for r in out["report"]}
+    assert got == {"val_non_negative": (2, False), "id_positive": (0, True)}
+
+    clean_rules = tmp_path / "clean.yml"
+    clean_rules.write_text("rules:\n  - name: id_positive\n    expr: id > 0\n")
+    assert main(["dq-check", str(data), str(clean_rules)]) == 0
