@@ -403,3 +403,50 @@ def foreach_batch_validated_append(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_attribution(events: DataFrame, window_minutes: int = 30) -> DataFrame:
+    """Stream-stream inner join: each click joined to the purchases the
+    same user makes within ``window_minutes`` after it — ad-attribution,
+    the canonical two-stream correlation. Both sides carry watermarks
+    AND the join condition bounds event-time distance, which is what
+    lets Spark garbage-collect join state: a buffered click can be
+    dropped once the purchase-side watermark passes click_ts +
+    window (state is bounded by watermark delay + join window, never
+    by stream length). Self-join of one source stream: Spark plans two
+    independent scans of the file source — fine; at scale the two
+    sides are usually distinct topics anyway."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            ts_sec("ts").cast("timestamp").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            ts_sec("ts").cast("timestamp").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
+        )
+    )
+    return clicks.join(purchases, cond).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")).alias(
+            "lag_seconds"
+        ),
+    )

@@ -129,3 +129,31 @@ def q77_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
     )
     return out.groupBy("user_id").agg(F.max("events_seen").alias("events_seen"))
+
+
+@register(
+    "q122_stream_stream_join",
+    oracle="""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+  CAST(epoch(date_trunc('second', p.ts)) - epoch(date_trunc('second', c.ts)) AS BIGINT)
+    AS lag_seconds
+FROM events c JOIN events p
+  ON c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.user_id = c.user_id
+ AND date_trunc('second', p.ts) >= date_trunc('second', c.ts)
+ AND date_trunc('second', p.ts) <= date_trunc('second', c.ts) + INTERVAL 30 MINUTE
+""",
+    tags=("streaming",),
+)
+def q122_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked inner join executed as a genuine
+    multi-microbatch replay: click→purchase attribution within 30
+    minutes, hash-matched against the batch join oracle — proving the
+    two-stream state machine buffers and matches across microbatch
+    boundaries without losing or duplicating pairs."""
+    out = jobs.run_to_memory(
+        jobs.stream_stream_attribution(_stream(spark, sf_dir)),
+        f"q122_mem_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    return out

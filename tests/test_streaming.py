@@ -312,3 +312,32 @@ def test_foreach_batch_validated_append(spark, stream, tmp_path_factory):
     )
     assert main.read().count() == n_clean
     assert quar.read().count() == n_bad
+
+
+def test_stream_stream_join_equals_batch(spark, stream):
+    """Two-stream attribution join over a replayed stream must produce
+    exactly the batch join's pairs (state buffered across microbatches,
+    nothing lost at chunk boundaries, no duplicates)."""
+    got = jobs.run_to_memory(
+        jobs.stream_stream_attribution(stream()),
+        "ssj_mem",
+        output_mode="append",
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    from aws_iceberg_automation_spark.functions.compat import ts_sec
+    batch = c.join(
+        p,
+        (F.col("user_id") == F.col("pu"))
+        & (ts_sec("pts") >= ts_sec("cts"))
+        & (ts_sec("pts") <= ts_sec("cts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    sgot = {(r.click_id, r.purchase_id) for r in got.collect()}
+    bgot = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    assert sgot == bgot and len(sgot) > 0
