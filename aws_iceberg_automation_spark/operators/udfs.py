@@ -153,3 +153,55 @@ def q91_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, verbosity_centi(text) AS verbosity_centi FROM docs_udf_view"
     )
+
+
+@register(
+    "q123_udtf_sentences",
+    oracle="""
+WITH parts AS (
+  SELECT doc_id,
+         string_split(text, '. ') AS ps
+  FROM documents WHERE doc_id < 500
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS sentence_idx,
+       trim(ps[i]) AS sentence,
+       CAST(len(string_split(trim(ps[i]), ' ')) AS INTEGER) AS n_tokens
+FROM parts, UNNEST(range(1, len(ps) + 1)) AS t(i)
+WHERE trim(ps[i]) <> ''
+""",
+    tags=("udf",),
+)
+def q123_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, Spark 3.5+): one input row → N
+    output rows with their own schema — the lateral-view shape for
+    tokenize/chunk/expand kernels that don't fit a scalar UDF. Arrow-
+    batched via spark.sql.execution.pythonUDTF.arrow.enabled (session
+    default here); the plan must show ArrowEvalPythonUDTF, never the
+    pickled row path — the registry-wide lint enforces it. The same
+    split is expressible with explode() in pure JVM (q68's pattern);
+    the UDTF exists for the kernels that are NOT — stateful chunkers,
+    tokenizer libraries — with sentence-split as the verifiable stand-in.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx int, sentence string, n_tokens int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, raw in enumerate(text.split(". "), start=1):
+                s = raw.strip()
+                if s:
+                    yield i, s, len(s.split(" "))
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 500
+    ).createOrReplaceTempView("docs_udtf_view")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence, s.n_tokens
+        FROM docs_udtf_view d, LATERAL sentence_split(d.text) s
+        """
+    )

@@ -57,6 +57,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # keep scalar Python UDFs (rare) Arrow-batched rather than pickled rows
         .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
+        # same for Python UDTFs (table functions)
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     jar = iceberg_jar()
