@@ -231,3 +231,65 @@ def q37_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(dsum(disc_price(), "revenue", 6), F.count(F.lit(1)).alias("n_lineitems"))
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    salt_expr=None,
+) -> DataFrame:
+    """Hot-key join salting (the join-side generalization of q38b's
+    salted aggregation): the left (skewed) side gets a deterministic
+    salt in [0, n_salt); the right side is replicated once per salt via
+    an explode — so a single hot key's rows spread across ``n_salt``
+    reduce partitions instead of landing on one straggler executor.
+    Wire cost: |right| × n_salt extra rows — only worth it when the
+    right side is too big to broadcast AND the key histogram is spiky
+    (otherwise let AQE's skew-split handle it; this is the explicit
+    tool for when the skew is known up front, e.g. the null-key or
+    boilerplate-content hot spots in crawl corpora).
+
+    ``salt_expr`` defaults to a hash of the whole left row — any
+    expression with good spread works and determinism keeps reruns
+    stable."""
+    salt = (
+        F.pmod(salt_expr if salt_expr is not None else F.hash(*left.columns), n_salt)
+    ).cast("int")
+    l_s = left.withColumn("__salt", salt)
+    r_s = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return l_s.join(r_s, [key, "__salt"]).drop("__salt")
+
+
+@register(
+    "q124_salted_hot_join",
+    oracle=f"""
+SELECT d.flag_desc, COUNT(*) AS n_items, {sql_dsum(SQL_DISC_PRICE, "revenue", 6)}
+FROM lineitem l
+JOIN (SELECT 'A' AS l_returnflag, 'accepted' AS flag_desc
+      UNION ALL SELECT 'N', 'none'
+      UNION ALL SELECT 'R', 'returned') d
+  ON l.l_returnflag = d.l_returnflag
+GROUP BY d.flag_desc
+""",
+    tags=("join",),
+)
+def q124_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst-case key skew: the whole fact table joins on a 3-value key
+    (every key is hot). The salted join spreads each key across 8
+    partitions; the oracle computes the same result with a plain join,
+    proving salting is semantics-free. In production this exact shape
+    is hit by null-bucket keys and boilerplate-content hashes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = spark.createDataFrame(
+        [("A", "accepted"), ("N", "none"), ("R", "returned")],
+        "l_returnflag string, flag_desc string",
+    )
+    joined = salted_join(li, dim, "l_returnflag", n_salt=8)
+    return joined.groupBy("flag_desc").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(disc_price(), "revenue", 6),
+    )
