@@ -133,6 +133,33 @@ class TableManager:
     def create_from_yaml(self, path: str) -> str:
         return self.create_table(TableSpec.from_yaml(path))
 
+    def evolve_table(self, old: TableSpec, new: TableSpec) -> list[str]:
+        """Spec-driven schema evolution: render the old→new ALTER chain
+        (tablespec.evolve_ddl) and execute it. On the parquet fallback
+        only metadata-safe operations run (ADD COLUMNS, TBLPROPERTIES);
+        drops, type widenings, and partition evolution are Iceberg
+        semantics — pre-gated with a clear error instead of letting a
+        v1 ALTER half-apply."""
+        from .tablespec import evolve_ddl
+
+        stmts = evolve_ddl(old, new, catalog=self.catalog)
+        if self.using != "iceberg":
+            unsupported = [
+                st
+                for st in stmts
+                if " DROP COLUMN " in st
+                or " ALTER COLUMN " in st
+                or " PARTITION FIELD " in st
+            ]
+            if unsupported:
+                raise CatalogError(
+                    "these evolutions require an Iceberg catalog "
+                    f"(parquet v1 tables cannot run them in place): {unsupported}"
+                )
+        for st in stmts:
+            self.spark.sql(st)
+        return stmts
+
     def table(self, name: str) -> DataFrame:
         """Managed-table scan (#13): snapshot-isolated and partition-
         pruned under Iceberg; plain catalog read under the fallback."""

@@ -300,3 +300,94 @@ class TableSpec:
             kv = ", ".join(f"'{k}'='{v}'" for k, v in sorted(props.items()))
             lines.append(f"TBLPROPERTIES ({kv})")
         return "\n".join(lines)
+
+
+def _is_safe_widening(old: DataType, new: DataType) -> bool:
+    """Iceberg's schema-evolution promotion rules (the only type changes
+    that never rewrite data files): int→bigint, float→double, and
+    decimal precision growth at the same scale."""
+    from pyspark.sql.types import (
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+    )
+
+    if isinstance(old, IntegerType) and isinstance(new, LongType):
+        return True
+    if isinstance(old, FloatType) and isinstance(new, DoubleType):
+        return True
+    if isinstance(old, DecimalType) and isinstance(new, DecimalType):
+        return new.scale == old.scale and new.precision >= old.precision
+    return False
+
+
+def evolve_ddl(
+    old: "TableSpec", new: "TableSpec", catalog: str | None = None
+) -> list[str]:
+    """Diff two versions of a table spec → the ALTER TABLE statements
+    that evolve the live table from ``old`` to ``new`` (spec-driven
+    schema evolution — the CI flow where the YAML in git is the desired
+    state and deploys reconcile the catalog against it).
+
+    Emits, in apply-safe order: ADD COLUMNS (new columns append at the
+    end — Iceberg position semantics), safe type widenings (Iceberg's
+    promotion rules only — anything else would silently corrupt or
+    require a rewrite, so it fails loudly as a SpecError), DROP COLUMN,
+    partition-spec changes (Iceberg partition evolution: ADD/DROP
+    PARTITION FIELD — metadata-only, old files keep the old layout),
+    and TBLPROPERTIES set/unset. Renames are deliberately unsupported:
+    a rename is indistinguishable from drop+add in a spec diff, and
+    guessing wrong destroys data — rename explicitly in SQL instead."""
+    if (old.database, old.table) != (new.database, new.table):
+        raise SpecError(
+            f"evolve_ddl diffs versions of ONE table, got "
+            f"{old.qualified_name} vs {new.qualified_name}"
+        )
+    fq = f"{catalog}.{new.qualified_name}" if catalog else new.qualified_name
+    old_cols = {n.lower(): (n, t) for n, t in old.columns}
+    new_cols = {n.lower(): (n, t) for n, t in new.columns}
+    stmts: list[str] = []
+
+    added = [new_cols[k] for k in new_cols if k not in old_cols]
+    if added:
+        cols = ", ".join(f"{n} {type_to_ddl(t)}" for n, t in added)
+        stmts.append(f"ALTER TABLE {fq} ADD COLUMNS ({cols})")
+
+    for k in new_cols:
+        if k in old_cols:
+            (_, ot), (n, nt) = old_cols[k], new_cols[k]
+            if ot == nt:
+                continue
+            if not _is_safe_widening(ot, nt):
+                raise SpecError(
+                    f"unsafe type change for column {n!r}: "
+                    f"{type_to_ddl(ot)} -> {type_to_ddl(nt)} (only int->bigint, "
+                    f"float->double, decimal precision growth are in-place)"
+                )
+            stmts.append(f"ALTER TABLE {fq} ALTER COLUMN {n} TYPE {type_to_ddl(nt)}")
+
+    for k in old_cols:
+        if k not in new_cols:
+            stmts.append(f"ALTER TABLE {fq} DROP COLUMN {old_cols[k][0]}")
+
+    old_parts = {p.to_ddl() for p in old.partitioned_by}
+    new_parts = {p.to_ddl() for p in new.partitioned_by}
+    for p in new.partitioned_by:
+        if p.to_ddl() not in old_parts:
+            stmts.append(f"ALTER TABLE {fq} ADD PARTITION FIELD {p.to_ddl()}")
+    for p in old.partitioned_by:
+        if p.to_ddl() not in new_parts:
+            stmts.append(f"ALTER TABLE {fq} DROP PARTITION FIELD {p.to_ddl()}")
+
+    op, np_ = dict(old.properties), dict(new.properties)
+    set_kv = {k: v for k, v in np_.items() if op.get(k) != v}
+    if set_kv:
+        kv = ", ".join(f"'{k}'='{v}'" for k, v in sorted(set_kv.items()))
+        stmts.append(f"ALTER TABLE {fq} SET TBLPROPERTIES ({kv})")
+    unset = sorted(k for k in op if k not in np_)
+    if unset:
+        kv = ", ".join(f"'{k}'" for k in unset)
+        stmts.append(f"ALTER TABLE {fq} UNSET TBLPROPERTIES ({kv})")
+    return stmts

@@ -127,3 +127,87 @@ def test_from_yaml(tmp_path):
     ddl = spec.to_ddl()
     assert "PARTITIONED BY (day(ts), bucket(8, user_id))" in ddl
     assert "props map<string,string>" in ddl
+
+
+def _spec(cols, parts=(), props=None, table="evo"):
+    return TableSpec.from_dict(
+        {
+            "database": "db1",
+            "table": table,
+            "columns": [{"name": n, "type": t} for n, t in cols],
+            "partitioned_by": list(parts),
+            "properties": props or {},
+        }
+    )
+
+
+def test_evolve_ddl_add_widen_drop_props():
+    from aws_iceberg_automation_spark.tablespec import evolve_ddl
+
+    old = _spec(
+        [("id", "int"), ("price", "decimal(10,2)"), ("legacy", "string")],
+        props={"a": "1", "gone": "x"},
+    )
+    new = _spec(
+        [("id", "bigint"), ("price", "decimal(18,2)"), ("note", "string")],
+        props={"a": "2"},
+    )
+    got = evolve_ddl(old, new)
+    assert got == [
+        "ALTER TABLE db1.evo ADD COLUMNS (note string)",
+        "ALTER TABLE db1.evo ALTER COLUMN id TYPE bigint",
+        "ALTER TABLE db1.evo ALTER COLUMN price TYPE decimal(18,2)",
+        "ALTER TABLE db1.evo DROP COLUMN legacy",
+        "ALTER TABLE db1.evo SET TBLPROPERTIES ('a'='2')",
+        "ALTER TABLE db1.evo UNSET TBLPROPERTIES ('gone')",
+    ]
+
+
+def test_evolve_ddl_partition_evolution_and_guards():
+    import pytest
+
+    from aws_iceberg_automation_spark.tablespec import SpecError, evolve_ddl
+
+    old = _spec([("id", "int"), ("ts", "timestamp")], parts=["days(ts)"])
+    new = _spec([("id", "int"), ("ts", "timestamp")], parts=["months(ts)"])
+    got = evolve_ddl(old, new)
+    assert got == [
+        "ALTER TABLE db1.evo ADD PARTITION FIELD month(ts)",
+        "ALTER TABLE db1.evo DROP PARTITION FIELD day(ts)",
+    ]
+    # narrowing / incompatible changes fail loudly
+    with pytest.raises(SpecError, match="unsafe type change"):
+        evolve_ddl(_spec([("v", "bigint")]), _spec([("v", "int")]))
+    with pytest.raises(SpecError, match="unsafe type change"):
+        evolve_ddl(_spec([("v", "decimal(10,2)")]), _spec([("v", "decimal(12,4)")]))
+    # different tables refuse to diff
+    with pytest.raises(SpecError, match="ONE table"):
+        evolve_ddl(_spec([("v", "int")]), _spec([("v", "int")], table="other"))
+
+
+def test_evolve_table_applies_add_columns_on_fallback(spark, tmp_path):
+    from aws_iceberg_automation_spark.catalog import CatalogError, TableManager
+
+    mgr = TableManager(spark)
+    old = _spec([("id", "bigint"), ("v", "double")], table="evo_live")
+    mgr.create_table(old)
+    try:
+        new = _spec(
+            [("id", "bigint"), ("v", "double"), ("tag", "string")], table="evo_live"
+        )
+        stmts = mgr.evolve_table(old, new)
+        assert stmts == [
+            "ALTER TABLE db1.evo_live ADD COLUMNS (tag string)"
+        ]
+        assert [f.name for f in spark.table("db1.evo_live").schema.fields] == [
+            "id",
+            "v",
+            "tag",
+        ]
+        # drops need Iceberg — clear refusal on the parquet fallback
+        import pytest
+
+        with pytest.raises(CatalogError, match="Iceberg"):
+            mgr.evolve_table(new, old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS db1.evo_live")
