@@ -365,3 +365,91 @@ def q120_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("t_ref").cast("bigint").alias("n_ref_rows"),
         F.max("t_cur").cast("bigint").alias("n_cur_rows"),
     )
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level reconciliation of two tables (migration / backfill /
+    replica validation): full-outer join on ``keys`` with null-safe
+    equality, each row labeled ``only_a`` / ``only_b`` / ``mismatch`` /
+    ``equal``. ``compare_cols`` defaults to every shared non-key
+    column. One shuffle per side on the key — the unavoidable cost of
+    an exact diff; for a cheap continuous check pair this with the PSI
+    monitor and rollup counts instead."""
+    if compare_cols is None:
+        shared = [c for c in a.columns if c in set(b.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    # explicit presence markers: keys may legitimately be NULL (the
+    # null-safe join pairs them), so absence must be detected by a
+    # never-null sentinel, not by key nullability
+    al = a.withColumn("__in_a", F.lit(1)).alias("a")
+    bl = b.withColumn("__in_b", F.lit(1)).alias("b")
+    cond = None
+    for k in keys:
+        eq = F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}"))
+        cond = eq if cond is None else (cond & eq)
+    in_a = F.col("a.__in_a").isNotNull()
+    in_b = F.col("b.__in_b").isNotNull()
+    all_equal = F.lit(True)
+    for c in compare_cols:
+        all_equal = all_equal & F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+    status = (
+        F.when(~in_b, F.lit("only_a"))
+        .when(~in_a, F.lit("only_b"))
+        .when(all_equal, F.lit("equal"))
+        .otherwise(F.lit("mismatch"))
+    )
+    key_out = [
+        F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k) for k in keys
+    ]
+    return al.join(bl, cond, "full_outer").select(*key_out, status.alias("status"))
+
+
+@register(
+    "q125_table_reconcile",
+    oracle="""
+WITH a AS (SELECT * FROM orders),
+b AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 211 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END
+           AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 997 <> 0
+),
+d AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+    CASE WHEN b.o_orderkey IS NULL THEN 'only_a'
+         WHEN a.o_orderkey IS NULL THEN 'only_b'
+         WHEN a.o_custkey IS NOT DISTINCT FROM b.o_custkey
+          AND a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+          AND a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
+          AND a.o_orderdate IS NOT DISTINCT FROM b.o_orderdate
+          AND a.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority
+         THEN 'equal' ELSE 'mismatch' END AS status
+  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+)
+SELECT status, COUNT(*) AS n_rows FROM d GROUP BY status
+""",
+    tags=("dq",),
+)
+def q125_table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact diff between a table and a deterministically-perturbed
+    copy (every 997th key dropped, every 211th price shifted): status
+    counts must attribute each divergence class exactly — the
+    backfill-validation primitive."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.filter(F.col("o_orderkey") % 997 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 211 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return (
+        table_diff(o, b, keys=["o_orderkey"])
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

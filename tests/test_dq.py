@@ -112,3 +112,22 @@ def test_cli_dq_check(spark, tmp_path, capsys):
     clean_rules = tmp_path / "clean.yml"
     clean_rules.write_text("rules:\n  - name: id_positive\n    expr: id > 0\n")
     assert main(["dq-check", str(data), str(clean_rules)]) == 0
+
+
+def test_table_diff_statuses_and_null_keys(spark):
+    from aws_iceberg_automation_spark.operators.dq import table_diff
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (None, "n"), (4, "same")], "k int, v string"
+    )
+    b = spark.createDataFrame(
+        [(1, "x"), (2, "CHANGED"), (None, "n"), (5, "new")], "k int, v string"
+    )
+    got = {(r.k, r.status) for r in table_diff(a, b, keys=["k"]).collect()}
+    assert got == {
+        (1, "equal"),
+        (2, "mismatch"),
+        (None, "equal"),  # null-safe key join: NULL keys pair up
+        (4, "only_a"),
+        (5, "only_b"),
+    }
