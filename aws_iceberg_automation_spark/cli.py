@@ -20,6 +20,7 @@ Usage::
     python -m aws_iceberg_automation_spark.cli snapshots /path/to/table
     python -m aws_iceberg_automation_spark.cli rollback /path/to/table 3
     python -m aws_iceberg_automation_spark.cli dq-check data.parquet rules.yml
+    python -m aws_iceberg_automation_spark.cli explain q01_pricing_summary
 """
 
 from __future__ import annotations
@@ -58,6 +59,14 @@ def main(argv: list[str] | None = None) -> int:
         "--to", type=int, default=None, help="inclusive upper snapshot (default CURRENT)"
     )
 
+    ex = sub.add_parser(
+        "explain", help="physical plan + shape summary for a registered query"
+    )
+    ex.add_argument("query", help="registry query name (e.g. q01_pricing_summary)")
+    ex.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.001", help="fixture directory"
+    )
+
     dq = sub.add_parser(
         "dq-check", help="run a YAML rule suite against a parquet table"
     )
@@ -92,6 +101,34 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(diag, indent=2, default=str))
         healthy = bool(diag["spark_version"]) and isinstance(diag["namespaces"], list)
         return 0 if healthy else 1
+
+    if args.cmd == "explain":
+        from .plans.explain import plan_string, pushed_filters
+        from .registry import all_specs
+
+        specs = all_specs()
+        if args.query not in specs:
+            print(f"error: unknown query {args.query!r}", file=sys.stderr)
+            close = [n for n in specs if args.query.split("_")[0] in n]
+            if close:
+                print(f"did you mean: {', '.join(close[:5])}", file=sys.stderr)
+            return 1
+        df = specs[args.query].fn(spark, args.sf_dir)
+        plan = plan_string(df)
+        print(plan)
+        shape = {
+            "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
+            "sort_merge_joins": plan.count("SortMergeJoin"),
+            "exchanges": plan.count("Exchange"),
+            "pushed_filters": pushed_filters(df),
+            "python_boundaries": sum(
+                plan.count(op)
+                for op in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas")
+            ),
+            "row_python_udfs": plan.count("BatchEvalPython"),
+        }
+        print(json.dumps(shape, indent=2))
+        return 0
 
     if args.cmd == "dq-check":
         import yaml

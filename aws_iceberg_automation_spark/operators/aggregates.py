@@ -363,3 +363,53 @@ def q48_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", _EVENT_TYPES)
         .agg(F.sum(dec2("value")).cast("decimal(38,2)").cast("string"))
     )
+
+
+@register(
+    "q126_grouping_sets_time_hierarchy",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+       o_orderpriority,
+       CAST(GROUPING(EXTRACT(month FROM o_orderdate)) AS INT) AS g_month,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS VARCHAR)
+         AS total_price
+FROM orders
+GROUP BY GROUPING SETS (
+  (EXTRACT(year FROM o_orderdate), EXTRACT(month FROM o_orderdate), o_orderpriority),
+  (EXTRACT(year FROM o_orderdate), EXTRACT(month FROM o_orderdate)),
+  (EXTRACT(year FROM o_orderdate))
+)
+""",
+    tags=("agg",),
+)
+def q126_grouping_sets_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (#47's third face, distinct from
+    CUBE/ROLLUP): the time-hierarchy report shape — (year, month,
+    priority), (year, month), (year) in ONE pass. The Expand operator
+    emits one copy of each input row per grouping set (3× here, vs 8×
+    a full CUBE would cost) — at 100 TB choosing explicit sets over
+    CUBE is a 2.7× wire saving for the same report."""
+    o = load_table(spark, sf_dir, "orders")
+    sets = (
+        o.select(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            "o_orderpriority",
+            "o_totalprice",
+        )
+        .groupingSets(
+            [["y", "m", "o_orderpriority"], ["y", "m"], ["y"]],
+            "y",
+            "m",
+            "o_orderpriority",
+        )
+    )
+    return sets.agg(
+        F.grouping("m").cast("int").alias("g_month"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(dec2("o_totalprice"), "total_price"),
+    )

@@ -148,3 +148,12 @@ def test_diagnostics(mgr):
     assert d["using"] in ("parquet", "iceberg")
     assert "it_db" in d["namespaces"]
     assert d["spark_version"].startswith("4.")
+
+
+def test_cli_explain(spark, capsys):
+    from aws_iceberg_automation_spark.cli import main
+
+    assert main(["explain", "q37_star_join_revenue"]) == 0
+    out = capsys.readouterr().out
+    assert "BroadcastHashJoin" in out and '"row_python_udfs": 0' in out
+    assert main(["explain", "q37_nope"]) == 1
