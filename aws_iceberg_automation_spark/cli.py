@@ -21,6 +21,7 @@ Usage::
     python -m aws_iceberg_automation_spark.cli rollback /path/to/table 3
     python -m aws_iceberg_automation_spark.cli dq-check data.parquet rules.yml
     python -m aws_iceberg_automation_spark.cli explain q01_pricing_summary
+    python -m aws_iceberg_automation_spark.cli sql "SELECT count(*) FROM lineitem"
 """
 
 from __future__ import annotations
@@ -58,6 +59,14 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument(
         "--to", type=int, default=None, help="inclusive upper snapshot (default CURRENT)"
     )
+
+    sq = sub.add_parser("sql", help="run Spark SQL over the fixture tables")
+    sq.add_argument("query", help="SQL text (tables: region nation customer ...)")
+    sq.add_argument(
+        "--sf-dir", dest="sql_sf_dir", default="/root/testdata/sf0.001",
+        help="fixture directory",
+    )
+    sq.add_argument("--limit", type=int, default=100, help="max rows printed")
 
     ex = sub.add_parser(
         "explain", help="physical plan + shape summary for a registered query"
@@ -101,6 +110,19 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(diag, indent=2, default=str))
         healthy = bool(diag["spark_version"]) and isinstance(diag["namespaces"], list)
         return 0 if healthy else 1
+
+    if args.cmd == "sql":
+        from .io import register_views
+
+        register_views(spark, args.sql_sf_dir)
+        try:
+            df = spark.sql(args.query)
+        except Exception as e:  # noqa: BLE001 — fail loud, exit 1
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        rows = df.limit(args.limit).collect()
+        print(json.dumps([r.asDict(recursive=True) for r in rows], default=str, indent=2))
+        return 0
 
     if args.cmd == "explain":
         from .plans.explain import plan_string, pushed_filters

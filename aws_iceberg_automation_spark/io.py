@@ -150,3 +150,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every fixture table as a temp view so pure-SQL users
+    (spark.sql / the CLI ``sql`` command) can query the warehouse by
+    name — the zero-API entry point."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return list(TABLES)

@@ -157,3 +157,14 @@ def test_cli_explain(spark, capsys):
     out = capsys.readouterr().out
     assert "BroadcastHashJoin" in out and '"row_python_udfs": 0' in out
     assert main(["explain", "q37_nope"]) == 1
+
+
+def test_cli_sql(spark, capsys):
+    import json as _json
+
+    from aws_iceberg_automation_spark.cli import main
+
+    assert main(["sql", "SELECT COUNT(*) AS n FROM region"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out == [{"n": 5}]
+    assert main(["sql", "SELECT * FROM nonexistent_tbl"]) == 1
