@@ -314,3 +314,71 @@ def test_registry_wide_plan_lint(spark):
         ):
             problems.append(f"{name}: Python boundary in untagged query")
     assert not problems, problems
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path_factory):
+    """DPP (the Iceberg/Hive star-join saver): joining a partitioned
+    fact to a selectively-filtered dim must inject a runtime partition
+    filter — only the dim's surviving partitions get scanned, decided
+    at execution time, not parse time. Requires a real filter predicate
+    on the dim side (a bare value list does not qualify)."""
+    import pyspark.sql.functions as F
+
+    from aws_iceberg_automation_spark.io import load_table
+    from aws_iceberg_automation_spark.plans.explain import plan_string
+
+    d = str(tmp_path_factory.mktemp("dpp"))
+    o = load_table(spark, SF_DIR, "orders").withColumn(
+        "om", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    o.write.mode("overwrite").partitionBy("om").parquet(d)
+    po = spark.read.parquet(d)
+    months = spark.createDataFrame(
+        [(f"1996-{m:02d}", m) for m in range(1, 13)], "om string, mnum int"
+    ).filter(F.col("mnum").isin(3, 4))
+    j = po.join(F.broadcast(months), "om")
+    assert "dynamicpruning" in plan_string(j).lower()
+    assert j.count() == o.filter(F.col("om").isin("1996-03", "1996-04")).count()
+
+
+def test_runtime_bloom_filter_injected_on_smj(spark):
+    """Runtime bloom-filter join pruning: when a selective fact⋈fact
+    SMJ can't broadcast, Spark builds a bloom filter from the small
+    side and pushes it into the big side's scan — rows that can't match
+    die before the shuffle. Fixture scans are below the default 10 GB
+    application threshold, so the test lowers it to prove the engine's
+    configs leave the feature able to fire at real scale."""
+    import pyspark.sql.functions as F
+
+    from aws_iceberg_automation_spark.io import load_table
+    from aws_iceberg_automation_spark.plans.explain import plan_string
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, SF_DIR, "lineitem")
+        big = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(big, li.l_orderkey == big.o_orderkey)
+        assert "bloom" in plan_string(j).lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
