@@ -209,3 +209,41 @@ def q55_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("latest_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@register(
+    "q127_latest_record_compaction",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_orderdate AS DATE) AS last_update
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+  ) AS rn
+  FROM orders
+)
+WHERE rn = 1
+""",
+    tags=("window",),
+)
+def q127_latest_record_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log → current state: keep each key's latest record
+    (row_number over change-time descending, unique tiebreak so both
+    engines pick the same winner). This is the compaction every
+    upsert-log consumer runs; one shuffle on the entity key, and at
+    100 TB the partition count is |entities| — always scale-safe,
+    unlike timestamp-keyed windows."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_orderdate").cast("date").alias("last_update"),
+        )
+    )
