@@ -133,6 +133,30 @@ class TableManager:
     def create_from_yaml(self, path: str) -> str:
         return self.create_table(TableSpec.from_yaml(path))
 
+    def analyze(self, table: str, columns: list[str] | None = None) -> dict:
+        """ANALYZE TABLE: collect table-level (row count / size) and
+        optional per-column (ndv, nulls, min/max) statistics into the
+        catalog — what the cost-based optimizer uses for join reorder
+        and broadcast decisions. At 100 TB stats staleness is a real
+        failure mode: a dim that grew past the broadcast threshold with
+        stale stats OOMs executors; re-analyze after large loads."""
+        fq = f"{self.catalog}.{table}" if self.catalog else table
+        self.spark.sql(f"ANALYZE TABLE {fq} COMPUTE STATISTICS")
+        if columns:
+            cols = ", ".join(columns)
+            self.spark.sql(f"ANALYZE TABLE {fq} COMPUTE STATISTICS FOR COLUMNS {cols}")
+        det = {
+            r["col_name"]: r["data_type"]
+            for r in self.spark.sql(f"DESCRIBE TABLE EXTENDED {fq}").collect()
+        }
+        out = {"statistics": det.get("Statistics")}
+        if columns:
+            desc = self.spark.sql(
+                f"DESCRIBE EXTENDED {fq} {columns[0]}"
+            ).collect()
+            out["first_column_stats"] = {r["info_name"]: r["info_value"] for r in desc}
+        return out
+
     def evolve_table(self, old: TableSpec, new: TableSpec) -> list[str]:
         """Spec-driven schema evolution: render the old→new ALTER chain
         (tablespec.evolve_ddl) and execute it. On the parquet fallback

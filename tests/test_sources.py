@@ -112,3 +112,25 @@ def test_json_quarantine_splits_clean_and_corrupt(spark, tmp_path):
     assert "not json at all" in got_bad
     assert '{"id": "type-mismatch", "t": "x"}' in got_bad
     assert len(got_bad) == 3
+
+
+def test_write_sized_hits_target_file_count(spark, tmp_path):
+    import glob
+
+    from aws_iceberg_automation_spark.io import load_table
+    from aws_iceberg_automation_spark.sources.files import write_sized
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    out = str(tmp_path / "sized")
+    # tiny target forces multiple files even on the small fixture
+    info = write_sized(li, out, target_file_mb=1)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == info["n_files"]
+    assert spark.read.parquet(out).count() == info["rows"]
+
+    # huge target → single file
+    out2 = str(tmp_path / "sized_one")
+    info2 = write_sized(li, out2, target_file_mb=1024)
+    assert info2["n_files"] == 1
+    assert len(glob.glob(out2 + "/*.parquet")) == 1
