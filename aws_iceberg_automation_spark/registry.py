@@ -167,6 +167,27 @@ _DRIVER_PRIORITY = [
     "q105_repetition_stats",
     "q106_domain_mixture",
     "q108_tokenizer_fertility",
+    # round-2 additions (oracle-backed, never driver-verified yet):
+    # decision-support shapes, DQ suite, fuzzy/stream-stream/UDTF/salted/
+    # grouping-sets/CDC — rotate into the first-50 window in round 3
+    "q109_local_supplier_volume",
+    "q110_volume_shipping",
+    "q111_market_share",
+    "q112_part_type_profit",
+    "q113_top_supplier",
+    "q114_small_qty_revenue",
+    "q115_brand_discount_revenue",
+    "q116_dq_profile",
+    "q117_dq_referential",
+    "q118_dq_constraints",
+    "q120_drift_psi",
+    "q121_fuzzy_catalog_match",
+    "q122_stream_stream_join",
+    "q123_udtf_sentences",
+    "q124_salted_hot_join",
+    "q125_table_reconcile",
+    "q126_grouping_sets_time_hierarchy",
+    "q127_latest_record_compaction",
 ]
 
 
