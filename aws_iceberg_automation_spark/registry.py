@@ -188,6 +188,11 @@ _DRIVER_PRIORITY = [
     "q125_table_reconcile",
     "q126_grouping_sets_time_hierarchy",
     "q127_latest_record_compaction",
+    "q50b_scalable_ranking",
+    "q128_scd2_dimension",
+    "q129_bm25_search",
+    "q130_doc_chunking",
+    "q131_incremental_neardup",
 ]
 
 

@@ -382,3 +382,29 @@ def test_runtime_bloom_filter_injected_on_smj(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_scalable_rank_matches_plain_window(spark):
+    """scalable_row_number must equal the single-window row_number
+    exactly (same grouping, ordering, tiebreak) — differential on the
+    orders fixture, and the scalable plan must not funnel the data
+    through a |groups|-wide exchange only."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_iceberg_automation_spark.io import load_table
+    from aws_iceberg_automation_spark.operators.windows import scalable_row_number
+
+    o = load_table(spark, SF_DIR, "orders")
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    w = Window.partitionBy("o_orderpriority").orderBy(*order)
+    plain = o.select(
+        "o_orderkey", F.row_number().over(w).cast("int").alias("rn")
+    )
+    scal = scalable_row_number(o, ["o_orderpriority"], order).select(
+        "o_orderkey", "rn"
+    )
+    assert plain.exceptAll(scal).count() == 0
+    assert scal.exceptAll(plain).count() == 0
+    # offsets side must broadcast (the join that stitches phases).
+    assert "BroadcastHashJoin" in join_strategies(scal)
