@@ -452,3 +452,128 @@ def q121_fuzzy_catalog_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(F.col("id") % 2 == 1),
         threshold=0.9,
     )
+
+
+def build_lsh_index(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Persistable MinHash-LSH index over (doc_id, text): one row per
+    (doc_id, band, band_hash) posting. The incremental-crawl contract:
+    build once over the corpus, write to a (versioned) table
+    partitioned/bucketed by (band, band_hash), then dedup every new
+    batch against it WITHOUT touching corpus text again
+    (``incremental_neardup``).
+
+    Postings are capped at ``bucket_cap`` per bucket (lowest doc_id
+    wins, deterministic) — classic posting-list truncation: a
+    boilerplate bucket with millions of members would otherwise make
+    every future batch join quadratic, and any retained member of a
+    near-identical bucket serves as the match witness for the verify
+    step. The cap runs as one window on the (band, band_hash) key the
+    index is shuffled by anyway."""
+    rows = num_hashes // bands
+    sh = docs.select(
+        "doc_id", word_shingles(F.col("text"), k).alias("shingles")
+    )
+    banded = sh.select(
+        "doc_id",
+        F.explode(
+            lsh_bands(minhash_signature(F.col("shingles"), num_hashes), bands, rows)
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.band_hash")
+    w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
+    return (
+        banded.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= bucket_cap)
+        .drop("_rk")
+    )
+
+
+def incremental_neardup(
+    corpus_index: DataFrame,
+    corpus_docs: DataFrame,
+    new_docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a new batch against an indexed corpus: band the new docs
+    (map-side), equi-join their postings against the stored index on
+    (band, band_hash), then verify surviving candidate pairs with exact
+    shingle Jaccard. Corpus text is read ONLY for candidate ids (the
+    join prunes the scan — at 100 TB the batch is small, the index join
+    is |batch postings| ⋈ index, and text verification touches
+    |candidates| corpus rows, not the corpus).
+
+    Returns one row per new doc: its best corpus match above
+    ``threshold`` (max jaccard, min corpus id tiebreak) with
+    ``is_dup = 1``, or nulls + ``is_dup = 0`` for novel docs."""
+    rows = num_hashes // bands
+    new_sh = new_docs.select(
+        F.col("doc_id").alias("new_doc_id"),
+        word_shingles(F.col("text"), k).alias("new_sh"),
+    )
+    new_banded = new_sh.select(
+        "new_doc_id",
+        F.explode(
+            lsh_bands(minhash_signature(F.col("new_sh"), num_hashes), bands, rows)
+        ).alias("b"),
+    ).select("new_doc_id", "b.band", "b.band_hash")
+    cand = (
+        new_banded.join(corpus_index, ["band", "band_hash"])
+        .select("new_doc_id", F.col("doc_id").alias("corpus_doc_id"))
+        .distinct()
+    )
+    corpus_sh = corpus_docs.select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        word_shingles(F.col("text"), k).alias("corp_sh"),
+    )
+    verified = (
+        cand.join(corpus_sh, "corpus_doc_id")
+        .join(new_sh, "new_doc_id")
+        .select(
+            "new_doc_id",
+            "corpus_doc_id",
+            F.round(jaccard(F.col("new_sh"), F.col("corp_sh")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("new_doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("corpus_doc_id")
+    )
+    best = (
+        verified.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    return (
+        new_docs.select(F.col("doc_id").alias("new_doc_id"))
+        .join(best, "new_doc_id", "left")
+        .select(
+            "new_doc_id",
+            "corpus_doc_id",
+            "jaccard",
+            F.when(F.col("corpus_doc_id").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_dup"),
+        )
+    )
+
+
+@register("q131_incremental_neardup", oracle=None, tags=("dedup", "llm"))
+def q131_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl dedup (rows-only: minhash bucketing is
+    engine-specific; the pytest invariant injects corpus near-dups into
+    the batch and asserts they are caught while novel docs pass): docs
+    0-399 are the indexed corpus, 400+ are the incoming batch."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 400)
+    batch = d.filter(F.col("doc_id") >= 400)
+    idx = build_lsh_index(corpus)
+    return incremental_neardup(idx, corpus, batch)

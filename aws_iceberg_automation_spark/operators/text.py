@@ -394,3 +394,137 @@ def q85e_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_gram.alias("min_gram_fp"),
         bow.alias("bag_of_words_fp"),
     )
+
+
+@register(
+    "q129_bm25_search",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ('spark', 'merge', 'vector') GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ('spark', 'merge', 'vector') GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+    SUM(
+      ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+      * tf.tf * 2.2
+      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+    ) AS score
+  FROM tf
+  JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS bm25, rk FROM (
+  SELECT doc_id, score,
+    row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM scored)
+WHERE rk <= 20
+""",
+    tags=("text", "llm"),
+)
+def q129_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (k1=1.2, b=0.75): rank the corpus for a
+    3-term query. Everything is JVM expressions: tokenize → explode →
+    tf per (doc, term) / df per term (two-phase counts), corpus stats
+    (N, avgdl) and the per-term df table broadcast back — the corpus
+    shuffles once on doc_id, never on anything wider. Top-20 via a
+    global row_number on ≤|matching docs| scored rows (a filtered,
+    already-aggregated set — at 100 TB the score table is |docs
+    containing a query term|, and the final top-k is TakeOrdered-sized).
+    Scores rounded to 6 on both sides (double-sum over ≤3 terms)."""
+    k1, b = 1.2, 0.75
+    query_terms = ["spark", "merge", "vector"]
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    dl = d.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    terms = d.select(
+        "doc_id", F.explode("toks").alias("term")
+    ).filter(F.col("term").isin(query_terms))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = idf * F.col("tf") * (k1 + 1) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", F.round("score", 6).alias("bm25"), "rk")
+    )
+
+
+@register(
+    "q130_doc_chunking",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), starts AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(1, greatest(n, 1), 32)) AS start
+  FROM tok
+)
+SELECT doc_id,
+  CAST((start - 1) // 32 AS INTEGER) AS chunk_id,
+  CAST(len(list_slice(toks, start, least(start + 63, n))) AS INTEGER)
+    AS n_chunk_tokens,
+  array_to_string(list_slice(toks, start, least(start + 63, n)), ' ')
+    AS chunk_text
+FROM starts
+""",
+    tags=("text", "llm"),
+)
+def q130_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking for training/RAG pipelines: split each
+    document into 64-token chunks with 32-token stride (50% overlap).
+    Pure map-side work — ``sequence`` generates chunk starts, explode
+    fans out, ``slice`` + ``array_join`` materialize each chunk; no
+    shuffle at all, so it scales embarrassingly (the output is ~2× the
+    corpus in tokens, the cost every overlap-chunking pipeline pays by
+    construction). Chunk ids are deterministic (start offset / stride).
+    """
+    size, stride = 64, 32
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+    )
+    d = d.withColumn("n", F.size("toks"))
+    starts = d.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.col("n"), F.lit(1)), F.lit(stride))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), size)
+    return starts.select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / stride).cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

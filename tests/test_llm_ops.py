@@ -320,3 +320,42 @@ def test_set_similarity_join_no_false_negatives(spark):
             .collect()
         }
         assert got == exact, (t, got ^ exact)
+
+
+def test_incremental_neardup_catches_corpus_dups(spark):
+    """Incremental-crawl contract: a batch containing near-copies of
+    indexed corpus docs plus genuinely novel docs — the index join must
+    flag the copies (right corpus match, jaccard ≥ threshold) and pass
+    the novel docs through with is_dup=0."""
+    from aws_iceberg_automation_spark.operators.dedup import (
+        build_lsh_index,
+        incremental_neardup,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 300)
+    # batch: near-copies of corpus docs 0-9 (first two words dropped)
+    # + 20 untouched docs from outside the corpus (novel vs index).
+    near_copies = corpus.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.expr("concat_ws(' ', slice(split(text, ' '), 3, 10000))").alias("text"),
+    )
+    novel = d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 320))
+    batch = near_copies.unionByName(novel)
+
+    idx = build_lsh_index(corpus)
+    out = incremental_neardup(idx, corpus, batch).collect()
+    by_id = {r.new_doc_id: r for r in out}
+    assert len(by_id) == 30  # one verdict row per batch doc
+
+    flagged = {i for i, r in by_id.items() if r.is_dup == 1}
+    expected = {i + 500000 for i in range(10)}
+    missed = expected - flagged
+    assert len(missed) <= 2, f"index join missed injected dups: {missed}"
+    # the catches must point at the right corpus doc
+    for i in expected & flagged:
+        assert by_id[i].corpus_doc_id == i - 500000
+        assert by_id[i].jaccard >= 0.5
+    # novel docs stay novel (corpus word-soup can collide rarely; allow 2)
+    false_pos = flagged - expected
+    assert len(false_pos) <= 2, f"novel docs wrongly flagged: {false_pos}"
