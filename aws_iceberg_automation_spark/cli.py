@@ -76,6 +76,17 @@ def main(argv: list[str] | None = None) -> int:
         "--sf-dir", default="/root/testdata/sf0.001", help="fixture directory"
     )
 
+    br = sub.add_parser("branch", help="versioned-table branch/tag/publish")
+    br.add_argument("root", help="versioned table root path")
+    br.add_argument(
+        "action", choices=["create", "tag", "drop", "publish", "list"],
+        help="ref operation",
+    )
+    br.add_argument("name", nargs="?", default=None, help="ref name")
+    br.add_argument(
+        "--at", type=int, default=None, help="snapshot version (default CURRENT)"
+    )
+
     dq = sub.add_parser(
         "dq-check", help="run a YAML rule suite against a parquet table"
     )
@@ -193,6 +204,30 @@ def main(argv: list[str] | None = None) -> int:
                         "files": len(delta.inputFiles()),
                     }
                 )
+            )
+        except VersioningError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        return 0
+
+    if args.cmd == "branch":
+        from .versioning import VersionedTable, VersioningError
+
+        vt = VersionedTable(spark, args.root)
+        try:
+            if args.action in ("create", "tag", "drop", "publish") and not args.name:
+                print("error: ref name required", file=sys.stderr)
+                return 1
+            if args.action == "create":
+                vt.create_branch(args.name, at_version=args.at)
+            elif args.action == "tag":
+                vt.create_tag(args.name, at_version=args.at)
+            elif args.action == "drop":
+                vt.drop_ref(args.name)
+            elif args.action == "publish":
+                vt.publish_branch(args.name)
+            print(
+                json.dumps({"current": vt.current_version(), "refs": vt.refs()})
             )
         except VersioningError as e:
             print(f"error: {e}", file=sys.stderr)

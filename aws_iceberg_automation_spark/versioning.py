@@ -463,7 +463,8 @@ class VersionedTable:
         if cur is None:
             return {"expired_snapshots": 0, "deleted_files": 0}
         snaps = self.snapshots()
-        keep = {s.version for s in snaps[-keep_last:]} | {cur}
+        ref_heads = {r["version"] for r in self.refs().values()}
+        keep = {s.version for s in snaps[-keep_last:]} | {cur} | ref_heads
         live_files = set()
         for v in keep:
             live_files.update(self.snapshot(v).files)
@@ -478,6 +479,179 @@ class VersionedTable:
         for s in expired:
             os.remove(self._manifest_path(s.version))
         return {"expired_snapshots": len(expired), "deleted_files": len(dead_files)}
+
+    # -- branches & tags (Iceberg refs analog) -------------------------
+
+    def _refs_path(self) -> str:
+        return os.path.join(self._meta, "refs.json")
+
+    def refs(self) -> dict[str, dict]:
+        """Named refs: {name: {"type": "branch"|"tag", "version": N}}.
+        Branches move on writes to them; tags are immutable pins.
+        CURRENT remains the main branch pointer (all pre-refs code and
+        manifests keep working unchanged)."""
+        try:
+            with open(self._refs_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _write_refs(self, refs: dict[str, dict]) -> None:
+        tmp = self._refs_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+        os.replace(tmp, self._refs_path())
+
+    def _make_ref(self, name: str, kind: str, at_version: int | None) -> int:
+        v = at_version if at_version is not None else self.current_version()
+        if v is None:
+            raise VersioningError(f"cannot {kind} an empty table at {self.root}")
+        self.snapshot(v)  # validates existence
+        refs = self.refs()
+        if name in refs:
+            raise VersioningError(f"ref {name!r} already exists ({refs[name]})")
+        refs[name] = {"type": kind, "version": v}
+        self._write_refs(refs)
+        return v
+
+    def create_branch(self, name: str, at_version: int | None = None) -> int:
+        """Branch from CURRENT (or an explicit snapshot). Writes via
+        ``write_to_branch`` advance only the branch ref — main readers
+        see nothing until ``publish_branch`` fast-forwards CURRENT."""
+        return self._make_ref(name, "branch", at_version)
+
+    def create_tag(self, name: str, at_version: int | None = None) -> int:
+        """Immutable named snapshot pin (audit marks, release labels).
+        Protected from expire_snapshots like any ref head."""
+        return self._make_ref(name, "tag", at_version)
+
+    def drop_ref(self, name: str) -> None:
+        refs = self.refs()
+        if name not in refs:
+            raise VersioningError(f"no ref {name!r} (have: {sorted(refs)})")
+        del refs[name]
+        self._write_refs(refs)
+
+    def resolve_ref(self, name: str) -> int:
+        refs = self.refs()
+        if name not in refs:
+            raise VersioningError(f"no ref {name!r} (have: {sorted(refs)})")
+        return refs[name]["version"]
+
+    def write_to_branch(self, df: DataFrame, branch: str, mode: str = "append") -> int:
+        """Commit a snapshot whose parent is the branch head and move
+        ONLY the branch ref — the staging half of write-audit-publish.
+        Data files land distributed exactly as in ``write``; CURRENT is
+        untouched, so main-branch readers keep snapshot isolation from
+        in-audit data."""
+        if mode not in ("append", "overwrite"):
+            raise VersioningError(f"mode must be append/overwrite, got {mode!r}")
+        refs = self.refs()
+        if branch not in refs or refs[branch]["type"] != "branch":
+            raise VersioningError(
+                f"no branch {branch!r} — create_branch first (refs: {refs})"
+            )
+        parent = refs[branch]["version"]
+        new_version = self._next_version()
+        data_dir = os.path.join(self.root, "data", f"v{new_version}")
+        df.write.mode("errorifexists").parquet(data_dir)
+        files = list(self.spark.read.parquet(data_dir).inputFiles())
+        stats = _collect_file_stats(files)
+        parent_snap = self.snapshot(parent)
+        if mode == "append":
+            files += parent_snap.files
+            stats.update(parent_snap.stats)
+        manifest = Snapshot(
+            version=new_version,
+            parent=parent,
+            ts=datetime.now(timezone.utc).isoformat(),
+            op=f"branch-{mode}",
+            files=sorted(files),
+            stats=stats,
+        )
+        path = self._manifest_path(new_version)
+        if os.path.exists(path):
+            raise VersioningError(f"snapshot v{new_version} already exists")
+        with open(path, "w") as f:
+            json.dump(manifest.__dict__, f)
+        refs[branch]["version"] = new_version
+        self._write_refs(refs)
+        return new_version
+
+    def read_branch(self, name: str) -> DataFrame:
+        """Scan a ref head (branch or tag) with snapshot isolation."""
+        return self.read(version=self.resolve_ref(name))
+
+    def publish_branch(self, branch: str, drop: bool = True) -> int:
+        """Fast-forward CURRENT to the branch head (the publish half of
+        write-audit-publish). Requires main's head to be an ancestor of
+        the branch head — if main advanced since the fork, the publish
+        refuses (rebase by re-staging onto a fresh branch), mirroring
+        Iceberg's fast_forward semantics."""
+        head = self.resolve_ref(branch)
+        if self.refs()[branch]["type"] != "branch":
+            raise VersioningError(f"{branch!r} is a tag — cannot publish")
+        cur = self.current_version()
+        v: int | None = head
+        ancestors = set()
+        while v is not None:
+            ancestors.add(v)
+            try:
+                v = self.snapshot(v).parent
+            except VersioningError:
+                break  # ancestor manifest expired — chain provably ends here
+        if cur is not None and cur not in ancestors:
+            raise VersioningError(
+                f"main (v{cur}) is not an ancestor of branch {branch!r} "
+                f"(head v{head}) — main advanced since the fork; "
+                "re-stage onto a fresh branch"
+            )
+        tmp = os.path.join(self._meta, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(head))
+        os.replace(tmp, os.path.join(self._meta, "CURRENT"))
+        if drop:
+            self.drop_ref(branch)
+        return head
+
+    def write_audit_publish(
+        self,
+        df: DataFrame,
+        rules: list,
+        mode: str = "append",
+        branch: str = "_audit",
+    ) -> dict:
+        """WAP — the lakehouse ingestion safety pattern: stage ``df`` on
+        an ephemeral branch, run the DQ rule suite against the WHOLE
+        branch state (staged + existing rows — cross-batch rules like
+        uniqueness need the union, not just the delta), publish by
+        fast-forward only if every rule passes. On failure main is
+        untouched and the branch is kept for debugging (drop_ref when
+        done). Returns {"published", "version", "report"} where report
+        is the collected rule table."""
+        from .operators.dq import validate
+
+        if branch in self.refs():
+            raise VersioningError(
+                f"audit branch {branch!r} already exists — a previous WAP "
+                "failed its audit; inspect read_branch() then drop_ref()"
+            )
+        self.create_branch(branch)
+        staged = self.write_to_branch(df, branch, mode=mode)
+        report = validate(self.read_branch(branch), rules).collect()
+        failed = [r for r in report if not r.passed]
+        if failed:
+            return {
+                "published": False,
+                "version": staged,
+                "report": [r.asDict() for r in report],
+            }
+        self.publish_branch(branch)
+        return {
+            "published": True,
+            "version": staged,
+            "report": [r.asDict() for r in report],
+        }
 
     # -- rollback (Iceberg rollback_to_snapshot analog) ----------------
 

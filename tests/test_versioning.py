@@ -374,3 +374,93 @@ def test_cli_changes(spark, tmp_path, capsys):
     # refused window surfaces as exit 1, not a stack trace
     vt.delete_where("id = 0")
     assert main(["changes", vt.root, "1"]) == 1
+
+
+# -- branches, tags, write-audit-publish ------------------------------
+
+
+def test_branch_write_isolated_until_publish(spark, vt):
+    v1 = vt.write(_df(spark, 0, 5))
+    vt.create_branch("stage")
+    bv = vt.write_to_branch(_df(spark, 5, 8), "stage", mode="append")
+    # main readers see nothing from the branch
+    assert vt.read().count() == 5
+    assert vt.current_version() == v1
+    # branch readers see staged + existing
+    assert vt.read_branch("stage").count() == 8
+    # publish fast-forwards main and drops the ref by default
+    assert vt.publish_branch("stage") == bv
+    assert vt.read().count() == 8
+    assert "stage" not in vt.refs()
+
+
+def test_publish_refuses_diverged_main(spark, vt):
+    vt.write(_df(spark, 0, 5))
+    vt.create_branch("stage")
+    vt.write_to_branch(_df(spark, 5, 8), "stage")
+    vt.write(_df(spark, 100, 101))  # main advances past the fork
+    with pytest.raises(VersioningError, match="not an ancestor"):
+        vt.publish_branch("stage")
+    assert vt.read().count() == 6  # main unharmed
+
+
+def test_tags_pin_and_survive_gc(spark, vt):
+    vt.write(_df(spark, 0, 5))
+    vt.create_tag("audited-v1")
+    for i in range(4):
+        vt.write(_df(spark, 100 + i, 101 + i), mode="overwrite")
+    vt.expire_snapshots(keep_last=1)
+    # the tagged snapshot survived GC and still reads in full
+    assert vt.read_branch("audited-v1").count() == 5
+    with pytest.raises(VersioningError, match="is a tag"):
+        vt.publish_branch("audited-v1")
+
+
+def test_wap_publishes_clean_batch(spark, vt):
+    from aws_iceberg_automation_spark.operators.dq import Rule
+
+    vt.write(_df(spark, 0, 5))
+    rules = [Rule("v_non_negative", F.col("v") >= 0)]
+    out = vt.write_audit_publish(_df(spark, 5, 8), rules)
+    assert out["published"] is True
+    assert vt.read().count() == 8
+    assert vt.refs() == {}  # ephemeral branch cleaned up
+
+
+def test_wap_failed_audit_keeps_main_and_branch(spark, vt):
+    from aws_iceberg_automation_spark.operators.dq import Rule
+
+    vt.write(_df(spark, 0, 5))
+    bad = spark.range(5, 8).select(F.col("id"), (-F.col("id")).alias("v"))
+    rules = [Rule("v_non_negative", F.col("v") >= 0)]
+    out = vt.write_audit_publish(bad, rules)
+    assert out["published"] is False
+    assert any(r["n_violations"] == 3 for r in out["report"])
+    # main untouched; staged rows inspectable on the kept branch
+    assert vt.read().count() == 5
+    assert vt.read_branch("_audit").count() == 8
+    # a second WAP refuses until the failed branch is inspected+dropped
+    with pytest.raises(VersioningError, match="previous WAP"):
+        vt.write_audit_publish(_df(spark, 8, 9), rules)
+    vt.drop_ref("_audit")
+    assert vt.write_audit_publish(_df(spark, 5, 8), rules)["published"] is True
+    assert vt.read().count() == 8
+
+
+def test_cli_branch_lifecycle(spark, tmp_path, capsys):
+    import json as _json
+
+    from aws_iceberg_automation_spark.cli import main
+
+    root = str(tmp_path / "t")
+    vt = VersionedTable(spark, root)
+    vt.write(_df(spark, 0, 5))
+    assert main(["branch", root, "create", "stage"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["refs"]["stage"]["type"] == "branch"
+    vt.write_to_branch(_df(spark, 5, 8), "stage")
+    assert main(["branch", root, "publish", "stage"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["refs"] == {}
+    assert vt.read().count() == 8
+    assert main(["branch", root, "publish", "nope"]) == 1
