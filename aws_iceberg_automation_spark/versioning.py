@@ -322,11 +322,16 @@ class VersionedTable:
                 raise VersioningError(f"empty versioned table at {self.root}")
         snap = self.snapshot(version)
         residual = _filters_to_column(filters)
+        bloom = self._load_bloom(version)
         kept = [
             f
             for f in snap.files
             if all(
                 _may_match(snap.stats.get(f, {}), col, op, val)
+                and (
+                    bloom is None
+                    or self._bloom_may_match(bloom, f, col, op, val)
+                )
                 for col, op, val in filters
             )
         ]
@@ -338,6 +343,138 @@ class VersionedTable:
                 else self.read(version=version).where(F.lit(False))
             )
         return self.spark.read.parquet(*kept).filter(residual)
+
+    # -- bloom sidecars (Iceberg Puffin-stats analog) ------------------
+
+    def _bloom_path(self, version: int) -> str:
+        return os.path.join(self._meta, f"bloom-v{version}.json")
+
+    @staticmethod
+    def _bloom_positions(val: object, seed: int, n_bits: int) -> int:
+        """Python twin of the JVM-side position expression — md5 of the
+        canonical string rendering, first 15 hex digits mod n_bits.
+        Both sides MUST stay in lockstep (tested by
+        test_bloom_python_jvm_hash_agreement)."""
+        import hashlib
+
+        h = hashlib.md5(f"{val}:{seed}".encode()).hexdigest()
+        return int(h[:15], 16) % n_bits
+
+    def compute_bloom(
+        self,
+        cols: list[str],
+        n_bits: int = 16384,
+        n_hashes: int = 4,
+        version: int | None = None,
+    ) -> dict:
+        """Build per-file bloom filters for point-lookup columns and
+        write them as a sidecar next to the snapshot manifest (the
+        shape of Iceberg's Puffin stats files: optional, additive,
+        never consulted for correctness — only to skip IO).
+
+        Min/max bounds prune RANGES; a bloom prunes point lookups when
+        every file's range overlaps (scattered keys — exactly where
+        sorted/Z-ordered layout doesn't apply because the key arrives
+        unsorted). One distributed job: per (file, col, seed) the md5
+        bit position, distinct per (file, col) via map-side partial
+        sets bounded at n_bits; only the final files×cols bitmap rows
+        reach the driver. Keys should be int/string id columns —
+        canonical string rendering is the hash input."""
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise VersioningError(f"empty versioned table at {self.root}")
+        snap = self.snapshot(v)
+        df = self.spark.read.parquet(*snap.files).select(
+            F.input_file_name().alias("_file"), *cols
+        )
+        pos_cols = []
+        for c in cols:
+            for seed in range(n_hashes):
+                pos_cols.append(
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(
+                                            ":",
+                                            F.col(c).cast("string"),
+                                            F.lit(str(seed)),
+                                        )
+                                    ),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % n_bits
+                        ).alias("pos"),
+                    )
+                )
+        melted = df.select(
+            "_file", F.explode(F.array(*pos_cols)).alias("cp")
+        ).select("_file", "cp.col", "cp.pos")
+        rows = (
+            melted.groupBy("_file", "col")
+            .agg(F.collect_set("pos").alias("positions"))
+            .collect()
+        )
+        filters: dict[str, dict[str, str]] = {}
+        import base64
+
+        for r in rows:
+            bitmap = bytearray(n_bits // 8 + (n_bits % 8 > 0))
+            for p in r.positions:
+                bitmap[p // 8] |= 1 << (p % 8)
+            filters.setdefault(r._file, {})[r.col] = base64.b64encode(
+                bytes(bitmap)
+            ).decode()
+        sidecar = {
+            "n_bits": n_bits,
+            "n_hashes": n_hashes,
+            "cols": sorted(cols),
+            "filters": filters,
+        }
+        tmp = self._bloom_path(v) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sidecar, f)
+        os.replace(tmp, self._bloom_path(v))
+        return {"version": v, "files": len(filters), "cols": sorted(cols)}
+
+    def _load_bloom(self, version: int) -> dict | None:
+        try:
+            with open(self._bloom_path(version)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _bloom_may_match(
+        self, sidecar: dict, file: str, col: str, op: str, val: object
+    ) -> bool:
+        """False only when the bloom PROVES no row of ``file`` equals
+        ``val`` (or any member of an IN list). Non-point ops, uncovered
+        columns, or missing file entries → True."""
+        if op not in ("=", "==", "in"):
+            return True
+        per_file = sidecar["filters"].get(file)
+        if not per_file or col not in per_file:
+            return True
+        import base64
+
+        bitmap = base64.b64decode(per_file[col])
+        n_bits, n_hashes = sidecar["n_bits"], sidecar["n_hashes"]
+
+        def present(v: object) -> bool:
+            for seed in range(n_hashes):
+                p = self._bloom_positions(v, seed, n_bits)
+                if not bitmap[p // 8] & (1 << (p % 8)):
+                    return False
+            return True
+
+        vals = val if op == "in" else [val]
+        return any(present(v) for v in vals)  # type: ignore[union-attr]
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental scan (Iceberg's ``incremental append scan``):

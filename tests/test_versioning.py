@@ -464,3 +464,58 @@ def test_cli_branch_lifecycle(spark, tmp_path, capsys):
     assert out["refs"] == {}
     assert vt.read().count() == 8
     assert main(["branch", root, "publish", "nope"]) == 1
+
+
+# -- bloom sidecars ----------------------------------------------------
+
+
+def test_bloom_python_jvm_hash_agreement(spark, vt):
+    """The Python probe and the JVM build must place every value at
+    identical bit positions — otherwise pruning silently breaks."""
+    vals = [0, 7, 123456789, "abc", "x:y"]
+    n_bits = 16384
+    rows = []
+    for seed in range(4):
+        df = spark.createDataFrame([(str(v),) for v in vals], ["s"]).select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("s"), F.lit(str(seed)))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % n_bits
+            ).alias("pos")
+        )
+        rows.append([r.pos for r in df.collect()])
+    for seed in range(4):
+        for i, v in enumerate(vals):
+            assert rows[seed][i] == VersionedTable._bloom_positions(v, seed, n_bits)
+
+
+def test_bloom_prunes_scattered_point_lookup(spark, vt):
+    # two files with fully overlapping [0, 99] ranges: evens vs odds —
+    # min/max bounds cannot prune an equality lookup, a bloom can.
+    even = spark.range(0, 100, 2).select(F.col("id"), (F.col("id") * 10).alias("v"))
+    odd = spark.range(1, 100, 2).select(F.col("id"), (F.col("id") * 10).alias("v"))
+    vt.write(even.coalesce(1))
+    vt.write(odd.coalesce(1), mode="append")
+    n_files = len(vt.snapshot(vt.current_version()).files)
+    assert n_files == 2
+    # without a sidecar: no bloom pruning, but min/max also can't help
+    assert len(vt.scan([("id", "=", 42)]).inputFiles()) == 2
+    vt.compute_bloom(["id"])
+    hit = vt.scan([("id", "=", 42)])
+    assert len(hit.inputFiles()) == 1  # odd-id file bloom-pruned
+    assert [r.v for r in hit.collect()] == [420]
+    # absent key: every file pruned, empty result with intact schema
+    miss = vt.scan([("id", "=", 424242)])
+    assert miss.count() == 0
+    assert miss.columns == ["id", "v"]
+    # IN probes each member; unchanged correctness vs full filter
+    both = vt.scan([("id", "in", (42, 43))])
+    assert sorted(r.id for r in both.collect()) == [42, 43]
+    # range ops never consult the bloom (still both files, still right)
+    rng = vt.scan([("id", ">=", 98)])
+    assert sorted(r.id for r in rng.collect()) == [98, 99]
