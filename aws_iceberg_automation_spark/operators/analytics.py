@@ -580,3 +580,151 @@ def q115_brand_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "q132_waiting_supplier",
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey,
+    COUNT(DISTINCT l_suppkey) AS n_supp,
+    max(l_shipdate) AS max_ship
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT s.s_name, CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS numwait
+FROM lineitem l
+JOIN per_order po ON l.l_orderkey = po.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE po.n_supp > 1 AND l.l_shipdate = po.max_ship
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    tags=("analytics",),
+)
+def q132_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21 shape (adapted: the fixture has no commit/receipt
+    dates, so 'kept the order waiting' = shipped LAST on a
+    multi-supplier order): the classic double-correlated
+    EXISTS/NOT-EXISTS over a self-joined fact, decorrelated into one
+    per-order aggregate (supplier count + max ship date) joined back —
+    one pass over the fact instead of two correlated re-scans, the
+    rewrite Catalyst cannot always find on its own. Ties at the max
+    ship date count both suppliers (equality-based, deterministic in
+    both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+    last_shippers = (
+        li.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("l_shipdate") == F.col("max_ship")))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    )
+    return (
+        last_shippers.groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q133_order_count_distribution",
+    oracle="""
+WITH c_orders AS (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    tags=("analytics",),
+)
+def q133_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13 shape: customer distribution by order count INCLUDING
+    zero-order customers — the left outer join with the filter inside
+    the join condition (not a WHERE, which would silently turn the
+    outer join inner), then a two-level aggregate. The first agg
+    shuffles on c_custkey (|customers| groups — scale-safe); the
+    second shuffles |distinct counts| rows (tiny)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c_orders = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q134_min_cost_supplier",
+    oracle="""
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), cost AS (
+  SELECT ps.l_partkey, ps.l_suppkey, s.s_name, s.s_acctbal, s.s_nationkey
+  FROM ps JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+), best AS (
+  SELECT l_partkey, min(s_acctbal) AS min_bal FROM cost GROUP BY l_partkey
+)
+SELECT p.p_partkey, p.p_name, c.s_name,
+  round(c.s_acctbal, 2) AS acctbal, n.n_name
+FROM cost c
+JOIN best b ON c.l_partkey = b.l_partkey AND c.s_acctbal = b.min_bal
+JOIN part p ON c.l_partkey = p.p_partkey
+JOIN nation n ON c.s_nationkey = n.n_nationkey
+WHERE p.p_size >= 40
+ORDER BY acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    tags=("analytics",),
+)
+def q134_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2 shape (adapted: no partsupp table, so the part-supplier
+    catalog is derived as DISTINCT (l_partkey, l_suppkey) and 'cost' is
+    the supplier's account balance): the correlated scalar-subquery
+    minimum, decorrelated into a per-part min + equality join back —
+    the textbook rewrite that turns a per-row re-scan into two hash
+    aggregations. Dimension joins (part, nation, supplier) broadcast;
+    the only wide shuffles are on l_partkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    cost = ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey).select(
+        "l_partkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        cost.join(best, "l_partkey")
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .join(F.broadcast(p.filter(F.col("p_size") >= 40)), cost.l_partkey == p.p_partkey)
+        .join(F.broadcast(n), cost.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )

@@ -193,6 +193,9 @@ _DRIVER_PRIORITY = [
     "q129_bm25_search",
     "q130_doc_chunking",
     "q131_incremental_neardup",
+    "q132_waiting_supplier",
+    "q133_order_count_distribution",
+    "q134_min_cost_supplier",
 ]
 
 
