@@ -15,10 +15,14 @@ state reflects — ``staleness()`` is a metadata read, and a crashed
 refresh is simply re-run (same tag, idempotent outcome).
 
 Only *mergeable* measures are supported (sum / count / min / max — and
-avg as a derived sum÷count at read time). Non-mergeable aggregates
-(exact distinct, medians) inherently need re-aggregation; at scale
-those go through sketches (HLL / GK, the engine's q41/q42b patterns)
-whose partials ARE mergeable. If the source window contains a rewrite
+avg as a derived sum÷count at read time). Exact distinct and medians
+inherently need re-aggregation, but distinct COUNTS are served by the
+``approx_distinct`` measure kind: the state stores a Datasketches HLL
+sketch binary per group (``hll_sketch_agg``), deltas merge with
+``hll_union`` (sketch union is exactly as mergeable as a sum), and
+``read(estimated=True)`` renders estimates (±~2%). This is how a
+distinct-users-per-day rollup stays incremental at 100 TB — the
+re-aggregation that exact distinct would force never happens. If the source window contains a rewrite
 commit (overwrite/merge/delete/compact), ``changes()`` refuses it and
 the refresh falls back to a full rebuild — correct over fast, loudly.
 
@@ -35,7 +39,7 @@ from pyspark.sql import functions as F
 
 from .versioning import VersionedTable, VersioningError
 
-_KINDS = ("sum", "count", "min", "max")
+_KINDS = ("sum", "count", "min", "max", "approx_distinct")
 
 
 @dataclass(frozen=True)
@@ -101,6 +105,8 @@ class IncrementalAggView:
                 aggs.append(F.count(F.lit(1)).alias(m.alias))
             elif m.kind == "min":
                 aggs.append(F.min(m.expr).alias(m.alias))
+            elif m.kind == "approx_distinct":
+                aggs.append(F.hll_sketch_agg(m.expr).alias(m.alias))
             else:
                 aggs.append(F.max(m.expr).alias(m.alias))
         return df.groupBy(*self.group_by).agg(*aggs)
@@ -129,6 +135,12 @@ class IncrementalAggView:
                     F.when(ov.isNull(), nv)
                     .when(nv.isNull(), ov)
                     .otherwise(F.least(ov, nv))
+                )
+            elif m.kind == "approx_distinct":
+                merged = (
+                    F.when(ov.isNull(), nv)
+                    .when(nv.isNull(), ov)
+                    .otherwise(F.hll_union(ov, nv))
                 )
             else:
                 merged = (
@@ -163,5 +175,19 @@ class IncrementalAggView:
             new_state = self._merge(self.state.read(), self._partial(delta))
         return self.state.write(new_state, mode="overwrite", _op=tag)
 
-    def read(self) -> DataFrame:
-        return self.state.read()
+    def read(self, estimated: bool = False) -> DataFrame:
+        """The current state. ``estimated=True`` renders sketch-typed
+        measures (approx_distinct) as BIGINT estimates; the default
+        returns raw state (sketches stay binary and re-mergeable)."""
+        df = self.state.read()
+        if not estimated:
+            return df
+        cols = []
+        for k in self.group_by:
+            cols.append(F.col(k))
+        for m in self.measures:
+            if m.kind == "approx_distinct":
+                cols.append(F.hll_sketch_estimate(F.col(m.alias)).alias(m.alias))
+            else:
+                cols.append(F.col(m.alias))
+        return df.select(*cols)

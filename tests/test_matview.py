@@ -150,3 +150,53 @@ def test_streaming_ingest_feeds_incremental_view(spark, tmp_path):
     got = {r.event_type: (float(r.total), r.n) for r in mv.read().collect()}
     assert got == expect
     assert mv.last_refreshed_source_version() == v_after_first + 1
+
+
+def test_approx_distinct_measure_merges_as_sketch(spark, tmp_path):
+    """HLL sketch measures: estimates after N incremental refreshes must
+    match the from-scratch exact distinct within sketch error (±2-3%),
+    state stays binary + re-mergeable, and the same ids appended twice
+    must NOT inflate the estimate (union semantics, not sum)."""
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    mv = IncrementalAggView(
+        spark,
+        src,
+        str(tmp_path / "mv"),
+        group_by=["k"],
+        measures=[
+            Measure("n_users", "approx_distinct", F.col("uid")),
+            Measure("n", "count"),
+        ],
+    )
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("k"),
+            (F.col("id") % 5000).alias("uid"),  # wraps: re-appends repeat uids
+        )
+
+    src.write(batch(0, 4000))
+    mv.refresh()
+    src.write(batch(2000, 8000), mode="append")  # half duplicate uids
+    mv.refresh()
+    src.write(batch(0, 1000), mode="append")  # fully duplicate uids
+    mv.refresh()
+
+    # raw state: sketches are binary, not numbers
+    raw = dict(mv.read().select("k", "n_users").collect())
+    assert all(isinstance(v, (bytes, bytearray)) for v in raw.values())
+
+    est = {r.k: r.n_users for r in mv.read(estimated=True).collect()}
+    exact = {
+        r.k: r.exact
+        for r in src.read()
+        .groupBy("k")
+        .agg(F.countDistinct("uid").alias("exact"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k in exact:
+        err = abs(est[k] - exact[k]) / exact[k]
+        assert err < 0.05, f"group {k}: est {est[k]} vs exact {exact[k]} ({err:.1%})"
+    # duplicate-heavy appends must not inflate counts past the id domain
+    assert est["even"] < 2500 * 1.05 and est["odd"] < 2500 * 1.05
