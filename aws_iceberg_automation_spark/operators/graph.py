@@ -122,3 +122,130 @@ def q119_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), F.col("s_suppkey"))
         .limit(20)
     )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list (``x``,
+    ``y``) → (node, n_triangles).
+
+    Degree-orientation (compact-forward) algorithm: orient every edge
+    from the endpoint with smaller (degree, id) to the larger, then
+    count wedges src→{d1, d2} closed by an oriented edge d1→d2. Each
+    triangle is found exactly once, and — the scale property — every
+    node's OUT-degree in the oriented graph is O(√m) regardless of its
+    raw degree, so the wedge self-join is bounded even on power-law
+    graphs where a hub's raw-degree wedge count would be quadratic.
+    Three shuffles total (degree agg, wedge join, closing join); no
+    iteration."""
+    e = (
+        edges.select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    ranked = e.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_dst"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("id_dst"),
+    )
+    o1 = oriented.select("src", F.col("dst").alias("d1"),
+                         F.col("deg_dst").alias("deg1"), F.col("id_dst").alias("id1"))
+    o2 = oriented.select("src", F.col("dst").alias("d2"),
+                         F.col("deg_dst").alias("deg2"), F.col("id_dst").alias("id2"))
+    wedges = o1.join(o2, "src").filter(
+        (F.col("deg1") < F.col("deg2"))
+        | ((F.col("deg1") == F.col("deg2")) & (F.col("id1") < F.col("id2")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("d1"), F.col("dst").alias("d2")
+    )
+    tris = wedges.join(closing, ["d1", "d2"]).select("src", "d1", "d2")
+    corners = (
+        tris.select(F.col("src").alias("node"))
+        .unionAll(tris.select(F.col("d1").alias("node")))
+        .unionAll(tris.select(F.col("d2").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@register(
+    "q135_triangle_count",
+    oracle="""
+WITH cs AS (
+  SELECT DISTINCT o.o_custkey c, l.l_suppkey s, CAST(l.l_shipdate AS DATE) d
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), e AS (
+  SELECT DISTINCT a.c AS x, b.c AS y
+  FROM cs a JOIN cs b ON a.s = b.s AND a.d = b.d AND a.c < b.c
+), t AS (
+  SELECT e1.x AS u, e1.y AS v, e2.y AS w
+  FROM e e1
+  JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+  JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
+), corners AS (
+  SELECT u AS node FROM t UNION ALL SELECT v FROM t UNION ALL SELECT w FROM t
+), counts AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM corners GROUP BY node
+)
+SELECT node, n_triangles, rk FROM (
+  SELECT node, n_triangles,
+    row_number() OVER (ORDER BY n_triangles DESC, node) AS rk
+  FROM counts)
+WHERE rk <= 50
+""",
+    tags=("graph",),
+)
+def q135_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the customer co-purchase graph (edge =
+    two customers bought from the same supplier with the same ship
+    date): the clustering/community-density primitive. The engine side
+    runs the degree-oriented algorithm (out-degree bounded at O(√m) —
+    survives power-law hubs); the oracle recounts by brute id-ordered
+    3-way self-join — a hash match proves the orientation loses/dupes
+    no triangle. Top-50 nodes by count."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").alias("s"),
+            F.col("l_shipdate").cast("date").alias("d"),
+        )
+        .distinct()
+    )
+    a, b = cs.alias("ga"), cs.alias("gb")
+    edges = (
+        a.join(
+            b,
+            (F.col("ga.s") == F.col("gb.s"))
+            & (F.col("ga.d") == F.col("gb.d"))
+            & (F.col("ga.c") < F.col("gb.c")),
+        )
+        .select(F.col("ga.c").alias("x"), F.col("gb.c").alias("y"))
+        .distinct()
+    )
+    counts = triangle_count(edges)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_triangles").desc(), F.col("node"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .select("node", "n_triangles", "rk")
+    )

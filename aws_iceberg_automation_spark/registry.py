@@ -196,6 +196,7 @@ _DRIVER_PRIORITY = [
     "q132_waiting_supplier",
     "q133_order_count_distribution",
     "q134_min_cost_supplier",
+    "q135_triangle_count",
 ]
 
 

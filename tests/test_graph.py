@@ -75,3 +75,28 @@ def test_supplier_pagerank_query_shape(spark):
     assert all(r.rank > 0 for r in rows)
     ranks = [r.rank for r in rows]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_triangle_count_closed_forms(spark):
+    from aws_iceberg_automation_spark.operators.graph import triangle_count
+
+    # K5: every node sits in C(4,2) = 6 triangles.
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    out = dict(
+        (r.node, r.n_triangles)
+        for r in triangle_count(
+            spark.createDataFrame(k5, ["x", "y"])
+        ).collect()
+    )
+    assert out == {i: 6 for i in range(5)}
+
+    # path graph (0-1-2-3): no triangles at all
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["x", "y"])
+    assert triangle_count(path).count() == 0
+
+    # duplicate / reversed / self-loop edges must not change the answer
+    messy = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (2, 1)], ["x", "y"]
+    )
+    out = {r.node: r.n_triangles for r in triangle_count(messy).collect()}
+    assert out == {0: 1, 1: 1, 2: 1}
