@@ -462,3 +462,62 @@ def q108_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(bpe).cast("double") / F.sum(ws), 6).alias("fertility"),
         )
     )
+
+
+@register(
+    "q136_weighted_sample",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, lang,
+    round(
+      pow(
+        (('0x' || substring(md5(doc_id::VARCHAR || ':ws'), 1, 15))::BIGINT + 1)
+          / 1152921504606846977.0,
+        1.0 / greatest(n_chars, 1)
+      ), 9) AS k
+  FROM documents
+)
+SELECT lang, doc_id, rk FROM (
+  SELECT lang, doc_id,
+    row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rk
+  FROM keyed)
+WHERE rk <= 20
+""",
+    tags=("curation", "llm"),
+)
+def q136_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, 20 docs per
+    language, weight = document length: Efraimidis–Spirakis priorities
+    (key = u^(1/w), keep the k largest) with the uniform u derived from
+    md5(doc_id) instead of an RNG — so the sample is a pure function of
+    the data, reproducible on any cluster shape / partition count,
+    cross-engine verifiable (the oracle recomputes identical keys), and
+    auditable (the mixture-sampling requirement q106 documents). Keys
+    are rounded to 9 digits with a doc_id tiebreak so rank boundaries
+    cannot flip on last-ulp libm differences. Map-only key computation;
+    one shuffle on lang for the per-group top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ws"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(float(16**15 + 1))
+    key = F.round(
+        F.pow(u, 1.0 / F.greatest(F.col("n_chars"), F.lit(1))), 9
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("k").desc(), F.col("doc_id"))
+    return (
+        d.select("doc_id", "lang", key.alias("k"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("lang", "doc_id", "rk")
+    )

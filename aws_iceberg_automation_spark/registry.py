@@ -197,6 +197,7 @@ _DRIVER_PRIORITY = [
     "q133_order_count_distribution",
     "q134_min_cost_supplier",
     "q135_triangle_count",
+    "q136_weighted_sample",
 ]
 
 

@@ -108,3 +108,23 @@ def test_fertility_consistency(spark):
     assert agg["bpe_ish_tokens"].sum() == per_doc["bpe_ish_tokens"].sum()
     assert agg["ws_tokens"].sum() == per_doc["ws_tokens"].sum()
     assert (agg["fertility"] >= 1.0).all()  # BPE-ish never merges across words
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark):
+    """Length-weighted sampling must overrepresent long docs: the mean
+    n_chars of the sample should exceed the corpus mean (and the query
+    is deterministic — two runs give identical rows)."""
+    from tests.conftest import SF_DIR
+
+    from aws_iceberg_automation_spark.io import load_table
+    from aws_iceberg_automation_spark.registry import all_specs
+
+    fn = all_specs()["q136_weighted_sample"].fn
+    d = load_table(spark, SF_DIR, "documents")
+    sampled = fn(spark, SF_DIR).join(d, "doc_id")
+    m_sample = sampled.agg(F.avg("n_chars")).first()[0]
+    m_corpus = d.agg(F.avg("n_chars")).first()[0]
+    assert m_sample > m_corpus
+    r1 = sorted((r.lang, r.doc_id) for r in fn(spark, SF_DIR).collect())
+    r2 = sorted((r.lang, r.doc_id) for r in fn(spark, SF_DIR).collect())
+    assert r1 == r2
