@@ -177,3 +177,99 @@ def q84c_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         sample_frames_batch, schema="doc_id long, frame_no int, frame_offset long"
     )
+
+
+def phash_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: 64-bit perceptual hash per blob. STUB decode
+    (the deterministic byte-histogram 'image' stands in for decoded
+    pixels; PIL decode + DCT goes here) with the real pHash reduction:
+    downsample the payload to an 8×8 grid of byte means, set bit i iff
+    cell i exceeds the grid mean (aHash form). Byte-local corruptions
+    move only the few cells they touch, so near-identical payloads land
+    within small hamming distance — the property the banded pairing
+    exploits."""
+    import numpy as np
+
+    for pdf in frames:
+        hashes = []
+        for p in pdf["payload"]:
+            arr = np.frombuffer(bytes(p), dtype=np.uint8)
+            if arr.size == 0:
+                hashes.append(0)
+                continue
+            cells = np.array_split(arr.astype(np.float64), 64)
+            means = np.array([c.mean() if c.size else 0.0 for c in cells])
+            bits = means > means.mean()
+            h = 0
+            for i, b in enumerate(bits):
+                if b:
+                    h |= 1 << i
+            # two's-complement into int64 (Spark LongType)
+            hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": pd.array(hashes, dtype="int64")})
+
+
+def phash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """(doc_id, payload binary) → verified near-dup pairs
+    (doc_id_a < doc_id_b, hamming ≤ max_hamming) via the banded pHash
+    pipeline described in q84e."""
+    hashed = docs.mapInPandas(phash_batch, schema="doc_id long, phash long")
+    bands = hashed.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        (
+                            F.shiftrightunsigned(F.col("phash"), 16 * i)
+                            .bitwiseAND(F.lit(0xFFFF))
+                        ).alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band", "b.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )
+
+
+@register("q84e_phash_neardup", oracle=None, tags=("multimodal", "dedup", "llm"))
+def q84e_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection over binary media (#84 × #82):
+    Arrow-batched pHash kernel → pure-JVM banded pairing, the simhash
+    shape (q82c) applied to media fingerprints. 64-bit hash splits into
+    4×16-bit bands; candidates share any band — pigeonhole guarantees a
+    clean band for hamming ≤ 3 (fewer flips than bands), distances 4-6
+    are found best-effort (add bands to tighten recall) — then exact
+    ``bit_count(xor)`` verifies ≤ 6. Rows-only: fingerprints are
+    engine-specific; pytest injects corrupted payload copies and
+    asserts detection."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return phash_pairs(d)

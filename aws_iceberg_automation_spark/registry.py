@@ -198,6 +198,7 @@ _DRIVER_PRIORITY = [
     "q134_min_cost_supplier",
     "q135_triangle_count",
     "q136_weighted_sample",
+    "q84e_phash_neardup",
 ]
 
 

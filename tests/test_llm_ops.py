@@ -359,3 +359,32 @@ def test_incremental_neardup_catches_corpus_dups(spark):
     # novel docs stay novel (corpus word-soup can collide rarely; allow 2)
     false_pos = flagged - expected
     assert len(false_pos) <= 2, f"novel docs wrongly flagged: {false_pos}"
+
+
+def test_phash_neardup_catches_corrupted_payloads(spark):
+    """Byte-level corrupted copies of a payload must land within
+    hamming ≤ 6 of the original and be caught by the banded pairing;
+    structurally different payloads must not collide."""
+    import random
+
+    from aws_iceberg_automation_spark.operators.multimodal import phash_pairs
+
+    rng = random.Random(7)
+    originals = {
+        i: bytes(rng.randrange(256) for _ in range(2048)) for i in range(20)
+    }
+    rows = [(i, p) for i, p in originals.items()]
+    for i in range(10):  # corrupt ~1% of bytes of docs 0-9
+        corrupted = bytearray(originals[i])
+        for _ in range(8):
+            pos = rng.randrange(len(corrupted))
+            corrupted[pos] ^= 0xFF
+        rows.append((i + 1000, bytes(corrupted)))
+    docs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {(r.doc_id_a, r.doc_id_b): r.hamming for r in phash_pairs(docs).collect()}
+    expected = {(i, i + 1000) for i in range(10)}
+    missing = expected - set(pairs)
+    assert len(missing) <= 2, f"phash missed corrupted copies: {missing}"
+    # independent random payloads must not register as near-dups
+    false_pairs = {k for k in pairs if k not in expected}
+    assert len(false_pairs) <= 1, f"unrelated payloads collided: {false_pairs}"
