@@ -76,6 +76,15 @@ def main(argv: list[str] | None = None) -> int:
         "--sf-dir", default="/root/testdata/sf0.001", help="fixture directory"
     )
 
+    cl = sub.add_parser(
+        "changelog", help="row-level CDC summary between snapshots"
+    )
+    cl.add_argument("root", help="versioned table root path")
+    cl.add_argument("from_version", type=int, help="exclusive lower snapshot")
+    cl.add_argument(
+        "--to", type=int, default=None, help="inclusive upper snapshot (default CURRENT)"
+    )
+
     br = sub.add_parser("branch", help="versioned-table branch/tag/publish")
     br.add_argument("root", help="versioned table root path")
     br.add_argument(
@@ -202,6 +211,34 @@ def main(argv: list[str] | None = None) -> int:
                         "to": args.to if args.to is not None else vt.current_version(),
                         "rows": delta.count(),
                         "files": len(delta.inputFiles()),
+                    }
+                )
+            )
+        except VersioningError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        return 0
+
+    if args.cmd == "changelog":
+        from pyspark.sql import functions as F
+
+        from .versioning import VersionedTable, VersioningError
+
+        vt = VersionedTable(spark, args.root)
+        try:
+            delta = vt.changelog(args.from_version, args.to)
+            counts = {
+                r._change_type: r.n
+                for r in delta.groupBy("_change_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            print(
+                json.dumps(
+                    {
+                        "from": args.from_version,
+                        "to": args.to if args.to is not None else vt.current_version(),
+                        "changes": counts,
                     }
                 )
             )

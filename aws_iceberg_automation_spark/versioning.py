@@ -529,7 +529,7 @@ class VersionedTable:
             raise VersioningError(
                 f"snapshots {non_append} are not pure appends — "
                 "incremental file-diff read would be incorrect; "
-                "re-read the snapshot or consume the CDC stream instead"
+                "use changelog() for row-level CDC across rewrites"
             )
         base = set(self.snapshot(from_version).files)
         new_files = sorted(
@@ -541,13 +541,32 @@ class VersionedTable:
 
     # -- row-level ops with history (#19/#20 × #15) --------------------
 
-    def merge(self, source: DataFrame, on: list[str]) -> int:
+    def _changelog_dir(self, version: int) -> str:
+        return os.path.join(self.root, "_changelog", f"v{version}")
+
+    def _write_changelog(self, version: int, delta: DataFrame) -> None:
+        """Persist precise row-level changes for a rewrite commit —
+        written AFTER the snapshot commit, so a crash in between leaves
+        a readable table whose ``changelog()`` falls back to the
+        snapshot diff (slower, still correct)."""
+        delta.write.mode("errorifexists").parquet(self._changelog_dir(version))
+
+    def merge(
+        self, source: DataFrame, on: list[str], capture_changelog: bool = False
+    ) -> int:
         """Copy-on-write MERGE committing a NEW snapshot: matched target
         rows are replaced by source rows, unmatched source rows are
         inserted — and the pre-merge state stays time-travelable (the
         audit/undo story that makes snapshot tables worth having).
         Same COW semantics as catalog.TableManager.merge_upsert's
-        parquet fallback, plus history."""
+        parquet fallback, plus history.
+
+        ``capture_changelog=True`` additionally materializes the exact
+        row-level delta (update_before/update_after/insert images, the
+        Delta-CDF/Iceberg-changelog shape) so ``changelog()`` reads it
+        for free instead of diffing snapshots. Cost: two extra
+        semi/anti joins on the merge keys — cheap next to the COW
+        rewrite itself."""
         dups = source.groupBy(on).count().filter("count > 1").limit(1).count()
         if dups:
             raise VersioningError(
@@ -556,12 +575,131 @@ class VersionedTable:
         cur = self.read()
         keep = cur.join(source.select(on).distinct(), on=on, how="left_anti")
         merged = keep.unionByName(source.select(*cur.columns))
-        return self.write(merged, mode="overwrite")
+        v = self.write(merged, mode="overwrite", _op="merge")
+        if capture_changelog:
+            keys = source.select(on).distinct()
+            upd_before = cur.join(keys, on, "left_semi").withColumn(
+                "_change_type", F.lit("update_before")
+            )
+            src_cols = source.select(*cur.columns)
+            upd_after = src_cols.join(
+                cur.select(on).distinct(), on, "left_semi"
+            ).withColumn("_change_type", F.lit("update_after"))
+            inserts = src_cols.join(
+                cur.select(on).distinct(), on, "left_anti"
+            ).withColumn("_change_type", F.lit("insert"))
+            self._write_changelog(
+                v, upd_before.unionByName(upd_after).unionByName(inserts)
+            )
+        return v
 
-    def delete_where(self, predicate: str) -> int:
+    def delete_where(self, predicate: str, capture_changelog: bool = False) -> int:
         """COW DELETE as a new snapshot; deleted rows remain readable
-        at prior versions."""
-        return self.write(self.read().filter(f"NOT ({predicate})"), mode="overwrite")
+        at prior versions. ``capture_changelog=True`` materializes the
+        deleted rows as ``delete`` change images for ``changelog()``."""
+        cur = self.read()
+        v = self.write(cur.filter(f"NOT ({predicate})"), mode="overwrite", _op="delete")
+        if capture_changelog:
+            self._write_changelog(
+                v,
+                cur.filter(predicate).withColumn("_change_type", F.lit("delete")),
+            )
+        return v
+
+    def changelog(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Row-level CDC read (Iceberg ``create_changelog_view`` /
+        Delta Change Data Feed analog): every change committed strictly
+        after ``from_version`` up to ``to_version``, as change images
+        with ``_change_type`` ∈ {insert, delete, update_before,
+        update_after} and ``_commit_version``.
+
+        Per commit on the lineage:
+        - append / stream-append / branch-append → inserts, read from
+          ONLY the delta files (zero extra cost, same as ``changes``);
+        - compact → byte-identical rewrite, contributes nothing;
+        - merge / delete / overwrite → the captured changelog when the
+          commit wrote one, else a snapshot diff (``exceptAll`` both
+          ways → minimal insert/delete images; correct but O(|table|)
+          — capture at write time to avoid it). Snapshot-diff deltas
+          cannot distinguish updates from delete+insert pairs; captured
+          merge changelogs do."""
+        if to_version is None:
+            to_version = self.current_version()
+            if to_version is None:
+                raise VersioningError(f"empty versioned table at {self.root}")
+        if from_version > to_version:
+            raise VersioningError(
+                f"from_version {from_version} > to_version {to_version}"
+            )
+        self.snapshot(from_version)  # validates existence
+        lineage: list[Snapshot] = []
+        v: int | None = to_version
+        while v is not None and v > from_version:
+            snap = self.snapshot(v)
+            lineage.append(snap)
+            v = snap.parent
+        if v != from_version and from_version != 0:
+            raise VersioningError(
+                f"v{from_version} is not an ancestor of v{to_version} "
+                "(rollback branch?) — changelog undefined"
+            )
+        base_cols = self.read(version=to_version).columns
+        parts: list[DataFrame] = []
+        for snap in sorted(lineage, key=lambda s: s.version):
+            cv = F.lit(snap.version).alias("_commit_version")
+            if snap.op == "compact":
+                continue
+            if snap.op == "append" or snap.op.startswith(
+                ("stream-append", "branch-append")
+            ):
+                parent_files = (
+                    set(self.snapshot(snap.parent).files) if snap.parent else set()
+                )
+                new_files = [f for f in snap.files if f not in parent_files]
+                if not new_files:
+                    continue
+                parts.append(
+                    self.spark.read.parquet(*new_files)
+                    .withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_commit_version", cv)
+                )
+                continue
+            if os.path.isdir(self._changelog_dir(snap.version)):
+                parts.append(
+                    self.spark.read.parquet(self._changelog_dir(snap.version))
+                    .withColumn("_commit_version", cv)
+                )
+                continue
+            # uncaptured rewrite: minimal snapshot diff (nets unchanged rows)
+            after = self.read(version=snap.version)
+            before = (
+                self.read(version=snap.parent)
+                if snap.parent is not None
+                else after.where(F.lit(False))
+            )
+            parts.append(
+                after.exceptAll(before)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", cv)
+            )
+            parts.append(
+                before.exceptAll(after)
+                .withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_version", cv)
+            )
+        out_cols = [*base_cols, "_change_type", "_commit_version"]
+        if not parts:
+            return (
+                self.read(version=to_version)
+                .withColumn("_change_type", F.lit(""))
+                .withColumn("_commit_version", F.lit(0))
+                .select(*out_cols)
+                .where(F.lit(False))
+            )
+        out = parts[0].select(*out_cols)
+        for p in parts[1:]:
+            out = out.unionByName(p.select(*out_cols))
+        return out
 
     # -- maintenance (Iceberg rewrite_data_files analog) ---------------
 
@@ -615,6 +753,11 @@ class VersionedTable:
                 os.remove(local)
         for s in expired:
             os.remove(self._manifest_path(s.version))
+            cl = self._changelog_dir(s.version)
+            if os.path.isdir(cl):
+                import shutil
+
+                shutil.rmtree(cl)
         return {"expired_snapshots": len(expired), "deleted_files": len(dead_files)}
 
     # -- branches & tags (Iceberg refs analog) -------------------------

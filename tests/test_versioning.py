@@ -519,3 +519,74 @@ def test_bloom_prunes_scattered_point_lookup(spark, vt):
     # range ops never consult the bloom (still both files, still right)
     rng = vt.scan([("id", ">=", 98)])
     assert sorted(r.id for r in rng.collect()) == [98, 99]
+
+
+# -- row-level CDC (changelog reads) ----------------------------------
+
+
+def test_changelog_captured_merge_and_delete(spark, vt):
+    v1 = vt.write(_df(spark, 0, 5))
+    # upsert: update ids 3,4; insert ids 5,6
+    src = spark.range(3, 7).select(F.col("id"), (F.col("id") * 100).alias("v"))
+    vt.merge(src, on=["id"], capture_changelog=True)
+    vt.delete_where("id = 0", capture_changelog=True)
+    cl = vt.changelog(v1).collect()
+    by_type = {}
+    for r in cl:
+        by_type.setdefault(r._change_type, []).append((r.id, r.v, r._commit_version))
+    assert sorted(i for i, _, _ in by_type["update_before"]) == [3, 4]
+    assert sorted((i, x) for i, x, _ in by_type["update_after"]) == [(3, 300), (4, 400)]
+    assert sorted((i, x) for i, x, _ in by_type["insert"]) == [(5, 500), (6, 600)]
+    assert [(i, x) for i, x, _ in by_type["delete"]] == [(0, 0)]
+    # commit versions are distinct per op and ordered
+    assert max(v for _, _, v in by_type["update_after"]) < by_type["delete"][0][2]
+
+
+def test_changelog_synthesizes_appends_and_falls_back_on_uncaptured(spark, vt):
+    v1 = vt.write(_df(spark, 0, 3))
+    vt.write(_df(spark, 3, 5), mode="append")  # insert via file diff
+    vt.delete_where("id = 1")  # NOT captured → snapshot-diff fallback
+    cl = vt.changelog(v1).collect()
+    ins = sorted(r.id for r in cl if r._change_type == "insert")
+    dels = sorted(r.id for r in cl if r._change_type == "delete")
+    assert ins == [3, 4]
+    assert dels == [1]
+    # replaying the changelog over the v1 state reproduces CURRENT
+    state = {r.id: r.v for r in vt.read(version=v1).collect()}
+    for r in sorted(cl, key=lambda r: r._commit_version):
+        if r._change_type in ("insert", "update_after"):
+            state[r.id] = r.v
+        elif r._change_type == "delete":
+            state.pop(r.id)
+        elif r._change_type == "update_before":
+            pass
+    assert state == {r.id: r.v for r in vt.read().collect()}
+
+
+def test_changelog_skips_compact_and_gc_removes_captured(spark, vt):
+    v1 = vt.write(_df(spark, 0, 5))
+    vt.compact()
+    assert vt.changelog(v1).count() == 0  # byte-identical rewrite
+    v3 = vt.delete_where("id < 2", capture_changelog=True)
+    import os as _os
+
+    assert _os.path.isdir(vt._changelog_dir(v3))
+    for _ in range(3):
+        vt.write(_df(spark, 50, 51), mode="append")
+    vt.expire_snapshots(keep_last=1)
+    assert not _os.path.isdir(vt._changelog_dir(v3))
+
+
+def test_cli_changelog(spark, tmp_path, capsys):
+    import json as _json
+
+    from aws_iceberg_automation_spark.cli import main
+
+    root = str(tmp_path / "t")
+    vt = VersionedTable(spark, root)
+    v1 = vt.write(_df(spark, 0, 5))
+    vt.write(_df(spark, 5, 7), mode="append")
+    vt.delete_where("id = 0", capture_changelog=True)
+    assert main(["changelog", root, str(v1)]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["changes"] == {"insert": 2, "delete": 1}
