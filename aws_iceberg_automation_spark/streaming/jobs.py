@@ -28,6 +28,17 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+# transformWithStateInPandas speaks protobuf to its state server; the
+# capability is environment-dependent (protobuf is not shipped in every
+# runtime). Gate fail-loud, like the Iceberg JAR in session.py.
+try:
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAVE_TWS_RUNTIME = True
+except ImportError:
+    HAVE_TWS_RUNTIME = False
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from ..functions.compat import dec2, ts_sec
@@ -449,4 +460,64 @@ def stream_stream_attribution(events: DataFrame, window_minutes: int = 30) -> Da
         (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")).alias(
             "lag_seconds"
         ),
+    )
+
+
+class _RunningTotalsProcessor(StatefulProcessor):
+    """transformWithStateInPandas processor (#77, Spark 4 API): the same
+    per-user running totals as ``_running_user_totals``, expressed
+    against the typed-state-handle API (ValueState instead of a single
+    opaque GroupState tuple) that Structured Streaming is migrating
+    custom stateful operators to. Kept semantically identical to the
+    applyInPandasWithState kernel so the two register as twins and the
+    one batch oracle checks both."""
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", "n long, total double")
+
+    def handleInputRows(self, key, rows, timer_values):
+        if self._totals.exists():
+            n, total = self._totals.get()
+        else:
+            n, total = 0, 0.0
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._totals.update((n, float(total)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "events_seen": [n],
+                "value_sum": [round(total, 2)],
+            }
+        )
+
+    def handleInitialState(self, key, initial_state, timer_values) -> None:
+        raise NotImplementedError("no initial state wired for this job")
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """#77 on the Spark 4 ``transformWithStateInPandas`` API (typed
+    ValueState handles, timer support, initial-state hook) — the
+    successor to applyInPandasWithState for custom stateful operators.
+    Requires a protobuf-enabled runtime (``HAVE_TWS_RUNTIME``); raises
+    loudly when absent instead of crashing the state server mid-query.
+    """
+    if not HAVE_TWS_RUNTIME:
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf, which this "
+            "runtime does not provide — use stateful_user_totals "
+            "(applyInPandasWithState) instead"
+        )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _RunningTotalsProcessor(),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )

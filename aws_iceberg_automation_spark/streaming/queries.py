@@ -157,3 +157,28 @@ def q122_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out
+
+
+def q77b_stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#77 twin on Spark 4's transformWithStateInPandas (typed
+    ValueState, the successor API to applyInPandasWithState): identical
+    running-totals semantics, same batch oracle — final per-user state
+    must equal the batch group-by. Registered only when the runtime has
+    protobuf (jobs.HAVE_TWS_RUNTIME) — this container does not, so the
+    gated path is exercised by the fail-loud pytest instead."""
+    out = jobs.run_to_memory(
+        jobs.stateful_user_totals_tws(jobs.with_watermark(_stream(spark, sf_dir))),
+        f"q77b_mem_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+    return out.groupBy("user_id").agg(F.max("events_seen").alias("events_seen"))
+
+
+if jobs.HAVE_TWS_RUNTIME:  # pragma: no cover — environment-dependent
+    register(
+        "q77b_stream_stateful_tws",
+        oracle="""
+SELECT user_id, COUNT(*) AS events_seen FROM events GROUP BY user_id
+""",
+        tags=("streaming",),
+    )(q77b_stream_stateful_tws)

@@ -341,3 +341,20 @@ def test_stream_stream_join_equals_batch(spark, stream):
     sgot = {(r.click_id, r.purchase_id) for r in got.collect()}
     bgot = {(r.click_id, r.purchase_id) for r in batch.collect()}
     assert sgot == bgot and len(sgot) > 0
+
+
+def test_tws_capability_gate_fails_loudly(spark):
+    """transformWithStateInPandas needs protobuf; without it the
+    wrapper must refuse with a clear message BEFORE the state server
+    crashes mid-query (and must not be registered as a driver query)."""
+    import pytest as _pytest
+
+    from aws_iceberg_automation_spark.registry import all_specs
+    from aws_iceberg_automation_spark.streaming import jobs
+
+    if jobs.HAVE_TWS_RUNTIME:
+        _pytest.skip("protobuf present — gated path not exercisable")
+    assert "q77b_stream_stateful_tws" not in all_specs()
+    ev = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
+    with _pytest.raises(RuntimeError, match="google.protobuf"):
+        jobs.stateful_user_totals_tws(ev)
