@@ -109,6 +109,32 @@ def _collect_file_stats(files: list[str]) -> dict[str, dict[str, list]]:
     return out
 
 
+def _partition_bounds_from_path(file: str) -> dict[str, list]:
+    """Exact [v, v] bounds from hive-style ``col=val`` path segments —
+    the manifest-side mirror of the directory layout, typed by best
+    effort (int, then float, else unescaped string). Null partitions
+    (__HIVE_DEFAULT_PARTITION__) contribute no bound (conservative:
+    the file is never pruned on that column)."""
+    from urllib.parse import unquote
+
+    out: dict[str, list] = {}
+    for seg in os.path.dirname(file).split("/"):
+        if "=" not in seg:
+            continue
+        col, _, raw = seg.partition("=")
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            continue
+        val: object = unquote(raw)
+        for cast in (int, float):
+            try:
+                val = cast(raw)
+                break
+            except ValueError:
+                continue
+        out[col] = [val, val]
+    return out
+
+
 def _may_match(bounds: dict[str, list], col: str, op: str, val: object) -> bool:
     """Can a file whose column ranges are ``bounds`` contain a row
     satisfying ``col <op> val``? Unknown column/op/type → True (never
@@ -241,26 +267,82 @@ class VersionedTable:
 
     # -- write (#17/#18 with history) ----------------------------------
 
-    def write(self, df: DataFrame, mode: str = "append", _op: str | None = None) -> int:
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+        _op: str | None = None,
+    ) -> int:
         """Commit df as a new snapshot; returns the new version.
         ``append`` keeps the parent's files visible, ``overwrite``
         replaces the visible set — either way data files are only ever
-        ADDED on disk, so every prior snapshot stays readable."""
+        ADDED on disk, so every prior snapshot stays readable.
+
+        ``partition_by`` writes the commit's files hive-partitioned
+        (``col=val`` directories). Partition values are folded into the
+        manifest's per-file bounds as exact [v, v] ranges, so
+        ``scan(filters)`` prunes on partition predicates with zero
+        extra machinery — directory layout and manifest pruning agree
+        by construction. Partition specs are PER SNAPSHOT (Iceberg's
+        partition-spec evolution): later commits may partition
+        differently or not at all; readers stitch mixed layouts back
+        together transparently (see ``_read_files``)."""
         if mode not in ("append", "overwrite"):
             raise VersioningError(f"mode must be append/overwrite, got {mode!r}")
         parent = self.current_version()
         new_version = self._next_version()
         data_dir = os.path.join(self.root, "data", f"v{new_version}")
-        df.write.mode("errorifexists").parquet(data_dir)
-        new_files = self.spark.read.parquet(data_dir).inputFiles()
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            missing = [c for c in partition_by if c not in df.columns]
+            if missing:
+                raise VersioningError(f"partition_by columns not in df: {missing}")
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        reader = self.spark.read
+        if partition_by:
+            reader = reader.option("basePath", data_dir)
+        new_files = reader.parquet(data_dir).inputFiles()
         files = list(new_files)
         stats = _collect_file_stats(files)
+        if partition_by:
+            for f in files:
+                stats.setdefault(f, {}).update(_partition_bounds_from_path(f))
         if mode == "append" and parent is not None:
             parent_snap = self.snapshot(parent)
             files += parent_snap.files
             # carried files keep their already-collected bounds
             stats.update(parent_snap.stats)
         return self._commit(files, _op or mode, parent, new_version, stats)
+
+    def _read_files(self, files: list[str]) -> DataFrame:
+        """Read an explicit file list, reconstructing hive partition
+        columns per commit directory. Files are grouped by their
+        ``data/v<N>`` root; partitioned groups read with ``basePath``
+        (so ``col=val`` path segments come back as columns), flat
+        groups read directly; mixed schemas union by name with null
+        back-fill — which is exactly partition-spec evolution from the
+        reader's side. One Spark scan per distinct layout group, not
+        per file."""
+        import re
+
+        groups: dict[str, list[str]] = {}
+        for f in files:
+            m = re.search(r"^(.*?/data/v\d+)/", f)
+            root = m.group(1) if m else os.path.dirname(f)
+            groups.setdefault(root, []).append(f)
+        parts: list[DataFrame] = []
+        for root, fs in sorted(groups.items()):
+            partitioned = any("=" in os.path.dirname(f)[len(root):] for f in fs)
+            reader = self.spark.read
+            if partitioned:
+                reader = reader.option("basePath", root)
+            parts.append(reader.parquet(*fs))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     # -- read (#13/#15) ------------------------------------------------
 
@@ -286,7 +368,7 @@ class VersionedTable:
             if version is None:
                 raise VersioningError(f"empty versioned table at {self.root}")
         files = self.snapshot(version).files
-        return self.spark.read.parquet(*files)
+        return self._read_files(files)
 
     def scan(
         self,
@@ -336,13 +418,10 @@ class VersionedTable:
             )
         ]
         if not kept:
-            # provably-empty result; preserve the schema via one file
-            return (
-                self.spark.read.parquet(snap.files[0]).where(F.lit(False))
-                if snap.files
-                else self.read(version=version).where(F.lit(False))
-            )
-        return self.spark.read.parquet(*kept).filter(residual)
+            # provably-empty result; preserve the full (possibly
+            # partition-evolved) schema without scanning any data
+            return self.read(version=version).where(F.lit(False))
+        return self._read_files(kept).filter(residual)
 
     # -- bloom sidecars (Iceberg Puffin-stats analog) ------------------
 
@@ -384,7 +463,7 @@ class VersionedTable:
         if v is None:
             raise VersioningError(f"empty versioned table at {self.root}")
         snap = self.snapshot(v)
-        df = self.spark.read.parquet(*snap.files).select(
+        df = self._read_files(snap.files).select(
             F.input_file_name().alias("_file"), *cols
         )
         pos_cols = []
@@ -537,7 +616,7 @@ class VersionedTable:
         )
         if not new_files:
             return self.read(version=to_version).where(F.lit(False))
-        return self.spark.read.parquet(*new_files)
+        return self._read_files(new_files)
 
     # -- row-level ops with history (#19/#20 × #15) --------------------
 
@@ -659,7 +738,7 @@ class VersionedTable:
                 if not new_files:
                     continue
                 parts.append(
-                    self.spark.read.parquet(*new_files)
+                    self._read_files(new_files)
                     .withColumn("_change_type", F.lit("insert"))
                     .withColumn("_commit_version", cv)
                 )

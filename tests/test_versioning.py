@@ -590,3 +590,51 @@ def test_cli_changelog(spark, tmp_path, capsys):
     assert main(["changelog", root, str(v1)]) == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["changes"] == {"insert": 2, "delete": 1}
+
+
+# -- partitioned writes & spec evolution ------------------------------
+
+
+def test_partitioned_write_prunes_and_reads_back(spark, vt):
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("bucket"),
+        (F.col("id") * 10).alias("v"),
+    )
+    vt.write(df, partition_by=["bucket"])
+    # full read reconstructs the partition column
+    back = vt.read()
+    assert sorted(back.columns) == ["bucket", "id", "v"]
+    assert back.count() == 100
+    assert back.filter("bucket = 2").count() == 25
+    # manifest pruning on the partition predicate: only bucket=2 files
+    hit = vt.scan([("bucket", "=", 2)])
+    assert all("bucket=2" in f for f in hit.inputFiles())
+    assert sorted(r.id for r in hit.collect()) == sorted(range(2, 100, 4))
+    # range ops prune too (exact [v,v] bounds)
+    assert all(
+        "bucket=3" in f for f in vt.scan([("bucket", ">=", 3)]).inputFiles()
+    )
+
+
+def test_partition_spec_evolution_mixed_reads(spark, vt):
+    flat = spark.range(0, 10).select(
+        F.col("id"), (F.col("id") % 2).alias("k"), F.lit("old").alias("tag")
+    )
+    vt.write(flat)  # v1: unpartitioned (k lives in file content)
+    part = spark.range(10, 20).select(
+        F.col("id"), (F.col("id") % 2).alias("k"), F.lit("new").alias("tag")
+    )
+    vt.write(part, mode="append", partition_by=["k"])  # v2: partitioned by k
+    back = vt.read()
+    assert back.count() == 20
+    # k survives from both layouts (content in v1, path in v2)
+    assert back.filter("k = 1").count() == 10
+    # changes() across the evolution window reads only the delta, with k
+    delta = vt.changes(1)
+    assert sorted(r.id for r in delta.collect()) == list(range(10, 20))
+    assert delta.filter("k = 0").count() == 5
+    # scan prunes partition files but only filters (not prunes) flat ones
+    hit = vt.scan([("k", "=", 0)])
+    assert sorted(r.id for r in hit.collect()) == [0, 2, 4, 6, 8, 10, 12, 14, 16, 18]
+    assert not any("k=1" in f for f in hit.inputFiles())
