@@ -328,3 +328,37 @@ def q71b_engine_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hash("text").alias("text_murmur"),
         F.abs(F.xxhash64("text") % 64).alias("salt_bucket"),
     )
+
+
+@register(
+    "q70b_variant_semistructured",
+    oracle="""
+SELECT event_type,
+  CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+  CAST(COUNT(CASE WHEN CAST(props->>'$.k' AS INT) > 50 THEN 1 END) AS BIGINT)
+    AS n_big,
+  CAST(COUNT(CASE WHEN props->>'$.missing' IS NULL THEN 1 END) AS BIGINT)
+    AS n_missing
+FROM events
+GROUP BY event_type
+""",
+    tags=("scalar",),
+)
+def q70b_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type (#70
+    extension): ``parse_json`` keeps the document in Variant's binary
+    form (no up-front schema, unlike ``from_json``), ``variant_get``
+    extracts typed paths lazily — at scale this is the schema-on-read
+    path for heterogeneous JSON where imposing one struct schema would
+    drop or corrupt fields. Missing paths return NULL (``variant_get``
+    in 'try' spirit), matching SQL JSON-path semantics in the oracle.
+    The aggregate shapes are ordinary two-phase hash aggs."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    missing = F.variant_get(v, "$.missing", "string")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.count(F.when(k > 50, 1)).alias("n_big"),
+        F.count(F.when(missing.isNull(), 1)).alias("n_missing"),
+    )

@@ -199,6 +199,7 @@ _DRIVER_PRIORITY = [
     "q135_triangle_count",
     "q136_weighted_sample",
     "q84e_phash_neardup",
+    "q70b_variant_semistructured",
 ]
 
 

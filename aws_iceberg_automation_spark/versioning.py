@@ -423,6 +423,81 @@ class VersionedTable:
             return self.read(version=version).where(F.lit(False))
         return self._read_files(kept).filter(residual)
 
+    # -- metadata tables (Iceberg's t.files / t.history / t.partitions)
+
+    def history_df(self) -> DataFrame:
+        """The snapshot log as a DataFrame (Iceberg ``t.history``):
+        version, parent, commit time, operation, file/changelog counts.
+        Driver-built from manifests — metadata-sized by construction."""
+        rows = [
+            (
+                s.version,
+                s.parent,
+                s.ts,
+                s.op,
+                len(s.files),
+                os.path.isdir(self._changelog_dir(s.version)),
+                s.version == self.current_version(),
+            )
+            for s in self.snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version int, parent int, committed_at string, op string, "
+            "n_files int, has_changelog boolean, is_current boolean",
+        )
+
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """Per-file inventory of a snapshot (Iceberg ``t.files``): path,
+        size, record count (parquet footer), partition values (JSON).
+        The small-files diagnosis view — feed it to ``compact()``
+        decisions."""
+        import pyarrow.parquet as pq
+
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise VersioningError(f"empty versioned table at {self.root}")
+        rows = []
+        for f in self.snapshot(v).files:
+            local = f.removeprefix("file:")
+            try:
+                md = pq.ParquetFile(local).metadata
+                n_rows, n_rgs = md.num_rows, md.num_row_groups
+            except Exception:
+                n_rows, n_rgs = None, None
+            parts = {
+                c: b[0] for c, b in _partition_bounds_from_path(f).items()
+            }
+            rows.append(
+                (
+                    f,
+                    os.path.getsize(local) if os.path.exists(local) else None,
+                    n_rows,
+                    n_rgs,
+                    json.dumps(parts, sort_keys=True) if parts else None,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "file_path string, size_bytes long, record_count long, "
+            "n_row_groups int, partition string",
+        )
+
+    def partitions_df(self, version: int | None = None) -> DataFrame:
+        """Partition-level rollup (Iceberg ``t.partitions``): one row
+        per partition value set with file and record counts — the view
+        that shows partition skew before it shows up as a straggler
+        task."""
+        f = self.files_df(version)
+        return (
+            f.groupBy(F.coalesce(F.col("partition"), F.lit("{}")).alias("partition"))
+            .agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum("record_count").alias("record_count"),
+                F.sum("size_bytes").alias("size_bytes"),
+            )
+        )
+
     # -- bloom sidecars (Iceberg Puffin-stats analog) ------------------
 
     def _bloom_path(self, version: int) -> str:

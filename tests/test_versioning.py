@@ -638,3 +638,22 @@ def test_partition_spec_evolution_mixed_reads(spark, vt):
     hit = vt.scan([("k", "=", 0)])
     assert sorted(r.id for r in hit.collect()) == [0, 2, 4, 6, 8, 10, 12, 14, 16, 18]
     assert not any("k=1" in f for f in hit.inputFiles())
+
+
+def test_metadata_tables(spark, vt):
+    df = spark.range(0, 40).select(F.col("id"), (F.col("id") % 2).alias("k"))
+    v1 = vt.write(df, partition_by=["k"])
+    vt.delete_where("id = 0", capture_changelog=True)
+    hist = {r.version: r for r in vt.history_df().collect()}
+    assert hist[v1].op in ("append",) and hist[v1].parent is None
+    assert any(r.has_changelog for r in hist.values())
+    assert sum(r.is_current for r in hist.values()) == 1
+    files = vt.files_df(version=v1).collect()
+    assert all(r.record_count and r.size_bytes for r in files)
+    import json as _json
+
+    parts = {r.file_path: _json.loads(r.partition) for r in files}
+    assert all(p["k"] in (0, 1) for p in parts.values())
+    pd_rows = {r.partition: r for r in vt.partitions_df(version=v1).collect()}
+    assert len(pd_rows) == 2
+    assert sum(r.record_count for r in pd_rows.values()) == 40
