@@ -6,9 +6,15 @@ pruning obvious in scans. Timestamp columns are TIMESTAMP_NTZ: the
 fixtures were written by pandas without a timezone (isAdjustedToUTC =
 false), and NTZ round-trips to naive datetimes exactly like DuckDB.
 
-Note ``events.ts`` is physically ``timestamp[ns]``; Spark truncates to
-µs on read while DuckDB keeps ns — oracle-checked queries must truncate
-both sides (see ``functions.compat``).
+``events.ts`` physical precision is fixture-generation-dependent: the
+round-1 fixtures wrote ``timestamp[ns]`` (which Spark's parquet reader
+rejects outright — worked around by reading raw int64 nanos and
+rebuilding NTZ), the round-2 regeneration writes ``timestamp[us]``
+(directly readable). The loader sniffs the footer (one driver-side
+metadata read, cached) and picks the right path, so the engine keeps
+working whichever form the generator emits. Oracle-checked queries
+still truncate ts to seconds on both sides (see ``functions.compat``) —
+that convention is precision-form-independent.
 """
 
 from __future__ import annotations
@@ -87,12 +93,11 @@ SCHEMAS: dict[str, StructType] = {
         ("l_linestatus", StringType()),
         ("l_shipdate", TimestampNTZType()),
     ),
-    # ts is physically TIMESTAMP(NANOS) which Spark's parquet reader
-    # rejects outright; read the raw int64 nanos and rebuild TIMESTAMP_NTZ
-    # in the loader (see _events_ts_ntz).
+    # Logical schema; the loader swaps ts→int64 when the physical file
+    # is TIMESTAMP(NANOS) (see module docstring + _events_needs_rebuild).
     "events": _schema(
         ("event_id", LongType()),
-        ("ts", LongType()),
+        ("ts", TimestampNTZType()),
         ("user_id", LongType()),
         ("event_type", StringType()),
         ("value", DoubleType()),
@@ -129,6 +134,38 @@ TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval(
 )
 """
 
+# path -> whether events.ts needs the int64-nanos rebuild
+_EVENTS_NS_CACHE: dict[str, bool] = {}
+
+
+def _events_needs_rebuild(path: str) -> bool:
+    """True when the events file at ``path`` stores ts as
+    TIMESTAMP(NANOS) (round-1 fixtures) — which Spark cannot read as a
+    timestamp and must ingest as raw int64. Footer-metadata-only read on
+    the driver, cached per path."""
+    if path not in _EVENTS_NS_CACHE:
+        import pyarrow.parquet as pq
+
+        f = path
+        if os.path.isdir(path):
+            inner = sorted(
+                x for x in os.listdir(path) if x.endswith(".parquet")
+            )
+            if not inner:
+                raise FileNotFoundError(f"no parquet files under {path!r}")
+            f = os.path.join(path, inner[0])
+        unit = pq.read_schema(f).field("ts").type.unit
+        _EVENTS_NS_CACHE[path] = unit == "ns"
+    return _EVENTS_NS_CACHE[path]
+
+
+def _events_raw_ns_schema() -> StructType:
+    fields = [
+        StructField(f.name, LongType() if f.name == "ts" else f.dataType, True)
+        for f in SCHEMAS["events"].fields
+    ]
+    return StructType(fields)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its declared schema.
@@ -140,12 +177,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in SCHEMAS:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.schema(SCHEMAS[name]).parquet(path)
-    if name == "events":
+    if name == "events" and _events_needs_rebuild(path):
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.expr(_EVENTS_TS_NTZ).cast("timestamp_ntz"))
-    return df
+        raw = spark.read.schema(_events_raw_ns_schema()).parquet(path)
+        return raw.withColumn("ts", F.expr(_EVENTS_TS_NTZ).cast("timestamp_ntz"))
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -11,7 +11,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.compat import SQL_DISC_PRICE, dec2, dec4, disc_price, dsum, sql_dsum
+from ..functions.compat import (
+    SQL_DISC_PRICE,
+    dec2,
+    dec4,
+    dec_out,
+    disc_price,
+    dsum,
+    sql_dsum,
+)
 from ..io import load_table
 from ..registry import register
 
@@ -727,4 +735,205 @@ def q134_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
+    )
+
+
+@register(
+    "q137_late_shipment_priority",
+    oracle="""
+SELECT l.l_linestatus,
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l.l_linestatus
+ORDER BY l_linestatus
+""",
+    tags=("analytics",),
+)
+def q137_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12 shape (adapted: no l_shipmode/l_receiptdate in the
+    fixture, so 'late' = shipped ≥60 days after the order date and the
+    grouping key is l_linestatus): fact⋈fact join with a *non-equi
+    residual* predicate on top of the equi-key, then conditional
+    CASE-sum aggregation — the pattern for priority-bucketed ops
+    dashboards. The year filter pushes to the lineitem scan; the
+    order-date comparison must evaluate post-join (row-dependent), so
+    it rides the join as a residual, never a cartesian."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q138_important_part_value",
+    oracle="""
+WITH pv AS (
+  SELECT l.l_partkey,
+    SUM(CAST(l.l_extendedprice AS DECIMAL(10,2))) AS v
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  GROUP BY l.l_partkey
+), st AS (
+  SELECT SUM(v) AS total, COUNT(*) AS np FROM pv
+)
+SELECT l_partkey,
+  CAST(CAST(v AS DECIMAL(38,2)) AS VARCHAR) AS part_value
+FROM pv, st
+WHERE v * np > 2 * total
+ORDER BY l_partkey
+""",
+    tags=("analytics",),
+)
+def q138_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11 shape (adapted: no partsupp, so 'inventory value' is
+    the revenue shipped per part by one nation's suppliers): per-part
+    aggregate filtered against a *global scalar* threshold — the
+    decorrelated form cross-joins the 1-row total back (broadcast
+    nested-loop of a single row, free at any scale) instead of
+    re-scanning per row. The keep-threshold is *mean-relative* —
+    ``v * nparts > 2 * total`` (part value above 2× the average) — so
+    selectivity is stable across scale factors, and the comparison is
+    integer×decimal, exact in both engines; never a float fraction that
+    could flip a boundary row by one ulp. The per-part agg is computed
+    once and reused for both the rows and the scalar (self-referencing
+    CTE on the oracle side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    nat_sup = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    )
+    pv = (
+        li.join(nat_sup, li.l_suppkey == nat_sup.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(dec2("l_extendedprice")).alias("v"))
+    )
+    st = pv.agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("np"))
+    return (
+        pv.join(F.broadcast(st))
+        .filter(F.col("v") * F.col("np") > F.lit(2) * F.col("total"))
+        .select("l_partkey", dec_out(F.col("v"), "part_value", 2))
+        .orderBy("l_partkey")
+    )
+
+
+@register(
+    "q139_supplier_part_variety",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+  CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    tags=("analytics",),
+)
+def q139_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16 shape (adapted: the part-supplier catalog comes from
+    lineitem pairs; 'complaint' suppliers are the negative-balance
+    ones): NOT-IN exclusion + multi-key distinct-count. The NOT IN is
+    executed as a broadcast LEFT ANTI join (supplier keys are non-null
+    by schema, so anti-join and NOT IN agree; with nullable keys NOT IN
+    needs the null-aware variant). Part is a broadcast dim with its
+    three selective predicates applied *before* the broadcast, so the
+    fact side streams once, already pruned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    complaint = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(complaint), li.l_suppkey == complaint.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q140_dominant_supplier",
+    oracle="""
+WITH sp AS (
+  SELECT l.l_suppkey, l.l_partkey,
+    SUM(CAST(l.l_quantity AS DECIMAL(8,2))) AS qty
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_type = 'PROMO'
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l.l_suppkey, l.l_partkey
+), tot AS (
+  SELECT l_partkey, SUM(qty) AS total_qty FROM sp GROUP BY l_partkey
+)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM sp
+JOIN tot ON sp.l_partkey = tot.l_partkey
+JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+WHERE sp.qty * 2 > tot.total_qty
+ORDER BY s_suppkey
+""",
+    tags=("analytics",),
+)
+def q140_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20 shape (adapted: no partsupp availability, so the
+    question becomes 'which suppliers shipped a majority of any PROMO
+    part's 1997 volume'): aggregate-of-aggregate with the correlated
+    'half of total' subquery decorrelated into a per-part re-aggregation
+    of the first-level result — the first agg's output is re-grouped,
+    not the base table re-scanned. The sp⋈tot join keys on l_partkey
+    right after tot's groupBy, and the majority test uses ``qty * 2 >
+    total`` (exact integer×decimal, no 0.5 float). Supplier names
+    broadcast in at the end, on the already-tiny winner set."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    sp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec2("l_quantity")).alias("qty"))
+    )
+    tot = sp.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    return (
+        sp.join(tot, "l_partkey")
+        .filter(F.col("qty") * F.lit(2) > F.col("total_qty"))
+        .join(F.broadcast(s), sp.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
     )

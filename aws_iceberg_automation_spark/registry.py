@@ -200,6 +200,10 @@ _DRIVER_PRIORITY = [
     "q136_weighted_sample",
     "q84e_phash_neardup",
     "q70b_variant_semistructured",
+    "q137_late_shipment_priority",
+    "q138_important_part_value",
+    "q139_supplier_part_variety",
+    "q140_dominant_supplier",
 ]
 
 

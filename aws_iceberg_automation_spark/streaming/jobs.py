@@ -42,7 +42,7 @@ except ImportError:
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from ..functions.compat import dec2, ts_sec
-from ..io import SCHEMAS, _EVENTS_TS_NTZ
+from ..io import SCHEMAS, load_table
 
 
 def prepare_replay_dir(spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 5) -> str:
@@ -59,11 +59,10 @@ def prepare_replay_dir(spark: SparkSession, sf_dir: str, out_dir: str, n_chunks:
     order for the file-stream source. ``coalesce(1)`` per chunk keeps
     the fixture's one-file-per-microbatch shape; at production scale
     drop it and raise ``maxFilesPerTrigger`` instead."""
-    # Raw physical schema (ts = int64 nanos) so the replayed files look
-    # exactly like the source and the stream reader's ts rebuild applies.
-    ev = spark.read.schema(SCHEMAS["events"]).parquet(
-        os.path.join(sf_dir, "events.parquet")
-    )
+    # Replay chunks are written in the *logical* NTZ form regardless of
+    # the source's physical ts precision (ns-era fixtures get rebuilt by
+    # the batch loader) — the stream reader then needs no rebuild.
+    ev = load_table(spark, sf_dir, "events")
     chunked = (
         ev.repartitionByRange(n_chunks, F.col("ts"), F.col("event_id"))
         .withColumn("chunk", F.spark_partition_id())
@@ -86,15 +85,15 @@ def prepare_replay_dir(spark: SparkSession, sf_dir: str, out_dir: str, n_chunks:
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-source stream of events (#22 source): same physical schema
-    as the batch loader (int64 ns → TIMESTAMP_NTZ rebuild)."""
+    """File-source stream of events (#22 source): reads the logical NTZ
+    schema — replay dirs are always written in that form by
+    ``prepare_replay_dir``."""
     reader = (
         spark.readStream.schema(SCHEMAS["events"])
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("recursiveFileLookup", "true")
     )
-    df = reader.parquet(path)
-    return df.withColumn("ts", F.expr(_EVENTS_TS_NTZ).cast("timestamp_ntz"))
+    return reader.parquet(path)
 
 
 def with_watermark(events: DataFrame, delay: str = "2 hours") -> DataFrame:

@@ -24,7 +24,7 @@ sys.path.insert(0, REPO)
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from aws_iceberg_automation_spark.io import SCHEMAS, load_table  # noqa: E402
+from aws_iceberg_automation_spark.io import load_table  # noqa: E402
 from aws_iceberg_automation_spark.registry import all_specs  # noqa: E402
 from aws_iceberg_automation_spark.session import get_spark  # noqa: E402
 
@@ -46,11 +46,7 @@ _STRIDE = 10_000_000
 
 def build(spark, base: str, out: str, factor: int) -> None:
     for t, keys in _SHIFT.items():
-        src = (
-            spark.read.schema(SCHEMAS[t]).parquet(os.path.join(base, f"{t}.parquet"))
-            if t == "events"
-            else load_table(spark, base, t)
-        )
+        src = load_table(spark, base, t)
         if not keys or factor == 1 or t in ("region", "nation"):
             rep = src
         else:
