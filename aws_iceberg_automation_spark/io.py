@@ -154,8 +154,14 @@ def _events_needs_rebuild(path: str) -> bool:
             if not inner:
                 raise FileNotFoundError(f"no parquet files under {path!r}")
             f = os.path.join(path, inner[0])
-        unit = pq.read_schema(f).field("ts").type.unit
-        _EVENTS_NS_CACHE[path] = unit == "ns"
+        t = pq.read_schema(f).field("ts").type
+        import pyarrow as pa
+
+        # raw int64 = already-extracted nanos (replay/replica dirs
+        # written before round 2); timestamp[ns] = round-1 fixtures.
+        _EVENTS_NS_CACHE[path] = pa.types.is_int64(t) or (
+            pa.types.is_timestamp(t) and t.unit == "ns"
+        )
     return _EVENTS_NS_CACHE[path]
 
 

@@ -453,3 +453,59 @@ def q125_table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "q143_value_histogram",
+    oracle="""
+WITH cents AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(10,2)) * 100 AS BIGINT) AS c
+  FROM orders
+), b AS (
+  SELECT LEAST(GREATEST(c // 2500000, 0), 19) AS bucket FROM cents
+)
+SELECT CAST(bucket AS INT) AS bucket,
+  CAST(bucket * 25000 AS BIGINT) AS lo_edge,
+  CAST((bucket + 1) * 25000 AS BIGINT) AS hi_edge,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  round(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM cents), 6) AS frac
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+""",
+    tags=("dq",),
+)
+def q143_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram (distribution profiling — the DQ
+    sibling of q120's PSI drift): 20 fixed 25k-wide buckets over
+    o_totalprice with a per-bucket row fraction.
+
+    Bucketing is *integral*: money → exact cents (decimal→BIGINT) →
+    integer division — never ``floor(x / width)`` on doubles, where a
+    boundary value could land one ulp either side in different engines.
+    Plan: map-side bucket expression + one ≤20-group hash agg; the
+    global total rides in as a broadcast 1-row scalar, so the wire
+    carries 20 cells at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(10,2)") * 100).cast("bigint")
+    # Spark's `/` on bigints is fractional — floor-div keeps it integral
+    bucket = F.least(
+        F.greatest(F.floor(cents / F.lit(2500000)), F.lit(0)), F.lit(19)
+    ).cast("int")
+    binned = o.select(bucket.alias("bucket"))
+    total = binned.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        binned.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .join(F.broadcast(total))
+        .select(
+            "bucket",
+            (F.col("bucket").cast("bigint") * 25000).alias("lo_edge"),
+            ((F.col("bucket").cast("bigint") + 1) * 25000).alias("hi_edge"),
+            "n_orders",
+            F.round(F.col("n_orders").cast("double") / F.col("n_total"), 6).alias(
+                "frac"
+            ),
+        )
+        .orderBy("bucket")
+    )

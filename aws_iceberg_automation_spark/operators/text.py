@@ -528,3 +528,103 @@ def q130_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("int").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+@register(
+    "q141_token_entropy",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tc AS (
+  SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term
+)
+SELECT doc_id,
+  CAST(SUM(c) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS vocab,
+  round(ln(CAST(SUM(c) AS DOUBLE)) - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c), 6)
+    AS entropy_nats,
+  round(exp(ln(CAST(SUM(c) AS DOUBLE)) - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c)), 4)
+    AS unigram_ppl
+FROM tc
+GROUP BY doc_id
+""",
+    tags=("text", "llm"),
+)
+def q141_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy + perplexity (#85/#86
+    quality signal — low-entropy docs are boilerplate/repetition
+    candidates; a standard corpus-curation score next to q105's
+    Gopher-style repetition fractions).
+
+    Plan shape: computed entirely with higher-order array expressions —
+    per-doc term counts come from ``transform(distinct_terms, t ->
+    count-in-doc)`` and the Σc·ln(c) fold from ``aggregate`` — so the
+    operator is map-only, zero shuffle, embarrassingly parallel (the
+    oracle's explode+two-groupBy form would shuffle twice; per-doc
+    vocab is bounded by doc length so the O(v·n) per-row cost is the
+    cheap side of that trade at any scale). Entropy is intrinsically
+    inexact (double ln/÷) → rounded on both sides per the compat
+    convention; H = ln(n) − Σc·ln(c)/n is algebraically identical on
+    both sides."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    terms = F.array_distinct(tokens)
+    counts = F.transform(
+        terms, lambda t: F.size(F.filter(tokens, lambda x: x == t))
+    )
+    n = F.size(tokens).cast("double")
+    clc = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
+    )
+    h = F.log(n) - clc / n
+    return d.select(
+        "doc_id",
+        F.size(tokens).cast("bigint").alias("n_tokens"),
+        F.size(terms).cast("bigint").alias("vocab"),
+        F.round(h, 6).alias("entropy_nats"),
+        F.round(F.exp(h), 4).alias("unigram_ppl"),
+    )
+
+
+@register(
+    "q142_langid_confusion",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang AS actual_lang,
+  {", ".join(f"CAST(len(list_intersect(list_distinct(string_split(text, ' ')), {words!r}::VARCHAR[])) AS INT) AS score_{lang}" for lang, words in sorted(_LANG_MARKERS.items()))}
+  FROM documents
+), pred AS (
+  SELECT actual_lang,
+    CASE
+      {" ".join(f"WHEN score_{lang} = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN '{lang}'" for lang in sorted(_LANG_MARKERS))}
+    END AS predicted_lang
+  FROM scored
+)
+SELECT actual_lang, predicted_lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred
+GROUP BY actual_lang, predicted_lang
+ORDER BY actual_lang, predicted_lang
+""",
+    tags=("text", "llm"),
+)
+def q142_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval confusion matrix for the q85d language-ID
+    heuristic: (actual, predicted) → doc count — the aggregate every
+    pipeline needs before trusting a filter model's decisions at scale.
+    Scoring is map-side expressions (shared with q85d via
+    ``_langid_scores``); the matrix is one |langs|²-cardinality
+    two-phase hash agg — wire cost is the 25-cell matrix, not the
+    corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    scores = _langid_scores()
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.coalesce(*[F.when(s == best, F.lit(lang)) for lang, s in scores])
+    return (
+        d.select(F.col("lang").alias("actual_lang"), pred.alias("predicted_lang"))
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("actual_lang", "predicted_lang")
+    )

@@ -204,6 +204,9 @@ _DRIVER_PRIORITY = [
     "q138_important_part_value",
     "q139_supplier_part_variety",
     "q140_dominant_supplier",
+    "q141_token_entropy",
+    "q142_langid_confusion",
+    "q143_value_histogram",
 ]
 
 
