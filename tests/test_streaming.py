@@ -358,3 +358,49 @@ def test_tws_capability_gate_fails_loudly(spark):
     ev = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
     with _pytest.raises(RuntimeError, match="google.protobuf"):
         jobs.stateful_user_totals_tws(ev)
+
+
+def test_stream_append_with_live_rollup(spark, stream, tmp_path_factory):
+    """Composite lakehouse loop: stream → exactly-once versioned append
+    → per-microbatch incremental matview refresh. After the replay the
+    view must equal the from-scratch aggregate of the full fixture, the
+    table must hold one snapshot per microbatch, and every refresh must
+    have been incremental (one refresh commit per source version — no
+    full rebuilds)."""
+    from aws_iceberg_automation_spark.matview import IncrementalAggView, Measure
+    from aws_iceberg_automation_spark.versioning import VersionedTable
+
+    root = tmp_path_factory.mktemp("live_rollup")
+    vt = VersionedTable(spark, str(root / "events_table"))
+    mv = IncrementalAggView(
+        spark,
+        vt,
+        str(root / "rollup"),
+        group_by=["event_type"],
+        measures=[
+            Measure("n", "count"),
+            Measure("total", "sum", F.col("value").cast("decimal(18,2)")),
+        ],
+    )
+    jobs.foreach_batch_append_with_rollup(
+        stream(), vt, mv, str(root / "ckpt")
+    )
+
+    assert mv.staleness() == 0
+    got = {r.event_type: (r.n, float(r.total)) for r in mv.read().collect()}
+    exp = {
+        r.event_type: (r.n, float(r.total))
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+    appends = [s for s in vt.snapshots() if s.op.startswith("stream-append:")]
+    assert len(appends) == 5  # one per replay microbatch
+    refreshes = [s for s in mv.state.snapshots() if s.op.startswith("refresh:")]
+    assert len(refreshes) == 5  # every refresh was a delta, none skipped
