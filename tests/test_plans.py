@@ -408,3 +408,20 @@ def test_scalable_rank_matches_plain_window(spark):
     assert scal.exceptAll(plain).count() == 0
     # offsets side must broadcast (the join that stitches phases).
     assert "BroadcastHashJoin" in join_strategies(scal)
+
+
+def test_token_entropy_is_map_only(spark):
+    """q141 computes per-doc entropy with higher-order array folds —
+    the plan must contain NO exchange at all (the whole point of
+    trading the explode+two-groupBy shape for per-row O(v·n))."""
+    df = q("q141_token_entropy", spark)
+    assert count_exchanges(df) == 0, "entropy picked up a shuffle"
+
+
+def test_supplier_variety_exclusion_broadcasts(spark):
+    """q139's NOT-IN exclusion must plan as a broadcast anti join and
+    its part-dim join as broadcast hash — the fact side streams once,
+    never sort-merge."""
+    strategies = join_strategies(q("q139_supplier_part_variety", spark))
+    assert "BroadcastHashJoin" in strategies, strategies
+    assert "SortMergeJoin" not in strategies, strategies
