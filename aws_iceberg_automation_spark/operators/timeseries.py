@@ -259,3 +259,85 @@ def q36_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("event_id").alias("clicks_in_window"),
         F.sum(dec2("value")).cast("decimal(38,2)").cast("string").alias("click_value"),
     )
+
+
+def _ewma_alpha() -> float:
+    return 0.3
+
+
+def ewma(df: DataFrame, key: str, order: list[str], value: str, alpha: float) -> DataFrame:
+    """Per-key exponentially weighted moving average in event order:
+    ``y_i = α·x_i + (1−α)·y_{i−1}`` with ``y_1 = x_1`` (the
+    adjust=False convention).
+
+    This recursion is not expressible with Spark's built-in window
+    functions (each output depends on the *previous output*, not a
+    frame of inputs), so it runs as a grouped-map ``applyInPandas``
+    kernel — the sanctioned Arrow-batched Python boundary for
+    order-dependent per-key state. The closed-form SQL rewrite
+    (cumulative sums scaled by ``(1−α)^(−i)``) was rejected: the scale
+    factor overflows/denormalizes beyond ~700 rows per key at α=0.3 —
+    a correctness cliff, not a perf trade.
+
+    Scale: one shuffle on ``key``; each key's series arrives as one
+    Arrow batch, so the memory bound is the longest single series (the
+    same bound any stateful per-key operator carries), and keys scale
+    out across executors. The kernel's explicit fold keeps the FP
+    operation sequence identical to the oracle's recursive CTE —
+    bitwise-equal doubles, rounded anyway."""
+    import pandas as pd
+
+    cols = [key, *order, value]
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        out, prev = [], None
+        for x in pdf[value]:
+            prev = x if prev is None else alpha * x + (1.0 - alpha) * prev
+            out.append(prev)
+        pdf = pdf.copy()
+        pdf["ewma"] = out
+        return pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*cols).schema.fields
+    ) + ", ewma double"
+    return df.select(*cols).groupBy(key).applyInPandas(fold, schema)
+
+
+@register(
+    "q144_ewma_user_value",
+    oracle="""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, ts, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+  FROM events
+), r AS (
+  SELECT user_id, event_id, ts, value, rk, value AS ewma
+  FROM base WHERE rk = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.ts, b.value, b.rk,
+         0.3 * b.value + 0.7 * r.ewma
+  FROM base b JOIN r ON b.user_id = r.user_id AND b.rk = r.rk + 1
+)
+SELECT user_id, event_id, date_trunc('second', ts) AS ts, value,
+  round(ewma, 6) AS ewma
+FROM r
+""",
+    tags=("timeseries", "udf"),
+)
+def q144_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of each user's event values (the time-series
+    smoother behind anomaly baselines and rate trackers). Oracle:
+    DuckDB WITH RECURSIVE reproduces the exact recursion (max fixture
+    series length ≈ 90, far under any recursion limit)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = ewma(ev, "user_id", ["ts", "event_id"], "value", _ewma_alpha())
+    return out.select(
+        "user_id",
+        "event_id",
+        ts_sec("ts").alias("ts"),
+        "value",
+        F.round("ewma", 6).alias("ewma"),
+    )

@@ -207,6 +207,7 @@ _DRIVER_PRIORITY = [
     "q141_token_entropy",
     "q142_langid_confusion",
     "q143_value_histogram",
+    "q144_ewma_user_value",
 ]
 
 
