@@ -577,3 +577,68 @@ def q131_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.filter(F.col("doc_id") >= 400)
     idx = build_lsh_index(corpus)
     return incremental_neardup(idx, corpus, batch)
+
+
+@register(
+    "q145_quality_aware_dedup",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id,
+    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS cluster_hash,
+    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')), 6) AS score
+  FROM documents
+), r AS (
+  SELECT doc_id, cluster_hash, score,
+    row_number() OVER (PARTITION BY cluster_hash
+                       ORDER BY score DESC, doc_id) AS rk,
+    COUNT(*) OVER (PARTITION BY cluster_hash) AS n_members
+  FROM d
+)
+SELECT cluster_hash, doc_id AS keep_doc_id,
+  CAST(n_members AS BIGINT) AS n_members, score
+FROM r WHERE rk = 1
+ORDER BY cluster_hash
+""",
+    tags=("dedup", "llm"),
+)
+def q145_quality_aware_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware winner selection per duplicate cluster: instead of
+    q81's keep-min-id rule, keep the member with the *highest quality
+    score* (here q86's vocabulary-diversity ratio; any scalar score
+    plugs in) — the curation decision real pipelines make when a dup
+    cluster mixes a clean copy with boilerplate-damaged ones.
+
+    Plan: cluster key and score are map-side expressions; one window
+    over cluster_hash picks the argmax (score desc, doc_id tiebreak) —
+    a single shuffle on a ~|docs|-cardinality key, so partitions stay
+    small at any scale (the md5 key can't be hot unless the corpus is
+    one giant dup cluster — exactly the case where the LSH cap in
+    minhash_candidate_pairs applies upstream)."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    score = F.round(
+        F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens), 6
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    scored = d.select(
+        "doc_id",
+        F.md5(norm).alias("cluster_hash"),
+        score.alias("score"),
+    )
+    w = Window.partitionBy("cluster_hash")
+    ordered = Window.partitionBy("cluster_hash").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(ordered))
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_hash",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            "score",
+        )
+        .orderBy("cluster_hash")
+    )

@@ -208,6 +208,8 @@ _DRIVER_PRIORITY = [
     "q142_langid_confusion",
     "q143_value_histogram",
     "q144_ewma_user_value",
+    "q145_quality_aware_dedup",
+    "q146_stream_stream_left_outer",
 ]
 
 

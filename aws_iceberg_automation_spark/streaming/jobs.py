@@ -559,3 +559,57 @@ def foreach_batch_append_with_rollup(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_attribution_outer(
+    events: DataFrame, window_minutes: int = 30
+) -> DataFrame:
+    """LEFT OUTER stream-stream join — the semantics inner join (above)
+    cannot give: every click emits, matched rows as they match, and a
+    click with NO purchase inside the window emits null-extended only
+    after the purchase-side watermark passes ``click_ts + window`` (the
+    state machine must *prove* absence before it can say null — that
+    proof is the watermark). State bound is identical to the inner
+    variant; the extra cost is only that unmatched state lives until
+    the watermark, not until a match.
+
+    Consumers must treat the tail of the stream as indeterminate: rows
+    younger than (max event time − watermark delay − window) may still
+    match later, so batch-equality checks (and any downstream exactness
+    contract) apply only behind that horizon — see
+    q146_stream_stream_left_outer for the filtered comparison."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            ts_sec("ts").cast("timestamp").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            ts_sec("ts").cast("timestamp").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
+        )
+    )
+    return clicks.join(purchases, cond, "left_outer").select(
+        "user_id",
+        "click_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        "purchase_id",
+        (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")).alias(
+            "lag_seconds"
+        ),
+    )

@@ -14,6 +14,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.compat import ts_sec
+from ..io import load_table
 from ..registry import register
 from . import jobs
 
@@ -157,6 +159,66 @@ def q122_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out
+
+
+@register(
+    "q146_stream_stream_left_outer",
+    oracle="""
+WITH mx AS (
+  -- the join's watermark is the MIN across both input streams; the
+  -- sparse purchase side's max can lag the global max, so the
+  -- determinism horizon must derive from the least of the two
+  SELECT least(
+    MAX(CASE WHEN event_type = 'click' THEN date_trunc('second', ts) END),
+    MAX(CASE WHEN event_type = 'purchase' THEN date_trunc('second', ts) END)
+  ) AS m FROM events
+),
+c AS (
+  SELECT user_id, event_id AS click_id, date_trunc('second', ts) AS click_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id AS pu, event_id AS purchase_id, date_trunc('second', ts) AS pts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.click_id, c.click_ts, p.purchase_id,
+  CAST(epoch(p.pts) - epoch(c.click_ts) AS BIGINT) AS lag_seconds
+FROM c
+LEFT JOIN p ON p.pu = c.user_id
+  AND p.pts >= c.click_ts
+  AND p.pts <= c.click_ts + INTERVAL 30 MINUTE
+WHERE c.click_ts <= (SELECT m FROM mx) - INTERVAL 170 MINUTE
+""",
+    tags=("streaming",),
+)
+def q146_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join replay: unmatched clicks must emit
+    null-extended once the watermark proves no purchase can still
+    arrive. Compared to the batch left join behind the determinism
+    horizon (max event time - watermark delay - window - margin): ahead
+    of it, outer-join output is legitimately indeterminate -- a younger
+    click's null row may still be withheld -- so BOTH sides filter to
+    the horizon; everything behind it must match exactly, nulls
+    included."""
+    out = jobs.run_to_memory(
+        jobs.stream_stream_attribution_outer(_stream(spark, sf_dir)),
+        f"q146_mem_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(
+        F.least(
+            ts_sec(F.max(F.when(F.col("event_type") == "click", F.col("ts")))),
+            ts_sec(F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))),
+        ).alias("m")
+    )
+    return (
+        out.join(F.broadcast(mx))
+        .filter(
+            F.col("click_ts")
+            <= F.col("m") - F.expr("INTERVAL 170 MINUTES")
+        )
+        .drop("m")
+    )
 
 
 def q77b_stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:

