@@ -341,3 +341,86 @@ def q144_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round("ewma", 6).alias("ewma"),
     )
+
+
+@register(
+    "q147_halflife_baseline_anomaly",
+    oracle="""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, ts, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+  FROM events
+), r AS (
+  SELECT user_id, event_id, ts, value, rk, value AS baseline
+  FROM base WHERE rk = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.ts, b.value, b.rk,
+    b.value + (r.baseline - b.value)
+      * exp(-0.0001925408834888737 *
+            (epoch(date_trunc('second', b.ts))
+             - epoch(date_trunc('second', r.ts))))
+  FROM base b JOIN r ON b.user_id = r.user_id AND b.rk = r.rk + 1
+)
+SELECT user_id, event_id, date_trunc('second', ts) AS ts, value,
+  round(baseline, 6) AS baseline,
+  (abs(value - baseline) > 2.0 * greatest(abs(baseline), 1.0)) AS is_anomaly
+FROM r
+""",
+    tags=("timeseries", "udf"),
+)
+def q147_halflife_baseline_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular-interval baseline + anomaly flag: the per-tick EWMA
+    (q144) weights every step equally, which is wrong when events
+    arrive unevenly — here the smoothing decays by *elapsed time*,
+    ``y_i = x_i + (y_{i−1} − x_i)·exp(−Δt·ln2/halflife)`` (half-life
+    1 h), so a gap of hours forgets the old baseline while a burst
+    barely moves it. Rows deviating >2× from their own baseline flag
+    as anomalies — the standard rate-monitor shape.
+
+    Same execution story as q144 (grouped-map Arrow kernel, one shuffle
+    on the key, memory bound = longest series); the kernel's explicit
+    fold mirrors the oracle's recursive CTE op-for-op. ``exp`` is libm
+    on both engines and its per-step ulp noise is ~1e-16 relative —
+    round(6) on the baseline and a *relative* anomaly threshold keep
+    the comparison decision-stable."""
+    import math
+
+    import pandas as pd
+
+    hl_seconds = 3600.0
+    lam = math.log(2.0) / hl_seconds  # 0.0001925408834888737, inlined in oracle
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out, prev, prev_ts = [], None, None
+        for ts, x in zip(pdf["ts"], pdf["value"]):
+            t = ts.floor("s").timestamp()
+            if prev is None:
+                prev = x
+            else:
+                prev = x + (prev - x) * math.exp(-lam * (t - prev_ts))
+            prev_ts = t
+            out.append(prev)
+        pdf = pdf.copy()
+        pdf["baseline"] = out
+        return pdf
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = ev.groupBy("user_id").applyInPandas(
+        fold,
+        "user_id bigint, event_id bigint, ts timestamp_ntz, value double, "
+        "baseline double",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        ts_sec("ts").alias("ts"),
+        "value",
+        F.round("baseline", 6).alias("baseline"),
+        (
+            F.abs(F.col("value") - F.col("baseline"))
+            > 2.0 * F.greatest(F.abs("baseline"), F.lit(1.0))
+        ).alias("is_anomaly"),
+    )

@@ -210,6 +210,7 @@ _DRIVER_PRIORITY = [
     "q144_ewma_user_value",
     "q145_quality_aware_dedup",
     "q146_stream_stream_left_outer",
+    "q147_halflife_baseline_anomaly",
 ]
 
 
