@@ -413,3 +413,89 @@ def q126_grouping_sets_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataF
         F.count(F.lit(1)).alias("n_orders"),
         dsum(dec2("o_totalprice"), "total_price"),
     )
+
+
+@register(
+    "q148_bitmap_exact_distinct",
+    oracle="""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("agg",),
+)
+def q148_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via bitmaps (Spark 3.5 bitmap_* family):
+    the third point on the distinct-count spectrum after exact
+    COUNT(DISTINCT) (q40, full-width shuffle of the key) and HLL ±2%
+    (q41). For *bounded integer domains* — user ids, item ids — each
+    (group, 32k-id bucket) collapses to a 4 KB bitmap on the map side,
+    bitmaps OR-merge associatively, and the final count is exact. Wire
+    cost = |groups|·|occupied buckets|·4 KB, independent of row count —
+    the exact-count answer that scales when the id space is dense.
+
+    Plan: two-phase — groupBy(type, bitmap_bucket_number(id)) builds
+    per-bucket bitmaps (partial agg map-side), then groupBy(type) sums
+    per-bucket cardinalities. No Expand, no (type, id)-wide shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("cnt"))
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum("cnt").cast("bigint").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q149_rolling_distinct_sketch",
+    oracle=None,  # estimate; error-bound invariant in tests/test_llm_ops.py
+    tags=("agg", "sketch"),
+)
+def q149_rolling_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 6-hour distinct users per hour via *mergeable sketches*:
+    one HLL sketch per hour (a single pass over events), then each
+    hour's rolling estimate is the union of its trailing 6 sketches.
+    This is the pattern that makes overlapping-window distinct counts
+    affordable at 100 TB: the raw data is touched ONCE (sketch-per-hour
+    partial agg); the overlap math happens on |hours| kilobyte-sized
+    sketches, not on re-scanned events — and the same per-hour sketches
+    re-serve any other window length, daily rollups, or cube cells
+    (HLL union is associative and lossless across merges).
+
+    Plan: hash agg to per-hour sketches → 6-way self-join on the tiny
+    hours table → hll_union_agg + estimate. The events table never
+    appears twice."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("h"),
+            "user_id",
+        )
+        .groupBy("h")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    )
+    hours = hourly.select(F.col("h").alias("win_end"))
+    joined = hours.join(
+        hourly,
+        (F.col("h") <= F.col("win_end"))
+        & (F.col("h") > F.col("win_end") - F.expr("INTERVAL 6 HOURS")),
+    )
+    return (
+        joined.groupBy("win_end")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(
+                "approx_distinct_users"
+            ),
+            F.count(F.lit(1)).alias("n_merged_sketches"),
+        )
+        .orderBy("win_end")
+    )

@@ -205,3 +205,60 @@ def q123_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_udtf_view d, LATERAL sentence_split(d.text) s
         """
     )
+
+
+@register(
+    "q150_udtf_dynamic_schema",
+    oracle="""
+SELECT event_id,
+  CAST(props->>'$.k' AS INT) AS k,
+  CAST(NULL AS INT) AS missing
+FROM events
+WHERE event_id < 2000
+""",
+    tags=("udf",),
+)
+def q150_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a dynamic output schema (Spark 4 ``analyze``):
+    the table function's columns are COMPUTED AT PLAN TIME from its
+    constant argument — here ``'k,missing'`` pivots those JSON keys
+    into one INT column each (absent keys → NULL column). This is the
+    mechanism behind schema-on-read table functions (CSV header
+    inference, key pivoting, feature expansion) where the schema cannot
+    be hardcoded in the decorator: ``analyze`` runs once on the driver
+    with foldable-argument values, the returned StructType becomes the
+    plan's output schema, and the Arrow-batched ``eval`` then emits
+    rows against it. Same lateral shape and lint guarantees as q123."""
+    import json
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class JsonPivot:
+        @staticmethod
+        def analyze(props: AnalyzeArgument, keys: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for k in str(keys.value).split(","):
+                schema = schema.add(k.strip(), IntegerType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, props: str, keys: str):
+            d = json.loads(props) if props else {}
+            vals = []
+            for k in keys.split(","):
+                v = d.get(k.strip())
+                vals.append(int(v) if v is not None else None)
+            yield tuple(vals)
+
+    spark.udtf.register("json_pivot", udtf(JsonPivot))
+    load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 2000
+    ).createOrReplaceTempView("events_udtf_view")
+    return spark.sql(
+        """
+        SELECT e.event_id, p.k, p.missing
+        FROM events_udtf_view e,
+        LATERAL json_pivot(e.props, 'k,missing') p
+        """
+    )

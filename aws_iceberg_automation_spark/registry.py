@@ -211,6 +211,9 @@ _DRIVER_PRIORITY = [
     "q145_quality_aware_dedup",
     "q146_stream_stream_left_outer",
     "q147_halflife_baseline_anomaly",
+    "q148_bitmap_exact_distinct",
+    "q149_rolling_distinct_sketch",
+    "q150_udtf_dynamic_schema",
 ]
 
 

@@ -449,3 +449,34 @@ def test_quality_aware_dedup_keeps_best_member(spark):
         .collect()
     )
     assert [r.doc_id for r in win] == [10]  # diverse doc beats repeated one
+
+
+def test_rolling_distinct_sketch_error_bound(spark):
+    """q149's sketch-union rolling estimates must sit within 5% of the
+    exact rolling distinct count (computed by brute explode at fixture
+    scale), and each hour must merge at most 6 sketches."""
+    got = {
+        r.win_end: (r.approx_distinct_users, r.n_merged_sketches)
+        for r in SPECS["q149_rolling_distinct_sketch"].fn(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("h"), "user_id"
+    )
+    hours = ev.select(F.col("h").alias("win_end")).distinct()
+    exact = {
+        r.win_end: r.n
+        for r in hours.join(
+            ev,
+            (F.col("h") <= F.col("win_end"))
+            & (F.col("h") > F.col("win_end") - F.expr("INTERVAL 6 HOURS")),
+        )
+        .groupBy("win_end")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for w, (est, nsk) in got.items():
+        assert 1 <= nsk <= 6
+        assert abs(est - exact[w]) <= max(0.05 * exact[w], 2), (
+            w, est, exact[w]
+        )
