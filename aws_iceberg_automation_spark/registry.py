@@ -214,6 +214,8 @@ _DRIVER_PRIORITY = [
     "q148_bitmap_exact_distinct",
     "q149_rolling_distinct_sketch",
     "q150_udtf_dynamic_schema",
+    "q151_dynamic_session_window",
+    "q152_arrow_native_kernel",
 ]
 
 

@@ -425,3 +425,17 @@ def test_supplier_variety_exclusion_broadcasts(spark):
     strategies = join_strategies(q("q139_supplier_part_variety", spark))
     assert "BroadcastHashJoin" in strategies, strategies
     assert "SortMergeJoin" not in strategies, strategies
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    """q60 must plan with WindowGroupLimit (Spark 3.5+): the rank<=k
+    filter is pushed INTO the window as a per-partition top-k heap —
+    partial (map-side) + final — so the shuffle carries at most k rows
+    per group per mapper instead of every row. This is the window
+    analogue of TakeOrdered and the reason per-group top-k survives
+    hot groups at scale."""
+    from aws_iceberg_automation_spark.plans.explain import plan_string
+
+    p = plan_string(q("q60_topk_per_group", spark))
+    assert "WindowGroupLimit" in p, "rank filter not pushed into window"
+    assert "Partial" in p and "Final" in p
