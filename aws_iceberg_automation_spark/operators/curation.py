@@ -521,3 +521,70 @@ def q136_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("lang", "doc_id", "rk")
     )
+
+
+@register(
+    "q153_quality_classifier_score",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, lang,
+    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      / len(string_split(text, ' ')) AS distinct_ratio,
+    CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+      / length(text) AS alpha_ratio,
+    CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
+      AS chars_per_token
+  FROM documents
+), z AS (
+  SELECT doc_id, lang,
+    -2.0 + 0.01 * n_tokens + 3.0 * distinct_ratio
+         + 1.5 * alpha_ratio - 0.1 * chars_per_token AS logit
+  FROM f
+)
+SELECT doc_id, lang,
+  round(logit, 6) AS logit,
+  round(1.0 / (1.0 + exp(-logit)), 6) AS quality_score,
+  (1.0 / (1.0 + exp(-logit)) >= 0.5) AS keep
+FROM z
+""",
+    tags=("curation", "llm"),
+)
+def q153_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring — the linear-classifier stand-in for
+    the fasttext/logreg quality filters real corpus pipelines run
+    (score = σ(w·features), keep if ≥ threshold). Weights here are
+    fixed literals so the oracle can replay the exact arithmetic; a
+    trained model swaps in the same way — coefficients are a broadcast
+    of a few KB and scoring stays a map-side JVM expression
+    (whole-stage codegen, no Python, no shuffle). Only a *non-linear*
+    model (trees, a neural scorer) would need the pandas-UDF boundary.
+
+    Feature extraction is shared with q86's hand-rule filter — the
+    point of the pair: same features, rule-based vs learned decision,
+    both one scan. Scores/logits round(6) both sides (exp is libm);
+    the keep flag compares the unrounded score on both sides."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    n_tokens = F.size(tokens).cast("double")
+    distinct_ratio = F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens)
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("double")
+        / F.length("text")
+    )
+    cpt = F.length("text").cast("double") / F.size(tokens)
+    logit = (
+        F.lit(-2.0)
+        + F.lit(0.01) * n_tokens
+        + F.lit(3.0) * distinct_ratio
+        + F.lit(1.5) * alpha_ratio
+        - F.lit(0.1) * cpt
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(logit, 6).alias("logit"),
+        F.round(score, 6).alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )

@@ -216,6 +216,7 @@ _DRIVER_PRIORITY = [
     "q150_udtf_dynamic_schema",
     "q151_dynamic_session_window",
     "q152_arrow_native_kernel",
+    "q153_quality_classifier_score",
 ]
 
 
