@@ -642,3 +642,61 @@ def q145_quality_aware_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_hash")
     )
+
+
+@register(
+    "q155_edit_distance_match",
+    oracle="""
+WITH dirty AS (
+  SELECT c_custkey AS d_key,
+    CASE WHEN c_custkey % 7 = 0 THEN replace(c_name, 'Customer', 'Custmer')
+         WHEN c_custkey % 11 = 0 THEN replace(c_name, 'Customer', 'customerX')
+         ELSE c_name END AS d_name
+  FROM customer
+), blocked AS (
+  SELECT c.c_custkey, c.c_name, d.d_key, d.d_name,
+    levenshtein(c.c_name, d.d_name) AS dist
+  FROM customer c
+  JOIN dirty d ON right(c.c_name, 6) = right(d.d_name, 6)
+)
+SELECT c_custkey, c_name, d_name, CAST(dist AS INT) AS dist
+FROM blocked
+WHERE dist <= 2
+ORDER BY c_custkey
+""",
+    tags=("dedup",),
+)
+def q155_edit_distance_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity resolution with blocking: a deterministically
+    'dirtied' copy of the customer roster (every 7th name loses a
+    letter, every 11th is re-cased and extended) is matched back to the
+    clean roster by levenshtein ≤ 2 — but ONLY inside blocks sharing
+    the last-6-char key, so the join is an equi-hash on the block key
+    with the O(|a|·|b|) edit-distance confined to tiny in-block pairs.
+    All-pairs levenshtein is quadratic and unshippable at scale;
+    blocking + residual is the entity-resolution standard, and the
+    block key here (stable id digits) guarantees zero false negatives
+    for these corruption modes — the same guarantee structure as
+    q121's prefix-filtered set-similarity join."""
+    c = load_table(spark, sf_dir, "customer")
+    dirty = c.select(
+        F.col("c_custkey").alias("d_key"),
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            F.regexp_replace("c_name", "Customer", "Custmer"),
+        )
+        .when(
+            F.col("c_custkey") % 11 == 0,
+            F.regexp_replace("c_name", "Customer", "customerX"),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("d_name"),
+    )
+    blocked = c.join(
+        dirty, F.substring("c_name", -6, 6) == F.substring("d_name", -6, 6)
+    ).withColumn("dist", F.levenshtein("c_name", "d_name"))
+    return (
+        blocked.filter(F.col("dist") <= 2)
+        .select("c_custkey", "c_name", "d_name", F.col("dist").cast("int").alias("dist"))
+        .orderBy("c_custkey")
+    )

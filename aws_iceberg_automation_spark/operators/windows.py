@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.compat import dec2
+from ..functions.compat import dec2, dec_out
 from ..io import load_table
 from ..registry import register
 
@@ -391,4 +391,46 @@ def q128_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("valid_from"),
         nxt.cast("date").alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )
+
+
+@register(
+    "q154_ratio_to_report",
+    oracle="""
+WITH l AS (
+  SELECT l_orderkey, l_linenumber,
+    CAST(l_extendedprice AS DECIMAL(10,2)) AS price
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+  CAST(CAST(price AS DECIMAL(38,2)) AS VARCHAR) AS line_price,
+  round(CAST(price AS DOUBLE)
+        / CAST(SUM(price) OVER (PARTITION BY l_orderkey) AS DOUBLE), 6)
+    AS order_share,
+  COUNT(*) OVER (PARTITION BY l_orderkey) AS n_lines
+FROM l
+""",
+    tags=("window",),
+)
+def q154_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each line's share of its whole order — the
+    *unframed* window aggregate (partition total on every row), the one
+    window shape q52-q55's running/sliding frames don't cover. One
+    shuffle on the partition key, no sort needed for the total (Spark
+    still sorts for the window; an aggregate+rejoin would trade that
+    for a second shuffle — at high line-counts-per-key the window wins
+    because the partition streams once). Share is an intrinsically
+    inexact ratio → computed exact-decimal ÷ exact-decimal in DOUBLE
+    and rounded identically on both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = dec2("l_extendedprice")
+    w = Window.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        dec_out(price, "line_price", 2),
+        F.round(
+            price.cast("double") / F.sum(price).over(w).cast("double"), 6
+        ).alias("order_share"),
+        F.count(F.lit(1)).over(w).alias("n_lines"),
     )

@@ -217,6 +217,8 @@ _DRIVER_PRIORITY = [
     "q151_dynamic_session_window",
     "q152_arrow_native_kernel",
     "q153_quality_classifier_score",
+    "q154_ratio_to_report",
+    "q155_edit_distance_match",
 ]
 
 
