@@ -136,13 +136,25 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     raw degree, so the wedge self-join is bounded even on power-law
     graphs where a hub's raw-degree wedge count would be quadratic.
     Three shuffles total (degree agg, wedge join, closing join); no
-    iteration."""
+    iteration.
+
+    Lineage control: the normalized edge list and the oriented edge
+    list are each consumed by MULTIPLE downstream subtrees (degrees ×2,
+    rank join; wedge arms ×2, closing join). Without truncation Spark
+    re-derives the whole upstream plan — including whatever expensive
+    join produced ``edges`` — once per reference (~274 Exchange nodes
+    observed on the co-purchase graph, see PLANS.md genesis), and
+    exchange reuse cannot collapse them because each arm projects
+    differently. ``localCheckpoint`` at both fan-out points pins the
+    materialized edge lists, the same pattern ``pagerank`` and
+    ``connected_components`` use per iteration."""
     e = (
         edges.select(
             F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -161,7 +173,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_dst"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("id_dst"),
-    )
+    ).localCheckpoint()
     o1 = oriented.select("src", F.col("dst").alias("d1"),
                          F.col("deg_dst").alias("deg1"), F.col("id_dst").alias("id1"))
     o2 = oriented.select("src", F.col("dst").alias("d2"),

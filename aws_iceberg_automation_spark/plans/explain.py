@@ -59,5 +59,10 @@ def join_strategies(df: DataFrame) -> list[str]:
 
 def codegen_stage_count(df: DataFrame) -> int:
     """WholeStageCodegen span count — wider stages = fewer JVM
-    virtual-call boundaries."""
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan_string(df))))
+    virtual-call boundaries. Handles both explain renderings: simple
+    mode prints ``WholeStageCodegen (N)`` headers, formatted mode tags
+    operators with ``[codegen id : N]``."""
+    p = plan_string(df)
+    ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", p))
+    ids |= set(re.findall(r"codegen id : (\d+)", p))
+    return len(ids)
