@@ -533,3 +533,94 @@ def observe_rules(df: DataFrame, rules: list[Rule], observation) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         *[violations(r) for r in rules],
     )
+
+
+@register(
+    "q156_equidepth_histogram",
+    oracle="""
+WITH b AS (
+  SELECT o_totalprice,
+    ntile(20) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT CAST(bucket AS INT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(CAST(MIN(CAST(o_totalprice AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS VARCHAR) AS lo,
+  CAST(CAST(MAX(CAST(o_totalprice AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS VARCHAR) AS hi
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+""",
+    tags=("dq",),
+)
+def q156_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram (the CBO's preferred shape — equal row
+    mass per bucket, data-driven edges) complementing q143's fixed
+    equi-width bins: ntile(20) over a *fully deterministic* total
+    order (value, unique key tiebreak — without the tiebreak, tied
+    values straddle bucket boundaries engine-dependently), then
+    per-bucket count + exact decimal-string bounds.
+
+    Honest scale note: a global ntile is a single-partition window —
+    fine for profiling samples, wrong for 100 TB raw; at scale the
+    same result comes from approx_percentile edges or the q50b
+    two-phase ranking pattern. This operator documents the semantics;
+    the scalable substitution is mechanical."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    b = o.select(
+        "o_totalprice",
+        F.ntile(20)
+        .over(W.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bucket"),
+    )
+    price = F.col("o_totalprice").cast("decimal(10,2)")
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min(price).cast("decimal(38,2)").cast("string").alias("lo"),
+            F.max(price).cast("decimal(38,2)").cast("string").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q157_try_arithmetic",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+  round(CAST(l_extendedprice AS DOUBLE)
+        / NULLIF(CAST(l_quantity AS DOUBLE) - 25.0, 0.0), 6) AS price_per_excess,
+  TRY_CAST(l_returnflag AS INT) AS flag_as_int
+FROM lineitem
+WHERE l_orderkey < 1000
+""",
+    tags=("scalar",),
+)
+def q157_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-tolerant expression semantics — the try_* family that
+    keeps a 100 TB job from dying at hour nine on one bad row:
+    ``try_divide`` yields NULL on division by zero (matching SQL's
+    NULLIF idiom, not ANSI's error), ``try_cast`` yields NULL on
+    unparseable input. The oracle expresses the identical semantics
+    with NULLIF/TRY_CAST. Engine rule: hot paths prefer try_* +
+    downstream null accounting over ANSI-strict failure; DQ rule
+    suites (q118) then count the NULLs so bad rows are *visible*,
+    never silently wrong. (Cross-engine caveat kept out of the
+    contract: numeric-looking strings like '14.0' TRY_CAST to INT
+    differently — DuckDB parses, ANSI Spark nulls — so the oracle
+    only exercises the agreeing cases.)"""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(
+                F.col("l_extendedprice"), F.col("l_quantity") - F.lit(25.0)
+            ),
+            6,
+        ).alias("price_per_excess"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+    )

@@ -219,6 +219,8 @@ _DRIVER_PRIORITY = [
     "q153_quality_classifier_score",
     "q154_ratio_to_report",
     "q155_edit_distance_match",
+    "q156_equidepth_histogram",
+    "q157_try_arithmetic",
 ]
 
 
