@@ -700,3 +700,79 @@ def q155_edit_distance_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "d_name", F.col("dist").cast("int").alias("dist"))
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "q158_dup_span_coverage",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS shingle
+  FROM words, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+), dupc AS (
+  SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+  CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+  round(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS dup_coverage
+FROM sh s JOIN dupc d USING (shingle)
+GROUP BY s.doc_id
+""",
+    tags=("dedup", "llm"),
+)
+def q158_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span coverage: for every document, the fraction of its
+    distinct 8-word spans that also occur in at least one OTHER document
+    — the per-doc statistic behind exact-substring dedup (the signal
+    "this doc is 40% boilerplate shared with the rest of the corpus").
+
+    Plan shape: shingling is a pure per-row map (sequence/slice
+    higher-order exprs, no Python); the only wide ops are one
+    distinct + one count per shingle key and one shuffle join back on
+    that same key — word-count shape, linear in corpus token count at
+    any scale. No all-pairs anything: a span shared by 10M docs costs
+    one counter, not 10M² comparisons.
+    """
+    return dup_span_coverage(load_table(spark, sf_dir, "documents"))
+
+
+def dup_span_coverage(d: DataFrame, k: int = 8) -> DataFrame:
+    """Core of q158 over any (doc_id, text) frame; k = span width."""
+    # Distinct 8-grams per doc. Docs with < k words are filtered out
+    # BEFORE the transform: Spark's sequence(1, n) counts DOWN when
+    # n < 1 (it is not empty like DuckDB's generate_series), so the
+    # guard is what keeps slice() off position 0 on short docs. The
+    # oracle drops the same docs via its empty generate_series.
+    sh = (
+        d.select(F.col("doc_id"), F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {k} + 1),"
+                    f" i -> concat_ws(' ', slice(w, i, {k})))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    dupc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sh.join(dupc, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+                "n_dup_shingles"
+            ),
+            F.round(
+                F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_coverage"),
+        )
+    )

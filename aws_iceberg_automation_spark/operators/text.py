@@ -628,3 +628,84 @@ def q142_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("actual_lang", "predicted_lang")
     )
+
+
+@register(
+    "q159_bigram_lm_score",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), tok AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)
+), uni AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), c1 AS (
+  SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+), v AS (
+  SELECT COUNT(*) AS v FROM c1
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS c FROM tok GROUP BY w1, w2
+)
+SELECT t.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  round(AVG(-(ln(c2.c + 1) - ln(c1.c + v.v))), 6) AS avg_nll
+FROM tok t
+JOIN c2 ON c2.w1 = t.w1 AND c2.w2 = t.w2
+JOIN c1 ON c1.w = t.w1
+CROSS JOIN v
+GROUP BY t.doc_id
+""",
+    tags=("text", "llm"),
+)
+def q159_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality proxy: train add-one-smoothed bigram
+    counts on the corpus itself, then score every document by its mean
+    negative log-likelihood  -avg ln((c(w1,w2)+1) / (c(w1)+V)).  High
+    avg_nll = improbable word sequences (gibberish / OCR damage); the
+    cheap stand-in for the KenLM perplexity filter in CCNet-style
+    pipelines, expressed entirely in joins and aggregations.
+
+    Plan shape: bigram extraction is a per-row higher-order map; the
+    model "training" is two word-count aggregations (bigram + unigram
+    counts); scoring is two shuffle joins of the token stream against
+    those count tables on their natural keys. The count tables scale
+    with VOCABULARY, not corpus size, but are unbounded — so they are
+    shuffle-join sides, never broadcast; V rides along as a broadcast
+    1-row cross join. Everything is JVM expressions.
+    """
+    return bigram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+def bigram_lm_score(d: DataFrame) -> DataFrame:
+    """Core of q159 over any (doc_id, text) frame."""
+    docs = d.select("doc_id", F.split("text", " ").alias("w"))
+    # Spark arrays are 0-based via element_at-style indexing in
+    # expressions: w[i-1], w[i] pairs for i in 1..size-1.
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(w[i - 1] AS w1, w[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    c1 = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    v = c1.agg(F.count(F.lit(1)).alias("v"))
+    c2 = tok.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    nll = -(F.log(F.col("c2") + 1) - F.log(F.col("c1") + F.col("v")))
+    return (
+        tok.join(c2, ["w1", "w2"])
+        .join(c1.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+        )
+    )

@@ -221,6 +221,8 @@ _DRIVER_PRIORITY = [
     "q155_edit_distance_match",
     "q156_equidepth_histogram",
     "q157_try_arithmetic",
+    "q158_dup_span_coverage",
+    "q159_bigram_lm_score",
 ]
 
 

@@ -480,3 +480,61 @@ def test_rolling_distinct_sketch_error_bound(spark):
         assert abs(est - exact[w]) <= max(0.05 * exact[w], 2), (
             w, est, exact[w]
         )
+
+
+def test_dup_span_coverage_flags_exact_copy(spark):
+    """An injected verbatim copy must score 1.0 coverage on both the
+    copy and its source; a doc of globally-unique words must score 0."""
+    from aws_iceberg_automation_spark.operators.dedup import dup_span_coverage
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    copy = d.filter(F.col("doc_id") == 0).select(
+        F.lit(300000).cast("long").alias("doc_id"), "text"
+    )
+    unique = spark.range(1).select(
+        F.lit(300001).cast("long").alias("doc_id"),
+        F.lit(" ".join(f"zqx{i}" for i in range(20))).alias("text"),
+    )
+    cov = {
+        r.doc_id: r
+        for r in dup_span_coverage(d.unionByName(copy).unionByName(unique))
+        .filter(F.col("doc_id").isin(0, 300000, 300001))
+        .collect()
+    }
+    assert cov[0].dup_coverage == 1.0
+    assert cov[300000].dup_coverage == 1.0
+    assert cov[300001].dup_coverage == 0.0
+    # a 20-word doc has 13 distinct 8-shingles at most
+    assert cov[300001].n_shingles == 13
+
+
+def test_dup_span_coverage_drops_short_docs(spark):
+    """Docs under the span width produce no shingles and no output row
+    (and must not crash Spark's descending-sequence edge)."""
+    from aws_iceberg_automation_spark.operators.dedup import dup_span_coverage
+
+    d = spark.createDataFrame(
+        [(1, "too short to shingle"), (2, " ".join(f"w{i}" for i in range(9)))],
+        "doc_id long, text string",
+    )
+    rows = dup_span_coverage(d).collect()
+    assert {r.doc_id for r in rows} == {2}
+    assert rows[0].n_shingles == 2
+
+
+def test_bigram_lm_score_ranks_gibberish_worst(spark):
+    """Unseen-word gibberish must receive a higher mean NLL than every
+    document drawn from the corpus distribution."""
+    from aws_iceberg_automation_spark.operators.text import bigram_lm_score
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    gibberish = spark.range(1).select(
+        F.lit(400000).cast("long").alias("doc_id"),
+        F.lit(" ".join(f"qzx{i} vbn{i}" for i in range(30))).alias("text"),
+    )
+    scored = bigram_lm_score(d.unionByName(gibberish)).collect()
+    gib = next(r for r in scored if r.doc_id == 400000)
+    rest = [r.avg_nll for r in scored if r.doc_id != 400000]
+    assert gib.avg_nll > max(rest), (
+        f"gibberish NLL {gib.avg_nll} not above corpus max {max(rest)}"
+    )
