@@ -387,3 +387,146 @@ def q83c_dot_topk_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOP_K)
         .drop("rk")
     )
+
+
+@register(
+    "q160_hybrid_rrf_search",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ('spark', 'merge', 'vector') GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ('spark', 'merge', 'vector') GROUP BY term
+), lex AS (
+  SELECT doc_id, rk AS lex_rk FROM (
+    SELECT tf.doc_id,
+      row_number() OVER (
+        ORDER BY round(SUM(
+          ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+          * tf.tf * 2.2
+          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+        ), 6) DESC, tf.doc_id) AS rk
+    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY tf.doc_id, stats.n_docs, stats.avgdl)
+  WHERE rk <= 50
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), qv AS (
+  SELECT v AS q FROM e WHERE vec_id = 0
+), sem AS (
+  SELECT vec_id AS doc_id, rk AS sem_rk FROM (
+    SELECT e.vec_id,
+      row_number() OVER (
+        ORDER BY round(list_dot_product(qv.q, e.v)
+          / (sqrt(list_dot_product(qv.q, qv.q))
+             * sqrt(list_dot_product(e.v, e.v))), 6) DESC, e.vec_id) AS rk
+    FROM e CROSS JOIN qv WHERE e.vec_id <> 0)
+  WHERE rk <= 50
+)
+SELECT doc_id, lex_rk, sem_rk, rrf, rk FROM (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+    CAST(lex.lex_rk AS INTEGER) AS lex_rk,
+    CAST(sem.sem_rk AS INTEGER) AS sem_rk,
+    round(COALESCE(1.0 / (60 + lex.lex_rk), 0)
+          + COALESCE(1.0 / (60 + sem.sem_rk), 0), 6) AS rrf,
+    row_number() OVER (
+      ORDER BY COALESCE(1.0 / (60 + lex.lex_rk), 0)
+               + COALESCE(1.0 / (60 + sem.sem_rk), 0) DESC,
+               COALESCE(lex.doc_id, sem.doc_id)) AS rk
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+WHERE rk <= 20
+""",
+    tags=("similarity", "text", "llm", "vector"),
+)
+def q160_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking (q129's scorer) and
+    embedding cosine ranking (q83's scorer, query = vector 0) fused by
+    Reciprocal Rank Fusion  rrf = Σ 1/(60 + rank)  over the two top-50
+    lists — the standard lexical+semantic fusion in RAG retrieval.
+
+    Plan shape: each branch reduces to a TOP-50 VIA orderBy+limit
+    (TakeOrdered — no global single-partition window over the corpus,
+    unlike a naive row_number; the rank is then assigned on the
+    50-row result where a window costs nothing). The fusion is a
+    full-outer join of two 50-row frames — driver-trivial at any
+    corpus size; RRF contributions are exact rationals of integer
+    ranks, so both engines agree bit-for-bit before the final round.
+    """
+    k1, b, topn, rrf_k = 1.2, 0.75, 50, 60
+    query_terms = ["spark", "merge", "vector"]
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    dl = d.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    terms = d.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(query_terms)
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = (
+        idf
+        * F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    lex_top = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(topn)
+    )
+    lex = lex_top.withColumn(
+        "lex_rk",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .cast("int"),
+    ).select("doc_id", "lex_rk")
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    sem_top = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("q"), F.col("v")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(topn)
+    )
+    sem = sem_top.withColumn(
+        "sem_rk",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos").desc(), "doc_id"))
+        .cast("int"),
+    ).select("doc_id", "sem_rk")
+
+    rrf = F.coalesce(1.0 / (rrf_k + F.col("lex_rk")), F.lit(0.0)) + F.coalesce(
+        1.0 / (rrf_k + F.col("sem_rk")), F.lit(0.0)
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id", "lex_rk", "sem_rk", rrf.alias("_rrf")
+    )
+    w = Window.orderBy(F.col("_rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "lex_rk", "sem_rk", F.round("_rrf", 6).alias("rrf"), "rk")
+    )

@@ -223,6 +223,7 @@ _DRIVER_PRIORITY = [
     "q157_try_arithmetic",
     "q158_dup_span_coverage",
     "q159_bigram_lm_score",
+    "q160_hybrid_rrf_search",
 ]
 
 
