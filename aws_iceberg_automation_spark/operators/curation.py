@@ -588,3 +588,37 @@ def q153_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(score, 6).alias("quality_score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+@register(
+    "q162_deterministic_shuffle",
+    oracle="""
+SELECT doc_id,
+  CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':shuf'), 1, 15)
+       AS BIGINT) % 8 AS INTEGER) AS shard,
+  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':shuf'), 1, 15)
+       AS BIGINT) AS shuffle_key
+FROM documents
+""",
+    tags=("curation", "llm"),
+)
+def q162_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible pre-training shuffle: every document gets a stable
+    pseudo-random 60-bit key (md5 of its id) and a shard assignment —
+    a pure function of the data, identical on any cluster shape or
+    engine, unlike ``df.sample``/``rand()``. The downstream writer gets
+    a global shuffle for free via ``partitionBy(shard)`` +
+    ``sortWithinPartitions(shuffle_key)``: no global sort, no window,
+    no driver-side position counter — the assignment itself is map-only
+    with ZERO shuffles at any corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hex15 = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuf"))), 1, 15
+    )
+    key = F.conv(hex15, 16, 10).cast("long")
+    return d.select(
+        "doc_id",
+        F.pmod(key, F.lit(8)).cast("int").alias("shard"),
+        key.alias("shuffle_key"),
+    )

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -623,4 +623,58 @@ def q157_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("price_per_excess"),
         F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+    )
+
+
+@register(
+    "q161_key_skew_profile",
+    oracle="""
+WITH counts AS (
+  SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_suppkey
+), stats AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS total, AVG(CAST(cnt AS DOUBLE)) AS avg_cnt
+  FROM counts
+)
+SELECT key, cnt, share, skew_vs_avg, rk FROM (
+  SELECT counts.key, counts.cnt,
+    round(counts.cnt / stats.total, 6) AS share,
+    round(counts.cnt / stats.avg_cnt, 6) AS skew_vs_avg,
+    row_number() OVER (ORDER BY counts.cnt DESC, counts.key) AS rk
+  FROM counts CROSS JOIN stats)
+WHERE rk <= 20
+""",
+    tags=("dq", "ops"),
+)
+def q161_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: the heaviest 20 values of a prospective
+    shuffle key with each key's share of the table and its multiple of
+    the mean — the diagnostic you run BEFORE a big join to decide
+    whether it needs the q124 salting treatment or an AQE skew hint.
+
+    Plan shape: one two-phase count on the key, a 1-row stats
+    aggregate broadcast back, and TakeOrdered for the top-20 — the
+    whole profile costs one shuffle of (key, partial count) pairs
+    regardless of table size; no global window over the key set.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = counts.agg(
+        F.sum("cnt").cast("double").alias("total"),
+        F.avg(F.col("cnt").cast("double")).alias("avg_cnt"),
+    )
+    top = (
+        counts.crossJoin(F.broadcast(stats))
+        .orderBy(F.col("cnt").desc(), "key")
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "key")
+    return top.select(
+        "key",
+        "cnt",
+        F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+        F.round(F.col("cnt") / F.col("avg_cnt"), 6).alias("skew_vs_avg"),
+        F.row_number().over(w).cast("bigint").alias("rk"),
     )

@@ -224,6 +224,8 @@ _DRIVER_PRIORITY = [
     "q158_dup_span_coverage",
     "q159_bigram_lm_score",
     "q160_hybrid_rrf_search",
+    "q161_key_skew_profile",
+    "q162_deterministic_shuffle",
 ]
 
 

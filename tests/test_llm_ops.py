@@ -538,3 +538,19 @@ def test_bigram_lm_score_ranks_gibberish_worst(spark):
     assert gib.avg_nll > max(rest), (
         f"gibberish NLL {gib.avg_nll} not above corpus max {max(rest)}"
     )
+
+
+def test_deterministic_shuffle_balance_and_stability(spark):
+    """Shard assignment must be balanced (md5 is uniform) and a pure
+    function of doc_id — identical across recomputation."""
+    from aws_iceberg_automation_spark.registry import all_specs
+
+    fn = all_specs()["q162_deterministic_shuffle"].fn
+    a = fn(spark, SF_DIR).collect()
+    counts = {}
+    for r in a:
+        counts[r.shard] = counts.get(r.shard, 0) + 1
+    assert set(counts) == set(range(8))
+    assert max(counts.values()) <= 2 * min(counts.values()), counts
+    b = {r.doc_id: (r.shard, r.shuffle_key) for r in fn(spark, SF_DIR).collect()}
+    assert all(b[r.doc_id] == (r.shard, r.shuffle_key) for r in a)
