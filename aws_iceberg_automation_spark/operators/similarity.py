@@ -530,3 +530,62 @@ def q160_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("doc_id", "lex_rk", "sem_rk", F.round("_rrf", 6).alias("rrf"), "rk")
     )
+
+
+@register(
+    "q163_embedding_quantize",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+), s AS (
+  SELECT vec_id, label, x,
+    list_max(list_transform(x, e -> abs(e))) / 127 AS scale
+  FROM v
+), e AS (
+  SELECT vec_id, label, scale,
+    list_transform(x, e -> abs(e - floor(e / scale + 0.5) * scale)) AS err
+  FROM s
+)
+SELECT vec_id, label,
+  round(scale, 9) AS quant_scale,
+  round(list_max(err), 9) AS max_abs_err,
+  round(list_sum(err) / len(err), 9) AS mean_abs_err
+FROM e
+""",
+    tags=("similarity", "llm", "vector"),
+)
+def q163_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit: scale =
+    max|x|/127, code = round-half-up(x/scale), reported as the
+    per-vector reconstruction error a 100 TB embedding store cares
+    about before switching to int8 (4× smaller, SIMD-friendly).
+
+    Map-only — zero shuffles at any corpus size; all arithmetic is
+    higher-order array expressions over doubles (float→double widening
+    is exact, and round-half-up is spelled floor(x/s + 0.5) because
+    that is bit-identical across engines, unlike bankers'-vs-away
+    rounding of round()). The error bound max_abs_err ≤ scale/2 is
+    asserted in pytest rather than emitted (a boolean on a float
+    boundary is an ulp coin-flip; the rounded errors are not).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, e -> cast(e AS double))").alias("x"),
+    )
+    s = e.withColumn(
+        "scale", F.expr("array_max(transform(x, e -> abs(e))) / 127")
+    )
+    err = s.withColumn(
+        "err",
+        F.expr("transform(x, e -> abs(e - floor(e / scale + 0.5d) * scale))"),
+    )
+    return err.select(
+        "vec_id",
+        "label",
+        F.round("scale", 9).alias("quant_scale"),
+        F.round(F.expr("array_max(err)"), 9).alias("max_abs_err"),
+        F.round(
+            F.expr("aggregate(err, 0d, (a, e) -> a + e) / size(err)"), 9
+        ).alias("mean_abs_err"),
+    )

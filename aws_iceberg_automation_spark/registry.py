@@ -226,6 +226,7 @@ _DRIVER_PRIORITY = [
     "q160_hybrid_rrf_search",
     "q161_key_skew_profile",
     "q162_deterministic_shuffle",
+    "q163_embedding_quantize",
 ]
 
 

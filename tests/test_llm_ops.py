@@ -554,3 +554,15 @@ def test_deterministic_shuffle_balance_and_stability(spark):
     assert max(counts.values()) <= 2 * min(counts.values()), counts
     b = {r.doc_id: (r.shard, r.shuffle_key) for r in fn(spark, SF_DIR).collect()}
     assert all(b[r.doc_id] == (r.shard, r.shuffle_key) for r in a)
+
+
+def test_embedding_quantize_error_bound(spark):
+    """int8 reconstruction error must respect the half-step bound
+    max_abs_err <= scale/2 for every vector."""
+    from aws_iceberg_automation_spark.registry import all_specs
+
+    rows = all_specs()["q163_embedding_quantize"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.max_abs_err <= r.quant_scale / 2 + 1e-12, r
+        assert 0 <= r.mean_abs_err <= r.max_abs_err + 1e-12, r
