@@ -499,3 +499,73 @@ def q149_rolling_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_end")
     )
+
+
+@register(
+    "q165_winsorized_stats",
+    oracle="""
+WITH bounds AS (
+  SELECT l_returnflag,
+    quantile_cont(l_extendedprice, 0.01) AS lo,
+    quantile_cont(l_extendedprice, 0.99) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  round(b.lo, 4) AS p01,
+  round(b.hi, 4) AS p99,
+  round(AVG(l.l_extendedprice), 4) AS mean_raw,
+  round(AVG(greatest(b.lo, least(l.l_extendedprice, b.hi))), 4)
+    AS mean_winsorized,
+  CAST(SUM(CASE WHEN l.l_extendedprice < b.lo
+                  OR l.l_extendedprice > b.hi
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM lineitem l JOIN bounds b USING (l_returnflag)
+GROUP BY l.l_returnflag, b.lo, b.hi
+""",
+    tags=("agg", "robust"),
+)
+def q165_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics: clip each group's values at its
+    own p01/p99 before averaging — the outlier-resistant mean every
+    metrics pipeline wants next to the raw one (one fat-fingered
+    order no longer moves the KPI).
+
+    Plan shape: pass 1 computes per-group exact percentiles (a sort
+    per group — use approx_percentile at 100 TB, same plan
+    otherwise), broadcast the 3-row bounds table back, pass 2 is a
+    plain hash agg with greatest/least clipping inline. Clipping via
+    greatest/least has no boundary ambiguity: a value equal to the
+    bound maps to itself in both engines regardless of ulp drift in
+    the interpolated bound.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("hi"),
+    )
+    clipped = F.greatest(
+        F.col("lo"), F.least(F.col("l_extendedprice"), F.col("hi"))
+    )
+    out_of_range = (F.col("l_extendedprice") < F.col("lo")) | (
+        F.col("l_extendedprice") > F.col("hi")
+    )
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_extendedprice"), 4).alias("mean_raw"),
+            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+            F.sum(F.when(out_of_range, 1).otherwise(0)).alias("n_clipped"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.round("lo", 4).alias("p01"),
+            F.round("hi", 4).alias("p99"),
+            "mean_raw",
+            "mean_winsorized",
+            "n_clipped",
+        )
+    )

@@ -280,3 +280,54 @@ def q98_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "week_offset").agg(
         F.count(F.lit(1)).alias("active_users")
     )
+
+
+@register(
+    "q164_event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+    lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt
+  FROM events
+), pairs AS (
+  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+), totals AS (
+  SELECT cur, SUM(n) AS row_total FROM pairs GROUP BY cur
+)
+SELECT p.cur, p.nxt, p.n,
+  round(p.n / CAST(t.row_total AS DOUBLE), 6) AS p_transition
+FROM pairs p JOIN totals t USING (cur)
+""",
+    tags=("behavioral", "events"),
+)
+def q164_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: counts and conditional probabilities of event_type →
+    next event_type — the behavioral fingerprint behind funnel
+    diagnostics and bot detection (a user whose click→click mass is
+    0.99 is a crawler).
+
+    Plan shape: one shuffle to order events within each user (the
+    lead window is per-user — thousands of small partitions, never a
+    global sort), then a two-phase count on the (cur, nxt) pairs —
+    at most |event_types|² = 25 groups — and a broadcast-size join
+    for row-normalization.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    totals = pairs.groupBy("cur").agg(F.sum("n").alias("row_total"))
+    return pairs.join(F.broadcast(totals), "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n") / F.col("row_total").cast("double"), 6).alias(
+            "p_transition"
+        ),
+    )

@@ -362,3 +362,55 @@ def q70b_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(k > 50, 1)).alias("n_big"),
         F.count(F.when(missing.isNull(), 1)).alias("n_missing"),
     )
+
+
+@register(
+    "q166_python_datasource",
+    oracle="""
+WITH gen AS (
+  SELECT i AS event_id,
+    CAST('0x' || substring(md5('pyds:' || CAST(i AS VARCHAR)), 1, 4)
+         AS BIGINT) % 500 AS user_id,
+    list_value('click', 'error', 'purchase', 'signup', 'view')[
+      (CAST('0x' || substring(md5('pyds:' || CAST(i AS VARCHAR)), 5, 2)
+            AS BIGINT) % 5) + 1] AS event_type,
+    CAST('0x' || substring(md5('pyds:' || CAST(i AS VARCHAR)), 7, 10)
+         AS BIGINT) / 1099511627776.0 * 100.0 AS value
+  FROM unnest(generate_series(0, 19999)) AS t(i)
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  round(SUM(value), 4) AS total_value
+FROM gen GROUP BY event_type
+""",
+    tags=("source", "pyds"),
+)
+def q166_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource read (#22 family, Spark-4 API): 20k
+    synthetic events generated by `sources/pyds.py` across 8 parallel
+    input partitions, aggregated by type. The oracle re-derives the
+    exact same rows from the same md5 arithmetic in SQL — proving the
+    source is a pure deterministic function of its options, i.e. the
+    property a replayable source needs (restart ⇒ same data, no
+    silent drift). The generator itself is the slow Python path by
+    nature (that is what this API is for); everything downstream of
+    the scan is ordinary JVM aggregation."""
+    from ..sources.pyds import SyntheticEventsDataSource
+
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    gen = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 20000)
+        .option("n_partitions", 8)
+        .option("seed", "pyds")
+        .load()
+    )
+    return gen.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

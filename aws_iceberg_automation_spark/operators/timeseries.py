@@ -424,3 +424,75 @@ def q147_halflife_baseline_anomaly(spark: SparkSession, sf_dir: str) -> DataFram
             > 2.0 * F.greatest(F.abs("baseline"), F.lit(1.0))
         ).alias("is_anomaly"),
     )
+
+
+@register(
+    "q35d_asof_forward",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT event_id AS p_event_id, user_id, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id,
+       date_trunc('second', c.ts) AS click_ts,
+       p.p_event_id AS next_purchase_id,
+       p.p_value AS next_purchase_value,
+       CAST(date_diff('second', date_trunc('second', c.ts),
+                      date_trunc('second', p.p_ts)) AS BIGINT)
+         AS secs_to_purchase
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts <= p.p_ts
+""",
+    tags=("timeseries", "join"),
+)
+def q35d_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (#35): each click matched to the user's NEXT
+    purchase at-or-after it, plus the seconds until it — the
+    time-to-conversion label generator (and the mirror of q35's
+    backward carry). Same union-tag single-shuffle shape, with the
+    carry running BACKWARD: first(ignorenulls) over
+    [currentRow, unboundedFollowing] per user. Purchases sort after
+    clicks at equal timestamps so '<=' semantics hold. Oracle: DuckDB
+    ASOF LEFT JOIN with the forward inequality."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("p_event_id"),
+        F.lit(None).cast("double").alias("p_value"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), "user_id", "ts", F.lit(1).alias("side"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+        F.col("ts").alias("p_ts"),
+    )
+    tagged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        tagged.withColumn(
+            "next_purchase_id", F.first("p_event_id", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "next_purchase_value", F.first("p_value", ignorenulls=True).over(w)
+        )
+        .withColumn("next_p_ts", F.first("p_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            ts_sec("ts").alias("click_ts"),
+            "next_purchase_id",
+            "next_purchase_value",
+            (
+                F.date_trunc("second", F.col("next_p_ts")).cast("long")
+                - F.date_trunc("second", F.col("ts")).cast("long")
+            ).alias("secs_to_purchase"),
+        )
+    )

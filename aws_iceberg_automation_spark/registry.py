@@ -227,6 +227,10 @@ _DRIVER_PRIORITY = [
     "q161_key_skew_profile",
     "q162_deterministic_shuffle",
     "q163_embedding_quantize",
+    "q35d_asof_forward",
+    "q164_event_transition_matrix",
+    "q165_winsorized_stats",
+    "q166_python_datasource",
 ]
 
 

@@ -134,3 +134,32 @@ def test_write_sized_hits_target_file_count(spark, tmp_path):
     info2 = write_sized(li, out2, target_file_mb=1024)
     assert info2["n_files"] == 1
     assert len(glob.glob(out2 + "/*.parquet")) == 1
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    """The custom Python DataSource must honor requested read
+    parallelism and produce bit-identical rows on re-read."""
+    from aws_iceberg_automation_spark.sources.pyds import (
+        SyntheticEventsDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:
+        pass
+    rd = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 1000)
+        .option("n_partitions", 5)
+        .option("seed", "t1")
+    )
+    df = rd.load()
+    assert df.rdd.getNumPartitions() == 5
+    a = sorted(df.collect())
+    assert len(a) == 1000
+    assert len({r.event_id for r in a}) == 1000
+    b = sorted(rd.load().collect())
+    assert a == b
+    # different seed -> different stream
+    c = rd.option("seed", "t2").load().collect()
+    assert sorted(c) != a
