@@ -776,3 +776,30 @@ def dup_span_coverage(d: DataFrame, k: int = 8) -> DataFrame:
             ).alias("dup_coverage"),
         )
     )
+
+
+@register("q167_neardup_clusters", oracle=None, tags=("dedup", "llm"))
+def q167_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster report: LSH candidate pairs → transitive
+    closure → one row per duplicate cluster with its size, keeper
+    (min id — the doc a dedup pass would retain), and the sorted
+    member list — the artifact a dedup pipeline actually publishes
+    for audit ("which docs were merged, and who survived").
+
+    Plan shape: pairs are LSH-bucketed (never all-pairs, capped
+    buckets), the closure is O(log diameter) rounds of small joins
+    with lineage checkpoints, and the report is one hash agg on
+    component_id. member_ids is emitted as a comma-joined string —
+    bounded by cluster size, and cluster sizes are bounded by the
+    LSH bucket cap upstream. Rows-only check (xxhash64 seeds are
+    engine-specific); pytest asserts injected duplicate clusters
+    surface intact."""
+    d = load_table(spark, sf_dir, "documents")
+    comp = connected_components(minhash_candidate_pairs(d))
+    return comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.concat_ws(
+            ",", F.sort_array(F.collect_list(F.col("doc_id").cast("string")))
+        ).alias("member_ids"),
+    )

@@ -231,6 +231,7 @@ _DRIVER_PRIORITY = [
     "q164_event_transition_matrix",
     "q165_winsorized_stats",
     "q166_python_datasource",
+    "q167_neardup_clusters",
 ]
 
 

@@ -566,3 +566,29 @@ def test_embedding_quantize_error_bound(spark):
     for r in rows:
         assert r.max_abs_err <= r.quant_scale / 2 + 1e-12, r
         assert 0 <= r.mean_abs_err <= r.max_abs_err + 1e-12, r
+
+
+def test_neardup_cluster_report_groups_injected_dups(spark, docs_with_dups):
+    """Injected (i, i+100000) near-dup pairs must surface as clusters
+    whose member list contains both ids and whose keeper is the min."""
+    from aws_iceberg_automation_spark.operators.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
+
+    comp = connected_components(minhash_candidate_pairs(docs_with_dups))
+    report = comp.groupBy("component_id").agg(
+        F.min("doc_id").alias("keeper"),
+        F.collect_list("doc_id").alias("members"),
+    ).collect()
+    by_member = {}
+    for r in report:
+        for m in r.members:
+            by_member[m] = r
+    hits = 0
+    for i in range(10):
+        r = by_member.get(i + 100000)
+        if r is not None and i in r.members:
+            assert r.keeper <= i
+            hits += 1
+    assert hits >= 8, f"only {hits}/10 injected dup clusters intact"
