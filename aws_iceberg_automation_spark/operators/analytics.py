@@ -937,3 +937,74 @@ def q140_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "q168_copurchase_pairs",
+    oracle="""
+WITH bought AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), capped AS (
+  SELECT cust, part FROM bought
+  WHERE cust IN (SELECT cust FROM bought GROUP BY cust HAVING COUNT(*) <= 128)
+), pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b,
+    CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM capped a JOIN capped b ON a.cust = b.cust AND a.part < b.part
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_customers, rk FROM (
+  SELECT *, row_number() OVER
+    (ORDER BY n_customers DESC, part_a, part_b) AS rk
+  FROM pairs)
+WHERE rk <= 20
+""",
+    tags=("analytics", "recommendation"),
+)
+def q168_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 20 part pairs most often bought
+    by the same customer — the count matrix behind "customers who
+    bought X also bought Y" item-item recommenders.
+
+    Plan shape: distinct (customer, part) first (shuffle carries two
+    ids), then the pairing self-join runs WITHIN customer baskets only
+    — work is Σ C(basket,2), never corpus², and the ``basket ≤ 128``
+    cap (applied identically in the oracle) bounds the one customer
+    with a million-line basket that would otherwise go quadratic —
+    the same skew discipline as the LSH bucket cap in dedup.py. The
+    pair counts then two-phase-aggregate on (part_a, part_b) and
+    TakeOrdered yields the top-20; no global window over the pair set.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bought = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    sizes = bought.groupBy("cust").agg(F.count(F.lit(1)).alias("basket"))
+    capped = (
+        bought.join(sizes.filter(F.col("basket") <= 128), "cust")
+        .select("cust", "part")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(
+            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    top = pairs.orderBy(
+        F.col("n_customers").desc(), "part_a", "part_b"
+    ).limit(20)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_customers").desc(), "part_a", "part_b")
+    return top.withColumn("rk", F.row_number().over(w).cast("bigint"))

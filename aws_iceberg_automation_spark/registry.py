@@ -232,6 +232,7 @@ _DRIVER_PRIORITY = [
     "q165_winsorized_stats",
     "q166_python_datasource",
     "q167_neardup_clusters",
+    "q168_copurchase_pairs",
 ]
 
 
