@@ -622,3 +622,104 @@ def q162_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(key, F.lit(8)).cast("int").alias("shard"),
         key.alias("shuffle_key"),
     )
+
+
+@register(
+    "q169_exposure_weights",
+    oracle="""
+WITH copies AS (
+  SELECT md5(text) AS content_key, COUNT(*) AS n_copies
+  FROM documents GROUP BY md5(text)
+)
+SELECT d.doc_id, c.n_copies,
+  round(1.0 / c.n_copies, 6) AS train_weight
+FROM documents d JOIN copies c ON md5(d.text) = c.content_key
+""",
+    tags=("curation", "llm"),
+)
+def q169_exposure_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-exposure control: every document's training weight is
+    1/n_copies of its exact content hash, so duplicated content
+    contributes one document's worth of gradient signal no matter how
+    many times the crawl re-collected it — the soft alternative to
+    hard-dropping dups (and the knob epoch-capping schemes build on).
+
+    Plan shape: one hash-groupBy on md5(text) (the q81 shuffle) and
+    one shuffle join back on the same key — two passes over (hash,
+    id)-sized rows, linear at any corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5("text").alias("content_key")
+    copies = d.groupBy(key).agg(F.count(F.lit(1)).alias("n_copies"))
+    return (
+        d.select("doc_id", key)
+        .join(copies, "content_key")
+        .select(
+            "doc_id",
+            "n_copies",
+            F.round(1.0 / F.col("n_copies"), 6).alias("train_weight"),
+        )
+    )
+
+
+@register(
+    "q170_temperature_mixture",
+    oracle="""
+WITH census AS (
+  SELECT lang,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), scored AS (
+  SELECT *,
+    pow(n_tokens / CAST((SELECT SUM(n_tokens) FROM census) AS DOUBLE),
+        0.7) AS raw
+  FROM census
+)
+SELECT lang, n_docs, n_tokens,
+  round(n_tokens / CAST((SELECT SUM(n_tokens) FROM census) AS DOUBLE), 6)
+    AS natural_share,
+  round(raw / (SELECT SUM(raw) FROM scored), 6) AS sampled_share,
+  round((raw / (SELECT SUM(raw) FROM scored))
+        / (n_tokens / CAST((SELECT SUM(n_tokens) FROM census) AS DOUBLE)),
+        6) AS upsample_factor
+FROM scored
+""",
+    tags=("curation", "llm"),
+)
+def q170_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (α = 0.7): sampled share ∝
+    (natural token share)^α, the standard multilingual rebalancing —
+    α < 1 upsamples tail languages and downsamples the head (the
+    upsample_factor column is the rate a sampler would apply per
+    language).
+
+    Plan shape: one token census per language (|langs| groups), then
+    pure scalar math on a broadcast-size table — two 1-row global
+    aggregates ride along as broadcast cross joins. The corpus is
+    scanned exactly once at any scale.
+    """
+    alpha = 0.7
+    d = load_table(spark, sf_dir, "documents")
+    census = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    tot = census.agg(F.sum("n_tokens").cast("double").alias("total_tokens"))
+    scored = census.crossJoin(F.broadcast(tot)).withColumn(
+        "raw", F.pow(F.col("n_tokens") / F.col("total_tokens"), alpha)
+    )
+    zsum = scored.agg(F.sum("raw").alias("z"))
+    nat = F.col("n_tokens") / F.col("total_tokens")
+    samp = F.col("raw") / F.col("z")
+    return (
+        scored.crossJoin(F.broadcast(zsum))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(nat, 6).alias("natural_share"),
+            F.round(samp, 6).alias("sampled_share"),
+            F.round(samp / nat, 6).alias("upsample_factor"),
+        )
+    )

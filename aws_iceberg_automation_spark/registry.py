@@ -233,6 +233,8 @@ _DRIVER_PRIORITY = [
     "q166_python_datasource",
     "q167_neardup_clusters",
     "q168_copurchase_pairs",
+    "q169_exposure_weights",
+    "q170_temperature_mixture",
 ]
 
 
