@@ -803,3 +803,126 @@ def q167_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.sort_array(F.collect_list(F.col("doc_id").cast("string")))
         ).alias("member_ids"),
     )
+
+
+# Canonical-occurrence encoding for span dedup: doc_id * 2^20 + start.
+# Token positions are bounded far below 2^20 (documents are short
+# strings; a 1 MB doc is ~2·10^5 tokens), so the packed key orders by
+# (doc_id, start) exactly and fits BIGINT for doc_ids up to ~8·10^12.
+_SPAN_POS_BASE = 1 << 20
+
+
+@register(
+    "q171_span_dedup_clean",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), tok AS (
+  SELECT doc_id, i AS pos, w[i] AS word
+  FROM words, unnest(generate_series(1, len(w))) AS t(i)
+), occ AS (
+  SELECT doc_id, i AS start, array_to_string(w[i:i+7], ' ') AS shingle
+  FROM words, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+), verdict AS (
+  SELECT shingle, COUNT(*) AS n_occ,
+         MIN(doc_id * 1048576 + start) AS canon
+  FROM occ GROUP BY shingle
+), removed AS (
+  SELECT DISTINCT o.doc_id, o.start + j AS pos
+  FROM occ o JOIN verdict v USING (shingle),
+       unnest(generate_series(0, 7)) AS u(j)
+  WHERE v.n_occ > 1 AND o.doc_id * 1048576 + o.start <> v.canon
+)
+SELECT t.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(COUNT(r.pos) AS BIGINT) AS n_removed,
+  COALESCE(string_agg(CASE WHEN r.pos IS NULL THEN t.word END,
+                      ' ' ORDER BY t.pos), '') AS cleaned_text
+FROM tok t LEFT JOIN removed r ON t.doc_id = r.doc_id AND t.pos = r.pos
+GROUP BY t.doc_id
+""",
+    tags=("dedup", "llm"),
+)
+def q171_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup that REWRITES the corpus (the removal pass
+    of Lee et al.'s "Deduplicating Training Data Makes Language Models
+    Better", approximated at fixed 8-word span granularity): every
+    duplicated 8-gram occurrence except the corpus-canonical one (min
+    (doc_id, start)) is removed, and each document's surviving tokens
+    are re-joined into cleaned text. q158 measures the duplication;
+    this operator produces the deduplicated training corpus itself.
+
+    Plan shape (all linear, word-count-shaped — no pairwise term):
+    shingling and token positions are per-row maps; the verdict is one
+    two-phase hash agg on the shingle key (count + packed argmin in the
+    same pass); non-canonical occurrences explode to ≤k positions each;
+    the rewrite is one (doc_id, pos) equi-join plus one per-doc hash
+    agg whose state is bounded by document length. A boilerplate span
+    shared by 10M docs costs one counter and 10M position rows —
+    occurrence-linear, never quadratic. Skewed shingle keys carry only
+    (doc_id, start) pairs through the shuffle; AQE splits the hot
+    reducers.
+    """
+    return span_dedup_clean(load_table(spark, sf_dir, "documents"))
+
+
+def span_dedup_clean(d: DataFrame, k: int = 8) -> DataFrame:
+    """Core of q171 over any (doc_id, text) frame; k = span width.
+    Docs shorter than k tokens have no shingles and pass through
+    unmodified (n_removed = 0, cleaned_text = original)."""
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    tok = w.select(
+        "doc_id", F.posexplode("w").alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    occ = (
+        w.filter(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {k} + 1),"
+                    f" i -> struct(i AS start,"
+                    f" concat_ws(' ', slice(w, i, {k})) AS shingle))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.start", "s.shingle")
+    )
+    packed = F.col("doc_id") * _SPAN_POS_BASE + F.col("start")
+    verdict = occ.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(packed).alias("canon"),
+    )
+    removed = (
+        occ.join(verdict, "shingle")
+        .filter((F.col("n_occ") > 1) & (packed != F.col("canon")))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("rm", F.lit(True))
+    )
+    kept_word = F.when(
+        ~F.coalesce(F.col("rm"), F.lit(False)),
+        F.struct(F.col("pos"), F.col("word")),
+    )
+    return (
+        tok.join(removed, ["doc_id", "pos"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("rm"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(kept_word)),
+                    lambda s: s.getField("word"),
+                ),
+            ).alias("cleaned_text"),
+        )
+    )

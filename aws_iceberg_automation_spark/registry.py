@@ -235,6 +235,7 @@ _DRIVER_PRIORITY = [
     "q168_copurchase_pairs",
     "q169_exposure_weights",
     "q170_temperature_mixture",
+    "q171_span_dedup_clean",
 ]
 
 

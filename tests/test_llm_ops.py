@@ -522,6 +522,56 @@ def test_dup_span_coverage_drops_short_docs(spark):
     assert rows[0].n_shingles == 2
 
 
+def test_span_dedup_clean_removes_copy_keeps_canonical(spark):
+    """A verbatim copy of doc 0 must be fully scrubbed (every token sits
+    in a duplicated span whose canonical occurrence lives in doc 0),
+    while doc 0 itself — the min-(doc_id, start) owner of every one of
+    those spans — must keep its text verbatim. A globally-unique doc is
+    untouched."""
+    from aws_iceberg_automation_spark.operators.dedup import span_dedup_clean
+
+    base = spark.createDataFrame(
+        [
+            (0, " ".join(f"alpha{i}" for i in range(16))),
+            (7, " ".join(f"beta{i}" for i in range(16))),
+        ],
+        "doc_id long, text string",
+    )
+    copy = base.filter(F.col("doc_id") == 0).select(
+        F.lit(9000).cast("long").alias("doc_id"), "text"
+    )
+    out = {
+        r.doc_id: r for r in span_dedup_clean(base.unionByName(copy)).collect()
+    }
+    src = base.filter(F.col("doc_id") == 0).collect()[0].text
+    assert out[0].n_removed == 0 and out[0].cleaned_text == src
+    assert out[9000].n_removed == 16 and out[9000].cleaned_text == ""
+    assert out[7].n_removed == 0 and out[7].cleaned_text.startswith("beta0 ")
+
+
+def test_span_dedup_clean_partial_overlap_and_short_docs(spark):
+    """A doc sharing only an 8-token prefix with the canonical doc loses
+    exactly those 8 tokens and keeps its unique tail in order; docs
+    under the span width pass through whole."""
+    from aws_iceberg_automation_spark.operators.dedup import span_dedup_clean
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    d = spark.createDataFrame(
+        [
+            (1, shared + " " + " ".join(f"left{i}" for i in range(4))),
+            (2, shared + " " + " ".join(f"right{i}" for i in range(4))),
+            (3, "tiny doc below span width"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_dedup_clean(d).collect()}
+    assert out[1].n_removed == 0  # canonical owner of the shared span
+    assert out[2].n_removed == 8
+    assert out[2].cleaned_text == "right0 right1 right2 right3"
+    assert out[3].n_removed == 0
+    assert out[3].cleaned_text == "tiny doc below span width"
+
+
 def test_bigram_lm_score_ranks_gibberish_worst(spark):
     """Unseen-word gibberish must receive a higher mean NLL than every
     document drawn from the corpus distribution."""
