@@ -589,3 +589,158 @@ def q163_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("aggregate(err, 0d, (a, e) -> a + e) / size(err)"), 9
         ).alias("mean_abs_err"),
     )
+
+
+@register("q172_pq_adc_topk", oracle=None, tags=("similarity", "llm", "vector"))
+def q172_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (#83 memory-bound scale path): vectors
+    are unit-normalized, split into M=8 subspaces, each subspace
+    k-means-quantized to K=16 codes, and every 64-dim float vector
+    compresses to ONE 32-bit packed code (64× smaller than float32 —
+    the difference between an embedding index that fits executor RAM
+    at 100 TB and one that doesn't). Queries score the compressed
+    corpus via ADC (asymmetric distance computation): per query, an
+    M×K lookup table of subspace distances is built once, and each
+    corpus code costs M table gathers — no float vector is touched
+    until the exact re-rank of the top 4k ADC candidates.
+
+    Spark shapes, in order:
+    - codebook training: numpy Lloyd on a BOUNDED deterministic sample
+      (≤2048 vectors — industry practice trains 256-code books on a
+      ~100k sample regardless of corpus size; the collect is bounded
+      at any scale);
+    - encode: broadcast codebooks + mapInPandas argmin kernel, pure
+      map over the corpus — the only full-corpus pass;
+    - ADC scan: broadcast |Q|×M×K LUTs, mapInPandas gather kernel with
+      per-batch top-candidate pre-reduction (k·partitions rows leave
+      each task, TakeOrdered shape);
+    - re-rank: equi-join of the tiny candidate set back to original
+      vectors, exact JVM-fold cosine, per-query row_number ≤ k.
+
+    Rows-only check (k-means codebooks are engine-specific); pytest
+    asserts recall ≥ 0.8 vs q83's exact neighbors and the 32-bit code
+    packing invariant."""
+    import numpy as np
+    import pandas as pd
+
+    M, K, LLOYD_ITER, SAMPLE_N = 8, 16, 10, 2048
+    # Shortlist width is THE recall knob (ADC is a lossy sieve, the
+    # re-rank is exact): 20×k on the fixtures' near-orthogonal
+    # worst-case geometry; at a real corpus's clustered geometry the
+    # customary 4-10×k suffices. Cost stays k·partitions-shaped.
+    rerank_n = 20 * _TOP_K
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+
+    # --- bounded deterministic training sample → driver-side Lloyd ---
+    sample_rows = (
+        e.filter(F.col("vec_id") < SAMPLE_N).select("v").collect()
+    )
+    S = np.array([r.v for r in sample_rows], dtype=np.float64)
+    S /= np.linalg.norm(S, axis=1, keepdims=True)
+    dim = S.shape[1]
+    sub = dim // M
+    books = np.zeros((M, K, sub))
+    for m in range(M):
+        x = S[:, m * sub : (m + 1) * sub]
+        c = x[:K].copy()  # deterministic init: first K sample rows
+        for _ in range(LLOYD_ITER):
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            for j in range(K):
+                if (a == j).any():
+                    c[j] = x[a == j].mean(0)
+        books[m] = c
+    bc_books = spark.sparkContext.broadcast(books)
+
+    # --- encode: corpus → packed 32-bit PQ codes (pure map) ----------
+    def encode(batches):
+        b = bc_books.value
+        for pdf in batches:
+            vm = np.array(list(pdf["v"]), dtype=np.float64)
+            vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+            code = np.zeros(len(vm), dtype=np.int64)
+            for m in range(M):
+                x = vm[:, m * sub : (m + 1) * sub]
+                d2 = (
+                    (x**2).sum(1)[:, None]
+                    - 2 * x @ b[m].T
+                    + (b[m] ** 2).sum(1)[None, :]
+                )
+                code |= d2.argmin(1).astype(np.int64) << (4 * m)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "pq_code": code})
+
+    codes = e.select("vec_id", "v").mapInPandas(
+        encode, schema="vec_id long, pq_code long"
+    )
+
+    # --- query LUTs: |Q|×M×K squared-distance tables (bounded) -------
+    q_rows = (
+        e.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "v").collect()
+    )
+    q_ids = np.array([r.vec_id for r in q_rows])
+    qm = np.array([r.v for r in q_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    luts = np.zeros((len(q_ids), M, K))
+    for m in range(M):
+        qx = qm[:, m * sub : (m + 1) * sub]
+        luts[:, m, :] = (
+            (qx**2).sum(1)[:, None]
+            - 2 * qx @ books[m].T
+            + (books[m] ** 2).sum(1)[None, :]
+        )
+    bc_luts = spark.sparkContext.broadcast((q_ids, luts))
+
+    # --- ADC scan over codes with per-batch top-candidate cut --------
+    def adc(batches):
+        ids, lut = bc_luts.value
+        for pdf in batches:
+            code = pdf["pq_code"].to_numpy()
+            d = np.zeros((len(ids), len(code)))
+            for m in range(M):
+                idx = (code >> (4 * m)) & 0xF
+                d += lut[:, m, :][:, idx]
+            out = {"q_id": [], "neighbor_id": [], "adc_d2": []}
+            top_n = min(rerank_n + 1, d.shape[1])
+            for qi, q_id in enumerate(ids):
+                top = np.argpartition(d[qi], top_n - 1)[:top_n]
+                for ci in top:
+                    out["q_id"].append(int(q_id))
+                    out["neighbor_id"].append(int(pdf["vec_id"].iloc[ci]))
+                    out["adc_d2"].append(float(d[qi, ci]))
+            yield pd.DataFrame(out)
+
+    cand = (
+        codes.mapInPandas(adc, schema="q_id long, neighbor_id long, adc_d2 double")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+    )
+    wq = Window.partitionBy("q_id").orderBy("adc_d2", "neighbor_id")
+    shortlist = (
+        cand.withColumn("_ark", F.row_number().over(wq))
+        .filter(F.col("_ark") <= rerank_n)
+        .select("q_id", "neighbor_id")
+    )
+
+    # --- exact re-rank of the shortlist against original vectors -----
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    rer = (
+        shortlist.join(
+            e.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("label").alias("neighbor_label"),
+                     "v"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return rer.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _TOP_K)

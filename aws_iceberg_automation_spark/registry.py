@@ -236,6 +236,7 @@ _DRIVER_PRIORITY = [
     "q169_exposure_weights",
     "q170_temperature_mixture",
     "q171_span_dedup_clean",
+    "q172_pq_adc_topk",
 ]
 
 

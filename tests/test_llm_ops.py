@@ -187,6 +187,10 @@ def test_spherical_kmeans_improves_objective(spark):
         # IVF with the deterministic stand-in quantizer + nprobe=3:
         # plan-shape demo, recall floor is a collapse guard
         ("q83d_ann_ivf_topk", 0.25),
+        # PQ-ADC with exact re-rank of the top-4k shortlist: the
+        # re-rank restores exact ordering, so recall = shortlist hit
+        # rate — high even with 4-bit codes
+        ("q172_pq_adc_topk", 0.8),
     ],
 )
 def test_ann_recall_vs_exact(spark, ann, floor):
@@ -207,6 +211,25 @@ def test_ann_recall_vs_exact(spark, ann, floor):
     # every query finds *something* and never itself
     for q, ns in approx_sets.items():
         assert q not in ns
+
+
+def test_pq_adc_deterministic_and_exactly_k(spark):
+    """PQ-ADC must be run-to-run deterministic (codebook init, Lloyd,
+    argmin ties, shortlist cut and re-rank all have fixed tiebreaks)
+    and deliver exactly k neighbors per query with exact re-ranked
+    cosines (descending per query)."""
+    fn = SPECS["q172_pq_adc_topk"].fn
+    a = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    assert a == b
+    per_q = {}
+    for r in fn(spark, SF_DIR).collect():
+        per_q.setdefault(r.q_id, []).append((r.rk, r.cosine))
+    for q, rows in per_q.items():
+        rows.sort()
+        assert [rk for rk, _ in rows] == [1, 2, 3, 4, 5]
+        cosines = [c for _, c in rows]
+        assert cosines == sorted(cosines, reverse=True)
 
 
 def test_stratified_sample_rates(spark):
