@@ -723,3 +723,148 @@ def q170_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(samp / nat, 6).alias("upsample_factor"),
         )
     )
+
+
+@register(
+    "q173_semantic_contamination",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ev AS (SELECT vec_id AS eval_id, v AS ev_v FROM e WHERE vec_id % 50 = 0),
+tr AS (SELECT vec_id AS train_id, v AS tr_v FROM e WHERE vec_id % 50 <> 0),
+scored AS (
+  SELECT eval_id, train_id,
+    round(list_dot_product(ev_v, tr_v)
+          / (sqrt(list_dot_product(ev_v, ev_v))
+             * sqrt(list_dot_product(tr_v, tr_v))), 6) AS c
+  FROM ev CROSS JOIN tr)
+SELECT eval_id, train_id AS nearest_train_id, c AS max_cosine,
+  (c >= 0.9) AS contaminated
+FROM (SELECT *, row_number() OVER (PARTITION BY eval_id
+                                   ORDER BY c DESC, train_id) AS rk
+      FROM scored)
+WHERE rk = 1
+""",
+    tags=("curation", "llm", "vector"),
+)
+def q173_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination — the semantic
+    companion to q104's n-gram check: paraphrased eval leakage that
+    shares no n-grams still lands at cosine ≈ 1. The vec_id % 50 slice
+    stands in for the benchmark; every eval vector reports its nearest
+    TRAINING vector and whether it crosses the contamination threshold
+    (0.9 — standard SemDeDup/decontamination territory).
+
+    Plan shape: the eval set is benchmark-sized (thousands) →
+    broadcast; the 100 TB training side streams once and partially
+    aggregates map-side down to |eval| rows (max_by keyed on eval_id)
+    — no shuffle ever carries more than |eval| rows per partition.
+    Determinism: cosines are rounded BEFORE the argmax and ties break
+    to the smallest train_id on both engines. The fixtures'
+    near-orthogonal vectors legitimately flag nothing; pytest injects
+    a verbatim eval copy into train and asserts it flags.
+    """
+    from ..functions.vectors import cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    ev = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("v").alias("ev_v")
+    )
+    tr = e.filter(F.col("vec_id") % 50 != 0).select(
+        F.col("vec_id").alias("train_id"), F.col("v").alias("tr_v")
+    )
+    scored = (
+        tr.join(F.broadcast(ev))
+        .select(
+            "eval_id",
+            "train_id",
+            F.round(cosine(F.col("ev_v"), F.col("tr_v")), 6).alias("c"),
+        )
+    )
+    best = scored.groupBy("eval_id").agg(
+        F.max_by(
+            "train_id", F.struct(F.col("c"), (-F.col("train_id")).alias("_t"))
+        ).alias("nearest_train_id"),
+        F.max("c").alias("max_cosine"),
+    )
+    return best.select(
+        "eval_id",
+        "nearest_train_id",
+        "max_cosine",
+        (F.col("max_cosine") >= 0.9).alias("contaminated"),
+    )
+
+
+@register(
+    "q174_source_overlap",
+    oracle="""
+WITH words AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT source, g FROM (
+  SELECT source, unnest(CASE WHEN len(t) >= 3
+    THEN list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' '))
+    ELSE [] END) AS g FROM words)),
+tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source),
+pairs AS (SELECT a.source AS sa, b.source AS sb,
+                 CAST(COUNT(*) AS BIGINT) AS shared
+          FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+          GROUP BY 1, 2)
+SELECT sa AS source_a, sb AS source_b, shared AS n_shared,
+  ta.n AS n_grams_a, tb.n AS n_grams_b,
+  round(CAST(shared AS DOUBLE) / least(ta.n, tb.n), 6) AS overlap_coeff
+FROM pairs JOIN tot ta ON sa = ta.source JOIN tot tb ON sb = tb.source
+""",
+    tags=("curation", "llm"),
+)
+def q174_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix: for every pair of corpus
+    sources, how many distinct word 3-grams they share and the overlap
+    coefficient |A∩B| / min(|A|,|B|) — the census a curation pipeline
+    runs before mixing crawls (a mirror site shows up as a ~1.0 cell;
+    an aggregator as a high row). 3-grams for the same fixture-
+    vocabulary reason as q104.
+
+    Plan shape: the matrix is |sources|² (a SMALL dimension — 20 here,
+    thousands at worst) but is computed without ever pairing documents:
+    distinct (source, gram) pairs → self-join on the gram key → count
+    per source pair. Per-gram work is (sources containing it)² ≤
+    |sources|², bounded by the source dimension, never by corpus size;
+    the distinct and the pair count are both word-count-shaped
+    two-phase aggs. Totals are a |sources|-row broadcast.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "source",
+            F.explode(_ngrams(F.split("text", " "), 3)).alias("g"),
+        )
+        .distinct()
+    )
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "g")
+    b = sh.select(F.col("source").alias("source_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_grams_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_grams_b"))
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_grams_a",
+            "n_grams_b",
+            F.round(
+                F.col("n_shared")
+                / F.least("n_grams_a", "n_grams_b").cast("double"),
+                6,
+            ).alias("overlap_coeff"),
+        )
+    )

@@ -237,6 +237,8 @@ _DRIVER_PRIORITY = [
     "q170_temperature_mixture",
     "q171_span_dedup_clean",
     "q172_pq_adc_topk",
+    "q173_semantic_contamination",
+    "q174_source_overlap",
 ]
 
 

@@ -128,3 +128,77 @@ def test_weighted_sample_biases_toward_heavy_docs(spark):
     r1 = sorted((r.lang, r.doc_id) for r in fn(spark, SF_DIR).collect())
     r2 = sorted((r.lang, r.doc_id) for r in fn(spark, SF_DIR).collect())
     assert r1 == r2
+
+
+def test_semantic_contamination_flags_injected_copy(spark):
+    """A training vector that verbatim-copies an eval vector must flag
+    that eval row contaminated at cosine 1.0 with the copy as nearest;
+    the untouched near-orthogonal fixture rows must all stay clean."""
+    from aws_iceberg_automation_spark.io import load_table
+    from aws_iceberg_automation_spark.operators.curation import (
+        q173_semantic_contamination,
+    )
+
+    base = (
+        q173_semantic_contamination(spark, SF_DIR)
+        .toPandas()
+        .set_index("eval_id")
+    )
+    assert not base["contaminated"].any()
+
+    # Inject: train vec 90001 (90001 % 50 != 0) = copy of eval vec 50.
+    e = load_table(spark, SF_DIR, "embeddings")
+    leak = e.filter(F.col("vec_id") == 50).select(
+        F.lit(90001).cast("long").alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    import aws_iceberg_automation_spark.operators.curation as cur
+
+    patched = e.unionByName(leak.select(e.columns))
+    orig = cur.load_table
+    try:
+        cur.load_table = lambda s, d, t: patched if t == "embeddings" else orig(s, d, t)
+        out = (
+            q173_semantic_contamination(spark, SF_DIR)
+            .toPandas()
+            .set_index("eval_id")
+        )
+    finally:
+        cur.load_table = orig
+    assert bool(out.loc[50, "contaminated"])
+    assert out.loc[50, "nearest_train_id"] == 90001
+    assert out.loc[50, "max_cosine"] == 1.0
+    clean = out.drop(index=50)
+    assert not clean["contaminated"].any()
+
+
+def test_source_overlap_mirror_site_hits_one(spark):
+    """Two sources carrying identical text must score overlap 1.0;
+    a source of globally-unique grams overlaps nothing."""
+    from aws_iceberg_automation_spark.operators.curation import _ngrams  # noqa: F401
+    import aws_iceberg_automation_spark.operators.curation as cur
+    from aws_iceberg_automation_spark.operators.curation import q174_source_overlap
+    from aws_iceberg_automation_spark.io import load_table
+
+    e = spark.createDataFrame(
+        [
+            (1, "mirrorA", "a b c d e f g h"),
+            (2, "mirrorB", "a b c d e f g h"),
+            (3, "lonely", "zz1 zz2 zz3 zz4"),
+            (4, "mirrorB", "extra words here too"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    orig = cur.load_table
+    try:
+        cur.load_table = lambda s, d, t: e if t == "documents" else orig(s, d, t)
+        rows = {
+            (r.source_a, r.source_b): r
+            for r in q174_source_overlap(spark, SF_DIR).collect()
+        }
+    finally:
+        cur.load_table = orig
+    m = rows[("mirrorA", "mirrorB")]
+    assert m.n_shared == 6 and m.overlap_coeff == 1.0  # 8 tokens → 6 3-grams
+    assert not any("lonely" in k for k in rows)
