@@ -331,3 +331,62 @@ def q164_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     )
+
+
+@register(
+    "q177_sequence_pattern",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id)
+SELECT user_id, n_events,
+  CAST(len(regexp_extract_all(s, 'vc*p')) AS BIGINT) AS n_matches,
+  (len(regexp_extract_all(s, 'vc*p')) > 0) AS matched
+FROM seq
+""",
+    tags=("behavioral", "events"),
+)
+def q177_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (the MATCH_RECOGNIZE shape Spark
+    lacks natively): per user, order the event stream, render it as a
+    compact symbol string (one char per event type — all five fixture
+    types have distinct initials), and count non-overlapping matches
+    of the conversion pattern ``view (click)* purchase`` — a view
+    leading to a purchase with only clicks between. The same machinery
+    runs any regex-expressible funnel/journey pattern.
+
+    Plan shape: one shuffle on user_id; per-user state is the ordered
+    symbol string — one byte per event, so a 10k-event user is a 10 kB
+    cell (sequence-per-key must be bounded, the same contract as any
+    collect_list; cap or window the stream upstream for unbounded
+    keys). The regex scan is per-row JVM work, linear in sequence
+    length. Leftmost non-overlapping match semantics are identical in
+    Java regex and RE2 for this pattern class (no backrefs).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("ch")).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list("e")),
+                    lambda s: s.getField("ch"),
+                ),
+            ).alias("s"),
+        )
+    )
+    n = F.regexp_count("s", F.lit("vc*p"))
+    return seq.select(
+        "user_id",
+        "n_events",
+        n.cast("bigint").alias("n_matches"),
+        (n > 0).alias("matched"),
+    )

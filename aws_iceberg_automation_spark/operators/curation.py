@@ -868,3 +868,127 @@ def q174_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_coeff"),
         )
     )
+
+
+@register(
+    "q175_quality_calibration",
+    oracle="""
+WITH t AS (SELECT doc_id, source,
+  round((CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')))
+        * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' '))), 6) AS raw_score
+  FROM documents)
+SELECT doc_id, source, raw_score,
+  round(percent_rank() OVER (PARTITION BY source ORDER BY raw_score), 6)
+    AS calib_pct,
+  CAST(ntile(10) OVER (PARTITION BY source ORDER BY raw_score, doc_id)
+       AS INT) AS calib_decile
+FROM t
+""",
+    tags=("curation", "llm"),
+)
+def q175_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score calibration: raw heuristic scores are
+    not comparable across sources (a wiki crawl and a forum crawl have
+    different score distributions), so curation pipelines rank-
+    normalize per source before applying one corpus-wide keep
+    threshold. Emits each doc's raw score, its within-source
+    percent_rank (uniform [0,1] per source by construction) and
+    decile.
+
+    Plan shape: features are map-side; the only wide op is one window
+    partitioned by source. Source is a mid-cardinality key whose
+    partitions can be large — at the scale where one source outgrows
+    a task, switch the rank to the q50b two-phase range-partitioned
+    shape (same output, oracle-identical). Determinism: percent_rank
+    is a pure function of the value order (ties share a rank), and
+    the decile orders by (score, doc_id) — unique, so ntile's
+    row-order dependence never bites.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    raw = F.round(
+        (F.length("text").cast("double") / F.size(tokens))
+        * (F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens)),
+        6,
+    )
+    t = d.select("doc_id", "source", raw.alias("raw_score"))
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("source").orderBy("raw_score")
+    wd = Window.partitionBy("source").orderBy("raw_score", "doc_id")
+    return t.select(
+        "doc_id",
+        "source",
+        "raw_score",
+        F.round(F.percent_rank().over(wp), 6).alias("calib_pct"),
+        F.ntile(10).over(wd).cast("int").alias("calib_decile"),
+    )
+
+
+@register(
+    "q176_corpus_datasheet",
+    oracle="""
+WITH d AS (SELECT lang, source, doc_id, md5(text) AS h,
+                  len(string_split(text, ' ')) AS nt
+           FROM documents),
+dupc AS (SELECT h, COUNT(*) AS c FROM d GROUP BY h),
+tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS corpus_tokens FROM d)
+SELECT lang, source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+  round(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS avg_doc_tokens,
+  CAST(MIN(nt) AS BIGINT) AS min_doc_tokens,
+  CAST(MAX(nt) AS BIGINT) AS max_doc_tokens,
+  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+  round(CAST(SUM(nt) AS DOUBLE) / ANY_VALUE(t.corpus_tokens), 6)
+    AS token_share
+FROM d JOIN dupc USING (h) CROSS JOIN tot t
+GROUP BY lang, source
+""",
+    tags=("curation", "llm"),
+)
+def q176_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet (the "datasheets for datasets" census): one row
+    per (lang, source) cell with document/token counts, doc-length
+    spread, exact-duplicate incidence, and the cell's share of corpus
+    tokens — the artifact published alongside a training corpus and
+    the first thing a mixture rebalance (q106/q170) consumes.
+
+    Plan shape: one map pass derives (hash, token count); the dup flag
+    is a join against a (hash → count) two-phase agg — shuffles carry
+    (32-byte hash, count) pairs only; the datasheet itself is one hash
+    agg on the tiny (lang, source) key space, and the corpus-total
+    join is a 1-row broadcast. avg is spelled exact-integer-sum ÷
+    count so both engines compute one identical division instead of
+    order-dependent running means.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).alias("nt"),
+    )
+    dupc = d.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    tot = d.agg(F.sum("nt").cast("bigint").alias("corpus_tokens"))
+    return (
+        d.join(dupc, "h")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("nt").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_doc_tokens"),
+            F.min("nt").cast("bigint").alias("min_doc_tokens"),
+            F.max("nt").cast("bigint").alias("max_doc_tokens"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.round(
+                F.sum("nt").cast("double") / F.any_value("corpus_tokens"), 6
+            ).alias("token_share"),
+        )
+    )

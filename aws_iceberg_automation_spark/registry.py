@@ -239,6 +239,9 @@ _DRIVER_PRIORITY = [
     "q172_pq_adc_topk",
     "q173_semantic_contamination",
     "q174_source_overlap",
+    "q175_quality_calibration",
+    "q176_corpus_datasheet",
+    "q177_sequence_pattern",
 ]
 
 

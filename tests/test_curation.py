@@ -202,3 +202,26 @@ def test_source_overlap_mirror_site_hits_one(spark):
     m = rows[("mirrorA", "mirrorB")]
     assert m.n_shared == 6 and m.overlap_coeff == 1.0  # 8 tokens → 6 3-grams
     assert not any("lonely" in k for k in rows)
+
+
+def test_quality_calibration_uniform_per_source(spark):
+    """Every source's calibrated ranks must span [0, 1] and its deciles
+    must be balanced within one row (the point of rank normalization)."""
+    pdf = SPECS["q175_quality_calibration"].fn(spark, SF_DIR).toPandas()
+    for _, g in pdf.groupby("source"):
+        assert g["calib_pct"].min() == 0.0
+        assert g["calib_pct"].max() == 1.0
+        sizes = g.groupby("calib_decile").size()
+        assert set(sizes.index) == set(range(1, 11))
+        assert sizes.max() - sizes.min() <= 1
+
+
+def test_corpus_datasheet_shares_sum_to_one(spark):
+    """Token shares across (lang, source) cells partition the corpus;
+    doc counts must total the corpus and dup counts start at zero on
+    the all-distinct fixture."""
+    pdf = SPECS["q176_corpus_datasheet"].fn(spark, SF_DIR).toPandas()
+    assert abs(pdf["token_share"].sum() - 1.0) < 1e-4
+    assert pdf["n_docs"].sum() == 500
+    assert (pdf["n_dup_docs"] == 0).all()
+    assert (pdf["min_doc_tokens"] <= pdf["max_doc_tokens"]).all()
