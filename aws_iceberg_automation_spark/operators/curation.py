@@ -1002,3 +1002,75 @@ def q176_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_share"),
         )
     )
+
+
+@register(
+    "q178_shard_manifest",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':shuf'), 1, 15)
+         AS BIGINT) % 8 AS INTEGER) AS shard,
+    CAST('0x' || substring(md5(CAST(text AS VARCHAR)), 1, 15) AS BIGINT)
+      AS content_h,
+    len(string_split(text, ' ')) AS nt
+  FROM documents),
+tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS corpus_tokens FROM d)
+SELECT shard,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+  round(CAST(SUM(nt) AS DOUBLE) / ANY_VALUE(t.corpus_tokens), 6)
+    AS token_share,
+  bit_xor(content_h) AS fingerprint
+FROM d CROSS JOIN tot t
+GROUP BY shard
+""",
+    tags=("curation", "llm"),
+)
+def q178_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest — the checksum artifact published next
+    to a packaged corpus (q162 assigns the shards; this is the ledger
+    consumers verify against): per shard, doc/token counts, token
+    share, and a content fingerprint.
+
+    The fingerprint is the bitwise XOR of per-doc 60-bit content
+    hashes: commutative and constant-state, so it needs no sort, no
+    concatenated-string agg (which would grow with shard size), and
+    no order guarantee from the engine — any re-computation on any
+    cluster shape reproduces it bit-for-bit, and a single changed/
+    missing/duplicated doc flips it. Whole thing is one map pass +
+    one 8-group hash agg + a 1-row broadcast total.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuf"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(8),
+        )
+        .cast("int")
+        .alias("shard"),
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("content_h"),
+        F.size(F.split("text", " ")).alias("nt"),
+    )
+    tot = d.agg(F.sum("nt").cast("bigint").alias("corpus_tokens"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("nt").cast("double") / F.any_value("corpus_tokens"), 6
+            ).alias("token_share"),
+            F.expr("bit_xor(content_h)").alias("fingerprint"),
+        )
+    )

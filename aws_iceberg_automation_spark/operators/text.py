@@ -709,3 +709,86 @@ def bigram_lm_score(d: DataFrame) -> DataFrame:
             F.round(F.avg(nll), 6).alias("avg_nll"),
         )
     )
+
+
+@register(
+    "q179_pmi_cooccurrence",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+), vocab AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY term
+  ORDER BY COUNT(*) DESC, term LIMIT 30
+), vt AS (
+  SELECT t.doc_id, t.term, v.df FROM tok t JOIN vocab v USING (term)
+), n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+    CAST(COUNT(*) AS BIGINT) AS n_ab,
+    ANY_VALUE(a.df) AS df_a, ANY_VALUE(b.df) AS df_b
+  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term)
+SELECT term_a, term_b, n_ab,
+  round(ln((CAST(n_ab AS DOUBLE) * n.n_docs)
+           / (CAST(df_a AS DOUBLE) * df_b)), 6) AS pmi
+FROM pairs CROSS JOIN n
+""",
+    tags=("text", "llm"),
+)
+def q179_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over within-document co-occurrence
+    of the top-30 vocabulary terms — the distributional statistic
+    behind collocation mining and word-association audits (a strongly
+    negative PMI between templated terms is a boilerplate smell; a
+    strong positive one finds collocations).
+
+    Plan shape: the vocabulary is a CAPPED TakeOrdered shortlist
+    (deterministic df-desc/term tiebreak) that broadcasts into a semi
+    join, so per-doc pair expansion is bounded by |vocab|² — the same
+    bounded-dimension discipline as the source-overlap census, never
+    corpus-quadratic. Doc frequencies ride the vocab rows (ANY_VALUE
+    after the join); the pair count is one two-phase hash agg on
+    ≤ C(|vocab|, 2) groups; n_docs is a 1-row broadcast.
+    PMI = ln(n_ab·N / (df_a·df_b)) is one libm call on exact integer
+    ratios, rounded on both engines (q85c precedent).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(30)
+    )
+    vt = tok.join(F.broadcast(vocab), "term")
+    n = tok.agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    a = vt.select("doc_id", F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    b = vt.select("doc_id", F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ab"),
+            F.any_value("df_a").alias("df_a"),
+            F.any_value("df_b").alias("df_b"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.col("n_docs"))
+                    / (F.col("df_a").cast("double") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

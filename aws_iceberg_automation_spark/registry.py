@@ -242,6 +242,8 @@ _DRIVER_PRIORITY = [
     "q175_quality_calibration",
     "q176_corpus_datasheet",
     "q177_sequence_pattern",
+    "q178_shard_manifest",
+    "q179_pmi_cooccurrence",
 ]
 
 

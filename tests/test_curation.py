@@ -225,3 +225,45 @@ def test_corpus_datasheet_shares_sum_to_one(spark):
     assert pdf["n_docs"].sum() == 500
     assert (pdf["n_dup_docs"] == 0).all()
     assert (pdf["min_doc_tokens"] <= pdf["max_doc_tokens"]).all()
+
+
+def test_shard_manifest_fingerprint_order_free_and_sensitive(spark):
+    """The XOR fingerprint must be identical under any physical row
+    order, and must flip when a single document's content changes."""
+    from aws_iceberg_automation_spark.io import load_table
+    import aws_iceberg_automation_spark.operators.curation as cur
+
+    base = {
+        r.shard: r.fingerprint
+        for r in SPECS["q178_shard_manifest"].fn(spark, SF_DIR).collect()
+    }
+    d = load_table(spark, SF_DIR, "documents")
+    orig = cur.load_table
+    try:
+        cur.load_table = (
+            lambda s, dd, t: d.repartition(13) if t == "documents" else orig(s, dd, t)
+        )
+        reordered = {
+            r.shard: r.fingerprint
+            for r in SPECS["q178_shard_manifest"].fn(spark, SF_DIR).collect()
+        }
+        mutated_src = d.withColumn(
+            "text",
+            F.when(F.col("doc_id") == 0, F.lit("tampered")).otherwise(
+                F.col("text")
+            ),
+        )
+        cur.load_table = (
+            lambda s, dd, t: mutated_src if t == "documents" else orig(s, dd, t)
+        )
+        tampered = {
+            r.shard: r.fingerprint
+            for r in SPECS["q178_shard_manifest"].fn(spark, SF_DIR).collect()
+        }
+    finally:
+        cur.load_table = orig
+    assert reordered == base
+    assert tampered != base
+    # only doc 0's shard may differ
+    diff = [s for s in base if tampered.get(s) != base[s]]
+    assert len(diff) == 1

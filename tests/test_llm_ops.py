@@ -665,3 +665,37 @@ def test_neardup_cluster_report_groups_injected_dups(spark, docs_with_dups):
             assert r.keeper <= i
             hits += 1
     assert hits >= 8, f"only {hits}/10 injected dup clusters intact"
+
+
+def test_pmi_cooccurrence_bounds_and_perfect_collocation(spark):
+    """n_ab can never exceed either doc frequency, and a hand-built
+    corpus where two terms always co-occur must give them the maximal
+    PMI ln(N / df)."""
+    import math
+
+    import aws_iceberg_automation_spark.operators.text as txt
+
+    pdf = SPECS["q179_pmi_cooccurrence"].fn(spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+
+    d = spark.createDataFrame(
+        [
+            (1, "salt pepper bread"),
+            (2, "salt pepper water"),
+            (3, "bread water jam"),
+            (4, "salt pepper jam"),
+        ],
+        "doc_id long, text string",
+    )
+    orig = txt.load_table
+    try:
+        txt.load_table = lambda s, dd, t: d if t == "documents" else orig(s, dd, t)
+        rows = {
+            (r.term_a, r.term_b): r
+            for r in SPECS["q179_pmi_cooccurrence"].fn(spark, SF_DIR).collect()
+        }
+    finally:
+        txt.load_table = orig
+    sp = rows[("pepper", "salt")]
+    assert sp.n_ab == 3
+    assert abs(sp.pmi - round(math.log(3 * 4 / (3 * 3)), 6)) < 1e-9
