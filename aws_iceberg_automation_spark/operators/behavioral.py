@@ -333,9 +333,9 @@ def q164_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q177_sequence_pattern",
-    oracle="""
+# Shared with the streaming twin (q180): stream DFA == batch regex ==
+# this oracle, transitively.
+ORACLE_SEQUENCE = """
 WITH seq AS (
   SELECT user_id,
     CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -345,7 +345,12 @@ SELECT user_id, n_events,
   CAST(len(regexp_extract_all(s, 'vc*p')) AS BIGINT) AS n_matches,
   (len(regexp_extract_all(s, 'vc*p')) > 0) AS matched
 FROM seq
-""",
+"""
+
+
+@register(
+    "q177_sequence_pattern",
+    oracle=ORACLE_SEQUENCE,
     tags=("behavioral", "events"),
 )
 def q177_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:

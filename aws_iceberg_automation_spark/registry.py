@@ -244,6 +244,7 @@ _DRIVER_PRIORITY = [
     "q177_sequence_pattern",
     "q178_shard_manifest",
     "q179_pmi_cooccurrence",
+    "q180_stream_sequence_pattern",
 ]
 
 

@@ -204,6 +204,77 @@ def _running_user_totals(
     )
 
 
+_SEQ_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("n_matches", LongType()),
+        StructField("armed", LongType()),
+    ]
+)
+_SEQ_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_matches", LongType()),
+    ]
+)
+
+
+def _sequence_dfa(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming CEP kernel: the view(click)*purchase journey matcher
+    as a 2-state DFA persisted in GroupState. The batch twin (q177)
+    renders each user's WHOLE event string and regex-scans it; a
+    stream cannot hold unbounded strings, so the automaton carries the
+    only suffix information the pattern needs — one "armed" bit (an
+    unbroken view→clicks run is open) plus the two counters. Constant
+    state per key forever, by construction — the difference between a
+    CEP operator that survives 100 TB/day and one that OOMs.
+
+    Equivalence to leftmost non-overlapping regex matching: "armed"
+    ⟺ some earlier view is followed only by clicks; the first
+    purchase while armed is exactly where the regex closes its
+    leftmost match, and both reset (non-overlap) after it. Any other
+    event type kills every open run in both semantics."""
+    n, m, armed = state.get if state.exists else (0, 0, 0)
+    for pdf in pdfs:
+        ordered = pdf.sort_values(["ts", "event_id"])
+        for et in ordered["event_type"]:
+            n += 1
+            c = et[0]
+            if c == "v":
+                armed = 1
+            elif c == "c":
+                pass
+            elif c == "p":
+                if armed:
+                    m += 1
+                armed = 0
+            else:
+                armed = 0
+    state.update((n, m, armed))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "n_matches": [m]}
+    )
+
+
+def stateful_sequence_matcher(events: DataFrame) -> DataFrame:
+    """Streaming sequence-pattern detection (CEP): per-user DFA over
+    the event stream via applyInPandasWithState. In-batch order is
+    (ts, event_id); cross-batch order holds because the replay chunks
+    are range-partitioned on the same key (prepare_replay_dir) — the
+    same in-order-per-key delivery assumption any production CEP
+    topology establishes upstream (e.g. Kafka partitioning by key)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sequence_dfa,
+        outputStructType=_SEQ_OUT_SCHEMA,
+        stateStructType=_SEQ_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful per-key processing (#77) via Arrow-batched
     applyInPandasWithState — the Spark-idiomatic 'custom operator'

@@ -133,6 +133,37 @@ def q77_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(F.max("events_seen").alias("events_seen"))
 
 
+def _sequence_oracle() -> str:
+    from ..operators.behavioral import ORACLE_SEQUENCE
+
+    return ORACLE_SEQUENCE
+
+
+@register(
+    "q180_stream_sequence_pattern",
+    oracle=_sequence_oracle(),
+    tags=("streaming", "behavioral"),
+)
+def q180_stream_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP: the view(click)*purchase journey matcher as a
+    constant-state per-user DFA (jobs.stateful_sequence_matcher),
+    executed across a genuine multi-microbatch replay and hash-matched
+    against the SAME oracle as the batch regex twin q177 — proving the
+    bounded-state automaton computes exactly what the unbounded-string
+    regex does, across microbatch boundaries. Update-mode emissions
+    collapse by max (both counters are monotonic)."""
+    out = jobs.run_to_memory(
+        jobs.stateful_sequence_matcher(_stream(spark, sf_dir)),
+        f"q180_mem_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("n_matches").alias("n_matches"),
+        (F.max("n_matches") > 0).alias("matched"),
+    )
+
+
 @register(
     "q122_stream_stream_join",
     oracle="""

@@ -404,3 +404,22 @@ def test_stream_append_with_live_rollup(spark, stream, tmp_path_factory):
     assert len(appends) == 5  # one per replay microbatch
     refreshes = [s for s in mv.state.snapshots() if s.op.startswith("refresh:")]
     assert len(refreshes) == 5  # every refresh was a delta, none skipped
+
+
+def test_stream_sequence_pattern_equals_batch_regex(spark):
+    """The constant-state streaming DFA (q180) must produce exactly the
+    batch regex matcher's (q177) rows — per-user counts and match
+    verdicts — across a real multi-microbatch replay."""
+    from aws_iceberg_automation_spark.registry import all_specs
+
+    specs = all_specs()
+    batch = {
+        r.user_id: (r.n_events, r.n_matches, r.matched)
+        for r in specs["q177_sequence_pattern"].fn(spark, SF_DIR).collect()
+    }
+    stream = {
+        r.user_id: (r.n_events, r.n_matches, r.matched)
+        for r in specs["q180_stream_sequence_pattern"].fn(spark, SF_DIR).collect()
+    }
+    assert stream == batch
+    assert any(v[1] > 0 for v in batch.values())  # pattern actually fires
