@@ -38,7 +38,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import SCHEMAS, load_table
 from ..registry import register
 
 
@@ -677,4 +677,90 @@ def q161_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
         F.round(F.col("cnt") / F.col("avg_cnt"), 6).alias("skew_vs_avg"),
         F.row_number().over(w).cast("bigint").alias("rk"),
+    )
+
+
+@register(
+    "q181_k_anonymity",
+    oracle="""
+WITH q AS (
+  SELECT lang, source,
+    CAST(n_chars // 50 AS BIGINT) AS chars_bucket
+  FROM documents),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q)
+SELECT lang, source, chars_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  (COUNT(*) >= 3) AS k_anonymous,
+  round(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(t.n), 6) AS share
+FROM q CROSS JOIN tot t
+GROUP BY lang, source, chars_bucket
+""",
+    tags=("dq", "privacy"),
+)
+def q181_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (privacy DQ): every combination of
+    quasi-identifiers — here (lang, source, coarse length bucket) —
+    must describe at least k=3 rows, or those rows are re-identifiable
+    by the combination alone and need suppression/generalization
+    before release. One row per equivalence class with its size, the
+    k test, and corpus share (the suppression cost if dropped).
+
+    Plan shape: one two-phase hash agg on the quasi-identifier key
+    (the class count IS the output — never materialize class member
+    lists) plus a 1-row broadcast total. Generalization ladders
+    (coarser buckets) re-run the same agg on a coarser key.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 50).cast("bigint").alias("chars_bucket"),
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("lang", "source", "chars_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.count(F.lit(1)) >= 3).alias("k_anonymous"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.any_value("n"), 6
+            ).alias("share"),
+        )
+    )
+
+
+@register(
+    "q182_row_provenance",
+    oracle=None,
+    tags=("dq", "lineage"),
+)
+def q182_row_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level provenance via Spark's hidden ``_metadata`` struct on
+    file sources: every row knows the physical file it came from (plus
+    size/modification time — not emitted here, they are
+    environment-dependent). Aggregated to a per-file audit: row count
+    and id range — the lineage record a backfill investigation starts
+    from ("which file contributed these rows?").
+
+    Rows-only check: the oracle CANNOT express this — file provenance
+    is exactly the thing SQL-on-logical-tables abstracts away (DuckDB's
+    filename=true equivalent returns ITS paths, not Spark's view of
+    them at any split). pytest asserts counts reconcile with the table
+    and the file name matches the fixture layout. Plan: _metadata is a
+    per-row map-side struct, the rollup is one hash agg on file_name —
+    at a 100 TB/50k-file table the output is file-count-sized, the
+    natural granularity for manifest reconciliation (versioning's
+    files_df consumes the same shape).
+    """
+    d = spark.read.schema(SCHEMAS["documents"]).parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    return (
+        d.select(F.col("_metadata.file_name").alias("file_name"), "doc_id")
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
     )

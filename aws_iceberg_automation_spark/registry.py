@@ -245,6 +245,8 @@ _DRIVER_PRIORITY = [
     "q178_shard_manifest",
     "q179_pmi_cooccurrence",
     "q180_stream_sequence_pattern",
+    "q181_k_anonymity",
+    "q182_row_provenance",
 ]
 
 

@@ -13,6 +13,10 @@ from aws_iceberg_automation_spark.operators.dq import (
     profile,
     validate,
 )
+from aws_iceberg_automation_spark.registry import all_specs
+from tests.conftest import SF_DIR
+
+SPECS = all_specs()
 
 
 def _dirty(spark):
@@ -165,3 +169,22 @@ def test_observe_rules_counts_during_consuming_job(spark, tmp_path):
         r.rule: r.n_violations for r in validate(df, rules).collect()
     }
     assert {k: got[k] for k in expected} == expected
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    """Classes under k=3 must be flagged not-anonymous; shares must
+    partition the corpus; and the flag must be exactly n_rows >= 3."""
+    pdf = SPECS["q181_k_anonymity"].fn(spark, SF_DIR).toPandas()
+    assert abs(pdf["share"].sum() - 1.0) < 1e-3
+    assert ((pdf["n_rows"] >= 3) == pdf["k_anonymous"]).all()
+    assert (~pdf["k_anonymous"]).any()  # fixture has singleton classes
+
+
+def test_row_provenance_reconciles_with_table(spark):
+    """Per-file row counts must total the table and name the actual
+    fixture file; id ranges must bracket every doc."""
+    rows = SPECS["q182_row_provenance"].fn(spark, SF_DIR).collect()
+    assert sum(r.n_rows for r in rows) == 500
+    assert all(r.file_name.endswith(".parquet") for r in rows)
+    assert min(r.min_doc_id for r in rows) == 0
+    assert max(r.max_doc_id for r in rows) == 499
