@@ -1074,3 +1074,97 @@ def q178_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(content_h)").alias("fingerprint"),
         )
     )
+
+
+@register(
+    "q183_corpus_diff",
+    oracle="""
+WITH cur AS (
+  SELECT doc_id, md5(text) AS h, len(string_split(text, ' ')) AS nt
+  FROM documents),
+prev AS (
+  SELECT doc_id,
+    md5(CASE WHEN doc_id % 89 = 0 THEN 'legacy ' || text ELSE text END) AS h,
+    len(string_split(CASE WHEN doc_id % 89 = 0
+                          THEN 'legacy ' || text ELSE text END, ' ')) AS nt
+  FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, md5(text), len(string_split(text, ' '))
+  FROM documents WHERE doc_id % 101 = 0),
+j AS (
+  SELECT CASE WHEN p.doc_id IS NULL THEN 'added'
+              WHEN c.doc_id IS NULL THEN 'removed'
+              WHEN c.h <> p.h THEN 'modified'
+              ELSE 'unchanged' END AS change_type,
+    COALESCE(c.nt, 0) AS cur_nt, COALESCE(p.nt, 0) AS prev_nt
+  FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id)
+SELECT change_type,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(cur_nt) AS BIGINT) AS cur_tokens,
+  CAST(SUM(cur_nt - prev_nt) AS BIGINT) AS token_delta
+FROM j GROUP BY change_type
+""",
+    tags=("curation", "llm"),
+)
+def q183_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release diff — the change summary published between two
+    dataset versions (added / removed / modified / unchanged doc and
+    token deltas). The "previous release" here is derived
+    deterministically from the fixture (drops, edits, and renumbered
+    extras), the same injected-defect pattern as q103/q121; in
+    production both sides are real snapshots (versioning.VersionedTable
+    time-travel reads feed this directly).
+
+    Plan shape: content equality travels as md5 hashes, so the
+    full-outer join on doc_id carries (id, 32-byte hash, token count)
+    per side — never text; the summary is a 4-group hash agg. One
+    shuffle per side at any corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cur = d.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).alias("nt"),
+    )
+    prev_text = F.when(
+        F.col("doc_id") % 89 == 0, F.concat(F.lit("legacy "), F.col("text"))
+    ).otherwise(F.col("text"))
+    prev = (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .select(
+            "doc_id",
+            F.md5(prev_text).alias("h"),
+            F.size(F.split(prev_text, " ")).alias("nt"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 101 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5("text").alias("h"),
+                F.size(F.split("text", " ")).alias("nt"),
+            )
+        )
+    )
+    j = cur.alias("c").join(
+        prev.alias("p"), F.col("c.doc_id") == F.col("p.doc_id"), "full_outer"
+    )
+    change = (
+        F.when(F.col("p.doc_id").isNull(), F.lit("added"))
+        .when(F.col("c.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("c.h") != F.col("p.h"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            change.alias("change_type"),
+            F.coalesce(F.col("c.nt"), F.lit(0)).alias("cur_nt"),
+            F.coalesce(F.col("p.nt"), F.lit(0)).alias("prev_nt"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("cur_nt").cast("bigint").alias("cur_tokens"),
+            F.sum(F.col("cur_nt") - F.col("prev_nt"))
+            .cast("bigint")
+            .alias("token_delta"),
+        )
+    )

@@ -247,6 +247,7 @@ _DRIVER_PRIORITY = [
     "q180_stream_sequence_pattern",
     "q181_k_anonymity",
     "q182_row_provenance",
+    "q183_corpus_diff",
 ]
 
 
