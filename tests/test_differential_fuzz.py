@@ -348,3 +348,107 @@ def test_datetime_funcs_agree(spark, duck_fuzz, pdf, expr):
     assert canon_rows(scols, srows) == canon_rows(ocols, orows), (
         f"datetime divergence for {expr!r}"
     )
+
+
+# --- span-dedup rewrite vs a brute-force Python reference ------------
+
+
+def _ref_span_dedup(docs: dict[int, str], k: int = 8) -> dict[int, tuple]:
+    """Brute-force reference for dedup.span_dedup_clean: independent
+    implementation (dict/set scans, no Spark, no SQL) of the same
+    semantics — every duplicated k-gram occurrence except the global
+    min-(doc_id, start) owner marks its k positions for removal."""
+    occs: dict[tuple, list[tuple[int, int]]] = {}
+    words = {d: t.split(" ") for d, t in docs.items()}
+    for d, w in sorted(words.items()):
+        for i in range(len(w) - k + 1):
+            occs.setdefault(tuple(w[i : i + k]), []).append((d, i))
+    removed: dict[int, set[int]] = {d: set() for d in docs}
+    for locs in occs.values():
+        if len(locs) > 1:
+            for d, i in sorted(locs)[1:]:
+                removed[d].update(range(i, i + k))
+    out = {}
+    for d, w in words.items():
+        kept = [t for j, t in enumerate(w) if j not in removed[d]]
+        out[d] = (len(w), len(removed[d]), " ".join(kept))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            # tiny vocabulary + short docs → dense k-gram collisions
+            st.sampled_from(["a", "b", "c"]),
+            min_size=1,
+            max_size=14,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+def test_span_dedup_clean_matches_reference(spark, docs, k):
+    from aws_iceberg_automation_spark.operators.dedup import span_dedup_clean
+
+    table = {i: t for i, t in enumerate(docs)}
+    df = spark.createDataFrame(
+        list(table.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in span_dedup_clean(df, k=k).collect()
+    }
+    assert got == _ref_span_dedup(table, k=k)
+
+
+# --- streaming CEP DFA vs Python's regex engine ----------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(s=st.text(alphabet="vcpes", max_size=40), cut=st.integers(0, 40))
+def test_sequence_dfa_kernel_matches_regex(s, cut):
+    """The q180 DFA kernel must count exactly re's non-overlapping
+    leftmost 'vc*p' matches for ANY event string, including when the
+    stream is split into two microbatches at an arbitrary point."""
+    import re
+
+    import pandas as pd
+
+    from aws_iceberg_automation_spark.streaming.jobs import _sequence_dfa
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists, self.get = True, v
+
+    def run(chunks):
+        st_ = FakeState()
+        out = None
+        for chunk in chunks:
+            if not chunk:
+                continue
+            pdf = pd.DataFrame(
+                {
+                    "ts": range(len(chunk)),
+                    "event_id": range(len(chunk)),
+                    "event_type": list(chunk),
+                }
+            )
+            out = list(_sequence_dfa((1,), iter([pdf]), st_))[0]
+        return out
+
+    cut = min(cut, len(s))
+    expected = len(re.findall("vc*p", s))
+    whole = run([s])
+    split = run([s[:cut], s[cut:]])
+    for res in (whole, split):
+        if s:
+            assert int(res["n_matches"].iloc[0]) == expected
+            assert int(res["n_events"].iloc[0]) == len(s)
