@@ -395,3 +395,74 @@ def q177_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_matches"),
         (n > 0).alias("matched"),
     )
+
+
+@register(
+    "q184_disorder_audit",
+    oracle="""
+WITH a AS (
+  SELECT user_id,
+    epoch(date_trunc('second', ts)) AS tse,
+    max(epoch(date_trunc('second', ts))) OVER (
+      PARTITION BY user_id ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+  FROM events)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN prior_max > tse THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_out_of_order,
+  CAST(MAX(CASE WHEN prior_max > tse THEN prior_max - tse ELSE 0 END)
+       AS BIGINT) AS max_lateness_s,
+  round(CAST(SUM(CASE WHEN prior_max > tse THEN prior_max - tse ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 6) AS mean_lateness_s
+FROM a GROUP BY user_id
+""",
+    tags=("behavioral", "events", "streaming"),
+)
+def q184_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder audit — the measurement that SIZES a
+    watermark: arrival order is the ingestion id (event_id), event
+    time is ts; every event arriving with a timestamp behind the
+    running per-user event-time high-water mark is out-of-order, and
+    its lateness (seconds behind the mark) is exactly what
+    ``withWatermark`` must tolerate before dropping it. Run this on a
+    sample BEFORE choosing the watermark delay; re-run it to alert
+    when upstream disorder drifts past the configured tolerance.
+
+    Plan shape: one shuffle on user_id, a running-max window in
+    arrival order, then a per-user hash agg — the same single-shuffle
+    budget as any per-entity window. Lateness stats are exact integer
+    seconds (mean spelled exact-sum ÷ count).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # ANSI forbids timestamp→numeric casts; lateness is a *difference*,
+    # so any fixed origin works (epoch on the oracle side, 2024-01-01
+    # here — the offset cancels).
+    tse = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00',"
+        " date_trunc('second', ts))"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = F.when(
+        F.col("prior_max") > F.col("tse"), F.col("prior_max") - F.col("tse")
+    ).otherwise(F.lit(0))
+    return (
+        ev.select(
+            "user_id", tse.alias("tse"), F.max(tse).over(w).alias("prior_max")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("prior_max") > F.col("tse"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_out_of_order"),
+            F.max(late).cast("bigint").alias("max_lateness_s"),
+            F.round(
+                F.sum(late).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_lateness_s"),
+        )
+    )

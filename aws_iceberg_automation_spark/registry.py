@@ -248,6 +248,7 @@ _DRIVER_PRIORITY = [
     "q181_k_anonymity",
     "q182_row_provenance",
     "q183_corpus_diff",
+    "q184_disorder_audit",
 ]
 
 

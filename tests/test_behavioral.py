@@ -43,3 +43,34 @@ def test_sequence_pattern_counts_known_journey(spark):
     assert out[1].n_matches == 2 and out[1].matched
     assert out[1].n_events == 9
     assert out[2].n_matches == 0 and not out[2].matched
+
+
+def test_disorder_audit_detects_known_disorder(spark):
+    """A hand-built arrival stream with one 120s-late event must report
+    exactly that disorder; an in-order user must report zero."""
+    rows = [
+        # user 1: ts arrives 100, 200, 80(late by 120), 300
+        (1, datetime(2024, 1, 1, 0, 1, 40), 1, "view", 0.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 3, 20), 1, "click", 0.0, "{}"),
+        (3, datetime(2024, 1, 1, 0, 1, 20), 1, "view", 0.0, "{}"),
+        (4, datetime(2024, 1, 1, 0, 5, 0), 1, "purchase", 0.0, "{}"),
+        # user 2: strictly increasing
+        (5, datetime(2024, 1, 1, 0, 0, 1), 2, "view", 0.0, "{}"),
+        (6, datetime(2024, 1, 1, 0, 0, 2), 2, "click", 0.0, "{}"),
+    ]
+    import aws_iceberg_automation_spark.operators.behavioral as beh
+
+    df = spark.createDataFrame(rows, _SCHEMA)
+    orig = beh.load_table
+    try:
+        beh.load_table = lambda s, d, t: df if t == "events" else orig(s, d, t)
+        out = {
+            r.user_id: r
+            for r in SPECS["q184_disorder_audit"].fn(spark, SF_DIR).collect()
+        }
+    finally:
+        beh.load_table = orig
+    assert out[1].n_out_of_order == 1
+    assert out[1].max_lateness_s == 120
+    assert out[1].mean_lateness_s == round(120 / 4, 6)
+    assert out[2].n_out_of_order == 0 and out[2].max_lateness_s == 0
