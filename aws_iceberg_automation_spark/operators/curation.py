@@ -1144,8 +1144,46 @@ def q183_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    j = cur.alias("c").join(
-        prev.alias("p"), F.col("c.doc_id") == F.col("p.doc_id"), "full_outer"
+    return corpus_diff_summary(cur, prev)
+
+
+def corpus_diff(cur: DataFrame, prev: DataFrame) -> DataFrame:
+    """Row-level diff of two (doc_id, text) corpus versions: one row per
+    doc present in either side with change_type ∈ added/removed/
+    modified/unchanged and both token counts. Feed it two
+    ``VersionedTable.read(version=...)`` time-travel frames to diff
+    real releases; q183 summarizes it."""
+
+    def keyed(d: DataFrame) -> DataFrame:
+        return d.select(
+            "doc_id",
+            F.md5("text").alias("h"),
+            F.size(F.split("text", " ")).alias("nt"),
+        )
+
+    j = keyed(cur).alias("c").join(
+        keyed(prev).alias("p"), F.col("c.doc_id") == F.col("p.doc_id"), "full_outer"
+    )
+    change = (
+        F.when(F.col("p.doc_id").isNull(), F.lit("added"))
+        .when(F.col("c.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("c.h") != F.col("p.h"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.coalesce(F.col("c.doc_id"), F.col("p.doc_id")).alias("doc_id"),
+        change.alias("change_type"),
+        F.coalesce(F.col("c.nt"), F.lit(0)).alias("cur_nt"),
+        F.coalesce(F.col("p.nt"), F.lit(0)).alias("prev_nt"),
+    )
+
+
+def corpus_diff_summary(cur_keyed: DataFrame, prev_keyed: DataFrame) -> DataFrame:
+    """Summary layer over pre-keyed (doc_id, h, nt) frames (q183's
+    internal shape — avoids re-hashing when the caller already built
+    hashes, as the oracle-twin query does)."""
+    j = cur_keyed.alias("c").join(
+        prev_keyed.alias("p"), F.col("c.doc_id") == F.col("p.doc_id"), "full_outer"
     )
     change = (
         F.when(F.col("p.doc_id").isNull(), F.lit("added"))

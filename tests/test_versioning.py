@@ -657,3 +657,27 @@ def test_metadata_tables(spark, vt):
     pd_rows = {r.partition: r for r in vt.partitions_df(version=v1).collect()}
     assert len(pd_rows) == 2
     assert sum(r.record_count for r in pd_rows.values()) == 40
+
+
+def test_corpus_diff_between_time_travel_snapshots(spark, tmp_path):
+    """corpus_diff over two real VersionedTable snapshots: v2 drops a
+    doc, edits a doc, and adds a doc relative to v1 — the diff must
+    classify every doc_id exactly from the two time-travel reads."""
+    from aws_iceberg_automation_spark.operators.curation import corpus_diff
+
+    vt = VersionedTable(spark, str(tmp_path / "corpus_t"))
+    v1_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "zeta eta theta")],
+        "doc_id long, text string",
+    )
+    vt.write(v1_docs, mode="overwrite")
+    v2_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (3, "zeta eta theta iota"), (4, "kappa")],
+        "doc_id long, text string",
+    )
+    vt.write(v2_docs, mode="overwrite")
+    diff = {
+        r.doc_id: r.change_type
+        for r in corpus_diff(vt.read(version=2), vt.read(version=1)).collect()
+    }
+    assert diff == {1: "unchanged", 2: "removed", 3: "modified", 4: "added"}
