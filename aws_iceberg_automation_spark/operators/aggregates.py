@@ -569,3 +569,38 @@ def q165_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clipped",
         )
     )
+
+
+@register(
+    "q185_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, value FROM (
+  SELECT l_orderkey, l_linenumber,
+    l_quantity AS qty, l_extendedprice AS price, l_discount AS disc
+  FROM lineitem WHERE l_orderkey < 100)
+UNPIVOT (value FOR measure IN (qty, price, disc))
+""",
+    tags=("aggregates",),
+)
+def q185_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (#48's inverse): wide measure columns → long
+    (measure, value) rows via the native ``DataFrame.unpivot`` (the
+    Expand operator underneath — one output row per (row, measure),
+    zero shuffles, pure map). The wide↔long round trip (q48 pivot ∘
+    q185 unpivot) is the standard reshape pair every reporting layer
+    needs; at any scale this is map-side row expansion ×|measures|,
+    never an aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("disc"),
+    )
+    return wide.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["qty", "price", "disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

@@ -249,6 +249,7 @@ _DRIVER_PRIORITY = [
     "q182_row_provenance",
     "q183_corpus_diff",
     "q184_disorder_audit",
+    "q185_unpivot",
 ]
 
 

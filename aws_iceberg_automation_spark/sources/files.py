@@ -39,6 +39,21 @@ def read_csv(
     )
 
 
+def read_orc(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """ORC scan with declared schema — same pushdown/pruning contract
+    as parquet (Spark's ORC reader is vectorized and consumes file
+    stripe statistics); the interchange format when the upstream
+    warehouse is Hive/Trino-flavored."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (snappy, Spark default) for Hive/Trino-consuming
+    downstreams; same partitioning discipline as write_partitioned
+    applies when layout matters."""
+    df.write.mode("overwrite").orc(path)
+
+
 def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     """JSON-lines scan with declared schema (PERMISSIVE off — same
     fail-loud stance as CSV)."""

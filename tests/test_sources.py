@@ -163,3 +163,23 @@ def test_python_datasource_partitions_and_determinism(spark):
     # different seed -> different stream
     c = rd.option("seed", "t2").load().collect()
     assert sorted(c) != a
+
+
+def test_orc_round_trip_preserves_rows_and_pushdown(spark, tmp_path):
+    """ORC write → schema'd read must round-trip values exactly, and a
+    filtered read must push the predicate into the ORC scan."""
+    from aws_iceberg_automation_spark.io import SCHEMAS, load_table
+    from aws_iceberg_automation_spark.sources.files import read_orc, write_orc
+
+    src = load_table(spark, SF_DIR, "region")
+    path = str(tmp_path / "region_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path, SCHEMAS["region"])
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    plan = (
+        back.filter(F.col("r_regionkey") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(r_regionkey), EqualTo(r_regionkey,1)]" in plan
