@@ -417,7 +417,7 @@ SELECT user_id,
              AS DOUBLE) / COUNT(*), 6) AS mean_lateness_s
 FROM a GROUP BY user_id
 """,
-    tags=("behavioral", "events", "streaming"),
+    tags=("behavioral", "events", "watermark-sizing"),
 )
 def q184_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time disorder audit — the measurement that SIZES a
