@@ -744,3 +744,57 @@ def q172_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return rer.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _TOP_K)
+
+
+@register("q186_retrieval_metrics", oracle=None, tags=("similarity", "llm", "vector"))
+def q186_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation harness: scores every approximate
+    index in the engine (SRP-LSH, IVF, PQ-ADC) against the exact
+    brute-force ground truth with the standard IR metrics — macro
+    recall@k and MRR — the numbers an index tuning loop actually
+    optimizes. The engine evaluating its own indexes end-to-end is the
+    difference between "recall asserted once in a pytest" and a
+    reusable eval an operator runs after every re-index.
+
+    Plan shape: ground truth and each candidate list are k·|Q|-row
+    frames (tiny by construction — top-k outputs); metrics are a semi
+    join + per-query min-rank + one global avg per system. All cost
+    lives in producing the candidate lists themselves (each already
+    audited under its own query). Rows-only: LSH/IVF/PQ outputs are
+    engine-specific; pytest pins metric ranges and the recall floors."""
+    exact = q83_cosine_topk_exact(spark, sf_dir).select(
+        "q_id", F.col("neighbor_id").alias("rel_id")
+    )
+    systems = {
+        "srp_lsh": q83b_ann_lsh_topk,
+        "ivf": q83d_ann_ivf_topk,
+        "pq_adc": q172_pq_adc_topk,
+    }
+    n_q = exact.select("q_id").distinct().count()
+    outs = []
+    for name, fn in systems.items():
+        cand = fn(spark, sf_dir).select("q_id", "neighbor_id", "rk")
+        hits = cand.join(
+            exact,
+            (cand.q_id == exact.q_id) & (cand.neighbor_id == exact.rel_id),
+        ).select(cand.q_id.alias("qq"), "rk")
+        per_q = hits.groupBy("qq").agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("rk").alias("best_rk"),
+        )
+        agg = per_q.agg(
+            (F.sum("n_hits") / F.lit(_TOP_K * n_q)).alias("macro_recall_at_k"),
+            (F.sum(1.0 / F.col("best_rk")) / F.lit(n_q)).alias("macro_mrr"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(name).alias("system"),
+                F.lit(n_q).cast("bigint").alias("n_queries"),
+                F.round("macro_recall_at_k", 6).alias("macro_recall_at_k"),
+                F.round("macro_mrr", 6).alias("macro_mrr"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

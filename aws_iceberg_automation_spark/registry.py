@@ -250,6 +250,7 @@ _DRIVER_PRIORITY = [
     "q183_corpus_diff",
     "q184_disorder_audit",
     "q185_unpivot",
+    "q186_retrieval_metrics",
 ]
 
 

@@ -699,3 +699,21 @@ def test_pmi_cooccurrence_bounds_and_perfect_collocation(spark):
     sp = rows[("pepper", "salt")]
     assert sp.n_ab == 3
     assert abs(sp.pmi - round(math.log(3 * 4 / (3 * 3)), 6)) < 1e-9
+
+
+def test_retrieval_metrics_floors_and_ranges(spark):
+    """The eval harness must reproduce the per-index recall floors the
+    dedicated tests pin, with all metrics in-range and MRR ≥ recall's
+    implied floor for a system whose top hit usually survives."""
+    rows = {
+        r.system: r
+        for r in SPECS["q186_retrieval_metrics"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"srp_lsh", "ivf", "pq_adc"}
+    for r in rows.values():
+        assert 0.0 <= r.macro_recall_at_k <= 1.0
+        assert 0.0 <= r.macro_mrr <= 1.0
+        assert r.n_queries == 10
+    assert rows["srp_lsh"].macro_recall_at_k >= 0.8
+    assert rows["pq_adc"].macro_recall_at_k >= 0.8
+    assert rows["ivf"].macro_recall_at_k >= 0.25
