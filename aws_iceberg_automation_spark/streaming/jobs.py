@@ -684,3 +684,63 @@ def stream_stream_attribution_outer(
             "lag_seconds"
         ),
     )
+
+
+class _ProgressCapture:
+    """StreamingQueryListener that captures per-microbatch progress
+    telemetry (rows read, processing rate, state-store size) — the
+    observability feed a production stream exports to its metrics
+    system. Held in driver memory here; at scale the same events go to
+    a metrics sink, and their size is O(1) per microbatch regardless
+    of data volume."""
+
+    def __init__(self) -> None:
+        self.progress: list[dict] = []
+
+    def make(self):
+        import json as _json
+
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        capture = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:
+                pass
+
+            def onQueryProgress(self, event) -> None:
+                capture.progress.append(_json.loads(event.progress.json))
+
+            def onQueryIdle(self, event) -> None:
+                pass
+
+            def onQueryTerminated(self, event) -> None:
+                pass
+
+        return _L()
+
+
+def run_to_memory_with_metrics(
+    sdf: DataFrame, name: str, output_mode: str = "complete"
+) -> tuple[DataFrame, list[dict]]:
+    """run_to_memory plus captured per-microbatch progress telemetry:
+    returns (result frame, list of progress dicts — one per microbatch,
+    each with numInputRows, batchId, stateOperators, durationMs). The
+    listener-based pattern is how a production job wires throughput /
+    state-size / watermark-lag alerting without touching the query."""
+    spark = sdf.sparkSession
+    cap = _ProgressCapture()
+    listener = cap.make()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.streams.removeListener(listener)
+    return spark.table(name), cap.progress

@@ -423,3 +423,25 @@ def test_stream_sequence_pattern_equals_batch_regex(spark):
     }
     assert stream == batch
     assert any(v[1] > 0 for v in batch.values())  # pattern actually fires
+
+
+def test_progress_listener_captures_microbatch_telemetry(spark, replay_dir):
+    """The listener harness must see every replay microbatch: input
+    rows total the fixture, batch ids are sequential, and the windowed
+    agg reports state-store metrics."""
+    from aws_iceberg_automation_spark.streaming import jobs
+
+    sdf = jobs.tumbling_agg(jobs.with_watermark(jobs.read_events_stream(spark, replay_dir)))
+    out, progress = jobs.run_to_memory_with_metrics(sdf, "metrics_probe")
+    assert out.count() > 0
+    data_batches = [p for p in progress if p.get("numInputRows", 0) > 0]
+    assert len(data_batches) >= 2  # genuinely multi-microbatch
+    from aws_iceberg_automation_spark.io import load_table
+
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert sum(p["numInputRows"] for p in data_batches) == n_events
+    assert any(
+        op.get("numRowsTotal", 0) > 0
+        for p in data_batches
+        for op in p.get("stateOperators", [])
+    )
