@@ -914,6 +914,42 @@ class VersionedTable:
                 shutil.rmtree(cl)
         return {"expired_snapshots": len(expired), "deleted_files": len(dead_files)}
 
+    def orphan_files(self, remove: bool = False) -> list[str]:
+        """Iceberg ``remove_orphan_files`` analog: data files present on
+        disk under the table root but referenced by NO surviving
+        snapshot manifest — the debris a killed/failed write job leaves
+        behind (files land distributed BEFORE the manifest commit, so a
+        crash between the two strands them; the commit protocol makes
+        them invisible, this makes them reclaimable). Returns the
+        orphan list (absolute paths); ``remove=True`` also deletes
+        them. Non-data artifacts (_versions, _changelog, parquet
+        _SUCCESS markers) are never touched.
+
+        At scale this is a listing-vs-manifest anti-join; here both
+        sides are small local listings. Always run expiry FIRST —
+        files referenced only by expired snapshots are expiry's job,
+        not orphan cleanup's."""
+        import re
+
+        referenced: set[str] = set()
+        for s in self.snapshots():
+            # manifests store URIs ("file:///tmp/x" or "file:/tmp/x");
+            # os.walk yields plain paths — normalize to one form
+            referenced.update(re.sub(r"^file:/+", "/", f) for f in s.files)
+        data_root = os.path.join(self.root, "data")
+        orphans: list[str] = []
+        for dirpath, _dirs, files in os.walk(data_root):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue  # _SUCCESS and friends are not data
+                p = os.path.join(dirpath, fn)
+                if p not in referenced:
+                    orphans.append(p)
+        if remove:
+            for p in orphans:
+                os.remove(p)
+        return sorted(orphans)
+
     # -- branches & tags (Iceberg refs analog) -------------------------
 
     def _refs_path(self) -> str:

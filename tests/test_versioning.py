@@ -4,6 +4,8 @@ published snapshots."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -681,3 +683,25 @@ def test_corpus_diff_between_time_travel_snapshots(spark, tmp_path):
         for r in corpus_diff(vt.read(version=2), vt.read(version=1)).collect()
     }
     assert diff == {1: "unchanged", 2: "removed", 3: "modified", 4: "added"}
+
+
+def test_orphan_files_found_and_removed_without_touching_live_data(spark, vt):
+    """A stranded parquet file (simulating a crashed writer that never
+    committed) must be reported as orphan and removable, while every
+    manifest-referenced file survives and all snapshots stay readable."""
+    vt.write(_df(spark, 0, 5))
+    vt.write(_df(spark, 5, 9))
+    assert vt.orphan_files() == []
+    stranded_dir = os.path.join(vt.root, "data", "v99")
+    os.makedirs(stranded_dir)
+    stranded = os.path.join(stranded_dir, "part-crashed.parquet")
+    with open(stranded, "wb") as f:
+        f.write(b"not really parquet")
+    # a non-data marker must never be flagged
+    open(os.path.join(stranded_dir, "_SUCCESS"), "w").close()
+    assert vt.orphan_files() == [stranded]
+    removed = vt.orphan_files(remove=True)
+    assert removed == [stranded] and not os.path.exists(stranded)
+    assert vt.orphan_files() == []
+    assert vt.read(version=1).count() == 5
+    assert vt.read().count() == 9
