@@ -102,6 +102,20 @@ def main(argv: list[str] | None = None) -> int:
     dq.add_argument("path", help="parquet file/directory to validate")
     dq.add_argument("rules", help="YAML rule file: rules: [{name, expr}, ...]")
 
+    orp = sub.add_parser(
+        "orphans", help="list (or remove) unreferenced data files of a versioned table"
+    )
+    orp.add_argument("root", help="versioned table root")
+    orp.add_argument("--remove", action="store_true", help="delete the orphans")
+
+    cr = sub.add_parser(
+        "corpus-report",
+        help="print the corpus datasheet (per lang x source census)",
+    )
+    cr.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.01", dest="cr_sf_dir"
+    )
+
     args = p.parse_args(argv)
 
     from .catalog import TableManager
@@ -197,6 +211,45 @@ def main(argv: list[str] | None = None) -> int:
         ]
         print(json.dumps({"table": args.path, "report": out}, indent=2))
         return 0 if all(r.passed for r in report) else 1
+
+    if args.cmd == "orphans":
+        from .versioning import VersionedTable, VersioningError
+
+        try:
+            vt = VersionedTable(spark, args.root)
+            orphans = vt.orphan_files(remove=args.remove)
+        except (VersioningError, OSError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        print(
+            json.dumps(
+                {
+                    "root": args.root,
+                    "removed" if args.remove else "orphans": orphans,
+                    "count": len(orphans),
+                },
+                indent=2,
+            )
+        )
+        return 0
+
+    if args.cmd == "corpus-report":
+        from .registry import all_specs
+
+        specs = all_specs()
+        rows = (
+            specs["q176_corpus_datasheet"]
+            .fn(spark, args.cr_sf_dir)
+            .orderBy("lang", "source")
+            .collect()
+        )
+        print(
+            json.dumps(
+                {"sf_dir": args.cr_sf_dir, "cells": [r.asDict() for r in rows]},
+                indent=2,
+            )
+        )
+        return 0
 
     if args.cmd == "changes":
         from .versioning import VersionedTable, VersioningError

@@ -183,3 +183,33 @@ def test_orc_round_trip_preserves_rows_and_pushdown(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(r_regionkey), EqualTo(r_regionkey,1)]" in plan
+
+
+def test_cli_orphans_and_corpus_report(spark, tmp_path, capsys):
+    """CLI: orphans lists/removes stranded files; corpus-report prints
+    the datasheet JSON."""
+    import json as _json
+
+    from aws_iceberg_automation_spark.cli import main
+    from aws_iceberg_automation_spark.versioning import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "cli_orph"))
+    vt.write(spark.range(3).selectExpr("id", "id * 2 AS v"))
+    import os as _os
+
+    stranded = str(tmp_path / "cli_orph" / "data" / "v9" / "x.parquet")
+    _os.makedirs(_os.path.dirname(stranded))
+    open(stranded, "wb").write(b"junk")
+
+    capsys.readouterr()  # drain anything earlier in the test
+    assert main(["orphans", vt.root]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["count"] == 1 and out["orphans"] == [stranded]
+    assert main(["orphans", vt.root, "--remove"]) == 0
+    assert not _os.path.exists(stranded)
+    capsys.readouterr()
+
+    assert main(["corpus-report", "--sf-dir", SF_DIR]) == 0
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["sf_dir"] == SF_DIR
+    assert sum(c["n_docs"] for c in rep["cells"]) > 0
