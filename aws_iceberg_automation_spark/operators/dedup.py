@@ -961,3 +961,60 @@ def span_dedup_clean(d: DataFrame, k: int = 8) -> DataFrame:
         n_removed.cast("bigint").alias("n_removed"),
         F.concat_ws(" ", gaps).alias("cleaned_text"),
     )
+
+
+@register("q187_dedup_metrics", oracle=None, tags=("dedup", "llm"))
+def q187_dedup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline eval harness (q186's twin for near-dup
+    detection): inject controlled near-duplicates (docs 0-9 copied
+    with their first two words dropped — high but not total shingle
+    overlap, the q103/q121 injected-defect pattern), define ground
+    truth as exact-Jaccard ≥ 0.5 pairs on the injected corpus, and
+    score the production MinHash-LSH candidate pipeline against it.
+    One summary row: truth/detected/missed pair counts and recall —
+    the number an LSH tuning loop (bands × rows, bucket cap) actually
+    optimizes, recomputable after every re-tune.
+
+    Plan shape: the eval slice is bounded (120 docs + 10 copies) so
+    the exact-truth all-pairs stays oracle-scale by construction; the
+    LSH side runs the full production path (capped buckets, verify
+    join). Rows-only: MinHash signatures are engine-hash-specific;
+    pytest pins the recall floor."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", "text")
+    )
+    copies = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("concat_ws(' ', slice(split(text, ' '), 3, 100000))").alias("text"),
+    )
+    corpus = d.unionByName(copies)
+    sh = corpus.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    truth = (
+        a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+        .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+        .select("doc_id_a", "doc_id_b")
+    )
+    detected = minhash_candidate_pairs(corpus, threshold=0.5).select(
+        "doc_id_a", "doc_id_b"
+    )
+    hit = truth.join(detected, ["doc_id_a", "doc_id_b"], "left_semi")
+    n_truth = truth.count()
+    n_detected = detected.count()
+    n_hit = hit.count()
+    return spark.createDataFrame(
+        [
+            (
+                "minhash_lsh",
+                n_truth,
+                n_detected,
+                n_truth - n_hit,
+                round(n_hit / n_truth, 6) if n_truth else None,
+            )
+        ],
+        "system string, n_truth_pairs long, n_detected_pairs long, "
+        "n_missed long, recall double",
+    )

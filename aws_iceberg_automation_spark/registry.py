@@ -251,6 +251,7 @@ _DRIVER_PRIORITY = [
     "q184_disorder_audit",
     "q185_unpivot",
     "q186_retrieval_metrics",
+    "q187_dedup_metrics",
 ]
 
 

@@ -717,3 +717,15 @@ def test_retrieval_metrics_floors_and_ranges(spark):
     assert rows["srp_lsh"].macro_recall_at_k >= 0.8
     assert rows["pq_adc"].macro_recall_at_k >= 0.8
     assert rows["ivf"].macro_recall_at_k >= 0.25
+
+
+def test_dedup_metrics_recall_floor(spark):
+    """The dedup eval harness must find ≥ 9 truth pairs (the 10
+    injected copies, LSH may drop ≤1) and report recall ≥ 0.8."""
+    row = SPECS["q187_dedup_metrics"].fn(spark, SF_DIR).collect()[0]
+    assert row.system == "minhash_lsh"
+    assert row.n_truth_pairs >= 10  # injected pairs are ground truth
+    assert row.recall is not None and row.recall >= 0.8
+    assert row.n_missed == row.n_truth_pairs - round(
+        row.recall * row.n_truth_pairs
+    )
