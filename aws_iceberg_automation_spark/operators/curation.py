@@ -1147,22 +1147,12 @@ def q183_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diff_summary(cur, prev)
 
 
-def corpus_diff(cur: DataFrame, prev: DataFrame) -> DataFrame:
-    """Row-level diff of two (doc_id, text) corpus versions: one row per
-    doc present in either side with change_type ∈ added/removed/
-    modified/unchanged and both token counts. Feed it two
-    ``VersionedTable.read(version=...)`` time-travel frames to diff
-    real releases; q183 summarizes it."""
-
-    def keyed(d: DataFrame) -> DataFrame:
-        return d.select(
-            "doc_id",
-            F.md5("text").alias("h"),
-            F.size(F.split("text", " ")).alias("nt"),
-        )
-
-    j = keyed(cur).alias("c").join(
-        keyed(prev).alias("p"), F.col("c.doc_id") == F.col("p.doc_id"), "full_outer"
+def _row_diff(cur_keyed: DataFrame, prev_keyed: DataFrame) -> DataFrame:
+    """Shared core over pre-keyed (doc_id, h, nt) frames: one row per
+    doc present in either version with its change classification and
+    both token counts. The single place the diff semantics live."""
+    j = cur_keyed.alias("c").join(
+        prev_keyed.alias("p"), F.col("c.doc_id") == F.col("p.doc_id"), "full_outer"
     )
     change = (
         F.when(F.col("p.doc_id").isNull(), F.lit("added"))
@@ -1178,25 +1168,29 @@ def corpus_diff(cur: DataFrame, prev: DataFrame) -> DataFrame:
     )
 
 
+def _keyed(d: DataFrame) -> DataFrame:
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).alias("nt"),
+    )
+
+
+def corpus_diff(cur: DataFrame, prev: DataFrame) -> DataFrame:
+    """Row-level diff of two (doc_id, text) corpus versions: one row per
+    doc present in either side with change_type in added/removed/
+    modified/unchanged and both token counts. Feed it two
+    ``VersionedTable.read(version=...)`` time-travel frames to diff
+    real releases; q183 summarizes it."""
+    return _row_diff(_keyed(cur), _keyed(prev))
+
+
 def corpus_diff_summary(cur_keyed: DataFrame, prev_keyed: DataFrame) -> DataFrame:
     """Summary layer over pre-keyed (doc_id, h, nt) frames (q183's
     internal shape — avoids re-hashing when the caller already built
     hashes, as the oracle-twin query does)."""
-    j = cur_keyed.alias("c").join(
-        prev_keyed.alias("p"), F.col("c.doc_id") == F.col("p.doc_id"), "full_outer"
-    )
-    change = (
-        F.when(F.col("p.doc_id").isNull(), F.lit("added"))
-        .when(F.col("c.doc_id").isNull(), F.lit("removed"))
-        .when(F.col("c.h") != F.col("p.h"), F.lit("modified"))
-        .otherwise(F.lit("unchanged"))
-    )
     return (
-        j.select(
-            change.alias("change_type"),
-            F.coalesce(F.col("c.nt"), F.lit(0)).alias("cur_nt"),
-            F.coalesce(F.col("p.nt"), F.lit(0)).alias("prev_nt"),
-        )
+        _row_diff(cur_keyed, prev_keyed)
         .groupBy("change_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),

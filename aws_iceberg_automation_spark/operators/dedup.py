@@ -993,13 +993,19 @@ def q187_dedup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = corpus.select("doc_id", word_shingles(F.col("text")).alias("sh"))
     a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    # cache both pair sets: three count() actions would otherwise
+    # re-run the all-pairs truth join and the full LSH pipeline each
+    # (pair lists are eval-slice-sized — tiny)
     truth = (
         a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
         .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
         .select("doc_id_a", "doc_id_b")
+        .cache()
     )
-    detected = minhash_candidate_pairs(corpus, threshold=0.5).select(
-        "doc_id_a", "doc_id_b"
+    detected = (
+        minhash_candidate_pairs(corpus, threshold=0.5)
+        .select("doc_id_a", "doc_id_b")
+        .cache()
     )
     hit = truth.join(detected, ["doc_id_a", "doc_id_b"], "left_semi")
     n_truth = truth.count()

@@ -762,8 +762,13 @@ def q186_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     lives in producing the candidate lists themselves (each already
     audited under its own query). Rows-only: LSH/IVF/PQ outputs are
     engine-specific; pytest pins metric ranges and the recall floors."""
-    exact = q83_cosine_topk_exact(spark, sf_dir).select(
-        "q_id", F.col("neighbor_id").alias("rel_id")
+    # the most expensive frame here; cache so the count action and the
+    # three per-system joins evaluate the brute-force scan exactly once
+    # (k·|Q| rows of state — trivial at any scale)
+    exact = (
+        q83_cosine_topk_exact(spark, sf_dir)
+        .select("q_id", F.col("neighbor_id").alias("rel_id"))
+        .cache()
     )
     systems = {
         "srp_lsh": q83b_ann_lsh_topk,

@@ -238,8 +238,15 @@ def _sequence_dfa(
     leftmost match, and both reset (non-overlap) after it. Any other
     event type kills every open run in both semantics."""
     n, m, armed = state.get if state.exists else (0, 0, 0)
-    for pdf in pdfs:
-        ordered = pdf.sort_values(["ts", "event_id"])
+    # One key's microbatch arrives as MULTIPLE Arrow chunks (split at
+    # arrow.maxRecordsPerBatch) with no cross-chunk order guarantee —
+    # concatenate first, sort once; per-chunk sorting would interleave
+    # out-of-order symbols and corrupt the DFA.
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        ordered = pd.concat(frames, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
         for et in ordered["event_type"]:
             n += 1
             c = et[0]
@@ -696,6 +703,7 @@ class _ProgressCapture:
 
     def __init__(self) -> None:
         self.progress: list[dict] = []
+        self.terminated = False
 
     def make(self):
         import json as _json
@@ -715,7 +723,7 @@ class _ProgressCapture:
                 pass
 
             def onQueryTerminated(self, event) -> None:
-                pass
+                capture.terminated = True
 
         return _L()
 
@@ -728,6 +736,8 @@ def run_to_memory_with_metrics(
     each with numInputRows, batchId, stateOperators, durationMs). The
     listener-based pattern is how a production job wires throughput /
     state-size / watermark-lag alerting without touching the query."""
+    import time
+
     spark = sdf.sparkSession
     cap = _ProgressCapture()
     listener = cap.make()
@@ -741,6 +751,13 @@ def run_to_memory_with_metrics(
             .start()
         )
         q.awaitTermination()
+        # The listener bus is async: awaitTermination() returning does
+        # not mean the last progress events reached Python yet. The
+        # bus is FIFO, so once the Terminated event lands, every
+        # Progress event before it has too — wait (bounded) for it.
+        deadline = time.monotonic() + 30
+        while not cap.terminated and time.monotonic() < deadline:
+            time.sleep(0.05)
     finally:
         spark.streams.removeListener(listener)
     return spark.table(name), cap.progress

@@ -133,15 +133,12 @@ def q77_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(F.max("events_seen").alias("events_seen"))
 
 
-def _sequence_oracle() -> str:
-    from ..operators.behavioral import ORACLE_SEQUENCE
-
-    return ORACLE_SEQUENCE
+from ..operators.behavioral import ORACLE_SEQUENCE  # noqa: E402
 
 
 @register(
     "q180_stream_sequence_pattern",
-    oracle=_sequence_oracle(),
+    oracle=ORACLE_SEQUENCE,
     tags=("streaming", "behavioral"),
 )
 def q180_stream_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
@@ -43,6 +44,14 @@ from pyspark.sql import functions as F
 
 class VersioningError(RuntimeError):
     pass
+
+
+def _local_path(uri: str) -> str:
+    """Manifest file-URI -> local filesystem path ("file:/x" and
+    "file:///x" both -> "/x"). The ONLY normalization used when
+    comparing manifest entries against os.* listings — one helper so
+    expire/orphan/size paths can never disagree on path form."""
+    return re.sub(r"^file:/+", "/", uri)
 
 
 @dataclass
@@ -76,7 +85,7 @@ def _collect_file_stats(files: list[str]) -> dict[str, dict[str, list]]:
 
     out: dict[str, dict[str, list]] = {}
     for f in files:
-        local = f.removeprefix("file:")
+        local = _local_path(f)
         try:
             md = pq.ParquetFile(local).metadata
         except Exception:
@@ -193,7 +202,10 @@ class VersionedTable:
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
-        self.root = root.rstrip("/")
+        # absolutize: manifests store absolute file URIs, and orphan
+        # detection compares them against walks of this root — a
+        # relative root would make every live file look orphaned
+        self.root = os.path.abspath(root.rstrip("/"))
         self._meta = os.path.join(self.root, "_versions")
         os.makedirs(self._meta, exist_ok=True)
 
@@ -459,7 +471,7 @@ class VersionedTable:
             raise VersioningError(f"empty versioned table at {self.root}")
         rows = []
         for f in self.snapshot(v).files:
-            local = f.removeprefix("file:")
+            local = _local_path(f)
             try:
                 md = pq.ParquetFile(local).metadata
                 n_rows, n_rgs = md.num_rows, md.num_row_groups
@@ -873,7 +885,7 @@ class VersionedTable:
         snap = self.snapshot(cur)
         if target_files is None:
             # ~128 MB target from observed on-disk size
-            total = sum(os.path.getsize(f.removeprefix("file:")) for f in snap.files)
+            total = sum(os.path.getsize(_local_path(f)) for f in snap.files)
             target_files = max(1, total // (128 << 20) + (total % (128 << 20) > 0))
         df = self.read(version=cur).coalesce(int(target_files))
         return self.write(df, mode="overwrite", _op="compact")
@@ -902,7 +914,7 @@ class VersionedTable:
         for s in expired:
             dead_files.update(f for f in s.files if f not in live_files)
         for f in dead_files:
-            local = f.removeprefix("file:")
+            local = _local_path(f)
             if os.path.exists(local):
                 os.remove(local)
         for s in expired:
@@ -929,13 +941,9 @@ class VersionedTable:
         sides are small local listings. Always run expiry FIRST —
         files referenced only by expired snapshots are expiry's job,
         not orphan cleanup's."""
-        import re
-
         referenced: set[str] = set()
         for s in self.snapshots():
-            # manifests store URIs ("file:///tmp/x" or "file:/tmp/x");
-            # os.walk yields plain paths — normalize to one form
-            referenced.update(re.sub(r"^file:/+", "/", f) for f in s.files)
+            referenced.update(_local_path(f) for f in s.files)
         data_root = os.path.join(self.root, "data")
         orphans: list[str] = []
         for dirpath, _dirs, files in os.walk(data_root):
