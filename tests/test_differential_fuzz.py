@@ -428,27 +428,36 @@ def test_sequence_dfa_kernel_matches_regex(s, cut):
         def update(self, v):
             self.exists, self.get = True, v
 
-    def run(chunks):
+    def pdf_of(chunk, offset):
+        return pd.DataFrame(
+            {
+                "ts": range(offset, offset + len(chunk)),
+                "event_id": range(offset, offset + len(chunk)),
+                "event_type": list(chunk),
+            }
+        )
+
+    def run(batches):
+        """batches: list of microbatches, each a list of (chunk, offset)
+        Arrow chunks delivered in ONE kernel call."""
         st_ = FakeState()
         out = None
-        for chunk in chunks:
-            if not chunk:
+        for batch in batches:
+            pdfs = [pdf_of(c, o) for c, o in batch if c]
+            if not pdfs:
                 continue
-            pdf = pd.DataFrame(
-                {
-                    "ts": range(len(chunk)),
-                    "event_id": range(len(chunk)),
-                    "event_type": list(chunk),
-                }
-            )
-            out = list(_sequence_dfa((1,), iter([pdf]), st_))[0]
+            out = list(_sequence_dfa((1,), iter(pdfs), st_))[0]
         return out
 
     cut = min(cut, len(s))
     expected = len(re.findall("vc*p", s))
-    whole = run([s])
-    split = run([s[:cut], s[cut:]])
-    for res in (whole, split):
+    whole = run([[(s, 0)]])
+    # split across two MICROBATCHES (state carries over)
+    split = run([[(s[:cut], 0)], [(s[cut:], cut)]])
+    # split across two ARROW CHUNKS inside one call, delivered in
+    # REVERSED order — the kernel must globally sort, not per-chunk
+    chunked = run([[(s[cut:], cut), (s[:cut], 0)]])
+    for res in (whole, split, chunked):
         if s:
             assert int(res["n_matches"].iloc[0]) == expected
             assert int(res["n_events"].iloc[0]) == len(s)
