@@ -1200,3 +1200,104 @@ def corpus_diff_summary(cur_keyed: DataFrame, prev_keyed: DataFrame) -> DataFram
             .alias("token_delta"),
         )
     )
+
+
+@register(
+    "q188_decile_lift",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, (lang = 'en') AS pos,
+    -2.0 + 0.01 * CAST(len(string_split(text, ' ')) AS DOUBLE)
+         + 3.0 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' ')))
+         + 1.5 * (CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                  / length(text))
+         - 0.1 * (CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')))
+      AS logit
+  FROM documents
+), ranked AS (
+  SELECT pos, ntile(10) OVER (ORDER BY logit DESC, doc_id) AS decile FROM f
+), agg AS (
+  SELECT decile,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM ranked GROUP BY decile
+), tot AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS total_pos,
+         CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM agg
+)
+SELECT CAST(decile AS INT) AS decile, n_docs, n_pos,
+  round(CAST(n_pos AS DOUBLE) / n_docs, 6) AS pos_rate,
+  round(CAST(SUM(n_pos) OVER (ORDER BY decile) AS DOUBLE) / t.total_pos, 6)
+    AS cum_capture,
+  round((CAST(n_pos AS DOUBLE) / n_docs)
+        / (CAST(t.total_pos AS DOUBLE) / t.total_docs), 6) AS lift
+FROM agg CROSS JOIN tot t
+""",
+    tags=("curation", "llm"),
+)
+def q188_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table — the standard evaluation of a ranking
+    classifier (here q153's quality scorer against an is-English
+    pseudo-label): rank all docs by score, cut into deciles, and
+    report per-decile positive rate, cumulative capture, and lift vs
+    base rate. The artifact that answers "if I keep only the top 20%
+    by score, what fraction of the good docs do I keep?" — the actual
+    threshold-picking question of a quality filter.
+
+    Plan note: the global ntile is a single-partition window —
+    fixture-exact by design (like exact percentiles q42); at corpus
+    scale replace the cut with q156's equi-depth boundaries (sampled,
+    broadcast back) and this becomes one map + 10-group agg. The
+    decile cut orders by (logit, doc_id) — unique → deterministic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    logit = (
+        F.lit(-2.0)
+        + 0.01 * F.size(tokens).cast("double")
+        + 3.0 * (F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens))
+        + 1.5
+        * (
+            F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("double")
+            / F.length("text")
+        )
+        - 0.1 * (F.length("text").cast("double") / F.size(tokens))
+    )
+    from pyspark.sql import Window
+
+    f = d.select((F.col("lang") == "en").alias("pos"), logit.alias("logit"), "doc_id")
+    ranked = f.select(
+        "pos",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("logit").desc(), "doc_id"))
+        .alias("decile"),
+    )
+    agg = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+    )
+    tot = agg.agg(
+        F.sum("n_pos").cast("bigint").alias("total_pos"),
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_docs",
+            "n_pos",
+            F.round(F.col("n_pos").cast("double") / F.col("n_docs"), 6).alias(
+                "pos_rate"
+            ),
+            F.round(
+                F.sum("n_pos").over(wc).cast("double") / F.col("total_pos"), 6
+            ).alias("cum_capture"),
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n_docs"))
+                / (F.col("total_pos").cast("double") / F.col("total_docs")),
+                6,
+            ).alias("lift"),
+        )
+    )

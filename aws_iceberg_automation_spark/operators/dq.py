@@ -764,3 +764,114 @@ def q182_row_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+@register(
+    "q189_ks_statistic",
+    oracle="""
+WITH v AS (
+  SELECT source,
+    round((CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')))
+          * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' '))), 6) AS val
+  FROM documents WHERE source IN ('src0', 'src1')),
+n AS (
+  SELECT CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM v),
+per_val AS (
+  SELECT val,
+    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS a_cnt,
+    SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS b_cnt
+  FROM v GROUP BY val),
+ecdf AS (
+  SELECT val,
+    SUM(a_cnt) OVER (ORDER BY val) AS cum_a,
+    SUM(b_cnt) OVER (ORDER BY val) AS cum_b
+  FROM per_val)
+SELECT n.n_a, n.n_b,
+  round(MAX(abs(CAST(cum_a AS DOUBLE) / n.n_a
+                - CAST(cum_b AS DOUBLE) / n.n_b)), 6) AS ks_d,
+  round(1.358 * sqrt(CAST(n.n_a + n.n_b AS DOUBLE) / (n.n_a * n.n_b)), 6)
+    AS crit_05,
+  (round(MAX(abs(CAST(cum_a AS DOUBLE) / n.n_a
+               - CAST(cum_b AS DOUBLE) / n.n_b)), 6)
+   > round(1.358 * sqrt(CAST(n.n_a + n.n_b AS DOUBLE) / (n.n_a * n.n_b)), 6))
+    AS reject_h0
+FROM ecdf CROSS JOIN n
+GROUP BY n.n_a, n.n_b
+""",
+    tags=("dq", "drift"),
+)
+def q189_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the quality-score
+    distributions of two sources — the distribution-free drift test
+    that catches what q120's binned PSI can blur: D = max |ECDF_a -
+    ECDF_b| over all observed values, with the α=0.05 critical value
+    (1.358·√((n_a+n_b)/(n_a·n_b))) and the reject decision. Run it
+    source-vs-source before mixing crawls, or release-vs-release as a
+    stronger drift alarm.
+
+    Plan shape: per-distinct-value counts are a two-phase hash agg;
+    the ECDF needs one ordered cumulative window over DISTINCT values
+    — exact like q42's percentiles, and like them single-partition in
+    the value dimension; for unbounded-cardinality scores at corpus
+    scale, quantize scores (they are round(…,6) here already) or use
+    q120's binned PSI as the streaming-friendly fallback. The reject
+    flag compares ROUNDED values on both engines (no ulp coin-flips).
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    tokens = F.split("text", " ")
+    val = F.round(
+        (F.length("text").cast("double") / F.size(tokens))
+        * (F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens)),
+        6,
+    )
+    v = d.select("source", val.alias("val"))
+    n = v.agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    per_val = v.groupBy("val").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("a_cnt"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("b_cnt"),
+    )
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = per_val.select(
+        F.sum("a_cnt").over(w).alias("cum_a"),
+        F.sum("b_cnt").over(w).alias("cum_b"),
+    )
+    d_stat = ecdf.crossJoin(F.broadcast(n)).agg(
+        F.any_value("n_a").alias("n_a"),
+        F.any_value("n_b").alias("n_b"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum_a").cast("double") / F.col("n_a")
+                    - F.col("cum_b").cast("double") / F.col("n_b")
+                )
+            ),
+            6,
+        ).alias("ks_d"),
+    )
+    crit = F.round(
+        1.358
+        * F.sqrt(
+            (F.col("n_a") + F.col("n_b")).cast("double")
+            / (F.col("n_a") * F.col("n_b"))
+        ),
+        6,
+    )
+    return d_stat.select(
+        "n_a",
+        "n_b",
+        "ks_d",
+        crit.alias("crit_05"),
+        (F.col("ks_d") > crit).alias("reject_h0"),
+    )

@@ -252,6 +252,8 @@ _DRIVER_PRIORITY = [
     "q185_unpivot",
     "q186_retrieval_metrics",
     "q187_dedup_metrics",
+    "q188_decile_lift",
+    "q189_ks_statistic",
 ]
 
 

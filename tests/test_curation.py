@@ -267,3 +267,17 @@ def test_shard_manifest_fingerprint_order_free_and_sensitive(spark):
     # only doc 0's shard may differ
     diff = [s for s in base if tampered.get(s) != base[s]]
     assert len(diff) == 1
+
+
+def test_decile_lift_accounting(spark):
+    """Deciles must partition the corpus, cumulative capture must end at
+    1.0, and the lift-weighted doc shares must average to the base rate."""
+    pdf = (
+        SPECS["q188_decile_lift"].fn(spark, SF_DIR).toPandas().sort_values("decile")
+    )
+    assert list(pdf["decile"]) == list(range(1, 11))
+    assert pdf["n_docs"].sum() == 500
+    assert abs(pdf["cum_capture"].iloc[-1] - 1.0) < 1e-6
+    base = pdf["n_pos"].sum() / pdf["n_docs"].sum()
+    recon = (pdf["lift"] * base * pdf["n_docs"]).sum() / pdf["n_docs"].sum()
+    assert abs(recon - base) < 1e-3

@@ -188,3 +188,33 @@ def test_row_provenance_reconciles_with_table(spark):
     assert all(r.file_name.endswith(".parquet") for r in rows)
     assert min(r.min_doc_id for r in rows) == 0
     assert max(r.max_doc_id for r in rows) == 499
+
+
+def test_ks_statistic_detects_shifted_distribution(spark):
+    """KS on two same-distribution fixture sources should sit below the
+    fixture's own D; a deliberately shifted copy must reject H0 with a
+    larger D than the original pair."""
+    import aws_iceberg_automation_spark.operators.dq as dqmod
+    from aws_iceberg_automation_spark.io import load_table
+
+    base = SPECS["q189_ks_statistic"].fn(spark, SF_DIR).collect()[0]
+    assert 0.0 <= base.ks_d <= 1.0 and base.n_a > 0 and base.n_b > 0
+
+    d = load_table(spark, SF_DIR, "documents")
+    # shift src1's score by doubling its text length signal
+    shifted_src = d.withColumn(
+        "text",
+        F.when(
+            F.col("source") == "src1", F.concat(F.col("text"), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    orig = dqmod.load_table
+    try:
+        dqmod.load_table = (
+            lambda s, dd, t: shifted_src if t == "documents" else orig(s, dd, t)
+        )
+        shifted = SPECS["q189_ks_statistic"].fn(spark, SF_DIR).collect()[0]
+    finally:
+        dqmod.load_table = orig
+    assert shifted.ks_d > base.ks_d
+    assert shifted.reject_h0
