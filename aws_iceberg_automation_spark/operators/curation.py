@@ -1301,3 +1301,149 @@ def q188_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+_LOGIT_SQL = """
+  -2.0 + 0.01 * CAST(len(string_split(text, ' ')) AS DOUBLE)
+       + 3.0 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / len(string_split(text, ' ')))
+       + 1.5 * (CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                / length(text))
+       - 0.1 * (CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')))
+"""
+
+
+def _logit_col() -> F.Column:
+    tokens = F.split("text", " ")
+    return (
+        F.lit(-2.0)
+        + 0.01 * F.size(tokens).cast("double")
+        + 3.0 * (F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens))
+        + 1.5
+        * (
+            F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("double")
+            / F.length("text")
+        )
+        - 0.1 * (F.length("text").cast("double") / F.size(tokens))
+    )
+
+
+@register(
+    "q190_auc_roc",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id, (lang = 'en') AS pos, {_LOGIT_SQL} AS logit FROM documents
+), r AS (
+  SELECT pos, row_number() OVER (ORDER BY logit, doc_id) AS rk FROM f
+), agg AS (
+  SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+         SUM(CASE WHEN pos THEN rk ELSE 0 END) AS pos_rank_sum
+  FROM r
+)
+SELECT n_pos, n_neg,
+  round((CAST(pos_rank_sum AS DOUBLE) - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)
+        / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+FROM agg
+""",
+    tags=("curation", "llm"),
+)
+def q190_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC-ROC of the quality scorer against the is-English
+    pseudo-label via the Mann-Whitney rank-sum identity: AUC =
+    (Σ ranks(positives) − n₊(n₊+1)/2) / (n₊·n₋) — no threshold sweep,
+    no trapezoid integration, one ranking pass. The single
+    discrimination number reported next to q188's decile table.
+
+    Ties: row_number with a doc_id tiebreak (identical on both
+    engines) — the fixture's continuous-ish scores make exact score
+    ties measure-zero; with heavily quantized scores switch to average
+    ranks (rank() + count)/2. Global rank = single-partition window,
+    exact-eval scale (q42 precedent); at corpus scale sample or bucket
+    by score quantiles first."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    f = d.select(
+        (F.col("lang") == "en").alias("pos"),
+        _logit_col().alias("logit"),
+        "doc_id",
+    )
+    r = f.select(
+        "pos", F.row_number().over(Window.orderBy("logit", "doc_id")).alias("rk")
+    )
+    agg = r.agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("bigint").alias("n_neg"),
+        F.sum(F.when(F.col("pos"), F.col("rk")).otherwise(0)).alias("pos_rank_sum"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (
+                F.col("pos_rank_sum").cast("double")
+                - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2
+            )
+            / (F.col("n_pos").cast("double") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "q191_calibration_brier",
+    oracle=f"""
+WITH f AS (
+  SELECT (lang = 'en') AS pos,
+    1.0 / (1.0 + exp(-({_LOGIT_SQL}))) AS p
+  FROM documents
+), b AS (
+  SELECT CAST(least(floor(p * 10), 9) AS INT) AS bucket, pos, p FROM f
+)
+SELECT bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  round(SUM(p) / COUNT(*), 6) AS mean_predicted,
+  round(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+    AS observed_rate,
+  round(SUM((p - CASE WHEN pos THEN 1.0 ELSE 0.0 END)
+            * (p - CASE WHEN pos THEN 1.0 ELSE 0.0 END)) / COUNT(*), 6)
+    AS brier
+FROM b GROUP BY bucket
+""",
+    tags=("curation", "llm"),
+)
+def q191_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve + per-bin Brier score for the quality scorer:
+    predictions bucketed into ten probability bins, each reporting
+    mean predicted probability vs observed positive rate (the
+    reliability diagram's points — a well-calibrated scorer has them
+    equal) and its Brier contribution. The diagnostic that says
+    whether q153's scores can be *thresholded on probability* or only
+    *ranked* (q188/q190 measure ranking; this measures probability
+    truthfulness).
+
+    Plan shape: pure map (score + bucket) into a 10-group hash agg —
+    no global window at all, fully scalable as-is. Sum-of-double
+    ordering: mean_predicted/brier sums are rounded AFTER an exact
+    agreement on addends... both engines sum the same doubles in
+    arbitrary order, so round(, 6) absorbs the reorder ulps (q43
+    stats-agg precedent)."""
+    d = load_table(spark, sf_dir, "documents")
+    p = 1.0 / (1.0 + F.exp(-_logit_col()))
+    y = F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
+    b = d.select(
+        F.least(F.floor(p * 10), F.lit(9)).cast("int").alias("bucket"),
+        p.alias("p"),
+        y.alias("y"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.sum("p") / F.count(F.lit(1)), 6).alias("mean_predicted"),
+        F.round(F.sum("y") / F.count(F.lit(1)), 6).alias("observed_rate"),
+        F.round(
+            F.sum((F.col("p") - F.col("y")) * (F.col("p") - F.col("y")))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("brier"),
+    )

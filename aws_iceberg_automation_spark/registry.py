@@ -254,6 +254,8 @@ _DRIVER_PRIORITY = [
     "q187_dedup_metrics",
     "q188_decile_lift",
     "q189_ks_statistic",
+    "q190_auc_roc",
+    "q191_calibration_brier",
 ]
 
 

@@ -281,3 +281,48 @@ def test_decile_lift_accounting(spark):
     base = pdf["n_pos"].sum() / pdf["n_docs"].sum()
     recon = (pdf["lift"] * base * pdf["n_docs"]).sum() / pdf["n_docs"].sum()
     assert abs(recon - base) < 1e-3
+
+
+def test_auc_matches_sklearn_free_reference(spark):
+    """AUC from the rank-sum identity must equal a direct pairwise
+    computation on a small hand corpus (P(score_pos > score_neg))."""
+    import aws_iceberg_automation_spark.operators.curation as cur
+
+    d = spark.createDataFrame(
+        [
+            (1, "en", "aaa bbb ccc ddd eee fff"),
+            (2, "en", "aaa bbb ccc ddd eee fff ggg hhh"),
+            (3, "de", "zz1 zz2"),
+            (4, "de", "zz3 zz4 zz5"),
+            (5, "en", "short"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    orig = cur.load_table
+    try:
+        cur.load_table = lambda s, dd, t: d if t == "documents" else orig(s, dd, t)
+        row = SPECS["q190_auc_roc"].fn(spark, SF_DIR).collect()[0]
+        scores = {
+            r.doc_id: r.logit
+            for r in d.select(
+                "doc_id", cur._logit_col().alias("logit")
+            ).collect()
+        }
+    finally:
+        cur.load_table = orig
+    pos = [scores[i] for i in (1, 2, 5)]
+    neg = [scores[i] for i in (3, 4)]
+    pairs = [(p > n) + 0.5 * (p == n) for p in pos for n in neg]
+    assert abs(row.auc - round(sum(pairs) / len(pairs), 6)) < 1e-9
+    assert row.n_pos == 3 and row.n_neg == 2
+
+
+def test_calibration_bins_partition_and_bound(spark):
+    """Calibration bins must partition the corpus with probabilities
+    inside their bin ranges and Brier in [0, 1]."""
+    pdf = SPECS["q191_calibration_brier"].fn(spark, SF_DIR).toPandas()
+    assert pdf["n_docs"].sum() == 500
+    for _, r in pdf.iterrows():
+        assert r["bucket"] / 10 <= r["mean_predicted"] <= (r["bucket"] + 1) / 10 + 1e-9
+        assert 0.0 <= r["observed_rate"] <= 1.0
+        assert 0.0 <= r["brier"] <= 1.0
