@@ -445,3 +445,28 @@ def test_progress_listener_captures_microbatch_telemetry(spark, replay_dir):
         for p in data_batches
         for op in p.get("stateOperators", [])
     )
+
+
+def test_stream_sequence_pattern_multichunk_arrow(spark):
+    """Force tiny Arrow batches (maxRecordsPerBatch=7) so every user's
+    microbatch reaches the DFA kernel as MANY chunks through the real
+    applyInPandasWithState path — the stream must still equal the
+    batch regex matcher exactly (regression: per-chunk sorting bug)."""
+    from aws_iceberg_automation_spark.registry import all_specs
+
+    specs = all_specs()
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")
+        stream = {
+            r.user_id: (r.n_events, r.n_matches)
+            for r in specs["q180_stream_sequence_pattern"].fn(spark, SF_DIR).collect()
+        }
+    finally:
+        spark.conf.set(key, prev)
+    batch = {
+        r.user_id: (r.n_events, r.n_matches)
+        for r in specs["q177_sequence_pattern"].fn(spark, SF_DIR).collect()
+    }
+    assert stream == batch
