@@ -107,6 +107,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     orp.add_argument("root", help="versioned table root")
     orp.add_argument("--remove", action="store_true", help="delete the orphans")
+    orp.add_argument(
+        "--older-than",
+        type=float,
+        default=259_200,
+        dest="older_than",
+        help="minimum file age in seconds (default 3 days — shields in-flight writes)",
+    )
 
     cr = sub.add_parser(
         "corpus-report",
@@ -217,7 +224,9 @@ def main(argv: list[str] | None = None) -> int:
 
         try:
             vt = VersionedTable(spark, args.root)
-            orphans = vt.orphan_files(remove=args.remove)
+            orphans = vt.orphan_files(
+                remove=args.remove, older_than_seconds=args.older_than
+            )
         except (VersioningError, OSError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 1

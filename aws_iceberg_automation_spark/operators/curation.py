@@ -1202,18 +1202,36 @@ def corpus_diff_summary(cur_keyed: DataFrame, prev_keyed: DataFrame) -> DataFram
     )
 
 
+_LOGIT_SQL = """
+  -2.0 + 0.01 * CAST(len(string_split(text, ' ')) AS DOUBLE)
+       + 3.0 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / len(string_split(text, ' ')))
+       + 1.5 * (CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                / length(text))
+       - 0.1 * (CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')))
+"""
+
+
+def _logit_col() -> F.Column:
+    tokens = F.split("text", " ")
+    return (
+        F.lit(-2.0)
+        + 0.01 * F.size(tokens).cast("double")
+        + 3.0 * (F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens))
+        + 1.5
+        * (
+            F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("double")
+            / F.length("text")
+        )
+        - 0.1 * (F.length("text").cast("double") / F.size(tokens))
+    )
+
+
 @register(
     "q188_decile_lift",
-    oracle="""
+    oracle=f"""
 WITH f AS (
-  SELECT doc_id, (lang = 'en') AS pos,
-    -2.0 + 0.01 * CAST(len(string_split(text, ' ')) AS DOUBLE)
-         + 3.0 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                  / len(string_split(text, ' ')))
-         + 1.5 * (CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
-                  / length(text))
-         - 0.1 * (CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')))
-      AS logit
+  SELECT doc_id, (lang = 'en') AS pos, {_LOGIT_SQL} AS logit
   FROM documents
 ), ranked AS (
   SELECT pos, ntile(10) OVER (ORDER BY logit DESC, doc_id) AS decile FROM f
@@ -1252,21 +1270,11 @@ def q188_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile cut orders by (logit, doc_id) — unique → deterministic.
     """
     d = load_table(spark, sf_dir, "documents")
-    tokens = F.split("text", " ")
-    logit = (
-        F.lit(-2.0)
-        + 0.01 * F.size(tokens).cast("double")
-        + 3.0 * (F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens))
-        + 1.5
-        * (
-            F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("double")
-            / F.length("text")
-        )
-        - 0.1 * (F.length("text").cast("double") / F.size(tokens))
-    )
     from pyspark.sql import Window
 
-    f = d.select((F.col("lang") == "en").alias("pos"), logit.alias("logit"), "doc_id")
+    f = d.select(
+        (F.col("lang") == "en").alias("pos"), _logit_col().alias("logit"), "doc_id"
+    )
     ranked = f.select(
         "pos",
         F.ntile(10)
@@ -1300,31 +1308,6 @@ def q188_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("lift"),
         )
-    )
-
-
-_LOGIT_SQL = """
-  -2.0 + 0.01 * CAST(len(string_split(text, ' ')) AS DOUBLE)
-       + 3.0 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                / len(string_split(text, ' ')))
-       + 1.5 * (CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
-                / length(text))
-       - 0.1 * (CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')))
-"""
-
-
-def _logit_col() -> F.Column:
-    tokens = F.split("text", " ")
-    return (
-        F.lit(-2.0)
-        + 0.01 * F.size(tokens).cast("double")
-        + 3.0 * (F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens))
-        + 1.5
-        * (
-            F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("double")
-            / F.length("text")
-        )
-        - 0.1 * (F.length("text").cast("double") / F.size(tokens))
     )
 
 

@@ -1008,9 +1008,15 @@ def q187_dedup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     hit = truth.join(detected, ["doc_id_a", "doc_id_b"], "left_semi")
-    n_truth = truth.count()
-    n_detected = detected.count()
-    n_hit = hit.count()
+    try:
+        n_truth = truth.count()
+        n_detected = detected.count()
+        n_hit = hit.count()
+    finally:
+        # release the pinned partitions — repeated harness invocations
+        # in one long session must not accumulate dead cache entries
+        truth.unpersist()
+        detected.unpersist()
     return spark.createDataFrame(
         [
             (

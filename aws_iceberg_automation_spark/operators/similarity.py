@@ -791,15 +791,17 @@ def q186_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_hits") / F.lit(_TOP_K * n_q)).alias("macro_recall_at_k"),
             (F.sum(1.0 / F.col("best_rk")) / F.lit(n_q)).alias("macro_mrr"),
         )
-        outs.append(
-            agg.select(
-                F.lit(name).alias("system"),
-                F.lit(n_q).cast("bigint").alias("n_queries"),
-                F.round("macro_recall_at_k", 6).alias("macro_recall_at_k"),
-                F.round("macro_mrr", 6).alias("macro_mrr"),
-            )
-        )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    return res
+        row = agg.select(
+            F.round("macro_recall_at_k", 6).alias("r"),
+            F.round("macro_mrr", 6).alias("m"),
+        ).collect()[0]
+        outs.append((name, n_q, float(row.r), float(row.m)))
+    # metrics are a 3-row scalar summary: materialize eagerly so the
+    # cached ground truth can be released before returning (a lazy
+    # return would either leak the cache or recompute exact 3×)
+    exact.unpersist()
+    return spark.createDataFrame(
+        outs,
+        "system string, n_queries bigint, macro_recall_at_k double, "
+        "macro_mrr double",
+    )

@@ -228,9 +228,12 @@ def _sequence_dfa(
     renders each user's WHOLE event string and regex-scans it; a
     stream cannot hold unbounded strings, so the automaton carries the
     only suffix information the pattern needs — one "armed" bit (an
-    unbroken view→clicks run is open) plus the two counters. Constant
-    state per key forever, by construction — the difference between a
-    CEP operator that survives 100 TB/day and one that OOMs.
+    unbroken view→clicks run is open) plus the two counters. PERSISTED
+    state per key is constant forever; transient per-call memory is
+    bounded by one key's single-microbatch row count (the chunks must
+    be concatenated for a global event-time sort — cap it upstream
+    with maxFilesPerTrigger / maxOffsetsPerTrigger, the standard
+    microbatch sizing knobs).
 
     Equivalence to leftmost non-overlapping regex matching: "armed"
     ⟺ some earlier view is followed only by clicks; the first
@@ -704,6 +707,9 @@ class _ProgressCapture:
     def __init__(self) -> None:
         self.progress: list[dict] = []
         self.terminated = False
+        # set after start(): only THIS query's Terminated event counts
+        # (another session query terminating must not end the drain wait)
+        self.query_id: str | None = None
 
     def make(self):
         import json as _json
@@ -723,7 +729,12 @@ class _ProgressCapture:
                 pass
 
             def onQueryTerminated(self, event) -> None:
-                capture.terminated = True
+                # exact-id match only: query_id is set right after
+                # start(), which always precedes this query's
+                # termination; a stale event for a prior query (id
+                # unknown or different) must not end the drain wait
+                if str(event.id) == capture.query_id:
+                    capture.terminated = True
 
         return _L()
 
@@ -750,6 +761,7 @@ def run_to_memory_with_metrics(
             .trigger(availableNow=True)
             .start()
         )
+        cap.query_id = str(q.id)
         q.awaitTermination()
         # The listener bus is async: awaitTermination() returning does
         # not mean the last progress events reached Python yet. The

@@ -926,7 +926,9 @@ class VersionedTable:
                 shutil.rmtree(cl)
         return {"expired_snapshots": len(expired), "deleted_files": len(dead_files)}
 
-    def orphan_files(self, remove: bool = False) -> list[str]:
+    def orphan_files(
+        self, remove: bool = False, older_than_seconds: float = 259_200
+    ) -> list[str]:
         """Iceberg ``remove_orphan_files`` analog: data files present on
         disk under the table root but referenced by NO surviving
         snapshot manifest — the debris a killed/failed write job leaves
@@ -937,13 +939,23 @@ class VersionedTable:
         them. Non-data artifacts (_versions, _changelog, parquet
         _SUCCESS markers) are never touched.
 
+        ``older_than_seconds`` (default 3 days — Iceberg's default for
+        exactly this reason) shields IN-FLIGHT writes: a concurrent
+        writer's files exist before its manifest commits and would
+        otherwise be deleted out from under it. Only files whose
+        mtime is older than the cutoff are considered. Pass 0 only
+        when no writer can possibly be active.
+
         At scale this is a listing-vs-manifest anti-join; here both
         sides are small local listings. Always run expiry FIRST —
         files referenced only by expired snapshots are expiry's job,
         not orphan cleanup's."""
+        import time
+
         referenced: set[str] = set()
         for s in self.snapshots():
             referenced.update(_local_path(f) for f in s.files)
+        cutoff = time.time() - older_than_seconds
         data_root = os.path.join(self.root, "data")
         orphans: list[str] = []
         for dirpath, _dirs, files in os.walk(data_root):
@@ -951,8 +963,14 @@ class VersionedTable:
                 if not fn.endswith(".parquet"):
                     continue  # _SUCCESS and friends are not data
                 p = os.path.join(dirpath, fn)
-                if p not in referenced:
-                    orphans.append(p)
+                if p in referenced:
+                    continue
+                try:
+                    if os.path.getmtime(p) > cutoff:
+                        continue  # possibly a not-yet-committed write
+                except OSError:
+                    continue  # vanished mid-walk → not ours to touch
+                orphans.append(p)
         if remove:
             for p in orphans:
                 os.remove(p)

@@ -202,10 +202,13 @@ def test_cli_orphans_and_corpus_report(spark, tmp_path, capsys):
     open(stranded, "wb").write(b"junk")
 
     capsys.readouterr()  # drain anything earlier in the test
+    # default age guard hides the fresh stranded file
     assert main(["orphans", vt.root]) == 0
+    assert _json.loads(capsys.readouterr().out)["count"] == 0
+    assert main(["orphans", vt.root, "--older-than", "0"]) == 0
     out = _json.loads(capsys.readouterr().out)
     assert out["count"] == 1 and out["orphans"] == [stranded]
-    assert main(["orphans", vt.root, "--remove"]) == 0
+    assert main(["orphans", vt.root, "--remove", "--older-than", "0"]) == 0
     assert not _os.path.exists(stranded)
     capsys.readouterr()
 

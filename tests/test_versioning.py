@@ -691,7 +691,7 @@ def test_orphan_files_found_and_removed_without_touching_live_data(spark, vt):
     manifest-referenced file survives and all snapshots stay readable."""
     vt.write(_df(spark, 0, 5))
     vt.write(_df(spark, 5, 9))
-    assert vt.orphan_files() == []
+    assert vt.orphan_files(older_than_seconds=0) == []
     stranded_dir = os.path.join(vt.root, "data", "v99")
     os.makedirs(stranded_dir)
     stranded = os.path.join(stranded_dir, "part-crashed.parquet")
@@ -699,9 +699,12 @@ def test_orphan_files_found_and_removed_without_touching_live_data(spark, vt):
         f.write(b"not really parquet")
     # a non-data marker must never be flagged
     open(os.path.join(stranded_dir, "_SUCCESS"), "w").close()
-    assert vt.orphan_files() == [stranded]
-    removed = vt.orphan_files(remove=True)
-    assert removed == [stranded] and not os.path.exists(stranded)
+    # default age guard: a FRESH unreferenced file is treated as a
+    # possibly-in-flight write, not an orphan
     assert vt.orphan_files() == []
+    assert vt.orphan_files(older_than_seconds=0) == [stranded]
+    removed = vt.orphan_files(remove=True, older_than_seconds=0)
+    assert removed == [stranded] and not os.path.exists(stranded)
+    assert vt.orphan_files(older_than_seconds=0) == []
     assert vt.read(version=1).count() == 5
     assert vt.read().count() == 9
