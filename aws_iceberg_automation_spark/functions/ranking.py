@@ -1,0 +1,144 @@
+"""Scale-safe top-N ranking without WindowExec.
+
+`row_number() OVER (ORDER BY ...)` with no PARTITION BY moves the whole
+input to one task (Spark logs `WindowExec: No Partition Defined`). The
+repo's pre-bound pattern — `orderBy(...).limit(n)` compiling to
+TakeOrderedAndProject (per-partition top-n, single n-row merge) — fixes
+the data volume, but ranking the n survivors with another unpartitioned
+window still instantiates a WindowExec (harmless at n≤50, noisy in plan
+audits). This helper ranks the bounded survivors with no window at all:
+
+    top-n via TakeOrderedAndProject            (distributed, bounded)
+    repartition(1) of n rows                   (trivial shuffle barrier —
+                                                NOT coalesce, which would
+                                                collapse upstream stages)
+    sortWithinPartitions + monotonically_increasing_id
+                                               (exact rank: partition 0 →
+                                                ids 0..n-1 in sort order)
+
+The sort keys must define a total order (callers always end with a
+unique tiebreak column), so the rank is deterministic and hash-stable
+against a SQL `row_number()` oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _with_value_buckets(
+    df: DataFrame, value: Column, n_buckets: int
+) -> DataFrame:
+    """Tag each row with a range bucket that is MONOTONE in ``value``
+    (equal values always share a bucket), using approx-quantile
+    boundaries computed in one agg and broadcast back — balanced under
+    skew, unlike equi-width cuts. Adds ``_bucket``."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    stats = df.agg(
+        F.percentile_approx(value, qs, 10_000).alias("_bounds")
+    )
+    bucket = F.size(F.filter(F.col("_bounds"), lambda b: b <= value)).cast("int")
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("_bucket", bucket)
+        .drop("_bounds")
+    )
+
+
+def _bucket_offsets(per_bucket: DataFrame, cnt_cols: list[str]) -> DataFrame:
+    """Exclusive prefix sums of ``cnt_cols`` over ``_bucket`` order,
+    via a triangular broadcast self-join on the ≤n_buckets bucket-total
+    rows — no WindowExec anywhere. Returns (_bucket, _off_<col>...)."""
+    p, q = per_bucket.alias("p"), per_bucket.alias("q")
+    return (
+        p.join(F.broadcast(q), F.col("q._bucket") < F.col("p._bucket"), "left")
+        .groupBy(F.col("p._bucket").alias("_bucket"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"q.{c}"), F.lit(0))
+                .cast("bigint")
+                .alias(f"_off_{c}")
+                for c in cnt_cols
+            ]
+        )
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    value: Column,
+    tiebreaks: list[Column],
+    n_buckets: int = 64,
+    rank_name: str = "rk",
+) -> DataFrame:
+    """Exact global ``row_number() OVER (ORDER BY value, *tiebreaks)``
+    WITHOUT a single-partition window: range-bucket on the value
+    (monotone ⇒ cross-bucket order equals value order), per-bucket
+    counts prefix-summed through a tiny broadcast triangular join, and
+    a PARTITIONED rank window inside each bucket. Every stage is
+    bounded: the widest window sees ~N/n_buckets rows (tune n_buckets
+    to the cluster; boundaries come from approx quantiles, so skewed
+    score distributions still ~balance). (value, *tiebreaks) must be a
+    total order for a deterministic result."""
+    b = _with_value_buckets(df, value, n_buckets)
+    counts = b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_cnt"))
+    offsets = _bucket_offsets(counts, ["_cnt"])
+    w = Window.partitionBy("_bucket").orderBy(value, *tiebreaks)
+    return (
+        b.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            rank_name,
+            (F.col("_off__cnt") + F.row_number().over(w)).cast("bigint"),
+        )
+        .drop("_bucket", "_off__cnt")
+    )
+
+
+def partitioned_prefix_sums(
+    df: DataFrame,
+    value: Column,
+    sum_cols: list[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact running sums of ``sum_cols`` in ``value`` order (adds
+    ``cum_<col>`` columns) without a single-partition window: the same
+    bucket/offset decomposition as ``global_row_number``, with the
+    within-bucket cumulative window PARTITIONED by bucket. ``value``
+    must be unique per row (e.g. the output of a groupBy on it), so
+    "rows before me in this bucket" is well-defined — exactly the ECDF
+    shape."""
+    b = _with_value_buckets(df, value, n_buckets)
+    per_bucket = b.groupBy("_bucket").agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )
+    offsets = _bucket_offsets(per_bucket, sum_cols)
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(value)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = b.join(F.broadcast(offsets), "_bucket")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}",
+            (F.col(f"_off_{c}") + F.sum(c).over(w)).cast("bigint"),
+        )
+    return out.drop("_bucket", *[f"_off_{c}" for c in sum_cols])
+
+
+def topn_ranked(
+    df: DataFrame,
+    order: list[Column],
+    n: int,
+    rank_name: str = "rk",
+) -> DataFrame:
+    """Return the top ``n`` rows of ``df`` under ``order`` (a list of
+    Column sort expressions forming a total order), with a 1-based
+    ``rank_name`` column — no WindowExec anywhere in the plan."""
+    top = df.orderBy(*order).limit(n)
+    return (
+        top.repartition(1)
+        .sortWithinPartitions(*order)
+        .withColumn(rank_name, (F.monotonically_increasing_id() + 1).cast("int"))
+    )

@@ -1001,10 +1001,11 @@ def q168_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
-    top = pairs.orderBy(
-        F.col("n_customers").desc(), "part_a", "part_b"
-    ).limit(20)
-    from pyspark.sql import Window
+    from ..functions.ranking import topn_ranked
 
-    w = Window.orderBy(F.col("n_customers").desc(), "part_a", "part_b")
-    return top.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    top = topn_ranked(
+        pairs,
+        [F.col("n_customers").desc(), F.col("part_a"), F.col("part_b")],
+        20,
+    )
+    return top.withColumn("rk", F.col("rk").cast("bigint"))

@@ -1263,23 +1263,35 @@ def q188_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     by score, what fraction of the good docs do I keep?" — the actual
     threshold-picking question of a quality filter.
 
-    Plan note: the global ntile is a single-partition window —
-    fixture-exact by design (like exact percentiles q42); at corpus
-    scale replace the cut with q156's equi-depth boundaries (sampled,
-    broadcast back) and this becomes one map + 10-group agg. The
-    decile cut orders by (logit, doc_id) — unique → deterministic.
+    Plan note: the decile cut reproduces ntile(10) EXACTLY but
+    distributed — a bucketed global row_number
+    (functions/ranking.global_row_number: no single-partition stage)
+    plus ntile's closed-form tile assignment (the first N mod 10
+    tiles take ⌈N/10⌉ rows, the rest ⌊N/10⌋); the 10-row cumulative
+    capture runs through a triangular broadcast self-join, so the
+    whole query is WindowExec-free at any corpus size. The cut orders
+    by (logit desc, doc_id) — unique → deterministic.
     """
     d = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    from ..functions.ranking import global_row_number
 
     f = d.select(
         (F.col("lang") == "en").alias("pos"), _logit_col().alias("logit"), "doc_id"
     )
-    ranked = f.select(
-        "pos",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("logit").desc(), "doc_id"))
-        .alias("decile"),
+    rn = global_row_number(f, -F.col("logit"), [F.col("doc_id")])
+    ntot = f.agg(F.count(F.lit(1)).alias("_n"))
+    # ntile(k) closed form over the exact global rank: with n = qk + r,
+    # tiles 1..r hold q+1 rows, tiles r+1..k hold q rows
+    q_sz = F.floor(F.col("_n") / 10)
+    r_sz = F.col("_n") % 10
+    first_block = r_sz * (q_sz + 1)
+    decile = (
+        F.when(F.col("rk") <= first_block, F.ceil(F.col("rk") / (q_sz + 1)))
+        .otherwise(r_sz + F.ceil((F.col("rk") - first_block) / q_sz))
+        .cast("int")
+    )
+    ranked = rn.crossJoin(F.broadcast(ntot)).select(
+        "pos", decile.alias("decile")
     )
     agg = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -1289,9 +1301,22 @@ def q188_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pos").cast("bigint").alias("total_pos"),
         F.sum("n_docs").cast("bigint").alias("total_docs"),
     )
-    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    # 10-row cumulative capture, windowless (triangular broadcast join)
+    cum = (
+        agg.alias("p")
+        .join(
+            F.broadcast(agg.select("decile", "n_pos").alias("q")),
+            F.col("q.decile") <= F.col("p.decile"),
+        )
+        .groupBy(F.col("p.decile").alias("decile"))
+        .agg(
+            F.any_value("p.n_docs").alias("n_docs"),
+            F.any_value("p.n_pos").alias("n_pos"),
+            F.sum("q.n_pos").cast("bigint").alias("cum_pos"),
+        )
+    )
     return (
-        agg.crossJoin(F.broadcast(tot))
+        cum.crossJoin(F.broadcast(tot))
         .select(
             F.col("decile").cast("int").alias("decile"),
             "n_docs",
@@ -1300,7 +1325,7 @@ def q188_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pos_rate"
             ),
             F.round(
-                F.sum("n_pos").over(wc).cast("double") / F.col("total_pos"), 6
+                F.col("cum_pos").cast("double") / F.col("total_pos"), 6
             ).alias("cum_capture"),
             F.round(
                 (F.col("n_pos").cast("double") / F.col("n_docs"))
@@ -1341,20 +1366,19 @@ def q190_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties: row_number with a doc_id tiebreak (identical on both
     engines) — the fixture's continuous-ish scores make exact score
     ties measure-zero; with heavily quantized scores switch to average
-    ranks (rank() + count)/2. Global rank = single-partition window,
-    exact-eval scale (q42 precedent); at corpus scale sample or bucket
-    by score quantiles first."""
+    ranks (rank() + count)/2. The global rank is computed EXACTLY but
+    distributed (functions/ranking.global_row_number): score-quantile
+    buckets + per-bucket offsets + partitioned within-bucket windows —
+    no single-partition stage, same integer ranks, same hash."""
     d = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    from ..functions.ranking import global_row_number
 
     f = d.select(
         (F.col("lang") == "en").alias("pos"),
         _logit_col().alias("logit"),
         "doc_id",
     )
-    r = f.select(
-        "pos", F.row_number().over(Window.orderBy("logit", "doc_id")).alias("rk")
-    )
+    r = global_row_number(f, F.col("logit"), [F.col("doc_id")]).select("pos", "rk")
     agg = r.agg(
         F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
         F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("bigint").alias("n_neg"),

@@ -35,9 +35,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.ranking import topn_ranked
 from ..io import SCHEMAS, load_table
 from ..registry import register
 
@@ -665,18 +666,17 @@ def q161_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("double").alias("total"),
         F.avg(F.col("cnt").cast("double")).alias("avg_cnt"),
     )
-    top = (
-        counts.crossJoin(F.broadcast(stats))
-        .orderBy(F.col("cnt").desc(), "key")
-        .limit(20)
+    top = topn_ranked(
+        counts.crossJoin(F.broadcast(stats)),
+        [F.col("cnt").desc(), F.col("key")],
+        20,
     )
-    w = Window.orderBy(F.col("cnt").desc(), "key")
     return top.select(
         "key",
         "cnt",
         F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
         F.round(F.col("cnt") / F.col("avg_cnt"), 6).alias("skew_vs_avg"),
-        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.col("rk").cast("bigint").alias("rk"),
     )
 
 
@@ -813,12 +813,11 @@ def q189_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     stronger drift alarm.
 
     Plan shape: per-distinct-value counts are a two-phase hash agg;
-    the ECDF needs one ordered cumulative window over DISTINCT values
-    — exact like q42's percentiles, and like them single-partition in
-    the value dimension; for unbounded-cardinality scores at corpus
-    scale, quantize scores (they are round(…,6) here already) or use
-    q120's binned PSI as the streaming-friendly fallback. The reject
-    flag compares ROUNDED values on both engines (no ulp coin-flips).
+    the exact ECDF runs through bucketed prefix sums
+    (functions/ranking.partitioned_prefix_sums: quantile buckets +
+    broadcast offsets + PARTITIONED cumulative windows — no
+    single-partition stage at any cardinality). The reject flag
+    compares ROUNDED values on both engines (no ulp coin-flips).
     """
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("source").isin("src0", "src1")
@@ -842,10 +841,12 @@ def q189_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("a_cnt"),
         F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("b_cnt"),
     )
-    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
-    ecdf = per_val.select(
-        F.sum("a_cnt").over(w).alias("cum_a"),
-        F.sum("b_cnt").over(w).alias("cum_b"),
+    from ..functions.ranking import partitioned_prefix_sums
+
+    ecdf = partitioned_prefix_sums(
+        per_val, F.col("val"), ["a_cnt", "b_cnt"]
+    ).select(
+        F.col("cum_a_cnt").alias("cum_a"), F.col("cum_b_cnt").alias("cum_b")
     )
     d_stat = ecdf.crossJoin(F.broadcast(n)).agg(
         F.any_value("n_a").alias("n_a"),

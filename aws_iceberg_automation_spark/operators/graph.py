@@ -253,11 +253,10 @@ def q135_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     counts = triangle_count(edges)
-    from pyspark.sql import Window
+    from ..functions.ranking import topn_ranked
 
-    w = Window.orderBy(F.col("n_triangles").desc(), F.col("node"))
-    return (
-        counts.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 50)
-        .select("node", "n_triangles", "rk")
-    )
+    # Pre-bound top-50 (TakeOrderedAndProject) ranked windowlessly — never
+    # every node's count on one task.
+    return topn_ranked(
+        counts, [F.col("n_triangles").desc(), F.col("node")], 50
+    ).select("node", "n_triangles", "rk")

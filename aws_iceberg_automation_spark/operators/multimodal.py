@@ -2,13 +2,14 @@
 media columns with typed metadata, plus decode / feature-extraction /
 frame-sampling plumbing as Arrow-batched pandas UDFs over mapInPandas.
 
-This container has no image/audio codecs, so the *decode kernels* are
-stubs: a real-decoder branch that raises NotImplementedError (clearly
-marked) and a deterministic fake that derives "features" from the
-bytes. Everything Spark-side — schemas (BinaryType + StructType
-metadata), partitioning, mapInPandas batch shape, 1→N frame expansion —
-is real and tested; swapping in PIL/ffmpeg changes only the kernel
-body.
+The decode kernels use PIL when importable (real header decode /
+resize, per-blob fallback on non-image payloads) and a deterministic
+byte-derived fake otherwise — this sandbox ships no codecs, so here the
+fake path runs; every output row carries its ``decode_mode``.
+Everything Spark-side — schemas (BinaryType + StructType metadata),
+partitioning, mapInPandas batch shape, 1→N frame expansion — is real
+and identical on both paths; ffmpeg-class audio/video decode stays a
+fake (no public pure-python analog worth faking further).
 
 Scale notes: media blobs ride in parquet/Iceberg binary columns;
 mapInPandas streams Arrow batches so one task holds one batch of blobs,
@@ -67,23 +68,54 @@ def q84_multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     """Deterministic fake 'image decode': pretends the blob is a tiny
     image; derives dims + an 8-dim feature vector from the bytes.
-    STUB — a real pipeline decodes with PIL here."""
+    Sandbox fallback — the real pipeline decodes with PIL when present."""
     h = len(payload)
     width, height, channels = (h % 64) + 1, (h % 48) + 1, 3
     feats = [payload[i % h] / 255.0 for i in range(8)] if h else [0.0] * 8
     return width, height, channels, feats
 
 
+def _pil_decode(payload: bytes) -> tuple[int, int, int, list[float]] | None:
+    """Real decode via PIL when available: dims/channels from the image
+    header, features = mean intensity of an 8-slice column banding.
+    Returns None when the blob is not a decodable image (caller falls
+    back to the deterministic fake so mixed text/media batches never
+    crash a 1000-task stage over one bad blob)."""
+    import io
+
+    try:
+        with PIL.Image.open(io.BytesIO(payload)) as im:
+            im = im.convert("L")
+            width, height = im.size
+            channels = len(im.getbands())
+            px = list(im.getdata())
+            n = max(len(px) // 8, 1)
+            feats = [
+                (sum(px[i * n : (i + 1) * n]) / (255.0 * max(len(px[i * n : (i + 1) * n]), 1)))
+                for i in range(8)
+            ]
+            return width, height, channels, feats
+    except Exception:
+        return None
+
+
 def decode_media_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (doc_id, payload: bytes) → decoded metadata +
-    features. Arrow-batched: each `pdf` is a columnar batch, not a row."""
+    features + decode_mode ('pil' when the real decoder ran, 'fake'
+    otherwise). Arrow-batched: each `pdf` is a columnar batch, not a
+    row. PIL is used WHEN PRESENT and falls back per-blob on
+    non-image payloads — its absence is the capability gate, never its
+    presence."""
     for pdf in frames:
-        if _HAVE_PIL:
-            # Real decode would go here (PIL.Image.open over io.BytesIO).
-            raise NotImplementedError(
-                "real image decode not implemented in this environment"
-            )
-        decoded = [_fake_decode(p) for p in pdf["payload"]]
+        decoded, modes = [], []
+        for p in pdf["payload"]:
+            real = _pil_decode(p) if _HAVE_PIL else None
+            if real is not None:
+                decoded.append(real)
+                modes.append("pil")
+            else:
+                decoded.append(_fake_decode(p))
+                modes.append("fake")
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -91,12 +123,14 @@ def decode_media_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 "height": [d[1] for d in decoded],
                 "channels": [d[2] for d in decoded],
                 "features": [d[3] for d in decoded],
+                "decode_mode": modes,
             }
         )
 
 
 _DECODE_SCHEMA = (
-    "doc_id long, width int, height int, channels int, features array<double>"
+    "doc_id long, width int, height int, channels int, "
+    "features array<double>, decode_mode string"
 )
 
 
@@ -116,23 +150,40 @@ def q84b_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pil_thumbnail(payload: bytes) -> bytes | None:
+    """Real 4×4 grayscale thumbnail via PIL when the blob decodes as an
+    image; None otherwise (caller falls back to byte subsampling)."""
+    import io
+
+    try:
+        with PIL.Image.open(io.BytesIO(payload)) as im:
+            return bytes(im.convert("L").resize((4, 4)).getdata())
+    except Exception:
+        return None
+
+
 def resize_media_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: 'resize' each blob to a fixed-size thumbnail
-    payload (deterministic byte subsampling stands in for pixel
-    resampling). STUB kernel — PIL's Image.resize goes here — with real
-    binary-in/binary-out Arrow plumbing."""
+    """mapInPandas kernel: resize each blob to a fixed-size thumbnail
+    payload — PIL ``Image.resize`` when present and the blob decodes,
+    deterministic byte subsampling otherwise (16-byte cap either way);
+    binary-in/binary-out Arrow plumbing is identical on both paths."""
     for pdf in frames:
-        if _HAVE_PIL:
-            raise NotImplementedError(
-                "real image resize not implemented in this environment"
-            )
-        thumbs = [bytes(p[:: max(len(p) // 16, 1)][:16]) for p in pdf["payload"]]
+        thumbs, modes = [], []
+        for p in pdf["payload"]:
+            t = _pil_thumbnail(p) if _HAVE_PIL else None
+            if t is not None:
+                thumbs.append(t)
+                modes.append("pil")
+            else:
+                thumbs.append(bytes(p[:: max(len(p) // 16, 1)][:16]))
+                modes.append("fake")
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "thumb": thumbs,
                 "thumb_bytes": [len(t) for t in thumbs],
                 "orig_bytes": [len(p) for p in pdf["payload"]],
+                "decode_mode": modes,
             }
         )
 
@@ -147,7 +198,8 @@ def q84d_resize_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.mapInPandas(
         resize_media_batch,
-        schema="doc_id long, thumb binary, thumb_bytes int, orig_bytes int",
+        schema="doc_id long, thumb binary, thumb_bytes int, "
+        "orig_bytes int, decode_mode string",
     )
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.ranking import topn_ranked
 from ..functions.vectors import cosine, dot
 from ..io import load_table
 from ..registry import register
@@ -196,11 +197,15 @@ def spherical_kmeans(
 
     dim = len(vectors.select(vec_col).head()[0])
     nv = vectors.select("vec_id", normalize(F.col(vec_col)).alias("nv"))
-    seed_w = Window.orderBy("vec_id")  # k rows only after the limit
     cent = (
-        nv.orderBy(F.xxhash64(F.col("vec_id"), F.lit("kmeans-init")), "vec_id")
-        .limit(k)
-        .withColumn("c_id", F.row_number().over(seed_w))
+        topn_ranked(
+            nv.withColumn(
+                "_h", F.xxhash64(F.col("vec_id"), F.lit("kmeans-init"))
+            ),
+            [F.col("_h"), F.col("vec_id")],
+            k,
+            rank_name="c_id",
+        )
         .select("c_id", F.col("nv").alias("cv"))
     )
     for _ in range(max_iter):
@@ -481,41 +486,37 @@ def q160_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (k1 + 1)
         / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
     )
-    lex_top = (
+    lex_scores = (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(term_score), 6).alias("score"))
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(topn)
     )
-    lex = lex_top.withColumn(
-        "lex_rk",
-        F.row_number()
-        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
-        .cast("int"),
+    lex = topn_ranked(
+        lex_scores,
+        [F.col("score").desc(), F.col("doc_id")],
+        topn,
+        rank_name="lex_rk",
     ).select("doc_id", "lex_rk")
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")
     )
     qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
-    sem_top = (
+    sem_scores = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
             F.round(cosine(F.col("q"), F.col("v")), 6).alias("cos"),
         )
-        .orderBy(F.col("cos").desc(), "doc_id")
-        .limit(topn)
     )
-    sem = sem_top.withColumn(
-        "sem_rk",
-        F.row_number()
-        .over(Window.orderBy(F.col("cos").desc(), "doc_id"))
-        .cast("int"),
+    sem = topn_ranked(
+        sem_scores,
+        [F.col("cos").desc(), F.col("doc_id")],
+        topn,
+        rank_name="sem_rk",
     ).select("doc_id", "sem_rk")
 
     rrf = F.coalesce(1.0 / (rrf_k + F.col("lex_rk")), F.lit(0.0)) + F.coalesce(
@@ -524,10 +525,9 @@ def q160_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused = lex.join(sem, "doc_id", "full_outer").select(
         "doc_id", "lex_rk", "sem_rk", rrf.alias("_rrf")
     )
-    w = Window.orderBy(F.col("_rrf").desc(), "doc_id")
     return (
-        fused.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= 20)
+        topn_ranked(fused, [F.col("_rrf").desc(), F.col("doc_id")], 20)
+        .withColumn("rk", F.col("rk").cast("bigint"))
         .select("doc_id", "lex_rk", "sem_rk", F.round("_rrf", 6).alias("rrf"), "rk")
     )
 

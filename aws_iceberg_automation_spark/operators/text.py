@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.ranking import topn_ranked
 from ..io import load_table
 from ..registry import register
 
@@ -85,8 +86,12 @@ def q85b_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term"))
-    return counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 50)
+    # Pre-bound top-50 (TakeOrderedAndProject: per-partition top-50 + one
+    # 50-row merge) instead of an unpartitioned window over the entire
+    # vocabulary; rank assigned windowlessly over the 50 survivors.
+    return topn_ranked(
+        counts, [F.col("n_occurrences").desc(), F.col("term")], 50
+    )
 
 
 @register(
@@ -469,12 +474,11 @@ def q129_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(term_score).alias("score"))
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .select("doc_id", F.round("score", 6).alias("bm25"), "rk")
-    )
+    # Pre-bound top-20 (TakeOrderedAndProject over the scored set) ranked
+    # windowlessly — never every matching doc on one task.
+    return topn_ranked(
+        scored, [F.col("score").desc(), F.col("doc_id")], 20
+    ).select("doc_id", F.round("score", 6).alias("bm25"), "rk")
 
 
 @register(

@@ -74,102 +74,19 @@ _REGISTRY: dict[str, QuerySpec] = {}
 _LOADED = False
 
 # The external driver verifies the FIRST 50 specs in queries() order and
-# stops (observed in CORRECTNESS_r01.json: exactly the first 50 of
-# module order). Registration order is therefore a verification budget.
-# This list spends round 2's budget on (a) every family that got no
-# correctness row in round 1 — streaming, event windows, time-series
-# joins, scalar families #68-71, UDFs, LLM dedup/similarity/text/
-# multimodal, composite analytics — and (b) the 15 round-1 red queries
-# re-proving the decimal/array output-schema fix. The 33 queries the
-# driver already verified green in round 1 cede their slots; remaining
-# oracle-backed b-variants queue at 51+ for round 3.
+# stops (its per-round verification budget). Registration order is
+# therefore attestation budget: re-listing an already-green query
+# re-proves the proven. Round-3 rotation (VERDICT r02 ask #1): the
+# top-50 window holds ONLY oracle-backed queries that have never
+# received a driver row (not in CORRECTNESS_r01 ∪ r02) — decision-
+# support twins q109-q140, the LLM-curation suite q101-q108, the DQ
+# suite, retrieval/spans/eval metrics, and the stream-replay variants.
+# Green across r01+r02+r03 then covers 133 of 202 registered queries.
+# The next 46 (still never-verified, oracle-backed) queue for round 4;
+# verified and rows-only specs follow in registration order. Rows-only
+# specs NEVER occupy a top-50 slot (they cannot earn a hash row).
 _DRIVER_PRIORITY = [
-    # streaming (r01: untested #72-77)
-    "q72_stream_tumbling_replay",
-    "q76_stream_dedup_replay",
-    "q77_stream_stateful_totals",
-    # batch event-window twins (#73-75, #80)
-    "q73_tumbling_window",
-    "q74_sliding_window",
-    "q75_session_window",
-    # time-series joins (#35-36)
-    "q35_asof_join",
-    "q36_interval_join",
-    # scalar families (#68-71)
-    "q68_array_funcs",
-    "q69_map_funcs",
-    "q70_json_funcs",
-    "q71_hash_funcs",
-    # UDF surface (#87-91)
-    "q88_pandas_udf_vecnorm",
-    "q89_grouped_agg_udf",
-    "q90_apply_in_pandas",
-    "q91_sql_registered_udf",
-    # LLM pipeline: dedup (#81-82)
-    "q81_exact_dedup",
-    "q82b_ngram_jaccard_pairs",
-    "q82d_embedding_neardup",
-    # LLM pipeline: similarity (#83)
-    "q83_cosine_topk_exact",
-    "q83c_dot_topk_normalized",
-    # LLM pipeline: text (#85-86)
-    "q85_token_stats",
-    "q85b_top_terms",
-    "q85c_tfidf_top_terms",
-    "q85d_langid_heuristic",
-    "q86_quality_filter",
-    # LLM pipeline: multimodal (#84)
-    "q84_multimodal_schema",
-    # composite analytics
-    "q92_shipping_priority",
-    "q93_forecast_revenue_change",
-    "q94_returned_item_ranking",
-    "q95_large_volume_customers",
-    "q100_promo_revenue_share",
-    # behavioral composites
-    "q96_hash_gate_sample",
-    "q97_funnel_conversion",
-    "q98_cohort_retention",
-    # round-1 red rows, re-proving the output-schema fix
-    "q01_pricing_summary",
-    "q23_projection",
-    "q32_broadcast_dim_join",
-    "q33_range_band_join",
-    "q37_star_join_revenue",
-    "q38_hash_agg_groupby",
-    "q38b_salted_two_phase_agg",
-    "q39_global_aggs",
-    "q44_collect_aggs",
-    "q47_rollup_cube",
-    "q48_pivot",
-    "q52_running_totals",
-    "q53_moving_window",
-    "q54_range_frame_time",
-    "q65_string_funcs",
-    # ---- 50-slot budget line (driver stops here) ----
-    # round-3 queue: oracle-backed variants not yet driver-verified
-    # (family representatives above: q35→q35b/q35c, q81→q81b)
-    "q35b_ohlc_resample",
-    "q81b_normalized_dedup",
-    "q35c_gap_fill_forward",
-    "q68b_posexplode",
-    "q75b_sessionize_ids",
-    "q85e_fingerprint",
-    "q85f_bpe_ish_tokens",
-    "q99_priority_late_orders",
-    "q101_corpus_curation",
-    "q74b_stream_sliding_replay",
-    "q75c_stream_session_replay",
-    "q96c_stratified_exact_n",
-    "q102_sequence_packing",
-    "q103_pii_scrub",
-    "q104_contamination_check",
-    "q105_repetition_stats",
-    "q106_domain_mixture",
-    "q108_tokenizer_fertility",
-    # round-2 additions (oracle-backed, never driver-verified yet):
-    # decision-support shapes, DQ suite, fuzzy/stream-stream/UDTF/salted/
-    # grouping-sets/CDC — rotate into the first-50 window in round 3
+    # -- round-3 window: 50 never-driver-verified, all oracle-backed --
     "q109_local_supplier_volume",
     "q110_volume_shipping",
     "q111_market_share",
@@ -177,66 +94,90 @@ _DRIVER_PRIORITY = [
     "q113_top_supplier",
     "q114_small_qty_revenue",
     "q115_brand_discount_revenue",
-    "q116_dq_profile",
-    "q117_dq_referential",
-    "q118_dq_constraints",
-    "q120_drift_psi",
-    "q121_fuzzy_catalog_match",
-    "q122_stream_stream_join",
-    "q123_udtf_sentences",
-    "q124_salted_hot_join",
-    "q125_table_reconcile",
-    "q126_grouping_sets_time_hierarchy",
-    "q127_latest_record_compaction",
-    "q50b_scalable_ranking",
-    "q128_scd2_dimension",
-    "q129_bm25_search",
-    "q130_doc_chunking",
-    "q131_incremental_neardup",
     "q132_waiting_supplier",
     "q133_order_count_distribution",
     "q134_min_cost_supplier",
     "q135_triangle_count",
-    "q136_weighted_sample",
-    "q84e_phash_neardup",
-    "q70b_variant_semistructured",
     "q137_late_shipment_priority",
     "q138_important_part_value",
     "q139_supplier_part_variety",
     "q140_dominant_supplier",
+    "q101_corpus_curation",
+    "q102_sequence_packing",
+    "q103_pii_scrub",
+    "q104_contamination_check",
+    "q105_repetition_stats",
+    "q106_domain_mixture",
+    "q108_tokenizer_fertility",
+    "q116_dq_profile",
+    "q117_dq_referential",
+    "q118_dq_constraints",
+    "q120_drift_psi",
+    "q143_value_histogram",
+    "q156_equidepth_histogram",
+    "q161_key_skew_profile",
+    "q181_k_anonymity",
+    "q189_ks_statistic",
+    "q129_bm25_search",
+    "q160_hybrid_rrf_search",
+    "q158_dup_span_coverage",
+    "q171_span_dedup_clean",
+    "q184_disorder_audit",
+    "q185_unpivot",
+    "q188_decile_lift",
+    "q190_auc_roc",
+    "q191_calibration_brier",
+    "q74b_stream_sliding_replay",
+    "q75c_stream_session_replay",
+    "q122_stream_stream_join",
+    "q146_stream_stream_left_outer",
+    "q180_stream_sequence_pattern",
+    "q35b_ohlc_resample",
+    "q81b_normalized_dedup",
+    "q126_grouping_sets_time_hierarchy",
+    "q50b_scalable_ranking",
+    "q183_corpus_diff",
+    # ---- 50-slot budget line (driver stops here) ----
+    # round-4 queue: remaining never-verified oracle-backed specs
+    "q35c_gap_fill_forward",
+    "q68b_posexplode",
+    "q75b_sessionize_ids",
+    "q85e_fingerprint",
+    "q85f_bpe_ish_tokens",
+    "q99_priority_late_orders",
+    "q96c_stratified_exact_n",
+    "q121_fuzzy_catalog_match",
+    "q123_udtf_sentences",
+    "q124_salted_hot_join",
+    "q125_table_reconcile",
+    "q127_latest_record_compaction",
+    "q128_scd2_dimension",
+    "q130_doc_chunking",
+    "q136_weighted_sample",
+    "q70b_variant_semistructured",
     "q141_token_entropy",
     "q142_langid_confusion",
-    "q143_value_histogram",
     "q144_ewma_user_value",
     "q145_quality_aware_dedup",
-    "q146_stream_stream_left_outer",
     "q147_halflife_baseline_anomaly",
     "q148_bitmap_exact_distinct",
-    "q149_rolling_distinct_sketch",
     "q150_udtf_dynamic_schema",
     "q151_dynamic_session_window",
     "q152_arrow_native_kernel",
     "q153_quality_classifier_score",
     "q154_ratio_to_report",
     "q155_edit_distance_match",
-    "q156_equidepth_histogram",
     "q157_try_arithmetic",
-    "q158_dup_span_coverage",
     "q159_bigram_lm_score",
-    "q160_hybrid_rrf_search",
-    "q161_key_skew_profile",
     "q162_deterministic_shuffle",
     "q163_embedding_quantize",
     "q35d_asof_forward",
     "q164_event_transition_matrix",
     "q165_winsorized_stats",
     "q166_python_datasource",
-    "q167_neardup_clusters",
     "q168_copurchase_pairs",
     "q169_exposure_weights",
     "q170_temperature_mixture",
-    "q171_span_dedup_clean",
-    "q172_pq_adc_topk",
     "q173_semantic_contamination",
     "q174_source_overlap",
     "q175_quality_calibration",
@@ -244,18 +185,6 @@ _DRIVER_PRIORITY = [
     "q177_sequence_pattern",
     "q178_shard_manifest",
     "q179_pmi_cooccurrence",
-    "q180_stream_sequence_pattern",
-    "q181_k_anonymity",
-    "q182_row_provenance",
-    "q183_corpus_diff",
-    "q184_disorder_audit",
-    "q185_unpivot",
-    "q186_retrieval_metrics",
-    "q187_dedup_metrics",
-    "q188_decile_lift",
-    "q189_ks_statistic",
-    "q190_auc_roc",
-    "q191_calibration_brier",
 ]
 
 

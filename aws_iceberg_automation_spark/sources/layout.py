@@ -10,43 +10,71 @@ into one Z-value and range-partitioning on it gives every file a small
 bounding box in ALL clustered dimensions, so selective filters on any
 of them skip most files.
 
-All JVM expressions: per-column rank via ``percent_rank`` (one window
-over the sort — at production scale swap in approx quantile boundaries
-computed once and a broadcast lookup to avoid the global window; the
-interleave itself is pure bit math either way), bit interleave via an
-unrolled shift/or expression, then ``repartitionByRange`` on the
-Z-value + ``sortWithinPartitions`` so row groups inside each file
-cluster too.
+Per-column rank comes from APPROX-QUANTILE boundaries computed once in a
+single agg and broadcast back (equal-frequency buckets, so value skew
+cannot collapse the curve) — NOT from a ``percent_rank`` global window,
+which would funnel the whole table through one task. The broadcast
+boundary array is 2^bits-1 doubles per column (≤2 KB at the default 8
+bits); the per-row bucket lookup is a codegen'd filter+size over that
+array; the interleave is pure bit math. 8 bits/dim = 256 cells per
+dimension — orders of magnitude finer than any realistic file count, so
+pruning quality is indistinguishable from the exact-rank layout while
+every stage stays distributed.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# bits per dimension; 16 bits × 2-4 dims stays comfortably in a long
-_BITS = 16
+# bits per dimension; 256 equal-frequency cells/dim — file- and
+# row-group-level bounding boxes need far fewer, and the broadcast
+# boundary array + per-row scan stay trivially small
+_BITS = 8
 
 
-def _rank_bits(c: str, bits: int = _BITS) -> Column:
-    """Column rank quantized to [0, 2^bits): equal-frequency buckets so
-    skew in the raw values cannot collapse the Z-curve."""
-    pr = F.percent_rank().over(Window.orderBy(F.col(c)))
-    return F.least(
-        (pr * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
+def _boundary_ranks(df: DataFrame, cols: list[str], bits: int) -> DataFrame:
+    """Tag ``df`` with ``_rank_<col>`` ∈ [0, 2^bits) per clustered
+    column: rank = #(quantile boundaries ≤ value), a monotone
+    equal-frequency bucketing from one broadcast percentile_approx."""
+    nb = 1 << bits
+    qs = [i / nb for i in range(1, nb)]
+    stats = df.agg(
+        *[
+            F.percentile_approx(F.col(c).cast("double"), qs, 10_000).alias(
+                f"_b_{c}"
+            )
+            for c in cols
+        ]
     )
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        val = F.col(c).cast("double")
+        rank = F.least(
+            F.size(F.filter(F.col(f"_b_{c}"), lambda b, v=val: b <= v)),
+            F.lit(nb - 1),
+        ).cast("long")
+        out = out.withColumn(f"_rank_{c}", rank)
+    return out.drop(*[f"_b_{c}" for c in cols])
 
 
-def z_value(cols: list[str], bits: int = _BITS) -> Column:
-    """Bit-interleaved Z-address of the rows' per-column ranks (column
-    i contributes bit b to output position b*len(cols)+i)."""
-    ranks = [_rank_bits(c, bits) for c in cols]
+def _interleave(rank_cols: list[Column], bits: int) -> Column:
+    """Bit-interleaved Z-address (column i contributes bit b to output
+    position b*len(rank_cols)+i)."""
     out = F.lit(0).cast("long")
     for b in range(bits):
-        for i, r in enumerate(ranks):
+        for i, r in enumerate(rank_cols):
             bit = F.shiftright(r, b).bitwiseAND(F.lit(1))
-            out = out.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))
+            out = out.bitwiseOR(F.shiftleft(bit, b * len(rank_cols) + i))
     return out
+
+
+def zorder_frame(df: DataFrame, cols: list[str], bits: int = _BITS) -> DataFrame:
+    """Return ``df`` plus a ``_z`` Z-address column over ``cols`` —
+    boundary-bucketed ranks interleaved, no global window anywhere."""
+    ranked = _boundary_ranks(df, cols, bits)
+    z = _interleave([F.col(f"_rank_{c}") for c in cols], bits)
+    return ranked.withColumn("_z", z).drop(*[f"_rank_{c}" for c in cols])
 
 
 def write_zordered(
@@ -57,7 +85,7 @@ def write_zordered(
     min/max boxes are small in every clustered dimension), sorted
     within partitions for row-group-level stats."""
     (
-        df.withColumn("_z", z_value(cols))
+        zorder_frame(df, cols)
         .repartitionByRange(n_files, F.col("_z"))
         .sortWithinPartitions("_z")
         .drop("_z")

@@ -250,9 +250,14 @@ def _sequence_dfa(
         ordered = pd.concat(frames, ignore_index=True).sort_values(
             ["ts", "event_id"]
         )
+        # Symbol = first character, mirroring q177's
+        # substring(event_type, 1, 1). The fixture's five event types
+        # have distinct initials (view/click/purchase/add_to_cart/
+        # remove_from_cart); et[:1] (not et[0]) keeps an empty or null
+        # string a plain no-match instead of an IndexError.
         for et in ordered["event_type"]:
             n += 1
-            c = et[0]
+            c = (et or "")[:1]
             if c == "v":
                 armed = 1
             elif c == "c":
@@ -706,10 +711,19 @@ class _ProgressCapture:
 
     def __init__(self) -> None:
         self.progress: list[dict] = []
-        self.terminated = False
+        # Every Terminated event id is BUFFERED rather than compared at
+        # delivery: the listener bus is async, so a very fast
+        # (empty-source availableNow) query can terminate before the
+        # main thread assigns query_id — an at-delivery exact match
+        # would miss its own event and burn the full drain timeout.
+        self.terminated_ids: set[str] = set()
         # set after start(): only THIS query's Terminated event counts
         # (another session query terminating must not end the drain wait)
         self.query_id: str | None = None
+
+    @property
+    def terminated(self) -> bool:
+        return self.query_id is not None and self.query_id in self.terminated_ids
 
     def make(self):
         import json as _json
@@ -729,12 +743,11 @@ class _ProgressCapture:
                 pass
 
             def onQueryTerminated(self, event) -> None:
-                # exact-id match only: query_id is set right after
-                # start(), which always precedes this query's
-                # termination; a stale event for a prior query (id
-                # unknown or different) must not end the drain wait
-                if str(event.id) == capture.query_id:
-                    capture.terminated = True
+                # buffer the id; the drain loop checks membership once
+                # query_id is known (see _ProgressCapture.terminated) —
+                # a stale event for a prior query (different id) still
+                # never ends the drain wait
+                capture.terminated_ids.add(str(event.id))
 
         return _L()
 

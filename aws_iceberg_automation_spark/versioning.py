@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import urllib.parse
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
@@ -50,8 +51,17 @@ def _local_path(uri: str) -> str:
     """Manifest file-URI -> local filesystem path ("file:/x" and
     "file:///x" both -> "/x"). The ONLY normalization used when
     comparing manifest entries against os.* listings — one helper so
-    expire/orphan/size paths can never disagree on path form."""
-    return re.sub(r"^file:/+", "/", uri)
+    expire/orphan/size paths can never disagree on path form.
+
+    Spark's ``inputFiles()`` returns percent-ENCODED URIs (a space in a
+    string partition value arrives as ``%20``) while ``os.walk`` yields
+    raw paths — without unquoting, a live file never matches its disk
+    listing and ``orphan_files(remove=True)`` would delete committed
+    data. Only the scheme-stripped form is unquoted; a raw path that
+    legitimately contains ``%`` is passed through untouched."""
+    if uri.startswith("file:"):
+        return urllib.parse.unquote(re.sub(r"^file:/+", "/", uri))
+    return uri
 
 
 @dataclass
@@ -315,8 +325,11 @@ class VersionedTable:
         reader = self.spark.read
         if partition_by:
             reader = reader.option("basePath", data_dir)
-        new_files = reader.parquet(data_dir).inputFiles()
-        files = list(new_files)
+        # Manifests store DECODED local paths: inputFiles() returns
+        # percent-encoded URIs, which (a) never match os.walk listings
+        # in orphan/expire passes and (b) fail a literal re-read when a
+        # string partition value contains an encodable char (space).
+        files = [_local_path(f) for f in reader.parquet(data_dir).inputFiles()]
         stats = _collect_file_stats(files)
         if partition_by:
             for f in files:
@@ -340,6 +353,9 @@ class VersionedTable:
         import re
 
         groups: dict[str, list[str]] = {}
+        # tolerate URI-form entries from manifests written before paths
+        # were stored decoded (a literal %20 read would PATH_NOT_FOUND)
+        files = [_local_path(f) for f in files]
         for f in files:
             m = re.search(r"^(.*?/data/v\d+)/", f)
             root = m.group(1) if m else os.path.dirname(f)
@@ -594,7 +610,9 @@ class VersionedTable:
             bitmap = bytearray(n_bits // 8 + (n_bits % 8 > 0))
             for p in r.positions:
                 bitmap[p // 8] |= 1 << (p % 8)
-            filters.setdefault(r._file, {})[r.col] = base64.b64encode(
+            # input_file_name() yields URI form; sidecar keys must match
+            # the manifest's decoded-local-path form
+            filters.setdefault(_local_path(r._file), {})[r.col] = base64.b64encode(
                 bytes(bitmap)
             ).decode()
         sidecar = {
@@ -612,9 +630,14 @@ class VersionedTable:
     def _load_bloom(self, version: int) -> dict | None:
         try:
             with open(self._bloom_path(version)) as f:
-                return json.load(f)
+                sidecar = json.load(f)
         except FileNotFoundError:
             return None
+        # tolerate sidecars written before keys were stored decoded
+        sidecar["filters"] = {
+            _local_path(k): v for k, v in sidecar.get("filters", {}).items()
+        }
+        return sidecar
 
     def _bloom_may_match(
         self, sidecar: dict, file: str, col: str, op: str, val: object
@@ -973,7 +996,10 @@ class VersionedTable:
                 orphans.append(p)
         if remove:
             for p in orphans:
-                os.remove(p)
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass  # vanished since listing (concurrent cleanup) = gone
         return sorted(orphans)
 
     # -- branches & tags (Iceberg refs analog) -------------------------
@@ -1051,7 +1077,10 @@ class VersionedTable:
         new_version = self._next_version()
         data_dir = os.path.join(self.root, "data", f"v{new_version}")
         df.write.mode("errorifexists").parquet(data_dir)
-        files = list(self.spark.read.parquet(data_dir).inputFiles())
+        files = [
+            _local_path(f)
+            for f in self.spark.read.parquet(data_dir).inputFiles()
+        ]
         stats = _collect_file_stats(files)
         parent_snap = self.snapshot(parent)
         if mode == "append":

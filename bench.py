@@ -6,11 +6,15 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Execution is forced with the noop sink (full pipeline, no driver
 collect). One warm-up run of the flagship amortizes JVM/codegen start.
 
-Each query is timed twice and the MIN reported: this container's
-wall-clock drifts with co-tenant load (round-2 A/B: the identical
-round-1 code re-benched 1.5× its own anchor hours later), and min-of-2
-measures the code rather than the noisiest neighbor. Same policy for
-every round, so round-over-round numbers stay comparable.
+Timing methodology (round-3 disclosure, VERDICT r02 nit #5): each query
+runs twice; the headline ``value``/``queries`` keep round 2's min-of-2
+policy (this container's wall-clock drifts with co-tenant load —
+round-2 A/B re-benched identical code at 1.5× hours later; min-of-2
+measures the code, not the noisiest neighbor). The line ALSO reports
+``value_first_run``/``queries_first_run`` — the first-shot numbers on
+the same methodology as the anchor and BENCH_r01, so both
+round-over-round and vs-anchor comparisons stay methodology-stable.
+``n`` records runs-per-query.
 """
 
 from __future__ import annotations
@@ -40,13 +44,18 @@ def main() -> None:
     # warm-up (JVM, codegen, parquet footer cache)
     specs[e.FLAGSHIP].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    n_runs = 2
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     for name in headline:
         best = float("inf")
-        for _ in range(2):
+        for i in range(n_runs):
             t0 = time.monotonic()
             specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.monotonic() - t0)
+            dt = time.monotonic() - t0
+            if i == 0:
+                first_run[name] = round(dt, 3)
+            best = min(best, dt)
         timings[name] = round(best, 3)
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -55,6 +64,9 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "n": n_runs,
+        "value_first_run": round(sum(first_run.values()), 3),
+        "queries_first_run": first_run,
         "sf": float(m.group(1)) if m else sf_dir,
     }
     print(json.dumps(out), flush=True)

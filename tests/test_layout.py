@@ -84,3 +84,20 @@ def test_zorder_skips_on_both_dimensions(spark, tmp_path):
     assert back.agg(F.sum("event_id")).collect()[0][0] == (
         ev.agg(F.sum("event_id")).collect()[0][0]
     )
+
+
+def test_zorder_plan_has_no_single_partition_window(spark):
+    """The Z-address computation must contain no WindowExec at all —
+    ranks come from broadcast approx-quantile boundaries (round-2
+    verdict item: the old percent_rank global window)."""
+    from aws_iceberg_automation_spark.sources.layout import zorder_frame
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "event_id")
+    plan = (
+        zorder_frame(ev, ["user_id", "event_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "percent_rank" not in plan

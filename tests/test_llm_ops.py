@@ -729,3 +729,45 @@ def test_dedup_metrics_recall_floor(spark):
     assert row.n_missed == row.n_truth_pairs - round(
         row.recall * row.n_truth_pairs
     )
+
+
+def test_decode_modes_tagged(spark):
+    """Every decoded row is tagged with its decode path; in a codec-less
+    sandbox that is uniformly 'fake', and the presence of PIL must never
+    be an error (round-2 verdict: gate was inverted)."""
+    from aws_iceberg_automation_spark.operators.multimodal import _HAVE_PIL
+
+    out = SPECS["q84b_decode_features"].fn(spark, SF_DIR).select("decode_mode")
+    modes = {r.decode_mode for r in out.distinct().collect()}
+    assert modes <= {"pil", "fake"}
+    if not _HAVE_PIL:
+        assert modes == {"fake"}
+
+
+def test_pil_branch_decodes_real_image():
+    """PIL-present branch: a real 1-px PNG decodes via the 'pil' path
+    with true dimensions (runs only where the codec exists)."""
+    pytest.importorskip("PIL.Image")
+    import pandas as pd
+
+    from aws_iceberg_automation_spark.operators.multimodal import (
+        decode_media_batch,
+        resize_media_batch,
+    )
+
+    import PIL.Image
+    import io
+
+    buf = io.BytesIO()
+    PIL.Image.new("RGB", (5, 3), (10, 20, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+    batch = pd.DataFrame({"doc_id": [1, 2], "payload": [png, b"not an image"]})
+    (dec,) = list(decode_media_batch(iter([batch])))
+    by_id = {r.doc_id: r for r in dec.itertuples()}
+    assert by_id[1].decode_mode == "pil"
+    assert (by_id[1].width, by_id[1].height) == (5, 3)
+    assert by_id[2].decode_mode == "fake"  # per-blob fallback, no crash
+    (thumb,) = list(resize_media_batch(iter([batch])))
+    trow = {r.doc_id: r for r in thumb.itertuples()}
+    assert trow[1].decode_mode == "pil" and trow[1].thumb_bytes == 16
+    assert trow[2].decode_mode == "fake"

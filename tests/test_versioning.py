@@ -708,3 +708,59 @@ def test_orphan_files_found_and_removed_without_touching_live_data(spark, vt):
     assert vt.orphan_files(older_than_seconds=0) == []
     assert vt.read(version=1).count() == 5
     assert vt.read().count() == 9
+
+
+def test_encoded_partition_paths_never_misreported_as_orphans(spark, tmp_path):
+    """inputFiles() percent-encodes URIs (space→%20 in string partition
+    values); _local_path must unquote or every live file in such a
+    partition looks like an orphan and 'orphans --remove' would delete
+    committed data (round-3 advice item)."""
+    vt = VersionedTable(spark, str(tmp_path / "enc_t"))
+    df = spark.createDataFrame(
+        [(1, "US West"), (2, "US East"), (3, "US West")], "id int, region string"
+    )
+    vt.write(df, partition_by=["region"])
+    # live, partition-encoded files are NOT orphans even with no age guard
+    assert vt.orphan_files(older_than_seconds=0) == []
+    # ...and stats/size accounting sees through the encoding too
+    snap = vt.snapshot(1)
+    assert any("%20" in f or "US West" in f for f in snap.files)
+    # partition bounds decoded (pruning on the real value works)
+    assert vt.scan([("region", "=", "US West")]).count() == 2
+    # expire after overwrite actually deletes the encoded files
+    vt.write(df.limit(1), mode="overwrite")
+    vt.expire_snapshots(keep_last=1)
+    live = vt.read().count()
+    assert live == 1
+    leftover = [
+        p
+        for dirpath, _, files in os.walk(os.path.join(vt.root, "data", "v1"))
+        for p in files
+        if p.endswith(".parquet")
+    ]
+    assert leftover == []  # v1's encoded-path files really removed
+
+
+def test_orphan_remove_tolerates_concurrent_deletion(spark, vt, monkeypatch):
+    """A candidate vanishing between listing and os.remove (concurrent
+    cleanup) must not abort the removal pass."""
+    vt.write(_df(spark, 0, 3))
+    stranded_dir = os.path.join(vt.root, "data", "v99")
+    os.makedirs(stranded_dir)
+    a = os.path.join(stranded_dir, "part-a.parquet")
+    b = os.path.join(stranded_dir, "part-b.parquet")
+    for p in (a, b):
+        with open(p, "wb") as f:
+            f.write(b"x")
+    real_remove = os.remove
+
+    def racy_remove(path, *args, **kw):
+        if path == a:
+            real_remove(a)  # simulate another cleaner winning the race
+            raise FileNotFoundError(path)
+        return real_remove(path, *args, **kw)
+
+    monkeypatch.setattr(os, "remove", racy_remove)
+    removed = vt.orphan_files(remove=True, older_than_seconds=0)
+    assert sorted(removed) == [a, b]
+    assert not os.path.exists(a) and not os.path.exists(b)
