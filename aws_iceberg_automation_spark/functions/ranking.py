@@ -27,23 +27,47 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def quantile_bucket_ranks(
+    df: DataFrame,
+    ranks: list[tuple[Column, str]],
+    n_buckets: int,
+) -> DataFrame:
+    """For each ``(value, out_name)`` pair, tag every row with a bucket
+    rank ∈ [0, n_buckets) that is MONOTONE in ``value`` (equal values
+    always share a bucket): rank = #(approx-quantile boundaries ≤
+    value), all boundary arrays computed in ONE agg and broadcast back
+    — balanced under skew, unlike equi-width cuts. NB the filter lambda
+    must stay single-argument: PySpark calls a two-argument HOF lambda
+    as (element, index), so a captured default would silently compare
+    boundaries against 0..n_buckets-2."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    stats = df.agg(
+        *[
+            F.percentile_approx(value, qs, 10_000).alias(f"_bounds_{name}")
+            for value, name in ranks
+        ]
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    for value, name in ranks:
+        bucket = F.size(
+            F.filter(F.col(f"_bounds_{name}"), _le_pred(value))
+        ).cast("int")
+        out = out.withColumn(name, bucket)
+    return out.drop(*[f"_bounds_{name}" for _, name in ranks])
+
+
+def _le_pred(value: Column):
+    """Single-arg ``boundary <= value`` predicate with ``value`` bound
+    at definition time (not loop-late-bound)."""
+    return lambda b: b <= value
+
+
 def _with_value_buckets(
     df: DataFrame, value: Column, n_buckets: int
 ) -> DataFrame:
-    """Tag each row with a range bucket that is MONOTONE in ``value``
-    (equal values always share a bucket), using approx-quantile
-    boundaries computed in one agg and broadcast back — balanced under
-    skew, unlike equi-width cuts. Adds ``_bucket``."""
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    stats = df.agg(
-        F.percentile_approx(value, qs, 10_000).alias("_bounds")
-    )
-    bucket = F.size(F.filter(F.col("_bounds"), lambda b: b <= value)).cast("int")
-    return (
-        df.crossJoin(F.broadcast(stats))
-        .withColumn("_bucket", bucket)
-        .drop("_bounds")
-    )
+    """quantile_bucket_ranks for the single ``_bucket`` column the rank
+    and prefix-sum decompositions key on."""
+    return quantile_bucket_ranks(df, [(value, "_bucket")], n_buckets)
 
 
 def _bucket_offsets(per_bucket: DataFrame, cnt_cols: list[str]) -> DataFrame:

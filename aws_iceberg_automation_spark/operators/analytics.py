@@ -1009,3 +1009,78 @@ def q168_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         20,
     )
     return top.withColumn("rk", F.col("rk").cast("bigint"))
+
+
+@register(
+    "q192_sales_opportunity",
+    oracle="""
+WITH pos AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(8,2))) AS DECIMAL(38,2)) AS tot,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer
+  WHERE c_acctbal > 0 AND (c_nationkey % 10) IN (1, 3, 5, 7, 9)
+)
+SELECT cntrycode,
+  CAST(COUNT(*) AS BIGINT) AS numcust,
+  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(8,2))) AS DECIMAL(38,2)) AS VARCHAR)
+    AS totacctbal
+FROM (
+  SELECT CAST(c.c_nationkey % 10 AS INT) AS cntrycode, c.c_acctbal
+  FROM customer c CROSS JOIN pos
+  WHERE (c.c_nationkey % 10) IN (1, 3, 5, 7, 9)
+    AND CAST(c.c_acctbal AS DECIMAL(8,2)) * pos.n > pos.tot
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+)
+GROUP BY cntrycode
+ORDER BY cntrycode
+""",
+    tags=("analytics",),
+)
+def q192_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22 shape (the last uncovered TPC-H silhouette; adapted:
+    the fixture ships no phone column, so 'country code' =
+    c_nationkey % 10 restricted to five codes): above-average-balance
+    customers with no URGENT order (the fixture generator gives every
+    customer at least one order, so Q22's never-ordered set is empty
+    here; 'no 1-URGENT order' keeps the NOT-EXISTS shape with a
+    non-degenerate result), counted per code — scalar subquery + NOT
+    EXISTS.
+
+    Plan shape: the positive-balance average is a 1-row agg broadcast
+    back (no correlated re-scan); the above-average filter compares in
+    EXACT decimal cross-multiplied form (bal·n > Σbal) so neither
+    engine's double-average ulps can flip a boundary row; NOT EXISTS
+    is a LEFT ANTI hash join shuffled on custkey (orders projected to
+    the join key only — at 100 TB the anti side is one slim column);
+    the final rollup is a 5-group hash agg, decimal inside, string
+    out."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .withColumn("cntrycode", (F.col("c_nationkey") % 10).cast("int"))
+        .filter(F.col("cntrycode").isin(1, 3, 5, 7, 9))
+    )
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(dec2("c_acctbal")).cast("decimal(38,2)").alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    rich = c.crossJoin(F.broadcast(pos)).filter(
+        dec2("c_acctbal") * F.col("n") > F.col("tot")
+    )
+    never_ordered = rich.join(
+        o, rich.c_custkey == o.o_custkey, "left_anti"
+    )
+    return (
+        never_ordered.groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            dsum(dec2("c_acctbal"), "totacctbal", 2),
+        )
+        .orderBy("cntrycode")
+    )

@@ -85,9 +85,9 @@ def _pil_decode(payload: bytes) -> tuple[int, int, int, list[float]] | None:
 
     try:
         with PIL.Image.open(io.BytesIO(payload)) as im:
+            channels = len(im.getbands())  # before the grayscale convert
             im = im.convert("L")
             width, height = im.size
-            channels = len(im.getbands())
             px = list(im.getdata())
             n = max(len(px) // 8, 1)
             feats = [

@@ -197,16 +197,17 @@ def spherical_kmeans(
 
     dim = len(vectors.select(vec_col).head()[0])
     nv = vectors.select("vec_id", normalize(F.col(vec_col)).alias("nv"))
-    cent = (
-        topn_ranked(
-            nv.withColumn(
-                "_h", F.xxhash64(F.col("vec_id"), F.lit("kmeans-init"))
-            ),
-            [F.col("_h"), F.col("vec_id")],
-            k,
-            rank_name="c_id",
-        )
-        .select("c_id", F.col("nv").alias("cv"))
+    # seed selection by hash order, but c_id labels assigned in vec_id
+    # order among the k survivors (the pre-refactor labeling — q107
+    # exposes c_id in its output, so the mapping must stay stable)
+    seeds = topn_ranked(
+        nv.withColumn("_h", F.xxhash64(F.col("vec_id"), F.lit("kmeans-init"))),
+        [F.col("_h"), F.col("vec_id")],
+        k,
+        rank_name="_hash_rk",
+    ).drop("_h", "_hash_rk")
+    cent = topn_ranked(seeds, [F.col("vec_id")], k, rank_name="c_id").select(
+        "c_id", F.col("nv").alias("cv")
     )
     for _ in range(max_iter):
         # argmax by max_by instead of a row_number window: the N×k

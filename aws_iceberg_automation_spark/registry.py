@@ -185,6 +185,7 @@ _DRIVER_PRIORITY = [
     "q177_sequence_pattern",
     "q178_shard_manifest",
     "q179_pmi_cooccurrence",
+    "q192_sales_opportunity",
 ]
 
 

@@ -33,29 +33,52 @@ from pyspark.sql import functions as F
 _BITS = 8
 
 
+def _rankable(df: DataFrame, c: str) -> Column:
+    """Numeric, order-preserving view of a clustered column for
+    percentile_approx. Numeric/date/timestamp columns cast to double
+    directly; strings map to the big-endian integer of their first 6
+    UTF-8 bytes (48 bits — exact in a double), which preserves
+    lexicographic order at bucket granularity. Anything else is
+    rejected loudly rather than silently contributing a constant rank."""
+    dt = df.schema[c].dataType.typeName()
+    if dt in {
+        "byte", "short", "integer", "long", "float", "double", "decimal",
+        "date", "timestamp", "timestamp_ntz", "boolean",
+    }:
+        return F.col(c).cast("double")
+    if dt == "string":
+        # Big-endian integer of the first 6 bytes AFTER the corpus-wide
+        # common prefix (min/max share it iff every value does) —
+        # URL-like columns with a long shared scheme/host otherwise
+        # collapse to one rank. 6 bytes = 48 bits, exact in a double;
+        # right-pad the hex to fixed width so shorter strings stay
+        # lexicographically below their extensions. Costs one tiny
+        # min/max agg per string column at layout-write time.
+        import os.path
+
+        row = df.agg(F.min(c).alias("mn"), F.max(c).alias("mx")).first()
+        pfx = len(os.path.commonprefix([row.mn or "", row.mx or ""]))
+        tail = F.substring(F.col(c), pfx + 1, 6)
+        hex6 = F.rpad(
+            F.substring(F.hex(F.encode(tail, "utf-8")), 1, 12), 12, "0"
+        )
+        return F.conv(hex6, 16, 10).cast("double")
+    raise TypeError(
+        f"z-order column {c!r} has unsupported type {dt}; "
+        "cast it to a numeric/date/string column first"
+    )
+
+
 def _boundary_ranks(df: DataFrame, cols: list[str], bits: int) -> DataFrame:
     """Tag ``df`` with ``_rank_<col>`` ∈ [0, 2^bits) per clustered
-    column: rank = #(quantile boundaries ≤ value), a monotone
-    equal-frequency bucketing from one broadcast percentile_approx."""
-    nb = 1 << bits
-    qs = [i / nb for i in range(1, nb)]
-    stats = df.agg(
-        *[
-            F.percentile_approx(F.col(c).cast("double"), qs, 10_000).alias(
-                f"_b_{c}"
-            )
-            for c in cols
-        ]
+    column via the shared quantile-bucket ranking (one broadcast
+    percentile_approx agg for ALL columns — monotone equal-frequency
+    buckets, no global window)."""
+    from ..functions.ranking import quantile_bucket_ranks
+
+    return quantile_bucket_ranks(
+        df, [(_rankable(df, c), f"_rank_{c}") for c in cols], 1 << bits
     )
-    out = df.crossJoin(F.broadcast(stats))
-    for c in cols:
-        val = F.col(c).cast("double")
-        rank = F.least(
-            F.size(F.filter(F.col(f"_b_{c}"), lambda b, v=val: b <= v)),
-            F.lit(nb - 1),
-        ).cast("long")
-        out = out.withColumn(f"_rank_{c}", rank)
-    return out.drop(*[f"_b_{c}" for c in cols])
 
 
 def _interleave(rank_cols: list[Column], bits: int) -> Column:

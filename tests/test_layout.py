@@ -93,11 +93,41 @@ def test_zorder_plan_has_no_single_partition_window(spark):
     from aws_iceberg_automation_spark.sources.layout import zorder_frame
 
     ev = load_table(spark, SF_DIR, "events").select("user_id", "event_id")
-    plan = (
-        zorder_frame(ev, ["user_id", "event_id"])
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    zf = zorder_frame(ev, ["user_id", "event_id"])
+    plan = zf._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "percent_rank" not in plan
+    # regression guard: a broken rank (e.g. a two-arg HOF lambda binding
+    # the array INDEX instead of the value) yields a constant _z — the
+    # curve must actually spread over many addresses
+    n_distinct = zf.select("_z").distinct().count()
+    assert n_distinct > 500, f"z-curve collapsed to {n_distinct} addresses"
+
+
+def test_zorder_string_dimension_clusters_lexicographically(spark, tmp_path):
+    """String clustered columns rank through an order-preserving
+    byte-prefix surrogate — files must carry narrow string ranges, and
+    unsupported types must be rejected loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as SF
+
+    from aws_iceberg_automation_spark.sources.layout import zorder_frame
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", SF.format_string("user%07d", "user_id").alias("tag")
+    )
+    zf = zorder_frame(ev, ["tag", "event_id"])
+    assert zf.select("_z").distinct().count() > 100
+    # monotone: low-lexicographic tags should concentrate at low ranks —
+    # check by correlating the surrogate rank with the sort order
+    sample = zf.orderBy("_z").limit(200).select("tag").collect()
+    lo_tags = {r.tag for r in sample}
+    hi = zf.orderBy(SF.col("_z").desc()).limit(200).select("tag").collect()
+    hi_tags = {r.tag for r in hi}
+    assert min(lo_tags) < min(hi_tags)
+    assert max(lo_tags) < max(hi_tags)
+    with _pytest.raises(TypeError, match="unsupported type"):
+        zorder_frame(
+            ev.select("event_id", SF.array("event_id").alias("arr")),
+            ["arr"],
+        )

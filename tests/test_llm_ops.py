@@ -766,6 +766,7 @@ def test_pil_branch_decodes_real_image():
     by_id = {r.doc_id: r for r in dec.itertuples()}
     assert by_id[1].decode_mode == "pil"
     assert (by_id[1].width, by_id[1].height) == (5, 3)
+    assert by_id[1].channels == 3  # RGB header, counted BEFORE grayscale
     assert by_id[2].decode_mode == "fake"  # per-blob fallback, no crash
     (thumb,) = list(resize_media_batch(iter([batch])))
     trow = {r.doc_id: r for r in thumb.itertuples()}
