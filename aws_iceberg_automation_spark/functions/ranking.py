@@ -119,6 +119,37 @@ def global_row_number(
     )
 
 
+def global_ntile(
+    df: DataFrame,
+    value: Column,
+    tiebreaks: list[Column],
+    k: int,
+    out_name: str = "bucket",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact ``ntile(k) OVER (ORDER BY value, *tiebreaks)`` without a
+    single-partition window: the distributed ``global_row_number``
+    plus ntile's closed-form tile assignment — with n = q·k + r, tiles
+    1..r hold q+1 rows, tiles r+1..k hold q (when n < k every rank
+    lands in the first block, so the q=0 division branch is never
+    evaluated). Same integer tiles as the window form, same hash."""
+    rn = global_row_number(df, value, tiebreaks, n_buckets)
+    ntot = df.agg(F.count(F.lit(1)).alias("_n"))
+    q_sz = F.floor(F.col("_n") / k)
+    r_sz = F.col("_n") % k
+    first_block = r_sz * (q_sz + 1)
+    tile = (
+        F.when(F.col("rk") <= first_block, F.ceil(F.col("rk") / (q_sz + 1)))
+        .otherwise(r_sz + F.ceil((F.col("rk") - first_block) / q_sz))
+        .cast("int")
+    )
+    return (
+        rn.crossJoin(F.broadcast(ntot))
+        .withColumn(out_name, tile)
+        .drop("rk", "_n")
+    )
+
+
 def partitioned_prefix_sums(
     df: DataFrame,
     value: Column,

@@ -1273,26 +1273,14 @@ def q188_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (logit desc, doc_id) — unique → deterministic.
     """
     d = load_table(spark, sf_dir, "documents")
-    from ..functions.ranking import global_row_number
+    from ..functions.ranking import global_ntile
 
     f = d.select(
         (F.col("lang") == "en").alias("pos"), _logit_col().alias("logit"), "doc_id"
     )
-    rn = global_row_number(f, -F.col("logit"), [F.col("doc_id")])
-    ntot = f.agg(F.count(F.lit(1)).alias("_n"))
-    # ntile(k) closed form over the exact global rank: with n = qk + r,
-    # tiles 1..r hold q+1 rows, tiles r+1..k hold q rows
-    q_sz = F.floor(F.col("_n") / 10)
-    r_sz = F.col("_n") % 10
-    first_block = r_sz * (q_sz + 1)
-    decile = (
-        F.when(F.col("rk") <= first_block, F.ceil(F.col("rk") / (q_sz + 1)))
-        .otherwise(r_sz + F.ceil((F.col("rk") - first_block) / q_sz))
-        .cast("int")
-    )
-    ranked = rn.crossJoin(F.broadcast(ntot)).select(
-        "pos", decile.alias("decile")
-    )
+    ranked = global_ntile(
+        f, -F.col("logit"), [F.col("doc_id")], 10, out_name="decile"
+    ).select("pos", "decile")
     agg = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("n_pos"),

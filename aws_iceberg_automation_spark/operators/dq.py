@@ -562,20 +562,19 @@ def q156_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     values straddle bucket boundaries engine-dependently), then
     per-bucket count + exact decimal-string bounds.
 
-    Honest scale note: a global ntile is a single-partition window —
-    fine for profiling samples, wrong for 100 TB raw; at scale the
-    same result comes from approx_percentile edges or the q50b
-    two-phase ranking pattern. This operator documents the semantics;
-    the scalable substitution is mechanical."""
+    The exact cut runs DISTRIBUTED (functions/ranking.global_ntile:
+    quantile-bucketed global row_number + ntile's closed-form tile
+    assignment) — no single-partition window at any table size, same
+    integer tiles and hash as the window form."""
     o = load_table(spark, sf_dir, "orders")
-    from pyspark.sql import Window as W
+    from ..functions.ranking import global_ntile
 
-    b = o.select(
-        "o_totalprice",
-        F.ntile(20)
-        .over(W.orderBy("o_totalprice", "o_orderkey"))
-        .alias("bucket"),
-    )
+    b = global_ntile(
+        o.select("o_totalprice", "o_orderkey"),
+        F.col("o_totalprice"),
+        [F.col("o_orderkey")],
+        20,
+    ).select("o_totalprice", "bucket")
     price = F.col("o_totalprice").cast("decimal(10,2)")
     return (
         b.groupBy("bucket")

@@ -28,9 +28,14 @@ from aws_iceberg_automation_spark.io import load_table  # noqa: E402
 from aws_iceberg_automation_spark.registry import all_specs  # noqa: E402
 from aws_iceberg_automation_spark.session import get_spark  # noqa: E402
 
-# key columns shifted per replica so fact/dim multiplicities scale
+# key columns shifted per replica so fact/dim multiplicities scale.
+# EVERY foreign key must shift with its parent: un-shifted l_suppkey/
+# l_partkey made all N replicas' lineitems reference the 1× supplier/
+# part rows — (supplier, day) co-purchase groups then grew N× and the
+# pair joins N²× (the round-3 q135 probe artifact), while part/supplier
+# joins silently dropped replicas 1..N-1 on dangling keys.
 _SHIFT = {
-    "lineitem": ["l_orderkey"],
+    "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
     "events": ["event_id", "user_id"],
