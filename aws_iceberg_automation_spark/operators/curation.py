@@ -1281,9 +1281,19 @@ def q188_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_ntile(
         f, -F.col("logit"), [F.col("doc_id")], 10, out_name="decile"
     ).select("pos", "decile")
-    agg = ranked.groupBy("decile").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+    # the 10-row per-decile agg is referenced three times below (tot +
+    # both cum-join sides); localCheckpoint pins it so the full
+    # scan+ntile pipeline runs once, not per reference (the graph
+    # operators' lineage-control pattern)
+    agg = (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("pos"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+        )
+        .localCheckpoint()
     )
     tot = agg.agg(
         F.sum("n_pos").cast("bigint").alias("total_pos"),
