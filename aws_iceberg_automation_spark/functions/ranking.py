@@ -27,6 +27,40 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _check_names(df: DataFrame, *names: str) -> None:
+    """The helpers attach working columns to the carried frame; a
+    caller column with the same name would be silently clobbered (or
+    the output column dropped with the scaffolding) — fail loudly
+    instead."""
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"input frame already has column(s) {clash!r}, which this "
+            "ranking helper needs for itself — rename them first"
+        )
+
+
+def cap_groups(
+    df: DataFrame,
+    keys: list[str],
+    order: list[Column],
+    cap: int,
+) -> DataFrame:
+    """Skew-cap discipline shared by the LSH bucket cap, the q168
+    basket cap, and q135's co-buyer group cap: keep the first ``cap``
+    rows per ``keys`` group under ``order`` (deterministic — callers
+    order by a unique id), bounding any downstream per-group pairwise
+    work at C(cap, 2) regardless of how hot the group is. The window
+    is PARTITIONED by the group keys — scale-safe by construction."""
+    _check_names(df, "_cap_rn")
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_cap_rn", F.row_number().over(w))
+        .filter(F.col("_cap_rn") <= cap)
+        .drop("_cap_rn")
+    )
+
+
 def quantile_bucket_ranks(
     df: DataFrame,
     ranks: list[tuple[Column, str]],
@@ -105,6 +139,7 @@ def global_row_number(
     to the cluster; boundaries come from approx quantiles, so skewed
     score distributions still ~balance). (value, *tiebreaks) must be a
     total order for a deterministic result."""
+    _check_names(df, rank_name, "_bucket", "_off__cnt")
     b = _with_value_buckets(df, value, n_buckets)
     counts = b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_cnt"))
     offsets = _bucket_offsets(counts, ["_cnt"])
@@ -128,25 +163,44 @@ def global_ntile(
     n_buckets: int = 64,
 ) -> DataFrame:
     """Exact ``ntile(k) OVER (ORDER BY value, *tiebreaks)`` without a
-    single-partition window: the distributed ``global_row_number``
+    single-partition window: the ``global_row_number`` decomposition
     plus ntile's closed-form tile assignment — with n = q·k + r, tiles
     1..r hold q+1 rows, tiles r+1..k hold q (when n < k every rank
     lands in the first block, so the q=0 division branch is never
-    evaluated). Same integer tiles as the window form, same hash."""
-    rn = global_row_number(df, value, tiebreaks, n_buckets)
-    ntot = df.agg(F.count(F.lit(1)).alias("_n"))
-    q_sz = F.floor(F.col("_n") / k)
-    r_sz = F.col("_n") % k
+    evaluated). Same integer tiles as the window form, same hash.
+    The total row count is summed from the per-bucket counts frame the
+    rank decomposition already builds (an exchange Spark reuses), not
+    from an extra full scan of ``df``; all scaffolding uses ``_gn_``
+    names so caller columns — including one named like ``out_name``'s
+    default — can never be clobbered."""
+    _check_names(df, out_name, "_bucket", "_off__cnt", "_gn_rk", "_gn_n")
+    b = _with_value_buckets(df, value, n_buckets)
+    counts = b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_cnt"))
+    offsets = _bucket_offsets(counts, ["_cnt"])
+    ntot = counts.agg(F.sum("_cnt").cast("bigint").alias("_gn_n"))
+    w = Window.partitionBy("_bucket").orderBy(value, *tiebreaks)
+    rn = (
+        b.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            "_gn_rk",
+            (F.col("_off__cnt") + F.row_number().over(w)).cast("bigint"),
+        )
+        .drop("_bucket", "_off__cnt")
+    )
+    q_sz = F.floor(F.col("_gn_n") / k)
+    r_sz = F.col("_gn_n") % k
     first_block = r_sz * (q_sz + 1)
     tile = (
-        F.when(F.col("rk") <= first_block, F.ceil(F.col("rk") / (q_sz + 1)))
-        .otherwise(r_sz + F.ceil((F.col("rk") - first_block) / q_sz))
+        F.when(
+            F.col("_gn_rk") <= first_block, F.ceil(F.col("_gn_rk") / (q_sz + 1))
+        )
+        .otherwise(r_sz + F.ceil((F.col("_gn_rk") - first_block) / q_sz))
         .cast("int")
     )
     return (
         rn.crossJoin(F.broadcast(ntot))
         .withColumn(out_name, tile)
-        .drop("rk", "_n")
+        .drop("_gn_rk", "_gn_n")
     )
 
 
@@ -163,6 +217,10 @@ def partitioned_prefix_sums(
     must be unique per row (e.g. the output of a groupBy on it), so
     "rows before me in this bucket" is well-defined — exactly the ECDF
     shape."""
+    _check_names(
+        df, "_bucket", *[f"_off_{c}" for c in sum_cols],
+        *[f"cum_{c}" for c in sum_cols],
+    )
     b = _with_value_buckets(df, value, n_buckets)
     per_bucket = b.groupBy("_bucket").agg(
         *[F.sum(c).alias(c) for c in sum_cols]
@@ -191,6 +249,7 @@ def topn_ranked(
     """Return the top ``n`` rows of ``df`` under ``order`` (a list of
     Column sort expressions forming a total order), with a 1-based
     ``rank_name`` column — no WindowExec anywhere in the plan."""
+    _check_names(df, rank_name)
     top = df.orderBy(*order).limit(n)
     return (
         top.repartition(1)

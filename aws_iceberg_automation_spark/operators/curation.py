@@ -1281,10 +1281,11 @@ def q188_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_ntile(
         f, -F.col("logit"), [F.col("doc_id")], 10, out_name="decile"
     ).select("pos", "decile")
-    # the 10-row per-decile agg is referenced three times below (tot +
-    # both cum-join sides); localCheckpoint pins it so the full
-    # scan+ntile pipeline runs once, not per reference (the graph
-    # operators' lineage-control pattern)
+    # the 10-row per-decile agg feeds both sides of the cumulative
+    # cross-join below; localCheckpoint pins it so the full scan+ntile
+    # pipeline runs once, not per reference (the graph operators'
+    # lineage-control pattern — note this makes the PLANS.md audit row
+    # show the post-checkpoint plan, as it does for the graph family)
     agg = (
         ranked.groupBy("decile")
         .agg(
@@ -1295,26 +1296,29 @@ def q188_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    tot = agg.agg(
-        F.sum("n_pos").cast("bigint").alias("total_pos"),
-        F.sum("n_docs").cast("bigint").alias("total_docs"),
-    )
-    # 10-row cumulative capture, windowless (triangular broadcast join)
+    # one 10×10 cross join yields cumulative capture AND grand totals
+    # as conditional/unconditional sums — windowless, single pass
     cum = (
         agg.alias("p")
         .join(
-            F.broadcast(agg.select("decile", "n_pos").alias("q")),
-            F.col("q.decile") <= F.col("p.decile"),
+            F.broadcast(
+                agg.select("decile", "n_pos", "n_docs").alias("q")
+            ),
+            F.lit(True),
         )
         .groupBy(F.col("p.decile").alias("decile"))
         .agg(
             F.any_value("p.n_docs").alias("n_docs"),
             F.any_value("p.n_pos").alias("n_pos"),
-            F.sum("q.n_pos").cast("bigint").alias("cum_pos"),
+            F.sum(F.when(F.col("q.decile") <= F.col("p.decile"), F.col("q.n_pos")))
+            .cast("bigint")
+            .alias("cum_pos"),
+            F.sum("q.n_pos").cast("bigint").alias("total_pos"),
+            F.sum("q.n_docs").cast("bigint").alias("total_docs"),
         )
     )
     return (
-        cum.crossJoin(F.broadcast(tot))
+        cum
         .select(
             F.col("decile").cast("int").alias("decile"),
             "n_docs",

@@ -485,12 +485,9 @@ def build_lsh_index(
             lsh_bands(minhash_signature(F.col("shingles"), num_hashes), bands, rows)
         ).alias("b"),
     ).select("doc_id", "b.band", "b.band_hash")
-    w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
-    return (
-        banded.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= bucket_cap)
-        .drop("_rk")
-    )
+    from ..functions.ranking import cap_groups
+
+    return cap_groups(banded, ["band", "band_hash"], [F.col("doc_id")], bucket_cap)
 
 
 def incremental_neardup(

@@ -256,12 +256,9 @@ def q135_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    grp_w = Window.partitionBy("s", "d").orderBy("c")
-    cs = (
-        cs0.withColumn("grp_rn", F.row_number().over(grp_w))
-        .filter(F.col("grp_rn") <= 64)
-        .drop("grp_rn")
-    )
+    from ..functions.ranking import cap_groups
+
+    cs = cap_groups(cs0, ["s", "d"], [F.col("c")], 64)
     a, b = cs.alias("ga"), cs.alias("gb")
     edges = (
         a.join(

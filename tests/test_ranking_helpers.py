@@ -63,8 +63,10 @@ def test_global_ntile_fewer_rows_than_tiles(spark):
 
 
 def test_partitioned_prefix_sums_matches_window(spark):
-    # unique values per row (the helper's precondition), two sum columns
-    df = spark.range(200).select(
+    # unique values per row (the helper's precondition — 199 rows with
+    # a multiplier coprime to 199, so id*37 % 199 is a bijection), two
+    # sum columns
+    df = spark.range(199).select(
         (F.col("id") * 37 % 199).cast("double").alias("val"),
         (F.col("id") % 5).alias("a"),
         (F.col("id") % 3).alias("b"),
