@@ -279,8 +279,8 @@ SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
          AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.8
+WHERE round(list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
 """,
     tags=("dedup", "llm", "vector"),
 )
@@ -288,7 +288,10 @@ def q82d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (#82) on a deterministic
     150-vector slice (all-pairs is the oracle-checkable ground truth;
     the scale path is the LSH bucketing in similarity.py). Both engines
-    compute the identical sequential fold, so raw doubles agree."""
+    compute the identical sequential fold; the threshold compares the
+    ROUNDED cosine on both sides (0.3 — chosen so the fixture slice
+    yields a non-trivial 88-pair result instead of the vacuous empty
+    set a 0.8 cut produced, which exercised nothing)."""
     from ..functions.vectors import cosine
 
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
@@ -304,7 +307,7 @@ def q82d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = cosine(F.col("va"), F.col("vb"))
     return (
         a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
-        .filter(cos >= 0.8)
+        .filter(F.round(cos, 6) >= 0.3)
         .select(
             "vec_id_a", "vec_id_b", "label_a", "label_b",
             F.round(cos, 6).alias("cosine"),
