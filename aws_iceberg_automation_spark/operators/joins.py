@@ -82,14 +82,21 @@ def q30_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q31_anti_join",
     oracle="""
 SELECT c_custkey, c_name, c_acctbal FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 """,
     tags=("join",),
 )
 def q31_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left anti join / NOT EXISTS (#31)."""
+    """Left anti join / NOT EXISTS (#31): customers with no URGENT
+    order. The right side is filtered because the fixture generator
+    gives every customer at least one order — the unfiltered anti join
+    returned the empty set, a vacuous oracle comparison."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_acctbal"
     )

@@ -141,13 +141,21 @@ def q63_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000.0
 EXCEPT
-SELECT s_nationkey FROM supplier
+SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000.0
 """,
     tags=("setop",),
 )
 def q64_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT / subtract (#64): customer nations with no supplier
-    presence. (exceptAll exists for bag semantics — not equivalent:
+    """EXCEPT / subtract (#64): customer nations with no HIGH-BALANCE
+    supplier presence. The right side is filtered (s_acctbal > 8000)
+    because every nation has some supplier — the unfiltered difference
+    was the empty set, a vacuous oracle comparison that exercised
+    nothing. (exceptAll exists for bag semantics — not equivalent:
     bag difference keeps rows whose left-count exceeds right-count.)"""
-    left, right = _buyers_and_suppliers(spark, sf_dir)
-    return left.select("nationkey").subtract(right.select("nationkey"))
+    left, _ = _buyers_and_suppliers(spark, sf_dir)
+    rich_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000.0)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return left.select("nationkey").subtract(rich_supp)
