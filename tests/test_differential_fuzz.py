@@ -461,3 +461,75 @@ def test_sequence_dfa_kernel_matches_regex(s, cut):
         if s:
             assert int(res["n_matches"].iloc[0]) == expected
             assert int(res["n_events"].iloc[0]) == len(s)
+
+
+# --- ranking-decomposition fuzz (helpers vs window oracles) -----------
+
+_rank_rows = st.lists(
+    st.tuples(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        st.integers(min_value=0, max_value=10_000),
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_rank_rows, n_buckets=st.sampled_from([2, 5, 16]), k=st.sampled_from([3, 7, 10]))
+def test_rank_and_ntile_decompositions_agree(spark, rows, n_buckets, k):
+    """Random (value, id) tables — ties, duplicates, extremes — through
+    the quantile-bucket rank/ntile decompositions vs the real window
+    functions. Ids are deduped to keep (value, id) a total order (the
+    helpers' documented precondition)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_iceberg_automation_spark.functions.ranking import (
+        global_ntile,
+        global_row_number,
+    )
+
+    seen, uniq = set(), []
+    for v, i in rows:
+        if i not in seen:
+            seen.add(i)
+            uniq.append((float(v), i))
+    df = spark.createDataFrame(uniq, "v double, id long")
+
+    got_rn = {
+        (r.id, r.rk)
+        for r in global_row_number(
+            df, F.col("v"), [F.col("id")], n_buckets=n_buckets
+        ).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want_rn = {
+        (r.id, r.rk)
+        for r in df.withColumn(
+            "rk", F.row_number().over(w).cast("bigint")
+        ).collect()
+    }
+    assert got_rn == want_rn
+
+    got_nt = {
+        (r.id, r.bucket)
+        for r in global_ntile(
+            df, F.col("v"), [F.col("id")], k, n_buckets=n_buckets
+        ).collect()
+    }
+    want_nt = {
+        (r.id, r.bucket)
+        for r in df.withColumn("bucket", F.ntile(k).over(w)).collect()
+    }
+    assert got_nt == want_nt
