@@ -884,9 +884,14 @@ def q174_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q175_quality_calibration",
     oracle="""
 WITH t AS (SELECT doc_id, source,
-  round((CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')))
+  -- UNROUNDED: the same two-divide/one-multiply double expression as
+  -- the engine ⇒ bitwise-equal values. Rounding here is a trap: these
+  -- are ratios of small integers, which land exactly on 6th-decimal
+  -- halfway points where Spark rounds HALF_UP and DuckDB half-to-even
+  -- (caught by the sf0.1 cross-scale gate at 2.0578125).
+  (CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')))
         * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-           / len(string_split(text, ' '))), 6) AS raw_score
+           / len(string_split(text, ' '))) AS raw_score
   FROM documents)
 SELECT doc_id, source, raw_score,
   round(percent_rank() OVER (PARTITION BY source ORDER BY raw_score), 6)
@@ -917,10 +922,11 @@ def q175_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     tokens = F.split("text", " ")
-    raw = F.round(
-        (F.length("text").cast("double") / F.size(tokens))
-        * (F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens)),
-        6,
+    # unrounded on purpose — see the oracle comment (halfway-rounding
+    # divergence on dyadic small-int ratios); the op sequence matches
+    # the oracle exactly, so the doubles are bitwise equal
+    raw = (F.length("text").cast("double") / F.size(tokens)) * (
+        F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens)
     )
     t = d.select("doc_id", "source", raw.alias("raw_score"))
     from pyspark.sql import Window

@@ -318,11 +318,25 @@ WITH RECURSIVE base AS (
   FROM base WHERE rk = 1
   UNION ALL
   SELECT b.user_id, b.event_id, b.ts, b.value, b.rk,
-         0.3 * b.value + 0.7 * r.ewma
+         -- (1 - 0.3), NOT the literal 0.7: the engine kernel computes
+         -- beta = 1.0 - alpha at runtime, and double(1-0.3) is
+         -- 0.7000000000000001 — one ulp above the 0.7 literal. The
+         -- constant-folded subtraction here reproduces the kernel's
+         -- exact multiplier, keeping the whole fold bitwise equal
+         -- (caught by the sf0.1 cross-scale gate as a 6th-decimal
+         -- rounding flip on long series).
+         0.3 * b.value + (1 - 0.3) * r.ewma
   FROM base b JOIN r ON b.user_id = r.user_id AND b.rk = r.rk + 1
 )
 SELECT user_id, event_id, date_trunc('second', ts) AS ts, value,
-  round(ewma, 6) AS ewma
+  -- UNROUNDED: the engine kernel and this recursive CTE execute the
+  -- identical sequential FP op chain (verified bitwise-equal over the
+  -- full sf0.1 table), so rounding adds risk instead of removing it —
+  -- DuckDB's round() on doubles goes through a scaled multiply and
+  -- mis-rounds values like 37.1648884999…96 (×1e6 lands exactly on
+  -- .5) that Spark rounds correctly. Round only order-DEPENDENT
+  -- aggregates; a deterministic fold is not one.
+  ewma
 FROM r
 """,
     tags=("timeseries", "udf"),
@@ -334,12 +348,15 @@ def q144_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     series length ≈ 90, far under any recursion limit)."""
     ev = load_table(spark, sf_dir, "events")
     out = ewma(ev, "user_id", ["ts", "event_id"], "value", _ewma_alpha())
+    # ewma surfaces unrounded — see the oracle comment (bitwise-equal
+    # deterministic folds; DuckDB's scaled double-round mis-rounds
+    # boundary values Spark rounds correctly)
     return out.select(
         "user_id",
         "event_id",
         ts_sec("ts").alias("ts"),
         "value",
-        F.round("ewma", 6).alias("ewma"),
+        "ewma",
     )
 
 
