@@ -157,9 +157,12 @@ def run(sf_dir: str, only: list[str]) -> int:
         print(f"[conf] {k}={v}", flush=True)
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # single-file fixtures AND directory-per-table layouts (the
+        # scale_stress replicas write multi-file Spark directories)
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     smoke = e.entry(spark).collect()
     print(f"[smoke] entry() -> {len(smoke)} rows", flush=True)
