@@ -61,3 +61,35 @@ def test_entry_smoke(spark):
     rows = e.entry(spark).collect()
     assert len(rows) > 0
     assert "sum_qty" in e.entry(spark).columns
+
+
+def test_top50_window_spends_budget_on_unproven_oracle_backed_queries():
+    """The driver verifies only the first 50 specs per round; that
+    budget must go to oracle-backed queries with no driver row in any
+    prior round (VERDICT r02 ask #1). Guards against a refactor
+    quietly reordering the registry back to already-proven queries or
+    letting a rows-only spec occupy a hash-verification slot."""
+    import json
+    import os
+
+    from aws_iceberg_automation_spark.registry import all_specs
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    verified: set[str] = set()
+    for fn in sorted(os.listdir(repo)):
+        if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
+            verified |= set(json.load(open(os.path.join(repo, fn))))
+    specs = all_specs()
+    top50 = list(specs)[:50]
+    assert len(top50) == 50
+    rows_only = [n for n in top50 if specs[n].oracle is None]
+    assert rows_only == [], f"rows-only specs in the top-50 window: {rows_only}"
+    # NOTE: on the round AFTER a driver run, the then-current top-50
+    # will appear in the newest CORRECTNESS file — rotate the window
+    # forward (registry._DRIVER_PRIORITY) and this assertion documents
+    # the moment it becomes due.
+    already = [n for n in top50 if n in verified]
+    assert already == [], (
+        f"top-50 window wastes driver budget on already-verified: {already} "
+        "(rotate _DRIVER_PRIORITY to the next unproven oracle-backed set)"
+    )
