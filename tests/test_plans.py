@@ -288,12 +288,23 @@ def test_registry_wide_plan_lint(spark):
       ``allpairs`` (bounded ground-truth slices) or ``cross`` (the
       guarded cross-join demo);
     - Python boundaries only in tagged queries (udf / vector /
-      multimodal / sketch consumers).
+      multimodal / sketch consumers);
+    - no UNPARTITIONED window anywhere (round-3 invariant: the whole
+      input moving to one task is the engine's one forbidden plan —
+      top-N pre-bounds via TakeOrdered + windowless rank, exact
+      rank/ntile/ECDF run through the quantile-bucket decompositions
+      in functions/ranking.py).
 
     One stray .collect()-shaped regression or accidental udf in a hot
     path fails here, not at 100 TB."""
+    import re
+
     from aws_iceberg_automation_spark.plans.explain import plan_string
 
+    # an unpartitioned windowspecdefinition's FIRST argument is a sort
+    # order (col ASC/DESC ...); partitioned ones lead with bare
+    # partition columns
+    unpart_window = re.compile(r"windowspecdefinition\([^,()]+\s+(ASC|DESC)\b")
     py_ok_tags = {"udf", "vector", "multimodal", "streaming"}
     problems: list[str] = []
     for name, spec in SPECS.items():
@@ -303,6 +314,8 @@ def test_registry_wide_plan_lint(spark):
         p = plan_string(df)
         if "BatchEvalPython" in p:
             problems.append(f"{name}: row-at-a-time Python UDF")
+        if unpart_window.search(p):
+            problems.append(f"{name}: unpartitioned window (single-task stage)")
         if "CartesianProduct" in p and not (
             {"allpairs", "cross"} & set(spec.tags)
         ):
