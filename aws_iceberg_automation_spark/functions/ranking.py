@@ -138,7 +138,16 @@ def global_row_number(
     bounded: the widest window sees ~N/n_buckets rows (tune n_buckets
     to the cluster; boundaries come from approx quantiles, so skewed
     score distributions still ~balance). (value, *tiebreaks) must be a
-    total order for a deterministic result."""
+    total order for a deterministic result.
+
+    Pass budget: the plan reads the base three times (boundary agg,
+    bucket counts, main). A spark_partition_id()-based variant over
+    repartitionByRange was measured and rejected — the nondeterministic
+    partition-id expression blocks exchange reuse, so it also runs
+    three scans while giving up deterministic, testable bucketing. At
+    extreme input sizes, persist() the projected (value, tiebreaks)
+    frame before calling; the decomposition itself never concentrates
+    data."""
     _check_names(df, rank_name, "_bucket", "_off__cnt")
     b = _with_value_buckets(df, value, n_buckets)
     counts = b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_cnt"))
