@@ -287,6 +287,79 @@ def q85g_freq_terms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def countmin_cells(
+    items: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-Min Sketch build over an item stream: per (seed, bucket)
+    cell counts, bucket = xxhash64(item, seed) mod width. One two-phase
+    hash agg; the sketch is depth·width rows (4 KB of counts here)
+    regardless of stream size — THE mergeable heavy-hitter/point-query
+    summary when even the distinct-item set is too big to count
+    exactly. Pure JVM expressions, no Python boundary."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed")
+    return (
+        items.select(F.col(col).alias("_item"), seeds)
+        .select(
+            "seed",
+            F.pmod(F.xxhash64(F.col("_item"), F.col("seed")), width).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cell"))
+    )
+
+
+@register("q193_countmin_heavy_hitters", oracle=None, tags=("text", "llm"))
+def q193_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch point queries (#85 sketch path, complementing
+    q85g's freqItems shortlist): build a 4×1024 CMS over the term
+    stream, then estimate the exact top-30 terms' counts from the
+    sketch — est = min over seeds of cell(seed, h_seed(term)).
+
+    The CMS guarantee is DETERMINISTIC on one side: est ≥ true count,
+    always (collisions only add). The output carries exact count,
+    estimate, and their gap, so the fixture run itself exhibits the
+    one-sided error; pytest asserts est ≥ exact for every term and the
+    ε·N error bound (ε = e/width) on the median term.
+
+    Plan shape: sketch build = one two-phase agg over exploded terms
+    (shuffle carries depth·width cells); the 30 probe terms exploded
+    ×depth join the 4096-cell sketch BROADCAST — nothing about the
+    probe touches the corpus again. Rows-only: cell values depend on
+    xxhash64, which DuckDB cannot replicate."""
+    depth, width = 4, 1024
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(F.explode(F.split("text", " ")).alias("term"))
+    cells = countmin_cells(terms, "term", depth, width)
+
+    exact_top = topn_ranked(
+        terms.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count")),
+        [F.col("exact_count").desc(), F.col("term")],
+        30,
+    )
+    probes = exact_top.select(
+        "term",
+        "exact_count",
+        "rk",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed"),
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("term"), F.col("seed")), width)
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["seed", "bucket"])
+        .groupBy("term", "exact_count", "rk")
+        .agg(F.min("cell").alias("cms_estimate"))
+    )
+    return est.select(
+        "term",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
+        "rk",
+    )
+
+
 @register(
     "q101_corpus_curation",
     oracle="""

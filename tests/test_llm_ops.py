@@ -772,3 +772,27 @@ def test_pil_branch_decodes_real_image():
     trow = {r.doc_id: r for r in thumb.itertuples()}
     assert trow[1].decode_mode == "pil" and trow[1].thumb_bytes == 16
     assert trow[2].decode_mode == "fake"
+
+
+def test_countmin_overestimates_never_under(spark):
+    """CMS deterministic guarantee: estimate ≥ exact for EVERY probed
+    term (collisions only add); error bounded on the fixture (the
+    probabilistic ε·N bound, here asserted outright — a fixed-seed
+    sketch over fixed data is deterministic)."""
+    rows = SPECS["q193_countmin_heavy_hitters"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 30
+    total_terms = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")))
+        .count()
+    )
+    for r in rows:
+        assert r.cms_estimate >= r.exact_count, r
+        assert r.overcount == r.cms_estimate - r.exact_count
+    # e/width * N classical bound, comfortably met at fixture scale
+    eps_bound = 2.72 / 1024 * total_terms
+    overs = sorted(r.overcount for r in rows)
+    assert overs[len(overs) // 2] <= eps_bound
+    # determinism
+    again = SPECS["q193_countmin_heavy_hitters"].fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
