@@ -272,3 +272,45 @@ SELECT user_id, COUNT(*) AS events_seen FROM events GROUP BY user_id
 """,
         tags=("streaming",),
     )(q77b_stream_stateful_tws)
+
+
+@register(
+    "q194_stream_countmin_replay",
+    oracle=None,
+    tags=("streaming", "sketch", "llm"),
+)
+def q194_stream_countmin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch maintained BY THE STREAM (q193's build as a
+    continuously-updated streaming aggregate over the replayed event
+    stream, sketching user_id traffic): the canonical bounded-state
+    trick — the aggregation state is exactly depth·width integer cells
+    (4×1024 here) no matter how many events flow through, so a sketch
+    over an unbounded stream needs no watermark and never grows.
+    Complete-mode output republishes the 4096-cell sketch per
+    microbatch; any point query / heavy-hitter probe then reads the
+    latest sketch without touching the stream.
+
+    Rows-only (cells are xxhash64-placed); the invariant — streaming
+    cells EXACTLY equal the batch build over the same events, since
+    integer counts are order- and batching-insensitive — is
+    pytest-asserted (test_streaming), which is the mergeability proof
+    a production rollup of per-hour sketches relies on."""
+    depth, width = 4, 1024
+    s = _stream(spark, sf_dir)
+    cells = (
+        s.select(
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed"),
+            F.col("user_id"),
+        )
+        .select(
+            "seed",
+            F.pmod(F.xxhash64(F.col("user_id"), F.col("seed")), width).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cell"))
+    )
+    return jobs.run_to_memory(
+        cells, f"q194_mem_{uuid.uuid4().hex[:8]}", output_mode="complete"
+    )

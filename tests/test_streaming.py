@@ -470,3 +470,41 @@ def test_stream_sequence_pattern_multichunk_arrow(spark):
         for r in specs["q177_sequence_pattern"].fn(spark, SF_DIR).collect()
     }
     assert stream == batch
+
+
+def test_stream_countmin_equals_batch_build(spark):
+    """The streamed CMS must be cell-for-cell identical to the batch
+    build over the same events — integer counts are order- and
+    microbatch-insensitive, which is exactly the mergeability property
+    that lets production pipelines roll up per-window sketches."""
+    from pyspark.sql import functions as F
+
+    from aws_iceberg_automation_spark.io import load_table
+    from aws_iceberg_automation_spark.registry import all_specs
+    from tests.conftest import SF_DIR
+
+    streamed = (
+        all_specs()["q194_stream_countmin_replay"].fn(spark, SF_DIR).collect()
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    batch = (
+        ev.select(
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("seed"),
+            F.col("user_id"),
+        )
+        .select(
+            "seed",
+            F.pmod(F.xxhash64(F.col("user_id"), F.col("seed")), 1024).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cell"))
+        .collect()
+    )
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+    n_events = ev.count()
+    per_seed = {}
+    for r in streamed:
+        per_seed[r.seed] = per_seed.get(r.seed, 0) + r.cell
+    assert set(per_seed.values()) == {n_events}  # each row counted once per seed
