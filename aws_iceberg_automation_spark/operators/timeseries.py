@@ -284,7 +284,9 @@ def ewma(df: DataFrame, key: str, order: list[str], value: str, alpha: float) ->
     same bound any stateful per-key operator carries), and keys scale
     out across executors. The kernel's explicit fold keeps the FP
     operation sequence identical to the oracle's recursive CTE —
-    bitwise-equal doubles, rounded anyway."""
+    bitwise-equal doubles, surfaced UNROUNDED (do not re-add rounding:
+    DuckDB's scaled double-round mis-rounds boundary values that the
+    bitwise-equal raw doubles sail through — see q144)."""
     import pandas as pd
 
     cols = [key, *order, value]

@@ -295,21 +295,12 @@ def q194_stream_countmin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer counts are order- and batching-insensitive — is
     pytest-asserted (test_streaming), which is the mergeability proof
     a production rollup of per-hour sketches relies on."""
-    depth, width = 4, 1024
-    s = _stream(spark, sf_dir)
-    cells = (
-        s.select(
-            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed"),
-            F.col("user_id"),
-        )
-        .select(
-            "seed",
-            F.pmod(F.xxhash64(F.col("user_id"), F.col("seed")), width).alias(
-                "bucket"
-            ),
-        )
-        .groupBy("seed", "bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cell"))
+    from ..operators.text import countmin_cells
+
+    # the SAME build as q193 (shared helper — pure expressions work on
+    # streaming frames unchanged), keyed on user_id instead of terms
+    cells = countmin_cells(
+        _stream(spark, sf_dir).select("user_id"), "user_id", 4, 1024
     )
     return jobs.run_to_memory(
         cells, f"q194_mem_{uuid.uuid4().hex[:8]}", output_mode="complete"

@@ -301,10 +301,15 @@ def test_registry_wide_plan_lint(spark):
 
     from aws_iceberg_automation_spark.plans.explain import plan_string
 
-    # an unpartitioned windowspecdefinition's FIRST argument is a sort
-    # order (col ASC/DESC ...); partitioned ones lead with bare
-    # partition columns
-    unpart_window = re.compile(r"windowspecdefinition\([^,()]+\s+(ASC|DESC)\b")
+    # an unpartitioned windowspecdefinition's FIRST argument is either a
+    # sort order (col ASC/DESC ... — ordered global window) or the
+    # frame spec itself (specifiedwindowframe(... — orderless global
+    # aggregate window, e.g. sum OVER ()); partitioned ones lead with
+    # bare partition columns
+    unpart_window = re.compile(
+        r"windowspecdefinition\([^,()]+\s+(ASC|DESC)\b"
+        r"|windowspecdefinition\(specifiedwindowframe"
+    )
     py_ok_tags = {"udf", "vector", "multimodal", "streaming"}
     problems: list[str] = []
     for name, spec in SPECS.items():
