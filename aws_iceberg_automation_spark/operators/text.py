@@ -869,3 +869,49 @@ def q179_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@register("q195_cms_join_size_estimate", oracle=None, tags=("text", "sketch"))
+def q195_cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from Count-Min sketches (the AMS/CMS
+    inner-product bound — the optimizer-statistics use of the sketch):
+    estimate |orders ⋈ lineitem ON orderkey| as
+    min over seeds of Σ_bucket cms_orders[seed,b] · cms_lineitem[seed,b],
+    computed from two 4×1024 sketches built independently per side.
+
+    Deterministic guarantee: the estimate NEVER undercounts — the
+    inner product contains every true Σ_k n_r(k)·n_s(k) term plus
+    non-negative collision cross-terms. The output row carries the
+    exact join size (computed from per-key counts without materializing
+    the join) alongside the estimate and their ratio, so the fixture
+    run exhibits the bound; pytest asserts est ≥ exact and a sanity
+    ceiling. At 100 TB the decision "is this join explosive?" costs
+    two single-pass sketch builds + a 4096-row join — no shuffle of
+    either fact table against the other. Rows-only (xxhash64 cells)."""
+    depth, width = 4, 1024
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("k")
+    )
+    cms_o = countmin_cells(o, "k", depth, width).withColumnRenamed("cell", "r")
+    cms_l = countmin_cells(li, "k", depth, width).withColumnRenamed("cell", "s")
+    est = (
+        cms_o.join(cms_l, ["seed", "bucket"])
+        .groupBy("seed")
+        .agg(F.sum(F.col("r") * F.col("s")).alias("inner"))
+        .agg(F.min("inner").cast("bigint").alias("cms_join_size"))
+    )
+    oc = o.groupBy("k").agg(F.count(F.lit(1)).alias("n_o"))
+    lc = li.groupBy("k").agg(F.count(F.lit(1)).alias("n_l"))
+    exact = oc.join(lc, "k").agg(
+        F.sum(F.col("n_o") * F.col("n_l")).cast("bigint").alias("exact_join_size")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "exact_join_size",
+        "cms_join_size",
+        F.round(
+            F.col("cms_join_size").cast("double") / F.col("exact_join_size"), 6
+        ).alias("overestimate_ratio"),
+    )

@@ -796,3 +796,14 @@ def test_countmin_overestimates_never_under(spark):
     # determinism
     again = SPECS["q193_countmin_heavy_hitters"].fn(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_cms_join_size_never_undercounts(spark):
+    """CMS inner-product join estimate: est ≥ exact always (collision
+    cross-terms are non-negative), and within a sane factor at fixture
+    scale; deterministic."""
+    row = SPECS["q195_cms_join_size_estimate"].fn(spark, SF_DIR).collect()[0]
+    assert row.cms_join_size >= row.exact_join_size
+    assert row.overestimate_ratio < 3.0, row  # 1024-wide sketch, ~7.5k keys
+    again = SPECS["q195_cms_join_size_estimate"].fn(spark, SF_DIR).collect()[0]
+    assert tuple(row) == tuple(again)
