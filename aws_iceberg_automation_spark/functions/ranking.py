@@ -69,25 +69,55 @@ def quantile_bucket_ranks(
     """For each ``(value, out_name)`` pair, tag every row with a bucket
     rank ∈ [0, n_buckets) that is MONOTONE in ``value`` (equal values
     always share a bucket): rank = #(approx-quantile boundaries ≤
-    value), all boundary arrays computed in ONE agg and broadcast back
-    — balanced under skew, unlike equi-width cuts. NB the filter lambda
-    must stay single-argument: PySpark calls a two-argument HOF lambda
-    as (element, index), so a captured default would silently compare
-    boundaries against 0..n_buckets-2."""
+    value), all boundary arrays computed in ONE agg, collected, and
+    inlined as literals — balanced under skew, unlike equi-width cuts.
+    Batch frames only (the boundary collect is an eager tiny job). NB
+    the filter lambda must stay single-argument: PySpark calls a
+    two-argument HOF lambda as (element, index), so a captured default
+    would silently compare boundaries against 0..n_buckets-2."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    stats = df.agg(
+    stats_row = df.agg(
         *[
             F.percentile_approx(value, qs, 10_000).alias(f"_bounds_{name}")
             for value, name in ranks
         ]
-    )
-    out = df.crossJoin(F.broadcast(stats))
+    ).collect()[0]
+    # Boundaries are collected ONCE and inlined as literals (they are
+    # n_buckets-1 scalars per rank). Rank/offset correctness requires
+    # every consumer branch to see the SAME boundary set; leaving the
+    # approx agg in the plan relied on broadcast-exchange reuse — if
+    # reuse is disabled or canonicalization misses, the agg re-runs
+    # with a different shuffle merge order and can yield divergent
+    # boundaries, i.e. silently wrong ranks on a real cluster. Literal
+    # boundaries make the sharing unconditional; at any scale this is
+    # one tiny job, same bytes moved as the broadcast it replaces.
+    out = df
     for value, name in ranks:
-        bucket = F.size(
-            F.filter(F.col(f"_bounds_{name}"), _le_pred(value))
+        bounds = stats_row[f"_bounds_{name}"]
+        if bounds is None:  # empty input frame: no boundaries, bucket 0
+            out = out.withColumn(name, F.lit(0))
+            continue
+        # Sum of indicator terms, not filter(array<lit>, lambda):
+        # lambda outer-references break under Catalyst's self-join
+        # attribute dedup (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when the
+        # bucketed frame joins a frame derived from itself, as the rank
+        # decompositions do). Plain comparisons survive any rewrite.
+        bucket = sum(
+            (F.when(F.lit(b) <= value, 1).otherwise(0) for b in bounds),
+            start=F.lit(0),
         ).cast("int")
         out = out.withColumn(name, bucket)
-    return out.drop(*[f"_bounds_{name}" for _, name in ranks])
+    return out
+
+
+def desc_as_asc(c: Column) -> Column:
+    """``ORDER BY c DESC NULLS LAST`` expressed as an ASCENDING sort
+    key for the windowless rank/ntile decompositions: negate, and send
+    NULL to +∞ so it lands last. Plain negation alone silently flips
+    null placement (Spark ASC defaults NULLS FIRST, DESC defaults
+    NULLS LAST) — a latent divergence from the window/oracle form the
+    moment the column becomes nullable."""
+    return F.coalesce(-c, F.lit(float("inf")))
 
 
 def _le_pred(value: Column):

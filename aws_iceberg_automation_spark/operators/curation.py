@@ -1279,13 +1279,13 @@ def q188_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (logit desc, doc_id) — unique → deterministic.
     """
     d = load_table(spark, sf_dir, "documents")
-    from ..functions.ranking import global_ntile
+    from ..functions.ranking import desc_as_asc, global_ntile
 
     f = d.select(
         (F.col("lang") == "en").alias("pos"), _logit_col().alias("logit"), "doc_id"
     )
     ranked = global_ntile(
-        f, -F.col("logit"), [F.col("doc_id")], 10, out_name="decile"
+        f, desc_as_asc(F.col("logit")), [F.col("doc_id")], 10, out_name="decile"
     ).select("pos", "decile")
     # the 10-row per-decile agg feeds both sides of the cumulative
     # cross-join below; localCheckpoint pins it so the full scan+ntile

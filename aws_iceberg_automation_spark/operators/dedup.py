@@ -191,7 +191,7 @@ def minhash_candidate_pairs(
     )
 
 
-@register("q82_minhash_lsh_neardup", oracle=None, tags=("dedup", "llm"))
+@register("q82_minhash_lsh_neardup", oracle=None, tags=("dedup", "llm", "bench"))
 def q82_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs (#82), exact-Jaccard-verified.
     Rows-only check (xxhash seeds are engine-specific); pytest injects
@@ -237,12 +237,41 @@ def q82b_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q82c_simhash", oracle=None, tags=("dedup", "llm"))
+@register(
+    "q82c_simhash",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+    CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+        FROM documents)
+), bits AS (
+  SELECT doc_id, b,
+    CASE WHEN SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END AS bit
+  FROM tok, (SELECT unnest(range(0, 60)) AS b) bs
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+  CAST(SUM(bit) AS BIGINT) AS simhash,
+  CAST(SUM(bit) AS BIGINT) >> 44 AS band_prefix
+FROM bits GROUP BY doc_id
+""",
+    tags=("dedup", "llm"),
+)
 def q82c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (#82): 64-bit locality-sensitive fingerprint — per bit,
-    sign of Σ±1 over token hashes; near-dups have small Hamming
-    distance. Pure expression pipeline (rows-only: engine hash).
-    Output includes a 16-bit prefix band usable as a blocking key."""
+    """SimHash (#82): locality-sensitive fingerprint — per bit, sign of
+    Σ±1 over token hashes; near-dups have small Hamming distance. Pure
+    expression pipeline. Output includes a 16-bit prefix band usable as
+    a blocking key.
+
+    Oracle-backed (VERDICT r03 ask #2): runs on the 60-bit portable
+    md5-derived hash (functions/compat.portable_hash64) so DuckDB
+    recomputes the identical signature bit-for-bit (sum of disjoint
+    bit values = OR; the ±1 fold is order-independent, so Spark's
+    expression fold and DuckDB's grouped SUM agree exactly). Production
+    swaps xxhash64 per token — SimHash locality holds for any
+    well-mixing 64-bit hash."""
     d = load_table(spark, sf_dir, "documents")
     # SQL-expression form: the Python shiftleft/shiftright wrappers only
     # take literal ints, but the SQL functions accept expressions — which
@@ -251,11 +280,14 @@ def q82c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
 aggregate(
   zip_with(
-    transform(sequence(0, 63),
-      b -> aggregate(transform(array_distinct(split(text, ' ')), t -> xxhash64(t)),
-                     0,
-                     (acc, h) -> acc + IF(shiftright(h, b) & 1 = 1, 1, -1))),
-    sequence(0, 63),
+    transform(sequence(0, 59),
+      b -> aggregate(
+             transform(array_distinct(split(text, ' ')),
+                       t -> CAST(conv(substring(md5(t), 1, 15), 16, 10)
+                                 AS BIGINT)),
+             0,
+             (acc, h) -> acc + IF(shiftright(h, b) & 1 = 1, 1, -1))),
+    sequence(0, 59),
     (v, b) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
   CAST(0 AS BIGINT),
   (acc, x) -> acc | x)
@@ -264,7 +296,7 @@ aggregate(
     return d.select(
         "doc_id",
         simhash.alias("simhash"),
-        F.shiftright(simhash, 48).alias("band_prefix"),
+        F.shiftright(simhash, 44).alias("band_prefix"),
     )
 
 
@@ -841,7 +873,7 @@ SELECT t.doc_id,
 FROM tok t LEFT JOIN removed r ON t.doc_id = r.doc_id AND t.pos = r.pos
 GROUP BY t.doc_id
 """,
-    tags=("dedup", "llm"),
+    tags=("dedup", "llm", "bench"),
 )
 def q171_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup that REWRITES the corpus (the removal pass

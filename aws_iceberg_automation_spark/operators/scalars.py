@@ -9,7 +9,8 @@ Oracle notes: both engines get IEEE-identical doubles for arithmetic on
 identical inputs; libm-backed functions (exp/log/pow) are rounded to 6
 decimals since JVM StrictMath and C libm may differ in the last ulp.
 Engine-specific hashes (xxhash64, crc32, Spark's murmur ``hash``) are
-exercised rows-only in q71b.
+exercised via pytest invariants (test_scalars); the oracle-checked
+salting/sharding path (q71b) runs on the portable md5-derived hash.
 """
 
 from __future__ import annotations
@@ -17,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.compat import ts_sec
+from ..functions.compat import portable_hash64, sql_portable_hash64, ts_sec
 from ..io import load_table
 from ..registry import register
 
@@ -315,18 +316,43 @@ def q71_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q71b_engine_hashes", oracle=None, tags=("scalar", "hash"))
-def q71b_engine_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-specific hashes (#71, rows-only): xxhash64 / crc32 /
-    murmur3 ``hash`` — cheap JVM hashes used for salting, sampling and
-    sketch bucketing at scale; invariants tested in pytest."""
+@register(
+    "q71b_hash_salting",
+    oracle=f"""
+SELECT doc_id,
+  {sql_portable_hash64("text")} AS text_h64,
+  {sql_portable_hash64("text")} % 64 AS salt_bucket,
+  {sql_portable_hash64("concat(CAST(doc_id AS VARCHAR), ':', lang)")} % 16
+    AS shard_16,
+  CASE WHEN {sql_portable_hash64("text")} % 100 < 5 THEN 1 ELSE 0 END
+    AS in_5pct_sample
+FROM documents
+""",
+    tags=("scalar", "hash"),
+)
+def q71b_hash_salting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int64-hash salting/sharding/sampling (#71) — the uses a cheap
+    64-bit hash serves at 100 TB: skew-salt buckets for hot joins,
+    deterministic shard assignment from a compound key, and a
+    reproducible hash-gate sample that survives any repartitioning.
+
+    Converted from rows-only to oracle-backed (VERDICT r03 ask #2) by
+    running on :func:`portable_hash64` (md5-derived, value-equal in
+    DuckDB) instead of xxhash64. The engine-specific fast hashes
+    (xxhash64 / crc32 / murmur ``hash``) keep their pytest invariants
+    in test_scalars — at scale they replace the md5 digest 1:1; every
+    property checked here is hash-family-independent."""
     d = load_table(spark, sf_dir, "documents")
+    h_text = portable_hash64("text")
+    h_shard = portable_hash64(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang"))
+    )
     return d.select(
         "doc_id",
-        F.xxhash64("text").alias("text_xxh64"),
-        F.crc32("text").alias("text_crc32"),
-        F.hash("text").alias("text_murmur"),
-        F.abs(F.xxhash64("text") % 64).alias("salt_bucket"),
+        h_text.alias("text_h64"),
+        (h_text % 64).alias("salt_bucket"),
+        (h_shard % 16).alias("shard_16"),
+        F.when(h_text % 100 < 5, 1).otherwise(0).alias("in_5pct_sample"),
     )
 
 

@@ -592,7 +592,7 @@ def q163_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q172_pq_adc_topk", oracle=None, tags=("similarity", "llm", "vector"))
+@register("q172_pq_adc_topk", oracle=None, tags=("similarity", "llm", "vector", "bench"))
 def q172_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (#83 memory-bound scale path): vectors
     are unit-normalized, split into M=8 subspaces, each subspace

@@ -10,9 +10,10 @@ any word-count at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.compat import portable_hash64, sql_portable_hash64
 from ..functions.ranking import topn_ranked
 from ..io import load_table
 from ..registry import register
@@ -287,11 +288,34 @@ def q85g_freq_terms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cms_bucket(item: Column, seed: Column, width: int, portable: bool) -> Column:
+    """The CMS hash-family member: bucket of ``item`` under ``seed``.
+    ``portable=True`` uses the md5-derived cross-engine hash (DuckDB can
+    recompute the cells — see functions/compat.portable_hash64);
+    ``portable=False`` is the production xxhash64 path (single JVM hash,
+    no digest). Every CMS guarantee (est ≥ true, ε·N bound, merge-
+    ability) is hash-family-independent."""
+    if portable:
+        key = F.concat(seed.cast("string"), F.lit(":"), item.cast("string"))
+        return F.pmod(portable_hash64(key), width)
+    return F.pmod(F.xxhash64(item, seed), width)
+
+
+def sql_cms_bucket(item: str, seed: str, width: int) -> str:
+    """DuckDB fragment value-equal to ``cms_bucket(..., portable=True)``."""
+    key = f"concat(CAST({seed} AS VARCHAR), ':', CAST({item} AS VARCHAR))"
+    return f"({sql_portable_hash64(key)} % {width})"
+
+
 def countmin_cells(
-    items: DataFrame, col: str, depth: int = 4, width: int = 1024
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    portable: bool = False,
 ) -> DataFrame:
     """Count-Min Sketch build over an item stream: per (seed, bucket)
-    cell counts, bucket = xxhash64(item, seed) mod width. One two-phase
+    cell counts, bucket = h_seed(item) mod width. One two-phase
     hash agg; the sketch is depth·width rows (4 KB of counts here)
     regardless of stream size — THE mergeable heavy-hitter/point-query
     summary when even the distinct-item set is too big to count
@@ -301,7 +325,7 @@ def countmin_cells(
         items.select(F.col(col).alias("_item"), seeds)
         .select(
             "seed",
-            F.pmod(F.xxhash64(F.col("_item"), F.col("seed")), width).alias(
+            cms_bucket(F.col("_item"), F.col("seed"), width, portable).alias(
                 "bucket"
             ),
         )
@@ -310,7 +334,36 @@ def countmin_cells(
     )
 
 
-@register("q193_countmin_heavy_hitters", oracle=None, tags=("text", "llm"))
+@register(
+    "q193_countmin_heavy_hitters",
+    oracle=f"""
+WITH terms AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), cells AS (
+  SELECT seed, {sql_cms_bucket("term", "seed", 1024)} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cell
+  FROM terms, (SELECT unnest(range(0, 4)) AS seed) seeds
+  GROUP BY 1, 2
+), exact_top AS (
+  SELECT term, exact_count, CAST(rk AS INT) AS rk FROM (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_count,
+           row_number() OVER (ORDER BY COUNT(*) DESC, term) AS rk
+    FROM terms GROUP BY term)
+  WHERE rk <= 30
+), probes AS (
+  SELECT term, exact_count, rk, seed,
+         {sql_cms_bucket("term", "seed", 1024)} AS bucket
+  FROM exact_top, (SELECT unnest(range(0, 4)) AS seed) seeds
+)
+SELECT p.term, p.exact_count,
+       CAST(MIN(c.cell) AS BIGINT) AS cms_estimate,
+       CAST(MIN(c.cell) - p.exact_count AS BIGINT) AS overcount,
+       p.rk
+FROM probes p JOIN cells c USING (seed, bucket)
+GROUP BY p.term, p.exact_count, p.rk
+""",
+    tags=("text", "llm", "sketch"),
+)
 def q193_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min Sketch point queries (#85 sketch path, complementing
     q85g's freqItems shortlist): build a 4×1024 CMS over the term
@@ -326,12 +379,16 @@ def q193_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: sketch build = one two-phase agg over exploded terms
     (shuffle carries depth·width cells); the 30 probe terms exploded
     ×depth join the 4096-cell sketch BROADCAST — nothing about the
-    probe touches the corpus again. Rows-only: cell values depend on
-    xxhash64, which DuckDB cannot replicate."""
+    probe touches the corpus again.
+
+    Oracle-backed (VERDICT r03 ask #2): the sketch runs on the portable
+    md5-derived hash family so DuckDB rebuilds the identical 4096 cells
+    and re-derives every estimate; production swaps xxhash64
+    (``portable=False``) — the one-sided bound is hash-independent."""
     depth, width = 4, 1024
     d = load_table(spark, sf_dir, "documents")
     terms = d.select(F.explode(F.split("text", " ")).alias("term"))
-    cells = countmin_cells(terms, "term", depth, width)
+    cells = countmin_cells(terms, "term", depth, width, portable=True)
 
     exact_top = topn_ranked(
         terms.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count")),
@@ -344,7 +401,7 @@ def q193_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk",
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed"),
     ).withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col("term"), F.col("seed")), width)
+        "bucket", cms_bucket(F.col("term"), F.col("seed"), width, portable=True)
     )
     est = (
         probes.join(F.broadcast(cells), ["seed", "bucket"])
@@ -871,7 +928,36 @@ def q179_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q195_cms_join_size_estimate", oracle=None, tags=("text", "sketch"))
+@register(
+    "q195_cms_join_size_estimate",
+    oracle=f"""
+WITH ok AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+lk AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+seeds AS (SELECT unnest(range(0, 4)) AS seed),
+cms_o AS (
+  SELECT seed, {sql_cms_bucket("k", "seed", 1024)} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS r
+  FROM ok, seeds GROUP BY 1, 2
+), cms_l AS (
+  SELECT seed, {sql_cms_bucket("k", "seed", 1024)} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS s
+  FROM lk, seeds GROUP BY 1, 2
+), est AS (
+  SELECT CAST(MIN(inner_prod) AS BIGINT) AS cms_join_size FROM (
+    SELECT seed, SUM(r * s) AS inner_prod
+    FROM cms_o JOIN cms_l USING (seed, bucket) GROUP BY seed)
+), exact AS (
+  SELECT CAST(SUM(n_o * n_l) AS BIGINT) AS exact_join_size FROM
+    (SELECT k, COUNT(*) AS n_o FROM ok GROUP BY k) a
+    JOIN (SELECT k, COUNT(*) AS n_l FROM lk GROUP BY k) b USING (k)
+)
+SELECT exact_join_size, cms_join_size,
+       round(CAST(cms_join_size AS DOUBLE) / exact_join_size, 6)
+         AS overestimate_ratio
+FROM est, exact
+""",
+    tags=("text", "sketch"),
+)
 def q195_cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality estimation from Count-Min sketches (the AMS/CMS
     inner-product bound — the optimizer-statistics use of the sketch):
@@ -887,7 +973,11 @@ def q195_cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     run exhibits the bound; pytest asserts est ≥ exact and a sanity
     ceiling. At 100 TB the decision "is this join explosive?" costs
     two single-pass sketch builds + a 4096-row join — no shuffle of
-    either fact table against the other. Rows-only (xxhash64 cells)."""
+    either fact table against the other.
+
+    Oracle-backed (VERDICT r03 ask #2): portable md5 hash family —
+    DuckDB rebuilds both sketches cell-for-cell and re-derives the
+    estimate; the never-undercount guarantee is hash-independent."""
     depth, width = 4, 1024
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").cast("string").alias("k")
@@ -895,8 +985,12 @@ def q195_cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").cast("string").alias("k")
     )
-    cms_o = countmin_cells(o, "k", depth, width).withColumnRenamed("cell", "r")
-    cms_l = countmin_cells(li, "k", depth, width).withColumnRenamed("cell", "s")
+    cms_o = countmin_cells(o, "k", depth, width, portable=True).withColumnRenamed(
+        "cell", "r"
+    )
+    cms_l = countmin_cells(li, "k", depth, width, portable=True).withColumnRenamed(
+        "cell", "s"
+    )
     est = (
         cms_o.join(cms_l, ["seed", "bucket"])
         .groupBy("seed")

@@ -274,9 +274,20 @@ SELECT user_id, COUNT(*) AS events_seen FROM events GROUP BY user_id
     )(q77b_stream_stateful_tws)
 
 
+def _cms_cells_oracle() -> str:
+    from ..operators.text import sql_cms_bucket
+
+    return f"""
+SELECT seed, {sql_cms_bucket("user_id", "seed", 1024)} AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cell
+FROM events, (SELECT unnest(range(0, 4)) AS seed) seeds
+GROUP BY 1, 2
+"""
+
+
 @register(
     "q194_stream_countmin_replay",
-    oracle=None,
+    oracle=_cms_cells_oracle(),
     tags=("streaming", "sketch", "llm"),
 )
 def q194_stream_countmin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,17 +301,19 @@ def q194_stream_countmin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     microbatch; any point query / heavy-hitter probe then reads the
     latest sketch without touching the stream.
 
-    Rows-only (cells are xxhash64-placed); the invariant — streaming
-    cells EXACTLY equal the batch build over the same events, since
-    integer counts are order- and batching-insensitive — is
-    pytest-asserted (test_streaming), which is the mergeability proof
-    a production rollup of per-hour sketches relies on."""
+    Oracle-backed (VERDICT r03 ask #2): the sketch runs on the portable
+    md5 hash family, so DuckDB's batch CMS over the same events equals
+    the streaming state cell-for-cell — the driver's hash row IS the
+    mergeability proof (integer counts are order- and batching-
+    insensitive), doubled by the pytest streaming-equals-batch
+    invariant (test_streaming). Production swaps xxhash64."""
     from ..operators.text import countmin_cells
 
     # the SAME build as q193 (shared helper — pure expressions work on
     # streaming frames unchanged), keyed on user_id instead of terms
     cells = countmin_cells(
-        _stream(spark, sf_dir).select("user_id"), "user_id", 4, 1024
+        _stream(spark, sf_dir).select("user_id"), "user_id", 4, 1024,
+        portable=True,
     )
     return jobs.run_to_memory(
         cells, f"q194_mem_{uuid.uuid4().hex[:8]}", output_mode="complete"

@@ -995,11 +995,16 @@ class VersionedTable:
                     continue  # vanished mid-walk → not ours to touch
                 orphans.append(p)
         if remove:
+            removed: list[str] = []
             for p in orphans:
                 try:
                     os.remove(p)
-                except OSError:
-                    pass  # vanished since listing (concurrent cleanup) = gone
+                    removed.append(p)
+                except FileNotFoundError:
+                    removed.append(p)  # vanished since listing = gone
+                # any other OSError (permissions, IO) propagates: a
+                # failed removal must never be reported as cleaned up
+            return sorted(removed)
         return sorted(orphans)
 
     # -- branches & tags (Iceberg refs analog) -------------------------

@@ -217,6 +217,25 @@ def run(sf_dir: str, only: list[str]) -> int:
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
     if failed:
         print("failed:", " ".join(failed))
+    report_path = os.environ.get("SPARK_GRAFT_VERIFY_REPORT")
+    if report_path:
+        # Machine-readable sweep record: tests/test_registry_contract.py
+        # asserts the committed report covers every registered query, so
+        # a post-sweep registration reddens loudly (VERDICT r03 ask #3).
+        import json
+
+        payload = {
+            "sf_dir": sf_dir,
+            "conf": os.environ.get("SPARK_GRAFT_VERIFY_CONF", ""),
+            "results": {
+                n: ("FAIL" if n in failed else
+                    ("rows-only" if n not in oracles else "ok"))
+                for n in names
+            },
+        }
+        with open(report_path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"[report] {report_path}: {len(names)} entries")
     return 1 if failed else 0
 
 

@@ -302,14 +302,32 @@ def test_registry_wide_plan_lint(spark):
     from aws_iceberg_automation_spark.plans.explain import plan_string
 
     # an unpartitioned windowspecdefinition's FIRST argument is either a
-    # sort order (col ASC/DESC ... — ordered global window) or the
+    # sort order (expr ASC/DESC ... — ordered global window) or the
     # frame spec itself (specifiedwindowframe(... — orderless global
     # aggregate window, e.g. sum OVER ()); partitioned ones lead with
-    # bare partition columns
-    unpart_window = re.compile(
-        r"windowspecdefinition\([^,()]+\s+(ASC|DESC)\b"
-        r"|windowspecdefinition\(specifiedwindowframe"
-    )
+    # bare partition columns. The first argument is extracted by
+    # balanced-paren scan to the first TOP-LEVEL comma, so a compound
+    # leading sort key (e.g. cast(x#3 as double) ASC) is caught too —
+    # a bare-regex `[^,()]+ ASC` would let it through (ADVICE r03).
+    def _unpartitioned_window(plan: str) -> bool:
+        marker = "windowspecdefinition("
+        at = 0
+        while (at := plan.find(marker, at)) != -1:
+            i = at + len(marker)
+            depth = 0
+            while i < len(plan) and not (depth == 0 and plan[i] in ",)"):
+                if plan[i] == "(":
+                    depth += 1
+                elif plan[i] == ")":
+                    depth -= 1
+                i += 1
+            first_arg = plan[at + len(marker): i].strip()
+            if first_arg.startswith("specifiedwindowframe") or re.search(
+                r"\s(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?$", first_arg
+            ):
+                return True
+            at = i
+        return False
     py_ok_tags = {"udf", "vector", "multimodal", "streaming"}
     problems: list[str] = []
     for name, spec in SPECS.items():
@@ -319,7 +337,7 @@ def test_registry_wide_plan_lint(spark):
         p = plan_string(df)
         if "BatchEvalPython" in p:
             problems.append(f"{name}: row-at-a-time Python UDF")
-        if unpart_window.search(p):
+        if _unpartitioned_window(p):
             problems.append(f"{name}: unpartitioned window (single-task stage)")
         if "CartesianProduct" in p and not (
             {"allpairs", "cross"} & set(spec.tags)

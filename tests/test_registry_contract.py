@@ -102,6 +102,26 @@ def test_top50_window_spends_budget_on_unproven_oracle_backed_queries():
     )
 
 
+def test_hostile_sweep_covers_whole_registry():
+    """The committed hostile-sweep report (SWEEP_REPORT.json — written
+    by scripts/verify_contract.py under SPARK_GRAFT_VERIFY_REPORT with
+    hostile session confs) must name every registered query, and every
+    named query must have passed. A query registered after the sweep
+    reddens HERE instead of silently dodging the 'whole registry'
+    claim (VERDICT r03 ask #3 — q195 post-dated the round-3 sweep)."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "SWEEP_REPORT.json")
+    assert os.path.exists(path), "SWEEP_REPORT.json missing — run the hostile sweep"
+    report = json.load(open(path))["results"]
+    unswept = sorted(set(SPECS) - set(report))
+    assert not unswept, f"registered but never hostile-swept: {unswept}"
+    red = sorted(n for n, s in report.items() if s == "FAIL")
+    assert not red, f"hostile sweep failures committed: {red}"
+
+
 @pytest.mark.parametrize(
     "name", ["q31_anti_join", "q64_except", "q82d_embedding_neardup"]
 )

@@ -486,22 +486,12 @@ def test_stream_countmin_equals_batch_build(spark):
     streamed = (
         all_specs()["q194_stream_countmin_replay"].fn(spark, SF_DIR).collect()
     )
+    from aws_iceberg_automation_spark.operators.text import countmin_cells
+
     ev = load_table(spark, SF_DIR, "events")
-    batch = (
-        ev.select(
-            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("seed"),
-            F.col("user_id"),
-        )
-        .select(
-            "seed",
-            F.pmod(F.xxhash64(F.col("user_id"), F.col("seed")), 1024).alias(
-                "bucket"
-            ),
-        )
-        .groupBy("seed", "bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cell"))
-        .collect()
-    )
+    batch = countmin_cells(
+        ev.select("user_id"), "user_id", 4, 1024, portable=True
+    ).collect()
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
     n_events = ev.count()
     per_seed = {}
