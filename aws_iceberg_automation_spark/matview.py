@@ -22,7 +22,16 @@ sketch binary per group (``hll_sketch_agg``), deltas merge with
 ``hll_union`` (sketch union is exactly as mergeable as a sum), and
 ``read(estimated=True)`` renders estimates (±~2%). This is how a
 distinct-users-per-day rollup stays incremental at 100 TB — the
-re-aggregation that exact distinct would force never happens. If the source window contains a rewrite
+re-aggregation that exact distinct would force never happens.
+
+Heavy-hitter / point-frequency queries are served the same way by the
+``countmin`` measure kind (q193/q194's sketch as a view measure): the
+state stores one depth×width Count-Min cell array per group, deltas
+merge with element-wise ``zip_with`` addition (integer cells — exactly
+as mergeable as a sum; the streaming-equals-batch proof in
+test_streaming is this same property), and ``cms_point_estimate()``
+answers "how often did item X appear in group G" from the state alone —
+the dashboard refresh never rescans the corpus. If the source window contains a rewrite
 commit (overwrite/merge/delete/compact), ``changes()`` refuses it and
 the refresh falls back to a full rebuild — correct over fast, loudly.
 
@@ -39,17 +48,21 @@ from pyspark.sql import functions as F
 
 from .versioning import VersionedTable, VersioningError
 
-_KINDS = ("sum", "count", "min", "max", "approx_distinct")
+_KINDS = ("sum", "count", "min", "max", "approx_distinct", "countmin")
 
 
 @dataclass(frozen=True)
 class Measure:
-    """A mergeable aggregate: ``kind`` in sum/count/min/max; ``expr``
-    is the input expression (ignored for count, which counts rows)."""
+    """A mergeable aggregate: ``kind`` in sum/count/min/max/
+    approx_distinct/countmin; ``expr`` is the input expression (ignored
+    for count, which counts rows). ``depth``/``width`` size the
+    ``countmin`` cell array (error ε ≈ e/width with prob 1-e^-depth)."""
 
     alias: str
     kind: str
     expr: Column | None = None
+    depth: int = 4
+    width: int = 1024
 
     def __post_init__(self):
         if self.kind not in _KINDS:
@@ -96,20 +109,83 @@ class IncrementalAggView:
 
     # -- aggregation ---------------------------------------------------
 
+    @staticmethod
+    def _cms_slot(item: Column, seed: Column, width: int) -> Column:
+        """Flat cell index of ``item`` under ``seed``: seed·width +
+        h_seed(item) mod width — the same layout the build, the merge
+        and the point query all address."""
+        return seed.cast("bigint") * width + F.pmod(F.xxhash64(item, seed), width)
+
+    def _cms_partial(self, df: DataFrame, m: Measure) -> DataFrame:
+        """Per-group CMS cell array over ``df``: explode each row into
+        its depth cell slots, count per (group, slot), densify to a
+        depth·width array. The shuffle carries (group, slot) pairs —
+        at most depth·width distinct slots per group regardless of
+        input size, the bounded-state property that makes the sketch a
+        view measure."""
+        slots = F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m.depth - 1)),
+                lambda s: self._cms_slot(m.expr, s, m.width),
+            )
+        ).alias("_slot")
+        counted = (
+            df.select(*self.group_by, slots)
+            .groupBy(*self.group_by, "_slot")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        dense = F.transform(
+            F.sequence(F.lit(0), F.lit(m.depth * m.width - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("_m"), i.cast("bigint")), F.lit(0).cast("bigint")
+            ),
+        )
+        return (
+            counted.groupBy(*self.group_by)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col("_slot"), F.col("_cnt")))
+                ).alias("_m")
+            )
+            .select(*self.group_by, dense.alias(m.alias))
+        )
+
     def _partial(self, df: DataFrame) -> DataFrame:
-        aggs = []
-        for m in self.measures:
-            if m.kind == "sum":
-                aggs.append(F.sum(m.expr).alias(m.alias))
-            elif m.kind == "count":
-                aggs.append(F.count(F.lit(1)).alias(m.alias))
-            elif m.kind == "min":
-                aggs.append(F.min(m.expr).alias(m.alias))
-            elif m.kind == "approx_distinct":
-                aggs.append(F.hll_sketch_agg(m.expr).alias(m.alias))
-            else:
-                aggs.append(F.max(m.expr).alias(m.alias))
-        return df.groupBy(*self.group_by).agg(*aggs)
+        cms = [m for m in self.measures if m.kind == "countmin"]
+        rest = [m for m in self.measures if m.kind != "countmin"]
+        parts: list[DataFrame] = []
+        if rest:
+            aggs = []
+            for m in rest:
+                if m.kind == "sum":
+                    aggs.append(F.sum(m.expr).alias(m.alias))
+                elif m.kind == "count":
+                    aggs.append(F.count(F.lit(1)).alias(m.alias))
+                elif m.kind == "min":
+                    aggs.append(F.min(m.expr).alias(m.alias))
+                elif m.kind == "approx_distinct":
+                    aggs.append(F.hll_sketch_agg(m.expr).alias(m.alias))
+                else:
+                    aggs.append(F.max(m.expr).alias(m.alias))
+            parts.append(df.groupBy(*self.group_by).agg(*aggs))
+        parts.extend(self._cms_partial(df, m) for m in cms)
+        out = parts[0]
+        for p in parts[1:]:
+            # same input rows → identical group sets, so inner join;
+            # null-safe equality because NULL is a real SQL group
+            o, n = out.alias("_l"), p.alias("_r")
+            newcols = [c for c in p.columns if c not in self.group_by]
+            if not self.group_by:
+                out = o.crossJoin(n)  # global agg: both are single-row
+                continue
+            cond = None
+            for k in self.group_by:
+                eq = F.col(f"_l.{k}").eqNullSafe(F.col(f"_r.{k}"))
+                cond = eq if cond is None else (cond & eq)
+            out = o.join(n, cond, "inner").select(
+                "_l.*", *[F.col(f"_r.{c}") for c in newcols]
+            )
+        return out
 
     def _merge(self, old: DataFrame, delta: DataFrame) -> DataFrame:
         o, n = old.alias("o"), delta.alias("n")
@@ -141,6 +217,12 @@ class IncrementalAggView:
                     F.when(ov.isNull(), nv)
                     .when(nv.isNull(), ov)
                     .otherwise(F.hll_union(ov, nv))
+                )
+            elif m.kind == "countmin":
+                merged = (
+                    F.when(ov.isNull(), nv)
+                    .when(nv.isNull(), ov)
+                    .otherwise(F.zip_with(ov, nv, lambda a, b: a + b))
                 )
             else:
                 merged = (
@@ -189,5 +271,45 @@ class IncrementalAggView:
             if m.kind == "approx_distinct":
                 cols.append(F.hll_sketch_estimate(F.col(m.alias)).alias(m.alias))
             else:
+                # countmin has no scalar rendering without a probe item
+                # (use cms_point_estimate); its raw cells pass through
                 cols.append(F.col(m.alias))
         return df.select(*cols)
+
+    def cms_point_estimate(
+        self, alias: str, probes: DataFrame, item_col: str = "item"
+    ) -> DataFrame:
+        """Estimated frequency of each probe item within each group,
+        from the stored sketch alone: min over seeds of
+        cells[slot(item, seed)] — never over-reads the source. Probes
+        (a small candidate list, e.g. q85g's freqItems shortlist) are
+        broadcast against the |groups|-row state; cost
+        O(|state|·|probes|·depth), source-size-independent. Estimates
+        never undercount (CMS one-sided error)."""
+        m = next(
+            (
+                mm
+                for mm in self.measures
+                if mm.alias == alias and mm.kind == "countmin"
+            ),
+            None,
+        )
+        if m is None:
+            raise ValueError(f"no countmin measure named {alias!r}")
+        pr = F.broadcast(probes.select(F.col(item_col).alias("_item")).distinct())
+        ests = F.transform(
+            F.sequence(F.lit(0), F.lit(m.depth - 1)),
+            lambda s: F.element_at(
+                F.col(alias),
+                (self._cms_slot(F.col("_item"), s, m.width) + 1).cast("int"),
+            ),
+        )
+        return (
+            self.state.read()
+            .crossJoin(pr)
+            .select(
+                *self.group_by,
+                F.col("_item").alias(item_col),
+                F.array_min(ests).alias(f"{alias}_estimate"),
+            )
+        )

@@ -49,24 +49,90 @@ def word_shingles(text: str | Column, k: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: per seed h, min over shingles of xxhash64(s, h).
-    One array column — no N×H explosion, no shuffle."""
+def _seeded_hash64(item: Column, seed: Column, portable: bool) -> Column:
+    """Seeded 64-bit hash: xxhash64(item, seed) on the production path;
+    the md5-derived portable hash of "seed:item" when the result must
+    be recomputable by the DuckDB oracle (functions/compat)."""
+    if portable:
+        from ..functions.compat import portable_hash64
+
+        return portable_hash64(F.concat(seed.cast("string"), F.lit(":"), item))
+    return F.xxhash64(item, seed)
+
+
+def _hash64(item: Column, portable: bool) -> Column:
+    if portable:
+        from ..functions.compat import portable_hash64
+
+        return portable_hash64(item)
+    return F.xxhash64(item)
+
+
+_MH_P = 2147483647  # 2^31 - 1 (prime): universal-hash modulus
+_MH_A = 2654435761  # Knuth multiplicative constant
+_MH_B = 40503
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 32, portable: bool = False
+) -> Column:
+    """MinHash signature: per permutation h, min over shingles of
+    h_seed(s). One array column — no N×H explosion, no shuffle.
+
+    Production path: xxhash64(s, h) per (shingle, seed) — one cheap JVM
+    hash each. Portable path (oracle-checkable): ONE md5-derived base
+    hash per shingle, then the num_hashes permutations come from the
+    universal family h_i(m) = (a_i·m + b_i) mod P with P = 2^31-1 and
+    a_i = (i+1)·A mod P — exact int64 arithmetic (products < 2^62,
+    never overflow) that DuckDB reproduces literally, and ~num_hashes×
+    fewer digests than md5-per-seed (measured 5.1s → 2.6s at sf0.1)."""
+    if portable:
+        from ..functions.compat import portable_hash64
+
+        base = F.transform(shingles, lambda s: portable_hash64(s) % _MH_P)
+        return minhash_from_base_hashes(base, num_hashes)
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda h: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, h))),
+        lambda h: F.array_min(
+            F.transform(shingles, lambda s: _seeded_hash64(s, h, portable))
+        ),
     )
 
 
-def lsh_bands(sig: Column, bands: int = 8, rows: int = 4) -> Column:
+def minhash_from_base_hashes(base: Column, num_hashes: int = 32) -> Column:
+    """The permutation half of the portable MinHash: signature from an
+    ALREADY-HASHED shingle array (values in [0, P)). Callers on the hot
+    path materialize the base-hash array as its own projected column
+    first — expression CSE does not reach across lambda scopes, so
+    inlining the md5 map here would re-digest every shingle once per
+    permutation (measured 32×: 3.1s vs 0.4s for the base map at sf0.1)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda h: F.array_min(
+            F.transform(
+                base,
+                lambda m: (
+                    ((h + 1) * F.lit(_MH_A) % _MH_P) * m
+                    + (h + 1) * F.lit(_MH_B) % _MH_P
+                )
+                % _MH_P,
+            )
+        ),
+    )
+
+
+def lsh_bands(
+    sig: Column, bands: int = 8, rows: int = 4, portable: bool = False
+) -> Column:
     """Band the signature: array of (band_id, band_hash) structs. Two
     docs sharing any band bucket become a candidate pair."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
             b.alias("band"),
-            F.xxhash64(
-                F.concat_ws(",", F.transform(F.slice(sig, b * rows + 1, rows), lambda x: x.cast("string")))
+            _hash64(
+                F.concat_ws(",", F.transform(F.slice(sig, b * rows + 1, rows), lambda x: x.cast("string"))),
+                portable,
             ).alias("band_hash"),
         ),
     )
@@ -127,6 +193,7 @@ def minhash_candidate_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     bucket_cap: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline over (doc_id, text): returns
     verified pairs (doc_id_a < doc_id_b, jaccard ≥ threshold).
@@ -144,13 +211,43 @@ def minhash_candidate_pairs(
     same (band, band_hash) key as the join, so AQE coalesces it into
     the existing exchange."""
     rows = num_hashes // bands
+    # The signature map is the CPU-heavy stage (num_hashes hashes per
+    # shingle per doc); a small single-file scan arrives as ONE input
+    # split and would serialize it. Rebalance to the session's
+    # parallelism when the scan undersplits — at real scale the file
+    # set splits naturally and this branch never fires.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     sh = docs.select(
         "doc_id", word_shingles(F.col("text"), k).alias("shingles")
     )
-    banded = sh.select(
+    if portable:
+        from ..functions.compat import portable_hash64
+
+        # base hashes as their own projection so the md5 map runs once
+        # per shingle, not once per permutation (see
+        # minhash_from_base_hashes)
+        sig = minhash_from_base_hashes(F.col("_hm"), num_hashes)
+        signed = sh.withColumn(
+            "_hm",
+            F.transform("shingles", lambda s: portable_hash64(s) % _MH_P),
+        )
+    else:
+        sig = minhash_signature(F.col("shingles"), num_hashes)
+        signed = sh
+    banded = signed.select(
         "doc_id",
-        F.explode(lsh_bands(minhash_signature(F.col("shingles"), num_hashes), bands, rows)).alias("b"),
+        F.explode(lsh_bands(sig, bands, rows, portable)).alias("b"),
     ).select("doc_id", "b.band", "b.band_hash")
+    # The banded frame feeds the size count, the salt join AND both
+    # sides of the candidate self-join — four lineage paths through the
+    # expensive signature map (num_hashes hashes per shingle per doc).
+    # Pin it: banded is tiny (N·bands rows of three int64s) while its
+    # parent is the whole corpus — the materialize-the-signature-table
+    # step every production dedup pipeline has (measured 8.2s → 2.9s at
+    # sf0.1). Same lineage-control pattern as graph.connected_components.
+    banded = banded.localCheckpoint()
     sizes = banded.groupBy("band", "band_hash").agg(
         F.count(F.lit(1)).alias("bucket_size")
     )
@@ -159,8 +256,18 @@ def minhash_candidate_pairs(
         "doc_id",
         "band",
         "band_hash",
-        F.when(F.col("bucket_size") <= bucket_cap, F.lit(0))
-        .otherwise(F.pmod(F.xxhash64(F.col("doc_id"), F.lit("lsh-salt")), n_groups))
+        F.when(F.col("bucket_size") <= bucket_cap, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.pmod(
+                _hash64(
+                    F.concat(F.lit("lsh-salt:"), F.col("doc_id").cast("string")),
+                    portable,
+                )
+                if portable
+                else F.xxhash64(F.col("doc_id"), F.lit("lsh-salt")),
+                n_groups,
+            )
+        )
         .alias("salt"),
     )
     a, b = salted.alias("a"), salted.alias("b")
@@ -191,13 +298,74 @@ def minhash_candidate_pairs(
     )
 
 
-@register("q82_minhash_lsh_neardup", oracle=None, tags=("dedup", "llm", "bench"))
+_PH = "CAST(concat('0x', substring(md5({0}), 1, 15)) AS BIGINT)"
+
+_Q82_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+  FROM tok
+), base AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> {_PH.format("s")} % 2147483647) AS hm
+  FROM sh
+), sig AS (
+  SELECT doc_id, list_transform(range(0, 32),
+    h -> list_min(list_transform(hm,
+           m -> (((h + 1) * 2654435761 % 2147483647) * m
+                 + (h + 1) * 40503 % 2147483647) % 2147483647))) AS sig
+  FROM base
+), banded AS (
+  SELECT doc_id, b AS band,
+    {_PH.format(
+        "array_to_string(list_transform("
+        "list_slice(sig, b * 4 + 1, b * 4 + 4), x -> CAST(x AS VARCHAR)), ',')"
+    )} AS band_hash
+  FROM sig, (SELECT unnest(range(0, 8)) AS b) bs
+), sizes AS (
+  SELECT band, band_hash, COUNT(*) AS bucket_size FROM banded GROUP BY 1, 2
+), salted AS (
+  SELECT doc_id, band, band_hash,
+    CASE WHEN bucket_size <= 64 THEN 0
+         ELSE {_PH.format("concat('lsh-salt:', CAST(doc_id AS VARCHAR))")}
+              % CAST(ceil(bucket_size / 64.0) AS BIGINT) END AS salt
+  FROM banded JOIN sizes USING (band, band_hash)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM salted a JOIN salted b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.salt = b.salt AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b,
+  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = cand.doc_id_a
+JOIN sh sb ON sb.doc_id = cand.doc_id_b
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
+"""
+
+
+@register("q82_minhash_lsh_neardup", oracle=_Q82_ORACLE, tags=("dedup", "llm", "bench"))
 def q82_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs (#82), exact-Jaccard-verified.
-    Rows-only check (xxhash seeds are engine-specific); pytest injects
-    synthetic near-dups and asserts they surface. 0 rows on the
-    all-distinct fixture corpus is the correct answer."""
-    return minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+    Oracle-backed (round 4): the ENTIRE pipeline — 3-word shingles →
+    32-hash MinHash signature → 8×4 banding → bucket-size-capped
+    salting → candidate self-join → exact-Jaccard verification at
+    threshold 0.5 — is re-derived by DuckDB on the portable md5 hash
+    family, so the driver hash-checks the flagship dedup operator end
+    to end (the fixture corpus carries genuine near-dups at every sf:
+    28/25/256 verified pairs at sf0.001/0.01/0.1). Production swaps
+    xxhash64 per hash site (``portable=False``, the default) — banding
+    probability and the bucket-cap work bound are hash-independent."""
+    return minhash_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), portable=True
+    )
 
 
 @register(

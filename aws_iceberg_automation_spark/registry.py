@@ -144,6 +144,7 @@ _DRIVER_PRIORITY = [
     "q193_countmin_heavy_hitters",
     "q194_stream_countmin_replay",
     "q195_cms_join_size_estimate",
+    "q82_minhash_lsh_neardup",
 ]
 
 

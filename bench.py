@@ -69,6 +69,22 @@ def main() -> None:
         "queries_first_run": first_run,
         "sf": float(m.group(1)) if m else sf_dir,
     }
+    # The anchor (BENCH_ANCHOR.json) froze a 12-query set; round 4 put
+    # the LLM-pipeline heavies (span-rewrite / LSH dedup / PQ-ADC)
+    # under the same gate, which grows the headline total. For an
+    # apples-to-apples vs-anchor read, also report the total over
+    # exactly the anchor's query set.
+    anchor_path = os.path.join(REPO, "BENCH_ANCHOR.json")
+    if os.path.exists(anchor_path):
+        with open(anchor_path) as f:
+            anchor_qs = set(json.load(f).get("queries", {}))
+        if anchor_qs <= set(timings):
+            out["value_anchor_set"] = round(
+                sum(timings[q] for q in anchor_qs), 3
+            )
+            out["value_anchor_set_first_run"] = round(
+                sum(first_run[q] for q in anchor_qs), 3
+            )
     print(json.dumps(out), flush=True)
 
 

@@ -200,3 +200,69 @@ def test_approx_distinct_measure_merges_as_sketch(spark, tmp_path):
         assert err < 0.05, f"group {k}: est {est[k]} vs exact {exact[k]} ({err:.1%})"
     # duplicate-heavy appends must not inflate counts past the id domain
     assert est["even"] < 2500 * 1.05 and est["odd"] < 2500 * 1.05
+
+
+def test_countmin_measure_merges_cell_for_cell(spark, tmp_path):
+    """CMS measures (q193/q194's sketch as a view measure): after N
+    incremental refreshes the stored cell array must EQUAL the
+    from-scratch build over the full source, cell for cell (integer
+    cells merge by addition — the same mergeability the streaming
+    build proves), point estimates never undercount the exact
+    frequency, and mixed-kind views (countmin alongside sum/count)
+    keep every measure correct through the partial-join path."""
+    src = VersionedTable(spark, str(tmp_path / "src"))
+
+    def mk_view(root):
+        return IncrementalAggView(
+            spark,
+            src,
+            str(tmp_path / root),
+            group_by=["k"],
+            measures=[
+                Measure("n", "count"),
+                Measure("traffic", "countmin", F.col("uid"), depth=4, width=64),
+            ],
+        )
+
+    mv = mk_view("mv")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("k"),
+            (F.col("id") % 97).alias("uid"),  # skewed repeats
+        )
+
+    src.write(batch(0, 1500))
+    mv.refresh()
+    src.write(batch(1500, 4000), mode="append")
+    src.write(batch(0, 800), mode="append")  # duplicates: cells must ADD
+    mv.refresh()
+
+    # delta-refreshed state == from-scratch build, cell for cell
+    scratch = mk_view("mv_scratch")
+    scratch.refresh()
+    got = {r.k: (r.n, list(r.traffic)) for r in mv.read().collect()}
+    want = {r.k: (r.n, list(r.traffic)) for r in scratch.read().collect()}
+    assert got == want
+    # each seed row of the sketch counts every event exactly once
+    for k, (n, cells) in got.items():
+        assert len(cells) == 4 * 64
+        for seed in range(4):
+            assert sum(cells[seed * 64 : (seed + 1) * 64]) == n
+
+    # point estimates from state alone: one-sided error vs exact
+    probes = spark.createDataFrame([(u,) for u in range(0, 97, 13)], ["item"])
+    est = {
+        (r.k, r.item): r.traffic_estimate
+        for r in mv.cms_point_estimate("traffic", probes).collect()
+    }
+    exact = {
+        (r.k, r.uid): r.c
+        for r in src.read()
+        .groupBy("k", "uid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert est, "no estimates returned"
+    for (k, item), e in est.items():
+        assert e >= exact.get((k, item), 0), (k, item, e)
