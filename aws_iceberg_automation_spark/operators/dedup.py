@@ -978,7 +978,31 @@ def dup_span_coverage(d: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
-@register("q167_neardup_clusters", oracle=None, tags=("dedup", "llm"))
+_Q167_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_Q82_ORACLE}),
+nodes AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id_a AS doc_id FROM pairs
+    UNION ALL SELECT doc_id_b FROM pairs)
+), edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION SELECT doc_id_b, doc_id_a FROM pairs
+), reach AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node AS doc_id, min(lbl) AS component_id FROM reach GROUP BY node
+)
+SELECT component_id,
+  CAST(COUNT(*) AS BIGINT) AS n_members,
+  min(doc_id) AS keeper_doc_id,
+  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS member_ids
+FROM comp GROUP BY component_id
+"""
+
+
+@register("q167_neardup_clusters", oracle=_Q167_ORACLE, tags=("dedup", "llm"))
 def q167_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster report: LSH candidate pairs → transitive
     closure → one row per duplicate cluster with its size, keeper
@@ -991,16 +1015,24 @@ def q167_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     with lineage checkpoints, and the report is one hash agg on
     component_id. member_ids is emitted as a comma-joined string —
     bounded by cluster size, and cluster sizes are bounded by the
-    LSH bucket cap upstream. Rows-only check (xxhash64 seeds are
-    engine-specific); pytest asserts injected duplicate clusters
-    surface intact."""
+    LSH bucket cap upstream.
+
+    Oracle-backed (round 4): pairs come from q82's portable-hash
+    pipeline, and DuckDB re-derives the closure with a recursive CTE
+    (min reachable id = the same min-id-propagation fixpoint), so the
+    driver hash-checks cluster membership exactly. pytest separately
+    asserts injected duplicate clusters surface intact."""
     d = load_table(spark, sf_dir, "documents")
-    comp = connected_components(minhash_candidate_pairs(d))
+    comp = connected_components(minhash_candidate_pairs(d, portable=True))
     return comp.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("doc_id").alias("keeper_doc_id"),
         F.concat_ws(
-            ",", F.sort_array(F.collect_list(F.col("doc_id").cast("string")))
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
         ).alias("member_ids"),
     )
 

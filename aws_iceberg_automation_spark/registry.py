@@ -145,6 +145,7 @@ _DRIVER_PRIORITY = [
     "q194_stream_countmin_replay",
     "q195_cms_join_size_estimate",
     "q82_minhash_lsh_neardup",
+    "q167_neardup_clusters",
 ]
 
 
