@@ -133,5 +133,9 @@ def portable_hash64(c: str | Column) -> Column:
 
 
 def sql_portable_hash64(inner: str) -> str:
-    """DuckDB fragment value-equal to :func:`portable_hash64`."""
-    return f"CAST(concat('0x', substring(md5({inner}), 1, 15)) AS BIGINT)"
+    """DuckDB fragment value-equal to :func:`portable_hash64` —
+    including on NULL: ``||`` propagates NULL exactly like Spark's
+    ``concat``/``md5`` (DuckDB's ``concat()`` function would instead
+    swallow the NULL and hash a corrupted key, or crash the cast on
+    an all-NULL key)."""
+    return f"CAST('0x' || substring(md5({inner}), 1, 15) AS BIGINT)"

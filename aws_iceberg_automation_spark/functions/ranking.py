@@ -116,7 +116,14 @@ def desc_as_asc(c: Column) -> Column:
     NULL to +∞ so it lands last. Plain negation alone silently flips
     null placement (Spark ASC defaults NULLS FIRST, DESC defaults
     NULLS LAST) — a latent divergence from the window/oracle form the
-    moment the column becomes nullable."""
+    moment the column becomes nullable.
+
+    Contract: FINITE FLOAT/DOUBLE keys (or integers within the
+    double-exact range |v| < 2^53). The +∞ NULL sentinel type-unifies
+    the result to DOUBLE, so 64-bit integer keys above 2^53 would
+    collapse ties, and NaN inputs sort after the NULL sentinel whereas
+    a true DESC puts NaN first — for such keys negate directly and
+    handle nulls explicitly."""
     return F.coalesce(-c, F.lit(float("inf")))
 
 

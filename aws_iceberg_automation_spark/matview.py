@@ -296,7 +296,17 @@ class IncrementalAggView:
         )
         if m is None:
             raise ValueError(f"no countmin measure named {alias!r}")
-        pr = F.broadcast(probes.select(F.col(item_col).alias("_item")).distinct())
+        # xxhash64 is TYPE-sensitive (xxhash64(5) != xxhash64('5')):
+        # coerce probes to the measure expression's resolved type so a
+        # string-probe-against-int-build can't silently address wrong
+        # cells and break the one-sided bound. Resolving the type is a
+        # schema-only read of the source, no job.
+        build_type = (
+            self.source.read().select(m.expr.alias("_t")).schema[0].dataType
+        )
+        pr = F.broadcast(
+            probes.select(F.col(item_col).cast(build_type).alias("_item")).distinct()
+        )
         ests = F.transform(
             F.sequence(F.lit(0), F.lit(m.depth - 1)),
             lambda s: F.element_at(

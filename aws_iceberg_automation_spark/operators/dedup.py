@@ -49,17 +49,6 @@ def word_shingles(text: str | Column, k: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def _seeded_hash64(item: Column, seed: Column, portable: bool) -> Column:
-    """Seeded 64-bit hash: xxhash64(item, seed) on the production path;
-    the md5-derived portable hash of "seed:item" when the result must
-    be recomputable by the DuckDB oracle (functions/compat)."""
-    if portable:
-        from ..functions.compat import portable_hash64
-
-        return portable_hash64(F.concat(seed.cast("string"), F.lit(":"), item))
-    return F.xxhash64(item, seed)
-
-
 def _hash64(item: Column, portable: bool) -> Column:
     if portable:
         from ..functions.compat import portable_hash64
@@ -73,39 +62,33 @@ _MH_A = 2654435761  # Knuth multiplicative constant
 _MH_B = 40503
 
 
-def minhash_signature(
-    shingles: Column, num_hashes: int = 32, portable: bool = False
-) -> Column:
-    """MinHash signature: per permutation h, min over shingles of
-    h_seed(s). One array column — no N×H explosion, no shuffle.
-
-    Production path: xxhash64(s, h) per (shingle, seed) — one cheap JVM
-    hash each. Portable path (oracle-checkable): ONE md5-derived base
-    hash per shingle, then the num_hashes permutations come from the
-    universal family h_i(m) = (a_i·m + b_i) mod P with P = 2^31-1 and
-    a_i = (i+1)·A mod P — exact int64 arithmetic (products < 2^62,
-    never overflow) that DuckDB reproduces literally, and ~num_hashes×
-    fewer digests than md5-per-seed (measured 5.1s → 2.6s at sf0.1)."""
-    if portable:
-        from ..functions.compat import portable_hash64
-
-        base = F.transform(shingles, lambda s: portable_hash64(s) % _MH_P)
-        return minhash_from_base_hashes(base, num_hashes)
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature (production path): per permutation h, min over
+    shingles of xxhash64(s, h) — one cheap JVM hash each. One array
+    column — no N×H explosion, no shuffle. For the oracle-checkable
+    portable variant there is deliberately NO flag here: project the
+    md5 base hashes as their own column and call
+    :func:`minhash_from_base_hashes` (see its docstring for why
+    inlining would 32× the digest cost)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda h: F.array_min(
-            F.transform(shingles, lambda s: _seeded_hash64(s, h, portable))
+            F.transform(shingles, lambda s: F.xxhash64(s, h))
         ),
     )
 
 
 def minhash_from_base_hashes(base: Column, num_hashes: int = 32) -> Column:
-    """The permutation half of the portable MinHash: signature from an
-    ALREADY-HASHED shingle array (values in [0, P)). Callers on the hot
-    path materialize the base-hash array as its own projected column
-    first — expression CSE does not reach across lambda scopes, so
-    inlining the md5 map here would re-digest every shingle once per
-    permutation (measured 32×: 3.1s vs 0.4s for the base map at sf0.1)."""
+    """The permutation half of the portable (oracle-checkable) MinHash:
+    signature from an ALREADY-HASHED shingle array (values in [0, P)),
+    via the universal family h_i(m) = (a_i·m + b_i) mod P with
+    P = 2^31-1 and a_i = (i+1)·A mod P — exact int64 arithmetic
+    (products < 2^62, never overflow) that DuckDB reproduces literally.
+    Callers MUST materialize the base-hash array as its own projected
+    column first — expression CSE does not reach across lambda scopes,
+    so inlining the md5 map here would re-digest every shingle once per
+    permutation (measured 32×: 3.1s vs 0.4s for the base map at
+    sf0.1)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda h: F.array_min(
@@ -246,7 +229,10 @@ def minhash_candidate_pairs(
     # Pin it: banded is tiny (N·bands rows of three int64s) while its
     # parent is the whole corpus — the materialize-the-signature-table
     # step every production dedup pipeline has (measured 8.2s → 2.9s at
-    # sf0.1). Same lineage-control pattern as graph.connected_components.
+    # sf0.1). Same lineage-control pattern as graph.connected_components,
+    # with the same two documented costs: constructing the DataFrame is
+    # eager (the checkpoint job runs at plan-build), and PLANS.md's
+    # audit row shows the post-checkpoint plan.
     banded = banded.localCheckpoint()
     sizes = banded.groupBy("band", "band_hash").agg(
         F.count(F.lit(1)).alias("bucket_size")
@@ -286,19 +272,22 @@ def minhash_candidate_pairs(
     )
     sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
+    jac = jaccard(F.col("sh_a"), F.col("sh_b"))
+    # threshold the RAW ratio, round only for display — the oracle's
+    # WHERE compares unrounded too, so boundary pairs cannot diverge
     return (
         cand.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
+        .filter(jac >= threshold)
         .select(
             "doc_id_a",
             "doc_id_b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+            F.round(jac, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
 
 
-_PH = "CAST(concat('0x', substring(md5({0}), 1, 15)) AS BIGINT)"
+_PH = "CAST('0x' || substring(md5({0}), 1, 15) AS BIGINT)"
 
 _Q82_ORACLE = f"""
 WITH tok AS (
@@ -330,7 +319,7 @@ WITH tok AS (
 ), salted AS (
   SELECT doc_id, band, band_hash,
     CASE WHEN bucket_size <= 64 THEN 0
-         ELSE {_PH.format("concat('lsh-salt:', CAST(doc_id AS VARCHAR))")}
+         ELSE {_PH.format("('lsh-salt:' || CAST(doc_id AS VARCHAR))")}
               % CAST(ceil(bucket_size / 64.0) AS BIGINT) END AS salt
   FROM banded JOIN sizes USING (band, band_hash)
 ), cand AS (
@@ -410,7 +399,7 @@ def q82b_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH tok AS (
   SELECT doc_id,
-    CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) AS h
+    CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) AS h
   FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
         FROM documents)
 ), bits AS (

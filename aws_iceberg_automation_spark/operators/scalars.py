@@ -322,7 +322,7 @@ def q71_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
   {sql_portable_hash64("text")} AS text_h64,
   {sql_portable_hash64("text")} % 64 AS salt_bucket,
-  {sql_portable_hash64("concat(CAST(doc_id AS VARCHAR), ':', lang)")} % 16
+  {sql_portable_hash64("(CAST(doc_id AS VARCHAR) || ':' || lang)")} % 16
     AS shard_16,
   CASE WHEN {sql_portable_hash64("text")} % 100 < 5 THEN 1 ELSE 0 END
     AS in_5pct_sample

@@ -303,7 +303,7 @@ def cms_bucket(item: Column, seed: Column, width: int, portable: bool) -> Column
 
 def sql_cms_bucket(item: str, seed: str, width: int) -> str:
     """DuckDB fragment value-equal to ``cms_bucket(..., portable=True)``."""
-    key = f"concat(CAST({seed} AS VARCHAR), ':', CAST({item} AS VARCHAR))"
+    key = f"(CAST({seed} AS VARCHAR) || ':' || CAST({item} AS VARCHAR))"
     return f"({sql_portable_hash64(key)} % {width})"
 
 

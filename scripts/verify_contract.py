@@ -218,6 +218,12 @@ def run(sf_dir: str, only: list[str]) -> int:
     if failed:
         print("failed:", " ".join(failed))
     report_path = os.environ.get("SPARK_GRAFT_VERIFY_REPORT")
+    if report_path and only:
+        # A subset run must never clobber the committed full-registry
+        # sweep record (the coverage guard test reads it) — a leftover
+        # exported env var would otherwise destroy the 207-entry report.
+        print(f"[report] skipped ({len(only)}-query subset run, not a full sweep)")
+        report_path = None
     if report_path:
         # Machine-readable sweep record: tests/test_registry_contract.py
         # asserts the committed report covers every registered query, so
