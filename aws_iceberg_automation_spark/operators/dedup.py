@@ -22,9 +22,11 @@ Shapes at 100 TB:
 - transitive closure: iterative min-id propagation with localCheckpoint
   each round (lineage cut), rounds = O(log component-diameter).
 
-The fixture corpus is all-distinct word soup (FIXTURES.md), so the
-threshold queries legitimately return few/zero rows at low sf; tests
-inject controlled duplicates and assert the pipeline finds them.
+The fixture corpus has no EXACT duplicates (FIXTURES.md) but does carry
+genuine near-duplicates: the LSH pipeline at threshold 0.5 verifies
+28/25/256 pairs at sf0.001/0.01/0.1, so the oracle comparisons are
+non-vacuous at every scale. Tests additionally inject controlled
+duplicate clusters and assert the pipeline finds them.
 """
 
 from __future__ import annotations
