@@ -207,24 +207,9 @@ def minhash_candidate_pairs(
     sh = docs.select(
         "doc_id", word_shingles(F.col("text"), k).alias("shingles")
     )
-    if portable:
-        from ..functions.compat import portable_hash64
-
-        # base hashes as their own projection so the md5 map runs once
-        # per shingle, not once per permutation (see
-        # minhash_from_base_hashes)
-        sig = minhash_from_base_hashes(F.col("_hm"), num_hashes)
-        signed = sh.withColumn(
-            "_hm",
-            F.transform("shingles", lambda s: portable_hash64(s) % _MH_P),
-        )
-    else:
-        sig = minhash_signature(F.col("shingles"), num_hashes)
-        signed = sh
-    banded = signed.select(
-        "doc_id",
-        F.explode(lsh_bands(sig, bands, rows, portable)).alias("b"),
-    ).select("doc_id", "b.band", "b.band_hash")
+    banded = _banded_postings(
+        sh, "doc_id", "shingles", num_hashes, bands, rows, portable
+    )
     # The banded frame feeds the size count, the salt join AND both
     # sides of the candidate self-join — four lineage paths through the
     # expensive signature map (num_hashes hashes per shingle per doc).
@@ -648,12 +633,43 @@ def q121_fuzzy_catalog_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _banded_postings(
+    sh: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    num_hashes: int,
+    bands: int,
+    rows: int,
+    portable: bool,
+) -> DataFrame:
+    """(id, band, band_hash) postings from a (id, shingles) frame —
+    the shared banding step of the one-shot pipeline, the persistable
+    index build and the incremental crawl. Portable signatures project
+    the base-hash array first (see minhash_from_base_hashes)."""
+    if portable:
+        from ..functions.compat import portable_hash64
+
+        sig = minhash_from_base_hashes(F.col("_hm"), num_hashes)
+        signed = sh.withColumn(
+            "_hm",
+            F.transform(shingle_col, lambda s: portable_hash64(s) % _MH_P),
+        )
+    else:
+        sig = minhash_signature(F.col(shingle_col), num_hashes)
+        signed = sh
+    return signed.select(
+        id_col,
+        F.explode(lsh_bands(sig, bands, rows, portable)).alias("b"),
+    ).select(id_col, "b.band", "b.band_hash")
+
+
 def build_lsh_index(
     docs: DataFrame,
     k: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
     bucket_cap: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """Persistable MinHash-LSH index over (doc_id, text): one row per
     (doc_id, band, band_hash) posting. The incremental-crawl contract:
@@ -673,12 +689,9 @@ def build_lsh_index(
     sh = docs.select(
         "doc_id", word_shingles(F.col("text"), k).alias("shingles")
     )
-    banded = sh.select(
-        "doc_id",
-        F.explode(
-            lsh_bands(minhash_signature(F.col("shingles"), num_hashes), bands, rows)
-        ).alias("b"),
-    ).select("doc_id", "b.band", "b.band_hash")
+    banded = _banded_postings(
+        sh, "doc_id", "shingles", num_hashes, bands, rows, portable
+    )
     from ..functions.ranking import cap_groups
 
     return cap_groups(banded, ["band", "band_hash"], [F.col("doc_id")], bucket_cap)
@@ -692,6 +705,7 @@ def incremental_neardup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """Dedup a new batch against an indexed corpus: band the new docs
     (map-side), equi-join their postings against the stored index on
@@ -709,12 +723,9 @@ def incremental_neardup(
         F.col("doc_id").alias("new_doc_id"),
         word_shingles(F.col("text"), k).alias("new_sh"),
     )
-    new_banded = new_sh.select(
-        "new_doc_id",
-        F.explode(
-            lsh_bands(minhash_signature(F.col("new_sh"), num_hashes), bands, rows)
-        ).alias("b"),
-    ).select("new_doc_id", "b.band", "b.band_hash")
+    new_banded = _banded_postings(
+        new_sh, "new_doc_id", "new_sh", num_hashes, bands, rows, portable
+    )
     cand = (
         new_banded.join(corpus_index, ["band", "band_hash"])
         .select("new_doc_id", F.col("doc_id").alias("corpus_doc_id"))
@@ -724,15 +735,18 @@ def incremental_neardup(
         F.col("doc_id").alias("corpus_doc_id"),
         word_shingles(F.col("text"), k).alias("corp_sh"),
     )
+    jac = jaccard(F.col("new_sh"), F.col("corp_sh"))
+    # raw-ratio threshold, rounded display — same boundary contract as
+    # minhash_candidate_pairs / the DuckDB oracle
     verified = (
         cand.join(corpus_sh, "corpus_doc_id")
         .join(new_sh, "new_doc_id")
+        .filter(jac >= threshold)
         .select(
             "new_doc_id",
             "corpus_doc_id",
-            F.round(jaccard(F.col("new_sh"), F.col("corp_sh")), 6).alias("jaccard"),
+            F.round(jac, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
     w = Window.partitionBy("new_doc_id").orderBy(
         F.col("jaccard").desc(), F.col("corpus_doc_id")
@@ -757,17 +771,82 @@ def incremental_neardup(
     )
 
 
-@register("q131_incremental_neardup", oracle=None, tags=("dedup", "llm"))
+_Q131_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+  FROM tok
+), base AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> {_PH.format("s")} % 2147483647) AS hm
+  FROM sh
+), sig AS (
+  SELECT doc_id, list_transform(range(0, 32),
+    h -> list_min(list_transform(hm,
+           m -> (((h + 1) * 2654435761 % 2147483647) * m
+                 + (h + 1) * 40503 % 2147483647) % 2147483647))) AS sig
+  FROM base
+), banded AS (
+  SELECT doc_id, b AS band,
+    {_PH.format(
+        "array_to_string(list_transform("
+        "list_slice(sig, b * 4 + 1, b * 4 + 4), x -> CAST(x AS VARCHAR)), ',')"
+    )} AS band_hash
+  FROM sig, (SELECT unnest(range(0, 8)) AS b) bs
+), idx AS (
+  SELECT band, band_hash, doc_id AS corpus_doc_id FROM (
+    SELECT band, band_hash, doc_id,
+           row_number() OVER (PARTITION BY band, band_hash
+                              ORDER BY doc_id) AS rk
+    FROM banded WHERE doc_id < 400)
+  WHERE rk <= 64
+), cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc_id, idx.corpus_doc_id
+  FROM (SELECT * FROM banded WHERE doc_id >= 400) n
+  JOIN idx USING (band, band_hash)
+), verified AS (
+  SELECT new_doc_id, corpus_doc_id,
+    round(CAST(len(list_intersect(sn.shingles, sc.shingles)) AS DOUBLE)
+          / len(list_distinct(sn.shingles || sc.shingles)), 6) AS jaccard
+  FROM cand
+  JOIN sh sn ON sn.doc_id = cand.new_doc_id
+  JOIN sh sc ON sc.doc_id = cand.corpus_doc_id
+  WHERE CAST(len(list_intersect(sn.shingles, sc.shingles)) AS DOUBLE)
+        / len(list_distinct(sn.shingles || sc.shingles)) >= 0.5
+), best AS (
+  SELECT new_doc_id, corpus_doc_id, jaccard FROM (
+    SELECT *, row_number() OVER (PARTITION BY new_doc_id
+                                 ORDER BY jaccard DESC, corpus_doc_id) AS rk
+    FROM verified)
+  WHERE rk = 1
+)
+SELECT d.doc_id AS new_doc_id, b.corpus_doc_id, b.jaccard,
+  CAST(CASE WHEN b.corpus_doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
+LEFT JOIN best b ON b.new_doc_id = d.doc_id
+"""
+
+
+@register("q131_incremental_neardup", oracle=_Q131_ORACLE, tags=("dedup", "llm"))
 def q131_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental crawl dedup (rows-only: minhash bucketing is
-    engine-specific; the pytest invariant injects corpus near-dups into
-    the batch and asserts they are caught while novel docs pass): docs
-    0-399 are the indexed corpus, 400+ are the incoming batch."""
+    """Incremental crawl dedup: docs 0-399 are the indexed corpus, 400+
+    are the incoming batch deduped against the stored postings without
+    re-touching corpus text except for verified candidates.
+
+    Oracle-backed (round 4): index build (capped postings = the same
+    first-64-per-bucket rule), batch banding, candidate join and
+    best-match selection are all re-derived by DuckDB on the portable
+    hash family. The pytest invariant additionally injects corpus
+    near-dups into the batch and asserts they are caught while novel
+    docs pass."""
     d = load_table(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") < 400)
     batch = d.filter(F.col("doc_id") >= 400)
-    idx = build_lsh_index(corpus)
-    return incremental_neardup(idx, corpus, batch)
+    idx = build_lsh_index(corpus, portable=True)
+    return incremental_neardup(idx, corpus, batch, portable=True)
 
 
 @register(

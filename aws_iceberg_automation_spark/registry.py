@@ -146,6 +146,7 @@ _DRIVER_PRIORITY = [
     "q195_cms_join_size_estimate",
     "q82_minhash_lsh_neardup",
     "q167_neardup_clusters",
+    "q131_incremental_neardup",
 ]
 
 
