@@ -218,11 +218,29 @@ def sample_frames_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         yield pd.DataFrame(rows)
 
 
-@register("q84c_frame_sampling", oracle=None, tags=("multimodal", "llm"))
+@register(
+    "q84c_frame_sampling",
+    oracle="""
+SELECT doc_id,
+  CAST(i AS INT) AS frame_no,
+  CAST(i * 1000 AS BIGINT) AS frame_offset
+FROM (SELECT doc_id,
+             unnest(range(0, greatest((n_chars * 10) // 1000, 1))) AS i
+      FROM documents)
+""",
+    tags=("multimodal", "llm"),
+)
 def q84c_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (#84): 1→N row expansion via mapInPandas (the
     grouped/table-function shape of §2.12 #90), n_chars standing in for
-    media duration."""
+    media duration.
+
+    Oracle-backed (round 4): the sampling rule (one frame per 1000
+    ticks, at least one) is pure arithmetic, so DuckDB re-derives the
+    exact expansion — the hash row proves the Arrow 1→N plumbing emits
+    precisely the declared rows, no more, no fewer. A real decoder
+    swaps into the kernel; the expansion contract is what the driver
+    pins."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", (F.col("n_chars") * 10).alias("duration")
     )

@@ -82,11 +82,12 @@ _LOADED = False
 # never-driver-verified oracle-backed specs plus 3 queries that earned
 # brand-new oracles this round (the DDL round-trip q196 — ask #4 — and
 # two rows-only→oracle conversions, ask #2). A green r04 makes every
-# oracle-backed query in the registry driver-attested. The remaining
-# three conversions (q193/q194/q195, portable-hash CMS) queue for
-# round 5; verified and rows-only specs follow in registration order.
-# Rows-only specs NEVER occupy a top-50 slot (they cannot earn a hash
-# row).
+# oracle-backed query in the window driver-attested. The round also
+# converted seven MORE rows-only queries to real oracles (portable-hash
+# CMS q193/q194/q195, the full LSH dedup family q82/q167/q131, and
+# q84c's arithmetic expansion) — those queue for round 5; verified and
+# rows-only specs follow in registration order. Rows-only specs NEVER
+# occupy a top-50 slot (they cannot earn a hash row).
 _DRIVER_PRIORITY = [
     # -- round-4 window: 50 never-driver-verified, all oracle-backed --
     "q35c_gap_fill_forward",
@@ -147,6 +148,7 @@ _DRIVER_PRIORITY = [
     "q82_minhash_lsh_neardup",
     "q167_neardup_clusters",
     "q131_incremental_neardup",
+    "q84c_frame_sampling",
 ]
 
 
