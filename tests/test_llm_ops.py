@@ -34,8 +34,19 @@ def docs_with_dups(spark):
     return d.unionByName(dups)
 
 
-def test_minhash_lsh_finds_injected_neardups(docs_with_dups):
-    pairs = minhash_candidate_pairs(docs_with_dups, threshold=0.5).collect()
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("portable", [False, True])
+def test_minhash_lsh_finds_injected_neardups(docs_with_dups, portable):
+    """Both hash families — production xxhash64 and the oracle-checkable
+    portable/universal family — must detect the injected near-dups:
+    banding probability is hash-independent, and this is the pytest
+    proof of that claim for the portable path (its fixture-level
+    correctness is separately driver-hash-checked via q82)."""
+    pairs = minhash_candidate_pairs(
+        docs_with_dups, threshold=0.5, portable=portable
+    ).collect()
     found = {(r.doc_id_a, r.doc_id_b) for r in pairs}
     expected = {(i, i + 100000) for i in range(10)}
     missing = expected - found
