@@ -266,3 +266,36 @@ def test_countmin_measure_merges_cell_for_cell(spark, tmp_path):
     assert est, "no estimates returned"
     for (k, item), e in est.items():
         assert e >= exact.get((k, item), 0), (k, item, e)
+
+
+def test_countmin_point_estimate_coerces_probe_type(spark, tmp_path):
+    """xxhash64 is type-sensitive; probes of the wrong type must be
+    coerced to the measure's build type (not silently hashed as-is,
+    which would address arbitrary cells and break the one-sided
+    bound). String probes against an integer-built sketch must return
+    the same estimates as integer probes."""
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    mv = IncrementalAggView(
+        spark,
+        src,
+        str(tmp_path / "mv"),
+        group_by=["k"],
+        measures=[Measure("traffic", "countmin", F.col("uid"), width=64)],
+    )
+    src.write(
+        spark.range(0, 2000).select(
+            F.lit("all").alias("k"), (F.col("id") % 37).alias("uid")
+        )
+    )
+    mv.refresh()
+    ints = spark.createDataFrame([(u,) for u in range(0, 37, 5)], ["item"])
+    strs = ints.select(F.col("item").cast("string").alias("item"))
+    est_i = {r.item: r.traffic_estimate
+             for r in mv.cms_point_estimate("traffic", ints).collect()}
+    est_s = {int(r.item): r.traffic_estimate
+             for r in mv.cms_point_estimate("traffic", strs).collect()}
+    assert est_i == est_s
+    exact = {r.uid: r.c for r in src.read().groupBy("uid")
+             .agg(F.count(F.lit(1)).alias("c")).collect()}
+    for u, e in est_i.items():
+        assert e >= exact[u]
