@@ -304,9 +304,31 @@ class IncrementalAggView:
         build_type = (
             self.source.read().select(m.expr.alias("_t")).schema[0].dataType
         )
-        pr = F.broadcast(
-            probes.select(F.col(item_col).cast(build_type).alias("_item")).distinct()
+        # try_cast (never ANSI-throwing) + eager validation: a probe
+        # that can't coerce to the build type would otherwise become
+        # NULL and estimate xxhash64(NULL)'s cells — a frequency for an
+        # item that was never counted. Probes are a tiny shortlist, so
+        # the validation count is a broadcast-sized job.
+        coerced = probes.select(
+            F.col(item_col).alias("_raw"),
+            F.col(item_col).try_cast(build_type).alias("_item"),
         )
+        bad = [
+            r["_raw"]
+            for r in coerced.where(
+                F.col("_raw").isNotNull() & F.col("_item").isNull()
+            )
+            .select("_raw")
+            .limit(5)
+            .collect()
+        ]
+        if bad:
+            raise ValueError(
+                f"probe values {bad!r} cannot be coerced to the sketch's "
+                f"build type {build_type.simpleString()}; estimates for "
+                "them would be meaningless"
+            )
+        pr = F.broadcast(coerced.select("_item").where(F.col("_item").isNotNull()).distinct())
         ests = F.transform(
             F.sequence(F.lit(0), F.lit(m.depth - 1)),
             lambda s: F.element_at(

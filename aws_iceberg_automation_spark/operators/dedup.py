@@ -276,8 +276,12 @@ def minhash_candidate_pairs(
 
 _PH = "CAST('0x' || substring(md5({0}), 1, 15) AS BIGINT)"
 
-_Q82_ORACLE = f"""
-WITH tok AS (
+# Shared shingle→MinHash→banding CTE chain (the DuckDB re-derivation of
+# minhash_from_base_hashes + lsh_bands on the portable hash family).
+# Both LSH oracles compose from this ONE fragment so a parameter change
+# (num_hashes=32, P=2147483647, A=2654435761, B=40503, 8×4 banding)
+# can never drift between them.
+_MINHASH_CTES = f"""tok AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ), sh AS (
   SELECT doc_id, list_distinct(list_transform(
@@ -301,7 +305,10 @@ WITH tok AS (
         "list_slice(sig, b * 4 + 1, b * 4 + 4), x -> CAST(x AS VARCHAR)), ',')"
     )} AS band_hash
   FROM sig, (SELECT unnest(range(0, 8)) AS b) bs
-), sizes AS (
+)"""
+
+_Q82_ORACLE = f"""
+WITH {_MINHASH_CTES}, sizes AS (
   SELECT band, band_hash, COUNT(*) AS bucket_size FROM banded GROUP BY 1, 2
 ), salted AS (
   SELECT doc_id, band, band_hash,
@@ -772,31 +779,7 @@ def incremental_neardup(
 
 
 _Q131_ORACLE = f"""
-WITH tok AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-), sh AS (
-  SELECT doc_id, list_distinct(list_transform(
-           range(1, greatest(len(toks) - 2, 1) + 1),
-           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
-  FROM tok
-), base AS (
-  SELECT doc_id, shingles,
-         list_transform(shingles, s -> {_PH.format("s")} % 2147483647) AS hm
-  FROM sh
-), sig AS (
-  SELECT doc_id, list_transform(range(0, 32),
-    h -> list_min(list_transform(hm,
-           m -> (((h + 1) * 2654435761 % 2147483647) * m
-                 + (h + 1) * 40503 % 2147483647) % 2147483647))) AS sig
-  FROM base
-), banded AS (
-  SELECT doc_id, b AS band,
-    {_PH.format(
-        "array_to_string(list_transform("
-        "list_slice(sig, b * 4 + 1, b * 4 + 4), x -> CAST(x AS VARCHAR)), ',')"
-    )} AS band_hash
-  FROM sig, (SELECT unnest(range(0, 8)) AS b) bs
-), idx AS (
+WITH {_MINHASH_CTES}, idx AS (
   SELECT band, band_hash, doc_id AS corpus_doc_id FROM (
     SELECT band, band_hash, doc_id,
            row_number() OVER (PARTITION BY band, band_hash

@@ -34,10 +34,7 @@ def docs_with_dups(spark):
     return d.unionByName(dups)
 
 
-import pytest as _pytest
-
-
-@_pytest.mark.parametrize("portable", [False, True])
+@pytest.mark.parametrize("portable", [False, True])
 def test_minhash_lsh_finds_injected_neardups(docs_with_dups, portable):
     """Both hash families — production xxhash64 and the oracle-checkable
     portable/universal family — must detect the injected near-dups:

@@ -299,3 +299,27 @@ def test_countmin_point_estimate_coerces_probe_type(spark, tmp_path):
              .agg(F.count(F.lit(1)).alias("c")).collect()}
     for u, e in est_i.items():
         assert e >= exact[u]
+
+
+def test_countmin_point_estimate_rejects_uncastable_probes(spark, tmp_path):
+    """A probe that can't coerce to the build type must raise, not
+    silently estimate xxhash64(NULL)'s cells (non-ANSI cast-to-NULL) or
+    die with CAST_INVALID_INPUT (ANSI). try_cast makes the behavior
+    mode-independent; the eager check makes it loud."""
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    mv = IncrementalAggView(
+        spark,
+        src,
+        str(tmp_path / "mv"),
+        group_by=["k"],
+        measures=[Measure("traffic", "countmin", F.col("uid"), width=64)],
+    )
+    src.write(
+        spark.range(0, 100).select(
+            F.lit("all").alias("k"), (F.col("id") % 7).alias("uid")
+        )
+    )
+    mv.refresh()
+    bad = spark.createDataFrame([("3",), ("xyz",)], ["item"])
+    with pytest.raises(ValueError, match="cannot be coerced"):
+        mv.cms_point_estimate("traffic", bad)
