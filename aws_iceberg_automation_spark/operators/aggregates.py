@@ -604,3 +604,126 @@ def q185_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+@register(
+    "q197_rolling_distinct_exact",
+    oracle="""
+WITH hu AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+)
+SELECT w.win_end, COUNT(DISTINCT hu.user_id) AS exact_distinct_users
+FROM (SELECT DISTINCT h AS win_end FROM hu) w
+JOIN hu ON hu.h <= w.win_end AND hu.h > w.win_end - INTERVAL 6 HOUR
+GROUP BY w.win_end
+""",
+    tags=("agg", "window", "distinct"),
+)
+def q197_rolling_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 6-hour distinct users per hour — the ground-truth
+    counterpart of q149's HLL-sketch rollup (same window definition,
+    same output grain, exact counts instead of estimates).
+
+    Scale shape: the raw events are touched ONCE (two-phase distinct of
+    (hour, user) — wire traffic is the deduped pair count, not event
+    count); each surviving pair then fans out map-side to the ≤6
+    window-ends it contributes to (``explode(sequence(...))``, no
+    shuffle), is semi-joined against the broadcast tiny hours frame so
+    synthetic window-ends past the data's edge drop out, and the final
+    count(DISTINCT) is the standard two-phase expand+agg. Cost is
+    window_length × |distinct pairs| — linear, oblivious to event
+    volume — whereas a naive per-window re-scan is window_length ×
+    |events|. The sketch path (q149) stays the 100 TB default (its
+    overlap math is per-sketch, not per-pair); this exact variant is
+    the audit/backstop and the error-measurement oracle for it
+    (tests/test_llm_ops.py asserts the sketch's relative error)."""
+    ev = load_table(spark, sf_dir, "events")
+    hu = (
+        ev.select(
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("h"),
+            "user_id",
+        )
+        .distinct()
+    )
+    hours = hu.select(F.col("h").alias("win_end")).distinct()
+    fanned = hu.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("h"),
+                F.col("h") + F.expr("INTERVAL 5 HOURS"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("win_end"),
+    )
+    return (
+        fanned.join(F.broadcast(hours), "win_end", "left_semi")
+        .groupBy("win_end")
+        .agg(F.count_distinct("user_id").alias("exact_distinct_users"))
+    )
+
+
+@register(
+    "q200_weighted_percentile",
+    oracle=f"""
+WITH g AS (
+  SELECT l_returnflag, l_discount,
+         SUM({SQL_DISC_PRICE}) AS rev
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT l_returnflag, l_discount, rev,
+    SUM(rev) OVER (PARTITION BY l_returnflag ORDER BY l_discount
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(rev) OVER (PARTITION BY l_returnflag) AS tot
+  FROM g
+)
+SELECT l_returnflag,
+  MIN(CASE WHEN 2 * cum >= tot THEN l_discount END) AS wmedian_discount,
+  MIN(CASE WHEN 10 * cum >= 9 * tot THEN l_discount END) AS wp90_discount,
+  CAST(CAST(MAX(tot) AS DECIMAL(38,6)) AS VARCHAR) AS total_revenue
+FROM c GROUP BY l_returnflag
+""",
+    tags=("agg", "percentile"),
+)
+def q200_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted discount percentiles per return flag: the
+    smallest discount at which ≥50% (median) / ≥90% of revenue has
+    accumulated — "at what discount level does half the money sit",
+    the weighted-percentile shape every pricing/curation report needs
+    (percentile_approx weights rows equally; this weights by a measure).
+
+    Scale shape: raw lineitems collapse FIRST via two-phase hash agg to
+    the (flag × distinct-weight-key) grid — |groups| rows on the wire,
+    never a sort of the input — and the cumulative window runs over
+    that tiny grouped frame, partitioned by flag. All revenue math is
+    exact DECIMAL (order-independent), and the threshold test is the
+    integer-scaled comparison ``2·cum ≥ tot`` — no division, no float
+    boundary, so engine disagreement is impossible (the raw-ratio
+    lesson from the round-3 review, taken one step further)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag", "l_discount").agg(
+        F.sum(disc_price()).alias("rev")
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_discount")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "l_discount",
+        F.sum("rev").over(w_cum).alias("cum"),
+        F.sum("rev").over(w_all).alias("tot"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("tot"), F.col("l_discount"))
+        ).alias("wmedian_discount"),
+        F.min(
+            F.when(F.col("cum") * 10 >= F.col("tot") * 9, F.col("l_discount"))
+        ).alias("wp90_discount"),
+        F.max("tot").cast("decimal(38,6)").cast("string").alias("total_revenue"),
+    )

@@ -1084,3 +1084,110 @@ def q192_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "q198_revenue_trend_ols",
+    oracle=f"""
+WITH daily AS (
+  SELECT n.n_name,
+    date_diff('day', DATE '1992-01-01', CAST(l.l_shipdate AS DATE)) AS x,
+    SUM({SQL_DISC_PRICE}) AS y
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY 1, 2
+), sums AS (
+  -- every moment at an explicit precision that BOTH engines keep
+  -- exact through the multiplies below (x < 10^4, Σx < 10^10,
+  -- Σy < 10^18, Σxy < 10^22 — no 38-precision overflow anywhere)
+  SELECT n_name,
+    CAST(COUNT(*) AS BIGINT) AS n_days,
+    CAST(SUM(x) AS BIGINT) AS sx,
+    CAST(SUM(CAST(x AS BIGINT) * x) AS BIGINT) AS sxx,
+    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DECIMAL(24,6)) AS sy,
+    CAST(SUM(CAST(x AS DECIMAL(4,0)) * CAST(y AS DECIMAL(18,6)))
+         AS DECIMAL(28,6)) AS sxy
+  FROM daily GROUP BY 1
+), terms AS (
+  SELECT n_name, n_days, sx, sy,
+    CAST(CAST(n_days AS DECIMAL(6,0)) * sxy
+         - CAST(sx AS DECIMAL(10,0)) * sy AS DOUBLE) AS num,
+    CAST(n_days * sxx - sx * sx AS DOUBLE) AS den
+  FROM sums
+)
+SELECT n_name, n_days,
+  round(num / den, 6) AS slope_per_day,
+  round(CAST(sy AS DOUBLE) / n_days
+        - (num / den) * (CAST(sx AS DOUBLE) / n_days), 4) AS intercept,
+  CAST(sy AS VARCHAR) AS total_revenue
+FROM terms
+""",
+    tags=("analytics", "regression"),
+)
+def q198_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: closed-form OLS (slope + intercept) of
+    daily revenue against the day index, from ONE pass of exact sums —
+    the grouped-regression shape behind every "is this segment growing"
+    dashboard (built-in ``regr_slope`` computes the same moments; this
+    derives them from exact DECIMAL/BIGINT sums so the result is
+    bit-deterministic across engines and partitionings: slope =
+    (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), every term exact, ONE
+    decimal→double cast at the very end, then round).
+
+    Scale shape: two broadcast dim joins (supplier, nation — fact table
+    never shuffles for them), two-phase hash agg to (nation × day)
+    grain, then a second tiny agg to |nations| rows carrying five
+    moments. No window, no sort, no second scan — the whole regression
+    is an aggregation tree, which is why it survives 100 TB unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.datediff(
+                F.to_date("l_shipdate"), F.lit("1992-01-01").cast("date")
+            ).alias("x"),
+        )
+        .agg(F.sum(disc_price()).alias("y"))
+    )
+    # Precisions chosen so every multiply stays inside 38 digits in
+    # BOTH engines (Spark would otherwise hit its precision-loss
+    # rounding rule; DuckDB would widen differently): x < 10^4,
+    # Σx < 10^10, Σy < 10^18, Σxy < 10^22.
+    xl = F.col("x").cast("bigint")
+    sums = daily.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(xl).alias("sx"),
+        F.sum(xl * xl).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(18,6)"))
+        .cast("decimal(24,6)")
+        .alias("sy"),
+        F.sum(
+            F.col("x").cast("decimal(4,0)") * F.col("y").cast("decimal(18,6)")
+        )
+        .cast("decimal(28,6)")
+        .alias("sxy"),
+    )
+    num = (
+        F.col("n_days").cast("decimal(6,0)") * F.col("sxy")
+        - F.col("sx").cast("decimal(10,0)") * F.col("sy")
+    ).cast("double")
+    den = (
+        F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    slope = num / den
+    return sums.select(
+        "n_name",
+        "n_days",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(
+            F.col("sy").cast("double") / F.col("n_days")
+            - slope * (F.col("sx").cast("double") / F.col("n_days")),
+            4,
+        ).alias("intercept"),
+        F.col("sy").cast("string").alias("total_revenue"),
+    )

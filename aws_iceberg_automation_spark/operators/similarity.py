@@ -806,3 +806,84 @@ def q186_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "system string, n_queries bigint, macro_recall_at_k double, "
         "macro_mrr double",
     )
+
+
+@register(
+    "q199_embedding_centroid_quality",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ex AS (
+  SELECT vec_id, label,
+         unnest(range(1, len(v) + 1)) AS pos,
+         unnest(v) AS x
+  FROM e
+), cen AS (
+  SELECT label, pos, avg(x) AS cx FROM ex GROUP BY 1, 2
+), cnorm AS (
+  SELECT label, SUM(cx * cx) AS cn2 FROM cen GROUP BY 1
+), per AS (
+  SELECT ex.vec_id, ex.label,
+         SUM(x * cx) AS dot, SUM(x * x) AS vn2
+  FROM ex JOIN cen ON cen.label = ex.label AND cen.pos = ex.pos
+  GROUP BY 1, 2
+), cosd AS (
+  SELECT per.label,
+         round(dot / (sqrt(vn2) * sqrt(cn2)), 5) AS cos_c
+  FROM per JOIN cnorm ON cnorm.label = per.label
+)
+SELECT label,
+  COUNT(*) AS n_vecs,
+  round(avg(cos_c), 5) AS avg_cos_centroid,
+  min(cos_c) AS min_cos_centroid
+FROM cosd GROUP BY label
+""",
+    tags=("similarity", "llm", "vector"),
+)
+def q199_embedding_centroid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cohesion audit: the class centroid (per-dim
+    mean) and each vector's cosine to it, summarized as avg/min per
+    label — the standard embedding-quality check before using labels
+    for curation (a low min flags mislabeled or outlier vectors; a low
+    avg flags an incoherent class). Complements q107's SemDeDup
+    clustering and q186's retrieval metrics with a *supervised*
+    cohesion measure.
+
+    Scale shape: vectors explode to (label, dim) grain map-side
+    (|N|×d rows, no shuffle), centroids are a two-phase hash agg to the
+    tiny |labels|×d frame, which BROADCASTS back for the dot products —
+    the corpus never shuffles at all; the only wide movement is the
+    per-vector re-group (vec_id keyed), and that is the minimum any
+    per-vector score needs. At 100 TB the centroid frame is still
+    kilobytes (labels × dims), so the plan is scan → explode → agg →
+    broadcast-join → agg, no sort anywhere. Cosines round to 5 before
+    any cross-row reduction so engine ulp drift cannot move the min."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = e.select(
+        "vec_id", "label", F.posexplode("v").alias("p0", "x")
+    ).select("vec_id", "label", (F.col("p0") + 1).alias("pos"), "x")
+    cen = ex.groupBy("label", "pos").agg(F.avg("x").alias("cx"))
+    cnorm = cen.groupBy("label").agg(
+        F.sum(F.col("cx") * F.col("cx")).alias("cn2")
+    )
+    per = (
+        ex.join(F.broadcast(cen), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("x") * F.col("cx")).alias("dot"),
+            F.sum(F.col("x") * F.col("x")).alias("vn2"),
+        )
+    )
+    cosd = per.join(F.broadcast(cnorm), "label").select(
+        "label",
+        F.round(
+            F.col("dot") / (F.sqrt("vn2") * F.sqrt("cn2")), 5
+        ).alias("cos_c"),
+    )
+    return cosd.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("cos_c"), 5).alias("avg_cos_centroid"),
+        F.min("cos_c").alias("min_cos_centroid"),
+    )

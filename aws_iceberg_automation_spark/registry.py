@@ -142,6 +142,10 @@ _DRIVER_PRIORITY = [
     "q82c_simhash",
     # ---- 50-slot budget line (driver stops here) ----
     # round-5 queue: rows-only→oracle conversions (VERDICT r03 ask #2)
+    # plus four operators built late in round 4 (exact rolling
+    # distinct, grouped OLS trend, embedding-centroid cohesion,
+    # revenue-weighted percentiles) — all oracle-backed, locally green
+    # at sf0.001/0.01/0.1.
     "q193_countmin_heavy_hitters",
     "q194_stream_countmin_replay",
     "q195_cms_join_size_estimate",
@@ -149,6 +153,10 @@ _DRIVER_PRIORITY = [
     "q167_neardup_clusters",
     "q131_incremental_neardup",
     "q84c_frame_sampling",
+    "q197_rolling_distinct_exact",
+    "q198_revenue_trend_ols",
+    "q199_embedding_centroid_quality",
+    "q200_weighted_percentile",
 ]
 
 

@@ -484,26 +484,16 @@ def test_quality_aware_dedup_keeps_best_member(spark):
 
 def test_rolling_distinct_sketch_error_bound(spark):
     """q149's sketch-union rolling estimates must sit within 5% of the
-    exact rolling distinct count (computed by brute explode at fixture
-    scale), and each hour must merge at most 6 sketches."""
+    exact rolling distinct count — supplied by q197, the registered
+    (and DuckDB-oracle-gated) exact counterpart with the identical
+    window definition — and each hour must merge at most 6 sketches."""
     got = {
         r.win_end: (r.approx_distinct_users, r.n_merged_sketches)
         for r in SPECS["q149_rolling_distinct_sketch"].fn(spark, SF_DIR).collect()
     }
-    ev = load_table(spark, SF_DIR, "events").select(
-        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("h"), "user_id"
-    )
-    hours = ev.select(F.col("h").alias("win_end")).distinct()
     exact = {
-        r.win_end: r.n
-        for r in hours.join(
-            ev,
-            (F.col("h") <= F.col("win_end"))
-            & (F.col("h") > F.col("win_end") - F.expr("INTERVAL 6 HOURS")),
-        )
-        .groupBy("win_end")
-        .agg(F.countDistinct("user_id").alias("n"))
-        .collect()
+        r.win_end: r.exact_distinct_users
+        for r in SPECS["q197_rolling_distinct_exact"].fn(spark, SF_DIR).collect()
     }
     assert set(got) == set(exact)
     for w, (est, nsk) in got.items():
