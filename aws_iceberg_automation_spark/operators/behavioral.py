@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.compat import dec2, ts_sec
+from ..functions.compat import dec2, sql_dsum, ts_sec
 from ..io import load_table
 from ..registry import register
 
@@ -465,4 +465,93 @@ def q184_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(late).cast("double") / F.count(F.lit(1)), 6
             ).alias("mean_lateness_s"),
         )
+    )
+
+
+@register(
+    "q201_touch_attribution",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, user_id, date_trunc('second', ts) AS ts, event_type, value
+  FROM events
+), seq AS (
+  SELECT *,
+    last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+               IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_type,
+    last_value(CASE WHEN event_type IN ('click', 'view') THEN ts END
+               IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_ts
+  FROM ev
+), p AS (
+  SELECT
+    CASE WHEN lt_ts IS NOT NULL AND date_diff('second', lt_ts, ts) <= 86400
+         THEN lt_type ELSE 'direct' END AS touch_channel,
+    value,
+    CASE WHEN lt_ts IS NOT NULL AND date_diff('second', lt_ts, ts) <= 86400
+         THEN date_diff('second', lt_ts, ts) END AS delay_s
+  FROM seq WHERE event_type = 'purchase'
+)
+SELECT touch_channel,
+  COUNT(*) AS n_purchases,
+  {sql_dsum("CAST(value AS DECIMAL(8,2))", "attributed_revenue")},
+  round(CAST(SUM(delay_s) AS DOUBLE) / COUNT(delay_s), 4) AS avg_delay_s
+FROM p GROUP BY touch_channel
+""",
+    tags=("behavioral", "attribution"),
+)
+def q201_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent click/view within a 24 h lookback (else 'direct'), reported
+    as purchases / revenue / mean delay per touch channel — the
+    marketing-attribution shape every event warehouse serves, and the
+    canonical "last event of type X before each event Y" pattern
+    (lag/last-ignore-nulls over the per-user sequence; an as-of join
+    against the self-same stream without materializing two tables).
+
+    Scale shape: ONE window over per-user event sequences —
+    partitioned by user_id, so state is one user's events and the
+    shuffle is the natural per-user repartition any sessionization
+    already pays; then a two-phase hash agg to |channels| rows.
+    Revenue sums are exact DECIMAL; the delay average is a ratio of an
+    exact BIGINT sum and a count, bit-identical in both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", ts_sec("ts").alias("ts"), "event_type", "value"
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_t = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_type")
+    )
+    touch_ts = F.when(
+        F.col("event_type").isin("click", "view"), F.col("ts")
+    )
+    seq = ev.select(
+        "*",
+        F.last(touch_t, ignorenulls=True).over(w_prev).alias("lt_type"),
+        F.last(touch_ts, ignorenulls=True).over(w_prev).alias("lt_ts"),
+    )
+    delay = F.timestamp_diff("SECOND", F.col("lt_ts"), F.col("ts"))
+    attributed = F.col("lt_ts").isNotNull() & (delay <= 86400)
+    p = seq.filter(F.col("event_type") == "purchase").select(
+        F.when(attributed, F.col("lt_type"))
+        .otherwise("direct")
+        .alias("touch_channel"),
+        "value",
+        F.when(attributed, delay).alias("delay_s"),
+    )
+    return p.groupBy("touch_channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(dec2("value"))
+        .cast("decimal(38,2)")
+        .cast("string")
+        .alias("attributed_revenue"),
+        F.round(
+            F.sum("delay_s").cast("double") / F.count("delay_s"), 4
+        ).alias("avg_delay_s"),
     )

@@ -875,3 +875,80 @@ def q189_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         crit.alias("crit_05"),
         (F.col("ks_d") > crit).alias("reject_h0"),
     )
+
+
+# Benford first-digit expectations log10(1 + 1/d), frozen to 6 decimals
+# ONCE here (Python math) and inlined as literals in BOTH the Spark
+# query and the DuckDB oracle — no engine libm in the comparison path.
+_BENFORD = {
+    d: round(__import__("math").log10(1 + 1 / d), 6) for d in range(1, 10)
+}
+_BENFORD_SQL_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN '{d}' THEN {p}" for d, p in _BENFORD.items())
+    + " END"
+)
+
+
+@register(
+    "q203_benford_deviation",
+    oracle=f"""
+WITH digits AS (
+  SELECT substring(regexp_replace(
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR),
+           '[^1-9]', '', 'g'), 1, 1) AS digit
+  FROM lineitem
+), counts AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+SELECT digit, n,
+  round(CAST(n AS DOUBLE) / total, 6) AS obs_share,
+  {_BENFORD_SQL_CASE} AS benford_share,
+  round(abs(round(CAST(n AS DOUBLE) / total, 6)
+            - {_BENFORD_SQL_CASE}), 6) AS abs_dev
+FROM counts, tot
+""",
+    tags=("dq", "benford"),
+)
+def q203_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of a money column: the
+    observed share of each leading digit vs Benford's law — the classic
+    fabricated-data / unit-mixup tripwire for financial columns (a
+    synthetic uniform price book deviates hard on digit 1; real
+    multiplicative processes don't). First digit extracted from the
+    exact DECIMAL(12,2) digit string (cross-engine byte-identical per
+    the compat rules), never from float log10 — no libm, no exponent
+    rendering, no boundary risk; expected shares are frozen literals.
+
+    Scale shape: map-side digit extraction → 9-group two-phase hash
+    agg → a 1-row total broadcast back over the 9-row frame (the
+    accepted 1-row-stat BNL pattern, PLANS.md) — one scan, O(1) state
+    regardless of table size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.regexp_replace(
+            F.col("l_extendedprice").cast("decimal(12,2)").cast("string"),
+            "[^1-9]",
+            "",
+        ),
+        1,
+        1,
+    ).alias("digit")
+    counts = li.select(digit).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    expected = F.coalesce(
+        *[
+            F.when(F.col("digit") == str(d), F.lit(p))
+            for d, p in _BENFORD.items()
+        ]
+    )
+    obs = F.round(F.col("n").cast("double") / F.col("total"), 6)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        obs.alias("obs_share"),
+        expected.alias("benford_share"),
+        F.round(F.abs(obs - expected), 6).alias("abs_dev"),
+    )

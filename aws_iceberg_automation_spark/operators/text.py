@@ -1009,3 +1009,84 @@ def q195_cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cms_join_size").cast("double") / F.col("exact_join_size"), 6
         ).alias("overestimate_ratio"),
     )
+
+
+@register(
+    "q202_zipf_fit",
+    oracle="""
+WITH counts AS (
+  SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY lang, term
+), ranked AS (
+  SELECT lang, n,
+    row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rk
+  FROM counts
+), pts AS (
+  SELECT lang, ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+  FROM ranked WHERE rk <= 200
+), moments AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_terms,
+    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pts GROUP BY lang
+)
+SELECT lang, n_terms,
+  round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 4)
+    AS zipf_slope,
+  round(sy / n_terms
+        - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx))
+          * (sx / n_terms), 3) AS intercept
+FROM moments
+""",
+    tags=("text", "llm"),
+)
+def q202_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf fit: OLS slope of log-frequency against
+    log-rank over each language's top-200 terms — the standard corpus
+    health check (natural language sits near slope −1; scraped boiler-
+    plate, spam, or tokenizer damage bend it). Complements q141's
+    entropy and q85's token stats with a distribution-*shape* measure.
+
+    Scale shape: explode → two-phase (lang, term) count — the word-
+    count plan — then a PARTITIONED rank window whose input is the
+    per-language vocabulary (never the corpus), a top-200 cut, and a
+    five-moment agg to |langs| rows. The log/OLS math runs on ≤200
+    values per language; slope rounds to 4 (float sums of 200 logs
+    drift ~1e-13 across engines/partitionings — far inside the
+    rounding guard band, per the compat rules)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "term")
+    pts = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 200)
+        .select(
+            "lang",
+            F.log(F.col("rk").cast("double")).alias("x"),
+            F.log(F.col("n").cast("double")).alias("y"),
+        )
+    )
+    m = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return m.select(
+        "lang",
+        "n_terms",
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(
+            F.col("sy") / F.col("n_terms")
+            - slope * (F.col("sx") / F.col("n_terms")),
+            3,
+        ).alias("intercept"),
+    )

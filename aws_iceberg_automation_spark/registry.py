@@ -157,6 +157,9 @@ _DRIVER_PRIORITY = [
     "q198_revenue_trend_ols",
     "q199_embedding_centroid_quality",
     "q200_weighted_percentile",
+    "q201_touch_attribution",
+    "q202_zipf_fit",
+    "q203_benford_deviation",
 ]
 
 
