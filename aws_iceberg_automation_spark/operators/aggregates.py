@@ -628,9 +628,11 @@ def q197_rolling_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hour, user) — wire traffic is the deduped pair count, not event
     count); each surviving pair then fans out map-side to the ≤6
     window-ends it contributes to (``explode(sequence(...))``, no
-    shuffle), is semi-joined against the broadcast tiny hours frame so
-    synthetic window-ends past the data's edge drop out, and the final
-    count(DISTINCT) is the standard two-phase expand+agg. Cost is
+    shuffle), and the final count(DISTINCT) is the standard two-phase
+    expand+agg; synthetic window-ends past the data's edge drop out
+    via an aggregate "some source hour equals this window-end" flag —
+    no second scan, no join (one FileScan in the executed plan,
+    plan-asserted in tests). Cost is
     window_length × |distinct pairs| — linear, oblivious to event
     volume — whereas a naive per-window re-scan is window_length ×
     |events|. The sketch path (q149) stays the 100 TB default (its
@@ -645,9 +647,9 @@ def q197_rolling_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    hours = hu.select(F.col("h").alias("win_end")).distinct()
     fanned = hu.select(
         "user_id",
+        "h",
         F.explode(
             F.sequence(
                 F.col("h"),
@@ -656,10 +658,18 @@ def q197_rolling_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("win_end"),
     )
+    # A fanned win_end is real iff SOME pair's source hour equals it —
+    # an aggregate flag instead of a semi-join against a second scan of
+    # events, so the table really is read once (plan-verified: one
+    # FileScan).
     return (
-        fanned.join(F.broadcast(hours), "win_end", "left_semi")
-        .groupBy("win_end")
-        .agg(F.count_distinct("user_id").alias("exact_distinct_users"))
+        fanned.groupBy("win_end")
+        .agg(
+            F.count_distinct("user_id").alias("exact_distinct_users"),
+            F.max((F.col("h") == F.col("win_end")).cast("int")).alias("_real"),
+        )
+        .filter(F.col("_real") == 1)
+        .select("win_end", "exact_distinct_users")
     )
 
 

@@ -1179,7 +1179,9 @@ def q198_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = (
         F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
     ).cast("double")
-    slope = num / den
+    # try_divide: a single-ship-day group has den = 0 — NULL slope in
+    # both engines, never an ANSI DIVIDE_BY_ZERO crash.
+    slope = F.try_divide(num, den)
     return sums.select(
         "n_name",
         "n_days",

@@ -33,6 +33,7 @@ cross-engine-exact output convention (functions/compat.py).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -880,9 +881,7 @@ def q189_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Benford first-digit expectations log10(1 + 1/d), frozen to 6 decimals
 # ONCE here (Python math) and inlined as literals in BOTH the Spark
 # query and the DuckDB oracle — no engine libm in the comparison path.
-_BENFORD = {
-    d: round(__import__("math").log10(1 + 1 / d), 6) for d in range(1, 10)
-}
+_BENFORD = {d: round(math.log10(1 + 1 / d), 6) for d in range(1, 10)}
 _BENFORD_SQL_CASE = (
     "CASE digit "
     + " ".join(f"WHEN '{d}' THEN {p}" for d, p in _BENFORD.items())

@@ -876,10 +876,13 @@ def q199_embedding_centroid_quality(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum(F.col("x") * F.col("x")).alias("vn2"),
         )
     )
+    # try_divide: a zero-norm vector (padding/failed embedding) makes
+    # the denominator 0 — NULL cosine in both engines (dropped by
+    # avg/min), never an ANSI DIVIDE_BY_ZERO crash.
     cosd = per.join(F.broadcast(cnorm), "label").select(
         "label",
         F.round(
-            F.col("dot") / (F.sqrt("vn2") * F.sqrt("cn2")), 5
+            F.try_divide(F.col("dot"), F.sqrt("vn2") * F.sqrt("cn2")), 5
         ).alias("cos_c"),
     )
     return cosd.groupBy("label").agg(

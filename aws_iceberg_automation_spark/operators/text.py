@@ -1077,9 +1077,12 @@ def q202_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    slope = (
-        F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")
-    ) / (F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    # try_divide: a single-term language has a zero denominator — NULL
+    # slope in both engines, never an ANSI DIVIDE_BY_ZERO crash.
+    slope = F.try_divide(
+        F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx"),
+    )
     return m.select(
         "lang",
         "n_terms",

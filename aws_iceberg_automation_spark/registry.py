@@ -142,10 +142,11 @@ _DRIVER_PRIORITY = [
     "q82c_simhash",
     # ---- 50-slot budget line (driver stops here) ----
     # round-5 queue: rows-only→oracle conversions (VERDICT r03 ask #2)
-    # plus four operators built late in round 4 (exact rolling
+    # plus seven operators built late in round 4 (exact rolling
     # distinct, grouped OLS trend, embedding-centroid cohesion,
-    # revenue-weighted percentiles) — all oracle-backed, locally green
-    # at sf0.001/0.01/0.1.
+    # revenue-weighted percentiles, last-touch attribution, Zipf fit,
+    # Benford audit) — all oracle-backed, locally green at
+    # sf0.001/0.01/0.1 and under both hostile sweep variants.
     "q193_countmin_heavy_hitters",
     "q194_stream_countmin_replay",
     "q195_cms_join_size_estimate",

@@ -74,3 +74,37 @@ def test_disorder_audit_detects_known_disorder(spark):
     assert out[1].max_lateness_s == 120
     assert out[1].mean_lateness_s == round(120 / 4, 6)
     assert out[2].n_out_of_order == 0 and out[2].max_lateness_s == 0
+
+
+def test_ols_degenerate_group_yields_null_slope_under_ansi(spark, tmp_path):
+    """q198 on a nation with exactly ONE distinct ship day: the OLS
+    denominator n·Σx² − (Σx)² is 0. try_divide must yield a NULL slope
+    in BOTH ANSI polarities — never a DIVIDE_BY_ZERO crash (the ANSI-ON
+    hostile variant is a swept config)."""
+    import datetime
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    day = datetime.datetime(1995, 6, 1)
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 2.0, 100.0, 0.05, 0.02, "N", "O", day),
+            (2, 1, 1, 1, 3.0, 200.0, 0.00, 0.01, "N", "O", day),
+        ],
+        SCHEMAS["lineitem"],
+    )
+    sup = spark.createDataFrame([(1, "s1", 0, 10.0)], SCHEMAS["supplier"])
+    nat = spark.createDataFrame([(0, "ONEDAY", 0)], SCHEMAS["nation"])
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    sup.write.parquet(str(tmp_path / "supplier.parquet"))
+    nat.write.parquet(str(tmp_path / "nation.parquet"))
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        rows = SPECS["q198_revenue_trend_ols"].fn(spark, str(tmp_path)).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    assert len(rows) == 1
+    assert rows[0].n_days == 1
+    assert rows[0].slope_per_day is None
+    assert rows[0].intercept is None

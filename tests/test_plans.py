@@ -475,3 +475,18 @@ def test_topk_per_group_uses_window_group_limit(spark):
     p = plan_string(q("q60_topk_per_group", spark))
     assert "WindowGroupLimit" in p, "rank filter not pushed into window"
     assert "Partial" in p and "Final" in p
+
+
+def test_rolling_distinct_exact_scans_events_once(spark):
+    """q197's docstring claims the events table is touched ONCE: the
+    window-end validity check is an aggregate flag, not a semi-join
+    against a second scan. One FileScan, no join operator."""
+    import re
+
+    from aws_iceberg_automation_spark.plans.explain import plan_string
+
+    df = q("q197_rolling_distinct_exact", spark)
+    p = plan_string(df)
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", p))
+    assert len(scans) == 1, p
+    assert "Join" not in p, p
