@@ -951,3 +951,88 @@ def q203_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("benford_share"),
         F.round(F.abs(obs - expected), 6).alias("abs_dev"),
     )
+
+
+@register(
+    "q204_chi2_independence",
+    oracle="""
+WITH c AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source
+), rt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS r FROM c GROUP BY lang),
+ct AS (SELECT source, CAST(SUM(n) AS BIGINT) AS cl FROM c GROUP BY source),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS t,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS ns
+  FROM c
+), cells AS (
+  -- FULL marginal grid: a (lang, source) combination with zero
+  -- observed docs still contributes (0-e)^2/e = e to chi2
+  SELECT COALESCE(c.n, 0) AS n, CAST(r AS DOUBLE) * cl / t AS e
+  FROM rt CROSS JOIN ct
+  LEFT JOIN c USING (lang, source), tot
+), agg AS (
+  SELECT round(SUM((n - e) * (n - e) / e), 4) AS chi2 FROM cells
+)
+SELECT chi2,
+  (nl - 1) * (ns - 1) AS dof,
+  round(sqrt(chi2 / (t * least(nl - 1, ns - 1))), 6) AS cramers_v
+FROM agg, tot
+""",
+    tags=("dq", "independence"),
+)
+def q204_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of the lang × source contingency
+    table, reported with Cramér's V effect size — "is the corpus's
+    language mix independent of where it was scraped", the bias check
+    a mixture-balancing pass (q106) should run first. V near 0 means
+    sources are interchangeable; V near 1 means language is determined
+    by source and per-source rebalancing is load-bearing.
+
+    Scale shape: two-phase hash agg to the |langs|×|sources| grid, then
+    ALL remaining math on that kilobyte-sized frame (marginals via two
+    tiny aggs broadcast back, 1-row total — the accepted 1-row-stat
+    pattern). Expected counts are identical double expressions from
+    exact BIGINT marginals in both engines; the ≤|cells| contribution
+    sum rounds to 4, and Cramér's V derives from the ROUNDED chi2 so
+    both outputs share one rounding boundary."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    rt = c.groupBy("lang").agg(F.sum("n").alias("r"))
+    ct = c.groupBy("source").agg(F.sum("n").alias("cl"))
+    tot = c.agg(
+        F.sum("n").alias("t"),
+        F.count_distinct("lang").alias("nl"),
+        F.count_distinct("source").alias("ns"),
+    )
+    # FULL marginal grid (rt × ct, both tiny) left-joined to observed
+    # counts: a zero-observed combination still contributes
+    # (0-e)^2/e = e to chi2.
+    cells = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(F.broadcast(c), ["lang", "source"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            (F.col("r").cast("double") * F.col("cl") / F.col("t")).alias("e"),
+            "t",
+            "nl",
+            "ns",
+        )
+    )
+    contrib = (F.col("n") - F.col("e")) * (F.col("n") - F.col("e")) / F.col("e")
+    agg = cells.groupBy("t", "nl", "ns").agg(
+        F.round(F.sum(contrib), 4).alias("chi2")
+    )
+    return agg.select(
+        "chi2",
+        ((F.col("nl") - 1) * (F.col("ns") - 1)).alias("dof"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("t") * F.least(F.col("nl") - 1, F.col("ns") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

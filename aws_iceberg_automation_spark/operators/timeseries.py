@@ -515,3 +515,102 @@ def q35d_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("secs_to_purchase"),
         )
     )
+
+
+@register(
+    "q205_rolling_corr",
+    oracle="""
+WITH daily AS (
+  SELECT n.n_name, CAST(l.l_shipdate AS DATE) AS day,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS rev,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS qty
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l.l_shipdate < TIMESTAMP '1996-01-01'
+  GROUP BY 1, 2
+), m AS (
+  SELECT n_name, day,
+    CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+    SUM(rev) OVER w AS sx, SUM(qty) OVER w AS sy,
+    SUM(rev * qty) OVER w AS sxy,
+    SUM(rev * rev) OVER w AS sxx, SUM(qty * qty) OVER w AS syy,
+    row_number() OVER (PARTITION BY n_name ORDER BY day) AS rk
+  FROM daily
+  WINDOW w AS (PARTITION BY n_name ORDER BY day
+               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+)
+SELECT n_name, day,
+  round(CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+             THEN NULL
+             ELSE (n * sxy - sx * sy)
+                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        END, 4) AS corr_30d
+FROM m WHERE rk >= 30
+""",
+    tags=("timeseries", "window"),
+)
+def q205_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day rolling Pearson correlation between a nation's daily
+    revenue and daily shipped quantity — the co-movement diagnostic
+    behind price-mix monitoring (correlation breaking down means
+    revenue is drifting away from volume: discounting, mix shift, or
+    data error). Emitted only for full 30-day windows.
+
+    Scale shape: broadcast dim joins + two-phase hash agg collapse the
+    fact table to the (nation × day) grain FIRST; the sliding window
+    runs over that tiny per-nation daily series (a year = 365 rows per
+    partition), partitioned by nation. The correlation is spelled as
+    the explicit five-moment formula — IDENTICAL double expressions in
+    both engines (built-in corr() differs in degenerate handling:
+    Spark's throws DIVIDE_BY_ZERO on a zero-variance window under
+    ANSI, the sf0.1 fixture has one, and ANSI is Spark 4's default) —
+    with a variance<=0 guard mapping degenerate windows to NULL on
+    both sides; daily inputs are exact-decimal sums surfaced as
+    doubles and the result rounds to 4."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name", F.to_date("l_shipdate").alias("day"))
+        .agg(
+            F.sum(dec2("l_extendedprice")).cast("double").alias("rev"),
+            F.sum(dec2("l_quantity")).cast("double").alias("qty"),
+        )
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("day")
+        .rowsBetween(-29, Window.currentRow)
+    )
+    w_rk = Window.partitionBy("n_name").orderBy("day")
+    m = daily.select(
+        "n_name",
+        "day",
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+        F.sum("rev").over(w).alias("sx"),
+        F.sum("qty").over(w).alias("sy"),
+        F.sum(F.col("rev") * F.col("qty")).over(w).alias("sxy"),
+        F.sum(F.col("rev") * F.col("rev")).over(w).alias("sxx"),
+        F.sum(F.col("qty") * F.col("qty")).over(w).alias("syy"),
+        F.row_number().over(w_rk).alias("rk"),
+    ).filter(F.col("rk") >= 30)
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "n_name",
+        "day",
+        F.round(
+            F.when((vx <= 0) | (vy <= 0), F.lit(None)).otherwise(
+                cov / (F.sqrt(vx) * F.sqrt(vy))
+            ),
+            4,
+        ).alias("corr_30d"),
+    )

@@ -161,6 +161,8 @@ _DRIVER_PRIORITY = [
     "q201_touch_attribution",
     "q202_zipf_fit",
     "q203_benford_deviation",
+    "q204_chi2_independence",
+    "q205_rolling_corr",
 ]
 
 

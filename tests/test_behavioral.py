@@ -108,3 +108,92 @@ def test_ols_degenerate_group_yields_null_slope_under_ansi(spark, tmp_path):
     assert rows[0].n_days == 1
     assert rows[0].slope_per_day is None
     assert rows[0].intercept is None
+
+
+def test_ols_recovers_known_slope(spark, tmp_path):
+    """q198 on synthetic exactly-linear daily revenue (one lineitem per
+    day, price = 1000 + 7·day_index) must recover slope 7 and intercept
+    1000 up to the output rounding — validates the closed-form moment
+    algebra against a known ground truth, independent of the DuckDB
+    oracle."""
+    import datetime
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    base = datetime.datetime(1992, 1, 1)
+    rows = []
+    for i in range(50):
+        x = 100 + i  # day index relative to 1992-01-01
+        rows.append(
+            (
+                i,
+                1,
+                1,
+                1,
+                1.0,
+                1000.0 + 7.0 * x,
+                0.0,  # zero discount: revenue == extendedprice
+                0.0,
+                "N",
+                "O",
+                base + datetime.timedelta(days=x),
+            )
+        )
+    spark.createDataFrame(rows, SCHEMAS["lineitem"]).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    spark.createDataFrame([(1, "s1", 0, 10.0)], SCHEMAS["supplier"]).write.parquet(
+        str(tmp_path / "supplier.parquet")
+    )
+    spark.createDataFrame([(0, "LIN", 0)], SCHEMAS["nation"]).write.parquet(
+        str(tmp_path / "nation.parquet")
+    )
+    row = SPECS["q198_revenue_trend_ols"].fn(spark, str(tmp_path)).collect()[0]
+    assert row.n_days == 50
+    assert abs(row.slope_per_day - 7.0) < 1e-6
+    assert abs(row.intercept - 1000.0) < 1e-3
+
+
+def test_rolling_corr_zero_variance_window_yields_null(spark, tmp_path):
+    """q205 on a synthetic series whose quantity is CONSTANT: every
+    30-day window has zero qty variance, so every emitted correlation
+    must be NULL (variance<=0 guard) — and the query must not crash
+    under ANSI (built-in corr() would: DIVIDE_BY_ZERO)."""
+    import datetime
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    base = datetime.datetime(1995, 1, 1)
+    rows = [
+        (
+            i,
+            1,
+            1,
+            1,
+            5.0,  # constant quantity
+            1000.0 + i,  # varying revenue
+            0.0,
+            0.0,
+            "N",
+            "O",
+            base + datetime.timedelta(days=i),
+        )
+        for i in range(40)
+    ]
+    spark.createDataFrame(rows, SCHEMAS["lineitem"]).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    spark.createDataFrame([(1, "s1", 0, 10.0)], SCHEMAS["supplier"]).write.parquet(
+        str(tmp_path / "supplier.parquet")
+    )
+    spark.createDataFrame([(0, "CONST", 0)], SCHEMAS["nation"]).write.parquet(
+        str(tmp_path / "nation.parquet")
+    )
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        rows_out = SPECS["q205_rolling_corr"].fn(spark, str(tmp_path)).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    assert len(rows_out) == 11  # days 30..40 have full windows
+    assert all(r.corr_30d is None for r in rows_out)

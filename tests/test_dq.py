@@ -218,3 +218,82 @@ def test_ks_statistic_detects_shifted_distribution(spark):
         dqmod.load_table = orig
     assert shifted.ks_d > base.ks_d
     assert shifted.reject_h0
+
+
+def test_weighted_percentile_matches_brute_force(spark):
+    """q200's cumulative-threshold weighted percentiles re-derived by a
+    brute in-memory reference on the fixture: sort each flag's
+    (discount, revenue) pairs, walk the cumulative revenue, and take
+    the first discount crossing 50%/90% of the total — must equal the
+    engine's answer exactly (all arithmetic is exact decimal)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from aws_iceberg_automation_spark.io import load_table
+    from aws_iceberg_automation_spark.registry import all_specs
+    from tests.conftest import SF_DIR
+
+    got = {
+        r.l_returnflag: (r.wmedian_discount, r.wp90_discount)
+        for r in all_specs()["q200_weighted_percentile"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_discount", "l_extendedprice"
+    ).collect()
+    rev = defaultdict(lambda: defaultdict(Decimal))
+    for r in li:
+        price = Decimal(str(r.l_extendedprice)).quantize(Decimal("0.01"))
+        disc = Decimal(str(r.l_discount)).quantize(Decimal("0.0001"))
+        rev[r.l_returnflag][r.l_discount] += price * (1 - disc)
+    for flag, by_disc in rev.items():
+        total = sum(by_disc.values())
+        cum = Decimal(0)
+        med = p90 = None
+        for d in sorted(by_disc):
+            cum += by_disc[d]
+            if med is None and 2 * cum >= total:
+                med = d
+            if p90 is None and 10 * cum >= 9 * total:
+                p90 = d
+        assert got[flag] == (med, p90), (flag, got[flag], (med, p90))
+
+
+def test_chi2_independence_matches_brute_force(spark):
+    """q204's chi-square and Cramér's V re-derived in plain Python from
+    the collected contingency table — validates the broadcast-marginal
+    SQL algebra against the textbook formula."""
+    from collections import Counter
+
+    from aws_iceberg_automation_spark.io import load_table
+    from aws_iceberg_automation_spark.registry import all_specs
+    from tests.conftest import SF_DIR
+
+    row = (
+        all_specs()["q204_chi2_independence"].fn(spark, SF_DIR).collect()[0]
+    )
+    obs = Counter(
+        (r.lang, r.source)
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("lang", "source")
+        .collect()
+    )
+    rt = Counter()
+    ct = Counter()
+    for (lg, src), n in obs.items():
+        rt[lg] += n
+        ct[src] += n
+    total = sum(obs.values())
+    # full marginal grid — zero-observed combinations contribute e
+    chi2 = sum(
+        (obs.get((lg, src), 0) - rt[lg] * ct[src] / total) ** 2
+        / (rt[lg] * ct[src] / total)
+        for lg in rt
+        for src in ct
+    )
+    dof = (len(rt) - 1) * (len(ct) - 1)
+    v = (round(chi2, 4) / (total * min(len(rt) - 1, len(ct) - 1))) ** 0.5
+    assert row.dof == dof
+    assert abs(row.chi2 - chi2) < 1e-3
+    assert abs(row.cramers_v - v) < 1e-5
