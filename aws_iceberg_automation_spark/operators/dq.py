@@ -977,8 +977,11 @@ tot AS (
 )
 SELECT chi2,
   (nl - 1) * (ns - 1) AS dof,
-  round(sqrt(chi2 / (t * least(nl - 1, ns - 1))), 6) AS cramers_v
+  CASE WHEN least(nl - 1, ns - 1) <= 0 THEN NULL
+       ELSE round(sqrt(chi2 / (t * least(nl - 1, ns - 1))), 6)
+  END AS cramers_v
 FROM agg, tot
+WHERE t IS NOT NULL
 """,
     tags=("dq", "independence"),
 )
@@ -1025,14 +1028,17 @@ def q204_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = cells.groupBy("t", "nl", "ns").agg(
         F.round(F.sum(contrib), 4).alias("chi2")
     )
+    # degenerate guard: a one-language (or one-source) corpus has
+    # dof 0 — Cramér's V is undefined (NULL), never Infinity. On an
+    # empty corpus groupBy yields zero groups on both sides (the
+    # oracle filters its always-one agg row on t IS NOT NULL).
+    mindim = F.least(F.col("nl") - 1, F.col("ns") - 1)
     return agg.select(
         "chi2",
         ((F.col("nl") - 1) * (F.col("ns") - 1)).alias("dof"),
-        F.round(
-            F.sqrt(
-                F.col("chi2")
-                / (F.col("t") * F.least(F.col("nl") - 1, F.col("ns") - 1))
-            ),
-            6,
-        ).alias("cramers_v"),
+        F.when(mindim <= 0, F.lit(None))
+        .otherwise(
+            F.round(F.sqrt(F.col("chi2") / (F.col("t") * mindim)), 6)
+        )
+        .alias("cramers_v"),
     )

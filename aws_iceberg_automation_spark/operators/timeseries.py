@@ -530,16 +530,22 @@ WITH daily AS (
   WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
     AND l.l_shipdate < TIMESTAMP '1996-01-01'
   GROUP BY 1, 2
+), idx AS (
+  SELECT n_name, day, rev, qty,
+         date_diff('day', DATE '1995-01-01', day) AS dayidx
+  FROM daily
 ), m AS (
-  SELECT n_name, day,
+  -- RANGE frame on the integer day index: a true trailing 30
+  -- CALENDAR days — gap days simply contribute no observations
+  SELECT n_name, day, dayidx,
     CAST(COUNT(*) OVER w AS DOUBLE) AS n,
     SUM(rev) OVER w AS sx, SUM(qty) OVER w AS sy,
     SUM(rev * qty) OVER w AS sxy,
     SUM(rev * rev) OVER w AS sxx, SUM(qty * qty) OVER w AS syy,
-    row_number() OVER (PARTITION BY n_name ORDER BY day) AS rk
-  FROM daily
-  WINDOW w AS (PARTITION BY n_name ORDER BY day
-               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    MIN(dayidx) OVER (PARTITION BY n_name) AS first_idx
+  FROM idx
+  WINDOW w AS (PARTITION BY n_name ORDER BY dayidx
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
 )
 SELECT n_name, day,
   round(CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
@@ -547,7 +553,7 @@ SELECT n_name, day,
              ELSE (n * sxy - sx * sy)
                   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
         END, 4) AS corr_30d
-FROM m WHERE rk >= 30
+FROM m WHERE dayidx >= first_idx + 29
 """,
     tags=("timeseries", "window"),
 )
@@ -556,7 +562,11 @@ def q205_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue and daily shipped quantity — the co-movement diagnostic
     behind price-mix monitoring (correlation breaking down means
     revenue is drifting away from volume: discounting, mix shift, or
-    data error). Emitted only for full 30-day windows.
+    data error). The frame is a true trailing 30 CALENDAR days — a
+    RANGE frame over the integer day index, so inactive days simply
+    contribute no observations (a ROWS frame would silently widen to
+    "last 30 ACTIVE days", mixing months-old data on sparse series).
+    Emitted once a nation is ≥29 days past its first active day.
 
     Scale shape: broadcast dim joins + two-phase hash agg collapse the
     fact table to the (nation × day) grain FIRST; the sliding window
@@ -584,23 +594,27 @@ def q205_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec2("l_quantity")).cast("double").alias("qty"),
         )
     )
+    idx = daily.withColumn(
+        "dayidx", F.datediff("day", F.lit("1995-01-01").cast("date"))
+    )
     w = (
         Window.partitionBy("n_name")
-        .orderBy("day")
-        .rowsBetween(-29, Window.currentRow)
+        .orderBy("dayidx")
+        .rangeBetween(-29, Window.currentRow)
     )
-    w_rk = Window.partitionBy("n_name").orderBy("day")
-    m = daily.select(
+    w_all = Window.partitionBy("n_name")
+    m = idx.select(
         "n_name",
         "day",
+        "dayidx",
         F.count(F.lit(1)).over(w).cast("double").alias("n"),
         F.sum("rev").over(w).alias("sx"),
         F.sum("qty").over(w).alias("sy"),
         F.sum(F.col("rev") * F.col("qty")).over(w).alias("sxy"),
         F.sum(F.col("rev") * F.col("rev")).over(w).alias("sxx"),
         F.sum(F.col("qty") * F.col("qty")).over(w).alias("syy"),
-        F.row_number().over(w_rk).alias("rk"),
-    ).filter(F.col("rk") >= 30)
+        F.min("dayidx").over(w_all).alias("first_idx"),
+    ).filter(F.col("dayidx") >= F.col("first_idx") + 29)
     vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
