@@ -139,3 +139,25 @@ def sql_portable_hash64(inner: str) -> str:
     swallow the NULL and hash a corrupted key, or crash the cast on
     an all-NULL key)."""
     return f"CAST('0x' || substring(md5({inner}), 1, 15) AS BIGINT)"
+
+
+def split_bucket(c: str | Column) -> Column:
+    """Deterministic train/val/test assignment from a key's md5 prefix
+    (test ≈ 10.2%, val ≈ 10.2%, train the rest): reproducible across
+    runs, engines, and cluster shapes — the q96 hash-gate idea promoted
+    to a full split. Used by q206 (manifest) and q207 (leakage audit);
+    both sides of the oracle pair derive the split from THIS rule, so
+    the boundary can never drift between them."""
+    c = F.col(c) if isinstance(c, str) else c
+    h = F.substring(F.md5(c.cast("string")), 1, 2)
+    return F.when(h < "1a", F.lit("test")).when(h < "34", F.lit("val")).otherwise(
+        F.lit("train")
+    )
+
+
+def sql_split_bucket(inner: str) -> str:
+    h = f"substring(md5(CAST({inner} AS VARCHAR)), 1, 2)"
+    return (
+        f"CASE WHEN {h} < '1a' THEN 'test' "
+        f"WHEN {h} < '34' THEN 'val' ELSE 'train' END"
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.compat import dec2, sql_dsum, ts_sec
+from ..functions.compat import dec2, sql_dsum, sql_split_bucket, ts_sec
 from ..io import load_table
 from ..registry import register
 
@@ -554,4 +554,65 @@ def q201_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("delay_s").cast("double") / F.count("delay_s"), 4
         ).alias("avg_delay_s"),
+    )
+
+
+@register(
+    "q206_split_manifest",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang,
+    {sql_split_bucket("doc_id")} AS split,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT split, COUNT(*) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+    COUNT(DISTINCT lang) AS n_langs
+  FROM d GROUP BY split
+), tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM s)
+SELECT split, n_docs, sum_tokens, n_langs,
+  round(CAST(n_docs AS DOUBLE) / t, 6) AS doc_share
+FROM s, tot
+""",
+    tags=("sampling", "llm", "pipeline"),
+)
+def q206_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split manifest: every document deterministically
+    assigned by its md5 hash gate (test ≈10%, val ≈10%, train the
+    rest — functions/compat.split_bucket, the single source of the
+    boundary), summarized per split as docs / tokens / language
+    coverage / share — the manifest a training run records so the
+    split is auditable and reconstructible from the raw corpus alone,
+    with no stored assignment table to drift out of sync.
+
+    Scale shape: map-side hash gate + token count, two-phase hash agg
+    to 3 rows, 1-row total broadcast for the shares. Reproducible
+    under any partitioning — the q96 property, extended from sampling
+    to the full split."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions.compat import split_bucket
+
+    s = (
+        d.select(
+            split_bucket("doc_id").alias("split"),
+            "lang",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+    )
+    tot = s.agg(F.sum("n_docs").alias("t"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "split",
+        "n_docs",
+        "sum_tokens",
+        "n_langs",
+        F.round(F.col("n_docs").cast("double") / F.col("t"), 6).alias(
+            "doc_share"
+        ),
     )

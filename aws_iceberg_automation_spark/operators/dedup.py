@@ -1315,3 +1315,69 @@ def q187_dedup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "system string, n_truth_pairs long, n_detected_pairs long, "
         "n_missed long, recall double",
     )
+
+
+# Oracle-side split-rule fragments (functions/compat.sql_split_bucket
+# applied to each pair side) — imported here at module level so the
+# f-string oracle below can compose them.
+from ..functions.compat import sql_split_bucket as _ssb
+
+_SQL_SPLIT_A = _ssb("doc_id_a")
+_SQL_SPLIT_B = _ssb("doc_id_b")
+
+
+@register(
+    "q207_split_leakage",
+    oracle=f"""
+WITH pairs AS ({_Q82_ORACLE}
+), lab AS (
+  SELECT jaccard,
+    {_SQL_SPLIT_A} AS split_a,
+    {_SQL_SPLIT_B} AS split_b
+  FROM pairs
+)
+SELECT least(split_a, split_b) AS split_lo,
+       greatest(split_a, split_b) AS split_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(avg(jaccard), 6) AS avg_jaccard
+FROM lab GROUP BY 1, 2
+""",
+    tags=("dedup", "llm", "pipeline"),
+)
+def q207_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: the verified MinHash-LSH near-dup
+    pairs (the q82 pipeline, unchanged) labeled by each side's
+    deterministic split assignment (the q206 hash gate) and counted
+    per split pair — any (train, test) row is literal evaluation
+    leakage: a test document whose near-duplicate sits in training.
+    This is the audit decontamination teams run BEFORE the split is
+    blessed; because both the pairs and the split derive from content
+    hashes, the whole audit is reproducible from the raw corpus.
+
+    Scale shape: everything rides on the LSH pipeline's bounded work
+    (bucket-cap salting, candidates ≪ N²); the split labels are
+    map-side md5 gates on the pair frame, and the final agg is ≤6
+    rows. Oracle: composes the SAME shared MinHash CTE fragment and
+    the SAME split-rule fragment — neither boundary can drift."""
+    from ..functions.compat import split_bucket
+
+    pairs = minhash_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), portable=True
+    )
+    lab = pairs.select(
+        "jaccard",
+        split_bucket("doc_id_a").alias("split_a"),
+        split_bucket("doc_id_b").alias("split_b"),
+    )
+    return (
+        lab.select(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+            "jaccard",
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+    )

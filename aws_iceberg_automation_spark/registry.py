@@ -142,11 +142,12 @@ _DRIVER_PRIORITY = [
     "q82c_simhash",
     # ---- 50-slot budget line (driver stops here) ----
     # round-5 queue: rows-only→oracle conversions (VERDICT r03 ask #2)
-    # plus seven operators built late in round 4 (exact rolling
+    # plus eleven operators built late in round 4 (exact rolling
     # distinct, grouped OLS trend, embedding-centroid cohesion,
     # revenue-weighted percentiles, last-touch attribution, Zipf fit,
-    # Benford audit) — all oracle-backed, locally green at
-    # sf0.001/0.01/0.1 and under both hostile sweep variants.
+    # Benford audit, chi-square independence, rolling correlation,
+    # split manifest, split-leakage audit) — all oracle-backed, locally
+    # green at sf0.001/0.01/0.1 and under both hostile sweep variants.
     "q193_countmin_heavy_hitters",
     "q194_stream_countmin_replay",
     "q195_cms_join_size_estimate",
@@ -163,6 +164,8 @@ _DRIVER_PRIORITY = [
     "q203_benford_deviation",
     "q204_chi2_independence",
     "q205_rolling_corr",
+    "q206_split_manifest",
+    "q207_split_leakage",
 ]
 
 

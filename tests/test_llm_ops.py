@@ -805,3 +805,20 @@ def test_cms_join_size_never_undercounts(spark):
     assert row.overestimate_ratio < 3.0, row  # 1024-wide sketch, ~7.5k keys
     again = SPECS["q195_cms_join_size_estimate"].fn(spark, SF_DIR).collect()[0]
     assert tuple(row) == tuple(again)
+
+
+def test_split_leakage_detects_cross_split_neardups(spark):
+    """q207 must report at least one near-dup pair CROSSING split
+    boundaries on the fixture (the corpus carries genuine near-dups and
+    the ~10/10/80 hash split statistically straddles them) — the
+    leakage signal the audit exists for. Also sanity: the per-split doc
+    counts (q206) cover every doc exactly once."""
+    rows = SPECS["q207_split_leakage"].fn(spark, SF_DIR).collect()
+    assert rows, "no near-dup pairs at all — fixture regression"
+    cross = [r for r in rows if r.split_lo != r.split_hi]
+    assert cross, "no cross-split near-dups — leakage audit is vacuous"
+    manifest = SPECS["q206_split_manifest"].fn(spark, SF_DIR).collect()
+    n_docs = sum(r.n_docs for r in manifest)
+    total = load_table(spark, SF_DIR, "documents").count()
+    assert n_docs == total
+    assert {r.split for r in manifest} == {"train", "val", "test"}
