@@ -141,23 +141,31 @@ def sql_portable_hash64(inner: str) -> str:
     return f"CAST('0x' || substring(md5({inner}), 1, 15) AS BIGINT)"
 
 
+# Split boundaries on the md5-prefix hex space, shared by BOTH the
+# Spark and SQL renderings below — the single source that makes the
+# "boundary can never drift" claim structural, not aspirational.
+_SPLIT_TEST_LT = "1a"  # 26/256 ≈ 10.2% → test
+_SPLIT_VAL_LT = "34"  # next 26/256 ≈ 10.2% → val; rest → train
+
+
 def split_bucket(c: str | Column) -> Column:
     """Deterministic train/val/test assignment from a key's md5 prefix
     (test ≈ 10.2%, val ≈ 10.2%, train the rest): reproducible across
     runs, engines, and cluster shapes — the q96 hash-gate idea promoted
     to a full split. Used by q206 (manifest) and q207 (leakage audit);
-    both sides of the oracle pair derive the split from THIS rule, so
-    the boundary can never drift between them."""
+    both renderings read the module-level boundary constants above."""
     c = F.col(c) if isinstance(c, str) else c
     h = F.substring(F.md5(c.cast("string")), 1, 2)
-    return F.when(h < "1a", F.lit("test")).when(h < "34", F.lit("val")).otherwise(
-        F.lit("train")
+    return (
+        F.when(h < _SPLIT_TEST_LT, F.lit("test"))
+        .when(h < _SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("train"))
     )
 
 
 def sql_split_bucket(inner: str) -> str:
     h = f"substring(md5(CAST({inner} AS VARCHAR)), 1, 2)"
     return (
-        f"CASE WHEN {h} < '1a' THEN 'test' "
-        f"WHEN {h} < '34' THEN 'val' ELSE 'train' END"
+        f"CASE WHEN {h} < '{_SPLIT_TEST_LT}' THEN 'test' "
+        f"WHEN {h} < '{_SPLIT_VAL_LT}' THEN 'val' ELSE 'train' END"
     )

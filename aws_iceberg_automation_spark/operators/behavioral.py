@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.compat import dec2, sql_dsum, sql_split_bucket, ts_sec
+from ..functions.compat import (
+    dec2,
+    split_bucket,
+    sql_dsum,
+    sql_split_bucket,
+    ts_sec,
+)
 from ..io import load_table
 from ..registry import register
 
@@ -591,8 +597,6 @@ def q206_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     under any partitioning — the q96 property, extended from sampling
     to the full split."""
     d = load_table(spark, sf_dir, "documents")
-    from ..functions.compat import split_bucket
-
     s = (
         d.select(
             split_bucket("doc_id").alias("split"),

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.compat import split_bucket, sql_split_bucket
 from ..io import load_table
 from ..registry import register
 
@@ -1317,23 +1318,14 @@ def q187_dedup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Oracle-side split-rule fragments (functions/compat.sql_split_bucket
-# applied to each pair side) — imported here at module level so the
-# f-string oracle below can compose them.
-from ..functions.compat import sql_split_bucket as _ssb
-
-_SQL_SPLIT_A = _ssb("doc_id_a")
-_SQL_SPLIT_B = _ssb("doc_id_b")
-
-
 @register(
     "q207_split_leakage",
     oracle=f"""
 WITH pairs AS ({_Q82_ORACLE}
 ), lab AS (
   SELECT jaccard,
-    {_SQL_SPLIT_A} AS split_a,
-    {_SQL_SPLIT_B} AS split_b
+    {sql_split_bucket("doc_id_a")} AS split_a,
+    {sql_split_bucket("doc_id_b")} AS split_b
   FROM pairs
 )
 SELECT least(split_a, split_b) AS split_lo,
@@ -1359,8 +1351,6 @@ def q207_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side md5 gates on the pair frame, and the final agg is ≤6
     rows. Oracle: composes the SAME shared MinHash CTE fragment and
     the SAME split-rule fragment — neither boundary can drift."""
-    from ..functions.compat import split_bucket
-
     pairs = minhash_candidate_pairs(
         load_table(spark, sf_dir, "documents"), portable=True
     )
