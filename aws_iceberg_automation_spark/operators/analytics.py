@@ -1193,3 +1193,82 @@ def q198_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.col("sy").cast("string").alias("total_revenue"),
     )
+
+
+@register(
+    "q209_pareto_abc",
+    oracle=f"""
+WITH pr AS (
+  SELECT l_partkey,
+    CAST(SUM({SQL_DISC_PRICE}) * 1000000 AS BIGINT) AS rev_micros
+  FROM lineitem GROUP BY 1
+), c AS (
+  SELECT rev_micros,
+    SUM(rev_micros) OVER (ORDER BY rev_micros DESC, l_partkey) AS cum,
+    SUM(rev_micros) OVER () AS tot
+  FROM pr
+)
+SELECT abc_class,
+  CAST(COUNT(*) AS BIGINT) AS n_parts,
+  CAST(CAST(SUM(rev_micros) AS DECIMAL(38,0)) AS VARCHAR) AS revenue_micros,
+  round(CAST(SUM(rev_micros) AS DOUBLE) / MAX(CAST(tot AS DOUBLE)), 6)
+    AS revenue_share
+FROM (
+  SELECT rev_micros, tot,
+    CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+         WHEN 20 * cum <= 19 * tot THEN 'B'
+         ELSE 'C' END AS abc_class
+  FROM c
+)
+GROUP BY abc_class
+""",
+    tags=("analytics", "segmentation"),
+)
+def q209_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: parts ranked by revenue,
+    class A = the head covering the first 80% of cumulative revenue,
+    B = the next 15% (to 95%), C = the tail — the 80/20 cut behind
+    stocking policy, slotting, and "which SKUs deserve a forecast".
+
+    Scale shape: lineitems collapse to one exact-integer-micros row
+    per part (two-phase hash agg), then the descending cumulative
+    revenue is computed WITHOUT a single-task global window: an exact
+    global rank (functions/ranking.global_row_number over the negated
+    value) feeds partitioned_prefix_sums — quantile buckets, broadcast
+    offsets, partitioned cumulative windows. Class boundaries are
+    integer cross-multiplications (5·cum ≤ 4·tot), no float division
+    anywhere near the cut, so boundary parts can never diverge between
+    engines. Micros-in-BIGINT holds to ~9e18 total revenue; a 100 TB
+    deployment flips the prefix-sum measure to DECIMAL for headroom
+    (same plan shape, ANSI overflow fails loud rather than wrapping)."""
+    from ..functions.ranking import (
+        desc_as_asc,
+        global_row_number,
+        partitioned_prefix_sums,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        (F.sum(disc_price()) * 1000000).cast("bigint").alias("rev_micros")
+    )
+    ranked = global_row_number(
+        pr, desc_as_asc(F.col("rev_micros")), [F.col("l_partkey")]
+    )
+    cum = partitioned_prefix_sums(ranked, F.col("rk"), ["rev_micros"])
+    tot = pr.agg(F.sum("rev_micros").cast("bigint").alias("tot"))
+    cls = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "abc_class",
+        F.when(5 * F.col("cum_rev_micros") <= 4 * F.col("tot"), "A")
+        .when(20 * F.col("cum_rev_micros") <= 19 * F.col("tot"), "B")
+        .otherwise("C"),
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.col("rev_micros").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("revenue_micros"),
+        F.round(
+            F.sum("rev_micros").cast("double") / F.max(F.col("tot").cast("double")), 6
+        ).alias("revenue_share"),
+    )

@@ -620,3 +620,73 @@ def q206_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_share"
         ),
     )
+
+
+@register(
+    "q208_rfm_segments",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey AS cust,
+    date_diff('day', DATE '1970-01-01', CAST(max(o_orderdate) AS DATE))
+      AS rec_days,
+    CAST(COUNT(*) AS BIGINT) AS freq,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), tiled AS (
+  SELECT cents, freq,
+    ntile(5) OVER (ORDER BY rec_days, cust) AS r_tile,
+    ntile(5) OVER (ORDER BY freq, cust) AS f_tile,
+    ntile(5) OVER (ORDER BY cents, cust) AS m_tile
+  FROM per_cust
+)
+SELECT CAST(r_tile AS INT) AS r_tile, CAST(f_tile AS INT) AS f_tile,
+  CAST(m_tile AS INT) AS m_tile,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(CAST(SUM(cents) AS DECIMAL(38,0)) AS VARCHAR) AS monetary_cents,
+  round(AVG(CAST(freq AS DOUBLE)), 6) AS avg_frequency
+FROM tiled GROUP BY 1, 2, 3
+""",
+    tags=("behavioral", "segmentation"),
+)
+def q208_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored into recency / frequency
+    / monetary quintiles (1 = lowest), then the 5x5x5 segment grid
+    summarized — the classic CRM cut ("champions" = 5/5/5, "at risk" =
+    1/5/5) that seeds lifecycle campaigns and LTV models.
+
+    Scale shape: orders collapse to one row per customer via two-phase
+    hash agg, then each quintile is an EXACT global ntile(5) computed by
+    the windowless decomposition (functions/ranking.global_ntile:
+    quantile buckets + broadcast offsets + partitioned windows) — three
+    decompositions over the |customers| frame, never a single-task
+    global window. Recency is an integer day index (timestamp_ntz →
+    date is timezone-independent), money is exact integer cents, and
+    every tile orders by (value, custkey) — a total order, so the tiles
+    hash-match the oracle's ntile exactly."""
+    from ..functions.ranking import global_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.datediff(
+            F.max("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("rec_days"),
+        F.count(F.lit(1)).alias("freq"),
+        (F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("cents"),
+    )
+    tiled = per_cust
+    for value, name in (
+        ("rec_days", "r_tile"),
+        ("freq", "f_tile"),
+        ("cents", "m_tile"),
+    ):
+        tiled = global_ntile(
+            tiled, F.col(value), [F.col("cust")], 5, out_name=name
+        )
+    return tiled.groupBy("r_tile", "f_tile", "m_tile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("cents").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("monetary_cents"),
+        F.round(F.avg(F.col("freq").cast("double")), 6).alias("avg_frequency"),
+    )

@@ -166,6 +166,8 @@ _DRIVER_PRIORITY = [
     "q205_rolling_corr",
     "q206_split_manifest",
     "q207_split_leakage",
+    "q208_rfm_segments",
+    "q209_pareto_abc",
 ]
 
 

@@ -197,3 +197,84 @@ def test_rolling_corr_zero_variance_window_yields_null(spark, tmp_path):
         spark.conf.set("spark.sql.ansi.enabled", old)
     assert len(rows_out) == 11  # days 30..40 have full windows
     assert all(r.corr_30d is None for r in rows_out)
+
+
+def test_rfm_segments_perfectly_correlated_customers(spark, tmp_path):
+    """q208 on 5 synthetic customers whose recency, frequency and
+    monetary value all increase together: customer i must land in
+    quintile i on ALL three axes, so the segment grid is exactly the
+    diagonal (i,i,i) with one customer each and known cents."""
+    import datetime
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    rows = []
+    key = 0
+    for i in range(1, 6):
+        for _ in range(i):  # frequency = i
+            key += 1
+            rows.append(
+                (
+                    key,
+                    i,  # custkey
+                    "O",
+                    100.0 * i,  # totalprice
+                    datetime.datetime(1995, 1, i),  # recency grows with i
+                    "1-URGENT",
+                )
+            )
+    spark.createDataFrame(rows, SCHEMAS["orders"]).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = {
+        (r.r_tile, r.f_tile, r.m_tile): r
+        for r in SPECS["q208_rfm_segments"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {(i, i, i) for i in range(1, 6)}
+    for i in range(1, 6):
+        seg = out[(i, i, i)]
+        assert seg.n_customers == 1
+        # i orders of 100*i dollars = 10000*i*i cents
+        assert seg.monetary_cents == str(10000 * i * i)
+        assert abs(seg.avg_frequency - i) < 1e-9
+
+
+def test_pareto_abc_known_cut_points(spark, tmp_path):
+    """q209 on 5 parts with revenues 80/10/5/3/2: the 80% boundary part
+    is A (5·cum ≤ 4·tot holds WITH equality), the 95% boundary part is
+    B, the tail is C — exercising both integer cross-multiplication
+    boundaries exactly."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    import datetime
+
+    revs = {1: 80.0, 2: 10.0, 3: 5.0, 4: 3.0, 5: 2.0}
+    rows = [
+        (
+            pk,
+            pk,
+            1,
+            1,
+            1.0,
+            rev,  # extendedprice; discount 0 -> revenue = rev
+            0.0,
+            0.0,
+            "N",
+            "O",
+            datetime.datetime(1995, 1, 1),
+        )
+        for pk, rev in revs.items()
+    ]
+    spark.createDataFrame(rows, SCHEMAS["lineitem"]).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = {
+        r.abc_class: r
+        for r in SPECS["q209_pareto_abc"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out["A"].n_parts == 1 and out["A"].revenue_micros == "80000000"
+    assert out["B"].n_parts == 2 and out["B"].revenue_micros == "15000000"
+    assert out["C"].n_parts == 2 and out["C"].revenue_micros == "5000000"
+    assert abs(out["A"].revenue_share - 0.8) < 1e-9
+    assert abs(out["B"].revenue_share - 0.15) < 1e-9
+    assert abs(out["C"].revenue_share - 0.05) < 1e-9
