@@ -302,3 +302,58 @@ def topn_ranked(
         .sortWithinPartitions(*order)
         .withColumn(rank_name, (F.monotonically_increasing_id() + 1).cast("int"))
     )
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    tiebreaks: list[Column],
+    n_buckets: int = 64,
+    rank_name: str = "rk",
+) -> DataFrame:
+    """Exact ``row_number() OVER (PARTITION BY *group_cols ORDER BY
+    value, *tiebreaks)`` for FEW, HUGE groups — the regime where a
+    plain partitioned window is a trap (5 market segments over 10^8
+    customers = 5 hot single-task partitions). Same decomposition as
+    ``global_row_number``, group-aware: one GLOBAL set of approx
+    quantile boundaries (monotone in ``value``, hence monotone within
+    every group), per-(group, bucket) counts prefix-summed through a
+    broadcast triangular join keyed on the group, and a window
+    PARTITIONED by (group, bucket) — the widest task sees
+    ~N/(|groups|·n_buckets) rows.
+
+    Contract: the counts frame is |groups| × n_buckets rows and is
+    broadcast — use this helper when groups are few (≤ thousands).
+    Numerous small groups don't need it: a window partitioned by the
+    group key alone is already scale-safe."""
+    _check_names(df, rank_name, "_bucket", "_off__cnt")
+    b = _with_value_buckets(df, value, n_buckets)
+    counts = b.groupBy(*group_cols, "_bucket").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    p, q = counts.alias("p"), counts.alias("q")
+    cond = F.col("q._bucket") < F.col("p._bucket")
+    for g in group_cols:
+        cond = cond & (F.col(f"q.{g}") == F.col(f"p.{g}"))
+    offsets = (
+        p.join(F.broadcast(q), cond, "left")
+        .groupBy(
+            *[F.col(f"p.{g}").alias(g) for g in group_cols],
+            F.col("p._bucket").alias("_bucket"),
+        )
+        .agg(
+            F.coalesce(F.sum("q._cnt"), F.lit(0))
+            .cast("bigint")
+            .alias("_off__cnt")
+        )
+    )
+    w = Window.partitionBy(*group_cols, "_bucket").orderBy(value, *tiebreaks)
+    return (
+        b.join(F.broadcast(offsets), [*group_cols, "_bucket"])
+        .withColumn(
+            rank_name,
+            (F.col("_off__cnt") + F.row_number().over(w)).cast("bigint"),
+        )
+        .drop("_bucket", "_off__cnt")
+    )

@@ -1215,8 +1215,10 @@ SELECT abc_class,
     AS revenue_share
 FROM (
   SELECT rev_micros, tot,
-    CASE WHEN 5 * cum <= 4 * tot THEN 'A'
-         WHEN 20 * cum <= 19 * tot THEN 'B'
+    CASE WHEN 5 * CAST(cum AS DECIMAL(38,0)) <= 4 * CAST(tot AS DECIMAL(38,0))
+           THEN 'A'
+         WHEN 20 * CAST(cum AS DECIMAL(38,0)) <= 19 * CAST(tot AS DECIMAL(38,0))
+           THEN 'B'
          ELSE 'C' END AS abc_class
   FROM c
 )
@@ -1236,11 +1238,13 @@ def q209_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     global rank (functions/ranking.global_row_number over the negated
     value) feeds partitioned_prefix_sums — quantile buckets, broadcast
     offsets, partitioned cumulative windows. Class boundaries are
-    integer cross-multiplications (5·cum ≤ 4·tot), no float division
-    anywhere near the cut, so boundary parts can never diverge between
-    engines. Micros-in-BIGINT holds to ~9e18 total revenue; a 100 TB
-    deployment flips the prefix-sum measure to DECIMAL for headroom
-    (same plan shape, ANSI overflow fails loud rather than wrapping)."""
+    DECIMAL(38,0) cross-multiplications (5·cum ≤ 4·tot) — no float
+    division anywhere near the cut, so boundary parts can never diverge
+    between engines, and no int64 ceiling either (20·cum overflowed
+    BIGINT on the 20x probe at ~4.6e17 total micros; decimals don't).
+    Micros-in-BIGINT holds per-part and cumulatively to ~9e18; a 100 TB
+    deployment flips the prefix-sum measure itself to DECIMAL for
+    headroom (same plan shape, ANSI overflow fails loud, not wrapped)."""
     from ..functions.ranking import (
         desc_as_asc,
         global_row_number,
@@ -1248,6 +1252,9 @@ def q209_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
+    # one row per part. NOT checkpointed: pr is an agg, so its shuffle
+    # output is stage-skipped across the decompositions' boundary jobs
+    # anyway (20x A/B: checkpoint ~27 s vs ~24 s plain)
     pr = li.groupBy("l_partkey").agg(
         (F.sum(disc_price()) * 1000000).cast("bigint").alias("rev_micros")
     )
@@ -1256,10 +1263,16 @@ def q209_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = partitioned_prefix_sums(ranked, F.col("rk"), ["rev_micros"])
     tot = pr.agg(F.sum("rev_micros").cast("bigint").alias("tot"))
+    # Class boundaries in DECIMAL(38,0): 20·cum overflows int64 once
+    # total revenue passes ~4.6e17 micros (the 20x probe hit it) —
+    # decimal cross-multiplication is exact at any scale and stays a
+    # cheap codegen'd comparison.
+    cumd = F.col("cum_rev_micros").cast("decimal(38,0)")
+    totd = F.col("tot").cast("decimal(38,0)")
     cls = cum.crossJoin(F.broadcast(tot)).withColumn(
         "abc_class",
-        F.when(5 * F.col("cum_rev_micros") <= 4 * F.col("tot"), "A")
-        .when(20 * F.col("cum_rev_micros") <= 19 * F.col("tot"), "B")
+        F.when(cumd * 5 <= totd * 4, "A")
+        .when(cumd * 20 <= totd * 19, "B")
         .otherwise("C"),
     )
     return cls.groupBy("abc_class").agg(
@@ -1271,4 +1284,422 @@ def q209_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("rev_micros").cast("double") / F.max(F.col("tot").cast("double")), 6
         ).alias("revenue_share"),
+    )
+
+
+@register(
+    "q210_segment_gini",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT c.c_mktsegment AS seg, p.cents,
+    row_number() OVER (
+      PARTITION BY c.c_mktsegment ORDER BY p.cents, p.o_custkey
+    ) AS rk
+  FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey
+)
+SELECT seg,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(CAST(SUM(cents) AS DECIMAL(38,0)) AS VARCHAR) AS total_cents,
+  round(
+    CASE WHEN SUM(cents) > 0 THEN
+      2.0 * SUM(CAST(rk AS DOUBLE) * CAST(cents AS DOUBLE))
+        / (COUNT(*) * CAST(SUM(cents) AS DOUBLE))
+      - (COUNT(*) + 1.0) / COUNT(*)
+    END, 6) AS gini
+FROM ranked GROUP BY seg
+""",
+    tags=("analytics", "segmentation"),
+)
+def q210_segment_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment Gini coefficient of customer spend — the
+    revenue-concentration KPI ("is FURNITURE a whale market or a
+    long tail?") behind territory planning and churn-risk weighting.
+    Gini via the rank formula G = 2·Σ(rk·x)/(n·Σx) − (n+1)/n over
+    within-segment spend ranks.
+
+    Scale shape: orders collapse to one exact-cents row per customer
+    (two-phase hash agg), segment arrives through one shuffle join on
+    custkey, and the within-segment rank uses the NEW grouped
+    decomposition (functions/ranking.grouped_row_number): 5 segments ×
+    10^8 customers would make `PARTITION BY seg` a 5-hot-task window,
+    so ranks come from global value buckets + per-(seg, bucket)
+    broadcast offsets + (seg, bucket)-partitioned windows instead.
+    The Σ(rk·x) moment is a plain two-phase agg; doubles only enter in
+    the final ratio (rank·cents products cancel to ~1e-12 relative
+    error, far inside the 6-dp contract)."""
+    from ..functions.ranking import grouped_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_cust = o.groupBy("o_custkey").agg(
+        (F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("cents")
+    )
+    pc = per_cust.join(
+        c.select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.col("c_mktsegment").alias("seg"),
+        ),
+        "o_custkey",
+    ).localCheckpoint()  # pinned: the grouped decomposition replays it 3x
+    ranked = grouped_row_number(
+        pc, ["seg"], F.col("cents"), [F.col("o_custkey")]
+    )
+    n = F.count(F.lit(1))
+    sum_cents = F.sum("cents")
+    gini = (
+        F.lit(2.0)
+        * F.sum(F.col("rk").cast("double") * F.col("cents").cast("double"))
+        / (n * sum_cents.cast("double"))
+        - (n + F.lit(1.0)) / n
+    )
+    return ranked.groupBy("seg").agg(
+        n.cast("bigint").alias("n_customers"),
+        sum_cents.cast("decimal(38,0)").cast("string").alias("total_cents"),
+        F.round(F.when(sum_cents > 0, gini), 6).alias("gini"),
+    )
+
+
+@register(
+    "q211_weekday_seasonality",
+    oracle="""
+WITH dow AS (
+  SELECT CAST(date_part('dow', CAST(o_orderdate AS DATE)) AS INT) AS dow,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT dow, n_orders,
+  CAST(CAST(cents AS DECIMAL(38,0)) AS VARCHAR) AS revenue_cents,
+  round(CAST(cents AS DOUBLE) / SUM(CAST(cents AS DOUBLE)) OVER (), 6)
+    AS revenue_share,
+  round(7.0 * CAST(cents AS DOUBLE) / SUM(CAST(cents AS DOUBLE)) OVER (), 6)
+    AS seasonality_index
+FROM dow
+""",
+    tags=("analytics", "timeseries"),
+)
+def q211_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: order count, exact revenue,
+    revenue share, and the seasonality index (share × 7 — 1.0 = a flat
+    week) per weekday (0 = Sunday, matching ``date_part('dow')``) —
+    the demand-shape primer behind staffing and inventory cadence.
+
+    Scale shape: one two-phase hash agg to ≤7 rows; the share
+    normalization is a broadcast join against the 1-row total (never a
+    global window over the fact table). o_orderdate is timestamp_ntz,
+    so the weekday is timezone-independent by construction."""
+    o = load_table(spark, sf_dir, "orders")
+    dow = (F.dayofweek(F.col("o_orderdate").cast("date")) - 1).cast("int")
+    per_dow = o.groupBy(dow.alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("cents"),
+    )
+    tot = per_dow.agg(F.sum("cents").cast("double").alias("tot"))
+    return per_dow.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_orders",
+        F.col("cents").cast("decimal(38,0)").cast("string").alias(
+            "revenue_cents"
+        ),
+        F.round(F.col("cents").cast("double") / F.col("tot"), 6).alias(
+            "revenue_share"
+        ),
+        F.round(
+            F.lit(7.0) * F.col("cents").cast("double") / F.col("tot"), 6
+        ).alias("seasonality_index"),
+    )
+
+
+@register(
+    "q213_ship_delay_survival",
+    oracle="""
+WITH delays AS (
+  SELECT CAST(floor(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE)) / 7.0) AS INT)
+    AS delay_weeks
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), per_wk AS (
+  SELECT delay_weeks, CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM delays GROUP BY 1
+)
+SELECT delay_weeks, n_items,
+  round(CAST(SUM(n_items) OVER (ORDER BY delay_weeks) AS DOUBLE)
+        / SUM(n_items) OVER (), 6) AS cdf,
+  round(1.0 - CAST(SUM(n_items) OVER (ORDER BY delay_weeks) AS DOUBLE)
+        / SUM(n_items) OVER (), 6) AS survival
+FROM per_wk
+""",
+    tags=("analytics", "timeseries"),
+)
+def q213_ship_delay_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship delay survival curve: for each whole-WEEK delay t,
+    the fraction of lineitems still unshipped after t weeks (S(t) =
+    1 − CDF) — the fulfillment-SLA curve ("what % breach 4 weeks?")
+    that drives promise dates and carrier scorecards. Week grain
+    because the synthetic fixture's shipdates are uncorrelated with
+    orderdates (delays span ±2400 days) — day grain would emit ~4700
+    rows of noise; the real-data grain is a one-line constant.
+
+    Scale shape: the only big work is one equi-join lineitem⋈orders on
+    orderkey (shuffle join, both sides pruned to two columns) collapsed
+    immediately to ~700 distinct delay weeks; the cumulative share runs
+    on that tiny frame via partitioned_prefix_sums (windowless, no
+    single-task window even on the reduced frame — free, and keeps the
+    repo lint meaningful). Day arithmetic is NTZ-date based, timezone-
+    independent; floor(d/7.0) keeps negative delays on the same grid
+    in both engines (integer division truncates toward zero and would
+    fold weeks −1 and 0 together)."""
+    from ..functions.ranking import partitioned_prefix_sums
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    delays = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.floor(
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            / 7.0
+        )
+        .cast("int")
+        .alias("delay_weeks")
+    )
+    per_wk = (
+        delays.groupBy("delay_weeks")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .localCheckpoint()  # ~700 rows; pins the 12M-row join upstream
+    )
+    cum = partitioned_prefix_sums(per_wk, F.col("delay_weeks"), ["n_items"])
+    tot = per_wk.agg(F.sum("n_items").cast("double").alias("tot"))
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "delay_weeks",
+        "n_items",
+        F.round(F.col("cum_n_items").cast("double") / F.col("tot"), 6).alias(
+            "cdf"
+        ),
+        F.round(
+            F.lit(1.0) - F.col("cum_n_items").cast("double") / F.col("tot"), 6
+        ).alias("survival"),
+    )
+
+
+@register(
+    "q214_order_backlog",
+    oracle="""
+WITH spans AS (
+  SELECT o.o_orderkey,
+    date_trunc('month', CAST(o.o_orderdate AS DATE)) AS m_open,
+    date_trunc('month', CAST(max(l.l_shipdate) AS DATE)) AS m_close
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, o.o_orderdate
+), deltas AS (
+  SELECT m_open AS month, CAST(COUNT(*) AS BIGINT) AS n_opened,
+         CAST(0 AS BIGINT) AS n_closed
+  FROM spans GROUP BY 1
+  UNION ALL
+  SELECT m_close AS month, CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+  FROM spans GROUP BY 1
+), per_month AS (
+  SELECT month, SUM(n_opened) AS n_opened, SUM(n_closed) AS n_closed
+  FROM deltas GROUP BY 1
+)
+SELECT CAST(month AS DATE) AS month,
+  CAST(n_opened AS BIGINT) AS n_opened,
+  CAST(n_closed AS BIGINT) AS n_closed,
+  CAST(SUM(n_opened - n_closed) OVER (ORDER BY month) AS BIGINT)
+    AS backlog_eom
+FROM per_month
+""",
+    tags=("analytics", "timeseries"),
+)
+def q214_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end order backlog: orders placed but not yet fully shipped
+    (an order closes in the month of its LAST lineitem shipment) — the
+    classic open-interval count behind ops dashboards and WIP limits.
+
+    Scale shape: the interval-count trap is joining every month against
+    every order (months × orders). Instead each order contributes two
+    EVENT DELTAS (+1 open month, −1 close month); one shuffle agg per
+    order (max shipdate), one tiny agg to ≤ |months| rows, and the
+    running balance is a windowless prefix sum over that month frame.
+    100 TB of orders still reduces to a few hundred month rows before
+    anything cumulative happens. Months with zero activity don't emit
+    a row (the balance carries across the gap implicitly)."""
+    from ..functions.ranking import partitioned_prefix_sums
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.trunc(F.col("o_orderdate").cast("date"), "month").alias("m_open"),
+            F.trunc(F.col("last_ship").cast("date"), "month").alias("m_close"),
+        )
+    )
+    opened = spans.groupBy(F.col("m_open").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_opened"),
+        F.lit(0).cast("bigint").alias("n_closed"),
+    )
+    closed = spans.groupBy(F.col("m_close").alias("month")).agg(
+        F.lit(0).cast("bigint").alias("n_opened"),
+        F.count(F.lit(1)).alias("n_closed"),
+    )
+    per_month = (
+        opened.unionByName(closed)
+        .groupBy("month")
+        .agg(
+            F.sum("n_opened").alias("n_opened"),
+            F.sum("n_closed").alias("n_closed"),
+        )
+        .withColumn("net", F.col("n_opened") - F.col("n_closed"))
+        .localCheckpoint()  # |months| rows; pins the fact join upstream
+    )
+    cum = partitioned_prefix_sums(per_month, F.col("month"), ["net"])
+    return cum.select(
+        "month",
+        F.col("n_opened").cast("bigint").alias("n_opened"),
+        F.col("n_closed").cast("bigint").alias("n_closed"),
+        F.col("cum_net").cast("bigint").alias("backlog_eom"),
+    )
+
+
+@register(
+    "q217_association_rules",
+    oracle="""
+WITH bought AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), capped AS (
+  SELECT cust, part FROM bought
+  WHERE cust IN (SELECT cust FROM bought GROUP BY cust HAVING COUNT(*) <= 128)
+), nb AS (
+  SELECT CAST(COUNT(DISTINCT cust) AS BIGINT) AS n FROM capped
+), item AS (
+  SELECT part, CAST(COUNT(*) AS BIGINT) AS n_item FROM capped GROUP BY 1
+), joint AS (
+  SELECT a.part AS part_a, b.part AS part_b,
+    CAST(COUNT(*) AS BIGINT) AS n_joint
+  FROM capped a JOIN capped b ON a.cust = b.cust AND a.part < b.part
+  GROUP BY 1, 2
+), rules AS (
+  SELECT ante, cons, n_joint, n_ante, n_cons,
+    CAST(n_joint AS DOUBLE) / n AS support,
+    CAST(n_joint AS DOUBLE) / n_ante AS confidence,
+    CAST(n_joint * n AS DOUBLE) / (n_ante * n_cons) AS lift
+  FROM (
+    SELECT j.part_a AS ante, j.part_b AS cons, j.n_joint,
+      ia.n_item AS n_ante, ic.n_item AS n_cons, nb.n
+    FROM joint j, nb
+    JOIN item ia ON ia.part = j.part_a
+    JOIN item ic ON ic.part = j.part_b
+    UNION ALL
+    SELECT j.part_b, j.part_a, j.n_joint, ic.n_item, ia.n_item, nb.n
+    FROM joint j, nb
+    JOIN item ia ON ia.part = j.part_a
+    JOIN item ic ON ic.part = j.part_b
+  )
+  WHERE n_joint >= 3
+)
+SELECT ante, cons, n_joint, n_ante, n_cons,
+  round(support, 6) AS support,
+  round(confidence, 6) AS confidence,
+  round(lift, 6) AS lift, rk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY lift DESC, ante, cons) AS rk
+  FROM rules)
+WHERE rk <= 20
+""",
+    tags=("analytics", "recommendation"),
+)
+def q217_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-item association rules X→Y over customer baskets: joint
+    support, confidence P(Y|X), and lift P(Y|X)/P(Y) — the top-20
+    highest-lift rules with min joint support 3. Lift > 1 is the
+    actual "customers who bought X also bought Y" signal (q168's raw
+    pair counts rank popular-with-popular; lift corrects for margin).
+
+    Scale shape: reuses q168's bounded basket discipline — distinct
+    (cust, part), basket ≤ 128 cap, within-customer self-join (work =
+    Σ C(basket,2), never corpus²) — then item and joint counts are
+    two-phase aggs, rules materialize both directions of each pair
+    (joint frame is already small), and margins arrive via broadcast
+    joins on the part-count frame. Support/confidence/lift are each
+    ONE IEEE division of exact integers — bit-identical across engines
+    — so ordering by raw lift (unique tiebreak appended) is
+    deterministic; rounding happens only in the final projection. The
+    top-20 cut is TakeOrdered + windowless rank (topn_ranked)."""
+    from ..functions.ranking import topn_ranked
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bought = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    sizes = bought.groupBy("cust").agg(F.count(F.lit(1)).alias("basket"))
+    capped = bought.join(sizes.filter(F.col("basket") <= 128), "cust").select(
+        "cust", "part"
+    )
+    nb = capped.agg(F.count_distinct("cust").alias("n"))
+    item = capped.groupBy("part").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = capped.alias("a"), capped.alias("b")
+    joint = (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_joint"))
+    )
+    fwd = joint.select(
+        F.col("part_a").alias("ante"),
+        F.col("part_b").alias("cons"),
+        "n_joint",
+    )
+    rev = joint.select(
+        F.col("part_b").alias("ante"),
+        F.col("part_a").alias("cons"),
+        "n_joint",
+    )
+    rules = (
+        fwd.unionByName(rev)
+        .filter(F.col("n_joint") >= 3)
+        .join(
+            F.broadcast(item.select(F.col("part").alias("ante"),
+                                    F.col("n_item").alias("n_ante"))),
+            "ante",
+        )
+        .join(
+            F.broadcast(item.select(F.col("part").alias("cons"),
+                                    F.col("n_item").alias("n_cons"))),
+            "cons",
+        )
+        .crossJoin(F.broadcast(nb))
+        .withColumn("support", F.col("n_joint").cast("double") / F.col("n"))
+        .withColumn(
+            "confidence", F.col("n_joint").cast("double") / F.col("n_ante")
+        )
+        .withColumn(
+            "lift",
+            (F.col("n_joint") * F.col("n")).cast("double")
+            / (F.col("n_ante") * F.col("n_cons")),
+        )
+    )
+    top = topn_ranked(
+        rules, [F.col("lift").desc(), F.col("ante"), F.col("cons")], 20
+    )
+    return top.select(
+        "ante", "cons", "n_joint", "n_ante", "n_cons",
+        F.round("support", 6).alias("support"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+        F.col("rk").cast("int").alias("rk"),
     )

@@ -1042,3 +1042,83 @@ def q204_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("cramers_v"),
     )
+
+
+@register(
+    "q215_mad_outliers",
+    oracle="""
+WITH base AS (
+  SELECT o_orderpriority AS priority,
+    CAST(CAST(o_totalprice AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), med AS (
+  SELECT priority, quantile_cont(CAST(cents AS DOUBLE), 0.5) AS med
+  FROM base GROUP BY 1
+), dev AS (
+  SELECT b.priority, b.cents, m.med,
+    abs(CAST(b.cents AS DOUBLE) - m.med) AS absdev
+  FROM base b JOIN med m USING (priority)
+), mad AS (
+  SELECT priority, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT d.priority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  round(MAX(d.med), 6) AS median_cents,
+  round(MAX(m.mad), 6) AS mad_cents,
+  CAST(SUM(CASE WHEN m.mad > 0 AND d.absdev > 4.4478 * m.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  round(SUM(CASE WHEN m.mad > 0 AND d.absdev > 4.4478 * m.mad
+                 THEN 1.0 ELSE 0.0 END) / COUNT(*), 6) AS outlier_rate
+FROM dev d JOIN mad m USING (priority)
+GROUP BY d.priority
+""",
+    tags=("dq", "stats"),
+)
+def q215_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit per order priority: median / MAD (median
+    absolute deviation) and the count of orders beyond 3 robust sigmas
+    (3 × 1.4826 × MAD = 4.4478·MAD — the consistency constant for
+    normal data). Mean/stddev outlier fences break the moment the
+    outliers they hunt pollute the moments; median/MAD don't — this is
+    the Deequ-style anomaly rule you actually want on money columns.
+
+    Scale shape: three passes over orders (median agg → deviation agg →
+    flag agg), each a two-phase hash agg over 5 priority groups with
+    the 5-row stats frames broadcast back. Exact percentile is safe
+    here even at 100 TB: Spark's Percentile agg buffers value→count
+    pairs, bounded by the DISTINCT CENTS domain (< 10^8), not by row
+    count — for unbounded-domain columns swap approx_percentile in.
+    The 4.4478 multiplier is written as ONE literal in both engines so
+    the boundary product is bit-identical; ties on the fence line
+    resolve the same way everywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_totalprice").cast("decimal(8,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    med = base.groupBy("priority").agg(
+        F.percentile(F.col("cents").cast("double"), F.lit(0.5)).alias("med")
+    )
+    dev = base.join(F.broadcast(med), "priority").withColumn(
+        "absdev", F.abs(F.col("cents").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("priority").agg(
+        F.percentile(F.col("absdev"), F.lit(0.5)).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "priority")
+    is_out = (F.col("mad") > 0) & (
+        F.col("absdev") > F.lit(4.4478) * F.col("mad")
+    )
+    return flagged.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.max("med"), 6).alias("median_cents"),
+        F.round(F.max("mad"), 6).alias("mad_cents"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias(
+            "n_outliers"
+        ),
+        F.round(
+            F.sum(F.when(is_out, 1.0).otherwise(0.0)) / F.count(F.lit(1)), 6
+        ).alias("outlier_rate"),
+    )

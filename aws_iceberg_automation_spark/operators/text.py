@@ -1093,3 +1093,131 @@ def q202_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("intercept"),
     )
+
+
+@register(
+    "q216_vocab_growth",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), mx AS (
+  SELECT MAX(doc_id) AS m FROM documents
+), grid AS (
+  SELECT CAST(k AS INT) AS k FROM generate_series(1, 20) AS t(k)
+), dd AS (
+  SELECT GREATEST(1, CAST((20 * doc_id + m - 1) // m AS INT)) AS k,
+    CAST(COUNT(*) AS BIGINT) AS nd
+  FROM documents, mx GROUP BY 1
+), td AS (
+  SELECT GREATEST(1, CAST((20 * doc_id + m - 1) // m AS INT)) AS k,
+    CAST(COUNT(*) AS BIGINT) AS nt
+  FROM tok, mx GROUP BY 1
+), vd AS (
+  SELECT GREATEST(1, CAST((20 * fd + m - 1) // m AS INT)) AS k,
+    CAST(COUNT(*) AS BIGINT) AS nv
+  FROM (SELECT term, MIN(doc_id) AS fd FROM tok GROUP BY 1), mx
+  GROUP BY 1
+), cum AS (
+  SELECT g.k,
+    SUM(COALESCE(dd.nd, 0)) OVER (ORDER BY g.k) AS docs,
+    SUM(COALESCE(td.nt, 0)) OVER (ORDER BY g.k) AS tokens,
+    SUM(COALESCE(vd.nv, 0)) OVER (ORDER BY g.k) AS vocab
+  FROM grid g
+  LEFT JOIN dd ON dd.k = g.k
+  LEFT JOIN td ON td.k = g.k
+  LEFT JOIN vd ON vd.k = g.k
+)
+SELECT k AS checkpoint,
+  CAST(docs AS BIGINT) AS n_docs,
+  CAST(tokens AS BIGINT) AS n_tokens,
+  CAST(vocab AS BIGINT) AS n_vocab,
+  round(CASE WHEN tokens > 1 AND vocab > 0
+        THEN ln(CAST(vocab AS DOUBLE)) / ln(CAST(tokens AS DOUBLE)) END, 6)
+    AS heaps_beta
+FROM cum
+""",
+    tags=("text", "llm"),
+)
+def q216_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative docs, tokens, and
+    DISTINCT vocabulary at 20 corpus checkpoints (doc_id twentiles),
+    plus the running Heaps exponent β = ln V / ln T. Flattening β says
+    "more of the same data"; a β that won't flatten says the corpus
+    (or its tokenizer) is churning novel junk — the dedup/quality
+    smoke alarm you read BEFORE spending GPU-months.
+
+    Scale shape: the naive form re-counts DISTINCT tokens at every
+    checkpoint (20 full passes, each a corpus-wide distinct). Instead
+    each token contributes ONE row — (term → min doc_id) — and each
+    token/doc maps map-side to the FIRST checkpoint that includes it
+    (pure integer arithmetic: ceil-division against max doc_id, the
+    same expression in both engines); all three delta frames are ≤20
+    rows and the growth curve is a prefix sum over the checkpoint grid
+    — one word-count-shaped shuffle on terms, everything after is
+    constant-size. Checkpoints are full-grid LEFT JOINs so quiet
+    twentiles still emit a row (the cumulative carries across); the
+    cumulative itself is a broadcast triangular self-join on the fixed
+    20-row grid — no window, no bucket machinery, ≤210 joined rows."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    mx = d.agg(F.max("doc_id").alias("m"))
+
+    def kmin(idcol: Column) -> Column:
+        # ceil(20·id / m) via floor((20·id + m − 1)/m); the division is
+        # double but exact while 20·id < 2^53 — doc ids to 4.5e14.
+        return F.greatest(
+            F.lit(1),
+            F.floor((20 * idcol + F.col("m") - 1) / F.col("m")).cast("int"),
+        )
+
+    dd = (
+        d.crossJoin(F.broadcast(mx))
+        .groupBy(kmin(F.col("doc_id")).alias("k"))
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    td = (
+        tok.crossJoin(F.broadcast(mx))
+        .groupBy(kmin(F.col("doc_id")).alias("k"))
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    vd = (
+        tok.groupBy("term")
+        .agg(F.min("doc_id").alias("fd"))
+        .crossJoin(F.broadcast(mx))
+        .groupBy(kmin(F.col("fd")).alias("k"))
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    grid = spark.range(1, 21).select(F.col("id").cast("int").alias("k"))
+    deltas = (
+        grid.join(F.broadcast(dd), "k", "left")
+        .join(F.broadcast(td), "k", "left")
+        .join(F.broadcast(vd), "k", "left")
+        .select(
+            "k",
+            F.coalesce("nd", F.lit(0)).alias("nd"),
+            F.coalesce("nt", F.lit(0)).alias("nt"),
+            F.coalesce("nv", F.lit(0)).alias("nv"),
+        )
+    )
+    a, b = deltas.alias("a"), deltas.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.k") <= F.col("a.k"))
+        .groupBy(F.col("a.k").alias("k"))
+        .agg(
+            F.sum("b.nd").cast("bigint").alias("cum_nd"),
+            F.sum("b.nt").cast("bigint").alias("cum_nt"),
+            F.sum("b.nv").cast("bigint").alias("cum_nv"),
+        )
+    )
+    beta = F.log(F.col("cum_nv").cast("double")) / F.log(
+        F.col("cum_nt").cast("double")
+    )
+    return cum.select(
+        F.col("k").alias("checkpoint"),
+        F.col("cum_nd").alias("n_docs"),
+        F.col("cum_nt").alias("n_tokens"),
+        F.col("cum_nv").alias("n_vocab"),
+        F.round(
+            F.when((F.col("cum_nt") > 1) & (F.col("cum_nv") > 0), beta), 6
+        ).alias("heaps_beta"),
+    )

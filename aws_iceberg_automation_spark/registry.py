@@ -168,6 +168,14 @@ _DRIVER_PRIORITY = [
     "q207_split_leakage",
     "q208_rfm_segments",
     "q209_pareto_abc",
+    "q210_segment_gini",
+    "q211_weekday_seasonality",
+    "q212_interarrival_burstiness",
+    "q213_ship_delay_survival",
+    "q214_order_backlog",
+    "q215_mad_outliers",
+    "q216_vocab_growth",
+    "q217_association_rules",
 ]
 
 

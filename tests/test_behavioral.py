@@ -278,3 +278,149 @@ def test_pareto_abc_known_cut_points(spark, tmp_path):
     assert abs(out["A"].revenue_share - 0.8) < 1e-9
     assert abs(out["B"].revenue_share - 0.15) < 1e-9
     assert abs(out["C"].revenue_share - 0.05) < 1e-9
+
+
+def test_segment_gini_equal_vs_concentrated(spark, tmp_path):
+    """q210 on two hand-built segments: EQ has four equal spenders
+    (Gini exactly 0), CONC has spends 1/1/1/97 (Gini 0.72 by the rank
+    formula) — checked to 6dp."""
+    import datetime
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    custs = [
+        (i, f"c{i}", 0, 0.0, "EQ" if i <= 4 else "CONC") for i in range(1, 9)
+    ]
+    spends = {1: 25.0, 2: 25.0, 3: 25.0, 4: 25.0, 5: 1.0, 6: 1.0, 7: 1.0, 8: 97.0}
+    orders = [
+        (k, k, "O", spends[k], datetime.datetime(1995, 1, 1), "1-URGENT")
+        for k in spends
+    ]
+    spark.createDataFrame(custs, SCHEMAS["customer"]).write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    spark.createDataFrame(orders, SCHEMAS["orders"]).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = {
+        r.seg: r for r in SPECS["q210_segment_gini"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out["EQ"].gini == 0.0 and out["EQ"].n_customers == 4
+    # 2*(1*100+2*100+3*100+4*9700)/(4*10000) - 5/4 = 0.72
+    assert abs(out["CONC"].gini - 0.72) < 1e-9
+    assert out["CONC"].total_cents == "10000"
+
+
+def test_weekday_seasonality_known_week(spark, tmp_path):
+    """q211 on one order per weekday of 1995-01-01..07 (the 1st was a
+    Sunday): dow must map Sunday→0, and a flat week must index 1.0."""
+    import datetime
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    orders = [
+        (d, 1, "O", 100.0, datetime.datetime(1995, 1, d), "1-URGENT")
+        for d in range(1, 8)
+    ]
+    spark.createDataFrame(orders, SCHEMAS["orders"]).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = {r.dow: r for r in SPECS["q211_weekday_seasonality"].fn(
+        spark, str(tmp_path)).collect()}
+    assert set(out) == set(range(7))
+    for r in out.values():
+        assert r.n_orders == 1
+        assert abs(r.seasonality_index - 1.0) < 1e-9
+
+
+def test_burstiness_periodic_user_is_minus_one(spark):
+    """q212: a metronome user (constant gap) has burstiness exactly −1;
+    a user with wildly varying gaps is positive."""
+    rows = [
+        (i, datetime(2024, 1, 1, 0, i, 0), 1, "view", 0.0, "{}")
+        for i in range(10)  # user 1: 60s metronome
+    ]
+    # user 2: gaps 1s,1s,1s,3600s
+    offs = [0, 1, 2, 3, 3603]
+    rows += [
+        (100 + i, datetime(2024, 1, 1, 1, 0, 0) + __import__("datetime").timedelta(seconds=s), 2, "view", 0.0, "{}")
+        for i, s in enumerate(offs)
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    orig = beh.load_table
+    try:
+        beh.load_table = lambda s, d, t: df if t == "events" else orig(s, d, t)
+        out = {
+            r.user_id: r
+            for r in SPECS["q212_interarrival_burstiness"].fn(spark, SF_DIR).collect()
+        }
+    finally:
+        beh.load_table = orig
+    assert out[1].burstiness == -1.0
+    assert out[1].n_gaps == 9 and out[1].mean_gap_s == 60.0
+    # gaps 1,1,1,3600: mu=900.75, sigma=1799.5 -> B = 0.33284 exactly
+    assert abs(out[2].burstiness - 0.33284) < 1e-9
+
+
+def test_ship_delay_survival_known_curve(spark, tmp_path):
+    """q213 on 4 lineitems shipped 0/3/10/20 days after order: weeks
+    0,0,1,2 → survival after week 0 = 0.5, after week 1 = 0.25,
+    after week 2 = 0."""
+    import datetime
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    base = datetime.datetime(1995, 6, 1)
+    lis = [
+        (1, 1, 1, i, 1.0, 100.0, 0.0, 0.0, "N", "O",
+         base + datetime.timedelta(days=d))
+        for i, d in enumerate([0, 3, 10, 20], 1)
+    ]
+    spark.createDataFrame(lis, SCHEMAS["lineitem"]).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    spark.createDataFrame(
+        [(1, 1, "O", 100.0, base, "1-URGENT")], SCHEMAS["orders"]
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        r.delay_weeks: r
+        for r in SPECS["q213_ship_delay_survival"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[0].n_items == 2 and abs(out[0].survival - 0.5) < 1e-9
+    assert out[1].n_items == 1 and abs(out[1].survival - 0.25) < 1e-9
+    assert out[2].n_items == 1 and out[2].survival == 0.0
+
+
+def test_order_backlog_known_timeline(spark, tmp_path):
+    """q214 on three orders: A(Jan→Feb), B(Jan→Apr), C(Mar→Mar):
+    backlog EOM Jan=2, Feb=1, Mar=1, Apr=0. An order's close month is
+    its LAST shipment."""
+    import datetime
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    def d(m, day=15):
+        return datetime.datetime(1995, m, day)
+
+    orders = [
+        (1, 1, "O", 10.0, d(1), "1-URGENT"),
+        (2, 1, "O", 10.0, d(1), "1-URGENT"),
+        (3, 1, "O", 10.0, d(3), "1-URGENT"),
+    ]
+    lis = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d(1, 20)),
+        (1, 1, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d(2)),   # A closes Feb
+        (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d(4)),   # B closes Apr
+        (3, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d(3, 20)),  # C closes Mar
+    ]
+    spark.createDataFrame(orders, SCHEMAS["orders"]).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    spark.createDataFrame(lis, SCHEMAS["lineitem"]).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = {
+        r.month.month: r.backlog_eom
+        for r in SPECS["q214_order_backlog"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: 2, 2: 1, 3: 1, 4: 0}

@@ -297,3 +297,31 @@ def test_chi2_independence_matches_brute_force(spark):
     assert row.dof == dof
     assert abs(row.chi2 - chi2) < 1e-3
     assert abs(row.cramers_v - v) < 1e-5
+
+
+def test_mad_outliers_zero_mad_and_known_fence(spark, tmp_path):
+    """q215 on two hand-built priorities: DEGEN is 4×10 + one 1000 —
+    MAD is 0, so the guard must yield ZERO outliers (never divide or
+    flag on a degenerate scale); SPREAD is 10/20/30/40/1000 — MAD 1000
+    cents, fence 4447.8, exactly one outlier."""
+    import datetime
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    rows = []
+    for i, v in enumerate([10.0, 10.0, 10.0, 10.0, 1000.0], 1):
+        rows.append((i, 1, "O", v, datetime.datetime(1995, 1, 1), "DEGEN"))
+    for i, v in enumerate([10.0, 20.0, 30.0, 40.0, 1000.0], 10):
+        rows.append((i, 1, "O", v, datetime.datetime(1995, 1, 1), "SPREAD"))
+    spark.createDataFrame(rows, SCHEMAS["orders"]).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = {
+        r.priority: r
+        for r in all_specs()["q215_mad_outliers"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out["DEGEN"].n_outliers == 0 and out["DEGEN"].mad_cents == 0.0
+    assert out["SPREAD"].median_cents == 3000.0
+    assert out["SPREAD"].mad_cents == 1000.0
+    assert out["SPREAD"].n_outliers == 1
+    assert abs(out["SPREAD"].outlier_rate - 0.2) < 1e-9

@@ -822,3 +822,68 @@ def test_split_leakage_detects_cross_split_neardups(spark):
     total = load_table(spark, SF_DIR, "documents").count()
     assert n_docs == total
     assert {r.split for r in manifest} == {"train", "val", "test"}
+
+
+def test_vocab_growth_known_curve(spark, tmp_path):
+    """q216 on 4 hand-built docs (ids 1..4, max id 4 → doc i lands on
+    checkpoint 5i): the cumulative doc/token/vocab curve is known
+    exactly, early empty checkpoints emit zero rows with NULL β, and
+    the full 20-row grid is present."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    docs = [
+        (1, "a b", "en", "s", 3),
+        (2, "a c", "en", "s", 3),
+        (3, "c d", "en", "s", 3),
+        (4, "a b", "en", "s", 3),
+    ]
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.checkpoint: r
+        for r in SPECS["q216_vocab_growth"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == set(range(1, 21))
+    assert out[4].n_docs == 0 and out[4].heaps_beta is None
+    assert (out[5].n_docs, out[5].n_tokens, out[5].n_vocab) == (1, 2, 2)
+    assert (out[10].n_docs, out[10].n_tokens, out[10].n_vocab) == (2, 4, 3)
+    assert (out[15].n_docs, out[15].n_tokens, out[15].n_vocab) == (3, 6, 4)
+    assert (out[20].n_docs, out[20].n_tokens, out[20].n_vocab) == (4, 8, 4)
+    import math
+
+    assert abs(out[20].heaps_beta - round(math.log(4) / math.log(8), 6)) < 1e-12
+
+
+def test_association_rules_known_lift(spark, tmp_path):
+    """q217 on 5 hand-built baskets ({1,2}×3, {1,3}, {2,3}): only the
+    1↔2 pair clears min joint support 3; both rule directions emit
+    confidence 0.75 and lift 3·5/(4·4) = 0.9375."""
+    import datetime
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    baskets = {1: [1, 2], 2: [1, 2], 3: [1, 2], 4: [1, 3], 5: [2, 3]}
+    orders, lis = [], []
+    for cust, parts in baskets.items():
+        orders.append(
+            (cust, cust, "O", 1.0, datetime.datetime(1995, 1, 1), "1-URGENT")
+        )
+        for i, p in enumerate(parts, 1):
+            lis.append(
+                (cust, p, 1, i, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                 datetime.datetime(1995, 1, 2))
+            )
+    spark.createDataFrame(orders, SCHEMAS["orders"]).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    spark.createDataFrame(lis, SCHEMAS["lineitem"]).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    rows = SPECS["q217_association_rules"].fn(spark, str(tmp_path)).collect()
+    assert {(r.ante, r.cons) for r in rows} == {(1, 2), (2, 1)}
+    for r in rows:
+        assert r.n_joint == 3 and r.n_ante == 4 and r.n_cons == 4
+        assert abs(r.confidence - 0.75) < 1e-12
+        assert abs(r.lift - 0.9375) < 1e-12
+        assert abs(r.support - 0.6) < 1e-12

@@ -119,3 +119,41 @@ def test_no_single_partition_window_in_plans(skewed):
         for line in plan.splitlines():
             if "windowspecdefinition" in line:
                 assert "windowspecdefinition(_bucket" in line, line
+
+
+def test_grouped_row_number_matches_window(skewed):
+    """grouped_row_number must equal row_number() PARTITION BY group on
+    the same adversarial distribution, split into 3 uneven groups."""
+    from aws_iceberg_automation_spark.functions.ranking import (
+        grouped_row_number,
+    )
+
+    g = skewed.withColumn(
+        "grp",
+        F.when(F.col("id") % 7 == 0, "a")
+        .when(F.col("id") % 3 == 0, "b")
+        .otherwise("c"),
+    )
+    got = grouped_row_number(
+        g, ["grp"], F.col("v"), [F.col("id")], n_buckets=8
+    )
+    w = Window.partitionBy("grp").orderBy("v", "id")
+    want = g.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    assert sorted(
+        map(tuple, got.select("grp", "id", "v", "rk").collect())
+    ) == sorted(map(tuple, want.select("grp", "id", "v", "rk").collect()))
+
+
+def test_grouped_row_number_single_row_groups(spark):
+    """Degenerate groups (one row each) all rank 1."""
+    from aws_iceberg_automation_spark.functions.ranking import (
+        grouped_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5.0, 1), ("b", -2.0, 2), ("c", 0.0, 3)], "grp string, v double, id int"
+    )
+    got = grouped_row_number(df, ["grp"], F.col("v"), [F.col("id")])
+    assert {(r.grp, r.rk) for r in got.collect()} == {
+        ("a", 1), ("b", 1), ("c", 1)
+    }
