@@ -141,14 +141,27 @@ def _with_value_buckets(
     return quantile_bucket_ranks(df, [(value, "_bucket")], n_buckets)
 
 
-def _bucket_offsets(per_bucket: DataFrame, cnt_cols: list[str]) -> DataFrame:
-    """Exclusive prefix sums of ``cnt_cols`` over ``_bucket`` order,
-    via a triangular broadcast self-join on the ≤n_buckets bucket-total
-    rows — no WindowExec anywhere. Returns (_bucket, _off_<col>...)."""
+def _bucket_offsets(
+    per_bucket: DataFrame,
+    cnt_cols: list[str],
+    group_cols: list[str] = [],
+) -> DataFrame:
+    """Exclusive prefix sums of ``cnt_cols`` over ``_bucket`` order —
+    within each ``group_cols`` group when given — via a triangular
+    broadcast self-join on the ≤|groups|·n_buckets bucket-total rows;
+    no WindowExec anywhere. Group equality is NULL-SAFE (a NULL group
+    key is a real group, exactly as PARTITION BY treats it). Returns
+    (*group_cols, _bucket, _off_<col>...)."""
     p, q = per_bucket.alias("p"), per_bucket.alias("q")
+    cond = F.col("q._bucket") < F.col("p._bucket")
+    for g in group_cols:
+        cond = cond & F.col(f"q.{g}").eqNullSafe(F.col(f"p.{g}"))
     return (
-        p.join(F.broadcast(q), F.col("q._bucket") < F.col("p._bucket"), "left")
-        .groupBy(F.col("p._bucket").alias("_bucket"))
+        p.join(F.broadcast(q), cond, "left")
+        .groupBy(
+            *[F.col(f"p.{g}").alias(g) for g in group_cols],
+            F.col("p._bucket").alias("_bucket"),
+        )
         .agg(
             *[
                 F.coalesce(F.sum(f"q.{c}"), F.lit(0))
@@ -326,31 +339,23 @@ def grouped_row_number(
     Contract: the counts frame is |groups| × n_buckets rows and is
     broadcast — use this helper when groups are few (≤ thousands).
     Numerous small groups don't need it: a window partitioned by the
-    group key alone is already scale-safe."""
+    group key alone is already scale-safe. NULL group keys are a real
+    group (exactly as PARTITION BY treats them): both the offset join
+    and the final bucket join are NULL-SAFE, so no row is dropped."""
     _check_names(df, rank_name, "_bucket", "_off__cnt")
     b = _with_value_buckets(df, value, n_buckets)
     counts = b.groupBy(*group_cols, "_bucket").agg(
         F.count(F.lit(1)).alias("_cnt")
     )
-    p, q = counts.alias("p"), counts.alias("q")
-    cond = F.col("q._bucket") < F.col("p._bucket")
-    for g in group_cols:
-        cond = cond & (F.col(f"q.{g}") == F.col(f"p.{g}"))
-    offsets = (
-        p.join(F.broadcast(q), cond, "left")
-        .groupBy(
-            *[F.col(f"p.{g}").alias(g) for g in group_cols],
-            F.col("p._bucket").alias("_bucket"),
-        )
-        .agg(
-            F.coalesce(F.sum("q._cnt"), F.lit(0))
-            .cast("bigint")
-            .alias("_off__cnt")
-        )
-    )
+    offsets = _bucket_offsets(counts, ["_cnt"], group_cols)
     w = Window.partitionBy(*group_cols, "_bucket").orderBy(value, *tiebreaks)
+    bb, oo = b.alias("b"), offsets.alias("o")
+    cond = F.col("b._bucket") == F.col("o._bucket")
+    for g in group_cols:
+        cond = cond & F.col(f"b.{g}").eqNullSafe(F.col(f"o.{g}"))
     return (
-        b.join(F.broadcast(offsets), [*group_cols, "_bucket"])
+        bb.join(F.broadcast(oo), cond)
+        .select("b.*", "o._off__cnt")
         .withColumn(
             rank_name,
             (F.col("_off__cnt") + F.row_number().over(w)).cast("bigint"),

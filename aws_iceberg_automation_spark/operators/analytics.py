@@ -939,6 +939,40 @@ def q140_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _capped_baskets(spark: SparkSession, sf_dir: str, cap: int = 128) -> DataFrame:
+    """Distinct (cust, part) purchase pairs with oversized baskets
+    dropped (basket ≤ cap) — the bounded-basket frame shared by q168
+    co-purchase counts and q217 association rules. The cap bounds any
+    within-customer pairwise stage at Σ C(cap, 2) per customer (the
+    same skew discipline as the LSH bucket cap) and lives HERE once so
+    the two operators and their oracles can never desynchronize."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bought = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    sizes = bought.groupBy("cust").agg(F.count(F.lit(1)).alias("basket"))
+    return bought.join(sizes.filter(F.col("basket") <= cap), "cust").select(
+        "cust", "part"
+    )
+
+
+def _basket_pairs(capped: DataFrame) -> DataFrame:
+    """Within-customer (part_a < part_b) co-occurrence counts over a
+    bounded-basket frame."""
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_joint"))
+    )
+
 @register(
     "q168_copurchase_pairs",
     oracle="""
@@ -976,30 +1010,8 @@ def q168_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair counts then two-phase-aggregate on (part_a, part_b) and
     TakeOrdered yields the top-20; no global window over the pair set.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    bought = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
-        .distinct()
-    )
-    sizes = bought.groupBy("cust").agg(F.count(F.lit(1)).alias("basket"))
-    capped = (
-        bought.join(sizes.filter(F.col("basket") <= 128), "cust")
-        .select("cust", "part")
-    )
-    a = capped.alias("a")
-    b = capped.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cust") == F.col("b.cust"))
-            & (F.col("a.part") < F.col("b.part")),
-        )
-        .groupBy(
-            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_customers"))
+    pairs = _basket_pairs(_capped_baskets(spark, sf_dir)).withColumnRenamed(
+        "n_joint", "n_customers"
     )
     from ..functions.ranking import topn_ranked
 
@@ -1591,7 +1603,7 @@ WITH bought AS (
   SELECT ante, cons, n_joint, n_ante, n_cons,
     CAST(n_joint AS DOUBLE) / n AS support,
     CAST(n_joint AS DOUBLE) / n_ante AS confidence,
-    CAST(n_joint * n AS DOUBLE) / (n_ante * n_cons) AS lift
+    (CAST(n_joint AS DOUBLE) * n) / (CAST(n_ante AS DOUBLE) * n_cons) AS lift
   FROM (
     SELECT j.part_a AS ante, j.part_b AS cons, j.n_joint,
       ia.n_item AS n_ante, ic.n_item AS n_cons, nb.n
@@ -1628,37 +1640,24 @@ def q217_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cust, part), basket ≤ 128 cap, within-customer self-join (work =
     Σ C(basket,2), never corpus²) — then item and joint counts are
     two-phase aggs, rules materialize both directions of each pair
-    (joint frame is already small), and margins arrive via broadcast
-    joins on the part-count frame. Support/confidence/lift are each
-    ONE IEEE division of exact integers — bit-identical across engines
-    — so ordering by raw lift (unique tiebreak appended) is
-    deterministic; rounding happens only in the final projection. The
-    top-20 cut is TakeOrdered + windowless rank (topn_ranked)."""
+    (joint frame is already small), and margins arrive via equi-joins
+    on the part-count frame — unhinted: |parts| grows with the corpus,
+    so AQE picks broadcast vs shuffle by measured size (a forced
+    broadcast would hit the 8 GB limit at large SF); only the 1-row
+    basket total is hint-broadcast. Support/confidence/lift each
+    compute as double products/division of exactly-representable ints
+    — the identical op chain in both engines (factors cast to double
+    BEFORE multiplying; a bigint product would overflow exactly where
+    q209's probe did) — so ordering by raw lift (unique tiebreak
+    appended) is deterministic; rounding happens only in the final
+    projection. The top-20 cut is TakeOrdered + windowless rank
+    (topn_ranked)."""
     from ..functions.ranking import topn_ranked
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    bought = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
-        .distinct()
-    )
-    sizes = bought.groupBy("cust").agg(F.count(F.lit(1)).alias("basket"))
-    capped = bought.join(sizes.filter(F.col("basket") <= 128), "cust").select(
-        "cust", "part"
-    )
+    capped = _capped_baskets(spark, sf_dir)
     nb = capped.agg(F.count_distinct("cust").alias("n"))
     item = capped.groupBy("part").agg(F.count(F.lit(1)).alias("n_item"))
-    a, b = capped.alias("a"), capped.alias("b")
-    joint = (
-        a.join(
-            b,
-            (F.col("a.cust") == F.col("b.cust"))
-            & (F.col("a.part") < F.col("b.part")),
-        )
-        .groupBy(F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b"))
-        .agg(F.count(F.lit(1)).alias("n_joint"))
-    )
+    joint = _basket_pairs(capped)
     fwd = joint.select(
         F.col("part_a").alias("ante"),
         F.col("part_b").alias("cons"),
@@ -1673,13 +1672,13 @@ def q217_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         fwd.unionByName(rev)
         .filter(F.col("n_joint") >= 3)
         .join(
-            F.broadcast(item.select(F.col("part").alias("ante"),
-                                    F.col("n_item").alias("n_ante"))),
+            item.select(F.col("part").alias("ante"),
+                        F.col("n_item").alias("n_ante")),
             "ante",
         )
         .join(
-            F.broadcast(item.select(F.col("part").alias("cons"),
-                                    F.col("n_item").alias("n_cons"))),
+            item.select(F.col("part").alias("cons"),
+                        F.col("n_item").alias("n_cons")),
             "cons",
         )
         .crossJoin(F.broadcast(nb))
@@ -1688,9 +1687,12 @@ def q217_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "confidence", F.col("n_joint").cast("double") / F.col("n_ante")
         )
         .withColumn(
+            # factors cast to double BEFORE multiplying: bigint*bigint
+            # overflows int64 in exactly the regime q209's probe hit;
+            # double*int products round identically in both engines
             "lift",
-            (F.col("n_joint") * F.col("n")).cast("double")
-            / (F.col("n_ante") * F.col("n_cons")),
+            (F.col("n_joint").cast("double") * F.col("n"))
+            / (F.col("n_ante").cast("double") * F.col("n_cons")),
         )
     )
     top = topn_ranked(

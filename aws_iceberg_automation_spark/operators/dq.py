@@ -39,6 +39,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.compat import dec2
 from ..functions.ranking import topn_ranked
 from ..io import SCHEMAS, load_table
 from ..registry import register
@@ -1094,9 +1095,7 @@ def q215_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     base = o.select(
         F.col("o_orderpriority").alias("priority"),
-        (F.col("o_totalprice").cast("decimal(8,2)") * 100)
-        .cast("bigint")
-        .alias("cents"),
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
     med = base.groupBy("priority").agg(
         F.percentile(F.col("cents").cast("double"), F.lit(0.5)).alias("med")

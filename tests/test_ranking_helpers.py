@@ -157,3 +157,19 @@ def test_grouped_row_number_single_row_groups(spark):
     assert {(r.grp, r.rk) for r in got.collect()} == {
         ("a", 1), ("b", 1), ("c", 1)
     }
+
+
+def test_grouped_row_number_null_group_kept(spark):
+    """A NULL group key is a real group (PARTITION BY semantics): its
+    rows must rank 1..n, not silently vanish (review finding r4)."""
+    from aws_iceberg_automation_spark.functions.ranking import (
+        grouped_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 1.0, 1), (None, 2.0, 2), ("a", 3.0, 3)],
+        "grp string, v double, id int",
+    )
+    got = {(r.grp, r.id): r.rk for r in grouped_row_number(
+        df, ["grp"], F.col("v"), [F.col("id")]).collect()}
+    assert got == {(None, 1): 1, (None, 2): 2, ("a", 3): 1}
