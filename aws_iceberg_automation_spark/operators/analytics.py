@@ -8,7 +8,7 @@ shape whose scaling behavior is worth tracking release-over-release.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.compat import (
@@ -1704,4 +1704,244 @@ def q217_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("confidence", 6).alias("confidence"),
         F.round("lift", 6).alias("lift"),
         F.col("rk").cast("int").alias("rk"),
+    )
+
+
+@register(
+    "q218_new_vs_returning",
+    oracle="""
+WITH om AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month, o_custkey
+  FROM orders
+), active AS (
+  SELECT month, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active
+  FROM om GROUP BY 1
+), firsts AS (
+  SELECT o_custkey, MIN(month) AS fm FROM om GROUP BY 1
+), news AS (
+  SELECT fm AS month, CAST(COUNT(*) AS BIGINT) AS n_new FROM firsts GROUP BY 1
+), m AS (
+  SELECT a.month, a.n_active, COALESCE(n.n_new, 0) AS n_new
+  FROM active a LEFT JOIN news n ON n.month = a.month
+)
+SELECT CAST(a.month AS DATE) AS month,
+  a.n_active,
+  CAST(a.n_new AS BIGINT) AS n_new,
+  CAST(a.n_active - a.n_new AS BIGINT) AS n_returning,
+  CAST(SUM(b.n_new) AS BIGINT) AS cum_known_customers
+FROM m a JOIN m b ON b.month <= a.month
+GROUP BY a.month, a.n_active, a.n_new
+""",
+    tags=("analytics", "behavioral"),
+)
+def q218_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New vs returning customers per month, plus the cumulative count
+    of customers ever seen — the acquisition/retention split at the top
+    of every growth dashboard.
+
+    Scale shape: two hash aggs over (month, custkey) — active counts
+    and per-customer first month — collapse the fact table to ≤|months|
+    rows each; the cumulative "customers ever known" is a broadcast
+    triangular self-join on that tiny month frame (no window, no
+    month×orders join). A customer's first month is a plain MIN:
+    no ordering, no window, restart-safe."""
+    o = load_table(spark, sf_dir, "orders")
+    om = o.select(
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"),
+        "o_custkey",
+    )
+    active = om.groupBy("month").agg(
+        F.count_distinct("o_custkey").alias("n_active")
+    )
+    firsts = om.groupBy("o_custkey").agg(F.min("month").alias("month"))
+    news = firsts.groupBy("month").agg(F.count(F.lit(1)).alias("n_new"))
+    m = active.join(news, "month", "left").select(
+        "month",
+        "n_active",
+        F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+    )
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("b.month") <= F.col("a.month"))
+        .groupBy(
+            F.col("a.month").alias("month"),
+            F.col("a.n_active").alias("n_active"),
+            F.col("a.n_new").alias("n_new"),
+        )
+        .agg(F.sum("b.n_new").cast("bigint").alias("cum_known_customers"))
+        .withColumn(
+            "n_returning", (F.col("n_active") - F.col("n_new")).cast("bigint")
+        )
+        .select(
+            "month", "n_active", "n_new", "n_returning", "cum_known_customers"
+        )
+    )
+
+
+@register(
+    "q220_discount_elasticity",
+    oracle="""
+WITH cells AS (
+  SELECT p.p_brand AS brand, l.l_discount AS discount,
+    CAST(COUNT(*) AS BIGINT) AS n_items,
+    CAST(SUM(CAST(l.l_quantity AS DECIMAL(8,2))) AS DECIMAL(38,2)) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+), pts AS (
+  SELECT brand,
+    ln(1 - discount) AS x,
+    ln(CAST(qty AS DOUBLE) / n_items) AS y
+  FROM cells WHERE n_items >= 5
+), m AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_levels,
+    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+  FROM pts GROUP BY 1
+)
+SELECT brand, n_levels,
+  round(CASE WHEN n_levels * sxx - sx * sx > 0
+        THEN (n_levels * sxy - sx * sy) / (n_levels * sxx - sx * sx) END, 4)
+    AS elasticity,
+  round(sy / n_levels, 4) AS mean_log_qty
+FROM m
+""",
+    tags=("analytics", "stats"),
+)
+def q220_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand discount elasticity: OLS slope of ln(avg quantity per
+    item) against ln(1 − discount) across discount levels — elasticity
+    < 0 means deeper discounts move volume; ~0 means the discount is
+    subsidizing purchases that would happen anyway. The classic
+    pricing-analytics read over a sales fact table.
+
+    Scale shape: the fact join collapses immediately to the
+    |brands| × |discount levels| grid (two-phase agg; ≤ 25×11 cells at
+    any corpus size), the log/OLS math runs per brand on ≤11 points,
+    and the slope comes from the explicit five-moment formula with the
+    zero-variance denominator guarded NULL (ANSI-safe — q205's corr
+    lesson). Quantity sums are exact DECIMAL; doubles appear only in
+    the final per-cell ratio and logs, and the slope rounds to 4 (the
+    q202 guard band for cross-engine libm/sum drift)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cells = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_discount").alias("discount"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(8,2)"))
+            .cast("decimal(38,2)")
+            .alias("qty"),
+        )
+        .filter(F.col("n_items") >= 5)
+    )
+    pts = cells.select(
+        "brand",
+        F.log(F.lit(1) - F.col("discount")).alias("x"),
+        F.log(F.col("qty").cast("double") / F.col("n_items")).alias("y"),
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy, sxx = F.sum(F.col("x") * F.col("y")), F.sum(F.col("x") * F.col("x"))
+    denom = n * sxx - sx * sx
+    return pts.groupBy("brand").agg(
+        n.cast("bigint").alias("n_levels"),
+        F.round(F.when(denom > 0, (n * sxy - sx * sy) / denom), 4).alias(
+            "elasticity"
+        ),
+        F.round(sy / n, 4).alias("mean_log_qty"),
+    )
+
+
+@register(
+    "q221_cohort_ltv",
+    oracle="""
+WITH om AS (
+  SELECT o_custkey,
+    date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+    CAST(CAST(o_totalprice AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), cohorts AS (
+  SELECT o_custkey, MIN(month) AS cohort FROM om GROUP BY 1
+), grid AS (
+  SELECT c.cohort,
+    CAST(date_diff('month', c.cohort, o.month) AS INT) AS age_months,
+    CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+    CAST(SUM(o.cents) AS BIGINT) AS cents
+  FROM om o JOIN cohorts c ON c.o_custkey = o.o_custkey
+  GROUP BY 1, 2
+), cum AS (
+  SELECT cohort, age_months, n_customers,
+    SUM(cents) OVER (PARTITION BY cohort ORDER BY age_months
+                     ROWS UNBOUNDED PRECEDING) AS cum_cents,
+    first_value(n_customers) OVER (PARTITION BY cohort ORDER BY age_months)
+      AS cohort_size
+  FROM grid
+)
+SELECT CAST(cohort AS DATE) AS cohort, age_months, n_customers,
+  CAST(cohort_size AS BIGINT) AS cohort_size,
+  CAST(CAST(cum_cents AS DECIMAL(38,0)) AS VARCHAR) AS cum_revenue_cents,
+  round(CAST(cum_cents AS DOUBLE) / cohort_size, 2) AS avg_ltv_cents
+FROM cum
+""",
+    tags=("analytics", "behavioral"),
+)
+def q221_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    month, tracked by months-since-acquisition — active count, exact
+    cumulative cohort revenue, and average LTV per acquired customer.
+    THE retention economics artifact (payback period, cohort decay).
+
+    Scale shape: the fact table collapses to the |months|² / 2 cohort
+    grid through one custkey-join + two-phase agg (cohort assignment
+    is a broadcast-size frame per month count at any SF — it's keyed
+    per customer, so it shuffles once on custkey). The cumulative runs
+    as a window PARTITIONED by cohort over the aggregated grid — ≤
+    |months| rows per partition by construction, volume-independent —
+    and cohort_size rides the same window as first_value at age 0
+    (every cohort has its own first order, so age 0 always exists)."""
+    o = load_table(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"),
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cohorts = om.groupBy("o_custkey").agg(F.min("month").alias("cohort"))
+    grid = (
+        om.join(cohorts, "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between(F.col("month"), F.col("cohort"))
+            .cast("int")
+            .alias("age_months"),
+        )
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("cohort").orderBy("age_months")
+    cum = grid.select(
+        "cohort",
+        "age_months",
+        "n_customers",
+        F.first("n_customers").over(w).cast("bigint").alias("cohort_size"),
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_cents"),
+    )
+    return cum.select(
+        "cohort",
+        "age_months",
+        "n_customers",
+        "cohort_size",
+        F.col("cum_cents")
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("cum_revenue_cents"),
+        F.round(
+            F.col("cum_cents").cast("double") / F.col("cohort_size"), 2
+        ).alias("avg_ltv_cents"),
     )

@@ -761,3 +761,79 @@ def q212_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps") >= 2)
     )
+
+
+@register(
+    "q219_conversion_latency",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view'
+        THEN epoch(date_trunc('second', ts)) END) AS fv,
+    min(CASE WHEN event_type = 'purchase'
+        THEN epoch(date_trunc('second', ts)) END) AS fp
+  FROM events GROUP BY 1
+), conv AS (
+  SELECT user_id, fp - fv AS latency_s FROM per_user
+  WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM per_user WHERE fv IS NOT NULL)
+    AS n_viewers,
+  CAST(COUNT(*) AS BIGINT) AS n_converted,
+  round(CAST(COUNT(*) AS DOUBLE)
+        / (SELECT COUNT(*) FROM per_user WHERE fv IS NOT NULL), 6)
+    AS conversion_rate,
+  round(quantile_cont(CAST(latency_s AS DOUBLE), 0.25), 6) AS p25_latency_s,
+  round(quantile_cont(CAST(latency_s AS DOUBLE), 0.5), 6) AS p50_latency_s,
+  round(quantile_cont(CAST(latency_s AS DOUBLE), 0.9), 6) AS p90_latency_s
+FROM conv
+""",
+    tags=("behavioral", "events"),
+)
+def q219_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-view → first-purchase conversion latency: how many viewers
+    convert, and the p25/p50/p90 of the time they take — the funnel-
+    speed KPI that prices retargeting windows ("90% who convert do so
+    within X hours").
+
+    Scale shape: ONE conditional hash agg collapses events to a row
+    per user (min view ts, min purchase ts — no ordering, no window),
+    then a global agg to a single row; exact percentiles bound by the
+    distinct-latency domain (q215's argument). Epoch seconds via
+    tz-independent NTZ interval arithmetic; a purchase with no prior
+    view (fp < fv) is NOT a conversion — the guard is identical on
+    both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    secs = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " date_trunc('second', ts))"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", secs)).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", secs)).alias("fp"),
+    )
+    conv = per_user.filter(
+        F.col("fv").isNotNull()
+        & F.col("fp").isNotNull()
+        & (F.col("fp") >= F.col("fv"))
+    ).select((F.col("fp") - F.col("fv")).cast("double").alias("latency_s"))
+    viewers = per_user.filter(F.col("fv").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_viewers")
+    )
+    stats = conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile(F.col("latency_s"), F.lit(0.25)).alias("p25"),
+        F.percentile(F.col("latency_s"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("latency_s"), F.lit(0.9)).alias("p90"),
+    )
+    return stats.crossJoin(F.broadcast(viewers)).select(
+        "n_viewers",
+        "n_converted",
+        F.round(
+            F.col("n_converted").cast("double") / F.col("n_viewers"), 6
+        ).alias("conversion_rate"),
+        F.round("p25", 6).alias("p25_latency_s"),
+        F.round("p50", 6).alias("p50_latency_s"),
+        F.round("p90", 6).alias("p90_latency_s"),
+    )

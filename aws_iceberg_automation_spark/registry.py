@@ -176,6 +176,10 @@ _DRIVER_PRIORITY = [
     "q215_mad_outliers",
     "q216_vocab_growth",
     "q217_association_rules",
+    "q218_new_vs_returning",
+    "q219_conversion_latency",
+    "q220_discount_elasticity",
+    "q221_cohort_ltv",
 ]
 
 

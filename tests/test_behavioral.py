@@ -424,3 +424,117 @@ def test_order_backlog_known_timeline(spark, tmp_path):
         for r in SPECS["q214_order_backlog"].fn(spark, str(tmp_path)).collect()
     }
     assert out == {1: 2, 2: 1, 3: 1, 4: 0}
+
+
+def test_new_vs_returning_known_timeline(spark, tmp_path):
+    """q218 on three hand-built customers (c1: Jan+Feb, c2: Jan only,
+    c3: Feb+Mar): new/returning/cumulative are known exactly."""
+    import datetime
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    orders = [
+        (1, 1, "O", 10.0, datetime.datetime(1995, 1, 5), "1-URGENT"),
+        (2, 1, "O", 10.0, datetime.datetime(1995, 2, 5), "1-URGENT"),
+        (3, 2, "O", 10.0, datetime.datetime(1995, 1, 20), "1-URGENT"),
+        (4, 3, "O", 10.0, datetime.datetime(1995, 2, 20), "1-URGENT"),
+        (5, 3, "O", 10.0, datetime.datetime(1995, 3, 1), "1-URGENT"),
+    ]
+    spark.createDataFrame(orders, SCHEMAS["orders"]).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = {
+        r.month.month: (r.n_active, r.n_new, r.n_returning, r.cum_known_customers)
+        for r in SPECS["q218_new_vs_returning"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: (2, 2, 0, 2), 2: (2, 1, 1, 3), 3: (1, 0, 1, 3)}
+
+
+def test_conversion_latency_guards_and_quartiles(spark):
+    """q219: a purchase BEFORE any view is not a conversion; latencies
+    100s and 200s give p50 = 150 exactly; viewers without purchases
+    stay in the denominator."""
+    rows = [
+        # u1: view then purchase +100s
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1, "view", 0.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 1, 40), 1, "purchase", 0.0, "{}"),
+        # u2: view only
+        (3, datetime(2024, 1, 1), 2, "view", 0.0, "{}"),
+        # u3: purchase BEFORE its only view
+        (4, datetime(2024, 1, 1, 0, 0, 0), 3, "purchase", 0.0, "{}"),
+        (5, datetime(2024, 1, 1, 1, 0, 0), 3, "view", 0.0, "{}"),
+        # u4: view then purchase +200s
+        (6, datetime(2024, 1, 2, 0, 0, 0), 4, "view", 0.0, "{}"),
+        (7, datetime(2024, 1, 2, 0, 3, 20), 4, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    orig = beh.load_table
+    try:
+        beh.load_table = lambda s, d, t: df if t == "events" else orig(s, d, t)
+        r = SPECS["q219_conversion_latency"].fn(spark, SF_DIR).collect()[0]
+    finally:
+        beh.load_table = orig
+    assert r.n_viewers == 4 and r.n_converted == 2
+    assert abs(r.conversion_rate - 0.5) < 1e-12
+    assert r.p25_latency_s == 125.0
+    assert r.p50_latency_s == 150.0
+    assert r.p90_latency_s == 190.0
+
+
+def test_discount_elasticity_exact_powerlaw(spark, tmp_path):
+    """q220 on a synthetic brand whose per-item quantity is exactly
+    (1-d)^-2: the OLS slope through (ln(1-d), ln qty) is -2.0 to 4dp."""
+    import datetime
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    parts = [(1, "widget", "B1", "T", 1, 1.0)]
+    lis = []
+    k = 0
+    for d in (0.0, 0.05, 0.10):
+        qty = round((1 - d) ** -2, 2)
+        for i in range(5):
+            k += 1
+            lis.append(
+                (k, 1, 1, 1, qty, 1.0, d, 0.0, "N", "O",
+                 datetime.datetime(1995, 1, 1))
+            )
+    spark.createDataFrame(parts, SCHEMAS["part"]).write.parquet(
+        str(tmp_path / "part.parquet")
+    )
+    spark.createDataFrame(lis, SCHEMAS["lineitem"]).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    rows = SPECS["q220_discount_elasticity"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1 and rows[0].n_levels == 3
+    # qty stored at 2dp bends the power law: 1.108->1.11 is ~2e-3 in
+    # log space over an x-range of only 0.105, i.e. up to ~0.04 slope
+    assert abs(rows[0].elasticity - (-2.0)) < 0.05
+
+
+def test_cohort_ltv_known_matrix(spark, tmp_path):
+    """q221 on two cohorts (Jan: c1+c2, Feb: c3), c1 returning in Feb:
+    the cumulative revenue and avg LTV per cohort age are exact."""
+    import datetime
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    orders = [
+        (1, 1, "O", 100.0, datetime.datetime(1995, 1, 5), "1-URGENT"),
+        (2, 2, "O", 200.0, datetime.datetime(1995, 1, 9), "1-URGENT"),
+        (3, 1, "O", 50.0, datetime.datetime(1995, 2, 5), "1-URGENT"),
+        (4, 3, "O", 10.0, datetime.datetime(1995, 2, 20), "1-URGENT"),
+    ]
+    spark.createDataFrame(orders, SCHEMAS["orders"]).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = {
+        (r.cohort.month, r.age_months): r
+        for r in SPECS["q221_cohort_ltv"].fn(spark, str(tmp_path)).collect()
+    }
+    jan0, jan1, feb0 = out[(1, 0)], out[(1, 1)], out[(2, 0)]
+    assert jan0.n_customers == 2 and jan0.cohort_size == 2
+    assert jan0.cum_revenue_cents == "30000" and jan0.avg_ltv_cents == 15000.0
+    assert jan1.n_customers == 1 and jan1.cum_revenue_cents == "35000"
+    assert jan1.avg_ltv_cents == 17500.0
+    assert feb0.cohort_size == 1 and feb0.cum_revenue_cents == "1000"
