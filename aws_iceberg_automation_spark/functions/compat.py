@@ -96,6 +96,21 @@ def ts_sec(c: str | Column) -> Column:
     return F.date_trunc("second", c).cast("timestamp_ntz")
 
 
+def epoch_secs(
+    col_name: str = "ts", anchor: str = "1970-01-01 00:00:00"
+) -> Column:
+    """Second-granularity epoch-style integer for an NTZ timestamp
+    column, via tz-independent interval arithmetic (ANSI forbids
+    timestamp→numeric casts). When only *differences* are consumed the
+    anchor is arbitrary and cancels; sites comparing against a DuckDB
+    ``epoch(...)`` oracle keep the 1970 default. One definition so a
+    precision/anchor fix can never miss a copy."""
+    return F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '{anchor}',"
+        f" date_trunc('second', {col_name}))"
+    )
+
+
 # Oracle-side (DuckDB SQL) fragments mirroring the helpers above.
 # (Declared oracle precisions may differ from Spark's — the *values* are
 # the same exact decimals either way, and outputs are cast to (38,s).)

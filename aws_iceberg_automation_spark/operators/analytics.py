@@ -1928,7 +1928,10 @@ def q221_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "age_months",
         "n_customers",
         F.first("n_customers").over(w).cast("bigint").alias("cohort_size"),
-        F.sum("cents")
+        # decimal window sum: a long-lived cohort's cumulative cents
+        # can pass 2^63 at large SF — the oracle sums to HUGEINT, so
+        # matching headroom (and ANSI fail-loud at 38 digits) is here
+        F.sum(F.col("cents").cast("decimal(38,0)"))
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("cum_cents"),
     )
@@ -1937,10 +1940,9 @@ def q221_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "age_months",
         "n_customers",
         "cohort_size",
-        F.col("cum_cents")
-        .cast("decimal(38,0)")
-        .cast("string")
-        .alias("cum_revenue_cents"),
+        F.col("cum_cents").cast("decimal(38,0)").cast("string").alias(
+            "cum_revenue_cents"
+        ),
         F.round(
             F.col("cum_cents").cast("double") / F.col("cohort_size"), 2
         ).alias("avg_ltv_cents"),

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.compat import (
     dec2,
+    epoch_secs,
     split_bucket,
     sql_dsum,
     sql_split_bucket,
@@ -172,12 +173,10 @@ def q75b_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     one user-key shuffle."""
     ev = load_table(spark, sf_dir, "events")
     tsec = ts_sec("ts")
-    # ANSI forbids timestamp→numeric casts; derive epoch-ish seconds
-    # with tz-independent NTZ interval arithmetic instead.
-    secs = F.expr(
-        "timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00',"
-        " date_trunc('second', ts))"
-    )
+    # ANSI forbids timestamp→numeric casts; epoch_secs is the shared
+    # tz-independent NTZ interval arithmetic (any anchor cancels in
+    # the gap differences below).
+    secs = epoch_secs("ts", "2024-01-01 00:00:00")
     order = Window.partitionBy("user_id").orderBy(tsec, "event_id")
     gap = secs - F.lag(secs).over(order)
     is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
@@ -441,13 +440,9 @@ def q184_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     seconds (mean spelled exact-sum ÷ count).
     """
     ev = load_table(spark, sf_dir, "events")
-    # ANSI forbids timestamp→numeric casts; lateness is a *difference*,
-    # so any fixed origin works (epoch on the oracle side, 2024-01-01
-    # here — the offset cancels).
-    tse = F.expr(
-        "timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00',"
-        " date_trunc('second', ts))"
-    )
+    # lateness is a *difference*, so any fixed origin works (epoch on
+    # the oracle side, 2024-01-01 here — the offset cancels).
+    tse = epoch_secs("ts", "2024-01-01 00:00:00")
     w = (
         Window.partitionBy("user_id")
         .orderBy("event_id")
@@ -739,10 +734,7 @@ def q212_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic silent divergence); the σ+μ>0 guard keeps duplicate-only
     timestamp streams NULL instead of 0/0."""
     ev = load_table(spark, sf_dir, "events")
-    secs = F.expr(
-        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
-        " date_trunc('second', ts))"
-    )
+    secs = epoch_secs("ts")
     w = Window.partitionBy("user_id").orderBy(ts_sec("ts"), "event_id")
     gaps = ev.select(
         "user_id", (secs - F.lag(secs).over(w)).cast("double").alias("gap")
@@ -805,10 +797,7 @@ def q219_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     view (fp < fv) is NOT a conversion — the guard is identical on
     both sides."""
     ev = load_table(spark, sf_dir, "events")
-    secs = F.expr(
-        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
-        " date_trunc('second', ts))"
-    )
+    secs = epoch_secs("ts")
     per_user = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", secs)).alias("fv"),
         F.min(F.when(F.col("event_type") == "purchase", secs)).alias("fp"),
@@ -831,7 +820,8 @@ def q219_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_viewers",
         "n_converted",
         F.round(
-            F.col("n_converted").cast("double") / F.col("n_viewers"), 6
+            F.try_divide(F.col("n_converted").cast("double"), F.col("n_viewers")),
+            6,
         ).alias("conversion_rate"),
         F.round("p25", 6).alias("p25_latency_s"),
         F.round("p50", 6).alias("p50_latency_s"),

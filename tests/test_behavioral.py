@@ -538,3 +538,25 @@ def test_cohort_ltv_known_matrix(spark, tmp_path):
     assert jan1.n_customers == 1 and jan1.cum_revenue_cents == "35000"
     assert jan1.avg_ltv_cents == 17500.0
     assert feb0.cohort_size == 1 and feb0.cum_revenue_cents == "1000"
+
+
+def test_conversion_latency_zero_viewers_yields_null_rate(spark):
+    """q219 on a stream with NO view events: n_viewers = 0 and the
+    conversion rate must be NULL under ANSI (try_divide), never a
+    crash or a NaN-vs-NULL engine divergence."""
+    rows = [
+        (1, datetime(2024, 1, 1), 1, "purchase", 0.0, "{}"),
+        (2, datetime(2024, 1, 2), 2, "signup", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    orig = beh.load_table
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        beh.load_table = lambda s, d, t: df if t == "events" else orig(s, d, t)
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        r = SPECS["q219_conversion_latency"].fn(spark, SF_DIR).collect()[0]
+    finally:
+        beh.load_table = orig
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    assert r.n_viewers == 0 and r.n_converted == 0
+    assert r.conversion_rate is None and r.p50_latency_s is None
