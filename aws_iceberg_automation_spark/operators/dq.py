@@ -1121,3 +1121,209 @@ def q215_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(is_out, 1.0).otherwise(0.0)) / F.count(F.lit(1)), 6
         ).alias("outlier_rate"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative pmf), shared verbatim
+# by the Spark expression and the DuckDB oracle: the multinomial
+# bootstrap's per-(row, replica) weight ~ Poisson(1) approximation,
+# exact to the printed digits in both engines.
+_POISSON1_CDF = (
+    0.3678794411714423,
+    0.7357588823428846,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+_BOOT_B = 200
+
+
+def _sql_poisson_weight(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POISSON1_CDF)
+    )
+    return f"CASE {cases} ELSE {len(_POISSON1_CDF)} END"
+
+
+@register(
+    "q222_bootstrap_ci",
+    oracle=f"""
+WITH reps AS (
+  SELECT d.doc_id, d.n_chars, t.rep,
+    CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                               CAST(t.rep AS VARCHAR)), 1, 15) AS BIGINT)
+      / 1152921504606846976.0 AS u
+  FROM documents d CROSS JOIN generate_series(0, {_BOOT_B - 1}) t(rep)
+), weighted AS (
+  SELECT rep,
+    CAST(SUM({_sql_poisson_weight('u')}) AS BIGINT) AS sw,
+    CAST(SUM({_sql_poisson_weight('u')} * n_chars) AS BIGINT) AS swx
+  FROM reps GROUP BY rep
+), means AS (
+  SELECT CAST(swx AS DOUBLE) / sw AS m FROM weighted WHERE sw > 0
+), pt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT) AS sx
+  FROM documents
+)
+SELECT pt.n_docs,
+  round(CAST(pt.sx AS DOUBLE) / pt.n_docs, 6) AS mean_n_chars,
+  CAST(COUNT(m.m) AS BIGINT) AS n_replicas,
+  round(AVG(m.m), 6) AS boot_mean,
+  round(quantile_cont(m.m, 0.025), 6) AS ci_low,
+  round(quantile_cont(m.m, 0.975), 6) AS ci_high
+FROM means m, pt
+GROUP BY pt.n_docs, pt.sx
+""",
+    tags=("dq", "stats"),
+)
+def q222_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% confidence interval for the corpus mean doc length
+    — the resampling machinery every data-quality dashboard needs to
+    say "±how much" without distributional assumptions, built to run
+    distributed and REPRODUCIBLY: each of the 200 resamples weights
+    every row by a Poisson(1) draw derived from the portable md5 hash
+    of (doc_id, replica), the standard multinomial-bootstrap
+    approximation — no shuffling of data into samples, no RNG state,
+    identical on any cluster shape and in the DuckDB oracle.
+
+    Scale shape: one map-side explode ×B (row count ×200 but zero
+    bytes of state), a two-phase agg to B replica rows whose sums are
+    EXACT BIGINTs (weight·n_chars — per-replica means are one IEEE
+    division, order-independent), then exact percentiles over the
+    200-value frame. 100 TB cost = B × one scan's worth of agg work,
+    all map-side combined."""
+    d = load_table(spark, sf_dir, "documents")
+    reps = d.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("rep"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(2**60))
+    )
+    w = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < _POISSON1_CDF[k], k).otherwise(w)
+    weighted = reps.groupBy("rep").agg(
+        F.sum(w).cast("bigint").alias("sw"),
+        F.sum(w * F.col("n_chars")).cast("bigint").alias("swx"),
+    )
+    means = weighted.filter(F.col("sw") > 0).select(
+        (F.col("swx").cast("double") / F.col("sw")).alias("m")
+    )
+    pt = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sx"),
+    )
+    stats = means.agg(
+        F.count(F.lit(1)).alias("n_replicas"),
+        F.avg("m").alias("boot_mean"),
+        F.percentile(F.col("m"), F.lit(0.025)).alias("ci_low"),
+        F.percentile(F.col("m"), F.lit(0.975)).alias("ci_high"),
+    )
+    return stats.crossJoin(F.broadcast(pt)).select(
+        "n_docs",
+        F.round(F.col("sx").cast("double") / F.col("n_docs"), 6).alias(
+            "mean_n_chars"
+        ),
+        F.col("n_replicas").cast("bigint").alias("n_replicas"),
+        F.round("boot_mean", 6).alias("boot_mean"),
+        F.round("ci_low", 6).alias("ci_low"),
+        F.round("ci_high", 6).alias("ci_high"),
+    )
+
+
+@register(
+    "q223_join_skew_audit",
+    oracle="""
+WITH cnts AS (
+  SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+    CAST(SUM(cnt) AS BIGINT) AS total_rows,
+    CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+    round(quantile_cont(CAST(cnt AS DOUBLE), 0.5), 6) AS p50_cnt,
+    round(quantile_cont(CAST(cnt AS DOUBLE), 0.99), 6) AS p99_cnt
+  FROM cnts
+)
+SELECT t.rk, t.key, t.cnt,
+  round(CAST(t.cnt AS DOUBLE) / s.total_rows, 6) AS row_share,
+  s.n_keys, s.total_rows, s.max_cnt, s.p50_cnt, s.p99_cnt,
+  round(CAST(s.max_cnt AS DOUBLE) * s.n_keys / s.total_rows, 6)
+    AS skew_ratio
+FROM (
+  SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rk
+  FROM cnts
+) t, stats s
+WHERE t.rk <= 10
+""",
+    tags=("dq", "ops"),
+)
+def q223_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit: the per-key frequency profile a planner (or
+    an engineer) reads BEFORE shuffling 100 TB on a key — top-10 hot
+    keys with their row share, plus key count, max/p50/p99 frequency
+    and the skew ratio (max ÷ mean). skew_ratio ≈ 1 → hash-partition
+    freely; ≫ 1 → salt the hot keys (joins.salted_hot_join) or rely on
+    AQE skew splitting, and THIS report names exactly which keys.
+
+    Scale shape: one two-phase count per key (wire = |keys|, not
+    rows), exact percentiles bounded by the count domain, TakeOrdered
+    top-10 + windowless rank; the 1-row stats frame broadcasts onto
+    the 10 survivors. Every output is exact-integer arithmetic or a
+    single rounded division."""
+    from ..functions.ranking import topn_ranked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cnts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = cnts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.round(F.percentile(F.col("cnt").cast("double"), F.lit(0.5)), 6).alias(
+            "p50_cnt"
+        ),
+        F.round(
+            F.percentile(F.col("cnt").cast("double"), F.lit(0.99)), 6
+        ).alias("p99_cnt"),
+    )
+    top = topn_ranked(cnts, [F.col("cnt").desc(), F.col("key")], 10)
+    return top.crossJoin(F.broadcast(stats)).select(
+        F.col("rk").cast("bigint").alias("rk"),
+        "key",
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.col("total_rows"), 6).alias(
+            "row_share"
+        ),
+        "n_keys",
+        "total_rows",
+        "max_cnt",
+        "p50_cnt",
+        "p99_cnt",
+        F.round(
+            F.col("max_cnt").cast("double")
+            * F.col("n_keys")
+            / F.col("total_rows"),
+            6,
+        ).alias("skew_ratio"),
+    )

@@ -180,6 +180,8 @@ _DRIVER_PRIORITY = [
     "q219_conversion_latency",
     "q220_discount_elasticity",
     "q221_cohort_ltv",
+    "q222_bootstrap_ci",
+    "q223_join_skew_audit",
 ]
 
 

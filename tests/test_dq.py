@@ -325,3 +325,46 @@ def test_mad_outliers_zero_mad_and_known_fence(spark, tmp_path):
     assert out["SPREAD"].mad_cents == 1000.0
     assert out["SPREAD"].n_outliers == 1
     assert abs(out["SPREAD"].outlier_rate - 0.2) < 1e-9
+
+
+def test_bootstrap_ci_degenerate_constant_metric(spark, tmp_path):
+    """q222 on a corpus where every doc has n_chars = 100: every
+    bootstrap replica mean is exactly 100, so the CI collapses to
+    [100, 100] — validates the hash-weighted resampling never bends a
+    constant (weights cancel in the ratio)."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    docs = [(i, "x", "en", "s", 100) for i in range(1, 31)]
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    r = all_specs()["q222_bootstrap_ci"].fn(spark, str(tmp_path)).collect()[0]
+    assert r.n_docs == 30 and r.mean_n_chars == 100.0
+    assert r.boot_mean == 100.0
+    assert r.ci_low == 100.0 and r.ci_high == 100.0
+    assert r.n_replicas == 200
+
+
+def test_join_skew_audit_known_hot_key(spark, tmp_path):
+    """q223 on counts {k1: 8, k2: 1, k3: 1}: skew_ratio = max/mean =
+    8·3/10 = 2.4 and the hot key leads with share 0.8."""
+    import datetime
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    rows = []
+    for i, sk in enumerate([1] * 8 + [2, 3], 1):
+        rows.append(
+            (i, 1, sk, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             datetime.datetime(1995, 1, 1))
+        )
+    spark.createDataFrame(rows, SCHEMAS["lineitem"]).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = {r.rk: r for r in all_specs()["q223_join_skew_audit"].fn(
+        spark, str(tmp_path)).collect()}
+    assert len(out) == 3
+    assert out[1].key == 1 and out[1].cnt == 8
+    assert abs(out[1].row_share - 0.8) < 1e-12
+    assert abs(out[1].skew_ratio - 2.4) < 1e-12
+    assert out[1].p50_cnt == 1.0
