@@ -39,7 +39,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.compat import dec2
+from ..functions.compat import dec2, portable_hash64, sql_portable_hash64
 from ..functions.ranking import topn_ranked
 from ..io import SCHEMAS, load_table
 from ..registry import register
@@ -628,6 +628,17 @@ def q157_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _join_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key frequency frame for the prospective l_suppkey shuffle —
+    the shared core of the two skew diagnostics (q161's quick
+    share-of-table profile, q223's planner-grade percentile audit), so
+    a key-handling fix lands in both at once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 @register(
     "q161_key_skew_profile",
     oracle="""
@@ -659,10 +670,7 @@ def q161_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole profile costs one shuffle of (key, partial count) pairs
     regardless of table size; no global window over the key set.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    counts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    counts = _join_key_counts(spark, sf_dir)
     stats = counts.agg(
         F.sum("cnt").cast("double").alias("total"),
         F.avg(F.col("cnt").cast("double")).alias("avg_cnt"),
@@ -1151,9 +1159,9 @@ def _sql_poisson_weight(u: str) -> str:
     oracle=f"""
 WITH reps AS (
   SELECT d.doc_id, d.n_chars, t.rep,
-    CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
-                               CAST(t.rep AS VARCHAR)), 1, 15) AS BIGINT)
-      / 1152921504606846976.0 AS u
+    {sql_portable_hash64(
+        "CAST(d.doc_id AS VARCHAR) || ':' || CAST(t.rep AS VARCHAR)"
+    )} / 1152921504606846976.0 AS u
   FROM documents d CROSS JOIN generate_series(0, {_BOOT_B - 1}) t(rep)
 ), weighted AS (
   SELECT rep,
@@ -1170,10 +1178,11 @@ WITH reps AS (
 SELECT pt.n_docs,
   round(CAST(pt.sx AS DOUBLE) / pt.n_docs, 6) AS mean_n_chars,
   CAST(COUNT(m.m) AS BIGINT) AS n_replicas,
-  round(AVG(m.m), 6) AS boot_mean,
+  round(CAST(SUM(CAST(round(m.m * 1000000.0) AS BIGINT)) AS DOUBLE)
+        / (1000000.0 * COUNT(m.m)), 6) AS boot_mean,
   round(quantile_cont(m.m, 0.025), 6) AS ci_low,
   round(quantile_cont(m.m, 0.975), 6) AS ci_high
-FROM means m, pt
+FROM pt LEFT JOIN means m ON TRUE
 GROUP BY pt.n_docs, pt.sx
 """,
     tags=("dq", "stats"),
@@ -1192,7 +1201,11 @@ def q222_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes of state), a two-phase agg to B replica rows whose sums are
     EXACT BIGINTs (weight·n_chars — per-replica means are one IEEE
     division, order-independent), then exact percentiles over the
-    200-value frame. 100 TB cost = B × one scan's worth of agg work,
+    200-value frame. boot_mean is averaged as an integer-micros SUM
+    (order-independent) rather than an IEEE running mean, so the
+    "identical on any cluster shape" claim is structural — a double
+    AVG over a shuffled 200-row frame could flip its last ulp with
+    partition layout. 100 TB cost = B × one scan's worth of agg work,
     all map-side combined."""
     d = load_table(spark, sf_dir, "documents")
     reps = d.select(
@@ -1200,24 +1213,13 @@ def q222_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("rep"),
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("doc_id").cast("string"),
-                        F.lit(":"),
-                        F.col("rep").cast("string"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        / F.lit(float(2**60))
-    )
+    u = portable_hash64(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("rep").cast("string"),
+        )
+    ) / F.lit(float(2**60))
     w = F.lit(len(_POISSON1_CDF))
     for k in range(len(_POISSON1_CDF) - 1, -1, -1):
         w = F.when(u < _POISSON1_CDF[k], k).otherwise(w)
@@ -1234,7 +1236,9 @@ def q222_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = means.agg(
         F.count(F.lit(1)).alias("n_replicas"),
-        F.avg("m").alias("boot_mean"),
+        F.sum(F.round(F.col("m") * F.lit(1000000.0), 0).cast("bigint")).alias(
+            "sum_m_micros"
+        ),
         F.percentile(F.col("m"), F.lit(0.025)).alias("ci_low"),
         F.percentile(F.col("m"), F.lit(0.975)).alias("ci_high"),
     )
@@ -1244,7 +1248,11 @@ def q222_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_n_chars"
         ),
         F.col("n_replicas").cast("bigint").alias("n_replicas"),
-        F.round("boot_mean", 6).alias("boot_mean"),
+        F.round(
+            F.col("sum_m_micros").cast("double")
+            / (F.lit(1000000.0) * F.col("n_replicas")),
+            6,
+        ).alias("boot_mean"),
         F.round("ci_low", 6).alias("ci_low"),
         F.round("ci_high", 6).alias("ci_high"),
     )
@@ -1284,18 +1292,15 @@ def q223_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the skew ratio (max ÷ mean). skew_ratio ≈ 1 → hash-partition
     freely; ≫ 1 → salt the hot keys (joins.salted_hot_join) or rely on
     AQE skew splitting, and THIS report names exactly which keys.
+    Deepens q161's quick share profile (same ``_join_key_counts``
+    core) with the percentile columns a planner thresholds on.
 
     Scale shape: one two-phase count per key (wire = |keys|, not
     rows), exact percentiles bounded by the count domain, TakeOrdered
     top-10 + windowless rank; the 1-row stats frame broadcasts onto
     the 10 survivors. Every output is exact-integer arithmetic or a
     single rounded division."""
-    from ..functions.ranking import topn_ranked
-
-    li = load_table(spark, sf_dir, "lineitem")
-    cnts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    cnts = _join_key_counts(spark, sf_dir)
     stats = cnts.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("cnt").cast("bigint").alias("total_rows"),
