@@ -1947,3 +1947,318 @@ def q221_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_cents").cast("double") / F.col("cohort_size"), 2
         ).alias("avg_ltv_cents"),
     )
+
+
+@register(
+    "q224_pareto_skyline",
+    oracle="""
+WITH lv AS (
+  SELECT p_brand AS brand, p_type AS ptype, p_size,
+    CAST(COUNT(*) AS BIGINT) AS n_parts,
+    round(MIN(p_retailprice), 2) AS best_price
+  FROM part GROUP BY 1, 2, 3
+), fl AS (
+  SELECT *, MAX(p_size) OVER (PARTITION BY brand, ptype
+      ORDER BY best_price, p_size DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM lv
+)
+SELECT brand, ptype, p_size, best_price, n_parts,
+  CAST(row_number() OVER (PARTITION BY brand, ptype
+       ORDER BY best_price, p_size DESC) AS BIGINT) AS frontier_rank
+FROM (SELECT brand, ptype, p_size, best_price, n_parts FROM fl
+      WHERE prev_max IS NULL OR prev_max < p_size) f
+""",
+    tags=("analytics", "window"),
+)
+def q224_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) per brand+type: the parts no buyer can
+    strictly improve on — every size level's cheapest price, kept only
+    if no cheaper-or-equal price buys an equal-or-larger size. The
+    classic multi-objective "skyline" operator (minimize price,
+    maximize size), the catalog view behind "best value at each tier".
+
+    Scale shape: the naive skyline is all-pairs dominance; this plan
+    first collapses the fact to the |brand × type × size| grid with a
+    two-phase MIN/COUNT agg (map-side combined — size is a small-int
+    domain, so the grid is ≤ |brands|·|types|·|sizes| at ANY corpus
+    size), then resolves dominance with one cummax window per
+    brand+type partition over ≤ |sizes| rows. Frontier rank is a
+    second partitioned window on the already-filtered frontier (sizes
+    strictly increase along the frontier, so the order is unique and
+    deterministic). No unpartitioned window, no pairwise join."""
+    p = load_table(spark, sf_dir, "part")
+    lv = p.groupBy(
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("ptype"),
+        "p_size",
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.min("p_retailprice"), 2).alias("best_price"),
+    )
+    w = Window.partitionBy("brand", "ptype").orderBy(
+        F.col("best_price").asc(), F.col("p_size").desc()
+    )
+    prev_max = (
+        F.max("p_size")
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_max")
+    )
+    frontier = (
+        lv.withColumn("prev_max", prev_max)
+        .filter(F.col("prev_max").isNull() | (F.col("prev_max") < F.col("p_size")))
+        .drop("prev_max")
+    )
+    return frontier.select(
+        "brand",
+        "ptype",
+        "p_size",
+        "best_price",
+        "n_parts",
+        F.row_number().over(w).cast("bigint").alias("frontier_rank"),
+    )
+
+
+@register(
+    "q226_price_index",
+    oracle="""
+WITH base AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DECIMAL(38,2)) AS q0,
+    SUM(l_extendedprice) / SUM(l_quantity) AS p0
+  FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+  GROUP BY 1
+), cur AS (
+  SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS month, l_partkey,
+    SUM(l_extendedprice) / SUM(l_quantity) AS pt
+  FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  GROUP BY 1, 2
+)
+SELECT CAST(month AS DATE) AS month,
+  CAST(COUNT(*) AS BIGINT) AS n_parts,
+  round(SUM(pt * CAST(q0 AS DOUBLE)) / SUM(p0 * CAST(q0 AS DOUBLE)), 6)
+    AS laspeyres_index
+FROM cur JOIN base USING (l_partkey)
+GROUP BY 1
+""",
+    tags=("analytics", "stats"),
+)
+def q226_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index per month: how much this month's unit
+    prices would cost against the base period's (pre-1996) fixed
+    basket, Σ p_t·q_0 / Σ p_0·q_0 over the parts traded in both — the
+    standard inflation/price-trend series every commerce dashboard
+    derives from a sales fact table.
+
+    Scale shape: both sides collapse to per-part aggregates FIRST
+    (two-phase, map-side combined: base = |parts| rows, current =
+    |parts|×|months| rows), so the join is dimension-sized — never
+    fact-to-fact — and shuffles on l_partkey, the key both aggs
+    already produced. Base-basket quantities are exact DECIMAL sums;
+    unit prices are one double ratio per part; the index is a ratio of
+    two basket sums rounded at the end (ulp-drift on a ~1.0 ratio is
+    orders below the 6-decimal guard band)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ship = F.col("l_shipdate").cast("date")
+    base = (
+        li.filter(ship < F.lit("1996-01-01").cast("date"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(8,2)"))
+            .cast("decimal(38,2)")
+            .alias("q0"),
+            (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p0"),
+        )
+    )
+    cur = (
+        li.filter(ship >= F.lit("1996-01-01").cast("date"))
+        .groupBy(
+            F.trunc(ship, "month").alias("month"),
+            "l_partkey",
+        )
+        .agg((F.sum("l_extendedprice") / F.sum("l_quantity")).alias("pt"))
+    )
+    q0d = F.col("q0").cast("double")
+    return (
+        cur.join(base, "l_partkey")
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(
+                F.sum(F.col("pt") * q0d) / F.sum(F.col("p0") * q0d), 6
+            ).alias("laspeyres_index"),
+        )
+    )
+
+
+@register(
+    "q229_theil_decomposition",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS rev
+  FROM orders GROUP BY 1
+), cx AS (
+  SELECT c.c_nationkey AS nk, rev, CAST(rev AS DOUBLE) AS x
+  FROM cust JOIN customer c ON c.c_custkey = cust.o_custkey
+), nat AS (
+  SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_customers,
+    CAST(SUM(rev) AS DECIMAL(38,2)) AS sxd, SUM(x * LN(x)) AS sxlx
+  FROM cx GROUP BY 1
+), tot AS (SELECT CAST(SUM(n_customers) AS BIGINT) AS n,
+                  CAST(SUM(sxd) AS DECIMAL(38,2)) AS sd
+           FROM nat)
+SELECT n.n_name AS nation, a.n_customers,
+  round(CAST(a.sxd AS DOUBLE) / a.n_customers, 2) AS mean_rev,
+  round(a.sxlx / CAST(a.sxd AS DOUBLE)
+        - LN(CAST(a.sxd AS DOUBLE) / a.n_customers), 6) AS theil_within,
+  round(CAST(a.sxd AS DOUBLE) / CAST(t.sd AS DOUBLE), 6) AS rev_share,
+  round(CAST(a.sxd AS DOUBLE) / CAST(t.sd AS DOUBLE)
+        * LN((CAST(a.sxd AS DOUBLE) / a.n_customers)
+             / (CAST(t.sd AS DOUBLE) / t.n)), 6) AS between_term
+FROM nat a JOIN nation n ON n.n_nationkey = a.nk, tot t
+""",
+    tags=("analytics", "stats"),
+)
+def q229_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-index inequality decomposition of customer revenue by
+    nation: within-nation inequality T_i, each nation's revenue share
+    s_i, and its between-nations term s_i·ln(mu_i/mu) — the additive
+    decomposition (T = sum s_i T_i + sum between_i) that answers
+    "is revenue concentration driven by whales inside markets or by
+    gaps between markets?", which a Gini (q210) cannot split.
+
+    Scale shape: the fact table collapses to per-customer exact-
+    decimal revenue (two-phase agg on custkey — the join key it
+    already shuffles on), the nation rollup needs only three running
+    sums (n, sum x, sum x ln x — T_i = sum(x ln x)/sum(x) − ln(mu_i),
+    so no second pass over deviations), and the 1-row corpus total
+    broadcasts back onto |nations| rows. Revenues are positive by
+    construction so the logs are total; doubles appear only in the
+    x·ln x sum, and every ratio rounds inside the repo guard band."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(dec2("o_totalprice")).cast("decimal(38,2)").alias("rev")
+    )
+    # customer grows with SF — no broadcast hint; the custkey equi-join
+    # reuses the partitioning the groupBy above already produced
+    cx = cust.join(c, cust.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nk"),
+        "rev",
+        F.col("rev").cast("double").alias("x"),
+    )
+    # sums of money stay exact DECIMAL (order-independent across any
+    # partition layout); only the x·ln x moment is a double sum, and it
+    # is consumed solely inside ratios rounded to 6
+    nat = cx.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev").cast("decimal(38,2)").alias("sxd"),
+        F.sum(F.col("x") * F.log("x")).alias("sxlx"),
+    )
+    tot = nat.agg(
+        F.sum("n_customers").cast("bigint").alias("n"),
+        F.sum("sxd").cast("decimal(38,2)").alias("sd"),
+    )
+    sx = F.col("sxd").cast("double")
+    s = F.col("sd").cast("double")
+    mu_i = sx / F.col("n_customers")
+    mu = s / F.col("n")
+    return (
+        nat.join(F.broadcast(n), nat.nk == n.n_nationkey)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_customers",
+            F.round(mu_i, 2).alias("mean_rev"),
+            F.round(F.col("sxlx") / sx - F.log(mu_i), 6).alias(
+                "theil_within"
+            ),
+            F.round(sx / s, 6).alias("rev_share"),
+            F.round(sx / s * F.log(mu_i / mu), 6).alias("between_term"),
+        )
+    )
+
+
+@register(
+    "q231_theil_sen_trend",
+    oracle="""
+WITH pm AS (
+  SELECT p.p_brand AS brand,
+    CAST(date_diff('month', DATE '1995-01-01',
+         date_trunc('month', CAST(l.l_shipdate AS DATE))) AS INT) AS m,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DECIMAL(38,2))
+         AS DOUBLE) AS rev
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+), slopes AS (
+  SELECT a.brand, (b.rev - a.rev) / (b.m - a.m) AS s
+  FROM pm a JOIN pm b ON a.brand = b.brand AND b.m > a.m
+), months AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_months FROM pm GROUP BY 1
+)
+SELECT s.brand, mo.n_months, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  round(quantile_cont(s.s, 0.5), 4) AS sen_slope
+FROM slopes s JOIN months mo ON mo.brand = s.brand
+GROUP BY 1, 2
+""",
+    tags=("analytics", "stats"),
+)
+def q231_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per brand: the median of all pairwise
+    monthly-revenue slopes — the outlier-proof companion to q198's OLS
+    trend (one promo-spike month can swing a least-squares slope; the
+    pairwise median shrugs it off, with a 29% breakdown point).
+
+    Scale shape: the fact table collapses to the |brands| × |months|
+    grid FIRST (broadcast part join + two-phase exact-decimal agg), so
+    the "all pairs" stage is a self-join of a calendar-bounded frame —
+    pairs grow with months², never with corpus volume, the textbook
+    case where quadratic is safe because the quadratic is over the
+    GRID (q168/q135 get the same bound via explicit caps; here the
+    calendar IS the cap). Slopes are deterministic doubles (exact
+    decimal revenues, one subtraction and one division per pair) and
+    the median is an exact percentile per brand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # part grows with SF — no broadcast hint, AQE decides (q220 pattern)
+    pm = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.months_between(
+                F.trunc(F.col("l_shipdate").cast("date"), "month"),
+                F.lit("1995-01-01").cast("date"),
+            )
+            .cast("int")
+            .alias("m"),
+        )
+        .agg(
+            F.sum(dec2("l_extendedprice"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    months = pm.groupBy("brand").agg(F.count(F.lit(1)).alias("n_months"))
+    a, b = pm.alias("a"), pm.alias("b")
+    slopes = a.join(
+        F.broadcast(b),
+        (F.col("a.brand") == F.col("b.brand")) & (F.col("b.m") > F.col("a.m")),
+    ).select(
+        F.col("a.brand").alias("brand"),
+        (
+            (F.col("b.rev") - F.col("a.rev")) / (F.col("b.m") - F.col("a.m"))
+        ).alias("s"),
+    )
+    return (
+        slopes.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.percentile(F.col("s"), F.lit(0.5)), 4).alias("sen_slope"),
+        )
+        .join(F.broadcast(months), "brand")
+        .select("brand", F.col("n_months").cast("bigint").alias("n_months"),
+                "n_pairs", "sen_slope")
+    )

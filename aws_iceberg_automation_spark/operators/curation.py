@@ -1462,3 +1462,147 @@ def q191_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("brier"),
     )
+
+
+@register(
+    "q225_source_jsd",
+    oracle="""
+WITH c AS (
+  SELECT source, CAST(LEAST(FLOOR(n_chars / 50.0), 11) AS INTEGER) AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM c GROUP BY 1),
+grid AS (
+  SELECT t.source, b.bucket, t.tot,
+    CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / (t.tot + 12) AS p
+  FROM t CROSS JOIN generate_series(0, 11) b(bucket)
+  LEFT JOIN c ON c.source = t.source AND c.bucket = b.bucket
+)
+SELECT a.source AS source_a, b.source AS source_b,
+  CAST(MAX(a.tot) AS BIGINT) AS n_docs_a,
+  CAST(MAX(b.tot) AS BIGINT) AS n_docs_b,
+  round(SUM(0.5 * a.p * LN(2 * a.p / (a.p + b.p))
+          + 0.5 * b.p * LN(2 * b.p / (a.p + b.p))), 6) AS jsd_nats
+FROM grid a JOIN grid b ON a.bucket = b.bucket AND a.source < b.source
+GROUP BY 1, 2
+""",
+    tags=("curation", "stats"),
+)
+def q225_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two corpus
+    sources over the doc-length distribution — the symmetric, bounded
+    (≤ ln 2) companion to q120's PSI drift score: PSI monitors ONE
+    distribution over time, JSD maps WHICH sources are interchangeable
+    and which bring genuinely different material, the matrix a mixture
+    designer (q106/q170) reads before reweighting.
+
+    Scale shape: one scan collapses the corpus to |sources| × 12
+    fixed-width bins (two-phase agg; bins fixed up front — q120's
+    lesson — so runs stay comparable), +1 Laplace smoothing makes
+    every cell positive so the KL terms need no zero-guards, and the
+    pairwise stage is a bucket-equi-join over a 240-row grid that is
+    domain-sized (|sources|·|bins|) at ANY corpus scale — broadcast,
+    never a fact-side cross join."""
+    d = load_table(spark, sf_dir, "documents")
+    nbins, width = 12, 50.0
+    c = d.groupBy(
+        "source",
+        F.least(F.floor(F.col("n_chars") / width), F.lit(nbins - 1))
+        .cast("int")
+        .alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    t = c.groupBy("source").agg(F.sum("c").cast("bigint").alias("tot"))
+    bins = t.select(
+        "source",
+        "tot",
+        F.explode(F.sequence(F.lit(0), F.lit(nbins - 1))).alias("bucket"),
+    )
+    grid = bins.join(c, ["source", "bucket"], "left").select(
+        "source",
+        "bucket",
+        "tot",
+        (
+            (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+            / (F.col("tot") + nbins)
+        ).alias("p"),
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    pa, pb = F.col("a.p"), F.col("b.p")
+    term = 0.5 * pa * F.log(2 * pa / (pa + pb)) + 0.5 * pb * F.log(
+        2 * pb / (pa + pb)
+    )
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.max("a.tot").cast("bigint").alias("n_docs_a"),
+            F.max("b.tot").cast("bigint").alias("n_docs_b"),
+            F.round(F.sum(term), 6).alias("jsd_nats"),
+        )
+    )
+
+
+@register(
+    "q228_source_verbosity",
+    oracle="""
+WITH med AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    quantile_cont(n_chars, 0.5) AS med_chars
+  FROM documents GROUP BY 1
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+below AS (
+  SELECT m.source, CAST(COUNT(*) AS BIGINT) AS n_below
+  FROM med m JOIN documents d ON d.n_chars <= m.med_chars
+  GROUP BY 1
+)
+SELECT m.source, m.n_docs, round(m.med_chars, 1) AS med_chars,
+  round(CAST(b.n_below AS DOUBLE) / t.n, 6) AS global_pctl
+FROM med m JOIN below b USING (source), tot t
+""",
+    tags=("curation", "stats"),
+)
+def q228_source_verbosity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source verbosity ranking: each source's median doc length placed
+    on the GLOBAL length CDF — "src7's median doc sits at the 83rd
+    percentile of the whole corpus" — the normalized comparison that
+    raw medians can't give when sources differ wildly in size, and the
+    first read before length-based mixture reweighting (q106/q170).
+
+    Scale shape: per-source exact medians come from one two-phase agg
+    (|sources| rows, domain-fixed); the global CDF evaluation is NOT a
+    global sort/window — the 20-row medians frame broadcasts onto a
+    single corpus scan as a theta join (n_chars <= median) and
+    collapses map-side to per-source below-counts. One scan, zero
+    unpartitioned windows, wire cost = |sources| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    med = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile(F.col("n_chars"), F.lit(0.5)).alias("med_chars"),
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    m = med.select("source", "med_chars")
+    below = (
+        d.alias("d")
+        .join(F.broadcast(m.alias("m")), F.col("d.n_chars") <= F.col("m.med_chars"))
+        .groupBy(F.col("m.source").alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_below"))
+    )
+    return (
+        med.join(below, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round("med_chars", 1).alias("med_chars"),
+            F.round(F.col("n_below").cast("double") / F.col("n"), 6).alias(
+                "global_pctl"
+            ),
+        )
+    )

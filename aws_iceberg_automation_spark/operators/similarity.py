@@ -890,3 +890,111 @@ def q199_embedding_centroid_quality(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(F.avg("cos_c"), 5).alias("avg_cos_centroid"),
         F.min("cos_c").alias("min_cos_centroid"),
     )
+
+
+_NDCG_K = 10
+
+
+@register(
+    "q230_ndcg_exact",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+      FROM e WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.q_id, q.q_label, e.label AS n_label, e.vec_id AS neighbor_id,
+    round(list_dot_product(q.qv, e.v)
+          / (sqrt(list_dot_product(q.qv, q.qv))
+             * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+  FROM q JOIN e ON e.vec_id <> q.q_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+       ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+), rel AS (
+  SELECT q_id, CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_rel
+  FROM scored GROUP BY 1
+), dcg AS (
+  SELECT q_id, MAX(q_label) AS label,
+    SUM(CASE WHEN n_label = q_label THEN 1.0 / log2(rk + 1) ELSE 0 END) AS dcg
+  FROM ranked WHERE rk <= {_NDCG_K} GROUP BY 1
+), ideal AS (
+  SELECT i AS n,
+    SUM(1.0 / log2(i + 1)) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS idcg
+  FROM generate_series(1, {_NDCG_K}) t(i)
+)
+SELECT d.q_id, d.label, r.n_rel, round(d.dcg, 6) AS dcg,
+  CASE WHEN r.n_rel = 0 THEN NULL
+       ELSE round(d.dcg / i.idcg, 6)
+  END AS ndcg
+FROM dcg d JOIN rel r USING (q_id)
+LEFT JOIN ideal i ON i.n = LEAST({_NDCG_K}, r.n_rel)
+""",
+    tags=("similarity", "llm", "vector"),
+)
+def q230_ndcg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of exact cosine retrieval against label-match relevance
+    — the graded, position-discounted IR metric q186's recall/MRR
+    can't express (recall ignores order, MRR sees only the first hit).
+    This is the harness number an embedding upgrade must move; the
+    same formula evaluates any candidate index by swapping the ranked
+    frame (LSH/IVF/PQ top-k from q83b/d/q172).
+
+    Scale shape: identical to q83's exact-scan shape — the 10-query
+    frame broadcasts onto one corpus scan (corpus never shuffles),
+    per-query ranking is a partitioned window over per-query rows,
+    corpus-wide relevant counts are a two-phase agg of the same scored
+    frame, and the ideal-DCG normalizer folds a ≤10-term series per
+    query. The n_rel = 0 guard is explicit on both engines (Spark's
+    sequence(1, 0) yields a DESCENDING [1,0], not an empty list — the
+    empty-relevance case must never reach it)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            F.col("label").alias("n_label"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    match = (F.col("n_label") == F.col("q_label")).cast("double")
+    rel = scored.groupBy("q_id").agg(
+        F.sum(match).cast("bigint").alias("n_rel")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    dcg = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _NDCG_K)
+        .groupBy("q_id")
+        .agg(
+            F.max("q_label").alias("label"),
+            F.sum(match / F.log2(F.col("rk") + 1)).alias("dcg"),
+        )
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.lit(_NDCG_K), F.col("n_rel").cast("int"))),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1),
+    )
+    return dcg.join(rel, "q_id").select(
+        "q_id",
+        "label",
+        "n_rel",
+        F.round("dcg", 6).alias("dcg"),
+        F.when(F.col("n_rel") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("dcg") / idcg, 6))
+        .alias("ndcg"),
+    )

@@ -628,3 +628,96 @@ def q205_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("corr_30d"),
     )
+
+
+@register(
+    "q227_revenue_acf",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS d,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS rev
+  FROM lineitem GROUP BY 1
+), pairs AS (
+  SELECT g.lag, a.rev AS x, b.rev AS y
+  FROM daily a CROSS JOIN generate_series(1, 14) g(lag)
+  JOIN daily b ON b.d = a.d - g.lag
+), m AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+    SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pairs GROUP BY 1
+)
+SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+  round(CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+             THEN NULL
+             ELSE (n * sxy - sx * sy)
+                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        END, 4) AS acf
+FROM m ORDER BY lag
+""",
+    tags=("timeseries", "stats"),
+)
+def q227_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily corpus revenue at lags 1-14
+    days — the seasonality detector that tells a forecaster whether
+    yesterday (lag 1) or last week (lag 7) predicts today, and the
+    pre-flight check before fitting any AR model on the series.
+    Pairs align on the CALENDAR day index (q205's lesson): a gap day
+    yields no pair rather than silently pairing non-adjacent days.
+
+    Scale shape: the fact table collapses to the daily grain first
+    (two-phase exact-decimal agg — |days| rows, calendar-bounded and
+    SF-independent), then a 14-way lag explode + self-equi-join on the
+    day index runs entirely on that dimension-sized series (broadcast:
+    the daily frame grows with the date range, never with corpus
+    volume). Correlation is the explicit five-moment formula with the
+    degenerate-variance guard (ANSI-safe, q205 pattern), rounded to 4
+    — the repo's guard band for cross-engine sum drift."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("d")
+    ).agg(F.sum(dec2("l_extendedprice")).cast("double").alias("rev"))
+    a = daily.alias("a").select(
+        F.col("a.d").alias("d"),
+        F.col("a.rev").alias("x"),
+        F.explode(F.sequence(F.lit(1), F.lit(14))).alias("lag"),
+    )
+    b = daily.alias("b").select(
+        F.col("b.d").alias("bd"), F.col("b.rev").alias("y")
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("bd") == F.col("d") - F.col("lag")
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    m = pairs.groupBy(F.col("lag").cast("int").alias("lag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        n.alias("n"),
+        sx.alias("sx"),
+        sy.alias("sy"),
+        sxy.alias("sxy"),
+        sxx.alias("sxx"),
+        syy.alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        m.select(
+            "lag",
+            "n_pairs",
+            F.round(
+                F.when((vx <= 0) | (vy <= 0), F.lit(None)).otherwise(
+                    cov / (F.sqrt(vx) * F.sqrt(vy))
+                ),
+                4,
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )

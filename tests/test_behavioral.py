@@ -560,3 +560,146 @@ def test_conversion_latency_zero_viewers_yields_null_rate(spark):
         spark.conf.set("spark.sql.ansi.enabled", old)
     assert r.n_viewers == 0 and r.n_converted == 0
     assert r.conversion_rate is None and r.p50_latency_s is None
+
+
+def test_pareto_skyline_known_frontier(spark, tmp_path):
+    """q224 on one brand+type group with four size levels: the level
+    whose cheapest price is beaten by a cheaper-or-equal larger size
+    is dominated; the frontier ranks by price with sizes strictly
+    increasing along it."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    parts = [
+        (1, "a", "B1", "T", 5, 90.0),
+        (2, "b", "B1", "T", 10, 100.0),
+        (3, "c", "B1", "T", 20, 150.0),
+        (4, "d", "B1", "T", 20, 200.0),   # same level as #3, pricier
+        (5, "e", "B1", "T", 15, 160.0),   # dominated by (20, 150)
+    ]
+    spark.createDataFrame(parts, SCHEMAS["part"]).write.parquet(
+        str(tmp_path / "part.parquet")
+    )
+    rows = sorted(
+        SPECS["q224_pareto_skyline"].fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r.frontier_rank,
+    )
+    assert [(r.p_size, r.best_price, r.frontier_rank) for r in rows] == [
+        (5, 90.0, 1),
+        (10, 100.0, 2),
+        (20, 150.0, 3),
+    ]
+    assert rows[2].n_parts == 2  # both size-20 parts fold into the level
+
+
+def test_price_index_doubled_unit_price(spark, tmp_path):
+    """q226: one part whose unit price doubles from the base year to
+    1996-01 yields a Laspeyres index of exactly 2.0 (base-basket
+    quantities fixed at the 1995 weights)."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    lis = [
+        # base year: qty 10 at unit price 1.0
+        (1, 1, 1, 1, 10.0, 10.0, 0.0, 0.0, "N", "O", datetime(1995, 3, 1)),
+        # current month: qty 4 at unit price 2.0 (current qty must NOT
+        # affect the index -- Laspeyres weights are the base basket)
+        (2, 1, 1, 1, 4.0, 8.0, 0.0, 0.0, "N", "O", datetime(1996, 1, 10)),
+    ]
+    spark.createDataFrame(lis, SCHEMAS["lineitem"]).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    rows = SPECS["q226_price_index"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].month.isoformat() == "1996-01-01"
+    assert rows[0].n_parts == 1 and rows[0].laspeyres_index == 2.0
+
+
+def test_revenue_acf_alternating_series(spark, tmp_path):
+    """q227 on a perfectly alternating 10/20 daily series: every lag-1
+    pair is one of two distinct points (corr exactly -1), every lag-2
+    pair is on the identity line (corr exactly +1)."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    lis = [
+        (i, 1, 1, 1, 1.0, 10.0 if i % 2 == 0 else 20.0, 0.0, 0.0,
+         "N", "O", datetime(1995, 6, 1 + i))
+        for i in range(8)
+    ]
+    spark.createDataFrame(lis, SCHEMAS["lineitem"]).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = {
+        r.lag: r for r in SPECS["q227_revenue_acf"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[1].n_pairs == 7 and out[1].acf == -1.0
+    assert out[2].n_pairs == 6 and out[2].acf == 1.0
+    # lags longer than the series yield no pair rows at all
+    assert 9 not in out or out[9].n_pairs < 1
+
+
+def test_theil_decomposition_known_split(spark, tmp_path):
+    """q229 with two equal-revenue customers per nation (100s in A,
+    300s in B): within-Theil is exactly 0 for both, shares are
+    0.25/0.75, and the between terms carry all the inequality."""
+    import math
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    orders = [
+        (1, 1, "O", 100.0, datetime(1995, 1, 1), "1-URGENT"),
+        (2, 2, "O", 100.0, datetime(1995, 1, 2), "1-URGENT"),
+        (3, 3, "O", 300.0, datetime(1995, 1, 3), "1-URGENT"),
+        (4, 4, "O", 300.0, datetime(1995, 1, 4), "1-URGENT"),
+    ]
+    customers = [
+        (1, "c1", 0, 0.0, "BUILDING"),
+        (2, "c2", 0, 0.0, "BUILDING"),
+        (3, "c3", 1, 0.0, "BUILDING"),
+        (4, "c4", 1, 0.0, "BUILDING"),
+    ]
+    nations = [(0, "ALPHA", 0), (1, "BETA", 0)]
+    spark.createDataFrame(orders, SCHEMAS["orders"]).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    spark.createDataFrame(customers, SCHEMAS["customer"]).write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    spark.createDataFrame(nations, SCHEMAS["nation"]).write.parquet(
+        str(tmp_path / "nation.parquet")
+    )
+    out = {
+        r.nation: r
+        for r in SPECS["q229_theil_decomposition"].fn(spark, str(tmp_path)).collect()
+    }
+    a, b = out["ALPHA"], out["BETA"]
+    assert a.theil_within == 0.0 and b.theil_within == 0.0
+    assert a.rev_share == 0.25 and b.rev_share == 0.75
+    assert a.mean_rev == 100.0 and b.mean_rev == 300.0
+    assert a.between_term == round(0.25 * math.log(0.5), 6)
+    assert b.between_term == round(0.75 * math.log(1.5), 6)
+    # the decomposition sums to the global Theil (within terms are 0)
+    total = a.between_term + b.between_term
+    assert abs(total - 0.130812) < 1e-6
+
+
+def test_theil_sen_median_of_pairwise_slopes(spark, tmp_path):
+    """q231 with one brand over three months (rev 10, 20, 60): the
+    pairwise slopes are {10, 25, 40} and Theil-Sen picks the median 25
+    — while an outlier-free OLS would be dragged to ~25+ by the spike."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    parts = [(1, "w", "B1", "T", 1, 1.0)]
+    lis = [
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(1995, 1, 15)),
+        (2, 1, 1, 1, 1.0, 20.0, 0.0, 0.0, "N", "O", datetime(1995, 2, 15)),
+        (3, 1, 1, 1, 1.0, 60.0, 0.0, 0.0, "N", "O", datetime(1995, 3, 15)),
+    ]
+    spark.createDataFrame(parts, SCHEMAS["part"]).write.parquet(
+        str(tmp_path / "part.parquet")
+    )
+    spark.createDataFrame(lis, SCHEMAS["lineitem"]).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    rows = SPECS["q231_theil_sen_trend"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_months == 3 and r.n_pairs == 3 and r.sen_slope == 25.0

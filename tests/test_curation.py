@@ -326,3 +326,55 @@ def test_calibration_bins_partition_and_bound(spark):
         assert r["bucket"] / 10 <= r["mean_predicted"] <= (r["bucket"] + 1) / 10 + 1e-9
         assert 0.0 <= r["observed_rate"] <= 1.0
         assert 0.0 <= r["brier"] <= 1.0
+
+
+def test_source_jsd_identical_vs_disjoint(spark, tmp_path):
+    """q225: two sources with identical length distributions score
+    JSD exactly 0; two sources concentrated in different buckets score
+    strictly positive and below the ln(2) bound."""
+    import math
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    docs = []
+    k = 0
+    for src, n_chars in (("sa", 60), ("sc", 60), ("sb", 160)):
+        for _ in range(6):
+            k += 1
+            docs.append((k, "w " * 5, "en", src, n_chars))
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        (r.source_a, r.source_b): r.jsd_nats
+        for r in SPECS["q225_source_jsd"].fn(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 3  # C(3, 2) pairs, each emitted once (a < b)
+    assert out[("sa", "sc")] == 0.0
+    assert 0.0 < out[("sa", "sb")] <= math.log(2.0)
+    # sc's distribution equals sa's, so both disjoint pairs score the same
+    assert out[("sa", "sb")] == out[("sb", "sc")]
+
+
+def test_source_verbosity_known_cdf(spark, tmp_path):
+    """q228 on two 3-doc sources: each source's median lands at the
+    exact global CDF position (docs <= median / all docs)."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    docs = [
+        (1, "t", "en", "sa", 10),
+        (2, "t", "en", "sa", 20),
+        (3, "t", "en", "sa", 30),
+        (4, "t", "en", "sb", 40),
+        (5, "t", "en", "sb", 50),
+        (6, "t", "en", "sb", 60),
+    ]
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.source: r
+        for r in SPECS["q228_source_verbosity"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out["sa"].med_chars == 20.0 and out["sa"].global_pctl == 0.333333
+    assert out["sb"].med_chars == 50.0 and out["sb"].global_pctl == 0.833333

@@ -887,3 +887,41 @@ def test_association_rules_known_lift(spark, tmp_path):
         assert abs(r.confidence - 0.75) < 1e-12
         assert abs(r.lift - 0.9375) < 1e-12
         assert abs(r.support - 0.6) < 1e-12
+
+
+def test_ndcg_exact_known_rankings(spark, tmp_path):
+    """q230 on a hand-built corpus: a query whose two relevant vectors
+    land at ranks 2-3 scores the exact discounted ratio; a query whose
+    only relevant vector is pushed to rank 4 scores 1/log2(5)."""
+    import math
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    vecs = [
+        (0, [1.0, 0.0], 7),   # query A
+        (5, [1.0, 0.0], 9),   # query B (also a neighbor of A)
+        (10, [2.0, 0.0], 7),  # relevant to A, cosine 1.0
+        (11, [1.0, 0.1], 7),  # relevant to A, cosine ~0.995
+        (12, [0.0, 5.0], 9),  # relevant to B, cosine 0 to everything else
+    ]
+    spark.createDataFrame(vecs, SCHEMAS["embeddings"]).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = {
+        r.q_id: r for r in SPECS["q230_ndcg_exact"].fn(spark, str(tmp_path)).collect()
+    }
+    a, b = out[0], out[5]
+    # A: ties at cosine 1.0 break by neighbor_id (5 before 10), so the
+    # relevant hits sit at ranks 2 and 3
+    dcg_a = 1 / math.log2(3) + 1 / math.log2(4)
+    idcg_a = 1 / math.log2(2) + 1 / math.log2(3)
+    assert a.n_rel == 2 and a.label == 7
+    assert a.dcg == round(dcg_a, 6)
+    assert a.ndcg == round(round(dcg_a, 6) / idcg_a, 6) or a.ndcg == round(
+        dcg_a / idcg_a, 6
+    )
+    # B: the sole relevant vector ranks 4th of 4
+    assert b.n_rel == 1 and b.label == 9
+    assert b.dcg == round(1 / math.log2(5), 6)
+    assert b.ndcg == round(1 / math.log2(5), 6)
+    assert all(0.0 <= r.ndcg <= 1.0 for r in out.values())

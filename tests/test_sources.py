@@ -216,3 +216,46 @@ def test_cli_orphans_and_corpus_report(spark, tmp_path, capsys):
     rep = _json.loads(capsys.readouterr().out)
     assert rep["sf_dir"] == SF_DIR
     assert sum(c["n_docs"] for c in rep["cells"]) > 0
+
+
+def test_bucketed_join_eliminates_shuffle(spark):
+    """Differential proof of the co-located-join layout: the identical
+    custkey join plans two shuffle exchanges on plain parquet inputs
+    and ZERO on same-bucket-count bucketed tables (broadcast disabled
+    so the comparison is SMJ vs SMJ)."""
+    import uuid
+
+    from aws_iceberg_automation_spark.io import load_table
+    from aws_iceberg_automation_spark.sources.bucketing import (
+        bucketed_join,
+        exchange_count,
+        write_bucketed,
+    )
+    from tests.conftest import SF_DIR
+
+    db = f"buckets_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = load_table(spark, SF_DIR, "orders")
+        cust = load_table(spark, SF_DIR, "customer").withColumnRenamed(
+            "c_custkey", "o_custkey"
+        )
+        write_bucketed(orders, f"{db}.orders_b", "o_custkey", n_buckets=4)
+        write_bucketed(cust, f"{db}.cust_b", "o_custkey", n_buckets=4)
+
+        plain = orders.join(cust, "o_custkey")
+        assert exchange_count(plain) >= 2, "unbucketed join must shuffle"
+
+        co = bucketed_join(spark, f"{db}.orders_b", f"{db}.cust_b", "o_custkey")
+        assert exchange_count(co) == 0, "bucketed join must not shuffle"
+        # same answer either way
+        assert co.count() == plain.count()
+
+        # groupBy on the bucket key is shuffle-free too
+        agg = spark.table(f"{db}.orders_b").groupBy("o_custkey").count()
+        assert exchange_count(agg) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql(f"DROP DATABASE {db} CASCADE")
