@@ -184,3 +184,21 @@ def sql_split_bucket(inner: str) -> str:
         f"CASE WHEN {h} < '{_SPLIT_TEST_LT}' THEN 'test' "
         f"WHEN {h} < '{_SPLIT_VAL_LT}' THEN 'val' ELSE 'train' END"
     )
+
+
+def corr_from_moments(
+    n: Column, sx: Column, sy: Column, sxy: Column, sxx: Column, syy: Column
+) -> Column:
+    """Pearson correlation from the five sufficient moments (plus n),
+    NULL when either variance term is <= 0 — the ANSI-safe stand-in
+    for built-in corr(), which raises DIVIDE_BY_ZERO on zero-variance
+    input under Spark 4's default ANSI mode (q205 pattern). The oracle
+    side must spell the IDENTICAL CASE/sqrt expression so both engines
+    run the same double op chain; shared by q205 (rolling windows) and
+    q227 (ACF lags)."""
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    return F.when((vx <= 0) | (vy <= 0), F.lit(None)).otherwise(
+        cov / (F.sqrt(vx) * F.sqrt(vy))
+    )

@@ -1579,14 +1579,16 @@ def q228_source_verbosity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|sources| rows, domain-fixed); the global CDF evaluation is NOT a
     global sort/window — the 20-row medians frame broadcasts onto a
     single corpus scan as a theta join (n_chars <= median) and
-    collapses map-side to per-source below-counts. One scan, zero
-    unpartitioned windows, wire cost = |sources| rows."""
+    collapses map-side to per-source below-counts. The global total is
+    folded from the |sources|-row medians frame (sum of per-source
+    counts), not a third corpus pass. Zero unpartitioned windows, wire
+    cost = |sources| rows."""
     d = load_table(spark, sf_dir, "documents")
     med = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.percentile(F.col("n_chars"), F.lit(0.5)).alias("med_chars"),
     )
-    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    tot = med.agg(F.sum("n_docs").alias("n"))
     m = med.select("source", "med_chars")
     below = (
         d.alias("d")

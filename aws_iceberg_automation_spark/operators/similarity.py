@@ -942,13 +942,14 @@ def q230_ndcg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (LSH/IVF/PQ top-k from q83b/d/q172).
 
     Scale shape: identical to q83's exact-scan shape — the 10-query
-    frame broadcasts onto one corpus scan (corpus never shuffles),
-    per-query ranking is a partitioned window over per-query rows,
-    corpus-wide relevant counts are a two-phase agg of the same scored
-    frame, and the ideal-DCG normalizer folds a ≤10-term series per
-    query. The n_rel = 0 guard is explicit on both engines (Spark's
-    sequence(1, 0) yields a DESCENDING [1,0], not an empty list — the
-    empty-relevance case must never reach it)."""
+    frame broadcasts onto ONE corpus scan (corpus never shuffles, and
+    the scan/cosine work runs exactly once: rank, relevant-count, and
+    DCG all fold out of a single window-then-agg over the scored frame
+    on the same q_id partitioning, no self-join), and the ideal-DCG
+    normalizer folds a ≤10-term series per query. The n_rel = 0 guard
+    is explicit on both engines (Spark's sequence(1, 0) yields a
+    DESCENDING [1,0], not an empty list — the empty-relevance case
+    must never reach it)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").alias("v")
     )
@@ -969,19 +970,20 @@ def q230_ndcg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     match = (F.col("n_label") == F.col("q_label")).cast("double")
-    rel = scored.groupBy("q_id").agg(
-        F.sum(match).cast("bigint").alias("n_rel")
-    )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
-    dcg = (
+    per_query = (
         scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _NDCG_K)
         .groupBy("q_id")
         .agg(
             F.max("q_label").alias("label"),
-            F.sum(match / F.log2(F.col("rk") + 1)).alias("dcg"),
+            F.sum(match).cast("bigint").alias("n_rel"),
+            F.sum(
+                F.when(
+                    F.col("rk") <= _NDCG_K, match / F.log2(F.col("rk") + 1)
+                ).otherwise(F.lit(0.0))
+            ).alias("dcg"),
         )
     )
     idcg = F.aggregate(
@@ -989,7 +991,7 @@ def q230_ndcg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1),
     )
-    return dcg.join(rel, "q_id").select(
+    return per_query.select(
         "q_id",
         "label",
         "n_rel",

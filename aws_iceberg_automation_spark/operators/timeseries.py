@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.compat import dec2, ts_sec
+from ..functions.compat import corr_from_moments, dec2, ts_sec
 from ..io import load_table
 from ..registry import register
 
@@ -615,15 +615,13 @@ def q205_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("qty") * F.col("qty")).over(w).alias("syy"),
         F.min("dayidx").over(w_all).alias("first_idx"),
     ).filter(F.col("dayidx") >= F.col("first_idx") + 29)
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     return m.select(
         "n_name",
         "day",
         F.round(
-            F.when((vx <= 0) | (vy <= 0), F.lit(None)).otherwise(
-                cov / (F.sqrt(vx) * F.sqrt(vy))
+            corr_from_moments(
+                F.col("n"), F.col("sx"), F.col("sy"),
+                F.col("sxy"), F.col("sxx"), F.col("syy"),
             ),
             4,
         ).alias("corr_30d"),
@@ -705,16 +703,14 @@ def q227_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         sxx.alias("sxx"),
         syy.alias("syy"),
     )
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     return (
         m.select(
             "lag",
             "n_pairs",
             F.round(
-                F.when((vx <= 0) | (vy <= 0), F.lit(None)).otherwise(
-                    cov / (F.sqrt(vx) * F.sqrt(vy))
+                corr_from_moments(
+                    F.col("n"), F.col("sx"), F.col("sy"),
+                    F.col("sxy"), F.col("sxx"), F.col("syy"),
                 ),
                 4,
             ).alias("acf"),
