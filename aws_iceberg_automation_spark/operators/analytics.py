@@ -2262,3 +2262,328 @@ def q231_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("brand", F.col("n_months").cast("bigint").alias("n_months"),
                 "n_pairs", "sen_slope")
     )
+
+
+@register(
+    "q232_hhi_concentration",
+    oracle="""
+WITH sup AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(10,2))) * 100 AS BIGINT)
+      AS cents
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT s_nationkey, CAST(SUM(cents) AS BIGINT) AS tot_cents,
+    CAST(COUNT(*) AS BIGINT) AS n_suppliers
+  FROM sup GROUP BY 1
+), shr AS (
+  SELECT r.s_nationkey, r.rk, t.n_suppliers, t.tot_cents,
+    CAST(r.cents AS DOUBLE) / NULLIF(t.tot_cents, 0) AS share
+  FROM (SELECT s_nationkey, l_suppkey, cents,
+          row_number() OVER (PARTITION BY s_nationkey
+                             ORDER BY cents DESC, l_suppkey) AS rk
+        FROM sup) r
+  JOIN tot t USING (s_nationkey)
+)
+SELECT n.n_name AS nation, shr.n_suppliers,
+  CAST(CAST(shr.tot_cents AS DECIMAL(38,0)) AS VARCHAR) AS revenue_cents,
+  round(SUM((100.0 * share) * (100.0 * share)), 4) AS hhi,
+  round(SUM(CASE WHEN shr.rk <= 4 THEN share ELSE 0.0 END), 6) AS cr4
+FROM shr JOIN nation n ON n.n_nationkey = shr.s_nationkey
+GROUP BY 1, 2, 3
+""",
+    tags=("analytics",),
+)
+def q232_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market-concentration index per nation over
+    its suppliers' revenue shares (HHI = Σ(100·share)², 10000 = pure
+    monopoly; antitrust screens flag > 2500) plus the CR4 top-4
+    concentration ratio — the standard pair for "is this market
+    dominated by a few suppliers?".
+
+    Scale shape: one two-phase hash agg of lineitem to supplier grain
+    (the only fact-table shuffle), an unhinted suppkey join against the
+    supplier dim (AQE decides; supplier grows with SF so no forced
+    broadcast), then nation-grain windows/aggs on the supplier-count-
+    sized frame. The top-4 rank is a window partitioned by nation —
+    never global. Revenue is exact decimal cents end-to-end; shares
+    divide via try_divide (NULLIF twin) so an all-zero-revenue nation
+    yields NULL metrics, not an ANSI error."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    sup = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            (F.sum(dec2("l_extendedprice")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = sup.groupBy("s_nationkey").agg(
+        F.sum("cents").cast("bigint").alias("tot_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("cents").desc(), "l_suppkey"
+    )
+    share = F.try_divide(F.col("cents").cast("double"), F.col("tot_cents"))
+    shr = (
+        sup.withColumn("rk", F.row_number().over(w))
+        .join(tot, "s_nationkey")
+        .withColumn("share", share)
+    )
+    return (
+        shr.groupBy("s_nationkey", "n_suppliers", "tot_cents")
+        .agg(
+            F.round(
+                F.sum((100.0 * F.col("share")) * (100.0 * F.col("share"))), 4
+            ).alias("hhi"),
+            F.round(
+                F.sum(
+                    F.when(F.col("rk") <= 4, F.col("share")).otherwise(
+                        F.lit(0.0)
+                    )
+                ),
+                6,
+            ).alias("cr4"),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            F.col("tot_cents")
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("revenue_cents"),
+            "hhi",
+            "cr4",
+        )
+    )
+
+
+@register(
+    "q238_cuped_lift",
+    oracle="""
+WITH cust AS (
+  SELECT c.c_custkey,
+    substring(md5(CAST(c.c_custkey AS VARCHAR)), 1, 1) < '8' AS treat,
+    CAST(COALESCE(SUM(CASE WHEN o.o_orderdate < TIMESTAMP '1996-01-01'
+          THEN CAST(o.o_totalprice AS DECIMAL(8,2)) END), 0) * 100
+      AS DOUBLE) AS pre,
+    CAST(COALESCE(SUM(CASE WHEN o.o_orderdate >= TIMESTAMP '1996-01-01'
+          THEN CAST(o.o_totalprice AS DECIMAL(8,2)) END), 0) * 100
+      AS DOUBLE) AS post
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+), mom AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(pre) AS sx, SUM(post) AS sy,
+    SUM(pre * post) AS sxy, SUM(pre * pre) AS sxx, SUM(post * post) AS syy
+  FROM cust
+), th AS (
+  SELECT
+    CASE WHEN n * sxx - sx * sx <= 0 THEN 0.0
+         ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS theta,
+    CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL
+         ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+              / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS rho2,
+    sx / n AS pre_all
+  FROM mom
+)
+SELECT CASE WHEN treat THEN 'treatment' ELSE 'control' END AS arm,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  round(SUM(post) / COUNT(*) / 100, 4) AS mean_revenue,
+  round((SUM(post) / COUNT(*)
+         - t.theta * (SUM(pre) / COUNT(*) - t.pre_all)) / 100, 4)
+    AS cuped_mean_revenue,
+  round(t.theta, 6) AS theta,
+  round(t.rho2, 6) AS variance_reduction
+FROM cust CROSS JOIN th t
+GROUP BY 1, t.theta, t.rho2, t.pre_all
+""",
+    tags=("analytics", "experiment"),
+)
+def q238_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout: customers deterministically
+    hash-split 50/50 (md5 first hex digit, the q96/q206 gate idea), the
+    1996+ revenue metric adjusted by the pre-1996 covariate —
+    Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) pooled across arms.
+    Reported variance_reduction is ρ², the fraction of metric variance
+    the covariate removes — the standard experimentation-platform
+    primitive that shrinks confidence intervals at zero sample cost.
+
+    Scale shape: one customer⋈orders shuffle join collapsed to customer
+    grain (exact decimal cents, pinned with localCheckpoint so the two
+    consumers — pooled moments and per-arm means — never re-run the
+    join); θ/ρ²/grand-mean are a 1-row broadcast; per-arm means are a
+    2-group two-phase agg. Degenerate guards: zero covariate variance →
+    θ = 0 (no adjustment) and NULL ρ², spelled identically in both
+    engines."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cut = F.lit("1996-01-01").cast("timestamp_ntz")
+    zero = F.lit(0).cast("decimal(8,2)")
+    cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("o_orderdate") < cut, dec2("o_totalprice")
+                        )
+                    ),
+                    zero,
+                )
+                * 100
+            )
+            .cast("double")
+            .alias("pre"),
+            (
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("o_orderdate") >= cut, dec2("o_totalprice")
+                        )
+                    ),
+                    zero,
+                )
+                * 100
+            )
+            .cast("double")
+            .alias("post"),
+        )
+        .withColumn(
+            "treat",
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1)
+            < F.lit("8"),
+        )
+        .localCheckpoint()  # customer-grain; pins the orders join
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    th = (
+        cust.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("pre").alias("sx"),
+            F.sum("post").alias("sy"),
+            F.sum(F.col("pre") * F.col("post")).alias("sxy"),
+            F.sum(F.col("pre") * F.col("pre")).alias("sxx"),
+            F.sum(F.col("post") * F.col("post")).alias("syy"),
+        )
+        .select(
+            F.when(vx <= 0, F.lit(0.0)).otherwise(cov / vx).alias("theta"),
+            F.when((vx <= 0) | (vy <= 0), F.lit(None).cast("double"))
+            .otherwise((cov * cov) / (vx * vy))
+            .alias("rho2"),
+            (sx / n).alias("pre_all"),
+        )
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        cust.crossJoin(F.broadcast(th))
+        .groupBy("treat", "theta", "rho2", "pre_all")
+        .agg(
+            cnt.cast("bigint").alias("n_customers"),
+            (F.sum("post") / cnt).alias("m_post"),
+            (F.sum("pre") / cnt).alias("m_pre"),
+        )
+        .select(
+            F.when(F.col("treat"), F.lit("treatment"))
+            .otherwise(F.lit("control"))
+            .alias("arm"),
+            "n_customers",
+            F.round(F.col("m_post") / 100, 4).alias("mean_revenue"),
+            F.round(
+                (
+                    F.col("m_post")
+                    - F.col("theta") * (F.col("m_pre") - F.col("pre_all"))
+                )
+                / 100,
+                4,
+            ).alias("cuped_mean_revenue"),
+            F.round("theta", 6).alias("theta"),
+            F.round("rho2", 6).alias("variance_reduction"),
+        )
+    )
+
+
+@register(
+    "q239_seasonal_anomaly",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    CAST(date_part('dow', CAST(o_orderdate AS DATE)) AS INT) AS dow,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+), stats AS (
+  SELECT dow, CAST(COUNT(*) AS DOUBLE) AS n,
+    SUM(CAST(cents AS DOUBLE)) AS sx,
+    SUM(CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE)) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT d.day, d.dow,
+  CAST(CAST(d.cents AS DECIMAL(38,0)) AS VARCHAR) AS revenue_cents,
+  round((CAST(d.cents AS DOUBLE) - s.sx / s.n)
+        / sqrt((s.sxx - s.sx * s.sx / s.n) / s.n), 4) AS z
+FROM daily d JOIN stats s USING (dow)
+WHERE (s.sxx - s.sx * s.sx / s.n) / s.n > 0
+  AND abs((CAST(d.cents AS DOUBLE) - s.sx / s.n)
+          / sqrt((s.sxx - s.sx * s.sx / s.n) / s.n)) >= 2.0
+""",
+    tags=("analytics", "timeseries", "dq"),
+)
+def q239_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted daily revenue anomalies: each day's revenue
+    standardized against the distribution of ITS OWN weekday (|z| ≥ 2
+    flagged) — the de-seasonalized alarm q211's share profile motivates
+    (a quiet Sunday is normal; a quiet Tuesday is an incident). A raw
+    global z-score would page on every weekend.
+
+    Scale shape: one two-phase agg to the calendar-bounded daily grain,
+    per-weekday moments on that ≤|days| frame (7 groups), then a 7-row
+    broadcast join back — no window at all. The |z| ≥ 2 threshold
+    filters on the RAW value (identical op chain both engines) and
+    rounds only in the projection; the weekday comes from the NTZ date
+    so the hostile-timezone sweep can't shift it. Degenerate weekdays
+    (zero variance) are excluded on the var > 0 guard, not by an ANSI
+    error."""
+    o = load_table(spark, sf_dir, "orders")
+    dow = (F.dayofweek(F.col("o_orderdate").cast("date")) - 1).cast("int")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"), dow.alias("dow")
+    ).agg(
+        (F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("cents")
+    )
+    x = F.col("cents").cast("double")
+    stats = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")
+    z = (x - mean) / F.sqrt(var)
+    return (
+        daily.join(F.broadcast(stats), "dow")
+        .filter((var > 0) & (F.abs(z) >= 2.0))
+        .select(
+            "day",
+            "dow",
+            F.col("cents")
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("revenue_cents"),
+            F.round(z, 4).alias("z"),
+        )
+    )

@@ -827,3 +827,60 @@ def q219_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p50", 6).alias("p50_latency_s"),
         F.round("p90", 6).alias("p90_latency_s"),
     )
+
+
+@register(
+    "q234_activity_islands",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), r AS (
+  SELECT user_id, day,
+    date_diff('day', DATE '1970-01-01', day)
+      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+), isl AS (
+  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+  FROM r GROUP BY 1, 2
+)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+  CAST(COUNT(*) AS BIGINT) AS n_islands,
+  CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM isl GROUP BY 1
+""",
+    tags=("behavioral", "window"),
+)
+def q234_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands per user: collapse each user's distinct active
+    days into maximal runs of CONSECUTIVE days (the classic day_index −
+    row_number grouping trick — same difference ⇔ same unbroken run)
+    and report active-day count, number of streaks, and the longest
+    streak — the engagement-streak primitive behind retention ladders
+    and "7-day streak" features that q98's cohort grid can't see
+    (cohorts bucket by first-touch, streaks need run structure).
+
+    Scale shape: distinct-day reduction is one two-phase agg keyed
+    (user, day); the row_number window and both rollups are all
+    partitioned by user_id — work per user is its active-day count,
+    nothing global, no skew beyond the per-user event share. The day
+    index derives from the NTZ date (epoch-day difference), so the
+    hostile-timezone sweep cannot split or merge a run."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    days = e.distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = days.select(
+        "user_id",
+        "day",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    isl = r.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return isl.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+    )

@@ -1332,3 +1332,110 @@ def q223_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("skew_ratio"),
     )
+
+
+@register(
+    "q233_mutual_information",
+    oracle="""
+WITH joint AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS nxy
+  FROM documents GROUP BY 1, 2
+), mx AS (SELECT source, CAST(SUM(nxy) AS BIGINT) AS nx FROM joint GROUP BY 1),
+my AS (SELECT lang, CAST(SUM(nxy) AS BIGINT) AS ny FROM joint GROUP BY 1),
+tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM joint),
+mi AS (
+  SELECT SUM((CAST(j.nxy AS DOUBLE) / t.n)
+             * log2((CAST(j.nxy AS DOUBLE) * t.n)
+                    / (CAST(x.nx AS DOUBLE) * y.ny))) AS mi_bits
+  FROM joint j JOIN mx x USING (source) JOIN my y USING (lang)
+  CROSS JOIN tot t
+), hx AS (
+  SELECT -SUM((CAST(nx AS DOUBLE) / t.n)
+              * log2(CAST(nx AS DOUBLE) / t.n)) AS h_source
+  FROM mx CROSS JOIN tot t
+), hy AS (
+  SELECT -SUM((CAST(ny AS DOUBLE) / t.n)
+              * log2(CAST(ny AS DOUBLE) / t.n)) AS h_lang
+  FROM my CROSS JOIN tot t
+)
+SELECT t.n AS n_docs,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM mx) AS n_sources,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM my) AS n_langs,
+  round(mi.mi_bits, 6) AS mi_bits,
+  round(hx.h_source, 6) AS h_source_bits,
+  round(hy.h_lang, 6) AS h_lang_bits,
+  CASE WHEN least(hx.h_source, hy.h_lang) <= 0 THEN NULL
+       ELSE round(mi.mi_bits / least(hx.h_source, hy.h_lang), 6)
+  END AS nmi
+FROM tot t CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
+""",
+    tags=("dq", "stats", "llm"),
+)
+def q233_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical corpus columns
+    (source × lang), in bits, plus both marginal entropies and the
+    normalized MI (MI / min(H)) — the effect-SIZE companion to q204's
+    chi-square significance test: χ² says "the columns are dependent",
+    MI says "knowing the source buys you this many bits of the
+    language". NMI = 1 ⇒ one column determines the other (a leakage
+    smell in train/test splits keyed on either).
+
+    Scale shape: the corpus collapses to the |sources|×|langs| joint
+    grid in one two-phase count agg — the ONLY fact-table pass;
+    marginals, entropies, and the MI fold are sums over that ≤200-cell
+    grid (domain-fixed, SF-independent), assembled via 1-row broadcast
+    cross joins. Zero-observed cells contribute nothing by
+    construction (absent grid rows, the 0·log0 = 0 convention).
+    Overflow guard: nxy·n crosses through DOUBLE before multiplying
+    (bigint·bigint would overflow at corpus scale)."""
+    d = load_table(spark, sf_dir, "documents").select("source", "lang")
+    joint = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nxy")
+    )
+    mx = joint.groupBy("source").agg(F.sum("nxy").cast("bigint").alias("nx"))
+    my = joint.groupBy("lang").agg(F.sum("nxy").cast("bigint").alias("ny"))
+    tot = joint.agg(F.sum("nxy").cast("bigint").alias("n"))
+    nxy_d = F.col("nxy").cast("double")
+    mi = (
+        joint.join(F.broadcast(mx), "source")
+        .join(F.broadcast(my), "lang")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (nxy_d / F.col("n"))
+                * F.log2(
+                    (nxy_d * F.col("n"))
+                    / (F.col("nx").cast("double") * F.col("ny"))
+                )
+            ).alias("mi_bits")
+        )
+    )
+    px = F.col("nx").cast("double") / F.col("n")
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(px * F.log2(px))).alias("h_source")
+    )
+    py = F.col("ny").cast("double") / F.col("n")
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(py * F.log2(py))).alias("h_lang")
+    )
+    counts = mx.agg(F.count(F.lit(1)).cast("bigint").alias("n_sources"))
+    countl = my.agg(F.count(F.lit(1)).cast("bigint").alias("n_langs"))
+    hmin = F.least(F.col("h_source"), F.col("h_lang"))
+    return (
+        tot.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(countl))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.col("n").alias("n_docs"),
+            "n_sources",
+            "n_langs",
+            F.round("mi_bits", 6).alias("mi_bits"),
+            F.round("h_source", 6).alias("h_source_bits"),
+            F.round("h_lang", 6).alias("h_lang_bits"),
+            F.when(hmin <= 0, F.lit(None).cast("double"))
+            .otherwise(F.round(F.col("mi_bits") / hmin, 6))
+            .alias("nmi"),
+        )
+    )

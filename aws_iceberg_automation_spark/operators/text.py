@@ -1221,3 +1221,152 @@ def q216_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("cum_nt") > 1) & (F.col("cum_nv") > 0), beta), 6
         ).alias("heaps_beta"),
     )
+
+
+@register(
+    "q236_doc_distinctiveness",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
+  FROM tok
+), df AS (
+  SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY 1
+)
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+  CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unique_shingles,
+  round(CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS uniqueness
+FROM sh s JOIN df f ON f.shingle = s.shingle
+GROUP BY 1
+""",
+    tags=("text", "llm", "dedup"),
+)
+def q236_doc_distinctiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinctiveness: the fraction of a doc's distinct
+    3-word shingles that occur in NO other document (corpus df = 1) —
+    the continuous novelty score between exact dedup (q81: identical)
+    and MinHash (q82: mostly-identical). Low uniqueness ⇒ boilerplate/
+    template mass worth down-weighting in a training mixture even when
+    no single pair crosses a dedup threshold.
+
+    Scale shape: word-count-shaped end to end — explode distinct
+    shingles (map-side, reusing dedup.word_shingles, the exact Spark
+    twin of the proven MinHash oracle CTE), one two-phase count agg for
+    corpus df, one equi-join back on the shingle key (shuffle reuse:
+    both sides hang off the same exploded frame), one doc-grain rollup.
+    No pairwise stage anywhere — df does the all-pairs work
+    implicitly."""
+    from .dedup import word_shingles
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = d.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
+    )
+    dfc = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        sh.join(dfc, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            uniq.cast("bigint").alias("n_unique_shingles"),
+            F.round(
+                uniq.cast("double") / F.count(F.lit(1)), 6
+            ).alias("uniqueness"),
+        )
+    )
+
+
+@register(
+    "q237_vocab_jaccard",
+    oracle="""
+WITH vocab AS (
+  SELECT DISTINCT source, term
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+), sz AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM vocab GROUP BY 1
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM vocab a JOIN vocab b
+    ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, sa.v AS vocab_a, sb.v AS vocab_b,
+  i.n_common,
+  round(CAST(i.n_common AS DOUBLE) / (sa.v + sb.v - i.n_common), 6)
+    AS jaccard,
+  round(CAST(i.n_common AS DOUBLE) / least(sa.v, sb.v), 6) AS containment
+FROM inter i
+JOIN sz sa ON sa.source = i.source_a
+JOIN sz sb ON sb.source = i.source_b
+""",
+    tags=("text", "llm", "stats"),
+)
+def q237_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources: Jaccard and
+    containment of the distinct-token sets for every source pair — the
+    lexical companion to q225's length-distribution JSD (two sources
+    can share a length profile yet disjoint vocabularies, and vice
+    versa). High containment with low Jaccard flags a subset/mirror
+    source — a candidate for source-level dedup before q82 spends
+    MinHash on it.
+
+    Scale shape: the corpus reduces once to distinct (source, term) —
+    vocabulary grows sublinearly (Heaps, measured in q216), so this
+    frame is far smaller than the corpus; the pair stage is an
+    equi-join ON TERM (never all-pairs over docs), bounded per term by
+    |sources|² — a domain constant — then a two-phase count agg to
+    |sources|²/2 rows. Size lookups join on the |sources|-row frame.
+    The token definition (bare whitespace split) matches q85/q216 so
+    cross-query vocabularies agree."""
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    vocab = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+    )
+    sz = vocab.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("v").alias("vocab_a"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("v").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_common").cast("double")
+                / F.least("vocab_a", "vocab_b"),
+                6,
+            ).alias("containment"),
+        )
+    )

@@ -717,3 +717,116 @@ def q227_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+@register(
+    "q235_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT n.n_name AS nation, CAST(o.o_orderdate AS DATE) AS day,
+    CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(8,2))) * 100 AS BIGINT)
+      AS DOUBLE) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), stats AS (
+  SELECT nation, CAST(COUNT(*) AS DOUBLE) AS n,
+    SUM(rev) AS sx, SUM(rev * rev) AS sxx
+  FROM daily GROUP BY 1
+), dev AS (
+  SELECT d.nation, d.day, s.n,
+    round(abs(SUM(d.rev - s.sx / s.n)
+              OVER (PARTITION BY d.nation ORDER BY d.day))
+          / sqrt((s.sxx - s.sx * s.sx / s.n) / s.n), 4) AS dev
+  FROM daily d JOIN stats s USING (nation)
+  WHERE (s.sxx - s.sx * s.sx / s.n) / s.n > 0
+), mx AS (
+  SELECT nation, MAX(dev) AS max_dev, CAST(MAX(n) AS BIGINT) AS n_days
+  FROM dev GROUP BY 1
+)
+SELECT m.nation, m.n_days, MIN(d.day) AS change_day, m.max_dev
+FROM mx m JOIN dev d ON d.nation = m.nation AND d.dev = m.max_dev
+GROUP BY 1, 2, 4
+""",
+    tags=("timeseries", "stats"),
+)
+def q235_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per nation: the day where the
+    cumulative sum of mean-centered daily revenue strays farthest from
+    zero (scaled by the series' own σ) — the classic single-change
+    locator (a level shift makes |S_t| peak exactly at the break).
+    q227's ACF says "the series has structure"; this says WHERE it
+    broke.
+
+    Scale shape: the fact table collapses to the (nation, day) grain in
+    one two-phase exact-decimal agg (calendar×|nations|-bounded); the
+    per-nation moments are a 25-row frame broadcast back; the running
+    sum is a window PARTITIONED BY nation ordered by day (never
+    global). The argmax day is recovered by equality-joining on the
+    per-nation max of the ROUNDED deviation and taking MIN(day) — a
+    deterministic tie-break in both engines (round-4 note: the rounded
+    compare absorbs the engines' segment-tree vs streaming window-sum
+    ulp drift). Zero-variance nations fall out on the var > 0 guard."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            (F.sum(dec2("o_totalprice")) * 100)
+            .cast("bigint")
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    stats = daily.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("rev").alias("sx"),
+        F.sum(F.col("rev") * F.col("rev")).alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")
+    w = (
+        Window.partitionBy("nation")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = (
+        daily.join(F.broadcast(stats), "nation")
+        .filter(var > 0)
+        .select(
+            "nation",
+            "day",
+            "n",
+            F.round(
+                F.abs(F.sum(F.col("rev") - mean).over(w)) / F.sqrt(var), 4
+            ).alias("dev"),
+        )
+    )
+    mx = dev.groupBy("nation").agg(
+        F.max("dev").alias("max_dev"),
+        F.max("n").cast("bigint").alias("n_days"),
+    )
+    m, d = mx.alias("m"), dev.select("nation", "day", "dev").alias("d")
+    return (
+        m.join(
+            d,
+            (F.col("m.nation") == F.col("d.nation"))
+            & (F.col("d.dev") == F.col("m.max_dev")),
+        )
+        .groupBy(
+            F.col("m.nation").alias("nation"),
+            F.col("m.n_days").alias("n_days"),
+            F.col("m.max_dev").alias("max_dev"),
+        )
+        .agg(F.min(F.col("d.day")).alias("change_day"))
+        .select("nation", "n_days", "change_day", "max_dev")
+    )

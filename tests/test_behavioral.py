@@ -703,3 +703,162 @@ def test_theil_sen_median_of_pairwise_slopes(spark, tmp_path):
     assert len(rows) == 1
     r = rows[0]
     assert r.n_months == 3 and r.n_pairs == 3 and r.sen_slope == 25.0
+
+
+def test_hhi_known_shares(spark, tmp_path):
+    """q232 with supplier revenue shares 50/30/20 in one nation: HHI =
+    2500+900+400 = 3800, CR4 = 1.0 (only three suppliers)."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    suppliers = [(1, "s1", 0, 0.0), (2, "s2", 0, 0.0), (3, "s3", 0, 0.0)]
+    nations = [(0, "ALPHA", 0)]
+    lis = [
+        (1, 1, 1, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", datetime(1995, 1, 1)),
+        (2, 1, 2, 1, 1.0, 30.0, 0.0, 0.0, "N", "O", datetime(1995, 1, 2)),
+        (3, 1, 3, 1, 1.0, 20.0, 0.0, 0.0, "N", "O", datetime(1995, 1, 3)),
+    ]
+    spark.createDataFrame(suppliers, SCHEMAS["supplier"]).write.parquet(
+        str(tmp_path / "supplier.parquet")
+    )
+    spark.createDataFrame(nations, SCHEMAS["nation"]).write.parquet(
+        str(tmp_path / "nation.parquet")
+    )
+    spark.createDataFrame(lis, SCHEMAS["lineitem"]).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    rows = SPECS["q232_hhi_concentration"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.nation == "ALPHA" and r.n_suppliers == 3
+    assert r.revenue_cents == "10000" and r.hhi == 3800.0 and r.cr4 == 1.0
+
+
+def test_activity_islands_known_streaks(spark):
+    """q234 with one user active Jan 1-3, Jan 5, Jan 10-11: three
+    islands, six active days, longest streak 3. Duplicate events on a
+    day must not double-count it."""
+    rows = [
+        (1, datetime(2024, 1, 1, 9), 7, "view", 0.0, "{}"),
+        (2, datetime(2024, 1, 1, 17), 7, "click", 0.0, "{}"),  # same day
+        (3, datetime(2024, 1, 2, 9), 7, "view", 0.0, "{}"),
+        (4, datetime(2024, 1, 3, 9), 7, "view", 0.0, "{}"),
+        (5, datetime(2024, 1, 5, 9), 7, "view", 0.0, "{}"),
+        (6, datetime(2024, 1, 10, 9), 7, "view", 0.0, "{}"),
+        (7, datetime(2024, 1, 11, 9), 7, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    orig = beh.load_table
+    try:
+        beh.load_table = lambda s, d, t: df if t == "events" else orig(s, d, t)
+        out = SPECS["q234_activity_islands"].fn(spark, SF_DIR).collect()
+    finally:
+        beh.load_table = orig
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_active_days == 6 and r.n_islands == 3 and r.longest_streak == 3
+
+
+def test_cusum_level_shift_found_at_boundary(spark, tmp_path):
+    """q235 on a clean level shift (10 days at 100, then 10 at 200):
+    σ = 50, the centered cumulative sum bottoms out at −500 exactly on
+    the last pre-shift day, so max_dev = 10.0 at day 10."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    orders = [
+        (i, 1, "O", 100.0 if i <= 10 else 200.0,
+         datetime(1995, 1, i), "1-URGENT")
+        for i in range(1, 21)
+    ]
+    customers = [(1, "c1", 0, 0.0, "BUILDING")]
+    nations = [(0, "ALPHA", 0)]
+    spark.createDataFrame(orders, SCHEMAS["orders"]).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    spark.createDataFrame(customers, SCHEMAS["customer"]).write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    spark.createDataFrame(nations, SCHEMAS["nation"]).write.parquet(
+        str(tmp_path / "nation.parquet")
+    )
+    rows = SPECS["q235_cusum_changepoint"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.nation == "ALPHA" and r.n_days == 20
+    assert r.change_day.isoformat() == "1995-01-10"
+    assert r.max_dev == 10.0
+
+
+def test_cuped_perfect_covariate_equalizes_arms(spark, tmp_path):
+    """q238 where post-period revenue equals pre-period revenue for
+    every customer: θ = 1, ρ² = 1 (100% variance reduction), and BOTH
+    arms' CUPED-adjusted means collapse to the pooled pre-period mean
+    — the textbook sanity check that the adjustment removes all
+    covariate-explained spread."""
+    import hashlib
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    # pick two custkeys per arm (md5 first hex digit < '8' = treatment)
+    arms = {True: [], False: []}
+    k = 1
+    while len(arms[True]) < 2 or len(arms[False]) < 2:
+        arm = hashlib.md5(str(k).encode()).hexdigest()[0] < "8"
+        if len(arms[arm]) < 2:
+            arms[arm].append(k)
+        k += 1
+    keys = arms[True] + arms[False]
+    prices = {keys[0]: 100.0, keys[1]: 300.0, keys[2]: 150.0, keys[3]: 250.0}
+    customers = [(ck, f"c{ck}", 0, 0.0, "BUILDING") for ck in keys]
+    orders = []
+    oid = 1
+    for ck in keys:
+        orders.append((oid, ck, "O", prices[ck], datetime(1995, 6, 1), "1-URGENT"))
+        oid += 1
+        orders.append((oid, ck, "O", prices[ck], datetime(1997, 6, 1), "1-URGENT"))
+        oid += 1
+    spark.createDataFrame(customers, SCHEMAS["customer"]).write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    spark.createDataFrame(orders, SCHEMAS["orders"]).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = {
+        r.arm: r for r in SPECS["q238_cuped_lift"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"treatment", "control"}
+    pre_all = sum(prices.values()) / 4
+    for r in out.values():
+        assert r.n_customers == 2
+        assert r.theta == 1.0 and r.variance_reduction == 1.0
+        assert r.cuped_mean_revenue == round(pre_all, 4)
+    assert out["treatment"].mean_revenue == round(
+        (prices[keys[0]] + prices[keys[1]]) / 2, 4
+    )
+
+
+def test_seasonal_anomaly_flags_only_the_spike(spark, tmp_path):
+    """q239 with six consecutive Mondays at 100 except one at 200: only
+    the spike crosses |z| ≥ 2 (z = 5/√5 ≈ 2.2361); the five normal
+    Mondays sit at z ≈ −0.45."""
+    import math
+    from datetime import timedelta
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    # 1995-01-02 is a Monday
+    prices = [100.0, 100.0, 100.0, 100.0, 100.0, 200.0]
+    orders = [
+        (i + 1, 1, "O", p, datetime(1995, 1, 2) + timedelta(days=7 * i), "1-URGENT")
+        for i, p in enumerate(prices)
+    ]
+    spark.createDataFrame(orders, SCHEMAS["orders"]).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    rows = SPECS["q239_seasonal_anomaly"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.day.isoformat() == "1995-02-06" and r.revenue_cents == "20000"
+    cents = [p * 100 for p in prices]
+    mean = sum(cents) / 6
+    sd = math.sqrt(sum((c - mean) ** 2 for c in cents) / 6)
+    assert r.z == round((20000 - mean) / sd, 4)

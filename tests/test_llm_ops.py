@@ -925,3 +925,68 @@ def test_ndcg_exact_known_rankings(spark, tmp_path):
     assert b.dcg == round(1 / math.log2(5), 6)
     assert b.ndcg == round(1 / math.log2(5), 6)
     assert all(0.0 <= r.ndcg <= 1.0 for r in out.values())
+
+
+def test_mutual_information_perfect_dependence(spark, tmp_path):
+    """q233 on a corpus where source determines language exactly (two
+    sources × two docs each): H(source) = H(lang) = MI = 1 bit and
+    NMI = 1 — the maximal-dependence fixture."""
+    docs = [
+        (1, "a", "en", "s1", 1),
+        (2, "b", "en", "s1", 1),
+        (3, "c", "fr", "s2", 1),
+        (4, "d", "fr", "s2", 1),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(docs, schema).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = SPECS["q233_mutual_information"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_docs == 4 and r.n_sources == 2 and r.n_langs == 2
+    assert r.mi_bits == 1.0 and r.h_source_bits == 1.0 and r.h_lang_bits == 1.0
+    assert r.nmi == 1.0
+
+
+def test_doc_distinctiveness_shared_and_unique_shingles(spark, tmp_path):
+    """q236 with docs 'a b c d' and 'a b c e': each has shingles
+    {'a b c', 'b c ?'} — one shared (df=2), one private (df=1) —
+    so both score uniqueness exactly 0.5."""
+    docs = [
+        (1, "a b c d", "en", "s1", 7),
+        (2, "a b c e", "en", "s1", 7),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(docs, schema).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.doc_id: r
+        for r in SPECS["q236_doc_distinctiveness"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert r.n_shingles == 2 and r.n_unique_shingles == 1
+        assert r.uniqueness == 0.5
+
+
+def test_vocab_jaccard_known_overlap(spark, tmp_path):
+    """q237 with vocab A = {a,b,c}, B = {b,c,d}: intersection 2, union
+    4 → Jaccard 0.5, containment 2/3. Repeated tokens must not inflate
+    the sets."""
+    docs = [
+        (1, "a b c", "en", "A", 5),
+        (2, "c a b a", "en", "A", 7),  # repeats: vocab stays {a,b,c}
+        (3, "b c d", "en", "B", 5),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(docs, schema).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = SPECS["q237_vocab_jaccard"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.source_a, r.source_b) == ("A", "B")
+    assert r.vocab_a == 3 and r.vocab_b == 3 and r.n_common == 2
+    assert r.jaccard == 0.5 and r.containment == round(2 / 3, 6)
