@@ -884,3 +884,112 @@ def q234_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_islands"),
         F.max("len").cast("bigint").alias("longest_streak"),
     )
+
+
+@register(
+    "q251_growth_accounting",
+    oracle="""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+    CAST(floor(date_diff('second', TIMESTAMP '2024-01-01',
+                         date_trunc('second', ts)) / 604800.0) AS BIGINT)
+      AS wk
+  FROM events
+), lagged AS (
+  SELECT user_id, wk,
+    lag(wk)  OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+    lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+  FROM uw
+), mx AS (SELECT MAX(wk) AS maxwk FROM uw),
+act AS (
+  SELECT wk,
+    CAST(SUM(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_new,
+    CAST(SUM(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_retained,
+    CAST(SUM(CASE WHEN prev_wk < wk - 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_resurrected
+  FROM lagged GROUP BY wk
+), ch AS (
+  SELECT wk + 1 AS wk, CAST(COUNT(*) AS BIGINT) AS n_churned
+  FROM lagged CROSS JOIN mx
+  WHERE (next_wk IS NULL OR next_wk > wk + 1) AND wk < maxwk
+  GROUP BY wk + 1
+)
+SELECT COALESCE(act.wk, ch.wk) AS wk,
+  COALESCE(n_new, 0) AS n_new,
+  COALESCE(n_retained, 0) AS n_retained,
+  COALESCE(n_resurrected, 0) AS n_resurrected,
+  COALESCE(n_churned, 0) AS n_churned,
+  CASE WHEN COALESCE(n_churned, 0) = 0 THEN NULL
+       ELSE CAST(COALESCE(n_new, 0) + COALESCE(n_resurrected, 0) AS DOUBLE)
+            / n_churned END AS quick_ratio
+FROM act FULL OUTER JOIN ch ON act.wk = ch.wk
+""",
+    tags=("behavioral", "analytics", "events"),
+)
+def q251_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (the Social-Capital framework): every
+    active user-week classified as NEW (first week ever), RETAINED
+    (also active the prior week) or RESURRECTED (returned after a
+    gap), plus CHURNED (active the prior week, absent this one) and
+    the quick ratio (new+resurrected)/churned — the standard
+    engagement-health decomposition behind "are we growing or just
+    recycling users". Churn needs no future data beyond the observed
+    horizon: the final week never emits churn rows (right-censored).
+
+    Plan shape: events collapse map-side to the distinct (user, week)
+    grain — the ONLY corpus-wide shuffle (user-keyed); lag/lead run
+    per user over ≤ |weeks| rows each (bounded partitions, no global
+    window); the weekly rollup and the act⊔churn spine are
+    |weeks|-row frames. Week index is exact integer arithmetic from
+    the shared NTZ epoch helper; quick_ratio is an exact int/int
+    division, NULL-guarded on zero churn for ANSI."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.floor(epoch_secs("ts", "2024-01-01 00:00:00") / 604800).cast(
+        "bigint"
+    )
+    uw = ev.select("user_id", wk.alias("wk")).distinct()
+    order = Window.partitionBy("user_id").orderBy("wk")
+    lagged = uw.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(order).alias("prev_wk"),
+        F.lead("wk").over(order).alias("next_wk"),
+    )
+    mx = uw.agg(F.max("wk").alias("maxwk"))
+    act = lagged.groupBy("wk").agg(
+        F.sum(F.when(F.col("prev_wk").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("prev_wk") == F.col("wk") - 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("prev_wk") < F.col("wk") - 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    ch = (
+        lagged.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("next_wk").isNull() | (F.col("next_wk") > F.col("wk") + 1))
+            & (F.col("wk") < F.col("maxwk"))
+        )
+        .groupBy((F.col("wk") + 1).alias("wk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    joined = act.join(ch, "wk", "full_outer")
+    n_new = F.coalesce("n_new", F.lit(0))
+    n_ret = F.coalesce("n_retained", F.lit(0))
+    n_res = F.coalesce("n_resurrected", F.lit(0))
+    n_chn = F.coalesce("n_churned", F.lit(0))
+    return joined.select(
+        "wk",
+        n_new.alias("n_new"),
+        n_ret.alias("n_retained"),
+        n_res.alias("n_resurrected"),
+        n_chn.alias("n_churned"),
+        F.when(n_chn == 0, F.lit(None).cast("double"))
+        .otherwise((n_new + n_res).cast("double") / n_chn)
+        .alias("quick_ratio"),
+    )

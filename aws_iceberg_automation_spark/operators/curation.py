@@ -1608,3 +1608,185 @@ def q228_source_verbosity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q240_dsir_importance",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), cc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c_c FROM tok GROUP BY w
+), cstat AS (
+  SELECT CAST(SUM(c_c) AS DOUBLE) AS t_c, CAST(COUNT(*) AS DOUBLE) AS v
+  FROM cc
+), ct AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c_t FROM tok
+  WHERE lang = 'en' GROUP BY w
+), tstat AS (
+  SELECT CAST(COALESCE(SUM(c_t), 0) AS DOUBLE) AS t_t FROM ct
+), docw AS (
+  SELECT t.doc_id, t.source, t.lang,
+    round(AVG(
+      ln((COALESCE(ct.c_t, 0) + 1.0) / (tstat.t_t + cstat.v))
+      - ln((cc.c_c + 1.0) / (cstat.t_c + cstat.v))
+    ), 6) AS w_doc
+  FROM tok t
+  JOIN cc ON cc.w = t.w
+  LEFT JOIN ct ON ct.w = t.w
+  CROSS JOIN cstat CROSS JOIN tstat
+  GROUP BY t.doc_id, t.source, t.lang
+)
+SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  round(CAST(SUM(CAST(w_doc AS DECIMAL(18, 6))) AS DOUBLE)
+        / COUNT(*), 5) AS avg_importance,
+  round(AVG(CASE WHEN w_doc > 0 THEN 1.0 ELSE 0.0 END), 6)
+    AS frac_upweighted
+FROM docw GROUP BY source, lang
+""",
+    tags=("curation", "llm", "sampling"),
+)
+def q240_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every doc by
+    the mean log-likelihood ratio of its tokens under a target-domain
+    unigram LM (here: the lang='en' slice) vs the raw-corpus unigram
+    LM, both add-one smoothed over the corpus vocabulary. Positive
+    w_doc = the doc looks more like the target than like the average
+    corpus doc — resampling ∝ exp(w) shifts the mixture toward the
+    target domain. Surfaced per (source, lang): English slices should
+    score positive, others negative — the sanity check that makes the
+    weights trustworthy before a resample run.
+
+    Plan shape: the two "LMs" are word-count hash aggs (vocabulary-
+    sized, shuffle-join sides, never broadcast — same discipline as
+    q159's bigram LM); totals/vocab size ride as 1-row broadcast cross
+    joins; scoring is the token stream equi-joined against the two
+    count tables on the word key, then a two-phase per-doc avg and a
+    tiny per-(source,lang) rollup. The corpus shuffles only at word
+    grain — exactly what any unigram LM costs. Per-doc avgs round(6)
+    before the >0 comparison (q159-proven cross-engine contract)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    cc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_c"))
+    cstat = cc.agg(
+        F.sum("c_c").cast("double").alias("t_c"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    ct = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    tstat = ct.agg(
+        F.coalesce(F.sum("c_t"), F.lit(0)).cast("double").alias("t_t")
+    )
+    ratio = F.log(
+        (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0) / (F.col("t_t") + F.col("v"))
+    ) - F.log((F.col("c_c") + 1.0) / (F.col("t_c") + F.col("v")))
+    docw = (
+        tok.join(cc, "w")
+        .join(ct, "w", "left")
+        .crossJoin(F.broadcast(cstat))
+        .crossJoin(F.broadcast(tstat))
+        .groupBy("doc_id", "source", "lang")
+        .agg(F.round(F.avg(ratio), 6).alias("w_doc"))
+    )
+    # Exact-decimal sum, then ONE double division: per-doc weights are
+    # already 6-dp multiples, so DECIMAL(18,6) holds them exactly and
+    # the grouped sum is order-independent on both engines — the avg
+    # can then never drift across partitionings (the raw double AVG
+    # flipped a 6th digit at a .0000005 boundary in the first gate run).
+    return docw.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col("w_doc").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            5,
+        ).alias("avg_importance"),
+        F.round(
+            F.avg(F.when(F.col("w_doc") > 0, 1.0).otherwise(0.0)), 6
+        ).alias("frac_upweighted"),
+    )
+
+
+@register(
+    "q241_token_epoch_plan",
+    oracle="""
+WITH census AS (
+  SELECT source,
+    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total FROM census
+), w AS (
+  SELECT source, n_tokens,
+    sqrt(CAST(n_tokens AS DOUBLE) / tot.total) AS raw
+  FROM census CROSS JOIN tot
+), z AS (SELECT SUM(raw) AS z FROM w)
+SELECT source, n_tokens,
+  round(CAST(n_tokens AS DOUBLE) / tot.total, 6) AS natural_share,
+  round(w.raw / z.z, 6) AS sample_weight,
+  CAST(floor((w.raw / z.z) * 2.0 * tot.total) AS BIGINT) AS alloc_tokens,
+  round(CAST(floor((w.raw / z.z) * 2.0 * tot.total) AS BIGINT)
+        / CAST(n_tokens AS DOUBLE), 4) AS epochs,
+  round(CAST(floor((w.raw / z.z) * 2.0 * tot.total) AS BIGINT)
+        / CAST(n_tokens AS DOUBLE), 4) > 4.0 AS clipped,
+  least(CAST(floor((w.raw / z.z) * 2.0 * tot.total) AS BIGINT),
+        4 * n_tokens) AS effective_tokens
+FROM w CROSS JOIN z CROSS JOIN tot
+""",
+    tags=("curation", "llm", "sampling"),
+)
+def q241_token_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch allocator — the data-constrained-scaling
+    planning table (Muennighoff et al. 2023: repeating data beyond ~4
+    epochs yields rapidly diminishing returns). Given a training budget
+    of 2× the corpus and a √-share target mixture (τ=0.5 temperature —
+    upsample tail sources), emit per source: the allocation, the epoch
+    count it implies over the available tokens, whether it breaches the
+    4-epoch repeat ceiling, and the ceiling-capped effective tokens.
+    The artifact a pretraining data lead reads to decide which sources
+    need MORE collection rather than more repetition.
+
+    Plan shape: one corpus scan for the per-source token census
+    (map-side size(split) — no explode), then pure scalar math on a
+    |sources|-row frame with two 1-row broadcast cross joins (total,
+    normalizer). Epoch ratios are exact BIGINT/BIGINT divisions after
+    floor — the float appears only inside floor(), where a ulp flips
+    the answer only if the exact product sits within 1e-9 of an
+    integer (sqrt outputs: measure-zero). All surfaced doubles
+    round(4-6) on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    census = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
+    )
+    tot = census.agg(F.sum("n_tokens").cast("double").alias("total"))
+    w = census.crossJoin(F.broadcast(tot)).withColumn(
+        "raw", F.sqrt(F.col("n_tokens").cast("double") / F.col("total"))
+    )
+    z = w.agg(F.sum("raw").alias("z"))
+    alloc = F.floor((F.col("raw") / F.col("z")) * 2.0 * F.col("total")).cast(
+        "bigint"
+    )
+    epochs = F.round(alloc / F.col("n_tokens").cast("double"), 4)
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("total"), 6
+            ).alias("natural_share"),
+            F.round(F.col("raw") / F.col("z"), 6).alias("sample_weight"),
+            alloc.alias("alloc_tokens"),
+            epochs.alias("epochs"),
+            (epochs > 4.0).alias("clipped"),
+            F.least(alloc, F.lit(4) * F.col("n_tokens")).alias(
+                "effective_tokens"
+            ),
+        )
+    )

@@ -1371,3 +1371,140 @@ def q207_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
         )
     )
+
+
+@register(
+    "q243_duplicate_ngram_mass",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), tok AS (
+  SELECT doc_id, source,
+    CAST('0x' || substring(md5(
+      w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' ' ||
+      w[i + 3] || ' ' || w[i + 4]
+    ), 1, 15) AS BIGINT) AS g
+  FROM words, unnest(generate_series(1, len(w) - 4)) AS t(i)
+), nd AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS n_docs FROM tok GROUP BY g
+), sg AS (
+  SELECT source, g, COUNT(*) AS occ FROM tok GROUP BY 1, 2
+)
+SELECT sg.source,
+  CAST(SUM(occ) AS BIGINT) AS total_grams,
+  CAST(SUM(CASE WHEN nd.n_docs > 1 THEN occ ELSE 0 END) AS BIGINT)
+    AS dup_grams,
+  round(CAST(SUM(CASE WHEN nd.n_docs > 1 THEN occ ELSE 0 END) AS DOUBLE)
+        / SUM(occ), 6) AS dup_mass
+FROM sg JOIN nd USING (g)
+GROUP BY sg.source
+""",
+    tags=("dedup", "llm", "text"),
+)
+def q243_duplicate_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate 5-gram mass: the fraction of word-5-gram
+    OCCURRENCES whose gram appears in more than one document
+    corpus-wide — the memorization-risk census (Lee et al. 2022 show
+    repeated n-grams drive verbatim memorization). Unlike q81's
+    doc-grain and q158/q171's span-grain dedup, this is the
+    *pre-dedup sizing read*: a source with high dup_mass is where the
+    span-rewrite (q171) will reclaim tokens, and the per-source split
+    tells you which ingestion pipeline is re-crawling boilerplate.
+
+    Plan shape: grams leave the scan as 8-byte portable hashes (60-bit
+    md5 prefix — the oracle-checkable stand-in for xxhash64 at
+    production scale; collision odds over even 10^12 grams stay
+    ~5e-7 per q71b's analysis), so the corpus-wide shuffle moves
+    (hash, doc_id, source) triples, never gram text. Two hash aggs —
+    distinct-doc count per gram, occurrence count per (source, gram) —
+    then a gram-keyed equi-join of the two reduced frames and a
+    |sources|-row rollup. Nothing is pairwise; memory per task is
+    bounded by the agg hash maps at gram grain, the same budget the
+    MinHash shingle stage (dedup.py:129) already pays. Docs shorter
+    than 5 words contribute no grams on either engine (empty
+    generate_series / guarded sequence)."""
+    from ..functions.compat import portable_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= 5)
+    tok = words.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 5),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"
+            )
+        ).alias("gram"),
+    ).select("doc_id", "source", portable_hash64(F.col("gram")).alias("g"))
+    nd = tok.groupBy("g").agg(F.countDistinct("doc_id").alias("n_docs"))
+    sg = tok.groupBy("source", "g").agg(F.count(F.lit(1)).alias("occ"))
+    dup_occ = F.sum(F.when(F.col("n_docs") > 1, F.col("occ")).otherwise(0))
+    return (
+        sg.join(nd, "g")
+        .groupBy("source")
+        .agg(
+            F.sum("occ").cast("bigint").alias("total_grams"),
+            dup_occ.cast("bigint").alias("dup_grams"),
+            F.round(
+                dup_occ.cast("double") / F.sum("occ"), 6
+            ).alias("dup_mass"),
+        )
+    )
+
+
+@register(
+    "q247_template_prefix_census",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, source, w[1] || ' ' || w[2] AS prefix
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+        FROM documents)
+  WHERE len(w) >= 2
+)
+SELECT prefix,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM p GROUP BY prefix
+HAVING COUNT(DISTINCT doc_id) > 1
+""",
+    tags=("dedup", "llm", "text"),
+)
+def q247_template_prefix_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-prefix census: opening 2-grams shared by more than one
+    document, with how many docs and how many SOURCES open with them.
+    Boilerplate headers ("subscribe to our", "terms of service") are
+    the highest-yield span-dedup targets and the classic crawl
+    artifact; a prefix spanning many sources is template text the
+    span rewriter (q171) should treat as a corpus-wide span, not a
+    per-source quirk. Complements q243 (which weighs ALL duplicated
+    grams) by isolating the document-initial position where templates
+    live.
+
+    Plan shape: one prefix per document leaves the scan map-side (two
+    array probes, no explode), then a single hash agg at prefix grain
+    with two count-distincts over domain-bounded inputs (docs per
+    prefix, sources per prefix). Prefix grain is bounded by vocab² in
+    the worst case and by observed openings in practice — far below
+    corpus grain; the >1 filter drops the unique mass before the
+    result materializes. No joins, no windows, one shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    p = (
+        d.select("doc_id", "source", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(" ", F.col("w")[0], F.col("w")[1]).alias("prefix"),
+        )
+    )
+    return (
+        p.groupBy("prefix")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

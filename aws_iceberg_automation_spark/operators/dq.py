@@ -1439,3 +1439,112 @@ def q233_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nmi"),
         )
     )
+
+
+@register(
+    "q250_source_ks_drift",
+    oracle="""
+WITH d AS (
+  SELECT source, len(string_split(text, ' ')) AS w FROM documents
+), sc AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2
+), lens AS (
+  SELECT w, CAST(SUM(cnt) AS BIGINT) AS ccnt FROM sc GROUP BY w
+), srcs AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM sc GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(ccnt) AS BIGINT) AS m FROM lens
+), grid AS (
+  SELECT s.source, l.w, COALESCE(sc.cnt, 0) AS cnt, l.ccnt
+  FROM srcs s CROSS JOIN lens l
+  LEFT JOIN sc ON sc.source = s.source AND sc.w = l.w
+), ecdf AS (
+  SELECT source, w,
+    abs(CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY w) AS DOUBLE)
+          / ANY_VALUE(n) OVER (PARTITION BY source)
+        - CAST(SUM(ccnt) OVER (PARTITION BY source ORDER BY w) AS DOUBLE)
+          / ANY_VALUE(m) OVER (PARTITION BY source)) AS gap
+  FROM grid CROSS JOIN tot JOIN srcs USING (source)
+), ks AS (
+  SELECT source, MAX(gap) AS ks_raw FROM ecdf GROUP BY source
+)
+SELECT k.source, s.n AS n_docs,
+  round(k.ks_raw, 6) AS ks_stat,
+  CAST(MIN(e.w) AS BIGINT) AS ks_at_tokens,
+  k.ks_raw > 1.36 * sqrt((s.n + t.m)
+                         / (CAST(s.n AS DOUBLE) * t.m)) AS drift_flag
+FROM ks k
+JOIN srcs s USING (source)
+JOIN ecdf e ON e.source = k.source AND e.gap = k.ks_raw
+CROSS JOIN tot t
+GROUP BY k.source, s.n, k.ks_raw, t.m
+""",
+    tags=("dq", "llm", "stats", "drift"),
+)
+def q250_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift test of each source's
+    token-length distribution against the whole corpus: the sup-norm
+    ECDF gap, the length where it peaks, and a flag against the 95%
+    KS critical value 1.36·√((n+m)/(n·m)). The distribution-level
+    companion to q225's binned JSD — KS is bin-free and localizes
+    WHERE the distributions diverge (ks_at_tokens), which is the first
+    question when a re-crawled source suddenly skews short.
+
+    Plan shape: the corpus collapses ONCE to the (source, length)
+    count grid; everything after runs at grid grain — the full
+    sources×lengths frame (length domain is physically bounded by max
+    doc size, not corpus count), source-PARTITIONED cumulative windows
+    for both ECDFs (the corpus ECDF rides the same window because
+    every source's grid carries all corpus lengths — no global window
+    anywhere), and a per-source max. The sup is provably attained on
+    the evaluation grid: both ECDFs only jump at observed lengths.
+    All gaps are differences of exact int/int ratios — identical op
+    chain both engines, so the argmax equality join and the critical-
+    value comparison are drift-free; only the displayed statistic
+    rounds."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("w")
+    )
+    sc = d.groupBy("source", "w").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    lens = sc.groupBy("w").agg(F.sum("cnt").cast("bigint").alias("ccnt"))
+    srcs = sc.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("n"))
+    tot = lens.agg(F.sum("ccnt").cast("bigint").alias("m"))
+    grid = (
+        srcs.crossJoin(F.broadcast(lens))
+        .join(sc, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            "n",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            "ccnt",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    win = Window.partitionBy("source").orderBy("w")
+    gap = F.abs(
+        F.sum("cnt").over(win).cast("double") / F.col("n")
+        - F.sum("ccnt").over(win).cast("double") / F.col("m")
+    )
+    ecdf = grid.select("source", "w", "n", "m", gap.alias("gap"))
+    ks = ecdf.groupBy("source").agg(F.max("gap").alias("ks_raw"))
+    crit = F.lit(1.36) * F.sqrt(
+        (F.col("n") + F.col("m")) / (F.col("n").cast("double") * F.col("m"))
+    )
+    return (
+        ks.join(ecdf.select("source", "w", "gap"), ["source"])
+        .filter(F.col("gap") == F.col("ks_raw"))
+        .groupBy("source", "ks_raw")
+        .agg(F.min("w").cast("bigint").alias("ks_at_tokens"))
+        .join(F.broadcast(srcs), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.round("ks_raw", 6).alias("ks_stat"),
+            "ks_at_tokens",
+            (F.col("ks_raw") > crit).alias("drift_flag"),
+        )
+    )

@@ -1000,3 +1000,152 @@ def q230_ndcg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.col("dcg") / idcg, 6))
         .alias("ndcg"),
     )
+
+
+@register(
+    "q242_label_centroid_separation",
+    oracle="""
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ex AS (
+  SELECT label,
+         unnest(range(1, len(v) + 1)) AS pos,
+         unnest(v) AS x
+  FROM e
+), cen AS (
+  SELECT label, pos, avg(x) AS cx FROM ex GROUP BY 1, 2
+), cn AS (
+  SELECT label, sqrt(SUM(cx * cx)) AS nrm FROM cen GROUP BY 1
+), dots AS (
+  SELECT a.label AS label_a, b.label AS label_b, SUM(a.cx * b.cx) AS dot
+  FROM cen a JOIN cen b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT d.label_a, d.label_b,
+  round(d.dot / (na.nrm * nb.nrm), 5) AS cos_centroids
+FROM dots d
+JOIN cn na ON na.label = d.label_a
+JOIN cn nb ON nb.label = d.label_b
+""",
+    tags=("similarity", "llm", "vector"),
+)
+def q242_label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between label centroids — the BETWEEN-class
+    companion to q199's within-class cohesion. Together they are the
+    Davies-Bouldin-style separability read: labels whose centroids sit
+    near cosine 1 are candidates for merging (or evidence of a
+    labeling fault); a label with high q199 cohesion AND low q242
+    cosine to every other centroid is a well-separated class an
+    embedding-based curator can trust.
+
+    Plan shape: the corpus reduces ONCE to the |labels|×d centroid
+    frame (explode map-side, two-phase avg agg); every later stage —
+    norms, the label<label pairwise dot, the final join — runs on that
+    kilobyte-scale frame, so pair cost is |labels|²·d/2 multiplies
+    regardless of corpus size. At 100 TB the only corpus-wide work is
+    the same single explode+agg q199 already pays; cosines round(5)
+    before surfacing (q199's proven ulp contract)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = e.select("label", F.posexplode("v").alias("p0", "x")).select(
+        "label", (F.col("p0") + 1).alias("pos"), "x"
+    )
+    cen = ex.groupBy("label", "pos").agg(F.avg("x").alias("cx"))
+    cn = cen.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("nrm")
+    )
+    a, b = cen.alias("a"), cen.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(F.sum(F.col("a.cx") * F.col("b.cx")).alias("dot"))
+    )
+    na = cn.select(F.col("label").alias("label_a"), F.col("nrm").alias("nrm_a"))
+    nb = cn.select(F.col("label").alias("label_b"), F.col("nrm").alias("nrm_b"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            # try_divide: an all-zero label centroid (degenerate input)
+            # must yield NULL, not an ANSI DIVIDE_BY_ZERO — matching
+            # DuckDB's NULL on double/0 (q199's guard, same rationale)
+            F.round(
+                F.try_divide(F.col("dot"), F.col("nrm_a") * F.col("nrm_b")), 5
+            ).alias("cos_centroids"),
+        )
+    )
+
+
+@register(
+    "q248_embedding_dim_stats",
+    oracle="""
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ex AS (
+  SELECT unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS x FROM e
+), m AS (
+  SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(x) AS s1, SUM(x * x) AS s2
+  FROM ex GROUP BY pos
+), stats AS (
+  SELECT pos, n,
+    s1 / n AS mean,
+    s2 / n - (s1 / n) * (s1 / n) AS var
+  FROM m
+), tot AS (SELECT SUM(var) AS tv FROM stats)
+SELECT CAST(pos AS INT) AS pos, n,
+  round(mean, 5) AS dim_mean,
+  round(var, 6) AS dim_var,
+  round(var / tot.tv, 6) AS var_share
+FROM stats CROSS JOIN tot
+""",
+    tags=("similarity", "llm", "vector", "dq"),
+)
+def q248_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance/variance-share over the embedding
+    space — the anisotropy audit (Ethayarajh 2019: contextual
+    embedding variance concentrates in few directions). A dimension
+    with var_share ≈ 0 is dead weight every cosine pays for (prune or
+    re-project); a large |mean| signals an uncentered space where
+    cosine degenerates toward the common-direction similarity. The
+    check to run BEFORE trusting q83/q107/q173's cosine geometry.
+
+    Plan shape: explode to (pos, x) map-side, ONE two-phase hash agg
+    to the d-row moment frame (n, Σx, Σx²), then pure scalar math and
+    a 1-row broadcast total — corpus shuffles nothing wider than d
+    groups at any scale. Variance via explicit moments (the q205
+    five-moment discipline: identical op chain on both engines, no
+    Welford-vs-textbook kernel drift), rounded 5/6 before surfacing."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = e.select(F.posexplode("v").alias("p0", "x")).select(
+        (F.col("p0") + 1).cast("int").alias("pos"), "x"
+    )
+    m = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    stats = m.select("pos", "n", mean.alias("mean"), var.alias("var"))
+    tot = stats.agg(F.sum("var").alias("tv"))
+    return stats.crossJoin(F.broadcast(tot)).select(
+        "pos",
+        "n",
+        F.round("mean", 5).alias("dim_mean"),
+        F.round("var", 6).alias("dim_var"),
+        # try_divide: a fully-degenerate space (every dim constant →
+        # tv = 0) surfaces NULL shares, never an ANSI crash
+        F.round(F.try_divide(F.col("var"), F.col("tv")), 6).alias("var_share"),
+    )

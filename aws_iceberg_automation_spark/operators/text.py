@@ -1370,3 +1370,317 @@ def q237_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+@register(
+    "q244_readability",
+    oracle="""
+WITH per_doc AS (
+  SELECT source,
+    CAST(len(string_split(text, ' ')) AS DOUBLE) AS words,
+    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE)
+      AS sents,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+      AS sylls
+  FROM documents
+), scored AS (
+  SELECT source, words, sents, sylls,
+    round(206.835 - 1.015 * (words / sents)
+          - 84.6 * (sylls / greatest(words, 1)), 4) AS flesch
+  FROM per_doc
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  round(AVG(words / sents), 4) AS avg_words_per_sentence,
+  round(AVG(sylls / greatest(words, 1)), 4) AS avg_syllables_per_word,
+  round(AVG(flesch), 4) AS avg_flesch,
+  CAST(SUM(CASE WHEN flesch < 30 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hard_docs
+FROM scored GROUP BY source
+""",
+    tags=("text", "llm", "dq"),
+)
+def q244_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease census per source: words/sentence (regex
+    sentence-terminator count, floored at 1 so headline-only docs don't
+    divide by zero), syllables/word (vowel-group count — the standard
+    cheap syllable proxy; whitespace breaks vowel groups so whole-text
+    counting equals per-word counting), and the Flesch score
+    206.835 − 1.015·wps − 84.6·spw. Quality pipelines (C4, Gopher
+    rules) gate on exactly these shape statistics; n_hard_docs
+    (flesch < 30, "very difficult") sizes the tail a readability gate
+    would cut.
+
+    Plan shape: every feature is a per-row JVM regex/split expression —
+    zero shuffles before the |sources|-row rollup, whole-stage codegen
+    end to end; the scan is the entire cost at any corpus size.
+    Per-doc flesch rounds(4) BEFORE the <30 gate and the avg (the
+    cross-engine float contract), divisions guard zero denominators on
+    both sides."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " ")).cast("double")
+    sents = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("double")
+    sylls = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).cast(
+        "double"
+    )
+    per_doc = d.select(
+        "source",
+        words.alias("words"),
+        sents.alias("sents"),
+        sylls.alias("sylls"),
+    )
+    wps = F.col("words") / F.col("sents")
+    spw = F.col("sylls") / F.greatest(F.col("words"), F.lit(1.0))
+    scored = per_doc.withColumn(
+        "flesch", F.round(206.835 - 1.015 * wps - 84.6 * spw, 4)
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg(wps), 4).alias("avg_words_per_sentence"),
+        F.round(F.avg(spw), 4).alias("avg_syllables_per_word"),
+        F.round(F.avg("flesch"), 4).alias("avg_flesch"),
+        F.sum(F.when(F.col("flesch") < 30, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hard_docs"),
+    )
+
+
+@register(
+    "q245_hapax_ratio",
+    oracle="""
+WITH tf AS (
+  SELECT source, term, COUNT(*) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  GROUP BY source, term
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS vocab_size,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+  round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS hapax_ratio
+FROM tf GROUP BY source
+""",
+    tags=("text", "llm", "stats"),
+)
+def q245_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena ratio per source: the share of each source's
+    vocabulary that occurs exactly once. The classic lexical-richness
+    statistic — natural prose sits near 40-60% hapax; templated or
+    machine-generated text collapses far below (tiny effective
+    vocabulary, everything repeats), OCR noise inflates it above
+    (typos are all hapax). Complements q216's Heaps-law growth curve
+    (trajectory) with a single per-source scalar (state), using the
+    same whitespace token definition as q85/q216/q237 so the
+    vocabularies agree across queries.
+
+    Plan shape: one term-frequency hash agg at (source, term) grain —
+    two-phase, map-side combined, the word-count plan — then a
+    |sources|-row conditional rollup. Vocabulary grain grows
+    sublinearly in the corpus (Heaps, measured by q216), so the wide
+    stage SHRINKS relative to corpus size at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        hapax.cast("bigint").alias("n_hapax"),
+        F.round(hapax.cast("double") / F.count(F.lit(1)), 6).alias(
+            "hapax_ratio"
+        ),
+    )
+
+
+@register(
+    "q246_tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+), scored AS (
+  SELECT tf.source, tf.term, tf.tf,
+         tf.tf * ln(n.n / df.df) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number()
+    OVER (PARTITION BY source ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT source, term, tf, round(tfidf, 5) AS tfidf, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 5
+""",
+    tags=("text", "llm"),
+)
+def q246_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per source by TF-IDF (tf · ln(N/df)) — what makes a
+    source lexically DISTINCTIVE, where q85b's raw top-terms shows what
+    is merely frequent (corpus-wide boilerplate tops both lists in raw
+    counts but scores ~0 here, since df→N drives ln(N/df)→0). The
+    per-source signature a mixture designer reads to name what each
+    source actually contributes.
+
+    Plan shape: two vocabulary-grain aggs (tf at (source, term), df at
+    term) meet in a term-keyed equi-join; N rides as a 1-row broadcast.
+    The per-source top-5 is a rank-filtered window that Spark compiles
+    to WindowGroupLimit (q60's asserted pattern): each map task keeps
+    only its local top-5 per source BEFORE the shuffle, so the window
+    stage moves ≤ 5·|sources|·|tasks| rows, never the vocabulary. The
+    rank key is the RAW tfidf (cross-engine ulp drift can only reorder
+    ties, and exact ties share (tf, df) → bit-identical doubles → the
+    term tiebreak decides identically); the surfaced value rounds(5)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "term",
+            "tf",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "term", "tf", F.round("tfidf", 5).alias("tfidf"), "rk")
+    )
+
+
+@register(
+    "q249_doclen_histogram",
+    oracle="""
+WITH d AS (
+  SELECT source, len(string_split(text, ' ')) AS w FROM documents
+), b AS (
+  SELECT source, w,
+    CASE WHEN w < 16 THEN '<16' WHEN w < 32 THEN '16-31'
+         WHEN w < 64 THEN '32-63' WHEN w < 128 THEN '64-127'
+         ELSE '128+' END AS bucket
+  FROM d
+), g AS (
+  SELECT source, bucket,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(w) AS BIGINT) AS total_tokens
+  FROM b GROUP BY 1, 2
+), s AS (
+  SELECT source, CAST(SUM(n_docs) AS DOUBLE) AS sd FROM g GROUP BY 1
+)
+SELECT g.source, g.bucket, g.n_docs, g.total_tokens,
+  round(g.n_docs / s.sd, 6) AS doc_share
+FROM g JOIN s USING (source)
+""",
+    tags=("text", "llm", "stats"),
+)
+def q249_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length histogram on power-of-two token
+    buckets — the shard-packing planner's input (q102's sequence
+    packer wastes its budget on sources dominated by the '<16' sliver;
+    a '128+'-heavy source needs chunking (q130) before packing). Exact
+    integer bucket edges — no float log2 whose ulp could misfile an
+    exactly-power-of-two doc.
+
+    Plan shape: bucket assignment is a per-row CASE (codegen, zero
+    shuffle); one hash agg to the |sources|×5 grid; the per-source
+    total for shares joins back on the |sources|-row frame. Shares are
+    exact int/int divisions — deterministic at any partitioning."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("w")
+    )
+    bucket = (
+        F.when(F.col("w") < 16, "<16")
+        .when(F.col("w") < 32, "16-31")
+        .when(F.col("w") < 64, "32-63")
+        .when(F.col("w") < 128, "64-127")
+        .otherwise("128+")
+    )
+    g = (
+        d.select("source", "w", bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("total_tokens"),
+        )
+    )
+    s = g.groupBy("source").agg(F.sum("n_docs").cast("double").alias("sd"))
+    return g.join(F.broadcast(s), "source").select(
+        "source",
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("n_docs") / F.col("sd"), 6).alias("doc_share"),
+    )
+
+
+@register(
+    "q252_term_burstiness",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), stats AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY term
+  ORDER BY COUNT(*) DESC, term LIMIT 30
+), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+SELECT term, tf, df,
+  round(n.n * (1 - exp(-(tf / n.n))), 4) AS expected_df,
+  round(n.n * (1 - exp(-(tf / n.n))) / df, 4) AS burstiness
+FROM stats CROSS JOIN n
+""",
+    tags=("text", "llm", "stats"),
+)
+def q252_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church–Gale term burstiness for the top-30 collection-frequency
+    vocabulary: observed document frequency vs the Poisson expectation
+    N·(1−e^(−tf/N)) a term of that collection frequency would have if
+    it scattered independently. burstiness > 1 = the term concentrates
+    in fewer docs than chance (contentful/topical — it "bursts");
+    ≈ 1 = function-word-like spread. The lexical-statistics companion
+    to q179's PMI (associations) and q202's Zipf fit (rank law):
+    together they fingerprint whether a source's token process looks
+    like natural language or like a generator.
+
+    Plan shape: ONE vocabulary-grain agg computes tf and distinct-doc
+    df together; the shortlist is the q179 capped TakeOrdered
+    (deterministic tf-desc/term tiebreak, 30 rows); N rides as a
+    1-row broadcast and all remaining math is scalar on 30 rows.
+    exp/division round(4) on both engines before surfacing."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    stats = (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.countDistinct("doc_id").cast("bigint").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), "term")
+        .limit(30)
+    )
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    e_df = F.col("n") * (F.lit(1.0) - F.exp(-(F.col("tf") / F.col("n"))))
+    return stats.crossJoin(F.broadcast(n)).select(
+        "term",
+        "tf",
+        "df",
+        F.round(e_df, 4).alias("expected_df"),
+        F.round(e_df / F.col("df"), 4).alias("burstiness"),
+    )

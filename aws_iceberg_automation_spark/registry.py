@@ -182,6 +182,35 @@ _DRIVER_PRIORITY = [
     "q221_cohort_ltv",
     "q222_bootstrap_ci",
     "q223_join_skew_audit",
+    "q224_pareto_skyline",
+    "q225_source_jsd",
+    "q226_price_index",
+    "q227_revenue_acf",
+    "q228_source_verbosity",
+    "q229_theil_decomposition",
+    "q230_ndcg_exact",
+    "q231_theil_sen_trend",
+    "q232_hhi_concentration",
+    "q233_mutual_information",
+    "q234_activity_islands",
+    "q235_cusum_changepoint",
+    "q236_doc_distinctiveness",
+    "q237_vocab_jaccard",
+    "q238_cuped_lift",
+    "q239_seasonal_anomaly",
+    "q240_dsir_importance",
+    "q241_token_epoch_plan",
+    "q242_label_centroid_separation",
+    "q243_duplicate_ngram_mass",
+    "q244_readability",
+    "q245_hapax_ratio",
+    "q246_tfidf_top_terms",
+    "q247_template_prefix_census",
+    "q248_embedding_dim_stats",
+    "q249_doclen_histogram",
+    "q250_source_ks_drift",
+    "q251_growth_accounting",
+    "q252_term_burstiness",
 ]
 
 

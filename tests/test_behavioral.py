@@ -862,3 +862,36 @@ def test_seasonal_anomaly_flags_only_the_spike(spark, tmp_path):
     mean = sum(cents) / 6
     sd = math.sqrt(sum((c - mean) ** 2 for c in cents) / 6)
     assert r.z == round((20000 - mean) / sd, 4)
+
+
+def test_growth_accounting_known_lifecycle(spark, tmp_path):
+    """q251 with user1 active weeks 0-2, user2 weeks {0,2}, user3 week
+    {1}: week 0 = 2 new; week 1 = 1 new + 1 retained + user2 churned;
+    week 2 = 1 retained + 1 resurrected + user3 churned; quick ratios
+    1.0/1.0, NULL at week 0."""
+    from datetime import timedelta
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    t0 = datetime(2024, 1, 1, 12, 0)
+    active = {1: [0, 1, 2], 2: [0, 2], 3: [1]}
+    events = [
+        (100 * u + k, t0 + timedelta(days=7 * k), u, "view", 1.0, "{}")
+        for u, wks in active.items()
+        for k in wks
+    ]
+    spark.createDataFrame(events, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {
+        r.wk: r
+        for r in SPECS["q251_growth_accounting"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    w0, w1, w2 = out[0], out[1], out[2]
+    assert (w0.n_new, w0.n_retained, w0.n_resurrected, w0.n_churned) == (2, 0, 0, 0)
+    assert w0.quick_ratio is None
+    assert (w1.n_new, w1.n_retained, w1.n_resurrected, w1.n_churned) == (1, 1, 0, 1)
+    assert w1.quick_ratio == 1.0
+    assert (w2.n_new, w2.n_retained, w2.n_resurrected, w2.n_churned) == (0, 1, 1, 1)
+    assert w2.quick_ratio == 1.0

@@ -990,3 +990,281 @@ def test_vocab_jaccard_known_overlap(spark, tmp_path):
     assert (r.source_a, r.source_b) == ("A", "B")
     assert r.vocab_a == 3 and r.vocab_b == 3 and r.n_common == 2
     assert r.jaccard == 0.5 and r.containment == round(2 / 3, 6)
+
+
+def test_dsir_importance_separates_target_from_offdomain(spark, tmp_path):
+    """q240 with target lang='en' owning token 'alpha' and fr owning
+    'beta': w(en doc) = ln(3/4) − ln(3/6) = ln(1.5) > 0 (upweighted),
+    w(fr doc) = ln(1/4) − ln(3/6) = ln(0.5) < 0."""
+    import math
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    docs = [
+        (1, "alpha alpha", "en", "s", 11),
+        (2, "beta beta", "fr", "s", 9),
+    ]
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        (r.source, r.lang): r
+        for r in SPECS["q240_dsir_importance"].fn(spark, str(tmp_path)).collect()
+    }
+    en, fr = out[("s", "en")], out[("s", "fr")]
+    # corpus: V=2, T_c=4; target: T_t=2. Per-token ratios are constant
+    # within each doc, so the doc avg equals the single-token ratio.
+    assert en.avg_importance == pytest.approx(math.log(1.5), abs=2e-5)
+    assert fr.avg_importance == pytest.approx(math.log(0.5), abs=2e-5)
+    assert en.frac_upweighted == 1.0 and fr.frac_upweighted == 0.0
+    assert en.n_docs == 1 and fr.n_docs == 1
+
+
+def test_token_epoch_plan_sqrt_mixture_and_floor(spark, tmp_path):
+    """q241 with 100 vs 400 tokens: √-shares normalize to 1/3 and 2/3
+    of the 1000-token budget (2× corpus); epochs 3.33/1.665, neither
+    clipped; a 10-token source would need 33 epochs → clipped, capped
+    at 40 effective tokens."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    def doc(i, n, src):
+        return (i, " ".join(["w"] * n), "en", src, 2 * n)
+
+    docs = [doc(1, 100, "small"), doc(2, 400, "big")]
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.source: r
+        for r in SPECS["q241_token_epoch_plan"].fn(spark, str(tmp_path)).collect()
+    }
+    s, b = out["small"], out["big"]
+    assert (s.n_tokens, b.n_tokens) == (100, 400)
+    assert s.natural_share == 0.2 and b.natural_share == 0.8
+    # sqrt(.2)/(sqrt(.2)+sqrt(.8)) = 1/3 exactly (sqrt(.8)=2·sqrt(.2))
+    assert s.sample_weight == pytest.approx(1 / 3, abs=1e-6)
+    assert b.sample_weight == pytest.approx(2 / 3, abs=1e-6)
+    assert (s.alloc_tokens, b.alloc_tokens) == (333, 666)
+    assert (s.epochs, b.epochs) == (3.33, 1.665)
+    assert not s.clipped and not b.clipped
+    assert (s.effective_tokens, b.effective_tokens) == (333, 666)
+
+
+def test_label_centroid_separation_orthogonal_and_diagonal(spark, tmp_path):
+    """q242 with three one-vector labels (1,0), (0,1), (1,1): cosines
+    0, 1/√2, 1/√2 — and the pair orientation is always lo<hi."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    vecs = [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 1), (2, [1.0, 1.0], 2)]
+    spark.createDataFrame(vecs, SCHEMAS["embeddings"]).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = {
+        (r.label_a, r.label_b): r.cos_centroids
+        for r in SPECS["q242_label_centroid_separation"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}
+    assert out[(0, 1)] == 0.0
+    assert out[(0, 2)] == round(2**-0.5, 5)
+    assert out[(1, 2)] == round(2**-0.5, 5)
+
+
+def test_duplicate_ngram_mass_counts_shared_gram_occurrences(spark, tmp_path):
+    """q243 with two 6-word docs sharing their first 5-gram: each doc
+    has 2 gram occurrences, 1 of which is the shared gram → dup_mass
+    0.5; a 1-word doc contributes nothing."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    docs = [
+        (1, "a b c d e f", "s", "s", 11),
+        (2, "a b c d e x", "s", "s", 11),
+        (3, "tiny", "s", "s", 4),
+    ]
+    docs = [(i, t, "en", src, n) for i, t, _, src, n in docs]
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = SPECS["q243_duplicate_ngram_mass"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.total_grams, r.dup_grams, r.dup_mass) == (4, 2, 0.5)
+
+
+def test_readability_known_sentence_and_syllable_counts(spark, tmp_path):
+    """q244 on 'the cat sat. the dog ran.': 6 words, 2 sentences, 6
+    vowel groups → wps 3, spw 1, flesch 206.835−3.045−84.6 = 119.19."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    docs = [(1, "the cat sat. the dog ran.", "en", "s", 25)]
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = SPECS["q244_readability"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.avg_words_per_sentence == 3.0
+    assert r.avg_syllables_per_word == 1.0
+    assert r.avg_flesch == 119.19
+    assert r.n_hard_docs == 0
+
+
+def test_hapax_ratio_exact_counts(spark, tmp_path):
+    """q245 on 'a a b': vocab {a, b}, hapax {b} → ratio 0.5."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    docs = [(1, "a a b", "en", "s", 5)]
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = SPECS["q245_hapax_ratio"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.vocab_size, r.n_hapax, r.hapax_ratio) == (2, 1, 0.5)
+
+
+def test_tfidf_top_terms_known_scores(spark, tmp_path):
+    """q246 with A='x x x y', B='y z': y is corpus-wide (df=2 → idf 0),
+    x and z are source-unique (idf ln 2) — each source's top term is
+    its unique one, y ranks below at tfidf 0."""
+    import math
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    docs = [(1, "x x x y", "en", "A", 7), (2, "y z", "en", "B", 3)]
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        (r.source, r.rk): r
+        for r in SPECS["q246_tfidf_top_terms"].fn(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 4
+    a1, a2 = out[("A", 1)], out[("A", 2)]
+    b1, b2 = out[("B", 1)], out[("B", 2)]
+    assert (a1.term, a1.tf, a1.tfidf) == ("x", 3, round(3 * math.log(2), 5))
+    assert (a2.term, a2.tfidf) == ("y", 0.0)
+    assert (b1.term, b1.tfidf) == ("z", round(math.log(2), 5))
+    assert (b2.term, b2.tfidf) == ("y", 0.0)
+
+
+def test_template_prefix_census_shared_openings(spark, tmp_path):
+    """q247: two docs opening 'a b' (different sources) are a census
+    row with n_docs=2, n_sources=2; the unique opener and the 1-word
+    doc contribute nothing."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    docs = [
+        (1, "a b c", "en", "s1", 5),
+        (2, "a b d", "en", "s2", 5),
+        (3, "e f", "en", "s1", 3),
+        (4, "solo", "en", "s1", 4),
+    ]
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = SPECS["q247_template_prefix_census"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.prefix, r.n_docs, r.n_sources) == ("a b", 2, 2)
+
+
+def test_embedding_dim_stats_known_moments(spark, tmp_path):
+    """q248 on vectors (1,0) and (3,0): dim 1 mean 2 var 1 share 1.0,
+    dim 2 all zero."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    vecs = [(0, [1.0, 0.0], 0), (1, [3.0, 0.0], 0)]
+    spark.createDataFrame(vecs, SCHEMAS["embeddings"]).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = {
+        r.pos: r
+        for r in SPECS["q248_embedding_dim_stats"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2}
+    assert (out[1].n, out[1].dim_mean, out[1].dim_var, out[1].var_share) == (
+        2, 2.0, 1.0, 1.0,
+    )
+    assert (out[2].dim_mean, out[2].dim_var, out[2].var_share) == (0.0, 0.0, 0.0)
+
+
+def test_doclen_histogram_buckets_and_shares(spark, tmp_path):
+    """q249 with 10- and 20-word docs in one source: one doc per
+    bucket, each share 0.5, token totals exact."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    docs = [
+        (1, " ".join(["w"] * 10), "en", "s", 19),
+        (2, " ".join(["w"] * 20), "en", "s", 39),
+    ]
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.bucket: r
+        for r in SPECS["q249_doclen_histogram"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"<16", "16-31"}
+    assert (out["<16"].n_docs, out["<16"].total_tokens, out["<16"].doc_share) == (
+        1, 10, 0.5,
+    )
+    assert (out["16-31"].n_docs, out["16-31"].total_tokens) == (1, 20)
+
+
+def test_source_ks_drift_disjoint_lengths(spark, tmp_path):
+    """q250 with source A = two 5-word docs, B = two 10-word docs:
+    each source's ECDF gaps the pooled corpus by exactly 0.5 at
+    length 5; neither crosses the n=2 critical value (1.177)."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    docs = [
+        (1, " ".join(["w"] * 5), "en", "A", 9),
+        (2, " ".join(["w"] * 5), "en", "A", 9),
+        (3, " ".join(["w"] * 10), "en", "B", 19),
+        (4, " ".join(["w"] * 10), "en", "B", 19),
+    ]
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.source: r
+        for r in SPECS["q250_source_ks_drift"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"A", "B"}
+    for r in out.values():
+        assert r.n_docs == 2
+        assert r.ks_stat == 0.5
+        assert r.ks_at_tokens == 5
+        assert not r.drift_flag
+
+
+def test_term_burstiness_concentrated_vs_spread(spark, tmp_path):
+    """q252 with 'a a a a' in one doc and 'b' in two: a is bursty
+    (expected df 3(1−e^{−4/3}) ≈ 2.21 over observed 1), b under-
+    disperses the other way (≈1.46 expected over observed 2)."""
+    import math
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    docs = [
+        (1, "a a a a", "en", "s", 7),
+        (2, "b", "en", "s", 1),
+        (3, "b", "en", "s", 1),
+    ]
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.term: r
+        for r in SPECS["q252_term_burstiness"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"a", "b"}
+    e_a = 3 * (1 - math.exp(-4 / 3))
+    e_b = 3 * (1 - math.exp(-2 / 3))
+    assert (out["a"].tf, out["a"].df) == (4, 1)
+    assert out["a"].expected_df == round(e_a, 4)
+    assert out["a"].burstiness == round(e_a / 1, 4)
+    assert (out["b"].tf, out["b"].df) == (2, 2)
+    assert out["b"].burstiness == round(e_b / 2, 4)
