@@ -2587,3 +2587,98 @@ def q239_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+@register(
+    "q254_experiment_power",
+    oracle="""
+WITH cust AS (
+  SELECT c.c_custkey,
+    substring(md5(CAST(c.c_custkey AS VARCHAR)), 1, 1) < '8' AS treat,
+    CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(8,2))), 0) * 100
+      AS DOUBLE) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+), arm AS (
+  SELECT treat, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(y) AS sy, SUM(y * y) AS syy
+  FROM cust GROUP BY treat
+), pooled AS (
+  SELECT
+    MAX(CASE WHEN treat THEN n END) AS n_t,
+    MAX(CASE WHEN NOT treat THEN n END) AS n_c,
+    MAX(CASE WHEN NOT treat THEN sy / n END) AS mean_c,
+    SUM(syy - sy * sy / n) AS ss,
+    SUM(n) AS n_all
+  FROM arm
+)
+SELECT n_c AS n_control, n_t AS n_treatment,
+  round(mean_c / 100, 4) AS control_mean,
+  round(sqrt(ss / (n_all - 2)) / 100, 4) AS sd_pooled,
+  round(2.801585 * sqrt(ss / (n_all - 2))
+        * sqrt(1.0 / n_c + 1.0 / n_t) / 100, 4) AS mde_abs_80,
+  round(2.801585 * sqrt(ss / (n_all - 2))
+        * sqrt(1.0 / n_c + 1.0 / n_t) / mean_c, 6) AS mde_rel_80,
+  round(3.241516 * sqrt(ss / (n_all - 2))
+        * sqrt(1.0 / n_c + 1.0 / n_t) / mean_c, 6) AS mde_rel_90
+FROM pooled
+""",
+    tags=("analytics", "stats", "experiment"),
+)
+def q254_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power planner: the minimal detectable effect of the
+    q238 A/B design (same md5 hash-split arms, per-customer revenue
+    metric) at α=0.05 two-sided — MDE = (z₀.₉₇₅+z₀.₈)·sd_pooled·
+    √(1/n_c+1/n_t) for 80% power (z-sum 2.801585) and the 90% variant
+    (z-sum 3.241516). THE question to answer BEFORE reading q238's
+    lift: if mde_rel_80 is 8%, a 3% observed lift is noise by
+    construction. Complements q222's bootstrap (post-hoc uncertainty)
+    with the pre-hoc design table.
+
+    Plan shape: one customer⊔orders join collapses to a row per
+    customer (the q238 scan shape), per-arm moment aggregates reduce
+    to TWO rows, and everything after is scalar math on a 1-row frame.
+    Pooled variance via the explicit Σy²−(Σy)²/n moments (q205
+    discipline — no engine variance-kernel drift), surfaces rounded
+    4/6 on both engines; n−2 > 0 on any two-customer-plus corpus."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    treat = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) < "8"
+    cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(8,2)")), F.lit(0)
+            ).cast("double")
+            .alias("y0"),
+        )
+        .select(treat.alias("treat"), (F.col("y0") * 100).alias("y"))
+    )
+    arm = cust.groupBy("treat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    pooled = arm.agg(
+        F.max(F.when(F.col("treat"), F.col("n"))).alias("n_t"),
+        F.max(F.when(~F.col("treat"), F.col("n"))).alias("n_c"),
+        F.max(
+            F.when(~F.col("treat"), F.col("sy") / F.col("n"))
+        ).alias("mean_c"),
+        F.sum(
+            F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+        ).alias("ss"),
+        F.sum("n").alias("n_all"),
+    )
+    sd = F.sqrt(F.col("ss") / (F.col("n_all") - 2))
+    se = sd * F.sqrt(1.0 / F.col("n_c") + 1.0 / F.col("n_t"))
+    return pooled.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.round(F.col("mean_c") / 100, 4).alias("control_mean"),
+        F.round(sd / 100, 4).alias("sd_pooled"),
+        F.round(F.lit(2.801585) * se / 100, 4).alias("mde_abs_80"),
+        F.round(F.lit(2.801585) * se / F.col("mean_c"), 6).alias("mde_rel_80"),
+        F.round(F.lit(3.241516) * se / F.col("mean_c"), 6).alias("mde_rel_90"),
+    )

@@ -1508,3 +1508,112 @@ def q247_template_prefix_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "q253_dedup_threshold_curve",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 1, 2)),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+         )) AS sh
+  FROM documents WHERE doc_id < 120
+), pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(a.sh || b.sh)) AS jac,
+    least(a.n_tokens, b.n_tokens) AS min_tokens
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+), th AS (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+hit AS (
+  SELECT th.threshold, p.doc_id_a, p.doc_id_b, p.min_tokens
+  FROM pairs p CROSS JOIN th WHERE p.jac >= th.threshold
+), pair_stats AS (
+  SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    CAST(SUM(min_tokens) AS BIGINT) AS dup_token_mass
+  FROM hit GROUP BY threshold
+), doc_stats AS (
+  SELECT threshold, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+  FROM (SELECT threshold, doc_id_a AS d FROM hit
+        UNION ALL SELECT threshold, doc_id_b FROM hit)
+  GROUP BY threshold
+)
+SELECT t.threshold,
+  COALESCE(p.n_pairs, 0) AS n_pairs,
+  COALESCE(d.n_docs, 0) AS n_docs,
+  COALESCE(p.dup_token_mass, 0) AS dup_token_mass
+FROM th t
+LEFT JOIN pair_stats p USING (threshold)
+LEFT JOIN doc_stats d USING (threshold)
+""",
+    tags=("dedup", "llm"),
+)
+def q253_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup operating curve: for each Jaccard threshold 0.3–0.9, how
+    many near-dup pairs fire, how many documents they touch, and the
+    duplicated token mass (Σ min(tokens) per pair — the upper bound on
+    what removal reclaims). THE threshold-picking artifact: q82 runs at
+    a fixed 0.5, this table shows what moving the dial buys or costs.
+    Computed on the same deterministic 120-doc exact-Jaccard slice as
+    q82b (the oracle must run the all-pairs too); at production scale
+    the identical curve runs over q82's LSH candidate pairs instead —
+    candidates are a superset of every threshold ≥ the banding design
+    point, so the curve is exact there, and the pair volume is the
+    LSH-bounded one, never all-pairs.
+
+    Plan shape: all-pairs only within the fixed slice (bounded by
+    construction), thresholds are a 7-row broadcast spine, and both
+    rollups (pair stats, distinct-doc stats via a 2×union) group on the
+    7-value threshold key. Jaccard is an exact int/int ratio —
+    raw-threshold comparison is engine-stable (q82's contract)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    s = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        word_shingles(F.col("text")).alias("sh"),
+    )
+    a = s.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("n_tokens").alias("nt_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = s.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("n_tokens").alias("nt_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    pairs = a.join(b, F.col("doc_id_a") < F.col("doc_id_b")).select(
+        "doc_id_a",
+        "doc_id_b",
+        jaccard(F.col("sh_a"), F.col("sh_b")).alias("jac"),
+        F.least("nt_a", "nt_b").alias("min_tokens"),
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)],
+        "threshold double",
+    )
+    hit = pairs.crossJoin(F.broadcast(th)).filter(
+        F.col("jac") >= F.col("threshold")
+    )
+    pair_stats = hit.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("min_tokens").cast("bigint").alias("dup_token_mass"),
+    )
+    doc_stats = (
+        hit.select("threshold", F.col("doc_id_a").alias("d"))
+        .unionAll(hit.select("threshold", F.col("doc_id_b").alias("d")))
+        .groupBy("threshold")
+        .agg(F.countDistinct("d").cast("bigint").alias("n_docs"))
+    )
+    return (
+        th.join(pair_stats, "threshold", "left")
+        .join(doc_stats, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("dup_token_mass", F.lit(0)).alias("dup_token_mass"),
+        )
+    )

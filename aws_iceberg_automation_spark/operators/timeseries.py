@@ -830,3 +830,138 @@ def q235_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.col("d.day")).alias("change_day"))
         .select("nation", "n_days", "change_day", "max_dev")
     )
+
+
+@register(
+    "q255_seasonal_decomposition",
+    oracle="""
+WITH daily AS (
+  SELECT n.n_name AS nation, CAST(o_orderdate AS DATE) AS day,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))) * 100 AS DOUBLE) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), idx AS (
+  SELECT nation, day, rev,
+    date_diff('day', DATE '1970-01-01', day) AS d,
+    CAST(date_part('dow', day) AS INT) AS dow
+  FROM daily
+), tr AS (
+  SELECT nation, day, rev, d, dow,
+    AVG(rev) OVER (PARTITION BY nation ORDER BY d
+                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+  FROM idx
+), eff AS (
+  SELECT nation, dow, AVG(rev - trend) AS effect
+  FROM tr GROUP BY 1, 2
+), parts AS (
+  SELECT t.nation, t.dow, t.rev, t.trend,
+    t.rev - t.trend - e.effect AS resid, e.effect
+  FROM tr t JOIN eff e ON e.nation = t.nation AND e.dow = t.dow
+), nv AS (
+  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_days,
+    SUM(rev * rev) / COUNT(*) - (SUM(rev) / COUNT(*)) * (SUM(rev) / COUNT(*))
+      AS v_rev,
+    SUM(trend * trend) / COUNT(*)
+      - (SUM(trend) / COUNT(*)) * (SUM(trend) / COUNT(*)) AS v_trend,
+    SUM(effect * effect) / COUNT(*)
+      - (SUM(effect) / COUNT(*)) * (SUM(effect) / COUNT(*)) AS v_week,
+    SUM(resid * resid) / COUNT(*)
+      - (SUM(resid) / COUNT(*)) * (SUM(resid) / COUNT(*)) AS v_resid
+  FROM parts GROUP BY nation
+)
+SELECT e.nation, e.dow,
+  round(e.effect / 100, 2) AS weekday_effect,
+  nv.n_days,
+  CASE WHEN nv.v_rev <= 0 THEN NULL
+       ELSE round(nv.v_trend / nv.v_rev, 4) END AS trend_share,
+  CASE WHEN nv.v_rev <= 0 THEN NULL
+       ELSE round(nv.v_week / nv.v_rev, 4) END AS weekly_share,
+  CASE WHEN nv.v_rev <= 0 THEN NULL
+       ELSE round(nv.v_resid / nv.v_rev, 4) END AS residual_share
+FROM eff e JOIN nv ON nv.nation = e.nation
+""",
+    tags=("timeseries", "analytics", "stats"),
+)
+def q255_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of per-nation daily revenue:
+    rev = trend (7-day centered moving average) + weekly effect (mean
+    detrended revenue per weekday) + residual, surfaced as the 7
+    weekday effects per nation with the variance share each component
+    explains. The structural sequel to q227 (ACF says the series has
+    structure), q211 (global weekday shares) and q235 (where it
+    broke): HOW MUCH of a nation's revenue variation is trend vs
+    weekly rhythm vs noise. Residual share near 1 = don't bother
+    forecasting with seasonality; weekly share near 1 = a pure
+    day-of-week business.
+
+    Scale shape: the fact table collapses once to the calendar-bounded
+    (nation, day) grid; the centered MA is a RANGE window over the
+    integer day index PARTITIONED BY nation (the q235 pattern — RANGE,
+    not ROWS, so calendar gaps don't silently widen the window);
+    weekday effects are a 7×|nations| agg joined back broadcast;
+    variance shares come from explicit moments per nation. Window-sum
+    ulp drift across engines is absorbed by round(2)/round(4) on every
+    surfaced double (q235's documented contract). Degenerate
+    zero-variance nations surface NULL shares, never an ANSI error."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg((F.sum(dec2("o_totalprice")) * 100).cast("double").alias("rev"))
+    )
+    idx = daily.select(
+        "nation",
+        "rev",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).alias("d"),
+        (F.dayofweek("day") - 1).cast("int").alias("dow"),
+    )
+    w = (
+        Window.partitionBy("nation")
+        .orderBy("d")
+        .rangeBetween(-3, 3)
+    )
+    tr = idx.withColumn("trend", F.avg("rev").over(w))
+    eff = tr.groupBy("nation", "dow").agg(
+        F.avg(F.col("rev") - F.col("trend")).alias("effect")
+    )
+    parts = tr.join(F.broadcast(eff), ["nation", "dow"]).select(
+        "nation",
+        "rev",
+        "trend",
+        "effect",
+        (F.col("rev") - F.col("trend") - F.col("effect")).alias("resid"),
+    )
+
+    def _var(col: str) -> F.Column:
+        m = F.sum(F.col(col)) / F.count(F.lit(1))
+        return F.sum(F.col(col) * F.col(col)) / F.count(F.lit(1)) - m * m
+
+    nv = parts.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        _var("rev").alias("v_rev"),
+        _var("trend").alias("v_trend"),
+        _var("effect").alias("v_week"),
+        _var("resid").alias("v_resid"),
+    )
+    share = lambda c: F.when(  # noqa: E731
+        F.col("v_rev") <= 0, F.lit(None).cast("double")
+    ).otherwise(F.round(F.col(c) / F.col("v_rev"), 4))
+    return eff.join(F.broadcast(nv), "nation").select(
+        "nation",
+        "dow",
+        F.round(F.col("effect") / 100, 2).alias("weekday_effect"),
+        "n_days",
+        share("v_trend").alias("trend_share"),
+        share("v_week").alias("weekly_share"),
+        share("v_resid").alias("residual_share"),
+    )

@@ -211,6 +211,9 @@ _DRIVER_PRIORITY = [
     "q250_source_ks_drift",
     "q251_growth_accounting",
     "q252_term_burstiness",
+    "q253_dedup_threshold_curve",
+    "q254_experiment_power",
+    "q255_seasonal_decomposition",
 ]
 
 

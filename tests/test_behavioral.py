@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
+
 import aws_iceberg_automation_spark.operators.behavioral as beh
 from aws_iceberg_automation_spark.registry import all_specs
 from tests.conftest import SF_DIR
@@ -895,3 +897,80 @@ def test_growth_accounting_known_lifecycle(spark, tmp_path):
     assert w1.quick_ratio == 1.0
     assert (w2.n_new, w2.n_retained, w2.n_resurrected, w2.n_churned) == (0, 1, 1, 1)
     assert w2.quick_ratio == 1.0
+
+
+def test_experiment_power_matches_closed_form(spark, tmp_path):
+    """q254 on ten hash-split customers with one order each: the MDE
+    must equal the closed form recomputed from scratch in Python over
+    the same md5 arm assignment and cent-scaled revenues."""
+    import hashlib
+    import math
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    custs = [(k, f"c{k}", 0, 0.0, "SEG") for k in range(1, 11)]
+    orders = [
+        (k, k, "O", 100.0 + 10 * k, datetime(1995, 1, 1), "1-URGENT")
+        for k in range(1, 11)
+    ]
+    spark.createDataFrame(custs, SCHEMAS["customer"]).write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    spark.createDataFrame(orders, SCHEMAS["orders"]).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    ys = {
+        k: (100.0 + 10 * k) * 100
+        for k in range(1, 11)
+    }
+    treat = {
+        k: hashlib.md5(str(k).encode()).hexdigest()[0] < "8" for k in ys
+    }
+    yc = [ys[k] for k in ys if not treat[k]]
+    yt = [ys[k] for k in ys if treat[k]]
+    n_c, n_t = len(yc), len(yt)
+    ss = sum((v - sum(g) / len(g)) ** 2 for g in (yc, yt) for v in g)
+    sd = math.sqrt(ss / (n_c + n_t - 2))
+    se = sd * math.sqrt(1 / n_c + 1 / n_t)
+    mean_c = sum(yc) / n_c
+    row = SPECS["q254_experiment_power"].fn(spark, str(tmp_path)).collect()[0]
+    assert (row.n_control, row.n_treatment) == (n_c, n_t)
+    assert row.control_mean == pytest.approx(mean_c / 100, abs=1e-3)
+    assert row.sd_pooled == pytest.approx(sd / 100, abs=1e-3)
+    assert row.mde_abs_80 == pytest.approx(2.801585 * se / 100, abs=1e-3)
+    assert row.mde_rel_80 == pytest.approx(2.801585 * se / mean_c, abs=1e-5)
+    assert row.mde_rel_90 == pytest.approx(3.241516 * se / mean_c, abs=1e-5)
+
+
+def test_seasonal_decomposition_constant_series_null_shares(spark, tmp_path):
+    """q255 on a perfectly constant daily series: trend equals the
+    series, every weekday effect is 0, total variance is 0 → all
+    variance shares NULL (guard, not an ANSI crash)."""
+    from datetime import timedelta
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    base = datetime(1995, 1, 1)
+    orders = [
+        (i, 1, "O", 1.0, base + timedelta(days=i), "1-URGENT")
+        for i in range(14)
+    ]
+    custs = [(1, "c1", 0, 0.0, "SEG")]
+    nats = [(0, "FLATLAND", 0)]
+    spark.createDataFrame(orders, SCHEMAS["orders"]).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    spark.createDataFrame(custs, SCHEMAS["customer"]).write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    spark.createDataFrame(nats, SCHEMAS["nation"]).write.parquet(
+        str(tmp_path / "nation.parquet")
+    )
+    rows = SPECS["q255_seasonal_decomposition"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r.nation == "FLATLAND" and r.n_days == 14
+        assert r.weekday_effect == 0.0
+        assert r.trend_share is None
+        assert r.weekly_share is None
+        assert r.residual_share is None

@@ -1268,3 +1268,30 @@ def test_term_burstiness_concentrated_vs_spread(spark, tmp_path):
     assert out["a"].burstiness == round(e_a / 1, 4)
     assert (out["b"].tf, out["b"].df) == (2, 2)
     assert out["b"].burstiness == round(e_b / 2, 4)
+
+
+def test_dedup_threshold_curve_known_pairs(spark, tmp_path):
+    """q253 with docs 1≡2 (jaccard 1.0), 3 at jaccard 1/3 to each, 4
+    disjoint: t=0.3 sees 3 pairs over 3 docs; t≥0.4 sees only the
+    identical pair; token mass is Σ min(tokens)."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    docs = [
+        (1, "a b c d", "en", "s", 7),
+        (2, "a b c d", "en", "s", 7),
+        (3, "a b c x", "en", "s", 7),
+        (4, "p q r s", "en", "s", 7),
+    ]
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.threshold: r
+        for r in SPECS["q253_dedup_threshold_curve"].fn(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 7
+    lo = out[0.3]
+    assert (lo.n_pairs, lo.n_docs, lo.dup_token_mass) == (3, 3, 12)
+    for t in (0.4, 0.5, 0.6, 0.7, 0.8, 0.9):
+        r = out[t]
+        assert (r.n_pairs, r.n_docs, r.dup_token_mass) == (1, 2, 4)
