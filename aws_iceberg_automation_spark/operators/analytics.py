@@ -2682,3 +2682,69 @@ def q254_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(2.801585) * se / F.col("mean_c"), 6).alias("mde_rel_80"),
         F.round(F.lit(3.241516) * se / F.col("mean_c"), 6).alias("mde_rel_90"),
     )
+
+
+@register(
+    "q257_ab_srm_check",
+    oracle="""
+WITH arm AS (
+  SELECT substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '8' AS treat,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1
+), w AS (
+  SELECT
+    MAX(CASE WHEN treat THEN n END) AS n_t,
+    MAX(CASE WHEN NOT treat THEN n END) AS n_c,
+    CAST(SUM(n) AS DOUBLE) AS n_all
+  FROM arm
+)
+SELECT n_c AS n_control, n_t AS n_treatment,
+  round(n_t / n_all, 6) AS treat_share,
+  round((n_t - n_all / 2) * (n_t - n_all / 2) / (n_all / 2)
+        + (n_c - n_all / 2) * (n_c - n_all / 2) / (n_all / 2), 4)
+    AS chi2_stat,
+  round((n_t - n_all / 2) * (n_t - n_all / 2) / (n_all / 2)
+        + (n_c - n_all / 2) * (n_c - n_all / 2) / (n_all / 2), 4)
+    > 3.8415 AS srm_flag
+FROM w
+""",
+    tags=("analytics", "stats", "experiment", "dq"),
+)
+def q257_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for the hash-split A/B design
+    (q238/q254's arms): chi-square goodness-of-fit of the observed arm
+    sizes against the intended 50/50, flagged at the χ²₁ 95% critical
+    value 3.8415. SRM is the canonical experiment-invalidator (a
+    biased assignment path corrupts every downstream metric read) and
+    the first dashboard any experimentation platform renders; here it
+    doubles as a hash-quality audit of the md5 split itself. NB the
+    md5-first-hex '< 8' gate is 8/16 nibbles = exactly 50% by design.
+
+    Plan shape: one scan → 2-group count agg → scalar math on one row.
+    The chi-square statistic is exact integer/half-integer arithmetic
+    (identical op chain both engines) rounded only for display; the
+    flag compares the ROUNDED statistic so both engines gate
+    identically."""
+    c = load_table(spark, sf_dir, "customer")
+    treat = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) < "8"
+    arm = c.groupBy(treat.alias("treat")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = arm.agg(
+        F.max(F.when(F.col("treat"), F.col("n"))).alias("n_t"),
+        F.max(F.when(~F.col("treat"), F.col("n"))).alias("n_c"),
+        F.sum("n").cast("double").alias("n_all"),
+    )
+    half = F.col("n_all") / 2
+    chi2 = F.round(
+        (F.col("n_t") - half) * (F.col("n_t") - half) / half
+        + (F.col("n_c") - half) * (F.col("n_c") - half) / half,
+        4,
+    )
+    return w.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.round(F.col("n_t") / F.col("n_all"), 6).alias("treat_share"),
+        chi2.alias("chi2_stat"),
+        (chi2 > 3.8415).alias("srm_flag"),
+    )

@@ -214,6 +214,8 @@ _DRIVER_PRIORITY = [
     "q253_dedup_threshold_curve",
     "q254_experiment_power",
     "q255_seasonal_decomposition",
+    "q256_stream_drift_monitor",
+    "q257_ab_srm_check",
 ]
 
 

@@ -318,3 +318,120 @@ def q194_stream_countmin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.run_to_memory(
         cells, f"q194_mem_{uuid.uuid4().hex[:8]}", output_mode="complete"
     )
+
+
+@register(
+    "q256_stream_drift_monitor",
+    oracle="""
+WITH ev AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, date_trunc('second', ts))
+           AS window_start,
+         event_type
+  FROM events
+), ref AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS rn FROM ev GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(rn) AS DOUBLE) AS n_tot,
+         CAST(COUNT(*) AS DOUBLE) AS t
+  FROM ref
+), wc AS (
+  SELECT window_start, event_type, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM ev GROUP BY 1, 2
+), wn AS (
+  SELECT window_start, SUM(n) AS wn FROM wc GROUP BY 1
+), grid AS (
+  SELECT w.window_start, w.wn, r.rn, COALESCE(wc.n, 0) AS n
+  FROM wn w CROSS JOIN ref r
+  LEFT JOIN wc ON wc.window_start = w.window_start
+              AND wc.event_type = r.event_type
+)
+SELECT window_start, CAST(wn AS BIGINT) AS n_events,
+  round(SUM(
+    ((n + 0.5) / (wn + 0.5 * tot.t) - (rn + 0.5) / (tot.n_tot + 0.5 * tot.t))
+    * ln(((n + 0.5) / (wn + 0.5 * tot.t))
+         / ((rn + 0.5) / (tot.n_tot + 0.5 * tot.t)))
+  ), 6) AS psi,
+  round(SUM(
+    ((n + 0.5) / (wn + 0.5 * tot.t) - (rn + 0.5) / (tot.n_tot + 0.5 * tot.t))
+    * ln(((n + 0.5) / (wn + 0.5 * tot.t))
+         / ((rn + 0.5) / (tot.n_tot + 0.5 * tot.t)))
+  ), 6) > 0.2 AS drift_flag
+FROM grid CROSS JOIN tot
+GROUP BY window_start, wn, tot.n_tot, tot.t
+""",
+    tags=("streaming", "dq", "drift"),
+)
+def q256_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor: per hourly event-time
+    window, the PSI of the window's event-type mix against the
+    corpus-wide reference distribution (Laplace-smoothed over the
+    global type spine, so a type absent from a window still
+    contributes) — q120's batch PSI turned into the live pager
+    (psi > 0.2 = the industry "significant shift" line). Runs as a
+    genuine multi-microbatch stream: the stateful operator is EXACTLY
+    q72's watermarked (window × type) count — state bounded by
+    |windows in watermark| × |types| — and the PSI arithmetic is a
+    stateless display-layer rollup over the materialized counts plus a
+    broadcast reference (the stream-static pattern, #79). The DuckDB
+    oracle recomputes the whole thing from batch events, so the driver
+    hash row proves streaming counts ≡ batch counts AND the smoothing
+    algebra.
+
+    At scale the reference is |types| rows (broadcast), the per-window
+    grid is |windows|×|types|, and the stream shuffles only the
+    windowed count agg — the same plan q72 already pays."""
+    counts = (
+        jobs.with_watermark(_stream(spark, sf_dir))
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            F.col("n").cast("double").alias("n"),
+        )
+    )
+    mat = jobs.run_to_memory(counts, f"q256_mem_{uuid.uuid4().hex[:8]}")
+    ref = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("rn"))
+    )
+    tot = ref.agg(
+        F.sum("rn").alias("n_tot"),
+        F.count(F.lit(1)).cast("double").alias("t"),
+    )
+    # rename the rollup's keys: a memory-sink view joined against its
+    # own aggregate trips Catalyst's self-join attribute dedup
+    # (Conflicting attributes — the ranking.py:HOF-binding lesson), so
+    # the two sides must carry distinct attribute names
+    wn = mat.groupBy(F.col("window_start").alias("ws")).agg(
+        F.sum("n").alias("wn")
+    )
+    grid = (
+        wn.crossJoin(F.broadcast(ref.withColumnRenamed("event_type", "et")))
+        .join(
+            mat,
+            (F.col("ws") == mat["window_start"])
+            & (F.col("et") == mat["event_type"]),
+            "left",
+        )
+        .select(
+            F.col("ws").alias("window_start"),
+            "wn",
+            "rn",
+            F.coalesce(F.col("n"), F.lit(0.0)).alias("n"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    p = (F.col("n") + 0.5) / (F.col("wn") + 0.5 * F.col("t"))
+    q = (F.col("rn") + 0.5) / (F.col("n_tot") + 0.5 * F.col("t"))
+    psi = F.round(F.sum((p - q) * F.log(p / q)), 6)
+    return grid.groupBy("window_start", "wn").agg(
+        psi.alias("psi"),
+        (psi > 0.2).alias("drift_flag"),
+    ).select(
+        "window_start",
+        F.col("wn").cast("bigint").alias("n_events"),
+        "psi",
+        "drift_flag",
+    )

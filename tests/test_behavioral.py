@@ -974,3 +974,31 @@ def test_seasonal_decomposition_constant_series_null_shares(spark, tmp_path):
         assert r.trend_share is None
         assert r.weekly_share is None
         assert r.residual_share is None
+
+
+def test_srm_check_balanced_and_imbalanced(spark, tmp_path):
+    """q257 must flag a deliberately imbalanced assignment: customers
+    chosen so md5 puts 1 in treatment and 9 in control → χ² = 6.4 >
+    3.8415 → SRM flagged; shares and counts exact."""
+    import hashlib
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    # custkeys 1-5,7,8,10 are control ('c','c','e','a','e','8','c','d'),
+    # 6 and 9 are treatment ('1','4'); drop 9 → 1 treat vs 9 control
+    keys = [1, 2, 3, 4, 5, 6, 7, 8, 10, 11]
+    treat = [
+        k for k in keys
+        if hashlib.md5(str(k).encode()).hexdigest()[0] < "8"
+    ]
+    custs = [(k, f"c{k}", 0, 0.0, "SEG") for k in keys]
+    spark.createDataFrame(custs, SCHEMAS["customer"]).write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    row = SPECS["q257_ab_srm_check"].fn(spark, str(tmp_path)).collect()[0]
+    n_t, n_c = len(treat), len(keys) - len(treat)
+    half = len(keys) / 2
+    chi2 = round((n_t - half) ** 2 / half + (n_c - half) ** 2 / half, 4)
+    assert (row.n_control, row.n_treatment) == (n_c, n_t)
+    assert row.chi2_stat == chi2
+    assert row.srm_flag == (chi2 > 3.8415)

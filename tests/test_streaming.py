@@ -498,3 +498,53 @@ def test_stream_countmin_equals_batch_build(spark):
     for r in streamed:
         per_seed[r.seed] = per_seed.get(r.seed, 0) + r.cell
     assert set(per_seed.values()) == {n_events}  # each row counted once per seed
+
+
+def test_stream_drift_monitor_known_psi(spark, tmp_path):
+    """q256 with hour 0 matching the corpus type mix exactly and hour 1
+    skewed all-A: PSI recomputed from the closed form in Python over
+    the same smoothed distributions; only the skewed window crosses
+    the 0.2 line when it truly does."""
+    import math
+    from datetime import datetime, timedelta
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+    from aws_iceberg_automation_spark.registry import all_specs
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # hour 0: 10 A + 10 B; hour 1: 20 A
+    for i in range(10):
+        rows.append((eid, base + timedelta(minutes=i), 1, "A", 1.0, "{}")); eid += 1
+        rows.append((eid, base + timedelta(minutes=30 + i), 1, "B", 1.0, "{}")); eid += 1
+    for i in range(20):
+        rows.append((eid, base + timedelta(hours=1, minutes=i), 2, "A", 1.0, "{}")); eid += 1
+    spark.createDataFrame(rows, SCHEMAS["events"]).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {
+        r.window_start.hour: r
+        for r in all_specs()["q256_stream_drift_monitor"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {0, 1}
+
+    def psi(win, ref, n_ref, t):
+        wn = sum(win.values())
+        s = 0.0
+        for typ, rn in ref.items():
+            p = (win.get(typ, 0) + 0.5) / (wn + 0.5 * t)
+            q = (rn + 0.5) / (n_ref + 0.5 * t)
+            s += (p - q) * math.log(p / q)
+        return round(s, 6)
+
+    ref = {"A": 30.0, "B": 10.0}
+    psi0 = psi({"A": 10, "B": 10}, ref, 40.0, 2.0)
+    psi1 = psi({"A": 20}, ref, 40.0, 2.0)
+    assert out[0].n_events == 20 and out[0].psi == psi0
+    assert out[1].n_events == 20 and out[1].psi == psi1
+    assert out[1].psi > out[0].psi
+    assert out[0].drift_flag == (psi0 > 0.2)
+    assert out[1].drift_flag == (psi1 > 0.2)
