@@ -156,6 +156,23 @@ def sql_portable_hash64(inner: str) -> str:
     return f"CAST('0x' || substring(md5({inner}), 1, 15) AS BIGINT)"
 
 
+def ab_treat(c: str | Column) -> Column:
+    """The experiment-family A/B assignment gate: treatment iff the
+    key's md5 first hex digit < '8' (8/16 nibbles = exactly 50% by
+    design). One definition shared by the lift readout (q238), the
+    power planner (q254) and the SRM check (q257) — the two auditors
+    exist to validate THIS assignment, so a salt/fraction change must
+    hit all three or the audits silently cover a different experiment
+    (code-review r4 finding)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.substring(F.md5(c.cast("string")), 1, 1) < "8"
+
+
+def sql_ab_treat(inner: str) -> str:
+    """DuckDB fragment value-equal to :func:`ab_treat`."""
+    return f"substring(md5(CAST({inner} AS VARCHAR)), 1, 1) < '8'"
+
+
 # Split boundaries on the md5-prefix hex space, shared by BOTH the
 # Spark and SQL renderings below — the single source that makes the
 # "boundary can never drift" claim structural, not aspirational.

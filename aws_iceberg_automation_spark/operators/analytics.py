@@ -13,11 +13,13 @@ from pyspark.sql import functions as F
 
 from ..functions.compat import (
     SQL_DISC_PRICE,
+    ab_treat,
     dec2,
     dec4,
     dec_out,
     disc_price,
     dsum,
+    sql_ab_treat,
     sql_dsum,
 )
 from ..io import load_table
@@ -2368,10 +2370,10 @@ def q232_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q238_cuped_lift",
-    oracle="""
+    oracle=f"""
 WITH cust AS (
   SELECT c.c_custkey,
-    substring(md5(CAST(c.c_custkey AS VARCHAR)), 1, 1) < '8' AS treat,
+    {sql_ab_treat("c.c_custkey")} AS treat,
     CAST(COALESCE(SUM(CASE WHEN o.o_orderdate < TIMESTAMP '1996-01-01'
           THEN CAST(o.o_totalprice AS DECIMAL(8,2)) END), 0) * 100
       AS DOUBLE) AS pre,
@@ -2460,11 +2462,7 @@ def q238_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("post"),
         )
-        .withColumn(
-            "treat",
-            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1)
-            < F.lit("8"),
-        )
+        .withColumn("treat", ab_treat("c_custkey"))
         .localCheckpoint()  # customer-grain; pins the orders join
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
@@ -2591,10 +2589,10 @@ def q239_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q254_experiment_power",
-    oracle="""
+    oracle=f"""
 WITH cust AS (
   SELECT c.c_custkey,
-    substring(md5(CAST(c.c_custkey AS VARCHAR)), 1, 1) < '8' AS treat,
+    {sql_ab_treat("c.c_custkey")} AS treat,
     CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(8,2))), 0) * 100
       AS DOUBLE) AS y
   FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
@@ -2614,13 +2612,21 @@ WITH cust AS (
 )
 SELECT n_c AS n_control, n_t AS n_treatment,
   round(mean_c / 100, 4) AS control_mean,
-  round(sqrt(ss / (n_all - 2)) / 100, 4) AS sd_pooled,
-  round(2.801585 * sqrt(ss / (n_all - 2))
-        * sqrt(1.0 / n_c + 1.0 / n_t) / 100, 4) AS mde_abs_80,
-  round(2.801585 * sqrt(ss / (n_all - 2))
-        * sqrt(1.0 / n_c + 1.0 / n_t) / mean_c, 6) AS mde_rel_80,
-  round(3.241516 * sqrt(ss / (n_all - 2))
-        * sqrt(1.0 / n_c + 1.0 / n_t) / mean_c, 6) AS mde_rel_90
+  CASE WHEN n_all <= 2 THEN NULL
+       ELSE round(sqrt(greatest(ss, 0.0) / (n_all - 2)) / 100, 4)
+  END AS sd_pooled,
+  CASE WHEN n_all <= 2 THEN NULL
+       ELSE round(2.801585 * sqrt(greatest(ss, 0.0) / (n_all - 2))
+             * sqrt(1.0 / n_c + 1.0 / n_t) / 100, 4)
+  END AS mde_abs_80,
+  CASE WHEN n_all <= 2 OR mean_c = 0 THEN NULL
+       ELSE round(2.801585 * sqrt(greatest(ss, 0.0) / (n_all - 2))
+             * sqrt(1.0 / n_c + 1.0 / n_t) / mean_c, 6)
+  END AS mde_rel_80,
+  CASE WHEN n_all <= 2 OR mean_c = 0 THEN NULL
+       ELSE round(3.241516 * sqrt(greatest(ss, 0.0) / (n_all - 2))
+             * sqrt(1.0 / n_c + 1.0 / n_t) / mean_c, 6)
+  END AS mde_rel_90
 FROM pooled
 """,
     tags=("analytics", "stats", "experiment"),
@@ -2640,17 +2646,21 @@ def q254_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     to TWO rows, and everything after is scalar math on a 1-row frame.
     Pooled variance via the explicit Σy²−(Σy)²/n moments (q205
     discipline — no engine variance-kernel drift), surfaces rounded
-    4/6 on both engines; n−2 > 0 on any two-customer-plus corpus."""
+    4/6 on both engines. Degenerate designs NULL out instead of
+    diverging (code-review r4 finding): n_all ≤ 2 (pooled df = 0 →
+    Spark NaN vs DuckDB NULL) and mean_c = 0 (relative MDE → Infinity
+    vs NULL) are CASE-guarded identically on both sides, and float
+    cancellation on a near-constant metric is clamped with
+    greatest(ss, 0) before the sqrt."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    treat = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) < "8"
+    treat = ab_treat("c_custkey")
     cust = (
         c.join(o, o.o_custkey == c.c_custkey, "left")
         .groupBy("c_custkey")
         .agg(
-            F.coalesce(
-                F.sum(F.col("o_totalprice").cast("decimal(8,2)")), F.lit(0)
-            ).cast("double")
+            F.coalesce(F.sum(dec2("o_totalprice")), F.lit(0))
+            .cast("double")
             .alias("y0"),
         )
         .select(treat.alias("treat"), (F.col("y0") * 100).alias("y"))
@@ -2671,24 +2681,35 @@ def q254_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ss"),
         F.sum("n").alias("n_all"),
     )
-    sd = F.sqrt(F.col("ss") / (F.col("n_all") - 2))
+    sd = F.sqrt(F.greatest(F.col("ss"), F.lit(0.0)) / (F.col("n_all") - 2))
     se = sd * F.sqrt(1.0 / F.col("n_c") + 1.0 / F.col("n_t"))
+    df_ok = F.col("n_all") > 2
+    rel_ok = df_ok & (F.col("mean_c") != 0)
+    null_d = F.lit(None).cast("double")
     return pooled.select(
         F.col("n_c").alias("n_control"),
         F.col("n_t").alias("n_treatment"),
         F.round(F.col("mean_c") / 100, 4).alias("control_mean"),
-        F.round(sd / 100, 4).alias("sd_pooled"),
-        F.round(F.lit(2.801585) * se / 100, 4).alias("mde_abs_80"),
-        F.round(F.lit(2.801585) * se / F.col("mean_c"), 6).alias("mde_rel_80"),
-        F.round(F.lit(3.241516) * se / F.col("mean_c"), 6).alias("mde_rel_90"),
+        F.when(df_ok, F.round(sd / 100, 4)).otherwise(null_d).alias(
+            "sd_pooled"
+        ),
+        F.when(df_ok, F.round(F.lit(2.801585) * se / 100, 4))
+        .otherwise(null_d)
+        .alias("mde_abs_80"),
+        F.when(rel_ok, F.round(F.lit(2.801585) * se / F.col("mean_c"), 6))
+        .otherwise(null_d)
+        .alias("mde_rel_80"),
+        F.when(rel_ok, F.round(F.lit(3.241516) * se / F.col("mean_c"), 6))
+        .otherwise(null_d)
+        .alias("mde_rel_90"),
     )
 
 
 @register(
     "q257_ab_srm_check",
-    oracle="""
+    oracle=f"""
 WITH arm AS (
-  SELECT substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '8' AS treat,
+  SELECT {sql_ab_treat("c_custkey")} AS treat,
     CAST(COUNT(*) AS BIGINT) AS n
   FROM customer GROUP BY 1
 ), w AS (
@@ -2726,7 +2747,7 @@ def q257_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag compares the ROUNDED statistic so both engines gate
     identically."""
     c = load_table(spark, sf_dir, "customer")
-    treat = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) < "8"
+    treat = ab_treat("c_custkey")
     arm = c.groupBy(treat.alias("treat")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.compat import split_bucket, sql_split_bucket
+from ..functions.compat import split_bucket, sql_portable_hash64, sql_split_bucket
 from ..io import load_table
 from ..registry import register
 
@@ -1375,15 +1375,15 @@ def q207_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q243_duplicate_ngram_mass",
-    oracle="""
+    oracle=f"""
 WITH words AS (
   SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
 ), tok AS (
   SELECT doc_id, source,
-    CAST('0x' || substring(md5(
-      w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' ' ||
-      w[i + 3] || ' ' || w[i + 4]
-    ), 1, 15) AS BIGINT) AS g
+    {sql_portable_hash64(
+        "w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' ' ||"
+        " w[i + 3] || ' ' || w[i + 4]"
+    )} AS g
   FROM words, unnest(generate_series(1, len(w) - 4)) AS t(i)
 ), nd AS (
   SELECT g, COUNT(DISTINCT doc_id) AS n_docs FROM tok GROUP BY g

@@ -36,7 +36,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.compat import dec2, portable_hash64, sql_portable_hash64
@@ -1502,8 +1502,6 @@ def q250_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain both engines, so the argmax equality join and the critical-
     value comparison are drift-free; only the displayed statistic
     rounds."""
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents").select(
         "source", F.size(F.split("text", " ")).alias("w")
     )

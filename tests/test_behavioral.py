@@ -1002,3 +1002,28 @@ def test_srm_check_balanced_and_imbalanced(spark, tmp_path):
     assert (row.n_control, row.n_treatment) == (n_c, n_t)
     assert row.chi2_stat == chi2
     assert row.srm_flag == (chi2 > 3.8415)
+
+
+def test_experiment_power_degenerate_two_customers(spark, tmp_path):
+    """q254 with exactly two customers (pooled df = 0): sd and every
+    MDE column must be NULL — guarded identically on both engines, not
+    Spark NaN vs DuckDB NULL (code-review r4 finding)."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    custs = [(6, "c6", 0, 0.0, "SEG"), (1, "c1", 0, 0.0, "SEG")]
+    orders = [
+        (1, 6, "O", 50.0, datetime(1995, 1, 1), "1-URGENT"),
+        (2, 1, "O", 70.0, datetime(1995, 1, 2), "1-URGENT"),
+    ]
+    spark.createDataFrame(custs, SCHEMAS["customer"]).write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    spark.createDataFrame(orders, SCHEMAS["orders"]).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    row = SPECS["q254_experiment_power"].fn(spark, str(tmp_path)).collect()[0]
+    # custkey 6 -> treatment ('1' < '8'), custkey 1 -> control ('c')
+    assert (row.n_control, row.n_treatment) == (1, 1)
+    assert row.sd_pooled is None
+    assert row.mde_abs_80 is None
+    assert row.mde_rel_80 is None and row.mde_rel_90 is None
