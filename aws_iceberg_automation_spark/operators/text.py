@@ -1684,3 +1684,83 @@ def q252_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(e_df, 4).alias("expected_df"),
         F.round(e_df / F.col("df"), 4).alias("burstiness"),
     )
+
+
+@register(
+    "q259_source_lang_entropy",
+    oracle="""
+WITH sl AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(SUM(cnt) AS DOUBLE) AS n,
+    CAST(COUNT(*) AS BIGINT) AS n_langs,
+    MAX(cnt) AS max_cnt
+  FROM sl GROUP BY source
+), ent AS (
+  SELECT sl.source,
+    round(-SUM((cnt / t.n) * ln(cnt / t.n)), 6) AS lang_entropy
+  FROM sl JOIN tot t USING (source) GROUP BY sl.source, t.n
+), dom AS (
+  SELECT sl.source, MAX(sl.lang) AS dominant_lang,
+    ANY_VALUE(t.max_cnt) AS max_cnt
+  FROM sl JOIN tot t USING (source)
+  WHERE sl.cnt = t.max_cnt
+  GROUP BY sl.source
+)
+SELECT t.source, t.n_langs, e.lang_entropy,
+  round(exp(e.lang_entropy), 4) AS effective_langs,
+  d.dominant_lang,
+  round(d.max_cnt / t.n, 6) AS dominant_share
+FROM tot t JOIN ent e USING (source) JOIN dom d USING (source)
+""",
+    tags=("text", "llm", "stats"),
+)
+def q259_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix entropy per source: Shannon entropy of the
+    language distribution, its exponential (the "effective number of
+    languages"), and the dominant language with its share — the
+    mixture-design read on multilinguality (an effective_langs near 1
+    is a monolingual source whatever its nominal lang column claims;
+    q170's temperature resampling needs exactly this census as input).
+
+    Plan shape: one (source, lang) count agg — a domain-bounded grid —
+    then scalar math and two grid-grain rollups; the dominant language
+    is recovered windowlessly by equality-joining cnt = max(cnt) and
+    taking MAX(lang) among ties (deterministic in both engines, exact
+    integer compare). Entropy terms are exact-ratio doubles rounded(6)
+    after the sum; exp of the ROUNDED entropy keeps both engines on
+    the same input."""
+    d = load_table(spark, sf_dir, "documents")
+    sl = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = sl.groupBy("source").agg(
+        F.sum("cnt").cast("double").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    p = F.col("cnt") / F.col("n")
+    ent = (
+        sl.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"))
+    )
+    dom = (
+        sl.join(F.broadcast(tot), "source")
+        .filter(F.col("cnt") == F.col("max_cnt"))
+        .groupBy("source")
+        .agg(F.max("lang").alias("dominant_lang"))
+    )
+    return (
+        tot.join(ent, "source")
+        .join(dom, "source")
+        .select(
+            "source",
+            "n_langs",
+            "lang_entropy",
+            F.round(F.exp("lang_entropy"), 4).alias("effective_langs"),
+            "dominant_lang",
+            F.round(F.col("max_cnt") / F.col("n"), 6).alias("dominant_share"),
+        )
+    )

@@ -965,3 +965,109 @@ def q255_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         share("v_week").alias("weekly_share"),
         share("v_resid").alias("residual_share"),
     )
+
+
+@register(
+    "q258_forecast_backtest",
+    oracle="""
+WITH daily AS (
+  SELECT n.n_name AS nation,
+    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))) * 100 AS BIGINT) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), ev AS (
+  SELECT t.nation, t.rev,
+    abs(t.rev - n1.rev) AS ae_naive,
+    abs(t.rev - n7.rev) AS ae_seasonal
+  FROM daily t
+  JOIN daily n1 ON n1.nation = t.nation AND n1.d = t.d - 1
+  JOIN daily n7 ON n7.nation = t.nation AND n7.d = t.d - 7
+)
+SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_eval_days,
+  round(CAST(SUM(ae_naive) AS DOUBLE) / COUNT(*) / 100, 2) AS mae_naive,
+  round(CAST(SUM(ae_seasonal) AS DOUBLE) / COUNT(*) / 100, 2)
+    AS mae_seasonal,
+  round(AVG(CAST(ae_naive AS DOUBLE) / rev), 6) AS mape_naive,
+  round(AVG(CAST(ae_seasonal AS DOUBLE) / rev), 6) AS mape_seasonal,
+  round(AVG(CAST(ae_seasonal AS DOUBLE) / rev), 6)
+    < round(AVG(CAST(ae_naive AS DOUBLE) / rev), 6) AS seasonal_wins
+FROM ev GROUP BY nation
+""",
+    tags=("timeseries", "analytics", "stats"),
+)
+def q258_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest: naive (yesterday's revenue) vs seasonal-naive
+    (same weekday last week) one-day-ahead forecasts of per-nation
+    daily revenue, scored by MAE and MAPE over every day where both
+    forecasts exist — the baseline table every forecasting effort must
+    beat (Hyndman's first rule: if you can't beat seasonal-naive,
+    you don't have a forecast). seasonal_wins per nation operationalizes
+    q255's weekly-share read: nations with strong weekly rhythm should
+    flip it true.
+
+    Plan shape: the fact table collapses once to the calendar-bounded
+    (nation, day-index) grid; both "models" are grid self-equi-joins on
+    (nation, d−1) / (nation, d−7) — exact calendar lags, no window, no
+    gap-blind ROWS frame (the playbook's 30-day-rolling lesson).
+    Errors are exact BIGINT cent differences; MAE divides the exact sum
+    once; MAPE terms are exact-ratio doubles rounded(6) after the avg;
+    the model comparison compares the ROUNDED mapes so both engines
+    flip together. rev > 0 by construction (an observed day has ≥1
+    order of positive totalprice)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .agg((F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("rev"))
+    )
+    t = daily.alias("t")
+    n1 = daily.select(
+        F.col("nation").alias("nation"),
+        (F.col("d") + 1).alias("d"),
+        F.col("rev").alias("rev_n1"),
+    )
+    n7 = daily.select(
+        F.col("nation").alias("nation"),
+        (F.col("d") + 7).alias("d"),
+        F.col("rev").alias("rev_n7"),
+    )
+    ev = (
+        t.join(n1, ["nation", "d"])
+        .join(n7, ["nation", "d"])
+        .select(
+            "nation",
+            "rev",
+            F.abs(F.col("rev") - F.col("rev_n1")).alias("ae_naive"),
+            F.abs(F.col("rev") - F.col("rev_n7")).alias("ae_seasonal"),
+        )
+    )
+    mape_n = F.round(F.avg(F.col("ae_naive").cast("double") / F.col("rev")), 6)
+    mape_s = F.round(
+        F.avg(F.col("ae_seasonal").cast("double") / F.col("rev")), 6
+    )
+    return ev.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_days"),
+        F.round(
+            F.sum("ae_naive").cast("double") / F.count(F.lit(1)) / 100, 2
+        ).alias("mae_naive"),
+        F.round(
+            F.sum("ae_seasonal").cast("double") / F.count(F.lit(1)) / 100, 2
+        ).alias("mae_seasonal"),
+        mape_n.alias("mape_naive"),
+        mape_s.alias("mape_seasonal"),
+        (mape_s < mape_n).alias("seasonal_wins"),
+    )

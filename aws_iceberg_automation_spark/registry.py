@@ -216,6 +216,8 @@ _DRIVER_PRIORITY = [
     "q255_seasonal_decomposition",
     "q256_stream_drift_monitor",
     "q257_ab_srm_check",
+    "q258_forecast_backtest",
+    "q259_source_lang_entropy",
 ]
 
 

@@ -1027,3 +1027,41 @@ def test_experiment_power_degenerate_two_customers(spark, tmp_path):
     assert row.sd_pooled is None
     assert row.mde_abs_80 is None
     assert row.mde_rel_80 is None and row.mde_rel_90 is None
+
+
+def test_forecast_backtest_seasonal_beats_naive_on_weekly_pattern(spark, tmp_path):
+    """q258 on an exactly-weekly series (rev = 100 + 10·(d mod 7) over
+    14 days): seasonal-naive is perfect (MAE = MAPE = 0), naive pays
+    the week-boundary reset; expected values recomputed closed-form."""
+    from datetime import timedelta
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    base = datetime(1995, 1, 2)
+    orders = [
+        (d, 1, "O", 100.0 + 10 * (d % 7), base + timedelta(days=d), "1-URGENT")
+        for d in range(14)
+    ]
+    spark.createDataFrame(orders, SCHEMAS["orders"]).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    spark.createDataFrame(
+        [(1, "c1", 0, 0.0, "SEG")], SCHEMAS["customer"]
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame([(0, "WEEKLY", 0)], SCHEMAS["nation"]).write.parquet(
+        str(tmp_path / "nation.parquet")
+    )
+    rows = SPECS["q258_forecast_backtest"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    rev = {d: (100 + 10 * (d % 7)) * 100 for d in range(14)}
+    evald = list(range(7, 14))
+    ae_n = [abs(rev[d] - rev[d - 1]) for d in evald]
+    assert r.n_eval_days == 7
+    assert r.mae_naive == round(sum(ae_n) / 7 / 100, 2)
+    assert r.mae_seasonal == 0.0
+    assert r.mape_naive == round(
+        sum(a / rev[d] for a, d in zip(ae_n, evald)) / 7, 6
+    )
+    assert r.mape_seasonal == 0.0
+    assert bool(r.seasonal_wins)

@@ -1295,3 +1295,34 @@ def test_dedup_threshold_curve_known_pairs(spark, tmp_path):
     for t in (0.4, 0.5, 0.6, 0.7, 0.8, 0.9):
         r = out[t]
         assert (r.n_pairs, r.n_docs, r.dup_token_mass) == (1, 2, 4)
+
+
+def test_source_lang_entropy_known_mixes(spark, tmp_path):
+    """q259: a 75/25 en/fr source has H = −(.75 ln .75 + .25 ln .25)
+    and dominant en; an exact 50/50 tie resolves to MAX(lang) = 'fr'."""
+    import math
+
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    docs = [
+        (1, "w", "en", "s1", 1),
+        (2, "w", "en", "s1", 1),
+        (3, "w", "en", "s1", 1),
+        (4, "w", "fr", "s1", 1),
+        (5, "w", "en", "s2", 1),
+        (6, "w", "fr", "s2", 1),
+    ]
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.source: r
+        for r in SPECS["q259_source_lang_entropy"].fn(spark, str(tmp_path)).collect()
+    }
+    h1 = round(-(0.75 * math.log(0.75) + 0.25 * math.log(0.25)), 6)
+    s1, s2 = out["s1"], out["s2"]
+    assert (s1.n_langs, s1.lang_entropy) == (2, h1)
+    assert s1.effective_langs == round(math.exp(h1), 4)
+    assert (s1.dominant_lang, s1.dominant_share) == ("en", 0.75)
+    assert (s2.n_langs, s2.lang_entropy) == (2, round(math.log(2), 6))
+    assert (s2.dominant_lang, s2.dominant_share) == ("fr", 0.5)
