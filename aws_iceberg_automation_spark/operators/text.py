@@ -1697,22 +1697,15 @@ WITH sl AS (
     CAST(COUNT(*) AS BIGINT) AS n_langs,
     MAX(cnt) AS max_cnt
   FROM sl GROUP BY source
-), ent AS (
-  SELECT sl.source,
-    round(-SUM((cnt / t.n) * ln(cnt / t.n)), 6) AS lang_entropy
-  FROM sl JOIN tot t USING (source) GROUP BY sl.source, t.n
-), dom AS (
-  SELECT sl.source, MAX(sl.lang) AS dominant_lang,
-    ANY_VALUE(t.max_cnt) AS max_cnt
-  FROM sl JOIN tot t USING (source)
-  WHERE sl.cnt = t.max_cnt
-  GROUP BY sl.source
 )
-SELECT t.source, t.n_langs, e.lang_entropy,
-  round(exp(e.lang_entropy), 4) AS effective_langs,
-  d.dominant_lang,
-  round(d.max_cnt / t.n, 6) AS dominant_share
-FROM tot t JOIN ent e USING (source) JOIN dom d USING (source)
+SELECT sl.source, t.n_langs,
+  round(-SUM((cnt / t.n) * ln(cnt / t.n)), 6) AS lang_entropy,
+  round(exp(round(-SUM((cnt / t.n) * ln(cnt / t.n)), 6)), 4)
+    AS effective_langs,
+  MAX(CASE WHEN sl.cnt = t.max_cnt THEN sl.lang END) AS dominant_lang,
+  round(t.max_cnt / t.n, 6) AS dominant_share
+FROM sl JOIN tot t USING (source)
+GROUP BY sl.source, t.n, t.n_langs, t.max_cnt
 """,
     tags=("text", "llm", "stats"),
 )
@@ -1725,12 +1718,13 @@ def q259_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     q170's temperature resampling needs exactly this census as input).
 
     Plan shape: one (source, lang) count agg — a domain-bounded grid —
-    then scalar math and two grid-grain rollups; the dominant language
-    is recovered windowlessly by equality-joining cnt = max(cnt) and
-    taking MAX(lang) among ties (deterministic in both engines, exact
-    integer compare). Entropy terms are exact-ratio doubles rounded(6)
-    after the sum; exp of the ROUNDED entropy keeps both engines on
-    the same input."""
+    one per-source totals rollup joined back broadcast, then ONE
+    grouped aggregation computes entropy AND the dominant language
+    together: MAX over lang-where-cnt-equals-max (NULL for non-ties,
+    which MAX ignores) is the windowless tie-broken argmax, exact
+    integer compare on both engines. Entropy terms are exact-ratio
+    doubles rounded(6) after the sum; exp of the ROUNDED entropy keeps
+    both engines on the same input."""
     d = load_table(spark, sf_dir, "documents")
     sl = d.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
@@ -1741,20 +1735,16 @@ def q259_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cnt").alias("max_cnt"),
     )
     p = F.col("cnt") / F.col("n")
-    ent = (
-        sl.join(F.broadcast(tot), "source")
-        .groupBy("source")
-        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"))
-    )
-    dom = (
-        sl.join(F.broadcast(tot), "source")
-        .filter(F.col("cnt") == F.col("max_cnt"))
-        .groupBy("source")
-        .agg(F.max("lang").alias("dominant_lang"))
-    )
+    ent = F.round(-F.sum(p * F.log(p)), 6)
     return (
-        tot.join(ent, "source")
-        .join(dom, "source")
+        sl.join(F.broadcast(tot), "source")
+        .groupBy("source", "n", "n_langs", "max_cnt")
+        .agg(
+            ent.alias("lang_entropy"),
+            F.max(
+                F.when(F.col("cnt") == F.col("max_cnt"), F.col("lang"))
+            ).alias("dominant_lang"),
+        )
         .select(
             "source",
             "n_langs",

@@ -837,28 +837,38 @@ def q235_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
   SELECT n.n_name AS nation, CAST(o_orderdate AS DATE) AS day,
-    CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))) * 100 AS DOUBLE) AS rev
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))) * 100 AS BIGINT) AS rev
   FROM orders o
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
   GROUP BY 1, 2
 ), idx AS (
-  SELECT nation, day, rev,
+  SELECT nation, rev,
     date_diff('day', DATE '1970-01-01', day) AS d,
     CAST(date_part('dow', day) AS INT) AS dow
   FROM daily
 ), tr AS (
-  SELECT nation, day, rev, d, dow,
-    AVG(rev) OVER (PARTITION BY nation ORDER BY d
-                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+  SELECT nation, dow, rev,
+    CAST(SUM(rev) OVER wsp AS BIGINT) AS wsum,
+    CAST(COUNT(*) OVER wsp AS BIGINT) AS wcnt
   FROM idx
+  WINDOW wsp AS (PARTITION BY nation ORDER BY d
+                 RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), det AS (
+  SELECT nation, dow,
+    CAST(rev AS DOUBLE) AS rev,
+    CAST(wsum AS DOUBLE) / wcnt AS trend,
+    CAST(rev * wcnt - wsum AS DOUBLE) / wcnt AS detr
+  FROM tr
 ), eff AS (
-  SELECT nation, dow, AVG(rev - trend) AS effect
-  FROM tr GROUP BY 1, 2
+  SELECT nation, dow,
+    CAST(SUM(CAST(round(detr, 6) AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*)
+      AS effect
+  FROM det GROUP BY 1, 2
 ), parts AS (
-  SELECT t.nation, t.dow, t.rev, t.trend,
-    t.rev - t.trend - e.effect AS resid, e.effect
-  FROM tr t JOIN eff e ON e.nation = t.nation AND e.dow = t.dow
+  SELECT t.nation, t.rev, t.trend, e.effect,
+    t.detr - e.effect AS resid
+  FROM det t JOIN eff e ON e.nation = t.nation AND e.dow = t.dow
 ), nv AS (
   SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_days,
     SUM(rev * rev) / COUNT(*) - (SUM(rev) / COUNT(*)) * (SUM(rev) / COUNT(*))
@@ -872,7 +882,7 @@ WITH daily AS (
   FROM parts GROUP BY nation
 )
 SELECT e.nation, e.dow,
-  round(e.effect / 100, 2) AS weekday_effect,
+  e.effect / 100 AS weekday_effect,
   nv.n_days,
   CASE WHEN nv.v_rev <= 0 THEN NULL
        ELSE round(nv.v_trend / nv.v_rev, 4) END AS trend_share,
@@ -901,10 +911,23 @@ def q255_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer day index PARTITIONED BY nation (the q235 pattern — RANGE,
     not ROWS, so calendar gaps don't silently widen the window);
     weekday effects are a 7×|nations| agg joined back broadcast;
-    variance shares come from explicit moments per nation. Window-sum
-    ulp drift across engines is absorbed by round(2)/round(4) on every
-    surfaced double (q235's documented contract). Degenerate
-    zero-variance nations surface NULL shares, never an ANSI error."""
+    variance shares come from explicit moments per nation.
+
+    Determinism (code-review r4 + full-suite catch): the MA windows
+    aggregate exact INTEGER cents (SUM/COUNT, never a float window
+    avg), so trend = wsum/wcnt and detr = (rev·wcnt − wsum)/wcnt are
+    single divisions of exact integers — bitwise identical in both
+    engines. The weekday effect then sums per-row round(6) values in
+    DECIMAL(24,6) (order-independent) before ONE double division —
+    the original float-window AVG drifted and q255's small-denominator
+    rationals (k/7 cents) land EXACTLY on half-cent boundaries, where
+    round(2) flipped between engines at sf0.001 — and the engines'
+    round() tie directions differ even on a bitwise-identical double,
+    so the effect surfaces UNROUNDED (the SCALE.md sequential-fold
+    rule: rounding a bitwise-equal value only adds risk). Variance
+    shares round(4) over sums of bitwise-identical per-row doubles.
+    Degenerate zero-variance nations surface NULL shares, never an
+    ANSI error."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
@@ -917,7 +940,7 @@ def q255_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.col("o_orderdate").cast("date").alias("day"),
         )
-        .agg((F.sum(dec2("o_totalprice")) * 100).cast("double").alias("rev"))
+        .agg((F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("rev"))
     )
     idx = daily.select(
         "nation",
@@ -930,16 +953,35 @@ def q255_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d")
         .rangeBetween(-3, 3)
     )
-    tr = idx.withColumn("trend", F.avg("rev").over(w))
-    eff = tr.groupBy("nation", "dow").agg(
-        F.avg(F.col("rev") - F.col("trend")).alias("effect")
+    tr = idx.select(
+        "nation",
+        "dow",
+        "rev",
+        F.sum("rev").over(w).alias("wsum"),
+        F.count(F.lit(1)).over(w).alias("wcnt"),
     )
-    parts = tr.join(F.broadcast(eff), ["nation", "dow"]).select(
+    det = tr.select(
+        "nation",
+        "dow",
+        F.col("rev").cast("double").alias("rev"),
+        (F.col("wsum").cast("double") / F.col("wcnt")).alias("trend"),
+        (
+            (F.col("rev") * F.col("wcnt") - F.col("wsum")).cast("double")
+            / F.col("wcnt")
+        ).alias("detr"),
+    )
+    eff = det.groupBy("nation", "dow").agg(
+        (
+            F.sum(F.round("detr", 6).cast("decimal(24,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("effect")
+    )
+    parts = det.join(F.broadcast(eff), ["nation", "dow"]).select(
         "nation",
         "rev",
         "trend",
         "effect",
-        (F.col("rev") - F.col("trend") - F.col("effect")).alias("resid"),
+        (F.col("detr") - F.col("effect")).alias("resid"),
     )
 
     def _var(col: str) -> F.Column:
@@ -959,7 +1001,7 @@ def q255_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eff.join(F.broadcast(nv), "nation").select(
         "nation",
         "dow",
-        F.round(F.col("effect") / 100, 2).alias("weekday_effect"),
+        (F.col("effect") / 100).alias("weekday_effect"),
         "n_days",
         share("v_trend").alias("trend_share"),
         share("v_week").alias("weekly_share"),
@@ -979,9 +1021,13 @@ WITH daily AS (
   JOIN nation n ON c.c_nationkey = n.n_nationkey
   GROUP BY 1, 2
 ), ev AS (
-  SELECT t.nation, t.rev,
+  SELECT t.nation,
     abs(t.rev - n1.rev) AS ae_naive,
-    abs(t.rev - n7.rev) AS ae_seasonal
+    abs(t.rev - n7.rev) AS ae_seasonal,
+    CAST(round(CAST(abs(t.rev - n1.rev) AS DOUBLE) / t.rev, 12)
+      AS DECIMAL(20,12)) AS ape_naive,
+    CAST(round(CAST(abs(t.rev - n7.rev) AS DOUBLE) / t.rev, 12)
+      AS DECIMAL(20,12)) AS ape_seasonal
   FROM daily t
   JOIN daily n1 ON n1.nation = t.nation AND n1.d = t.d - 1
   JOIN daily n7 ON n7.nation = t.nation AND n7.d = t.d - 7
@@ -990,10 +1036,9 @@ SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_eval_days,
   round(CAST(SUM(ae_naive) AS DOUBLE) / COUNT(*) / 100, 2) AS mae_naive,
   round(CAST(SUM(ae_seasonal) AS DOUBLE) / COUNT(*) / 100, 2)
     AS mae_seasonal,
-  round(AVG(CAST(ae_naive AS DOUBLE) / rev), 6) AS mape_naive,
-  round(AVG(CAST(ae_seasonal AS DOUBLE) / rev), 6) AS mape_seasonal,
-  round(AVG(CAST(ae_seasonal AS DOUBLE) / rev), 6)
-    < round(AVG(CAST(ae_naive AS DOUBLE) / rev), 6) AS seasonal_wins
+  round(CAST(SUM(ape_naive) AS DOUBLE) / COUNT(*), 6) AS mape_naive,
+  round(CAST(SUM(ape_seasonal) AS DOUBLE) / COUNT(*), 6) AS mape_seasonal,
+  SUM(ape_seasonal) < SUM(ape_naive) AS seasonal_wins
 FROM ev GROUP BY nation
 """,
     tags=("timeseries", "analytics", "stats"),
@@ -1013,10 +1058,13 @@ def q258_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nation, d−1) / (nation, d−7) — exact calendar lags, no window, no
     gap-blind ROWS frame (the playbook's 30-day-rolling lesson).
     Errors are exact BIGINT cent differences; MAE divides the exact sum
-    once; MAPE terms are exact-ratio doubles rounded(6) after the avg;
-    the model comparison compares the ROUNDED mapes so both engines
-    flip together. rev > 0 by construction (an observed day has ≥1
-    order of positive totalprice)."""
+    once. MAPE terms round(12) PER ROW (an exact-chain double —
+    identical both engines) and sum in DECIMAL(20,12), so the grouped
+    sums are order-independent and the seasonal_wins comparison is on
+    exact equal values — a rounded-AVG comparison could flip between
+    engines at a 1e-6 boundary under partial-aggregation drift
+    (code-review r4 finding). rev > 0 by construction (an observed day
+    has ≥1 order of positive totalprice)."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
@@ -1050,24 +1098,38 @@ def q258_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n7, ["nation", "d"])
         .select(
             "nation",
-            "rev",
             F.abs(F.col("rev") - F.col("rev_n1")).alias("ae_naive"),
             F.abs(F.col("rev") - F.col("rev_n7")).alias("ae_seasonal"),
+            F.round(
+                F.abs(F.col("rev") - F.col("rev_n1")).cast("double")
+                / F.col("rev"),
+                12,
+            )
+            .cast("decimal(20,12)")
+            .alias("ape_naive"),
+            F.round(
+                F.abs(F.col("rev") - F.col("rev_n7")).cast("double")
+                / F.col("rev"),
+                12,
+            )
+            .cast("decimal(20,12)")
+            .alias("ape_seasonal"),
         )
     )
-    mape_n = F.round(F.avg(F.col("ae_naive").cast("double") / F.col("rev")), 6)
-    mape_s = F.round(
-        F.avg(F.col("ae_seasonal").cast("double") / F.col("rev")), 6
-    )
+    n_days = F.count(F.lit(1))
     return ev.groupBy("nation").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_eval_days"),
-        F.round(
-            F.sum("ae_naive").cast("double") / F.count(F.lit(1)) / 100, 2
-        ).alias("mae_naive"),
-        F.round(
-            F.sum("ae_seasonal").cast("double") / F.count(F.lit(1)) / 100, 2
-        ).alias("mae_seasonal"),
-        mape_n.alias("mape_naive"),
-        mape_s.alias("mape_seasonal"),
-        (mape_s < mape_n).alias("seasonal_wins"),
+        n_days.cast("bigint").alias("n_eval_days"),
+        F.round(F.sum("ae_naive").cast("double") / n_days / 100, 2).alias(
+            "mae_naive"
+        ),
+        F.round(F.sum("ae_seasonal").cast("double") / n_days / 100, 2).alias(
+            "mae_seasonal"
+        ),
+        F.round(F.sum("ape_naive").cast("double") / n_days, 6).alias(
+            "mape_naive"
+        ),
+        F.round(F.sum("ape_seasonal").cast("double") / n_days, 6).alias(
+            "mape_seasonal"
+        ),
+        (F.sum("ape_seasonal") < F.sum("ape_naive")).alias("seasonal_wins"),
     )

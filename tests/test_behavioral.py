@@ -1027,6 +1027,22 @@ def test_experiment_power_degenerate_two_customers(spark, tmp_path):
     assert row.sd_pooled is None
     assert row.mde_abs_80 is None
     assert row.mde_rel_80 is None and row.mde_rel_90 is None
+    # the ORACLE's guard branches must agree on the same degenerate
+    # fixture (they are dead code at the sweep's sf — code-review r4):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    od = con.execute(SPECS["q254_experiment_power"].oracle).fetchall()
+    assert len(od) == 1
+    n_c, n_t, _mean, sd, mde_a, mde_r80, mde_r90 = od[0]
+    assert (n_c, n_t) == (1, 1)
+    assert sd is None and mde_a is None
+    assert mde_r80 is None and mde_r90 is None
 
 
 def test_forecast_backtest_seasonal_beats_naive_on_weekly_pattern(spark, tmp_path):
