@@ -2769,3 +2769,139 @@ def q257_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2_stat"),
         (chi2 > 3.8415).alias("srm_flag"),
     )
+
+
+@register(
+    "q260_bulk_discount_curve",
+    oracle="""
+WITH b AS (
+  SELECT CASE WHEN l_quantity <= 10 THEN '01-10'
+              WHEN l_quantity <= 20 THEN '11-20'
+              WHEN l_quantity <= 30 THEN '21-30'
+              WHEN l_quantity <= 40 THEN '31-40'
+              ELSE '41+' END AS qty_band,
+    CAST(l_discount AS DECIMAL(6,4)) AS disc,
+    CAST(l_extendedprice AS DECIMAL(10,2)) AS price,
+    CAST(l_quantity AS DECIMAL(8,2)) AS qty
+  FROM lineitem
+), g AS (
+  SELECT qty_band, CAST(COUNT(*) AS BIGINT) AS n_items,
+    SUM(disc) AS sdisc,
+    SUM(price) AS sprice,
+    SUM(qty) AS sqty
+  FROM b GROUP BY qty_band
+), tot AS (SELECT CAST(SUM(sprice) AS DOUBLE) AS tp FROM g)
+SELECT qty_band, n_items,
+  round(CAST(sdisc AS DOUBLE) / n_items, 6) AS avg_discount,
+  round(CAST(sprice AS DOUBLE) / CAST(sqty AS DOUBLE), 4)
+    AS avg_unit_price,
+  round(CAST(sprice AS DOUBLE) / tot.tp, 6) AS revenue_share
+FROM g CROSS JOIN tot
+""",
+    tags=("analytics", "agg"),
+)
+def q260_bulk_discount_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk-discount curve: average discount, average unit price, and
+    revenue share per quantity band — the pricing-policy audit that
+    answers "do larger orders actually get better terms, and does the
+    unit price fall monotonically with volume?" (a non-monotone curve
+    flags negotiated exceptions or data errors). Complements q220's
+    within-brand elasticity fit with the policy-level band view.
+
+    Plan shape: band assignment is a per-row CASE on the fact table,
+    then ONE two-phase hash agg to five groups; every sum runs in
+    exact DECIMAL (order-independent), the grand total rides as a
+    1-row broadcast, and all divisions are single exact-input double
+    ops rounded for display. One scan, one shuffle of five groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_quantity") <= 10, "01-10")
+        .when(F.col("l_quantity") <= 20, "11-20")
+        .when(F.col("l_quantity") <= 30, "21-30")
+        .when(F.col("l_quantity") <= 40, "31-40")
+        .otherwise("41+")
+    )
+    g = li.groupBy(band.alias("qty_band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("l_discount").cast("decimal(6,4)")).alias("sdisc"),
+        F.sum(dec2("l_extendedprice")).alias("sprice"),
+        F.sum(F.col("l_quantity").cast("decimal(8,2)")).alias("sqty"),
+    )
+    tot = g.agg(F.sum("sprice").cast("double").alias("tp"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "qty_band",
+        "n_items",
+        F.round(F.col("sdisc").cast("double") / F.col("n_items"), 6).alias(
+            "avg_discount"
+        ),
+        F.round(
+            F.col("sprice").cast("double") / F.col("sqty").cast("double"), 4
+        ).alias("avg_unit_price"),
+        F.round(F.col("sprice").cast("double") / F.col("tp"), 6).alias(
+            "revenue_share"
+        ),
+    )
+
+
+@register(
+    "q261_order_size_dispersion",
+    oracle="""
+WITH sz AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(n_lines) AS DOUBLE) AS s1,
+    CAST(SUM(n_lines * n_lines) AS DOUBLE) AS s2
+  FROM sz
+), hist AS (
+  SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders_at
+  FROM sz GROUP BY n_lines
+)
+SELECT h.n_lines, h.n_orders_at,
+  round(CAST(h.n_orders_at AS DOUBLE) / m.n_orders, 6) AS share,
+  round(m.s1 / m.n_orders, 4) AS mean_lines,
+  round((m.s2 / m.n_orders - (m.s1 / m.n_orders) * (m.s1 / m.n_orders))
+        / (m.s1 / m.n_orders), 4) AS dispersion_index
+FROM hist h CROSS JOIN m
+""",
+    tags=("analytics", "stats", "dq"),
+)
+def q261_order_size_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size histogram with the variance-to-mean dispersion index:
+    how many line items orders carry, and whether the count process is
+    Poisson-like (index ≈ 1), under-dispersed (< 1 — a generator or
+    policy caps lines per order) or over-dispersed (> 1 — bursty
+    baskets). The index is the one-number distribution-shape check a
+    synthetic-data audit reads first; TPC-H's generator is uniform
+    1..7, so under-dispersion here is the expected signature.
+
+    Plan shape: one hash agg to order grain (the natural l_orderkey
+    reduction), then a |distinct sizes|-row histogram and a 1-row
+    moment frame broadcast back — n_lines·n_lines stays far inside
+    BIGINT (line counts are domain-bounded). All surfaced doubles are
+    exact-integer-ratio chains rounded for display."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sz = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    m = sz.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("n_lines").cast("double").alias("s1"),
+        F.sum(F.col("n_lines") * F.col("n_lines")).cast("double").alias("s2"),
+    )
+    hist = sz.groupBy("n_lines").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders_at")
+    )
+    mean = F.col("s1") / F.col("n_orders")
+    return hist.crossJoin(F.broadcast(m)).select(
+        "n_lines",
+        "n_orders_at",
+        F.round(
+            F.col("n_orders_at").cast("double") / F.col("n_orders"), 6
+        ).alias("share"),
+        F.round(mean, 4).alias("mean_lines"),
+        F.round(
+            (F.col("s2") / F.col("n_orders") - mean * mean) / mean, 4
+        ).alias("dispersion_index"),
+    )

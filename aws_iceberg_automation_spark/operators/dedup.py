@@ -1617,3 +1617,88 @@ def q253_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("dup_token_mass", F.lit(0)).alias("dup_token_mass"),
         )
     )
+
+
+@register(
+    "q262_positional_dup_mass",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), tok AS (
+  SELECT doc_id,
+    CASE WHEN i - 1 < (len(w) - 4) / 3.0 THEN 'head'
+         WHEN i - 1 < 2 * (len(w) - 4) / 3.0 THEN 'middle'
+         ELSE 'tail' END AS tercile,
+    {sql_portable_hash64(
+        "w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' ' ||"
+        " w[i + 3] || ' ' || w[i + 4]"
+    )} AS g
+  FROM words, unnest(generate_series(1, len(w) - 4)) AS t(i)
+), nd AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS n_docs FROM tok GROUP BY g
+), tg AS (
+  SELECT tercile, g, COUNT(*) AS occ FROM tok GROUP BY 1, 2
+)
+SELECT tg.tercile,
+  CAST(SUM(occ) AS BIGINT) AS total_grams,
+  CAST(SUM(CASE WHEN nd.n_docs > 1 THEN occ ELSE 0 END) AS BIGINT)
+    AS dup_grams,
+  round(CAST(SUM(CASE WHEN nd.n_docs > 1 THEN occ ELSE 0 END) AS DOUBLE)
+        / SUM(occ), 6) AS dup_mass
+FROM tg JOIN nd USING (g)
+GROUP BY tg.tercile
+""",
+    tags=("dedup", "llm", "text"),
+)
+def q262_positional_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE in documents does duplicated text live: q243's duplicate
+    5-gram occurrence mass split by document position (head / middle /
+    tail terciles of each doc's gram sequence). Boilerplate headers and
+    footers concentrate duplication at the ends — a head/tail-heavy
+    profile says a cheap affix-trim recovers most of what full span
+    dedup (q171) would, while a flat profile says duplication is
+    structural and only the real rewriter helps. The positional read
+    that turns q243's "how much" into "what to do about it".
+
+    Plan shape: identical to q243 — gram-grain portable hashes, one
+    distinct-doc count per gram, one occurrence count per (tercile,
+    gram), a gram-keyed join of the two reduced frames, 3-row rollup.
+    The tercile compares the integer gram index against n/3.0 in the
+    IDENTICAL expression form on both engines — an exact-input double
+    comparison that cannot drift."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions.compat import portable_hash64
+
+    words = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 5
+    )
+    tok = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 5),"
+                " i -> struct(i AS pos, size(w) - 4 AS n,"
+                " concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])"
+                " AS gram))"
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        F.when(F.col("p.pos") < F.col("p.n") / 3.0, "head")
+        .when(F.col("p.pos") < 2 * F.col("p.n") / 3.0, "middle")
+        .otherwise("tail")
+        .alias("tercile"),
+        portable_hash64(F.col("p.gram")).alias("g"),
+    )
+    nd = tok.groupBy("g").agg(F.countDistinct("doc_id").alias("n_docs"))
+    tg = tok.groupBy("tercile", "g").agg(F.count(F.lit(1)).alias("occ"))
+    dup = F.sum(F.when(F.col("n_docs") > 1, F.col("occ")).otherwise(0))
+    return (
+        tg.join(nd, "g")
+        .groupBy("tercile")
+        .agg(
+            F.sum("occ").cast("bigint").alias("total_grams"),
+            dup.cast("bigint").alias("dup_grams"),
+            F.round(dup.cast("double") / F.sum("occ"), 6).alias("dup_mass"),
+        )
+    )

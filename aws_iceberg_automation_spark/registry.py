@@ -218,6 +218,9 @@ _DRIVER_PRIORITY = [
     "q257_ab_srm_check",
     "q258_forecast_backtest",
     "q259_source_lang_entropy",
+    "q260_bulk_discount_curve",
+    "q261_order_size_dispersion",
+    "q262_positional_dup_mass",
 ]
 
 

@@ -1081,3 +1081,55 @@ def test_forecast_backtest_seasonal_beats_naive_on_weekly_pattern(spark, tmp_pat
     )
     assert r.mape_seasonal == 0.0
     assert bool(r.seasonal_wins)
+
+
+def test_bulk_discount_curve_known_bands(spark, tmp_path):
+    """q260 with one lineitem per band: exact band assignment, unit
+    prices, and revenue shares."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    day = datetime(1995, 6, 1)
+    li = [
+        (1, 1, 1, 1, 5.0, 100.0, 0.10, 0.0, "N", "O", day),
+        (2, 2, 1, 1, 15.0, 200.0, 0.05, 0.0, "N", "O", day),
+    ]
+    spark.createDataFrame(li, SCHEMAS["lineitem"]).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = {
+        r.qty_band: r
+        for r in SPECS["q260_bulk_discount_curve"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"01-10", "11-20"}
+    lo, hi = out["01-10"], out["11-20"]
+    assert (lo.n_items, lo.avg_discount, lo.avg_unit_price) == (1, 0.1, 20.0)
+    assert lo.revenue_share == round(100 / 300, 6)
+    assert (hi.n_items, hi.avg_discount) == (1, 0.05)
+    assert hi.avg_unit_price == round(200 / 15, 4)
+    assert hi.revenue_share == round(200 / 300, 6)
+
+
+def test_order_size_dispersion_known_counts(spark, tmp_path):
+    """q261 with orders of 1, 1 and 4 lines: mean 2, population
+    variance 2 → dispersion index exactly 1.0."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    day = datetime(1995, 6, 1)
+    li = []
+    k = 0
+    for okey, n in ((1, 1), (2, 1), (3, 4)):
+        for _ in range(n):
+            k += 1
+            li.append((okey, 1, 1, k, 1.0, 10.0, 0.0, 0.0, "N", "O", day))
+    spark.createDataFrame(li, SCHEMAS["lineitem"]).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = {
+        r.n_lines: r
+        for r in SPECS["q261_order_size_dispersion"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 4}
+    assert out[1].n_orders_at == 2 and out[4].n_orders_at == 1
+    assert out[1].share == round(2 / 3, 6)
+    assert out[1].mean_lines == 2.0
+    assert out[1].dispersion_index == 1.0

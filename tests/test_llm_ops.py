@@ -1326,3 +1326,28 @@ def test_source_lang_entropy_known_mixes(spark, tmp_path):
     assert (s1.dominant_lang, s1.dominant_share) == ("en", 0.75)
     assert (s2.n_langs, s2.lang_entropy) == (2, round(math.log(2), 6))
     assert (s2.dominant_lang, s2.dominant_share) == ("fr", 0.5)
+
+
+def test_positional_dup_mass_head_boilerplate(spark, tmp_path):
+    """q262 with two 15-word docs sharing ONLY their opening 5 words:
+    the shared gram sits at position 0 of each doc (head tercile), so
+    head dup_mass = 2/8 and middle/tail are clean."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    shared = "a b c d e"
+    d1 = shared + " " + " ".join(f"x{i}" for i in range(10))
+    d2 = shared + " " + " ".join(f"y{i}" for i in range(10))
+    docs = [(1, d1, "en", "s", len(d1)), (2, d2, "en", "s", len(d2))]
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.tercile: r
+        for r in SPECS["q262_positional_dup_mass"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"head", "middle", "tail"}
+    # 11 grams per doc: head pos 0-3, middle 4-7, tail 8-10
+    assert (out["head"].total_grams, out["head"].dup_grams) == (8, 2)
+    assert out["head"].dup_mass == 0.25
+    assert out["middle"].dup_grams == 0 and out["tail"].dup_grams == 0
+    assert (out["middle"].total_grams, out["tail"].total_grams) == (8, 6)
