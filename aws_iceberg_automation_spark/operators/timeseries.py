@@ -832,16 +832,43 @@ def q235_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q255_seasonal_decomposition",
-    oracle="""
-WITH daily AS (
-  SELECT n.n_name AS nation, CAST(o_orderdate AS DATE) AS day,
+# The (nation, day, exact-cent) revenue grid shared by the seasonal
+# decomposition (q255) and the forecast backtest (q258): the backtest
+# scores the SAME series the decomposition explains, so the grid has
+# one definition on each side (the ab_treat rationale — a cent/
+# attribution change can never reach one consumer and miss the other).
+_SQL_NATION_DAILY_REV = """SELECT n.n_name AS nation, CAST(o_orderdate AS DATE) AS day,
     CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))) * 100 AS BIGINT) AS rev
   FROM orders o
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
-  GROUP BY 1, 2
+  GROUP BY 1, 2"""
+
+
+def nation_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :data:`_SQL_NATION_DAILY_REV` — exact BIGINT cents
+    at the calendar-bounded (nation, day) grain, one two-phase agg."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg((F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("rev"))
+    )
+
+
+@register(
+    "q255_seasonal_decomposition",
+    oracle=f"""
+WITH daily AS (
+  {_SQL_NATION_DAILY_REV}
 ), idx AS (
   SELECT nation, rev,
     date_diff('day', DATE '1970-01-01', day) AS d,
@@ -862,8 +889,8 @@ WITH daily AS (
   FROM tr
 ), eff AS (
   SELECT nation, dow,
-    CAST(SUM(CAST(round(detr, 6) AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*)
-      AS effect
+    CAST(CAST(SUM(CAST(round(detr, 2) AS DECIMAL(18,2))) * 100 AS BIGINT)
+      AS DOUBLE) / (100.0 * COUNT(*)) AS effect
   FROM det GROUP BY 1, 2
 ), parts AS (
   SELECT t.nation, t.rev, t.trend, e.effect,
@@ -928,20 +955,7 @@ def q255_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares round(4) over sums of bitwise-identical per-row doubles.
     Degenerate zero-variance nations surface NULL shares, never an
     ANSI error."""
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderdate", "o_totalprice"
-    )
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = load_table(spark, sf_dir, "nation")
-    daily = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.col("o_orderdate").cast("date").alias("day"),
-        )
-        .agg((F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("rev"))
-    )
+    daily = nation_daily_revenue(spark, sf_dir)
     idx = daily.select(
         "nation",
         "rev",
@@ -970,10 +984,20 @@ def q255_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("wcnt")
         ).alias("detr"),
     )
+    # Per-row round(2) is tie-free here (detr = m/wcnt with wcnt in
+    # 1..7 can never equal x.005 exactly — all six denominators yield
+    # parity/divisibility contradictions), and keeps the decimal sum's
+    # unscaled value orders of magnitude under 2^53 at ANY corpus size,
+    # so the ROUTE to double is an exact BIGINT (cents*100) — the
+    # direct big-DECIMAL->DOUBLE cast is not correctly rounded in
+    # DuckDB once unscaled passes 2^53 (code-review r4 finding; the
+    # compat.py decimal rule applied to a mean).
     eff = det.groupBy("nation", "dow").agg(
         (
-            F.sum(F.round("detr", 6).cast("decimal(24,6)")).cast("double")
-            / F.count(F.lit(1))
+            (F.sum(F.round("detr", 2).cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .cast("double")
+            / (F.lit(100.0) * F.count(F.lit(1)))
         ).alias("effect")
     )
     parts = det.join(F.broadcast(eff), ["nation", "dow"]).select(
@@ -1011,15 +1035,12 @@ def q255_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q258_forecast_backtest",
-    oracle="""
-WITH daily AS (
-  SELECT n.n_name AS nation,
-    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
-    CAST(SUM(CAST(o_totalprice AS DECIMAL(8,2))) * 100 AS BIGINT) AS rev
-  FROM orders o
-  JOIN customer c ON o.o_custkey = c.c_custkey
-  JOIN nation n ON c.c_nationkey = n.n_nationkey
-  GROUP BY 1, 2
+    oracle=f"""
+WITH grid AS (
+  {_SQL_NATION_DAILY_REV}
+), daily AS (
+  SELECT nation, date_diff('day', DATE '1970-01-01', day) AS d, rev
+  FROM grid
 ), ev AS (
   SELECT t.nation,
     abs(t.rev - n1.rev) AS ae_naive,
@@ -1065,22 +1086,14 @@ def q258_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines at a 1e-6 boundary under partial-aggregation drift
     (code-review r4 finding). rev > 0 by construction (an observed day
     has ≥1 order of positive totalprice)."""
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderdate", "o_totalprice"
-    )
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = load_table(spark, sf_dir, "nation")
-    daily = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.datediff(
-                F.col("o_orderdate").cast("date"),
-                F.lit("1970-01-01").cast("date"),
-            ).alias("d"),
-        )
-        .agg((F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("rev"))
+    # NB the reduced grid sits behind a groupBy agg: its shuffle output
+    # is stage-skipped across the three consumers at runtime, and the
+    # playbook's A/B measured pinning such frames ~2s SLOWER — so no
+    # localCheckpoint here (pin only frames behind big joins).
+    daily = nation_daily_revenue(spark, sf_dir).select(
+        "nation",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).alias("d"),
+        "rev",
     )
     t = daily.alias("t")
     n1 = daily.select(
