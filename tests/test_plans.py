@@ -490,3 +490,16 @@ def test_rolling_distinct_exact_scans_events_once(spark):
     scans = set(re.findall(r"\((\d+)\) Scan parquet", p))
     assert len(scans) == 1, p
     assert "Join" not in p, p
+
+
+def test_tfidf_top_terms_uses_window_group_limit(spark):
+    """q246's docstring claims its per-source top-5 compiles to
+    WindowGroupLimit (map-side partial limits — the vocabulary never
+    moves whole). Assert it, as test_topk_per_group does for q60: a
+    regression to a plain windowed rank would silently shuffle the
+    entire vocabulary per source."""
+    from aws_iceberg_automation_spark.plans.explain import plan_string
+
+    p = plan_string(q("q246_tfidf_top_terms", spark))
+    assert "WindowGroupLimit" in p, "tfidf top-5 not pushed into window"
+    assert "Partial" in p and "Final" in p
