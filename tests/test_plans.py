@@ -503,3 +503,25 @@ def test_tfidf_top_terms_uses_window_group_limit(spark):
     p = plan_string(q("q246_tfidf_top_terms", spark))
     assert "WindowGroupLimit" in p, "tfidf top-5 not pushed into window"
     assert "Partial" in p and "Final" in p
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q243_duplicate_ngram_mass",
+        "q262_positional_dup_mass",
+        "q258_forecast_backtest",
+    ],
+)
+def test_gram_and_backtest_joins_stay_keyed(name, spark):
+    """The dup-gram census pair joins two gram-keyed reduced frames and
+    the forecast backtest self-joins the daily grid on (nation, d) —
+    all pure equi-joins by construction. Assert Catalyst never degrades
+    them to a nested-loop or cartesian strategy (the all-pairs shapes
+    these operators exist to avoid)."""
+    from aws_iceberg_automation_spark.plans.explain import join_strategies
+
+    strategies = join_strategies(q(name, spark))
+    assert strategies, f"{name}: expected at least one join"
+    bad = [s for s in strategies if s in ("BroadcastNestedLoopJoin", "CartesianProduct")]
+    assert not bad, f"{name}: non-equi join strategy planned: {strategies}"
