@@ -1351,3 +1351,25 @@ def test_positional_dup_mass_head_boilerplate(spark, tmp_path):
     assert out["head"].dup_mass == 0.25
     assert out["middle"].dup_grams == 0 and out["tail"].dup_grams == 0
     assert (out["middle"].total_grams, out["tail"].total_grams) == (8, 6)
+
+
+def test_dedup_threshold_curve_inclusive_boundary(spark, tmp_path):
+    """q253's >= is inclusive on exact rationals: a pair at jaccard
+    exactly 0.5 (shingle sets {abc,bcd} ⊂ {abc,bcd,cde,def}) counts at
+    t = 0.5 and vanishes at t = 0.6 — deterministic on both engines
+    because the ratio is an exact int/int double."""
+    from aws_iceberg_automation_spark.io import SCHEMAS
+
+    docs = [
+        (1, "a b c d", "en", "s", 7),
+        (2, "a b c d e f", "en", "s", 11),
+    ]
+    spark.createDataFrame(docs, SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.threshold: r.n_pairs
+        for r in SPECS["q253_dedup_threshold_curve"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[0.5] == 1 and out[0.4] == 1
+    assert out[0.6] == 0 and out[0.9] == 0
