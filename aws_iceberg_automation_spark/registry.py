@@ -77,83 +77,24 @@ _LOADED = False
 # The external driver verifies the FIRST 50 specs in queries() order and
 # stops (its per-round verification budget). Registration order is
 # therefore attestation budget: re-listing an already-green query
-# re-proves the proven. Round-4 rotation (VERDICT r03 ask #1): rounds
-# 1-3 drove 133 queries green; this window holds the LAST 47
-# never-driver-verified oracle-backed specs plus 3 queries that earned
-# brand-new oracles this round (the DDL round-trip q196 — ask #4 — and
-# two rows-only→oracle conversions, ask #2). A green r04 makes every
-# oracle-backed query in the window driver-attested. The round also
-# converted seven MORE rows-only queries to real oracles (portable-hash
-# CMS q193/q194/q195, the full LSH dedup family q82/q167/q131, and
-# q84c's arithmetic expansion) — those queue for round 5; verified and
-# rows-only specs follow in registration order. Rows-only specs NEVER
-# occupy a top-50 slot (they cannot earn a hash row).
+# re-proves the proven. Round-5 rotation (VERDICT r04 ask #1): rounds
+# 1-4 drove 183 queries green; this window holds 50 of the 73
+# never-driver-verified oracle-backed specs, flagship-first:
+# q82_minhash_lsh_neardup (oracle-converted in r4, the most-cited LLM
+# operator) leads, followed by the other r4 rows-only->oracle
+# conversions (q167/q131/q193/q194/q195/q84c), then the q197..q239
+# block in registration order. The 23-query tail (q240..q262) plus any
+# round-5 newcomers head the round-6 window (VERDICT r04 ask #3) and
+# are listed below the budget line in that order. Rows-only specs
+# NEVER occupy a top-50 slot (they cannot earn a hash row).
 _DRIVER_PRIORITY = [
-    # -- round-4 window: 50 never-driver-verified, all oracle-backed --
-    "q35c_gap_fill_forward",
-    "q68b_posexplode",
-    "q75b_sessionize_ids",
-    "q85e_fingerprint",
-    "q85f_bpe_ish_tokens",
-    "q99_priority_late_orders",
-    "q96c_stratified_exact_n",
-    "q121_fuzzy_catalog_match",
-    "q123_udtf_sentences",
-    "q124_salted_hot_join",
-    "q125_table_reconcile",
-    "q127_latest_record_compaction",
-    "q128_scd2_dimension",
-    "q130_doc_chunking",
-    "q136_weighted_sample",
-    "q70b_variant_semistructured",
-    "q141_token_entropy",
-    "q142_langid_confusion",
-    "q144_ewma_user_value",
-    "q145_quality_aware_dedup",
-    "q147_halflife_baseline_anomaly",
-    "q148_bitmap_exact_distinct",
-    "q150_udtf_dynamic_schema",
-    "q151_dynamic_session_window",
-    "q152_arrow_native_kernel",
-    "q153_quality_classifier_score",
-    "q154_ratio_to_report",
-    "q155_edit_distance_match",
-    "q157_try_arithmetic",
-    "q159_bigram_lm_score",
-    "q162_deterministic_shuffle",
-    "q163_embedding_quantize",
-    "q35d_asof_forward",
-    "q164_event_transition_matrix",
-    "q165_winsorized_stats",
-    "q166_python_datasource",
-    "q168_copurchase_pairs",
-    "q169_exposure_weights",
-    "q170_temperature_mixture",
-    "q173_semantic_contamination",
-    "q174_source_overlap",
-    "q175_quality_calibration",
-    "q176_corpus_datasheet",
-    "q177_sequence_pattern",
-    "q178_shard_manifest",
-    "q179_pmi_cooccurrence",
-    "q192_sales_opportunity",
-    "q196_ddl_roundtrip",
-    "q71b_hash_salting",
-    "q82c_simhash",
-    # ---- 50-slot budget line (driver stops here) ----
-    # round-5 queue: rows-only→oracle conversions (VERDICT r03 ask #2)
-    # plus eleven operators built late in round 4 (exact rolling
-    # distinct, grouped OLS trend, embedding-centroid cohesion,
-    # revenue-weighted percentiles, last-touch attribution, Zipf fit,
-    # Benford audit, chi-square independence, rolling correlation,
-    # split manifest, split-leakage audit) — all oracle-backed, locally
-    # green at sf0.001/0.01/0.1 and under both hostile sweep variants.
-    "q193_countmin_heavy_hitters",
-    "q194_stream_countmin_replay",
-    "q195_cms_join_size_estimate",
+    # -- round-5 window: 50 never-driver-verified, all oracle-backed --
     "q82_minhash_lsh_neardup",
     "q167_neardup_clusters",
     "q131_incremental_neardup",
+    "q193_countmin_heavy_hitters",
+    "q194_stream_countmin_replay",
+    "q195_cms_join_size_estimate",
     "q84c_frame_sampling",
     "q197_rolling_distinct_exact",
     "q198_revenue_trend_ols",
@@ -198,6 +139,9 @@ _DRIVER_PRIORITY = [
     "q237_vocab_jaccard",
     "q238_cuped_lift",
     "q239_seasonal_anomaly",
+    # ---- 50-slot budget line (driver stops here) ----
+    # round-6 head: the 23-query attestation tail (VERDICT r04 ask #3),
+    # then round-5 additions appended as they register.
     "q240_dsir_importance",
     "q241_token_epoch_plan",
     "q242_label_centroid_separation",
