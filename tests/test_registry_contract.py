@@ -122,6 +122,26 @@ def test_hostile_sweep_covers_whole_registry():
     assert not red, f"hostile sweep failures committed: {red}"
 
 
+def test_scale_md_sweep_count_matches_report():
+    """SCALE.md's headline hostile-sweep count must equal the committed
+    SWEEP_REPORT.json size (VERDICT r04 ask #5 — the doc said 234/234
+    while the report held 273). Parses the 'N/N green over the whole
+    registry' phrase so any future drift reddens here."""
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    report = json.load(open(os.path.join(repo, "SWEEP_REPORT.json")))["results"]
+    text = open(os.path.join(repo, "SCALE.md")).read()
+    m = re.search(r"\*\*(\d+)/(\d+) green over the\s+whole registry\*\*", text)
+    assert m, "SCALE.md no longer states the sweep count phrase"
+    assert int(m.group(1)) == int(m.group(2)) == len(report), (
+        f"SCALE.md says {m.group(0)} but SWEEP_REPORT.json has "
+        f"{len(report)} queries — update the doc (or re-run the sweep)"
+    )
+
+
 @pytest.mark.parametrize(
     "name", ["q31_anti_join", "q64_except", "q82d_embedding_neardup"]
 )
