@@ -75,6 +75,12 @@ def quantile_bucket_ranks(
     the filter lambda must stay single-argument: PySpark calls a
     two-argument HOF lambda as (element, index), so a captured default
     would silently compare boundaries against 0..n_buckets-2."""
+    if df.isStreaming:
+        raise ValueError(
+            "quantile_bucket_ranks is batch-only: it collects quantile "
+            "boundaries eagerly at plan-build time, which a streaming "
+            "DataFrame cannot do"
+        )
     qs = [i / n_buckets for i in range(1, n_buckets)]
     stats_row = df.agg(
         *[
@@ -144,7 +150,7 @@ def _with_value_buckets(
 def _bucket_offsets(
     per_bucket: DataFrame,
     cnt_cols: list[str],
-    group_cols: list[str] = [],
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exclusive prefix sums of ``cnt_cols`` over ``_bucket`` order —
     within each ``group_cols`` group when given — via a triangular
@@ -152,6 +158,7 @@ def _bucket_offsets(
     no WindowExec anywhere. Group equality is NULL-SAFE (a NULL group
     key is a real group, exactly as PARTITION BY treats it). Returns
     (*group_cols, _bucket, _off_<col>...)."""
+    group_cols = group_cols or []
     p, q = per_bucket.alias("p"), per_bucket.alias("q")
     cond = F.col("q._bucket") < F.col("p._bucket")
     for g in group_cols:

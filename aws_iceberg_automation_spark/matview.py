@@ -123,10 +123,19 @@ class IncrementalAggView:
         at most depth·width distinct slots per group regardless of
         input size, the bounded-state property that makes the sketch a
         view measure."""
-        slots = F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m.depth - 1)),
-                lambda s: self._cms_slot(m.expr, s, m.width),
+        # NULL items are excluded from the sketch (xxhash64 over NULL
+        # would land them in real cells that cms_point_estimate — which
+        # drops NULL probes — could never query back: pure over-count
+        # noise). explode_outer + the NULL guard keeps a group whose
+        # items are ALL NULL present with an all-zero cell array, so
+        # _partial's identical-group-sets inner-join invariant holds.
+        slots = F.explode_outer(
+            F.when(
+                m.expr.isNotNull(),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m.depth - 1)),
+                    lambda s: self._cms_slot(m.expr, s, m.width),
+                ),
             )
         ).alias("_slot")
         counted = (
@@ -144,7 +153,15 @@ class IncrementalAggView:
             counted.groupBy(*self.group_by)
             .agg(
                 F.map_from_entries(
-                    F.collect_list(F.struct(F.col("_slot"), F.col("_cnt")))
+                    # collect_list skips the NULL produced for the
+                    # all-NULL-items sentinel row (map keys can't be
+                    # NULL) → empty map → all-zero dense array
+                    F.collect_list(
+                        F.when(
+                            F.col("_slot").isNotNull(),
+                            F.struct(F.col("_slot"), F.col("_cnt")),
+                        )
+                    )
                 ).alias("_m")
             )
             .select(*self.group_by, dense.alias(m.alias))

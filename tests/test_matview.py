@@ -323,3 +323,54 @@ def test_countmin_point_estimate_rejects_uncastable_probes(spark, tmp_path):
     bad = spark.createDataFrame([("3",), ("xyz",)], ["item"])
     with pytest.raises(ValueError, match="cannot be coerced"):
         mv.cms_point_estimate("traffic", bad)
+
+
+def test_countmin_null_items_contribute_no_cells(spark, tmp_path):
+    """NULL input values are EXCLUDED from the sketch build (ADVICE r4:
+    they previously landed in real cells that NULL-dropping probes
+    could never query — pure over-count noise breaking the tightness
+    of the one-sided bound). Pins: (1) a build with extra NULL items
+    yields bitwise-identical cells to the NULL-free build; (2) a group
+    whose items are ALL NULL still surfaces, with all-zero cells (the
+    partial-combine inner join requires identical group sets)."""
+    src_a = VersionedTable(spark, str(tmp_path / "a"))
+    src_b = VersionedTable(spark, str(tmp_path / "b"))
+
+    def mk_view(src, root):
+        return IncrementalAggView(
+            spark,
+            src,
+            str(tmp_path / root),
+            group_by=["k"],
+            measures=[
+                Measure("n", "count"),
+                Measure("traffic", "countmin", F.col("uid"), depth=4, width=64),
+            ],
+        )
+
+    base = spark.range(0, 300).select(
+        F.lit("g1").alias("k"), (F.col("id") % 13).alias("uid")
+    )
+    with_nulls = base.unionByName(
+        spark.range(0, 50).select(
+            F.lit("g1").alias("k"), F.lit(None).cast("bigint").alias("uid")
+        )
+    ).unionByName(
+        # a group with ONLY NULL items must still appear in the view
+        spark.range(0, 10).select(
+            F.lit("gnull").alias("k"), F.lit(None).cast("bigint").alias("uid")
+        )
+    )
+    src_a.write(base)
+    src_b.write(with_nulls)
+    mv_a, mv_b = mk_view(src_a, "mv_a"), mk_view(src_b, "mv_b")
+    mv_a.refresh()
+    mv_b.refresh()
+
+    cells_a = {r.k: list(r.traffic) for r in mv_a.read().collect()}
+    cells_b = {r.k: list(r.traffic) for r in mv_b.read().collect()}
+    assert cells_b["g1"] == cells_a["g1"]  # NULLs added zero cells
+    assert set(cells_b) == {"g1", "gnull"}
+    assert cells_b["gnull"] == [0] * (4 * 64)
+    counts = {r.k: r.n for r in mv_b.read().collect()}
+    assert counts == {"g1": 350, "gnull": 10}  # count() still counts rows
