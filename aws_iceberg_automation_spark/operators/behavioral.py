@@ -641,7 +641,11 @@ SELECT CAST(r_tile AS INT) AS r_tile, CAST(f_tile AS INT) AS f_tile,
   round(AVG(CAST(freq AS DOUBLE)), 6) AS avg_frequency
 FROM tiled GROUP BY 1, 2, 3
 """,
-    tags=("behavioral", "segmentation"),
+    # bench-tagged per VERDICT r04 ask #7: the heaviest rank-decomposition
+    # query tracks under the gate so its constant-dominated profile
+    # (measured 13 s at 1x / 26 s at 20x — eager boundary jobs + literal
+    # codegen dominate, volume nearly free) stays continuously measured.
+    tags=("behavioral", "segmentation", "bench"),
 )
 def q208_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: every customer scored into recency / frequency

@@ -1754,3 +1754,107 @@ def q259_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("max_cnt") / F.col("n"), 6).alias("dominant_share"),
         )
     )
+
+
+@register(
+    "q265_doc_repetition",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), m AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 5
+      THEN list_transform(generate_series(1, len(w)-4),
+                          i -> array_to_string(w[i:i+4], ' '))
+      ELSE CAST([] AS VARCHAR[]) END AS g5,
+    CASE WHEN len(w) >= 2
+      THEN list_transform(generate_series(1, len(w)-1),
+                          i -> w[i] || ' ' || w[i+1])
+      ELSE CAST([] AS VARCHAR[]) END AS bi
+  FROM toks
+), bc AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(bi) AS g FROM m) GROUP BY 1, 2
+), tb AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams
+  FROM bc GROUP BY 1
+)
+SELECT m.doc_id,
+  CAST(len(g5) AS BIGINT) AS n_5grams,
+  CAST(len(g5) - len(list_distinct(g5)) AS BIGINT) AS n_dup_5grams,
+  CAST(COALESCE(tb.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(tb.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+  (len(g5) - len(list_distinct(g5))) * 10 > len(g5) AS repetitive
+FROM m LEFT JOIN tb ON tb.doc_id = m.doc_id
+""",
+    tags=("text", "llm"),
+)
+def q265_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-doc repetition profile (Gopher repetition-filter family —
+    Rae et al. 2021 §A1.1: 'fraction of duplicate n-grams' computed
+    per document, the signal that catches degenerate/looping text
+    before training). Distinct from the CORPUS-level duplicate-gram
+    census (q243) and positional dup mass (q262): here each doc is
+    scored alone. Surfaces exact integers (gram counts, dup counts,
+    top-bigram multiplicity) plus the threshold flag as cross-
+    multiplied integer comparison — no float ratio can diverge between
+    engines.
+
+    Scale shape: the 5-gram metrics are ZERO-shuffle map-only
+    higher-order array math (transform + array_distinct per row); only
+    the top-bigram mode needs a (doc_id, gram)-grain word-count-shaped
+    shuffle, then a doc-grain rollup — both AQE-coalesced. No
+    corpus-wide state, embarrassingly parallel at 100 TB."""
+    empty = F.expr("CAST(array() AS array<string>)")
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", w.alias("w"))
+    g5 = F.when(
+        F.size("w") >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 4),
+            lambda i: F.concat_ws(" ", F.slice("w", i, 5)),
+        ),
+    ).otherwise(empty)
+    bi = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.concat_ws(" ", F.slice("w", i, 2)),
+        ),
+    ).otherwise(empty)
+    m = base.select(
+        "doc_id",
+        F.size(g5).cast("bigint").alias("n_5grams"),
+        (F.size(g5) - F.size(F.array_distinct(g5)))
+        .cast("bigint")
+        .alias("n_dup_5grams"),
+        bi.alias("_bi"),
+    )
+    bc = (
+        m.select("doc_id", F.explode("_bi").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("bigint").alias("top_bigram_n"),
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    return (
+        m.drop("_bi")
+        .join(bc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_5grams",
+            "n_dup_5grams",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("bigint")).alias(
+                "n_bigrams"
+            ),
+            F.coalesce(F.col("top_bigram_n"), F.lit(0).cast("bigint")).alias(
+                "top_bigram_n"
+            ),
+            (F.col("n_dup_5grams") * 10 > F.col("n_5grams")).alias("repetitive"),
+        )
+    )

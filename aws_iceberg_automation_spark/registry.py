@@ -165,6 +165,13 @@ _DRIVER_PRIORITY = [
     "q260_bulk_discount_curve",
     "q261_order_size_dispersion",
     "q262_positional_dup_mass",
+    # round-5 registrations / oracle conversions (attest in round 6):
+    "q263_stream_static_replay",
+    "q41_approx_count_distinct",
+    "q42b_percentile_sketch",
+    "q264_stream_stream_full_outer",
+    "q265_doc_repetition",
+    "q266_cdc_upsert_replay",
 ]
 
 

@@ -701,6 +701,59 @@ def stream_stream_attribution_outer(
     )
 
 
+def stream_stream_attribution_full(
+    events: DataFrame, window_minutes: int = 30
+) -> DataFrame:
+    """FULL OUTER stream-stream join — completes the join matrix
+    (inner ``stream_stream_attribution``, left outer ``_outer``): every
+    click emits (matched or null-extended, as in left outer) AND every
+    purchase with no click in the preceding ``window_minutes`` ALSO
+    emits null-extended once the click-side watermark proves no click
+    can still arrive. Orphan-purchase detection is what left outer
+    cannot express. State bound is identical — both sides already keep
+    their rows until the watermark; full outer only changes what is
+    emitted at eviction. Same determinism horizon as the left variant:
+    rows anchored younger than (max event time − delay − window −
+    margin) are indeterminate; q264 filters both sides to the horizon
+    before comparing against the batch full join."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            ts_sec("ts").cast("timestamp").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            ts_sec("ts").cast("timestamp").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
+        )
+    )
+    return clicks.join(purchases, cond, "full_outer").select(
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+        "click_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        "purchase_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")).alias(
+            "lag_seconds"
+        ),
+    )
+
+
 class _ProgressCapture:
     """StreamingQueryListener that captures per-microbatch progress
     telemetry (rows read, processing rate, state-store size) — the

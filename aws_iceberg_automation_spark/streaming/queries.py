@@ -435,3 +435,135 @@ def q256_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "psi",
         "drift_flag",
     )
+
+
+@register(
+    "q263_stream_static_replay",
+    oracle="""
+SELECT e.event_id, e.user_id, e.event_type,
+       c.c_mktsegment AS segment, c.c_acctbal AS acctbal
+FROM events e
+LEFT JOIN customer c ON c.c_custkey = e.user_id
+""",
+    tags=("streaming",),
+)
+def q263_stream_static_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension join (#79) as a genuine multi-microbatch
+    replay — the last §2 row to earn a driver-checkable entry (VERDICT
+    r04 ask #2). Every events microbatch left-joins the broadcast
+    customer dim (re-read per microbatch, no stream shuffle, no state);
+    user_id 0 has no matching custkey, so null extension is exercised.
+    Output hash-matches the batch left-join oracle. Reference need:
+    enriching an event stream against a Glue-cataloged dimension
+    (create_iceberg_tables.py writes the dims; SURVEY §2.10 row 79)."""
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    out = jobs.run_to_memory(
+        jobs.stream_static_join(_stream(spark, sf_dir), dim),
+        f"q263_mem_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    return out.select("event_id", "user_id", "event_type", "segment", "acctbal")
+
+
+@register(
+    "q264_stream_stream_full_outer",
+    oracle="""
+WITH mx AS (
+  SELECT least(
+    MAX(CASE WHEN event_type = 'click' THEN date_trunc('second', ts) END),
+    MAX(CASE WHEN event_type = 'purchase' THEN date_trunc('second', ts) END)
+  ) AS m FROM events
+),
+c AS (
+  SELECT user_id, event_id AS click_id, date_trunc('second', ts) AS click_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id AS pu, event_id AS purchase_id, date_trunc('second', ts) AS pts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT COALESCE(c.user_id, p.pu) AS user_id, c.click_id, c.click_ts,
+  p.purchase_id, p.pts AS purchase_ts,
+  CAST(epoch(p.pts) - epoch(c.click_ts) AS BIGINT) AS lag_seconds
+FROM c
+FULL JOIN p ON p.pu = c.user_id
+  AND p.pts >= c.click_ts
+  AND p.pts <= c.click_ts + INTERVAL 30 MINUTE
+WHERE COALESCE(c.click_ts, p.pts) <= (SELECT m FROM mx) - INTERVAL 170 MINUTE
+""",
+    tags=("streaming",),
+)
+def q264_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join replay — the join-matrix
+    completion over q122 (inner) and q146 (left outer): unmatched
+    clicks null-extend on the right AND orphan purchases (no click in
+    the preceding 30 minutes) null-extend on the left, each only after
+    the opposite watermark proves absence. Compared to the batch full
+    join behind the same determinism horizon as q146 (max event time −
+    2 h delay − 30 min window − margin), anchored per row at its
+    earliest side: behind the horizon every emission — matched pairs,
+    null-extended clicks, null-extended purchases — must match the
+    batch full join exactly."""
+    out = jobs.run_to_memory(
+        jobs.stream_stream_attribution_full(_stream(spark, sf_dir)),
+        f"q264_mem_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(
+        F.least(
+            ts_sec(F.max(F.when(F.col("event_type") == "click", F.col("ts")))),
+            ts_sec(F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))),
+        ).alias("m")
+    )
+    return (
+        out.join(F.broadcast(mx))
+        .filter(
+            F.coalesce(F.col("click_ts"), F.col("purchase_ts"))
+            <= F.col("m") - F.expr("INTERVAL 170 MINUTES")
+        )
+        .drop("m")
+    )
+
+
+@register(
+    "q266_cdc_upsert_replay",
+    oracle="""
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY date_trunc('second', ts) DESC, event_id DESC
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    tags=("streaming", "cdc"),
+)
+def q266_cdc_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-upsert sink as a driver-checkable query: the
+    events replay feeds ``foreach_batch_versioned_upsert`` — per
+    microbatch, last-write-wins dedup then keyed MERGE into a
+    time-travelable VersionedTable (one snapshot per microbatch, the
+    foreachBatch+MERGE pattern production lakehouses run; Iceberg MERGE
+    in the gated native path, identical call shape). Final table state
+    must equal the batch latest-row-per-user — ties at the truncated
+    second broken by event_id on both sides. The lifecycle API was
+    pytest-proven (test_foreach_batch_versioned_upsert); this entry
+    puts the end state under the driver's hash."""
+    import tempfile as _tf
+
+    from ..versioning import VersionedTable
+
+    d = _tf.mkdtemp(prefix="q266_cdc_")
+    vt = VersionedTable(spark, os.path.join(d, "state"))
+    s = jobs.with_watermark(_stream(spark, sf_dir)).select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    jobs.foreach_batch_versioned_upsert(
+        s, vt, ["user_id"], os.path.join(d, "ckpt")
+    )
+    return vt.read().select("user_id", "event_id", "event_type", "value")

@@ -257,9 +257,21 @@ def test_stratified_sample_rates(spark):
 
 
 def test_approx_count_distinct_close(spark):
-    rows = SPECS["q41_approx_count_distinct"].fn(spark, SF_DIR).collect()
+    # raw ≤5% error bound (tighter than q41's surfaced 15% gate, which
+    # now feeds the DuckDB oracle as a stable boolean)
+    rows = (
+        load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .collect()
+    )
     for r in rows:
         assert abs(r.approx_parts - r.exact_parts) <= max(0.05 * r.exact_parts, 2)
+    gate = SPECS["q41_approx_count_distinct"].fn(spark, SF_DIR).collect()
+    assert gate and all(r.within_rsd for r in gate)
 
 
 def test_decode_features_plumbing(spark):
@@ -287,9 +299,21 @@ def test_resize_thumbnails(spark):
 
 
 def test_percentile_sketch_error_bounded(spark):
-    rows = SPECS["q42b_percentile_sketch"].fn(spark, SF_DIR).collect()
+    # raw ≤2% error bound (tighter than q42b's surfaced 5% gate, which
+    # now feeds the DuckDB oracle as a stable boolean)
+    rows = (
+        load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_sketch"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+        )
+        .collect()
+    )
     for r in rows:
         assert abs(r.p50_sketch - r.p50_exact) <= 0.02 * abs(r.p50_exact)
+    gate = SPECS["q42b_percentile_sketch"].fn(spark, SF_DIR).collect()
+    assert gate and all(r.sketch_within_eps for r in gate)
 
 
 def test_frame_sampling_expansion(spark):

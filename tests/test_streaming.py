@@ -548,3 +548,24 @@ def test_stream_drift_monitor_known_psi(spark, tmp_path):
     assert out[1].psi > out[0].psi
     assert out[0].drift_flag == (psi0 > 0.2)
     assert out[1].drift_flag == (psi1 > 0.2)
+
+
+def test_full_outer_stream_join_emits_both_null_classes(spark):
+    """q264's full-outer check is only stronger than q146's left-outer
+    if the fixture actually produces BOTH null-extension classes behind
+    the horizon: clicks with no purchase (purchase_id NULL) and orphan
+    purchases with no prior click (click_id NULL). If a fixture change
+    drops either class, the full-outer claim silently degenerates —
+    fail here, not in a vacuous oracle pass."""
+    from aws_iceberg_automation_spark.registry import all_specs
+
+    out = all_specs()["q264_stream_stream_full_outer"].fn(spark, SF_DIR)
+    rows = out.collect()
+    n_unmatched_clicks = sum(1 for r in rows if r.purchase_id is None)
+    n_orphan_purchases = sum(1 for r in rows if r.click_id is None)
+    n_matched = sum(
+        1 for r in rows if r.click_id is not None and r.purchase_id is not None
+    )
+    assert n_unmatched_clicks > 0, "no null-extended clicks — vacuous"
+    assert n_orphan_purchases > 0, "no orphan purchases — left outer would do"
+    assert n_matched > 0, "no matched pairs — join condition vacuous"
