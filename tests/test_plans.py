@@ -525,3 +525,28 @@ def test_gram_and_backtest_joins_stay_keyed(name, spark):
     assert strategies, f"{name}: expected at least one join"
     bad = [s for s in strategies if s in ("BroadcastNestedLoopJoin", "CartesianProduct")]
     assert not bad, f"{name}: non-equi join strategy planned: {strategies}"
+
+
+def test_doc_repetition_prunes_to_two_columns(spark):
+    """q265 reads only (doc_id, text) — the scan's ReadSchema must not
+    drag lang/source/n_chars through the map-side gram math. Its only
+    exchanges are the (doc_id, gram)-grain partial-agg pair plus the
+    doc-grain stitch join; the 5-gram metrics themselves are map-only
+    higher-order array work on the scan side."""
+    import re
+
+    from aws_iceberg_automation_spark.plans.explain import plan_string
+
+    df = q("q265_doc_repetition", spark)
+    p = plan_string(df)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas, p
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"doc_id", "text"}, f"pruning lost: {cols}"
+    strategies = [
+        s
+        for s in re.findall(r"(\w*Join\w*)", p)
+        if s in ("BroadcastNestedLoopJoin", "CartesianProduct")
+    ]
+    assert not strategies, f"non-equi strategy in q265: {strategies}"
