@@ -172,17 +172,20 @@ def q81b_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_candidate_pairs(
+def _lsh_candidate_pairs_frame(
     docs: DataFrame,
     k: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
-    threshold: float = 0.5,
     bucket_cap: int = 64,
     portable: bool = False,
-) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline over (doc_id, text): returns
-    verified pairs (doc_id_a < doc_id_b, jaccard ≥ threshold).
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate-generation half of the MinHash-LSH pipeline: returns
+    ``(cand, sh)`` — distinct candidate pairs (doc_id_a < doc_id_b)
+    from the cap-salted band buckets, plus the (doc_id, shingles)
+    frame the verify step joins back to. Shared by the verified-pair
+    dedup (minhash_candidate_pairs) and the estimator-accuracy audit
+    (q268), so the two can never drift on banding/salting semantics.
 
     Skew guardrail: a (band, band_hash) bucket holding b docs yields
     C(b,2) candidate pairs — boilerplate corpora concentrate millions
@@ -258,6 +261,25 @@ def minhash_candidate_pairs(
         )
         .distinct()
     )
+    return cand, sh
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    bucket_cap: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline over (doc_id, text): returns
+    verified pairs (doc_id_a < doc_id_b, jaccard ≥ threshold) — the
+    cap-salted candidate generation (see _lsh_candidate_pairs_frame)
+    followed by the exact-Jaccard verify join."""
+    cand, sh = _lsh_candidate_pairs_frame(
+        docs, k, num_hashes, bands, bucket_cap, portable
+    )
     sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
     jac = jaccard(F.col("sh_a"), F.col("sh_b"))
@@ -308,8 +330,10 @@ _MINHASH_CTES = f"""tok AS (
   FROM sig, (SELECT unnest(range(0, 8)) AS b) bs
 )"""
 
-_Q82_ORACLE = f"""
-WITH {_MINHASH_CTES}, sizes AS (
+# Candidate CTEs (cap-salted band buckets) — shared verbatim by the
+# q82 verified-pair oracle and the q268 estimator-audit oracle, mirror
+# of _lsh_candidate_pairs_frame.
+_CAND_CTES = f"""sizes AS (
   SELECT band, band_hash, COUNT(*) AS bucket_size FROM banded GROUP BY 1, 2
 ), salted AS (
   SELECT doc_id, band, band_hash,
@@ -322,7 +346,10 @@ WITH {_MINHASH_CTES}, sizes AS (
   FROM salted a JOIN salted b
     ON a.band = b.band AND a.band_hash = b.band_hash
    AND a.salt = b.salt AND a.doc_id < b.doc_id
-)
+)"""
+
+_Q82_ORACLE = f"""
+WITH {_MINHASH_CTES}, {_CAND_CTES}
 SELECT doc_id_a, doc_id_b,
   round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
         / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
@@ -1700,5 +1727,147 @@ def q262_positional_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("occ").cast("bigint").alias("total_grams"),
             dup.cast("bigint").alias("dup_grams"),
             F.round(dup.cast("double") / F.sum("occ"), 6).alias("dup_mass"),
+        )
+    )
+
+
+_Q268_ORACLE = f"""
+WITH {_MINHASH_CTES}, {_CAND_CTES}
+SELECT doc_id_a, doc_id_b,
+  CAST(len(list_filter(range(0, 32),
+           h -> ga.sig[h + 1] = gb.sig[h + 1])) AS BIGINT) AS sig_agree,
+  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard,
+  abs(CAST(len(list_filter(range(0, 32),
+          h -> ga.sig[h + 1] = gb.sig[h + 1])) AS DOUBLE) / 32
+      - CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / len(list_distinct(sa.shingles || sb.shingles))) <= 0.25
+    AS within_bound
+FROM cand
+JOIN sh sa ON sa.doc_id = cand.doc_id_a
+JOIN sh sb ON sb.doc_id = cand.doc_id_b
+JOIN sig ga ON ga.doc_id = cand.doc_id_a
+JOIN sig gb ON gb.doc_id = cand.doc_id_b
+"""
+
+
+@register("q268_minhash_estimator_audit", oracle=_Q268_ORACLE, tags=("dedup", "llm"))
+def q268_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR accuracy audit: for every LSH candidate pair,
+    the signature agreement count (matching positions out of 32 — the
+    MinHash estimate of Jaccard in 32nds) next to the exact Jaccard,
+    plus the |estimate − exact| ≤ 0.25 bound check. Complements q187
+    (candidate RECALL vs exact ground truth) with estimator BIAS — the
+    audit that justifies num_hashes=32: if agreement/32 drifted from
+    exact J, the banding-probability math behind the q253 threshold
+    curve would be fiction. Candidates (not just verified pairs) keep
+    low-J false positives in the sample, so the estimator is audited
+    across the J spectrum, not only where it flatters.
+
+    Scale shape: identical candidate machinery as q82 (shared
+    _lsh_candidate_pairs_frame — cap-salted buckets, bounded pair
+    work); signatures recomputed map-side from the same pure portable
+    hash chain; the audit joins are doc_id-keyed hash joins on the
+    bounded candidate set. sig_agree/32 is exact in binary (5-bit
+    fraction) and exact J is a single correctly-rounded division, so
+    the boolean is engine-identical."""
+    from ..functions.compat import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cand, sh = _lsh_candidate_pairs_frame(docs, portable=True)
+    sigf = sh.withColumn(
+        "_hm",
+        F.transform("shingles", lambda s: portable_hash64(s) % _MH_P),
+    ).select(
+        "doc_id",
+        minhash_from_base_hashes(F.col("_hm"), 32).alias("sig"),
+        "shingles",
+    )
+    sa = sigf.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    sb = sigf.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    jac = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            agree.cast("bigint").alias("sig_agree"),
+            F.round(jac, 6).alias("jaccard"),
+            (F.abs(agree.cast("double") / 32 - jac) <= 0.25).alias(
+                "within_bound"
+            ),
+        )
+    )
+
+
+_Q269_ORACLE = f"""
+WITH {_MINHASH_CTES}, {_CAND_CTES}, pj AS (
+  SELECT cand.doc_id_b AS doc_id,
+         MAX(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(list_distinct(sa.shingles || sb.shingles))) AS mp
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.doc_id_a
+  JOIN sh sb ON sb.doc_id = cand.doc_id_b
+  GROUP BY 1
+)
+SELECT d.doc_id,
+  round(COALESCE(pj.mp, 0), 6) AS max_prior_jaccard,
+  COALESCE(pj.mp, 0) < 0.5 AS novel
+FROM documents d LEFT JOIN pj ON pj.doc_id = d.doc_id
+"""
+
+
+@register("q269_crawl_novelty", oracle=_Q269_ORACLE, tags=("dedup", "llm"))
+def q269_crawl_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-order NOVELTY score: for every document, the maximum exact
+    Jaccard against any EARLIER document (doc_id order = ingest order)
+    among its LSH candidates, and the novel flag (max < 0.5). This is
+    the score a crawl frontier uses to decide whether a fetched page
+    adds anything — the online framing of the same dedup decision q82
+    makes in batch (candidate pairs are a<b by construction, so
+    grouping pairs by the LATER doc gives each doc its
+    best-prior-match). Docs with no candidate score 0 — novel by LSH's
+    own recall guarantee (q187 audits that guarantee).
+
+    Scale shape: shares _lsh_candidate_pairs_frame (cap-salted
+    buckets, bounded pair work), one doc_id_b-grain agg over the
+    candidate set, then a left join back to the corpus id list —
+    word-count-shaped all the way. The novelty threshold compares the
+    RAW max ratio (exact division, engine-identical) and rounds only
+    for display."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cand, sh = _lsh_candidate_pairs_frame(docs, portable=True)
+    sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
+    jac = jaccard(F.col("sh_a"), F.col("sh_b"))
+    prior = (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .groupBy("doc_id_b")
+        .agg(F.max(jac).alias("mp"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(prior, docs.doc_id == prior.doc_id_b, "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce(F.col("mp"), F.lit(0.0)), 6).alias(
+                "max_prior_jaccard"
+            ),
+            (F.coalesce(F.col("mp"), F.lit(0.0)) < 0.5).alias("novel"),
         )
     )

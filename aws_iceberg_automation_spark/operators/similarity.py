@@ -1149,3 +1149,93 @@ def q248_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tv = 0) surfaces NULL shares, never an ANSI crash
         F.round(F.try_divide(F.col("var"), F.col("tv")), 6).alias("var_share"),
     )
+
+
+@register(
+    "q267_embedding_outliers",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ex AS (
+  SELECT vec_id, label,
+         unnest(range(1, len(v) + 1)) AS pos,
+         unnest(v) AS x
+  FROM e
+), cen AS (
+  SELECT label, pos, avg(x) AS cx FROM ex GROUP BY 1, 2
+), cnorm AS (
+  SELECT label, SUM(cx * cx) AS cn2 FROM cen GROUP BY 1
+), per AS (
+  SELECT ex.vec_id, ex.label,
+         SUM(x * cx) AS dot, SUM(x * x) AS vn2
+  FROM ex JOIN cen ON cen.label = ex.label AND cen.pos = ex.pos
+  GROUP BY 1, 2
+), cosd AS (
+  SELECT per.label, per.vec_id,
+         round(dot / (sqrt(vn2) * sqrt(cn2)), 5) AS cos_c
+  FROM per JOIN cnorm ON cnorm.label = per.label
+), ranked AS (
+  SELECT label, vec_id, cos_c,
+         row_number() OVER (
+           PARTITION BY label ORDER BY cos_c ASC, vec_id ASC
+         ) AS outlier_rank
+  FROM cosd
+)
+SELECT label, vec_id, cos_c AS cos_centroid,
+       CAST(outlier_rank AS INT) AS outlier_rank
+FROM ranked WHERE outlier_rank <= 5
+""",
+    tags=("similarity", "llm", "vector"),
+)
+def q267_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-outlier NAMING: the 5 vectors farthest from their own
+    label centroid (lowest cosine), per label — the action list q199's
+    summary only hints at (q199 says 'label 7 has a low min'; this says
+    WHICH vec_ids to audit/drop — mislabeled-data detection, the
+    curation step before trusting labels for training). Cosines round
+    to 5 BEFORE ranking on both sides so engine ulp drift cannot
+    reorder the boundary; ties break by vec_id — a total order.
+
+    Scale shape: identical to q199 up to the per-vector cosine (corpus
+    never shuffles; centroids broadcast), then a label-partitioned
+    bottom-5 that compiles to WindowGroupLimit (map-side per-partition
+    heaps carry ≤5 rows per label per mapper — asserted in
+    test_plans). Output is |labels|×5 rows at any corpus size."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = e.select(
+        "vec_id", "label", F.posexplode("v").alias("p0", "x")
+    ).select("vec_id", "label", (F.col("p0") + 1).alias("pos"), "x")
+    cen = ex.groupBy("label", "pos").agg(F.avg("x").alias("cx"))
+    cnorm = cen.groupBy("label").agg(
+        F.sum(F.col("cx") * F.col("cx")).alias("cn2")
+    )
+    per = (
+        ex.join(F.broadcast(cen), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("x") * F.col("cx")).alias("dot"),
+            F.sum(F.col("x") * F.col("x")).alias("vn2"),
+        )
+    )
+    cosd = per.join(F.broadcast(cnorm), "label").select(
+        "label",
+        "vec_id",
+        F.round(
+            F.try_divide(F.col("dot"), F.sqrt("vn2") * F.sqrt("cn2")), 5
+        ).alias("cos_c"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cos_c").asc(), F.col("vec_id").asc()
+    )
+    return (
+        cosd.withColumn("outlier_rank", F.row_number().over(w))
+        .filter(F.col("outlier_rank") <= 5)
+        .select(
+            "label",
+            "vec_id",
+            F.col("cos_c").alias("cos_centroid"),
+            F.col("outlier_rank").cast("int").alias("outlier_rank"),
+        )
+    )

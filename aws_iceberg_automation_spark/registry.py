@@ -172,6 +172,9 @@ _DRIVER_PRIORITY = [
     "q264_stream_stream_full_outer",
     "q265_doc_repetition",
     "q266_cdc_upsert_replay",
+    "q267_embedding_outliers",
+    "q268_minhash_estimator_audit",
+    "q269_crawl_novelty",
 ]
 
 

@@ -550,3 +550,18 @@ def test_doc_repetition_prunes_to_two_columns(spark):
         if s in ("BroadcastNestedLoopJoin", "CartesianProduct")
     ]
     assert not strategies, f"non-equi strategy in q265: {strategies}"
+
+
+def test_embedding_outliers_uses_window_group_limit(spark):
+    """q267's docstring claims the label-partitioned bottom-5 compiles
+    to WindowGroupLimit and the centroid/norm frames broadcast — the
+    corpus-side frame must never sort-merge against a labels×dims
+    frame."""
+    import re
+
+    from aws_iceberg_automation_spark.plans.explain import plan_string
+
+    p = plan_string(q("q267_embedding_outliers", spark))
+    assert "WindowGroupLimit" in p, "bottom-5 not pushed into window"
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, p
