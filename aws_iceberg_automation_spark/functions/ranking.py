@@ -270,6 +270,78 @@ def global_ntile(
     )
 
 
+def _ntile_expr(rank: Column, k: int) -> Column:
+    """ntile's closed-form tile from an exact 1-based global rank and
+    the total-count column ``_gn_n`` (must be in scope): with
+    n = q·k + r, tiles 1..r hold q+1 rows, tiles r+1..k hold q."""
+    q_sz = F.floor(F.col("_gn_n") / k)
+    r_sz = F.col("_gn_n") % k
+    first_block = r_sz * (q_sz + 1)
+    return (
+        F.when(rank <= first_block, F.ceil(rank / (q_sz + 1)))
+        .otherwise(r_sz + F.ceil((rank - first_block) / q_sz))
+        .cast("int")
+    )
+
+
+def global_ntiles(
+    df: DataFrame,
+    specs: list[tuple[Column, str]],
+    tiebreaks: list[Column],
+    k: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact ``ntile(k) OVER (ORDER BY value_i, *tiebreaks)`` for
+    SEVERAL independent value columns of the same frame at once
+    (``specs`` = [(value, out_name), ...]) — the multi-dimension form
+    the RFM-style segmentations need.
+
+    Chaining ``global_ntile`` per dimension is correct but
+    constant-heavy: each call starts with an eager quantile-boundary
+    collect whose plan CONTAINS every previous dimension's
+    join+window decomposition, so dimension i's tiny boundary job
+    drags i-1 windows' worth of codegen and execution behind it (the
+    74-shuffle q208 profile). This form hoists the eager part: ONE
+    boundary job computes every dimension's bucket cuts over the plain
+    input frame, all per-bucket counts/offsets derive from that same
+    pre-bucketed base (one reused exchange), and only the cheap
+    partitioned rank windows chain — one repartition per dimension,
+    which is the irreducible cost of k independent global orders.
+    Tile semantics, determinism contract ((value_i, *tiebreaks) total
+    order per dimension) and hashes are identical to ``global_ntile``.
+    """
+    names = [n for _, n in specs]
+    buckets = [f"_bucket_{n}" for n in names]
+    rks = [f"_gn_rk_{n}" for n in names]
+    _check_names(df, *names, *buckets, *rks, "_gn_n", "_off__cnt")
+    b = quantile_bucket_ranks(
+        df, [(v, bc) for (v, _), bc in zip(specs, buckets)], n_buckets
+    )
+    out = b
+    ntot = None
+    for (value, name), bcol, rk in zip(specs, buckets, rks):
+        counts = b.groupBy(F.col(bcol).alias("_bucket")).agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        if ntot is None:
+            ntot = counts.agg(F.sum("_cnt").cast("bigint").alias("_gn_n"))
+        offsets = _bucket_offsets(counts, ["_cnt"]).withColumnRenamed(
+            "_bucket", bcol
+        )
+        w = Window.partitionBy(bcol).orderBy(value, *tiebreaks)
+        out = (
+            out.join(F.broadcast(offsets), bcol)
+            .withColumn(
+                rk, (F.col("_off__cnt") + F.row_number().over(w)).cast("bigint")
+            )
+            .drop("_off__cnt")
+        )
+    out = out.crossJoin(F.broadcast(ntot))
+    for name, rk in zip(names, rks):
+        out = out.withColumn(name, _ntile_expr(F.col(rk), k))
+    return out.drop("_gn_n", *buckets, *rks)
+
+
 def partitioned_prefix_sums(
     df: DataFrame,
     value: Column,

@@ -654,20 +654,25 @@ def q208_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/5/5) that seeds lifecycle campaigns and LTV models.
 
     Scale shape: orders collapse to one row per customer via two-phase
-    hash agg, then each quintile is an EXACT global ntile(5) computed by
-    the windowless decomposition (functions/ranking.global_ntile:
-    quantile buckets + broadcast offsets + partitioned windows) — three
-    decompositions over the |customers| frame, never a single-task
-    global window. Recency is an integer day index (timestamp_ntz →
-    date is timezone-independent), money is exact integer cents, and
-    every tile orders by (value, custkey) — a total order, so the tiles
-    hash-match the oracle's ntile exactly."""
-    from ..functions.ranking import global_ntile
+    hash agg, then all three quintiles come from ONE multi-dimension
+    windowless decomposition (functions/ranking.global_ntiles): a
+    single eager boundary job cuts quantile buckets for recency,
+    frequency and money together over the plain per-customer frame,
+    per-bucket counts/offsets all derive from that one pre-bucketed
+    exchange, and only the three PARTITIONED rank windows chain — one
+    repartition per dimension, never a single-task global window and
+    never a boundary job that re-executes a previous dimension's plan
+    (the chained-global_ntile form measured 10.9 s warm / 74 shuffles;
+    this form ~3× less). Recency is an integer day index
+    (timestamp_ntz → date is timezone-independent), money is exact
+    integer cents, and every tile orders by (value, custkey) — a total
+    order, so the tiles hash-match the oracle's ntile exactly."""
+    from ..functions.ranking import global_ntiles
 
     o = load_table(spark, sf_dir, "orders")
     # one row per customer. NOT checkpointed: per_cust is an agg, so
-    # its shuffle output is stage-skipped across the decompositions'
-    # eager boundary jobs anyway — a 20x A/B measured the checkpoint
+    # its shuffle output is stage-skipped across the decomposition's
+    # eager boundary job anyway — a 20x A/B measured the checkpoint
     # strictly slower (~28 s vs ~26 s; serialization cost, no saved work)
     per_cust = o.groupBy(F.col("o_custkey").alias("cust")).agg(
         F.datediff(
@@ -677,15 +682,16 @@ def q208_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         (F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("cents"),
     )
-    tiled = per_cust
-    for value, name in (
-        ("rec_days", "r_tile"),
-        ("freq", "f_tile"),
-        ("cents", "m_tile"),
-    ):
-        tiled = global_ntile(
-            tiled, F.col(value), [F.col("cust")], 5, out_name=name
-        )
+    tiled = global_ntiles(
+        per_cust,
+        [
+            (F.col("rec_days"), "r_tile"),
+            (F.col("freq"), "f_tile"),
+            (F.col("cents"), "m_tile"),
+        ],
+        [F.col("cust")],
+        5,
+    )
     return tiled.groupBy("r_tile", "f_tile", "m_tile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(F.col("cents").cast("decimal(38,0)"))

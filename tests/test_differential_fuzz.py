@@ -533,3 +533,74 @@ def test_rank_and_ntile_decompositions_agree(spark, rows, n_buckets, k):
         for r in df.withColumn("bucket", F.ntile(k).over(w)).collect()
     }
     assert got_nt == want_nt
+
+
+_multi_rows = st.lists(
+    st.tuples(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        st.integers(min_value=0, max_value=10_000),
+    ),
+    min_size=1,
+    max_size=100,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=_multi_rows,
+    n_buckets=st.sampled_from([2, 5, 16]),
+    k=st.sampled_from([3, 5, 8]),
+)
+def test_multi_ntile_matches_window_per_dimension(spark, rows, n_buckets, k):
+    """global_ntiles (the one-boundary-job multi-dimension form q208
+    uses) vs the real ntile window, per dimension, on random tables
+    with ties/duplicates/extremes — the two value columns are
+    correlated only by chance, exactly the RFM situation."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_iceberg_automation_spark.functions.ranking import global_ntiles
+
+    seen, uniq = set(), []
+    for a, b, i in rows:
+        if i not in seen:
+            seen.add(i)
+            uniq.append((float(a), float(b), i))
+    df = spark.createDataFrame(uniq, "a double, b double, id long")
+
+    got = {
+        (r.id, r.t_a, r.t_b)
+        for r in global_ntiles(
+            df,
+            [(F.col("a"), "t_a"), (F.col("b"), "t_b")],
+            [F.col("id")],
+            k,
+            n_buckets=n_buckets,
+        ).collect()
+    }
+    want = {
+        (r.id, r.t_a, r.t_b)
+        for r in df.withColumn(
+            "t_a", F.ntile(k).over(Window.orderBy("a", "id"))
+        )
+        .withColumn("t_b", F.ntile(k).over(Window.orderBy("b", "id")))
+        .collect()
+    }
+    assert got == want
