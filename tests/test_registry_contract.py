@@ -163,3 +163,38 @@ def test_fixture_results_stay_nonvacuous(name, spark):
 
     n = all_specs()[name].fn(spark, SF_DIR).count()
     assert n > 0, f"{name} is vacuous again (0 rows at {SF_DIR})"
+
+
+def test_plans_md_covers_registry_and_bans_cartesian():
+    """Registry-wide plan lint over the committed PLANS.md audit: every
+    registered query has a row (so the doc is regenerated after each
+    registration batch), no batch plan chose CartesianProduct anywhere
+    (the one strategy with no bounded-work story — every intentional
+    small-side cross join in the repo broadcasts, which Catalyst plans
+    as BroadcastNestedLoop), and q208's exchange count stays at the
+    multi-dimension-ntile level (the round-5 74→20 rewrite) so a
+    regression back to chained decompositions reddens here instead of
+    silently re-inflating the bench."""
+    import os
+    import re
+
+    from aws_iceberg_automation_spark.registry import all_specs
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rows = {}
+    for line in open(os.path.join(repo, "PLANS.md")):
+        m = re.match(r"\| (q\w+) \| (\S+) \| (\S+) \|", line)
+        if m:
+            rows[m.group(1)] = (m.group(2), m.group(3))
+    missing = sorted(set(all_specs()) - set(rows))
+    assert not missing, (
+        f"queries registered but absent from PLANS.md: {missing} — "
+        "re-run scripts/plan_report.py"
+    )
+    cartesian = sorted(n for n, (_, joins) in rows.items() if "X" in joins)
+    assert not cartesian, f"CartesianProduct in committed plans: {cartesian}"
+    q208_shuffles = rows["q208_rfm_segments"][0]
+    assert q208_shuffles != "—" and int(q208_shuffles) <= 24, (
+        f"q208 exchange count regressed to {q208_shuffles} (was 20 after "
+        "the global_ntiles rewrite, 74 before it)"
+    )
