@@ -103,6 +103,20 @@ def quantile_bucket_ranks(
         if bounds is None:  # empty input frame: no boundaries, bucket 0
             out = out.withColumn(name, F.lit(0))
             continue
+        # Normalize -0.0 boundaries to +0.0 (x + 0.0 is the IEEE idiom;
+        # comparison-wise identical). A Literal(-0.0) inside one of
+        # several bucket when-chains in the SAME projection trips a
+        # whole-stage-codegen subexpression-elimination bug in Spark
+        # 4.1.2 — every term of the poisoned chain evaluates 0 under
+        # codegen (correct interpreted), so two rows with value 0.0
+        # bucket differently across plan paths and the offsets join
+        # returns EMPTY. -0.0 boundaries are reachable: percentile over
+        # a column that contains -0.0, e.g. anything through
+        # desc_as_asc's negation of a 0.0. Found by
+        # test_multi_ntile_matches_window_per_dimension's fuzz.
+        # (floats only: integer-typed boundaries must stay integers or
+        # the literal would silently widen the comparison to double)
+        bounds = [b + 0.0 if isinstance(b, float) else b for b in bounds]
         # Sum of indicator terms, not filter(array<lit>, lambda):
         # lambda outer-references break under Catalyst's self-join
         # attribute dedup (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when the

@@ -604,3 +604,42 @@ def test_multi_ntile_matches_window_per_dimension(spark, rows, n_buckets, k):
         .collect()
     }
     assert got == want
+
+
+def test_negative_zero_boundaries_do_not_poison_bucket_chains(spark):
+    """Pinned regression for the Spark 4.1.2 whole-stage-codegen
+    subexpression bug the multi-ntile fuzz found: when one dimension's
+    quantile boundaries contain Literal(-0.0) and ANOTHER dimension's
+    bucket when-chain shares the projection, every term of the -0.0
+    chain evaluates 0 under codegen (correct interpreted / single-dim),
+    so rows bucket differently across plan paths and the offsets join
+    drops them all — global_ntiles returned the EMPTY SET on this
+    two-row input before quantile_bucket_ranks normalized float
+    boundaries to +0.0."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_iceberg_automation_spark.functions.ranking import global_ntiles
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 0), (0.0, -0.0, 1)], "a double, b double, id long"
+    )
+    got = {
+        (r.id, r.t_a, r.t_b)
+        for r in global_ntiles(
+            df,
+            [(F.col("a"), "t_a"), (F.col("b"), "t_b")],
+            [F.col("id")],
+            3,
+            n_buckets=5,
+        ).collect()
+    }
+    want = {
+        (r.id, r.t_a, r.t_b)
+        for r in df.withColumn(
+            "t_a", F.ntile(3).over(Window.orderBy("a", "id"))
+        )
+        .withColumn("t_b", F.ntile(3).over(Window.orderBy("b", "id")))
+        .collect()
+    }
+    assert got == want and got, got
