@@ -361,14 +361,21 @@ def partitioned_prefix_sums(
     value: Column,
     sum_cols: list[str],
     n_buckets: int = 64,
+    tiebreaks: list[Column] | None = None,
 ) -> DataFrame:
     """Exact running sums of ``sum_cols`` in ``value`` order (adds
     ``cum_<col>`` columns) without a single-partition window: the same
     bucket/offset decomposition as ``global_row_number``, with the
     within-bucket cumulative window PARTITIONED by bucket. ``value``
-    must be unique per row (e.g. the output of a groupBy on it), so
-    "rows before me in this bucket" is well-defined — exactly the ECDF
-    shape."""
+    must be unique per row (e.g. the output of a groupBy on it) UNLESS
+    ``tiebreaks`` completes it to a total order — quantile buckets are
+    MONOTONE (equal values always share a bucket), so a tie never
+    spans buckets and the within-bucket (value, *tiebreaks) order is
+    the global one. Passing tiebreaks instead of pre-ranking the frame
+    (the old q209 shape: global_row_number → prefix sums over rk) is
+    one decomposition instead of two chained ones — the second
+    boundary collect used to re-execute the whole rank plan."""
+    tiebreaks = tiebreaks or []
     _check_names(
         df, "_bucket", *[f"_off_{c}" for c in sum_cols],
         *[f"cum_{c}" for c in sum_cols],
@@ -380,7 +387,7 @@ def partitioned_prefix_sums(
     offsets = _bucket_offsets(per_bucket, sum_cols)
     w = (
         Window.partitionBy("_bucket")
-        .orderBy(value)
+        .orderBy(value, *tiebreaks)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = b.join(F.broadcast(offsets), "_bucket")

@@ -1248,10 +1248,14 @@ def q209_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: lineitems collapse to one exact-integer-micros row
     per part (two-phase hash agg), then the descending cumulative
-    revenue is computed WITHOUT a single-task global window: an exact
-    global rank (functions/ranking.global_row_number over the negated
-    value) feeds partitioned_prefix_sums — quantile buckets, broadcast
-    offsets, partitioned cumulative windows. Class boundaries are
+    revenue is computed WITHOUT a single-task global window: ONE
+    partitioned_prefix_sums decomposition ordered by (negated revenue,
+    partkey) — quantile buckets, broadcast offsets, partitioned
+    cumulative windows. (The round-4 form chained global_row_number →
+    prefix-sums-over-rk; the rank was only ever the ORDER, and the
+    second decomposition's eager boundary collect re-executed the
+    whole rank plan — tiebreaks on the prefix sums made the rank stage
+    unnecessary: 24→8 exchanges.) Class boundaries are
     DECIMAL(38,0) cross-multiplications (5·cum ≤ 4·tot) — no float
     division anywhere near the cut, so boundary parts can never diverge
     between engines, and no int64 ceiling either (20·cum overflowed
@@ -1259,23 +1263,21 @@ def q209_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Micros-in-BIGINT holds per-part and cumulatively to ~9e18; a 100 TB
     deployment flips the prefix-sum measure itself to DECIMAL for
     headroom (same plan shape, ANSI overflow fails loud, not wrapped)."""
-    from ..functions.ranking import (
-        desc_as_asc,
-        global_row_number,
-        partitioned_prefix_sums,
-    )
+    from ..functions.ranking import desc_as_asc, partitioned_prefix_sums
 
     li = load_table(spark, sf_dir, "lineitem")
     # one row per part. NOT checkpointed: pr is an agg, so its shuffle
-    # output is stage-skipped across the decompositions' boundary jobs
+    # output is stage-skipped across the decomposition's boundary job
     # anyway (20x A/B: checkpoint ~27 s vs ~24 s plain)
     pr = li.groupBy("l_partkey").agg(
         (F.sum(disc_price()) * 1000000).cast("bigint").alias("rev_micros")
     )
-    ranked = global_row_number(
-        pr, desc_as_asc(F.col("rev_micros")), [F.col("l_partkey")]
+    cum = partitioned_prefix_sums(
+        pr,
+        desc_as_asc(F.col("rev_micros")),
+        ["rev_micros"],
+        tiebreaks=[F.col("l_partkey")],
     )
-    cum = partitioned_prefix_sums(ranked, F.col("rk"), ["rev_micros"])
     tot = pr.agg(F.sum("rev_micros").cast("bigint").alias("tot"))
     # Class boundaries in DECIMAL(38,0): 20·cum overflows int64 once
     # total revenue passes ~4.6e17 micros (the 20x probe hit it) —

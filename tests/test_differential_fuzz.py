@@ -643,3 +643,50 @@ def test_negative_zero_boundaries_do_not_poison_bucket_chains(spark):
         .collect()
     }
     assert got == want and got, got
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_rank_rows, n_buckets=st.sampled_from([2, 5, 16]))
+def test_prefix_sums_with_tiebreaks_match_window(spark, rows, n_buckets):
+    """partitioned_prefix_sums with a NON-unique value + tiebreak (the
+    q209 shape after the round-5 rewrite dropped its rank stage) vs
+    the real cumulative window over (value, id) — duplicate values
+    MUST accumulate in tiebreak order, and ties must never straddle
+    bucket boundaries."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_iceberg_automation_spark.functions.ranking import (
+        partitioned_prefix_sums,
+    )
+
+    seen, uniq = set(), []
+    for v, i in rows:
+        if i not in seen:
+            seen.add(i)
+            uniq.append((float(v), i, i % 7 + 1))
+    df = spark.createDataFrame(uniq, "v double, id long, x long")
+
+    got = {
+        (r.id, r.cum_x)
+        for r in partitioned_prefix_sums(
+            df,
+            F.col("v"),
+            ["x"],
+            n_buckets=n_buckets,
+            tiebreaks=[F.col("id")],
+        ).collect()
+    }
+    w = (
+        Window.orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r.id, r.cum_x)
+        for r in df.withColumn("cum_x", F.sum("x").over(w)).collect()
+    }
+    assert got == want
