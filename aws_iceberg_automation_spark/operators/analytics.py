@@ -947,7 +947,16 @@ def _capped_baskets(spark: SparkSession, sf_dir: str, cap: int = 128) -> DataFra
     co-purchase counts and q217 association rules. The cap bounds any
     within-customer pairwise stage at Σ C(cap, 2) per customer (the
     same skew discipline as the LSH bucket cap) and lives HERE once so
-    the two operators and their oracles can never desynchronize."""
+    the two operators and their oracles can never desynchronize.
+
+    The returned frame is lazily localCheckpointed: it sits behind a
+    JOIN (bought ⋈ sizes), so unlike agg-backed frames its lineage is
+    NOT stage-skipped across consumers — and both call sites fan it
+    out 3-4 ways including a self-join. Same rule as q213/q214's
+    pinned join frames (and the opposite call from q208/q209's
+    agg-backed ones); measured at the 20× replica on q217: 116→49 s
+    warm. Lazy, so plan-building (plan_report, explain) never
+    executes it."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     bought = (
@@ -956,8 +965,10 @@ def _capped_baskets(spark: SparkSession, sf_dir: str, cap: int = 128) -> DataFra
         .distinct()
     )
     sizes = bought.groupBy("cust").agg(F.count(F.lit(1)).alias("basket"))
-    return bought.join(sizes.filter(F.col("basket") <= cap), "cust").select(
-        "cust", "part"
+    return (
+        bought.join(sizes.filter(F.col("basket") <= cap), "cust")
+        .select("cust", "part")
+        .localCheckpoint(eager=False)
     )
 
 
