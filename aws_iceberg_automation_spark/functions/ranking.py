@@ -267,19 +267,9 @@ def global_ntile(
         )
         .drop("_bucket", "_off__cnt")
     )
-    q_sz = F.floor(F.col("_gn_n") / k)
-    r_sz = F.col("_gn_n") % k
-    first_block = r_sz * (q_sz + 1)
-    tile = (
-        F.when(
-            F.col("_gn_rk") <= first_block, F.ceil(F.col("_gn_rk") / (q_sz + 1))
-        )
-        .otherwise(r_sz + F.ceil((F.col("_gn_rk") - first_block) / q_sz))
-        .cast("int")
-    )
     return (
         rn.crossJoin(F.broadcast(ntot))
-        .withColumn(out_name, tile)
+        .withColumn(out_name, _ntile_expr(F.col("_gn_rk"), k))
         .drop("_gn_rk", "_gn_n")
     )
 

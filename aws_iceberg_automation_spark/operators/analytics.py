@@ -1266,7 +1266,7 @@ def q209_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-sums-over-rk; the rank was only ever the ORDER, and the
     second decomposition's eager boundary collect re-executed the
     whole rank plan — tiebreaks on the prefix sums made the rank stage
-    unnecessary: 24→8 exchanges.) Class boundaries are
+    unnecessary: 24→9 exchanges.) Class boundaries are
     DECIMAL(38,0) cross-multiplications (5·cum ≤ 4·tot) — no float
     division anywhere near the cut, so boundary parts can never diverge
     between engines, and no int64 ceiling either (20·cum overflowed

@@ -1226,8 +1226,14 @@ def q267_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(F.col("dot"), F.sqrt("vn2") * F.sqrt("cn2")), 5
         ).alias("cos_c"),
     )
+    # asc_nulls_last, not asc: a zero-norm vector (vn2 = 0) gives NULL
+    # cos_c via try_divide; Spark's ASC default is NULLS FIRST while
+    # DuckDB's is NULLS LAST, so plain asc() would seat such a vector
+    # at outlier_rank 1 on the Spark side only. NULLS LAST on both
+    # engines ranks them after every real cosine, tie-broken by vec_id
+    # identically.
     w = Window.partitionBy("label").orderBy(
-        F.col("cos_c").asc(), F.col("vec_id").asc()
+        F.col("cos_c").asc_nulls_last(), F.col("vec_id").asc()
     )
     return (
         cosd.withColumn("outlier_rank", F.row_number().over(w))

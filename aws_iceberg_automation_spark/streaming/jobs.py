@@ -363,20 +363,34 @@ def foreach_batch_versioned_upsert(
     versioned,
     on: list[str],
     checkpoint: str,
+    precedence: list[str] | None = None,
 ):
     """Streaming CDC into a time-travelable table WITHOUT the Iceberg
     runtime: foreachBatch + ``VersionedTable.merge`` — every microbatch
     commits a new snapshot, so the table's state at any point of the
     stream is auditable/rewindable (versioning.py). Same keyed-MERGE
     idempotency story as foreach_batch_upsert: redelivered microbatches
-    re-merge to the same state."""
+    re-merge to the same state.
+
+    ``precedence``: column names whose DESC order defines "newest" (must
+    be a per-key total order, e.g. a timestamp plus a unique id). When
+    given, the merge is APPLY-IF-NEWER across microbatches: the stored
+    row only loses to an incoming row that outranks it, so the final
+    state is independent of how the stream was chunked into batches —
+    without it, a key updated in two batches is last-WRITE-wins by
+    arrival order, which matches event order only if the source is
+    globally ordered (review finding, round 5: a later batch carrying
+    an earlier event silently overwrote the newer row). Default keeps
+    the raw (ts, event_id) within-batch dedup + arrival-order
+    cross-batch semantics for append-time-ordered sources."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         from pyspark.sql import Window as W
 
-        w = W.partitionBy(*on).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        order = [F.col(c).desc() for c in (precedence or ["ts", "event_id"])]
+        w = W.partitionBy(*on).orderBy(*order)
         deduped = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -384,8 +398,21 @@ def foreach_batch_versioned_upsert(
         )
         if versioned.current_version() is None:
             versioned.write(deduped, mode="append")
-        else:
+        elif precedence is None:
             versioned.merge(deduped, on=on)
+        else:
+            # apply-if-newer: contest each incoming key against the
+            # stored row and merge the per-key winner (a stored winner
+            # re-merges as itself — idempotent under redelivery)
+            cur = versioned.read()
+            contested = cur.join(deduped.select(*on).distinct(), on, "left_semi")
+            combined = contested.unionByName(deduped.select(*cur.columns))
+            winners = (
+                combined.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            versioned.merge(winners, on=on)
 
     q = (
         sdf.writeStream.foreachBatch(upsert)

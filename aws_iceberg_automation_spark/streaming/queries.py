@@ -551,19 +551,28 @@ def q266_cdc_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch+MERGE pattern production lakehouses run; Iceberg MERGE
     in the gated native path, identical call shape). Final table state
     must equal the batch latest-row-per-user — ties at the truncated
-    second broken by event_id on both sides. The lifecycle API was
+    second broken by event_id on both sides, enforced via the sink's
+    ``precedence=(ts_sec, event_id)`` apply-if-newer merge so the
+    winner is the same no matter how the replay chunked the stream
+    into microbatches (arrival-order LWW only coincides with event
+    order while the replay happens to deliver ids monotonically — a
+    fixture property, not a contract). The lifecycle API was
     pytest-proven (test_foreach_batch_versioned_upsert); this entry
     puts the end state under the driver's hash."""
-    import tempfile as _tf
-
     from ..versioning import VersionedTable
 
-    d = _tf.mkdtemp(prefix="q266_cdc_")
+    d = tempfile.mkdtemp(prefix="q266_cdc_")
     vt = VersionedTable(spark, os.path.join(d, "state"))
-    s = jobs.with_watermark(_stream(spark, sf_dir)).select(
-        "user_id", "event_id", "event_type", "value", "ts"
+    s = (
+        jobs.with_watermark(_stream(spark, sf_dir))
+        .withColumn("ts_sec", ts_sec("ts"))
+        .select("user_id", "event_id", "event_type", "value", "ts_sec")
     )
     jobs.foreach_batch_versioned_upsert(
-        s, vt, ["user_id"], os.path.join(d, "ckpt")
+        s,
+        vt,
+        ["user_id"],
+        os.path.join(d, "ckpt"),
+        precedence=["ts_sec", "event_id"],
     )
     return vt.read().select("user_id", "event_id", "event_type", "value")

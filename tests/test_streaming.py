@@ -569,3 +569,51 @@ def test_full_outer_stream_join_emits_both_null_classes(spark):
     assert n_unmatched_clicks > 0, "no null-extended clicks — vacuous"
     assert n_orphan_purchases > 0, "no orphan purchases — left outer would do"
     assert n_matched > 0, "no matched pairs — join condition vacuous"
+
+
+def test_versioned_upsert_precedence_beats_arrival_order(
+    spark, tmp_path_factory
+):
+    """Apply-if-newer CDC (round-5 review finding): a LATER microbatch
+    carrying an EARLIER event must lose to the stored row when
+    ``precedence`` is given — and must win (arrival-order LWW) when it
+    is not. Driven as two sequential availableNow runs over
+    single-file replay dirs, which exercises exactly the cross-batch
+    merge path (the second run sees a non-empty table)."""
+    import os
+
+    from aws_iceberg_automation_spark.versioning import VersionedTable
+
+    def run(vt, ckpt, rows, precedence):
+        d = str(tmp_path_factory.mktemp("prec_replay"))
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp_ntz, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        s = (
+            spark.readStream.schema(
+                "user_id long, event_id long, ts timestamp_ntz, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        jobs.foreach_batch_versioned_upsert(
+            s, vt, ["user_id"], ckpt, precedence=precedence
+        )
+
+    import datetime as dt
+
+    newer = [(1, 9, dt.datetime(2024, 1, 1, 10, 0, 5), 1.0)]
+    older = [(1, 3, dt.datetime(2024, 1, 1, 10, 0, 1), 2.0)]
+
+    # precedence=(ts, event_id): stored newer row survives the older
+    # late arrival
+    vt1 = VersionedTable(spark, str(tmp_path_factory.mktemp("vt_prec")))
+    run(vt1, str(tmp_path_factory.mktemp("ck1")), newer, ["ts", "event_id"])
+    run(vt1, str(tmp_path_factory.mktemp("ck2")), older, ["ts", "event_id"])
+    assert [(r.user_id, r.event_id) for r in vt1.read().collect()] == [(1, 9)]
+
+    # no precedence: arrival order wins (documented default)
+    vt2 = VersionedTable(spark, str(tmp_path_factory.mktemp("vt_lww")))
+    run(vt2, str(tmp_path_factory.mktemp("ck3")), newer, None)
+    run(vt2, str(tmp_path_factory.mktemp("ck4")), older, None)
+    assert [(r.user_id, r.event_id) for r in vt2.read().collect()] == [(1, 3)]
