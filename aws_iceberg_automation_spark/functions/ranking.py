@@ -71,6 +71,14 @@ def quantile_bucket_ranks(
     always share a bucket): rank = #(approx-quantile boundaries ≤
     value), all boundary arrays computed in ONE agg, collected, and
     inlined as literals — balanced under skew, unlike equi-width cuts.
+    NON-NULL value contract (shared by every global_* decomposition
+    built on this): percentile_approx SKIPS NULLs, so a NULL value
+    falls below every boundary and lands in bucket 0, and the
+    within-bucket rank window then orders it NULLS FIRST (Spark ASC
+    default) — which diverges from an oracle's ORDER BY ... NULLS LAST
+    (DuckDB/ANSI default). Callers must pre-coalesce or pre-filter
+    nullable dimensions (every registered consumer does: q208's RFM
+    dims are aggregates over non-null columns).
     Batch frames only (the boundary collect is an eager tiny job). NB
     the filter lambda must stay single-argument: PySpark calls a
     two-argument HOF lambda as (element, index), so a captured default
@@ -252,7 +260,10 @@ def global_ntile(
     rank decomposition already builds (an exchange Spark reuses), not
     from an extra full scan of ``df``; all scaffolding uses ``_gn_``
     names so caller columns — including one named like ``out_name``'s
-    default — can never be clobbered."""
+    default — can never be clobbered.
+    ``value`` must be NON-NULL (quantile_bucket_ranks contract: NULLs
+    bucket to 0 and rank NULLS FIRST, diverging from ANSI NULLS LAST) —
+    coalesce or filter nullable dimensions before tiling."""
     _check_names(df, out_name, "_bucket", "_off__cnt", "_gn_rk", "_gn_n")
     b = _with_value_buckets(df, value, n_buckets)
     counts = b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_cnt"))
@@ -312,7 +323,8 @@ def global_ntiles(
     partitioned rank windows chain — one repartition per dimension,
     which is the irreducible cost of k independent global orders.
     Tile semantics, determinism contract ((value_i, *tiebreaks) total
-    order per dimension) and hashes are identical to ``global_ntile``.
+    order per dimension), the NON-NULL value contract, and hashes are
+    identical to ``global_ntile``.
     """
     names = [n for _, n in specs]
     buckets = [f"_bucket_{n}" for n in names]

@@ -956,7 +956,13 @@ def _capped_baskets(spark: SparkSession, sf_dir: str, cap: int = 128) -> DataFra
     pinned join frames (and the opposite call from q208/q209's
     agg-backed ones); measured at the 20× replica on q217: 116→49 s
     warm. Lazy, so plan-building (plan_report, explain) never
-    executes it."""
+    executes it. Fault-tolerance tradeoff: localCheckpoint truncates
+    lineage onto UNREPLICATED executor-local blocks — on a real
+    cluster an executor loss after materialization FAILS the job
+    instead of recomputing. Acceptable for an interactive analytics
+    query (re-run); for an unattended 100 TB pipeline stage swap in
+    reliable checkpointing (sc.setCheckpointDir + .checkpoint()) or
+    .persist(StorageLevel.DISK_ONLY_2)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     bought = (

@@ -77,71 +77,16 @@ _LOADED = False
 # The external driver verifies the FIRST 50 specs in queries() order and
 # stops (its per-round verification budget). Registration order is
 # therefore attestation budget: re-listing an already-green query
-# re-proves the proven. Round-5 rotation (VERDICT r04 ask #1): rounds
-# 1-4 drove 183 queries green; this window holds 50 of the 73
-# never-driver-verified oracle-backed specs, flagship-first:
-# q82_minhash_lsh_neardup (oracle-converted in r4, the most-cited LLM
-# operator) leads, followed by the other r4 rows-only->oracle
-# conversions (q167/q131/q193/q194/q195/q84c), then the q197..q239
-# block in registration order. The 23-query tail (q240..q262) plus any
-# round-5 newcomers head the round-6 window (VERDICT r04 ask #3) and
-# are listed below the budget line in that order. Rows-only specs
-# NEVER occupy a top-50 slot (they cannot earn a hash row).
+# re-proves the proven. Round-6 rotation (VERDICT r05 ask #1): rounds
+# 1-5 drove 235 queries green (233 hash rows); this window holds ALL 32
+# remaining never-driver-verified oracle-backed specs — the q240..q262
+# attestation tail, the round-5 registrations q263..q269, and the
+# q41/q42b sketch->error-bound oracle conversions — followed by the
+# round-6 newcomers in registration order (18 slots). Attesting this
+# window takes the never-attested oracle-backed set to ZERO. Rows-only
+# specs NEVER occupy a top-50 slot (they cannot earn a hash row).
 _DRIVER_PRIORITY = [
-    # -- round-5 window: 50 never-driver-verified, all oracle-backed --
-    "q82_minhash_lsh_neardup",
-    "q167_neardup_clusters",
-    "q131_incremental_neardup",
-    "q193_countmin_heavy_hitters",
-    "q194_stream_countmin_replay",
-    "q195_cms_join_size_estimate",
-    "q84c_frame_sampling",
-    "q197_rolling_distinct_exact",
-    "q198_revenue_trend_ols",
-    "q199_embedding_centroid_quality",
-    "q200_weighted_percentile",
-    "q201_touch_attribution",
-    "q202_zipf_fit",
-    "q203_benford_deviation",
-    "q204_chi2_independence",
-    "q205_rolling_corr",
-    "q206_split_manifest",
-    "q207_split_leakage",
-    "q208_rfm_segments",
-    "q209_pareto_abc",
-    "q210_segment_gini",
-    "q211_weekday_seasonality",
-    "q212_interarrival_burstiness",
-    "q213_ship_delay_survival",
-    "q214_order_backlog",
-    "q215_mad_outliers",
-    "q216_vocab_growth",
-    "q217_association_rules",
-    "q218_new_vs_returning",
-    "q219_conversion_latency",
-    "q220_discount_elasticity",
-    "q221_cohort_ltv",
-    "q222_bootstrap_ci",
-    "q223_join_skew_audit",
-    "q224_pareto_skyline",
-    "q225_source_jsd",
-    "q226_price_index",
-    "q227_revenue_acf",
-    "q228_source_verbosity",
-    "q229_theil_decomposition",
-    "q230_ndcg_exact",
-    "q231_theil_sen_trend",
-    "q232_hhi_concentration",
-    "q233_mutual_information",
-    "q234_activity_islands",
-    "q235_cusum_changepoint",
-    "q236_doc_distinctiveness",
-    "q237_vocab_jaccard",
-    "q238_cuped_lift",
-    "q239_seasonal_anomaly",
-    # ---- 50-slot budget line (driver stops here) ----
-    # round-6 head: the 23-query attestation tail (VERDICT r04 ask #3),
-    # then round-5 additions appended as they register.
+    # -- round-6 window part 1: the 32 staged (gate-green end of r5) --
     "q240_dsir_importance",
     "q241_token_epoch_plan",
     "q242_label_centroid_separation",
@@ -165,7 +110,6 @@ _DRIVER_PRIORITY = [
     "q260_bulk_discount_curve",
     "q261_order_size_dispersion",
     "q262_positional_dup_mass",
-    # round-5 registrations / oracle conversions (attest in round 6):
     "q263_stream_static_replay",
     "q41_approx_count_distinct",
     "q42b_percentile_sketch",
@@ -175,6 +119,8 @@ _DRIVER_PRIORITY = [
     "q267_embedding_outliers",
     "q268_minhash_estimator_audit",
     "q269_crawl_novelty",
+    # -- round-6 window part 2: newcomers (18 slots to the line) --
+    # ---- 50-slot budget line (driver stops here) ----
 ]
 
 

@@ -31,14 +31,19 @@ def iceberg_jar() -> str | None:
     return None
 
 
-def get_spark(
+def build_session_builder(
     app_name: str = "aws-iceberg-automation-spark",
     profile: str = "local",
     cpus: str | int | None = None,
     warehouse: str | None = None,
     extra_conf: dict[str, str] | None = None,
-) -> SparkSession:
-    """Build (or reuse) a SparkSession for the given profile.
+) -> SparkSession.Builder:
+    """Assemble (but do not start) the SparkSession builder for a profile.
+
+    Split out from :func:`get_spark` so the cloud profile's config can be
+    asserted key-for-key against the reference
+    (create_iceberg_tables.py:120-131) without AWS or the Iceberg JARs —
+    the config-echo test reads the accumulated options off the builder.
 
     local profile notes for 100 TB posture: AQE handles runtime partition
     coalescing and skew-join splitting; ``spark.sql.shuffle.partitions``
@@ -77,9 +82,18 @@ def get_spark(
     elif warehouse:
         b = b.config("spark.sql.warehouse.dir", warehouse)
     if profile == "cloud":
-        # Mirror of the reference's production wiring
-        # (create_iceberg_tables.py:120-131); requires the Iceberg + AWS
-        # bundle JARs and AWS credentials. Never exercised in tests.
+        # Key-for-key mirror of the reference's production wiring
+        # (create_iceberg_tables.py:120-131): Glue catalog impl, S3FileIO,
+        # warehouse path, DynamoDB lock manager + lock table, Iceberg SQL
+        # extensions, default catalog, and Hive support.  Requires the
+        # Iceberg + AWS bundle JARs and AWS credentials — config only,
+        # never exercised in tests (asserted by the config-echo test in
+        # tests/test_session.py, no AWS needed).
+        wh = (
+            warehouse
+            or os.environ.get("SPARK_GRAFT_CLOUD_WAREHOUSE", "s3://iceberg-warehouse/")
+        )
+        lock_table = os.environ.get("SPARK_GRAFT_LOCK_TABLE", "iceberg_lock_table")
         b = (
             b.config("spark.sql.extensions",
                     "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions")
@@ -88,8 +102,30 @@ def get_spark(
                     "org.apache.iceberg.aws.glue.GlueCatalog")
             .config("spark.sql.catalog.glue_catalog.io-impl",
                     "org.apache.iceberg.aws.s3.S3FileIO")
+            .config("spark.sql.catalog.glue_catalog.warehouse", wh)
+            .config("spark.sql.catalog.glue_catalog.lock-impl",
+                    "org.apache.iceberg.aws.glue.DynamoLockManager")
+            .config("spark.sql.catalog.glue_catalog.lock.table", lock_table)
             .config("spark.sql.defaultCatalog", "glue_catalog")
+            .enableHiveSupport()
         )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    return b
+
+
+def get_spark(
+    app_name: str = "aws-iceberg-automation-spark",
+    profile: str = "local",
+    cpus: str | int | None = None,
+    warehouse: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession for the given profile."""
+    return build_session_builder(
+        app_name=app_name,
+        profile=profile,
+        cpus=cpus,
+        warehouse=warehouse,
+        extra_conf=extra_conf,
+    ).getOrCreate()
