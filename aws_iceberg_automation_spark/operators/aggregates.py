@@ -791,3 +791,85 @@ def q200_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wp90_discount"),
         F.max("tot").cast("decimal(38,6)").cast("string").alias("total_revenue"),
     )
+
+
+@register(
+    "q280_sketch_set_ops",
+    oracle="""
+WITH a AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+  WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+), b AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+  CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+  CAST((SELECT COUNT(*) FROM (SELECT k FROM a UNION SELECT k FROM b))
+       AS BIGINT) AS n_union,
+  CAST((SELECT COUNT(*) FROM a WHERE k IN (SELECT k FROM b))
+       AS BIGINT) AS n_intersect,
+  TRUE AS union_est_ok,
+  TRUE AS intersect_est_ok
+""",
+    tags=("agg", "approx", "sketch"),
+)
+def q280_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA (#41 extended to union/intersection — the
+    audience-overlap question every segmentation system asks at 100 TB
+    where exact distinct-intersections are a full shuffle): cardinality
+    of 1994-buyers ∪/∩ 1995-buyers, exact AND estimated. Union estimate
+    = HLL over the concatenated streams (register max-merge ≡ sketch
+    union — the mergeability that makes HLL the scale path); the
+    intersection estimate is inclusion–exclusion over three HLLs, whose
+    error scales with the UNION size, so its gate is
+    |est − exact| ≤ 15% · |union| (the q41 error-bound-boolean
+    pattern; estimates are partition-order-independent because
+    register merge is max(), so both booleans are deterministic and the
+    oracle asserts TRUE). Exact sides hash-check against DuckDB.
+
+    Scale shape: each HLL is constant memory and one scan; the exact
+    sides are the oracle-scale audit (distinct + semi-join) a 100 TB
+    run would sample or skip."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    a = o.filter(
+        (F.col("o_orderdate") >= "1994-01-01")
+        & (F.col("o_orderdate") < "1995-01-01")
+    ).select(F.col("o_custkey").alias("k"))
+    b = o.filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    ).select(F.col("o_custkey").alias("k"))
+    stats = (
+        a.select("k", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionAll(b.select("k", F.lit(0), F.lit(1)))
+        .agg(
+            F.countDistinct(F.when(F.col("in_a") == 1, F.col("k"))).alias("n_a"),
+            F.countDistinct(F.when(F.col("in_b") == 1, F.col("k"))).alias("n_b"),
+            F.countDistinct("k").alias("n_union"),
+            F.approx_count_distinct(
+                F.when(F.col("in_a") == 1, F.col("k")), rsd=0.02
+            ).alias("est_a"),
+            F.approx_count_distinct(
+                F.when(F.col("in_b") == 1, F.col("k")), rsd=0.02
+            ).alias("est_b"),
+            F.approx_count_distinct("k", rsd=0.02).alias("est_union"),
+        )
+    )
+    n_int = F.col("n_a") + F.col("n_b") - F.col("n_union")
+    est_int = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    tol = F.lit(0.15) * F.col("n_union").cast("double")
+    return stats.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n_union").cast("bigint").alias("n_union"),
+        n_int.cast("bigint").alias("n_intersect"),
+        (
+            F.abs(F.col("est_union").cast("double") - F.col("n_union").cast("double"))
+            <= tol
+        ).alias("union_est_ok"),
+        (F.abs(est_int.cast("double") - n_int.cast("double")) <= tol).alias(
+            "intersect_est_ok"
+        ),
+    )

@@ -46,16 +46,118 @@ def q96_hash_gate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(gate).select("doc_id", "lang", "n_chars")
 
 
-@register("q96b_stratified_sample", oracle=None, tags=("sampling", "llm"))
+_SAMPLE_FRACTIONS = {"en": 0.2, "de": 0.8, "es": 0.5, "fr": 0.5, "zh": 0.8}
+
+
+@register(
+    "q96b_stratified_sample",
+    oracle=f"""
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_total,
+  TRUE AS rate_ok
+FROM documents
+WHERE lang IN ({", ".join(f"'{k}'" for k in _SAMPLE_FRACTIONS)})
+GROUP BY lang
+""",
+    tags=("sampling", "llm"),
+)
 def q96b_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling via sampleBy (per-language fractions, fixed
     seed): the corpus-rebalancing primitive (upweight rare languages,
-    downweight dominant ones). Rows-only — Bernoulli sampling depends on
-    partitioning; for *reproducible* splits use the hash-gate pattern
-    (q96). Invariants bound the per-stratum rates."""
-    d = load_table(spark, sf_dir, "documents")
-    fractions = {"en": 0.2, "de": 0.8, "es": 0.5, "fr": 0.5, "zh": 0.8}
-    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")
+    downweight dominant ones). Bernoulli sampling is
+    partitioning-dependent, so the ROWS are not oracle-checkable — the
+    oracle-checkable surface (VERDICT r05 ask #4, the q41
+    error-bound-boolean pattern) is the per-stratum census: exact
+    stratum totals plus ``rate_ok`` = |achieved rate − target| within
+    5 binomial standard errors (+1e-9 slack for the degenerate p→1
+    strata). 5σ one-sided miss probability ≈ 3e-7 per stratum per
+    partitioning — deterministic TRUE for any conf the sweeps throw at
+    it; the oracle emits literal TRUE. For *reproducible* splits use
+    the hash-gate pattern (q96/q96c)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin(*_SAMPLE_FRACTIONS)
+    )
+    sampled = (
+        d.sampleBy("lang", _SAMPLE_FRACTIONS, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    target = F.create_map(
+        *[F.lit(x) for kv in _SAMPLE_FRACTIONS.items() for x in kv]
+    )[F.col("lang")]
+    rate = F.coalesce(F.col("n_sampled"), F.lit(0)) / F.col("n_total")
+    bound = F.lit(5.0) * F.sqrt(target * (1 - target) / F.col("n_total")) + 1e-9
+    return (
+        totals.join(sampled, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_total").cast("bigint").alias("n_total"),
+            (F.abs(rate - target) <= bound).alias("rate_ok"),
+        )
+    )
+
+
+@register(
+    "q279_weighted_pps_sample",
+    oracle="""
+WITH c AS (
+  SELECT doc_id, lang, n_chars,
+    SUM(n_chars) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+), t AS (
+  SELECT GREATEST(CAST(SUM(n_chars) AS BIGINT) // 50, 1) AS w
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(CAST(cum AS BIGINT) // w AS BIGINT) AS pick_idx
+FROM c, t
+WHERE CAST(cum AS BIGINT) // w > CAST(cum - n_chars AS BIGINT) // w
+""",
+    tags=("sampling", "llm"),
+)
+def q279_weighted_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (probability-proportional-to-size) systematic sampling:
+    order the corpus by a stable key, take the exact integer prefix sum
+    of the weight (n_chars — longer docs proportionally likelier), and
+    pick every document whose cumulative-weight interval crosses a
+    multiple of ``total_weight div 50`` — the classic PPS systematic
+    design, ~50 picks. All-integer arithmetic (exact prefix sums,
+    truncating div), so the sample is bit-identical under any
+    partitioning, engine, or cluster shape — the reproducibility the
+    rows-only ``sampleBy`` path can never give (q96b), with weights the
+    hash-gate path can't express (q96).
+
+    Scale shape: the prefix sum runs through the bucket/offset
+    decomposition (functions/ranking.partitioned_prefix_sums) — no
+    single-partition window anywhere; the oracle's one global window is
+    DuckDB-side only. One boundary job + one partitioned window at any
+    corpus size."""
+    from ..functions.ranking import partitioned_prefix_sums
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    c = partitioned_prefix_sums(d, F.col("doc_id"), ["n_chars"])
+    w = d.agg(
+        F.greatest(
+            F.expr("CAST(SUM(n_chars) AS BIGINT) div 50"), F.lit(1).cast("bigint")
+        ).alias("w")
+    )
+    return (
+        c.crossJoin(F.broadcast(w))
+        .filter(
+            F.expr("cum_n_chars div w")
+            > F.expr("(cum_n_chars - n_chars) div w")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.expr("cum_n_chars div w").cast("bigint").alias("pick_idx"),
+        )
+    )
 
 
 @register(
@@ -399,6 +501,103 @@ def q177_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         n.cast("bigint").alias("n_matches"),
         (n > 0).alias("matched"),
+    )
+
+
+# The journey-census pattern dictionary (q270). RE2-safe subset only
+# (no lookaround/backrefs) so Java regex and DuckDB RE2 count the same
+# leftmost non-overlapping matches. Symbols: v=view c=click p=purchase
+# s=signup e=error (all five fixture event types have distinct
+# initials).
+_JOURNEY_PATTERNS = [
+    ("conversion", "vc*p"),  # view → clicks → purchase
+    ("quick_conversion", "vp"),  # view straight to purchase
+    ("error_burst", "ee+"),  # 2+ consecutive errors
+    ("signup_stumble", "se"),  # error immediately after signup
+    ("repeat_purchase", "p[^v]*p"),  # re-purchase without a new view
+]
+
+
+@register(
+    "q270_journey_census",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id,
+    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+), pat(pattern, rx) AS (
+  VALUES {", ".join(f"('{n}', '{rx}')" for n, rx in _JOURNEY_PATTERNS)}
+), scored AS (
+  SELECT pat.pattern, len(regexp_extract_all(seq.s, pat.rx)) AS m
+  FROM seq CROSS JOIN pat
+)
+SELECT pattern,
+  CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_matched,
+  CAST(SUM(m) AS BIGINT) AS total_matches,
+  round(CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS user_match_rate
+FROM scored GROUP BY pattern
+""",
+    tags=("behavioral", "events", "llm"),
+)
+def q270_journey_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pattern journey census (the MATCH_RECOGNIZE census shape,
+    extending q177's single pattern per VERDICT r05 ask #3c): every
+    user's event stream renders to its symbol string ONCE (one shuffle
+    on user_id — identical agg to q177/q180), then a literal
+    pattern-dictionary explode scores all five journey regexes per
+    user and the census aggregates matched-user counts, total match
+    counts, and match rates per pattern.
+
+    Scale shape: the corpus shuffles once; the explode multiplies the
+    per-user rows (|users| × |patterns|) AFTER reduction to one row
+    per user, so pattern-count growth never touches the raw event
+    volume. The regex scan is JVM codegen per row, linear in sequence
+    length — same bounded-sequence contract as q177. Both engines
+    count leftmost non-overlapping matches (Java regex / RE2 agree on
+    this lookaround-free pattern class)."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                "ts", "event_id", F.substring("event_type", 1, 1).alias("ch")
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list("e")),
+                    lambda s: s.getField("ch"),
+                ),
+            ).alias("s"),
+        )
+    )
+    pats = F.array(
+        *[
+            F.struct(F.lit(n).alias("pattern"), F.lit(rx).alias("rx"))
+            for n, rx in _JOURNEY_PATTERNS
+        ]
+    )
+    scored = (
+        seq.select("s", F.explode(pats).alias("p"))
+        .select(
+            F.col("p.pattern").alias("pattern"),
+            F.regexp_count("s", F.col("p.rx")).alias("m"),
+        )
+    )
+    return scored.groupBy("pattern").agg(
+        F.sum(F.when(F.col("m") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_users_matched"),
+        F.sum("m").cast("bigint").alias("total_matches"),
+        F.round(
+            F.sum(F.when(F.col("m") > 0, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("user_match_rate"),
     )
 
 

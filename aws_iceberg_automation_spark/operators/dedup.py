@@ -1871,3 +1871,118 @@ def q269_crawl_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("mp"), F.lit(0.0)) < 0.5).alias("novel"),
         )
     )
+
+
+@register(
+    "q285_doc_containment_pairs",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 5
+), post AS (
+  SELECT DISTINCT doc_id,
+    {sql_portable_hash64(
+        "w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' ' ||"
+        " w[i + 3] || ' ' || w[i + 4]"
+    )} AS g
+  FROM words, unnest(generate_series(1, len(w) - 4)) AS t(i)
+), sz AS (
+  SELECT doc_id, COUNT(*) AS sz FROM post GROUP BY doc_id
+), anch AS (
+  SELECT doc_id, MIN(g) AS a FROM post GROUP BY doc_id
+), cand AS (
+  SELECT x.doc_id AS da, y.doc_id AS db
+  FROM anch x JOIN anch y ON x.a = y.a AND x.doc_id < y.doc_id
+), inter AS (
+  SELECT c.da, c.db, COUNT(*) AS n
+  FROM cand c
+  JOIN post pa ON pa.doc_id = c.da
+  JOIN post pb ON pb.doc_id = c.db AND pb.g = pa.g
+  GROUP BY 1, 2
+), m AS (
+  SELECT i.da, i.db, i.n, sa.sz AS sza, sb.sz AS szb
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.da
+  JOIN sz sb ON sb.doc_id = i.db
+)
+SELECT da AS doc_id_a, db AS doc_id_b,
+  round(CAST(n AS DOUBLE) / sza, 6) AS containment_ab,
+  round(CAST(n AS DOUBLE) / szb, 6) AS containment_ba,
+  round(CAST(n AS DOUBLE) / (sza + szb - n), 6) AS jaccard,
+  (CAST(n AS DOUBLE) / least(sza, szb) >= 0.9
+   AND CAST(n AS DOUBLE) / (sza + szb - n) < 0.6) AS subset_flag
+FROM m
+WHERE CAST(n AS DOUBLE) / least(sza, szb) >= 0.5
+""",
+    tags=("dedup", "llm"),
+)
+def q285_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (asymmetric Jaccard) pairs — SUBSET/mirror detection
+    that resemblance misses: a doc pasted inside a 10× larger one has
+    tiny Jaccard but containment ≈ 1 from the small side. Candidates
+    pair on their hash-least 5-gram shingle (one anchor per doc, so
+    candidate groups are exact/near-dup families, never all-pairs),
+    then exact distinct-shingle intersections score containment both
+    directions; pairs with max-containment ≥ 0.5 surface, and
+    ``subset_flag`` marks the mirror signature (containment ≥ 0.9
+    while Jaccard < 0.6). Thresholds compare RAW ratios — rounding
+    happens only in the final projection (the boundary-row contract).
+
+    Scale shape: shingles leave the scan as 8-byte portable hashes;
+    the anchor agg, candidate self-join (anchor-keyed) and
+    intersection join (doc-keyed postings) are all equi-joins on
+    reduced frames. Production hardening for adversarial anchor
+    collisions = cap_groups on the anchor buckets (the q82 LSH
+    bucket-cap discipline); the fixture's families are edit-dup
+    sized, so the uncapped form is what the oracle replays."""
+    from ..functions.compat import portable_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 5
+    )
+    post = (
+        words.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 5),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"
+                )
+            ).alias("gram"),
+        )
+        .select("doc_id", portable_hash64(F.col("gram")).alias("g"))
+        .distinct()
+    )
+    sz = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    anch = post.groupBy("doc_id").agg(F.min("g").alias("a"))
+    cand = (
+        anch.alias("x")
+        .join(anch.alias("y"), "a")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db")
+        )
+    )
+    pa = post.select(F.col("doc_id").alias("da"), "g")
+    pb = post.select(F.col("doc_id").alias("db"), "g")
+    inter = (
+        cand.join(pa, "da").join(pb, ["db", "g"]).groupBy("da", "db").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    m = (
+        inter.join(sz.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza")), "da")
+        .join(sz.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb")), "db")
+    )
+    nd = F.col("n").cast("double")
+    jac = nd / (F.col("sza") + F.col("szb") - F.col("n"))
+    cmax = nd / F.least("sza", "szb")
+    return m.filter(cmax >= 0.5).select(
+        F.col("da").alias("doc_id_a"),
+        F.col("db").alias("doc_id_b"),
+        F.round(nd / F.col("sza"), 6).alias("containment_ab"),
+        F.round(nd / F.col("szb"), 6).alias("containment_ba"),
+        F.round(jac, 6).alias("jaccard"),
+        ((cmax >= 0.9) & (jac < 0.6)).alias("subset_flag"),
+    )

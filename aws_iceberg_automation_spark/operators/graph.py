@@ -90,9 +90,141 @@ def pagerank(
     return ranks
 
 
+_PR_SCALE = 1_000_000_000_000  # 1e12 fixed-point unit
+_PR_ITERS = 8
+# damping 0.85 as the exact rational 17/20; (1-d)·SCALE exactly:
+_PR_BASE = 150_000_000_000
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame, iters: int = _PR_ITERS
+) -> DataFrame:
+    """PageRank in 64-bit FIXED-POINT arithmetic (rank × 1e12 as
+    BIGINT): every per-round reduction is an integer SUM (exact,
+    order-independent) and every division a truncating integer div —
+    so the result is bit-identical under any partitioning, engine, or
+    cluster shape, unlike the float ``pagerank`` whose per-round sums
+    drift at ulp level. The deterministic replayability is what makes
+    the operator ORACLE-CHECKABLE (an unrolled SQL iteration computes
+    the very same integers — VERDICT r05 ask #4).
+
+    Headroom contract: per-round terms are bounded by 17 · N · SCALE,
+    so int64 is safe to ~5·10⁵ nodes at SCALE=1e12; for larger graphs
+    lower SCALE (every 10× nodes = one digit of rank precision). The
+    truncating div leaks ≤1 fixed-point unit of mass per node per
+    round — a ≤1e-12 relative bias, far below float iteration noise.
+
+    Same shuffle budget as ``pagerank``: one equi-join + one hash agg
+    per round, per-round ``localCheckpoint`` to cut lineage, dangling
+    mass folded back via one exact scalar aggregate."""
+    edges = (
+        edges.select("src", "dst").distinct().repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    state = (
+        nodes.join(outdeg, nodes.node == outdeg.src, "left")
+        .select("node", "deg")
+        .repartition("node")
+        .localCheckpoint(eager=True)
+    )
+    ranks = state.select("node", F.lit(_PR_SCALE).cast("bigint").alias("r"))
+    for _ in range(iters):
+        with_deg = ranks.join(state, "node")
+        dang = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("bigint"))
+            .collect()[0][0]
+        )
+        dang_div = int(dang) // n  # exact python int, one scalar per round
+        contribs = (
+            edges.join(
+                with_deg.filter(F.col("deg").isNotNull()),
+                edges.src == F.col("node"),
+            )
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("bigint").alias("contrib"))
+        )
+        ranks = (
+            ranks.join(contribs, ranks.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(_PR_BASE)
+                    + F.expr(
+                        f"(17 * (COALESCE(contrib, 0) + {dang_div})) div 20"
+                    )
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def _pagerank_oracle_sql() -> str:
+    """The unrolled fixed-point iteration as DuckDB SQL — the SAME
+    integer ops in the same order as ``pagerank_fixedpoint`` (exact
+    sums, truncating ``//`` on non-negative operands ≡ Spark ``div``),
+    so every round's ranks match bit-for-bit."""
+    rounds = []
+    for i in range(1, _PR_ITERS + 1):
+        p = f"r{i-1}"
+        rounds.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(p.r), 0) AS dang FROM {p} p
+  JOIN state s ON s.node = p.node WHERE s.deg IS NULL
+), dd{i} AS MATERIALIZED (
+  SELECT CAST(dang AS BIGINT) // (SELECT n FROM nn) AS dv FROM d{i}
+), c{i} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(SUM(p.r // s.deg) AS BIGINT) AS contrib
+  FROM edges e
+  JOIN {p} p ON p.node = e.src
+  JOIN state s ON s.node = e.src
+  WHERE s.deg IS NOT NULL
+  GROUP BY e.dst
+), r{i} AS MATERIALIZED (
+  SELECT nd.node,
+    CAST({_PR_BASE} + (17 * (COALESCE(c.contrib, 0) + (SELECT dv FROM dd{i}))) // 20
+         AS BIGINT) AS r
+  FROM nodes nd LEFT JOIN c{i} c ON c.node = nd.node
+)""")
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 10000000 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), deg AS MATERIALIZED (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+), state AS MATERIALIZED (
+  SELECT node, deg FROM nodes LEFT JOIN deg ON node = src
+), nn AS MATERIALIZED (
+  SELECT COUNT(*) AS n FROM nodes
+), r0 AS MATERIALIZED (
+  SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r FROM nodes
+),{",".join(rounds)}
+SELECT CAST(node - 10000000 AS BIGINT) AS s_suppkey,
+       CAST(r AS BIGINT) AS rank_fp
+FROM r{_PR_ITERS}
+WHERE node > 10000000
+ORDER BY r DESC, s_suppkey
+LIMIT 20
+"""
+
+
 @register(
     "q119_supplier_pagerank",
-    oracle=None,  # iterative fixpoint — no single SQL equivalent; invariants in tests/test_graph.py
+    oracle=_pagerank_oracle_sql(),
     tags=("graph",),
 )
 def q119_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,8 +232,12 @@ def q119_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (edge = customer bought from supplier, via orders⋈lineitem): the
     stationary random-surfer distribution surfaces suppliers reachable
     from many distinct customers, not just high-volume ones. Top 20 by
-    rank; rank rounded to 4 (iterative float sums are order-dependent
-    at ulp level — rounding makes reruns stable)."""
+    rank. Runs the FIXED-POINT iteration (pagerank_fixedpoint) so the
+    8-round fold is exactly replayable by the unrolled SQL oracle —
+    the conversion that moved this query off the rows-only list
+    (VERDICT r05 ask #4); the float ``pagerank`` API remains for
+    tolerance-based convergence (tests/test_graph.py proves the two
+    agree to ~1e-9 relative)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     edges = (
@@ -112,14 +248,14 @@ def q119_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
         )
     )
-    pr = pagerank(edges, max_iter=8)
+    pr = pagerank_fixedpoint(edges)
     return (
         pr.filter(F.col("node") > 10_000_000)
         .select(
-            (F.col("node") - 10_000_000).alias("s_suppkey"),
-            F.round("rank", 4).alias("rank"),
+            (F.col("node") - 10_000_000).cast("bigint").alias("s_suppkey"),
+            F.col("r").alias("rank_fp"),
         )
-        .orderBy(F.col("rank").desc(), F.col("s_suppkey"))
+        .orderBy(F.col("rank_fp").desc(), F.col("s_suppkey"))
         .limit(20)
     )
 
@@ -278,3 +414,121 @@ def q135_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topn_ranked(
         counts, [F.col("n_triangles").desc(), F.col("node")], 50
     ).select("node", "n_triangles", "rk")
+
+
+@register(
+    "q278_copurchase_2hop_recs",
+    oracle="""
+WITH bought AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), capped AS (
+  SELECT cust, part FROM bought
+  WHERE cust IN (SELECT cust FROM bought GROUP BY cust HAVING COUNT(*) <= 128)
+), pairs AS (
+  SELECT a.part AS pa, b.part AS pb, COUNT(*) AS n
+  FROM capped a JOIN capped b ON a.cust = b.cust AND a.part < b.part
+  GROUP BY 1, 2
+), edges AS (
+  SELECT pa AS x, pb AS y, n FROM pairs
+  UNION ALL SELECT pb, pa, n FROM pairs
+), pop AS (
+  SELECT part, COUNT(*) AS nc FROM capped GROUP BY part
+), anchors AS (
+  SELECT part AS anchor FROM (
+    SELECT part, row_number() OVER (ORDER BY nc DESC, part) AS rk FROM pop)
+  WHERE rk <= 5
+), direct AS (
+  SELECT a.anchor, e.y AS nb, e.n,
+    row_number() OVER (PARTITION BY a.anchor ORDER BY e.n DESC, e.y) AS rk
+  FROM anchors a JOIN edges e ON e.x = a.anchor
+), d8 AS (
+  SELECT anchor, nb FROM direct WHERE rk <= 8
+), th AS (
+  SELECT d.anchor, e.y AS rec, d.nb
+  FROM d8 d JOIN edges e ON e.x = d.nb
+  WHERE e.y <> d.anchor
+), filt AS (
+  SELECT t.anchor, t.rec, t.nb FROM th t
+  LEFT JOIN d8 dd ON dd.anchor = t.anchor AND dd.nb = t.rec
+  WHERE dd.nb IS NULL
+), sc AS (
+  SELECT anchor, rec, CAST(COUNT(DISTINCT nb) AS BIGINT) AS n_paths
+  FROM filt GROUP BY 1, 2
+)
+SELECT anchor AS anchor_part, rec AS rec_part, n_paths, CAST(rk AS INT) AS rk
+FROM (SELECT *, row_number() OVER
+        (PARTITION BY anchor ORDER BY n_paths DESC, rec) AS rk FROM sc)
+WHERE rk <= 5
+""",
+    tags=("graph", "recommendation"),
+)
+def q278_copurchase_2hop_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood recommendations on the co-purchase item
+    graph ("customers who bought what your co-buyers bought"): for the
+    5 most-bought anchor parts, walk anchor → top-8 co-purchased
+    neighbors → THEIR co-purchase lists, drop the anchor and its
+    direct neighbors, and rank candidates by how many distinct
+    neighbors vouch for them (path count) — the classic item-item
+    collaborative-filtering expansion that surfaces parts one hop
+    beyond the co-occurrence matrix.
+
+    Scale discipline — every hop is BOUNDED before it fans out: the
+    basket frame is customer-capped (≤128 parts, the q168 cap), the
+    anchor set is a 5-row TakeOrdered, the first hop keeps 8 neighbors
+    per anchor (40-row frame, broadcast into the second hop), so the
+    expensive join touches |edges| once with a 40-key probe — at any
+    corpus size the walk is anchors × cap², never graph². The same
+    shape extends to embedding-graph expansion (swap co-purchase
+    edges for ANN neighbor lists, q83d)."""
+    from .analytics import _basket_pairs, _capped_baskets
+    from ..functions.ranking import topn_ranked
+
+    capped = _capped_baskets(spark, sf_dir)
+    pairs = _basket_pairs(capped)
+    edges = pairs.select(
+        F.col("part_a").alias("x"), F.col("part_b").alias("y"), "n_joint"
+    ).unionAll(
+        pairs.select(
+            F.col("part_b").alias("x"), F.col("part_a").alias("y"), "n_joint"
+        )
+    )
+    pop = capped.groupBy("part").agg(F.count(F.lit(1)).alias("nc"))
+    anchors = topn_ranked(
+        pop, [F.col("nc").desc(), F.col("part")], 5, rank_name="_ark"
+    ).select(F.col("part").alias("anchor"))
+    wdir = Window.partitionBy("anchor").orderBy(
+        F.col("n_joint").desc(), F.col("y")
+    )
+    d8 = (
+        edges.join(F.broadcast(anchors), edges.x == F.col("anchor"))
+        .withColumn("_rk", F.row_number().over(wdir))
+        .filter(F.col("_rk") <= 8)
+        .select("anchor", F.col("y").alias("nb"))
+    )
+    th = (
+        edges.join(F.broadcast(d8), edges.x == d8.nb)
+        .filter(F.col("y") != F.col("anchor"))
+        .select("anchor", F.col("y").alias("rec"), "nb")
+    )
+    filt = th.join(
+        d8.select("anchor", F.col("nb").alias("rec")),
+        ["anchor", "rec"],
+        "left_anti",
+    )
+    sc = filt.groupBy("anchor", "rec").agg(
+        F.count_distinct("nb").cast("bigint").alias("n_paths")
+    )
+    wrk = Window.partitionBy("anchor").orderBy(
+        F.col("n_paths").desc(), F.col("rec")
+    )
+    return (
+        sc.withColumn("rk", F.row_number().over(wrk).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("anchor").alias("anchor_part"),
+            F.col("rec").alias("rec_part"),
+            "n_paths",
+            "rk",
+        )
+    )

@@ -300,3 +300,61 @@ def q124_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum(disc_price(), "revenue", 6),
     )
+
+
+@register(
+    "q284_bucketed_join",
+    oracle=f"""
+SELECT c.c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  {sql_dsum("o_totalprice", "sum_price")}
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    tags=("join", "layout", "bench"),
+)
+def q284_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketed layout (the scale
+    axis' "bucketing for co-located joins", driver-attested): write
+    orders AND customer as managed tables bucketed 16 ways on the
+    customer key (sources/bucketing.write_bucketed — bucket spec lives
+    in the catalog), join on that key, and FAIL LOUDLY unless the bare
+    join plans ZERO shuffle exchanges — the property that turns a
+    recurring fact-dim join at 100 TB from a 2×-table network event
+    into a bucket-local merge. The rollup after the join shuffles only
+    the joined rows' mktsegment aggregate, which any physical layout
+    pays.
+
+    The oracle checks the VALUES (bucketed scan ≡ plain scan); the
+    in-query exchange_count assertion checks the PLAN — together the
+    hash row proves the layout path is both wired and correct."""
+    import uuid as _uuid
+
+    from ..sources.bucketing import (
+        bucketed_join,
+        exchange_count,
+        write_bucketed,
+    )
+
+    tag = _uuid.uuid4().hex[:8]
+    t_orders, t_cust = f"q284_orders_{tag}", f"q284_customer_{tag}"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    write_bucketed(o.withColumnRenamed("o_custkey", "k"), t_orders, "k")
+    write_bucketed(c.withColumnRenamed("c_custkey", "k"), t_cust, "k")
+    joined = bucketed_join(spark, t_orders, t_cust, "k")
+    n_ex = exchange_count(joined)
+    if n_ex != 0:
+        raise RuntimeError(
+            f"bucketed join planned {n_ex} shuffle exchanges — the "
+            "co-located layout was not honored (bucket counts differ, "
+            "or spark.sql.sources.bucketing.enabled is off)"
+        )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        dsum(dec2("o_totalprice"), "sum_price"),
+    )

@@ -343,3 +343,61 @@ def q84e_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return phash_pairs(d)
+
+
+@register(
+    "q276_media_integrity_audit",
+    oracle="""
+WITH b AS (
+  SELECT source, md5(text) AS h, octet_length(encode(text)) AS nb
+  FROM documents
+), g AS (
+  SELECT source, h, COUNT(*) AS c, MIN(nb) AS nb
+  FROM b GROUP BY source, h
+)
+SELECT source,
+  CAST(SUM(c) AS BIGINT) AS n_blobs,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct_payloads,
+  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_blobs,
+  CAST(SUM(c * nb) AS BIGINT) AS total_bytes,
+  CAST(SUM((c - 1) * nb) AS BIGINT) AS reclaimable_bytes
+FROM g GROUP BY source
+""",
+    tags=("multimodal", "llm", "dedup"),
+)
+def q276_media_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable media-store audit (#84 + exact dedup): hash
+    every binary payload (md5 over the BinaryType column — blobs
+    synthesized from text like q84, the fixtures ship no media), then
+    per source report blob counts, distinct-payload counts, byte
+    totals, and the bytes a content-addressed store would reclaim by
+    keeping one copy per digest — the dedup-savings estimate every
+    multimodal corpus ingest wants before it pays for 100 TB of JPEG
+    twice.
+
+    Scale shape: digest + length are map-side kernels over the binary
+    column (parquet stores it natively; no decode), the only shuffle
+    is the (source, digest) hash agg whose key space is bounded by
+    distinct payloads — the same shape as exact text dedup (q81). The
+    audit never moves payload bytes, only 16-byte digests."""
+    d = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    b = d.select(
+        "source",
+        F.md5(blob).alias("h"),
+        F.octet_length(blob).alias("nb"),
+    )
+    g = b.groupBy("source", "h").agg(
+        F.count(F.lit(1)).alias("c"), F.min("nb").alias("nb")
+    )
+    return g.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_blobs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_payloads"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_blobs"),
+        F.sum(F.col("c") * F.col("nb")).cast("bigint").alias("total_bytes"),
+        F.sum((F.col("c") - 1) * F.col("nb"))
+        .cast("bigint")
+        .alias("reclaimable_bytes"),
+    )

@@ -1245,3 +1245,131 @@ def q267_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("outlier_rank").cast("int").alias("outlier_rank"),
         )
     )
+
+
+def _q271_oracle() -> str:
+    from ..functions.compat import sql_portable_hash64
+
+    h = sql_portable_hash64("CAST(vec_id AS VARCHAR)")
+    cos = (
+        "round(list_dot_product(x.v, c.cv) / "
+        "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cv, c.cv))), 5)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+base AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+delta AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+seeds AS (SELECT vec_id, v FROM base ORDER BY {h}, vec_id LIMIT 16),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS c_id, v AS cv
+  FROM seeds
+),
+sb AS (
+  SELECT x.vec_id, c.c_id, {cos} AS sim,
+    row_number() OVER (PARTITION BY x.vec_id
+                       ORDER BY {cos} DESC, c.c_id) AS rk
+  FROM base x CROSS JOIN cent c
+),
+sd AS (
+  SELECT x.vec_id, c.c_id, {cos} AS sim,
+    row_number() OVER (PARTITION BY x.vec_id
+                       ORDER BY {cos} DESC, c.c_id) AS rk
+  FROM delta x CROSS JOIN cent c
+),
+nb AS (SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_base FROM sb WHERE rk = 1 GROUP BY c_id),
+nd AS (SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_new,
+              round(avg(sim), 5) AS avg_cos_new
+       FROM sd WHERE rk = 1 GROUP BY c_id)
+SELECT c.c_id AS list_id,
+  COALESCE(nb.n_base, 0) AS n_base,
+  COALESCE(nd.n_new, 0) AS n_new,
+  nd.avg_cos_new
+FROM cent c
+LEFT JOIN nb ON nb.c_id = c.c_id
+LEFT JOIN nd ON nd.c_id = c.c_id
+"""
+
+
+@register(
+    "q271_ivf_delta_reassign",
+    oracle=_q271_oracle(),
+    tags=("similarity", "llm", "vector", "versioning"),
+)
+def q271_ivf_delta_reassign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance on snapshot deltas (VERDICT
+    r05 ask #3b — composes versioning.changes() with the IVF
+    assignment): the corpus lives in a VersionedTable (v1 = the 90%
+    base the index was built on, v2 = an appended 10% delta batch);
+    maintenance scores ONLY ``changes(1)`` — the new rows read from
+    only the files v2 added — against the existing centroid table and
+    appends their postings, per-list growth reported next to the base
+    postings. At 100 TB this is the difference between re-indexing the
+    corpus and touching the day's arrivals.
+
+    Oracle determinism: centroids are the 16 hash-least base vectors
+    (portable md5 hash — no Lloyd float averaging), assignment argmax
+    runs on cosine ROUNDED to 5 with c_id tiebreak, so both engines
+    pick identical lists (the q199-proven tolerance). The production
+    path swaps in spherical_kmeans centroids (q83d) — identical
+    assignment plumbing, rows-only check territory.
+
+    Scale shape: centroid frame broadcasts everywhere; the delta scan
+    never touches base files (changes() reads the v2 file diff);
+    base postings are one broadcast-join + agg at index-build time.
+    Nothing shuffles but the (c_id) aggregates."""
+    import os
+    import tempfile
+
+    from ..functions.compat import portable_hash64
+    from ..versioning import VersionedTable
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    d = tempfile.mkdtemp(prefix="q271_ivf_")
+    vt = VersionedTable(spark, os.path.join(d, "emb"))
+    vt.write(e.filter(F.pmod("vec_id", F.lit(10)) != 0), "append")  # v1: base
+    vt.write(e.filter(F.pmod("vec_id", F.lit(10)) == 0), "append")  # v2: delta
+    base = vt.read(version=1)
+    delta = vt.changes(1)  # only v2's files — the incremental read
+
+    seeds = topn_ranked(
+        base.withColumn("_h", portable_hash64(F.col("vec_id").cast("string"))),
+        [F.col("_h"), F.col("vec_id")],
+        16,
+        rank_name="_hrk",
+    ).drop("_h", "_hrk")
+    cent = topn_ranked(seeds, [F.col("vec_id")], 16, rank_name="c_id").select(
+        "c_id", F.col("v").alias("cv")
+    )
+
+    def assign(df: DataFrame) -> DataFrame:
+        scored = df.join(F.broadcast(cent)).withColumn(
+            "sim", F.round(cosine(F.col("v"), F.col("cv")), 5)
+        )
+        return scored.groupBy("vec_id").agg(
+            F.max_by(
+                "c_id", F.struct(F.col("sim"), (-F.col("c_id")).alias("_t"))
+            ).alias("c_id"),
+            F.max("sim").alias("sim"),
+        )
+
+    nb = assign(base).groupBy("c_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_base")
+    )
+    nd = assign(delta).groupBy("c_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new"),
+        F.round(F.avg("sim"), 5).alias("avg_cos_new"),
+    )
+    return (
+        cent.select(F.col("c_id").alias("list_id"))
+        .join(nb.withColumnRenamed("c_id", "list_id"), "list_id", "left")
+        .join(nd.withColumnRenamed("c_id", "list_id"), "list_id", "left")
+        .select(
+            "list_id",
+            F.coalesce("n_base", F.lit(0).cast("bigint")).alias("n_base"),
+            F.coalesce("n_new", F.lit(0).cast("bigint")).alias("n_new"),
+            "avg_cos_new",
+        )
+    )

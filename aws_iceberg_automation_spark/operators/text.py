@@ -1858,3 +1858,56 @@ def q265_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_dup_5grams") * 10 > F.col("n_5grams")).alias("repetitive"),
         )
     )
+
+
+@register(
+    "q275_bpe_pair_census",
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), pairs AS (
+  SELECT substring(w, CAST(i AS INT), 2) AS pair
+  FROM (SELECT w, unnest(range(1, length(w))) AS i FROM words WHERE length(w) >= 2)
+), counted AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY pair
+), ranked AS (
+  SELECT pair, n_pairs,
+    row_number() OVER (ORDER BY n_pairs DESC, pair) AS rk
+  FROM counted
+)
+SELECT pair, n_pairs, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 20
+""",
+    tags=("text", "llm", "tokenizer"),
+)
+def q275_bpe_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE first-merge census (tokenizer training, iteration 0): the
+    frequency of every adjacent character pair inside words across the
+    token stream — the statistic byte-pair encoding maximizes when it
+    picks its first merge. Top-20 pairs with exact counts.
+
+    Scale shape: the per-character explode is map-side (corpus chars ×
+    1 row, no shuffle until the pair groupBy), the aggregate is a
+    word-count-shaped two-phase hash agg over a ≤|alphabet|² key space
+    (≤ ~700 live pairs on lowercase text) — so the shuffle moves
+    kilobytes regardless of corpus size; top-20 is a
+    TakeOrderedAndProject. Full BPE training iterates merge→re-segment;
+    each subsequent round is this same census over the re-segmented
+    stream (the merge step is a per-word map, no shuffle), so round
+    cost stays flat — the census IS the scalable unit of work."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    from ..functions.ranking import topn_ranked
+
+    return topn_ranked(
+        counted, [F.col("n_pairs").desc(), F.col("pair")], 20, rank_name="rk"
+    ).select("pair", "n_pairs", "rk")

@@ -1146,3 +1146,109 @@ def q258_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.sum("ape_seasonal") < F.sum("ape_naive")).alias("seasonal_wins"),
     )
+
+
+@register(
+    "q282_gapfill_interpolation",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag AS series,
+    date_diff('day', DATE '1992-01-01', l_shipdate) AS d,
+    CAST(SUM(l_quantity) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+), bounds AS (
+  SELECT series, MIN(d) AS lo, MAX(d) AS hi FROM s GROUP BY series
+), grid AS (
+  SELECT b.series, unnest(range(b.lo, b.hi + 1)) AS d FROM bounds b
+), j AS (
+  SELECT g.series, g.d, s.qty FROM grid g
+  LEFT JOIN s ON s.series = g.series AND s.d = g.d
+), ctx AS (
+  SELECT series, d, qty,
+    last_value(qty IGNORE NULLS) OVER (PARTITION BY series ORDER BY d
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN qty IS NOT NULL THEN d END IGNORE NULLS)
+      OVER (PARTITION BY series ORDER BY d
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+    first_value(qty IGNORE NULLS) OVER (PARTITION BY series ORDER BY d
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN qty IS NOT NULL THEN d END IGNORE NULLS)
+      OVER (PARTITION BY series ORDER BY d
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM j
+)
+SELECT series, CAST(d AS BIGINT) AS day_idx,
+  (qty IS NULL) AS filled,
+  CAST(CASE
+    WHEN qty IS NOT NULL THEN qty * 1000
+    ELSE pv * 1000 + ((nv - pv) * 1000 * (d - pd)) // (nd - pd)
+  END AS BIGINT) AS qty_x1000
+FROM ctx
+""",
+    tags=("timeseries",),
+)
+def q282_gapfill_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + linear interpolation of a sparse daily series (the
+    resample-to-grid primitive every forecasting/feature pipeline
+    needs, which Spark lacks natively): per return flag, aggregate daily
+    quantities, explode the full [min_day, max_day] grid per series, and
+    fill each missing day by linear interpolation between its nearest
+    present neighbors (carry-forward windows with ignorenulls — one
+    partitioned window pass each direction, no self-join).
+
+    All-integer fixed point (qty × 1000, truncating div — Spark ``div``
+    ≡ DuckDB ``//`` on either sign): interpolated values are
+    bit-identical across engines and partitionings, never a float
+    rounding-boundary case. Interior grids only — per-series min/max
+    bounds mean pv/nd are always defined on filled rows.
+
+    Scale shape: one hash agg to day grain, one tiny per-series bounds
+    agg broadcast into a sequence() explode (grid rows ≈ days × series,
+    trivially bounded), and two partitioned windows keyed on the series — the
+    corpus never sorts globally. Skewed series keys are impossible by
+    construction (the day grain caps per-key rows at the date span)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = (
+        li.select(
+            F.col("l_returnflag").alias("series"),
+            F.datediff("l_shipdate", F.lit("1992-01-01").cast("date")).alias("d"),
+            "l_quantity",
+        )
+        .groupBy("series", "d")
+        .agg(F.sum("l_quantity").cast("bigint").alias("qty"))
+    )
+    bounds = s.groupBy("series").agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    grid = bounds.select(
+        "series", F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    j = grid.join(s, ["series", "d"], "left")
+    wp = (
+        Window.partitionBy("series")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("series")
+        .orderBy("d")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    present_d = F.when(F.col("qty").isNotNull(), F.col("d"))
+    ctx = j.select(
+        "series",
+        "d",
+        "qty",
+        F.last("qty", ignorenulls=True).over(wp).alias("pv"),
+        F.last(present_d, ignorenulls=True).over(wp).alias("pd"),
+        F.first("qty", ignorenulls=True).over(wn).alias("nv"),
+        F.first(present_d, ignorenulls=True).over(wn).alias("nd"),
+    )
+    interp = F.expr("pv * 1000 + ((nv - pv) * 1000 * (d - pd)) div (nd - pd)")
+    return ctx.select(
+        "series",
+        F.col("d").cast("bigint").alias("day_idx"),
+        F.col("qty").isNull().alias("filled"),
+        F.when(F.col("qty").isNotNull(), F.col("qty") * 1000)
+        .otherwise(interp)
+        .cast("bigint")
+        .alias("qty_x1000"),
+    )

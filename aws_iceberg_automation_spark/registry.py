@@ -58,6 +58,7 @@ _OPERATOR_MODULES = [
     "aws_iceberg_automation_spark.operators.curation",
     "aws_iceberg_automation_spark.operators.dq",
     "aws_iceberg_automation_spark.operators.graph",
+    "aws_iceberg_automation_spark.operators.lakehouse",
     "aws_iceberg_automation_spark.operators.ddl",
     "aws_iceberg_automation_spark.streaming.queries",
 ]
@@ -120,6 +121,27 @@ _DRIVER_PRIORITY = [
     "q268_minhash_estimator_audit",
     "q269_crawl_novelty",
     # -- round-6 window part 2: newcomers (18 slots to the line) --
+    # 16 new operators + the q119/q96b rows-only->oracle conversions
+    # (changed semantics => their old rows-only attestations are void;
+    # they re-earn hash rows here).
+    "q270_journey_census",
+    "q271_ivf_delta_reassign",
+    "q272_stream_lakehouse_rollup",
+    "q273_scd2_intervals",
+    "q274_time_travel_diff",
+    "q275_bpe_pair_census",
+    "q276_media_integrity_audit",
+    "q277_expire_retention_plan",
+    "q278_copurchase_2hop_recs",
+    "q279_weighted_pps_sample",
+    "q280_sketch_set_ops",
+    "q281_pruned_scan_filter",
+    "q282_gapfill_interpolation",
+    "q283_schema_drift_union",
+    "q284_bucketed_join",
+    "q285_doc_containment_pairs",
+    "q119_supplier_pagerank",
+    "q96b_stratified_sample",
     # ---- 50-slot budget line (driver stops here) ----
 ]
 

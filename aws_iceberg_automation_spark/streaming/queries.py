@@ -576,3 +576,102 @@ def q266_cdc_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         precedence=["ts_sec", "event_id"],
     )
     return vt.read().select("user_id", "event_id", "event_type", "value")
+
+
+@register(
+    "q272_stream_lakehouse_rollup",
+    oracle="""
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR)
+    AS total_value
+FROM events GROUP BY event_type
+""",
+    tags=("streaming", "lakehouse", "matview"),
+)
+def q272_stream_lakehouse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full lakehouse loop as ONE driver-hashed query: stream →
+    exactly-once versioned append (one snapshot per microbatch,
+    redelivery skipped by batch-id tag) → per-microbatch INCREMENTAL
+    materialized-view refresh (each refresh aggregates only
+    ``changes()`` — the new files — and merges into the stored state;
+    the table is never rescanned). After the 5-microbatch replay the
+    view must equal the from-scratch batch aggregate — which is
+    exactly what the oracle computes. Fails loudly if the view ends
+    stale or any refresh fell back to a full rebuild (the
+    one-refresh-per-source-version invariant).
+
+    At 100 TB/day this is THE ingestion architecture the engine is
+    for: per-batch cost O(|batch| + |group keys|), aggregate queryable
+    at microbatch latency, the table — not the stream — the source of
+    truth (a failed refresh just leaves staleness() > 0 for the next
+    batch to catch up)."""
+    from ..matview import IncrementalAggView, Measure
+    from ..versioning import VersionedTable
+
+    d = tempfile.mkdtemp(prefix="q272_rollup_")
+    vt = VersionedTable(spark, os.path.join(d, "events_table"))
+    mv = IncrementalAggView(
+        spark,
+        vt,
+        os.path.join(d, "rollup"),
+        group_by=["event_type"],
+        measures=[
+            Measure("n_events", "count"),
+            Measure("total_value", "sum", F.col("value").cast("decimal(18,2)")),
+        ],
+    )
+    jobs.foreach_batch_append_with_rollup(
+        _stream(spark, sf_dir), vt, mv, os.path.join(d, "ckpt")
+    )
+    if mv.staleness() != 0:
+        raise RuntimeError(f"rollup ended stale: {mv.staleness()} versions behind")
+    n_appends = sum(
+        1 for s in vt.snapshots() if s.op.startswith("stream-append:")
+    )
+    n_refresh = sum(
+        1 for s in mv.state.snapshots() if s.op.startswith("refresh:")
+    )
+    if n_refresh != n_appends:
+        raise RuntimeError(
+            f"non-incremental refresh path taken: {n_refresh} refreshes "
+            f"for {n_appends} appends"
+        )
+    return mv.read().select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_value").cast("decimal(38,2)").cast("string").alias(
+            "total_value"
+        ),
+    )
+
+
+if jobs.HAVE_TWS_RUNTIME:
+    # transformWithStateInPandas twin of q77 (VERDICT r05 ask #3a):
+    # typed-ValueState processor, same running totals, SAME batch
+    # oracle. Registration is capability-gated — this container ships
+    # no protobuf, so here the twin stays out of the registry (a
+    # protobuf-less runtime cannot start the tws state server); where
+    # the runtime exists it self-registers and earns its own hash row.
+    @register(
+        "q286_stream_tws_totals",
+        oracle="""
+SELECT user_id, COUNT(*) AS events_seen FROM events GROUP BY user_id
+""",
+        tags=("streaming",),
+    )
+    def q286_stream_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """#77 on the Spark 4 ``transformWithStateInPandas`` API: the
+        typed-state twin of q77's applyInPandasWithState kernel,
+        executed across the same multi-microbatch replay and collapsed
+        the same way — one oracle proves both stateful APIs."""
+        out = jobs.run_to_memory(
+            jobs.stateful_user_totals_tws(
+                jobs.with_watermark(_stream(spark, sf_dir))
+            ),
+            f"q286_mem_{uuid.uuid4().hex[:8]}",
+            output_mode="update",
+        )
+        return out.groupBy("user_id").agg(
+            F.max("events_seen").alias("events_seen")
+        )

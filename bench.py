@@ -6,14 +6,17 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Execution is forced with the noop sink (full pipeline, no driver
 collect). One warm-up run of the flagship amortizes JVM/codegen start.
 
-Timing methodology (round-3 disclosure, VERDICT r02 nit #5): each query
-runs twice; the headline ``value``/``queries`` keep round 2's min-of-2
-policy (this container's wall-clock drifts with co-tenant load —
-round-2 A/B re-benched identical code at 1.5× hours later; min-of-2
-measures the code, not the noisiest neighbor). The line ALSO reports
+Timing methodology (round-3 disclosure, VERDICT r02 nit #5; n raised
+to 3 per VERDICT r05 ask #7): each query runs three times; the
+headline ``value``/``queries`` report the MIN (this container's
+wall-clock drifts 1.5-2.5× with co-tenant load — round-2 A/B
+re-benched identical code at 1.5× hours later, round 5 measured q82 at
+3.0→8.1 s with zero code change; min-of-n measures the code, not the
+noisiest neighbor). The line ALSO reports
 ``value_first_run``/``queries_first_run`` — the first-shot numbers on
 the same methodology as the anchor and BENCH_r01, so both
-round-over-round and vs-anchor comparisons stay methodology-stable.
+round-over-round and vs-anchor comparisons stay methodology-stable —
+plus a ``noise_note`` so the artifact carries its own caveat.
 ``n`` records runs-per-query.
 """
 
@@ -44,7 +47,7 @@ def main() -> None:
     # warm-up (JVM, codegen, parquet footer cache)
     specs[e.FLAGSHIP].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    n_runs = 2
+    n_runs = 3
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
     for name in headline:
@@ -67,6 +70,11 @@ def main() -> None:
         "n": n_runs,
         "value_first_run": round(sum(first_run.values()), 3),
         "queries_first_run": first_run,
+        "noise_note": (
+            "co-tenant wall-clock drift on this box is 1.5-2.5x within a "
+            "session (measured rounds 2/5 on identical code); compare "
+            "min-of-n across rounds, never single first-run numbers"
+        ),
         "sf": float(m.group(1)) if m else sf_dir,
     }
     # The anchor (BENCH_ANCHOR.json) froze a 12-query set; round 4 put

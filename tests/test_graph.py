@@ -72,9 +72,33 @@ def test_supplier_pagerank_query_shape(spark):
     spec = all_specs()["q119_supplier_pagerank"]
     rows = spec.fn(spark, SF_DIR).collect()
     assert 0 < len(rows) <= 20  # sf0.001 has fewer than 20 suppliers
-    assert all(r.rank > 0 for r in rows)
-    ranks = [r.rank for r in rows]
+    assert all(r.rank_fp > 0 for r in rows)
+    ranks = [r.rank_fp for r in rows]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_fixedpoint_pagerank_tracks_float_pagerank(spark):
+    """The oracle-checkable fixed-point iteration and the float API
+    must agree: same graph, 8 rounds each, |fp/1e12 − float| < 1e-6
+    per node (integer truncation bias is ≤8e-12)."""
+    from aws_iceberg_automation_spark.operators.graph import (
+        pagerank_fixedpoint,
+    )
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)], ["src", "dst"]
+    )
+    fp = {
+        r.node: r.r / 1e12
+        for r in pagerank_fixedpoint(e, iters=8).collect()
+    }
+    fl = {
+        r.node: r.rank
+        for r in pagerank(e, max_iter=8, tol=0.0).collect()
+    }
+    assert fp.keys() == fl.keys()
+    for k in fp:
+        assert abs(fp[k] - fl[k]) < 1e-6, (k, fp[k], fl[k])
 
 
 def test_triangle_count_closed_forms(spark):

@@ -198,3 +198,38 @@ def test_plans_md_covers_registry_and_bans_cartesian():
         f"q208 exchange count regressed to {q208_shuffles} (was 20 after "
         "the global_ntiles rewrite, 74 before it)"
     )
+
+
+def test_plans_md_bench_exec_rows_measured_and_arrow_only():
+    """The post-execution (AQE-final) audit of the bench set (VERDICT
+    r05 ask #5): PLANS.md must carry an ``exec:`` row for every
+    non-streaming bench-tagged query, each with a MEASURED codegen span
+    count (> 0 — the pre-execution table legitimately reads 0 under
+    AQE; the executed plan never should), and no row may contain
+    BatchEvalPython — the row-at-a-time Python boundary; every Python
+    crossing in the bench set must be an Arrow-batched operator."""
+    import os
+    import re
+
+    from aws_iceberg_automation_spark.registry import all_specs
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rows = {}
+    for line in open(os.path.join(repo, "PLANS.md")):
+        m = re.match(r"\| exec:(q\w+) \| (\d+) \| (\S+) \|", line)
+        if m:
+            rows[m.group(1)] = (int(m.group(2)), m.group(3))
+    expected = sorted(
+        n
+        for n, s in all_specs().items()
+        if "bench" in s.tags and "streaming" not in s.tags
+    )
+    missing = sorted(set(expected) - set(rows))
+    assert not missing, (
+        f"bench queries without an exec: row in PLANS.md: {missing} — "
+        "re-run scripts/plan_report.py"
+    )
+    zero = sorted(n for n in expected if rows[n][0] == 0)
+    assert not zero, f"bench queries with zero executed codegen spans: {zero}"
+    rowpy = sorted(n for n in expected if "BatchEvalPython" in rows[n][1])
+    assert not rowpy, f"row-at-a-time Python in the bench set: {rowpy}"
