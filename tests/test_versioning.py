@@ -764,3 +764,54 @@ def test_orphan_remove_tolerates_concurrent_deletion(spark, vt, monkeypatch):
     removed = vt.orphan_files(remove=True, older_than_seconds=0)
     assert sorted(removed) == [a, b]
     assert not os.path.exists(a) and not os.path.exists(b)
+
+
+def test_merge_precedence_apply_if_newer(spark, vt):
+    """merge(precedence=...): a matched row is replaced only when the
+    source strictly outranks the stored row; full-precedence ties keep
+    the stored row (deterministic, redelivery = no-op); changelog
+    captures images ONLY for keys that actually changed."""
+    base = spark.createDataFrame(
+        [(1, 10, "old"), (2, 20, "old"), (3, 30, "old")],
+        "id bigint, ts bigint, payload string",
+    )
+    vt.write(base)
+    src = spark.createDataFrame(
+        [
+            (1, 11, "newer"),   # outranks -> replaces
+            (2, 19, "stale"),   # outranked -> stored wins
+            (3, 30, "tie"),     # full tie -> stored wins
+            (4, 40, "insert"),  # unmatched -> inserts
+        ],
+        "id bigint, ts bigint, payload string",
+    )
+    v = vt.merge(src, on=["id"], precedence=["ts"], capture_changelog=True)
+    now = {r.id: (r.ts, r.payload) for r in vt.read().collect()}
+    assert now == {
+        1: (11, "newer"),
+        2: (20, "old"),
+        3: (30, "old"),
+        4: (40, "insert"),
+    }
+    ch = vt.changelog(v - 1, v).collect()
+    by_type: dict[str, set[int]] = {}
+    for r in ch:
+        by_type.setdefault(r._change_type, set()).add(r.id)
+    assert by_type.get("update_after") == {1}
+    assert by_type.get("update_before") == {1}
+    assert by_type.get("insert") == {4}
+    # redelivering the SAME batch is an exact no-op state-wise
+    vt.merge(src, on=["id"], precedence=["ts"])
+    assert {r.id: (r.ts, r.payload) for r in vt.read().collect()} == now
+
+
+def test_merge_precedence_tie_validator(spark, vt, monkeypatch):
+    vt.write(
+        spark.createDataFrame([(1, 10, "a")], "id bigint, ts bigint, p string")
+    )
+    src = spark.createDataFrame(
+        [(1, 10, "DIFFERENT")], "id bigint, ts bigint, p string"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_VALIDATE_PRECEDENCE", "1")
+    with pytest.raises(VersioningError, match="not a per-key total order"):
+        vt.merge(src, on=["id"], precedence=["ts"])
