@@ -511,7 +511,18 @@ def q148_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q149_rolling_distinct_sketch",
-    oracle=None,  # estimate; error-bound invariant in tests/test_llm_ops.py
+    oracle="""
+WITH hu AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+)
+SELECT w.win_end,
+  CAST(COUNT(DISTINCT hu.user_id) AS BIGINT) AS exact_distinct_users,
+  CAST(COUNT(DISTINCT hu.h) AS BIGINT) AS n_merged_sketches,
+  TRUE AS within_bound
+FROM (SELECT DISTINCT h AS win_end FROM hu) w
+JOIN hu ON hu.h <= w.win_end AND hu.h > w.win_end - INTERVAL 6 HOUR
+GROUP BY w.win_end
+""",
     tags=("agg", "sketch"),
 )
 def q149_rolling_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -543,15 +554,41 @@ def q149_rolling_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("h") <= F.col("win_end"))
         & (F.col("h") > F.col("win_end") - F.expr("INTERVAL 6 HOURS")),
     )
-    return (
-        joined.groupBy("win_end")
-        .agg(
-            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(
-                "approx_distinct_users"
-            ),
-            F.count(F.lit(1)).alias("n_merged_sketches"),
+    est = joined.groupBy("win_end").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("_est"),
+        F.count(F.lit(1)).cast("bigint").alias("n_merged_sketches"),
+    )
+    # Oracle conversion (round 6, the q41 error-bound-boolean pattern):
+    # the raw HLL estimate cannot hash-match DuckDB, but it IS
+    # partition-order-independent (datasketches union = register max),
+    # so |est - exact| <= max(5% of exact, 2) is a deterministic
+    # boolean; the exact side rides the same active-hours join and
+    # hash-checks outright. The pytest invariant keeps the tighter raw
+    # check against q197.
+    hu = ev.select(
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("h"),
+        "user_id",
+    ).distinct()
+    exact = (
+        hours.join(
+            hu,
+            (F.col("h") <= F.col("win_end"))
+            & (F.col("h") > F.col("win_end") - F.expr("INTERVAL 6 HOURS")),
         )
-        .orderBy("win_end")
+        .groupBy("win_end")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct_users"))
+    )
+    bound = F.greatest(
+        F.lit(0.05) * F.col("exact_distinct_users").cast("double"), F.lit(2.0)
+    )
+    return est.join(exact, "win_end").select(
+        "win_end",
+        "exact_distinct_users",
+        "n_merged_sketches",
+        (
+            F.abs(F.col("_est").cast("double") - F.col("exact_distinct_users").cast("double"))
+            <= bound
+        ).alias("within_bound"),
     )
 
 

@@ -1276,7 +1276,40 @@ def span_dedup_clean(d: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
-@register("q187_dedup_metrics", oracle=None, tags=("dedup", "llm"))
+_Q187_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 120
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 3, 100000), ' ') AS text
+  FROM documents WHERE doc_id < 10
+), {_MINHASH_CTES.replace("FROM documents", "FROM corpus")}, {_CAND_CTES},
+truth AS (
+  SELECT sa.doc_id AS doc_id_a, sb.doc_id AS doc_id_b
+  FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
+  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
+), det AS (
+  SELECT doc_id_a, doc_id_b FROM cand
+  JOIN sh sa ON sa.doc_id = cand.doc_id_a
+  JOIN sh sb ON sb.doc_id = cand.doc_id_b
+  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
+), hit AS (
+  SELECT t.doc_id_a, t.doc_id_b FROM truth t
+  JOIN det d ON d.doc_id_a = t.doc_id_a AND d.doc_id_b = t.doc_id_b
+)
+SELECT 'minhash_lsh' AS system,
+  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth_pairs,
+  CAST((SELECT COUNT(*) FROM det) AS BIGINT) AS n_detected_pairs,
+  CAST((SELECT COUNT(*) FROM truth) - (SELECT COUNT(*) FROM hit)
+       AS BIGINT) AS n_missed,
+  CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+        / (SELECT COUNT(*) FROM truth) AS recall
+"""
+
+
+@register("q187_dedup_metrics", oracle=_Q187_ORACLE, tags=("dedup", "llm"))
 def q187_dedup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-pipeline eval harness (q186's twin for near-dup
     detection): inject controlled near-duplicates (docs 0-9 copied
@@ -1291,8 +1324,12 @@ def q187_dedup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the eval slice is bounded (120 docs + 10 copies) so
     the exact-truth all-pairs stays oracle-scale by construction; the
     LSH side runs the full production path (capped buckets, verify
-    join). Rows-only: MinHash signatures are engine-hash-specific;
-    pytest pins the recall floor."""
+    join) on the PORTABLE hash family, so the oracle replays the
+    whole pipeline — signatures, banding, cap-salting, verify — plus
+    the ground-truth all-pairs, and the recall number itself
+    hash-checks (round-6 conversion off the rows-only list; the q82
+    oracle machinery, injected-corpus edition). pytest additionally
+    pins the recall floor."""
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 120)
@@ -1316,7 +1353,7 @@ def q187_dedup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     detected = (
-        minhash_candidate_pairs(corpus, threshold=0.5)
+        minhash_candidate_pairs(corpus, threshold=0.5, portable=True)
         .select("doc_id_a", "doc_id_b")
         .cache()
     )
@@ -1337,7 +1374,10 @@ def q187_dedup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_truth,
                 n_detected,
                 n_truth - n_hit,
-                round(n_hit / n_truth, 6) if n_truth else None,
+                # UNROUNDED: the same two ints divide to the bitwise-
+                # identical IEEE double in both engines; rounding would
+                # only add a half-grid tie class (q255 lesson)
+                n_hit / n_truth if n_truth else None,
             )
         ],
         "system string, n_truth_pairs long, n_detected_pairs long, "

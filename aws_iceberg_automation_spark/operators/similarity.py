@@ -1373,3 +1373,149 @@ def q271_ivf_delta_reassign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_cos_new",
         )
     )
+
+
+def _srp_coefs(planes: int, dims: int, seed: str) -> list[list[float]]:
+    """Portable SRP hyperplane coefficients: uniform-ish in [-0.5, 0.5)
+    derived from the md5-based portable hash of (seed, plane, dim) —
+    data-independent CONSTANTS, computed once driver-side and inlined
+    as literals in both the Spark plan and the DuckDB oracle, so the
+    projections are the same IEEE fold on both engines (the q83-proven
+    list_dot_product ≡ zip_with/aggregate equivalence)."""
+    import hashlib
+
+    def h(p: int, i: int) -> int:
+        key = f"{seed}:{p}:{i}".encode()
+        return int(hashlib.md5(key).hexdigest()[:15], 16)
+
+    return [
+        [h(p, i) % 100003 / 100003.0 - 0.5 for i in range(dims)]
+        for p in range(planes)
+    ]
+
+
+def _q83f_oracle(n_tables: int, planes: int, dims: int) -> str:
+    table_branches = []
+    for t in range(n_tables):
+        coefs = _srp_coefs(planes, dims, f"srp{t}")
+        bucket = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {coefs[p]!r}::DOUBLE[]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(planes)
+        )
+        table_branches.append(
+            f"SELECT vec_id, label, v, {t} AS t, {bucket} AS bucket FROM e"
+        )
+    member = "\nUNION ALL\n".join(table_branches)
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), member AS (
+{member}
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, t, bucket FROM member
+  WHERE vec_id < {_N_QUERIES}
+), cand AS (
+  SELECT DISTINCT q.q_id, m.vec_id AS neighbor_id, m.label AS neighbor_label,
+    round(list_dot_product(q.qv, m.v)
+          / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(m.v, m.v))), 6)
+      AS cosine
+  FROM q JOIN member m ON m.t = q.t AND m.bucket = q.bucket
+  WHERE m.vec_id <> q.q_id
+)
+SELECT q_id, neighbor_id, neighbor_label, cosine, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM cand)
+WHERE rk <= {_TOP_K}
+"""
+
+
+_Q83F_DIMS = 64  # embeddings fixture dimensionality (guarded at run time)
+
+
+@register(
+    "q83f_ann_lsh_topk_portable",
+    oracle=_q83f_oracle(8, 3, _Q83F_DIMS),
+    tags=("similarity", "llm", "vector"),
+)
+def q83f_ann_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q83b's SRP-LSH ANN with the hyperplanes on the PORTABLE
+    coefficient family — the whole scale path (bucket membership per
+    hash table, equi-join candidate generation, exact re-rank) replays
+    in DuckDB and the top-k itself hash-checks (round-6 conversion:
+    the first ANN variant with a full value oracle, not just a recall
+    floor). Projection signs are deterministic cross-engine because
+    the coefficients are INLINED literal doubles and both engines fold
+    the dot product sequentially (q83's proven equivalence); a sign
+    flip would need |proj| below fold ulp (~1e-15) — none exists in
+    the fixture, and any future flip surfaces as a hash mismatch, not
+    silent wrongness.
+
+    Same plan as q83b: map-side bucket keys, broadcast query side,
+    equi-join on (table, bucket), distinct, re-rank — candidates ≪ N,
+    the LSH contract. xxhash64 coefficients (q83b) remain the
+    production default; rows-only recall floors keep covering that
+    path."""
+    n_tables, planes = 8, 3
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    dims = len(e.select("v").head()[0])
+    if dims != _Q83F_DIMS:
+        raise ValueError(
+            f"embeddings dim {dims} != {_Q83F_DIMS}: regenerate the "
+            "q83f oracle with the new dimensionality"
+        )
+
+    def bucket_col(t: int):
+        coefs = _srp_coefs(planes, dims, f"srp{t}")
+        b = F.lit(0).cast("long")
+        for p in range(planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(c) for c in coefs[p]]),
+                    lambda x, c: x.cast("double") * c,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            b = b + F.when(proj >= 0, F.lit(1 << p)).otherwise(0).cast("long")
+        return b
+
+    buckets = F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), bucket_col(t).alias("bucket"))
+            for t in range(n_tables)
+        ]
+    )
+    member = e.withColumn("tb", F.explode(buckets)).select(
+        "vec_id",
+        "label",
+        "v",
+        F.col("tb.t").alias("t"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+    q = member.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "t", "bucket"
+    )
+    cand = (
+        F.broadcast(q)
+        .join(member, ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "qv", "vec_id", "label", "v")
+        .distinct()
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return cand.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _TOP_K
+    )

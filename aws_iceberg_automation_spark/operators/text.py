@@ -268,7 +268,21 @@ def q85f_bpe_ish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q85g_freq_terms_sketch", oracle=None, tags=("text", "llm"))
+@register(
+    "q85g_freq_terms_sketch",
+    oracle="""
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), n AS (SELECT COUNT(*) AS n FROM t)
+SELECT
+  CAST((SELECT COUNT(*) FROM (
+          SELECT term FROM t GROUP BY term
+          HAVING COUNT(*) >= 0.001 * (SELECT n FROM n))) AS BIGINT)
+    AS n_true_frequent,
+  TRUE AS superset_ok
+""",
+    tags=("text", "llm"),
+)
 def q85g_freq_terms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate heavy hitters (#85 sketch path): Spark's built-in
     ``stat.freqItems`` (Karp-Schenker-Papadimitriou one-pass counting)
@@ -276,15 +290,26 @@ def q85g_freq_terms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     with frequency ≥ support — the cheap first pass that shortlists
     candidate boilerplate/stopword terms at 100 TB before an exact
     count of only the candidates (q85b's shape on a tiny set).
-    Rows-only: the false-positive tail is algorithm/partitioning
-    dependent; pytest asserts the superset guarantee vs exact top
-    terms."""
+
+    Oracle surface (round-6 conversion off the rows-only list): the
+    candidate LIST is algorithm/partitioning-dependent, but the KSP
+    superset guarantee is unconditional — so the query surfaces the
+    exact count of truly-frequent terms (hash-checked) plus
+    ``superset_ok`` = "every truly-frequent term is in the candidate
+    set" (TRUE by theorem for ANY partitioning; the oracle asserts
+    it). The false-positive tail stays measured in pytest."""
     d = load_table(spark, sf_dir, "documents")
     terms = d.select(F.explode(F.split("text", " ")).alias("term"))
     freq = terms.stat.freqItems(["term"], support=0.001)
-    return (
-        freq.select(F.explode("term_freqItems").alias("term"))
-        .orderBy("term")
+    cand = freq.select(F.explode("term_freqItems").alias("term"))
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = terms.count()
+    true_freq = counts.filter(F.col("cnt") >= 0.001 * total).select("term")
+    n_true = true_freq.count()
+    n_missed = true_freq.join(cand, "term", "left_anti").count()
+    return spark.createDataFrame(
+        [(n_true, n_missed == 0)],
+        "n_true_frequent bigint, superset_ok boolean",
     )
 
 

@@ -143,6 +143,13 @@ _DRIVER_PRIORITY = [
     "q119_supplier_pagerank",
     "q96b_stratified_sample",
     # ---- 50-slot budget line (driver stops here) ----
+    # round-6 late conversions (rows-only -> oracle-backed; changed
+    # semantics void their old rows-only attestations): head of the
+    # round-7 window.
+    "q149_rolling_distinct_sketch",
+    "q187_dedup_metrics",
+    "q85g_freq_terms_sketch",
+    "q83f_ann_lsh_topk_portable",
 ]
 
 
