@@ -28,17 +28,18 @@ from ..io import load_table
 from ..registry import register
 
 
-def pagerank(
-    edges: DataFrame,
-    damping: float = 0.85,
-    max_iter: int = 15,
-    tol: float = 1e-4,
-) -> DataFrame:
-    """PageRank over a directed edge list (``src``, ``dst``) →
-    (node, rank). Stops early when total absolute rank change < tol·N.
-    """
+def _graph_state(edges: DataFrame) -> tuple[DataFrame, DataFrame, int]:
+    """Shared power-iteration prep (pagerank + pagerank_fixedpoint —
+    one copy so the float/fixed-point agreement test stays meaningful,
+    round-6 review finding): deduped edge list repartitioned on src
+    (every round's join reuses the exchange), and the per-node state
+    frame (node, deg) with deg NULL marking dangling nodes; both
+    pinned (they are consumed every round), plus the node count."""
     edges = (
-        edges.select("src", "dst").distinct().repartition("src").localCheckpoint(eager=True)
+        edges.select("src", "dst")
+        .distinct()
+        .repartition("src")
+        .localCheckpoint(eager=True)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -49,9 +50,25 @@ def pagerank(
     n = nodes.count()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # src-side state reused every round: (node, deg) with deg NULL = dangling
-    state = nodes.join(outdeg, nodes.node == outdeg.src, "left").select(
-        "node", "deg"
-    ).repartition("node").localCheckpoint(eager=True)
+    state = (
+        nodes.join(outdeg, nodes.node == outdeg.src, "left")
+        .select("node", "deg")
+        .repartition("node")
+        .localCheckpoint(eager=True)
+    )
+    return edges, state, n
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 15,
+    tol: float = 1e-4,
+) -> DataFrame:
+    """PageRank over a directed edge list (``src``, ``dst``) →
+    (node, rank). Stops early when total absolute rank change < tol·N.
+    """
+    edges, state, n = _graph_state(edges)
     ranks = state.select("node", F.lit(1.0).alias("rank"))
     for _ in range(max_iter):
         with_deg = ranks.join(state.select("node", "deg"), "node")
@@ -116,25 +133,10 @@ def pagerank_fixedpoint(
 
     Same shuffle budget as ``pagerank``: one equi-join + one hash agg
     per round, per-round ``localCheckpoint`` to cut lineage, dangling
-    mass folded back via one exact scalar aggregate."""
-    edges = (
-        edges.select("src", "dst").distinct().repartition("src")
-        .localCheckpoint(eager=True)
-    )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n = nodes.count()
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    state = (
-        nodes.join(outdeg, nodes.node == outdeg.src, "left")
-        .select("node", "deg")
-        .repartition("node")
-        .localCheckpoint(eager=True)
-    )
+    mass folded back via one exact scalar aggregate. Graph prep is the
+    SHARED ``_graph_state`` — the float and fixed-point iterations see
+    identical edges/state by construction."""
+    edges, state, n = _graph_state(edges)
     ranks = state.select("node", F.lit(_PR_SCALE).cast("bigint").alias("r"))
     for _ in range(iters):
         with_deg = ranks.join(state, "node")

@@ -328,16 +328,32 @@ def q284_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle checks the VALUES (bucketed scan ≡ plain scan); the
     in-query exchange_count assertion checks the PLAN — together the
     hash row proves the layout path is both wired and correct."""
-    import uuid as _uuid
-
     from ..sources.bucketing import (
         bucketed_join,
         exchange_count,
         write_bucketed,
     )
 
-    tag = _uuid.uuid4().hex[:8]
+    # Per-SESSION names + stale-copy GC (round-6 review finding, then
+    # hardened): within a session, repeated invocations (bench ×3,
+    # plan_report) OVERWRITE one copy; a FRESH session gets a new
+    # applicationId-derived name — a truly fixed name would collide
+    # with the on-disk location left by a previous session that the
+    # new in-memory catalog knows nothing about (LOCATION_ALREADY_
+    # EXISTS). Stale q284_* directories from prior sessions are
+    # removed here, so warehouse growth is bounded at one table pair.
+    # Spark gate processes never run concurrently (the q196 rule).
+    import os as _os
+    import shutil as _shutil
+
+    tag = spark.sparkContext.applicationId.replace("-", "_").lower()
     t_orders, t_cust = f"q284_orders_{tag}", f"q284_customer_{tag}"
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file:")
+    if _os.path.isdir(wh):
+        for name in _os.listdir(wh):
+            if name.startswith("q284_") and not name.endswith(tag):
+                _shutil.rmtree(_os.path.join(wh, name), ignore_errors=True)
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )

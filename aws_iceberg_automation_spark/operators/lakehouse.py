@@ -274,7 +274,6 @@ def q281_pruned_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plain filtered aggregate — stats only ever remove provably
     dead IO."""
     from ..functions.compat import dec2
-    from ..versioning import _may_match
 
     d = tempfile.mkdtemp(prefix="q281_prune_")
     vt = VersionedTable(spark, os.path.join(d, "li"))
@@ -282,16 +281,12 @@ def q281_pruned_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "l_linestatus", "l_quantity"
     )
     vt.write(li, "append", partition_by=["l_returnflag"])
-    snap = vt.snapshot(1)
     filters = [("l_returnflag", "=", "R")]
-    kept = [
-        f
-        for f in snap.files
-        if all(
-            _may_match(snap.stats.get(f, {}), c, op, v) for c, op, v in filters
-        )
-    ]
-    if not len(kept) < len(snap.files):
+    # plan_files IS scan's planning rule (manifest bounds + bloom
+    # sidecars) — the audit measures the real thing, not a re-derived
+    # subset of it
+    kept = vt.plan_files(filters, version=1)
+    if not len(kept) < len(vt.snapshot(1).files):
         raise VersioningError(
             "partition pruning did not drop any files for l_returnflag='R'"
         )

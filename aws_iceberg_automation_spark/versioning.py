@@ -430,10 +430,31 @@ class VersionedTable:
             version = self.current_version()
             if version is None:
                 raise VersioningError(f"empty versioned table at {self.root}")
-        snap = self.snapshot(version)
         residual = _filters_to_column(filters)
+        kept = self.plan_files(filters, version)
+        if not kept:
+            # provably-empty result; preserve the full (possibly
+            # partition-evolved) schema without scanning any data
+            return self.read(version=version).where(F.lit(False))
+        return self._read_files(kept).filter(residual)
+
+    def plan_files(
+        self, filters: list[tuple[str, str, object]], version: int | None = None
+    ) -> list[str]:
+        """The file set ``scan(filters)`` would actually read at
+        ``version`` — manifest min/max bounds AND the bloom sidecar
+        layer, the SAME rule scan applies (scan delegates here).
+        Public so pruning audits (q281) measure the real planning rule
+        instead of re-implementing a subset of it (round-6 review
+        finding). Compare ``len(plan_files(filters))`` against
+        ``len(snapshot(v).files)`` for the pruning ratio."""
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise VersioningError(f"empty versioned table at {self.root}")
+        snap = self.snapshot(version)
         bloom = self._load_bloom(version)
-        kept = [
+        return [
             f
             for f in snap.files
             if all(
@@ -445,11 +466,6 @@ class VersionedTable:
                 for col, op, val in filters
             )
         ]
-        if not kept:
-            # provably-empty result; preserve the full (possibly
-            # partition-evolved) schema without scanning any data
-            return self.read(version=version).where(F.lit(False))
-        return self._read_files(kept).filter(residual)
 
     # -- metadata tables (Iceberg's t.files / t.history / t.partitions)
 
@@ -765,8 +781,10 @@ class VersionedTable:
         microbatches exact no-ops. Set
         ``SPARK_GRAFT_VALIDATE_PRECEDENCE=1`` to fail loudly if any
         contested key carries two rows tied on the whole precedence
-        tuple (a non-total order — replay-order dependence the tie
-        rule would otherwise silently mask).
+        tuple with DIFFERENT payloads (a non-total order — replay-order
+        dependence the tie rule would otherwise silently mask;
+        byte-identical redeliveries are the documented no-op and never
+        flag).
 
         ``capture_changelog=True`` additionally materializes the exact
         row-level delta (update_before/update_after/insert images, the
@@ -793,16 +811,32 @@ class VersionedTable:
                 src_cols.withColumn("_vt_src", F.lit(1))
             )
             if os.environ.get("SPARK_GRAFT_VALIDATE_PRECEDENCE"):
+                # flag only ties that MATTER: two rows sharing the full
+                # (key, precedence) tuple with DIFFERENT payloads — a
+                # byte-identical redelivered row is the documented
+                # no-op, never an error (review finding, round 6)
+                payload = [
+                    c
+                    for c in cur.columns
+                    if c not in set(on) | set(precedence)
+                ]
+                # no payload columns → any tie is a byte-identical row,
+                # which is harmless by definition
                 ties = (
-                    tagged.groupBy(*on, *precedence)
-                    .count()
-                    .filter(F.col("count") > 1)
-                    .count()
+                    (
+                        tagged.groupBy(*on, *precedence)
+                        .agg(F.countDistinct(F.struct(*payload)).alias("_np"))
+                        .filter(F.col("_np") > 1)
+                        .count()
+                    )
+                    if payload
+                    else 0
                 )
                 if ties:
                     raise VersioningError(
                         f"precedence {precedence} is not a per-key total "
-                        f"order: {ties} tied (key, precedence) groups"
+                        f"order: {ties} (key, precedence) groups carry "
+                        "conflicting payloads"
                     )
             # stored (0) sorts before incoming (1) on a full tie →
             # the stored row wins deterministically
