@@ -137,6 +137,16 @@ def pagerank_fixedpoint(
     SHARED ``_graph_state`` — the float and fixed-point iterations see
     identical edges/state by construction."""
     edges, state, n = _graph_state(edges)
+    # Enforce the headroom contract at runtime: under the non-ANSI
+    # sweep config an int64 overflow WRAPS silently instead of raising,
+    # so exceeding ~5e5 nodes at SCALE=1e12 would produce wrong ranks,
+    # not an error (round-6 advice). Fail loudly with the remedy.
+    if 17 * n * _PR_SCALE >= 2**63 // 2:  # 2x safety margin
+        raise ValueError(
+            f"pagerank_fixedpoint int64 headroom exceeded: n={n} nodes at "
+            f"SCALE={_PR_SCALE} puts per-round terms (17*n*SCALE) within 2x "
+            "of 2^63 — lower _PR_SCALE one digit per 10x nodes"
+        )
     ranks = state.select("node", F.lit(_PR_SCALE).cast("bigint").alias("r"))
     for _ in range(iters):
         with_deg = ranks.join(state, "node")

@@ -16,7 +16,6 @@ surfaces an aggregate the driver hashes.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -24,7 +23,11 @@ from pyspark.sql import functions as F
 from ..functions.compat import sql_dsum, dsum
 from ..io import load_table
 from ..registry import register
-from ..versioning import VersionedTable, VersioningError
+from ..versioning import (
+    VersionedTable,
+    VersioningError,
+    session_fixture_dir,
+)
 
 
 @register(
@@ -127,7 +130,7 @@ def q274_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority. The oracle re-derives the three classes from the slice
     predicates — so the hash row proves snapshot isolation returned
     exactly the committed states."""
-    d = tempfile.mkdtemp(prefix="q274_ttd_")
+    d = session_fixture_dir(spark, "q274_ttd")
     vt = VersionedTable(spark, os.path.join(d, "orders"))
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_orderdate"
@@ -198,7 +201,7 @@ def q277_expire_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: the plan is pure manifest arithmetic (file-set algebra
     on snapshot metadata); the only data read is the reclaimable file
     set itself — never the table."""
-    d = tempfile.mkdtemp(prefix="q277_exp_")
+    d = session_fixture_dir(spark, "q277_exp")
     vt = VersionedTable(spark, os.path.join(d, "orders"))
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     slices = [
@@ -275,7 +278,7 @@ def q281_pruned_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     dead IO."""
     from ..functions.compat import dec2
 
-    d = tempfile.mkdtemp(prefix="q281_prune_")
+    d = session_fixture_dir(spark, "q281_prune")
     vt = VersionedTable(spark, os.path.join(d, "li"))
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_quantity"
@@ -319,7 +322,7 @@ def q283_schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-evolution population — the census a migration audit wants."""
     from ..functions.compat import dec2
 
-    d = tempfile.mkdtemp(prefix="q283_drift_")
+    d = session_fixture_dir(spark, "q283_drift")
     vt = VersionedTable(spark, os.path.join(d, "orders"))
     o = load_table(spark, sf_dir, "orders")
     vt.write(

@@ -1278,7 +1278,8 @@ sd AS (
 ),
 nb AS (SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_base FROM sb WHERE rk = 1 GROUP BY c_id),
 nd AS (SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_new,
-              round(avg(sim), 5) AS avg_cos_new
+              round(CAST(SUM(CAST(sim AS DECIMAL(18,5))) AS DOUBLE)
+                    / COUNT(*), 5) AS avg_cos_new
        FROM sd WHERE rk = 1 GROUP BY c_id)
 SELECT c.c_id AS list_id,
   COALESCE(nb.n_base, 0) AS n_base,
@@ -1318,16 +1319,15 @@ def q271_ivf_delta_reassign(spark: SparkSession, sf_dir: str) -> DataFrame:
     base postings are one broadcast-join + agg at index-build time.
     Nothing shuffles but the (c_id) aggregates."""
     import os
-    import tempfile
 
     from ..functions.compat import portable_hash64
-    from ..versioning import VersionedTable
+    from ..versioning import VersionedTable, session_fixture_dir
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    d = tempfile.mkdtemp(prefix="q271_ivf_")
+    d = session_fixture_dir(spark, "q271_ivf")
     vt = VersionedTable(spark, os.path.join(d, "emb"))
     vt.write(e.filter(F.pmod("vec_id", F.lit(10)) != 0), "append")  # v1: base
     vt.write(e.filter(F.pmod("vec_id", F.lit(10)) == 0), "append")  # v2: delta
@@ -1358,9 +1358,17 @@ def q271_ivf_delta_reassign(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = assign(base).groupBy("c_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_base")
     )
+    # avg of per-row-rounded doubles is a partition-order-dependent
+    # float reduction (the q240 tie class): sum the round(5) values
+    # EXACTLY in DECIMAL(18,5) — order-independent — then one double
+    # division + round, mirrored in the oracle (round-6 advice).
     nd = assign(delta).groupBy("c_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_new"),
-        F.round(F.avg("sim"), 5).alias("avg_cos_new"),
+        F.round(
+            F.sum(F.col("sim").cast("decimal(18,5)")).cast("double")
+            / F.count(F.lit(1)),
+            5,
+        ).alias("avg_cos_new"),
     )
     return (
         cent.select(F.col("c_id").alias("list_id"))

@@ -207,6 +207,35 @@ def _filters_to_column(filters: list[tuple[str, str, object]]) -> Column:
     return out
 
 
+def session_fixture_dir(spark: SparkSession, prefix: str) -> str:
+    """Deterministic per-session scratch directory for fixture-built
+    VersionedTables inside registry queries (q271/q274/q277/q281/q283),
+    following q284's applicationId-tag pattern (round-6 advice): a
+    fresh ``mkdtemp`` per invocation leaks /tmp without bound across
+    sweeps/bench/pytest because the returned DataFrame reads the files
+    lazily, so inline cleanup is impossible. Instead: one directory per
+    (prefix, session) under ``<warehouse>/_fixtures``, and EVERY
+    invocation first GCs all same-prefix copies — stale sessions' and
+    this session's own previous one — so the table is rebuilt from
+    scratch with deterministic version numbers and disk growth is
+    bounded at one live copy per prefix. Safe under the repo-wide
+    single-Spark-process discipline (the q196 rule); a DataFrame handle
+    from a PREVIOUS invocation must not be re-collected after the next
+    invocation starts (gate/bench/pytest are strictly sequential)."""
+    import shutil
+
+    tag = spark.sparkContext.applicationId.replace("-", "_").lower()
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    base = os.path.join(_local_path(wh), "_fixtures")
+    os.makedirs(base, exist_ok=True)
+    for name in os.listdir(base):
+        if name == prefix or name.startswith(prefix + "_"):
+            shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+    d = os.path.join(base, f"{prefix}_{tag}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 class VersionedTable:
     """Path-based versioned table (the shape of Iceberg's HadoopTables)."""
 
@@ -778,7 +807,10 @@ class VersionedTable:
         (round-5 review ask). Ties on the full precedence tuple keep
         the STORED row deterministically (the incoming row must
         strictly outrank to win), which also makes redelivered
-        microbatches exact no-ops. Set
+        microbatches exact no-ops. The contest covers ONLY keys present
+        in the source: target keys the merge never touches pass through
+        byte-identical even when the target holds multiple rows per key
+        (append-built tables). Set
         ``SPARK_GRAFT_VALIDATE_PRECEDENCE=1`` to fail loudly if any
         contested key carries two rows tied on the whole precedence
         tuple with DIFFERENT payloads (a non-total order — replay-order
@@ -807,7 +839,16 @@ class VersionedTable:
         else:
             from pyspark.sql import Window as W
 
-            tagged = cur.withColumn("_vt_src", F.lit(0)).unionByName(
+            # Winner contest ONLY over contested keys (keys present in
+            # the source). A multi-row-per-key target (built by plain
+            # appends) must keep every row on keys the merge never
+            # touches — partitioning row_number over ALL target rows
+            # would silently collapse those to one row per key with no
+            # changelog images (round-6 advice, medium).
+            src_keys = src_cols.select(on).distinct()
+            untouched = cur.join(src_keys, on=on, how="left_anti")
+            contested = cur.join(src_keys, on=on, how="left_semi")
+            tagged = contested.withColumn("_vt_src", F.lit(0)).unionByName(
                 src_cols.withColumn("_vt_src", F.lit(1))
             )
             if os.environ.get("SPARK_GRAFT_VALIDATE_PRECEDENCE"):
@@ -848,7 +889,7 @@ class VersionedTable:
                 .filter(F.col("_vt_rn") == 1)
                 .drop("_vt_rn")
             )
-            merged = winners.drop("_vt_src")
+            merged = winners.drop("_vt_src").unionByName(untouched)
             won_src = winners.filter(F.col("_vt_src") == 1).drop("_vt_src")
         v = self.write(merged, mode="overwrite", _op="merge")
         if capture_changelog:
