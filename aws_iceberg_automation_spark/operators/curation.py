@@ -23,12 +23,13 @@ Scale stories (all pure JVM expressions unless noted):
   the corpus. ``df.sample`` is partitioning-dependent; the hash gate
   reproduces the exact same sample on any cluster shape, which is what
   makes a training mixture auditable.
-- SemDeDup (q107): spherical k-means (similarity.spherical_kmeans —
-  broadcast centroids, one hash agg per Lloyd round) restricts the
-  near-dup pair search to within-cluster, so the pairwise stage is
-  bounded by cluster size, not corpus size. Semantics: drop any vector
-  with a strictly-lower-id in-cluster neighbor above the cosine
-  threshold — deterministic, order-free.
+- SemDeDup (q107): a portable hash-least coarse quantizer (broadcast
+  centroids, one map-side partial agg) restricts the near-dup pair
+  search to within-list (multi-probe=2 for boundary pairs), so the
+  pairwise stage is bounded by list size, not corpus size. Semantics:
+  drop any vector with a strictly-lower-id neighbor above the cosine
+  threshold in a shared probed list — deterministic, order-free, and
+  DuckDB-replayable end to end (oracle-backed since round 7).
 - Fertility (q108): plain two-phase hash agg per (lang, source) over
   regexp token counts; byte counts via octet_length (UTF-8 aware on
   both engines).
@@ -349,25 +350,90 @@ def q106_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q107_semdedup", oracle=None, tags=("curation", "dedup", "llm", "vector"))
+def _q107_oracle() -> str:
+    from ..functions.compat import sql_portable_hash64
+
+    h = sql_portable_hash64("CAST(vec_id AS VARCHAR)")
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b})))"
+        )
+
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+copies AS (
+  SELECT vec_id + 100000 AS vec_id, list_prepend(v[1] * 1.05, v[2:]) AS v
+  FROM base WHERE vec_id < 50
+),
+e AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+seeds AS (SELECT vec_id, v FROM e ORDER BY {h}, vec_id LIMIT 8),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS c_id, v AS cv
+  FROM seeds
+),
+ranked AS (
+  SELECT x.vec_id, c.c_id, x.v,
+    row_number() OVER (PARTITION BY x.vec_id
+                       ORDER BY round({cos("x.v", "c.cv")}, 5) DESC,
+                                c.c_id) AS crk
+  FROM e x CROSS JOIN cent c
+),
+asg AS (SELECT vec_id, c_id, v FROM ranked WHERE crk = 1),
+member AS (SELECT vec_id, c_id, v FROM ranked WHERE crk <= 2),
+dup AS (
+  SELECT b.vec_id, round(MAX({cos("a.v", "b.v")}), 6) AS max_sim_to_lower
+  FROM member a JOIN member b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+  WHERE {cos("a.v", "b.v")} >= 0.92
+  GROUP BY b.vec_id
+)
+SELECT a.vec_id, a.c_id,
+  d.vec_id IS NULL AS kept,
+  COALESCE(d.max_sim_to_lower, 0.0) AS max_sim_to_lower
+FROM asg a LEFT JOIN dup d ON d.vec_id = a.vec_id
+"""
+
+
+@register(
+    "q107_semdedup",
+    oracle=_q107_oracle(),
+    tags=("curation", "dedup", "llm", "vector"),
+)
 def q107_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic pruning: cluster embeddings with the
-    distributed spherical k-means coarse quantizer, then inside each
-    cluster drop every vector that has a strictly-lower-id neighbor
-    with cosine ≥ τ. Clustering bounds the pairwise stage to cluster
-    size (vs corpus-quadratic); the min-id rule is deterministic and
-    order-free, so results are reproducible across cluster shapes.
-    Rows-only for the driver (k-means is not SQL-expressible); pytest
-    asserts the kept-set separation and dropped-justification
-    invariants.
+    """SemDeDup-style semantic pruning: cluster embeddings with a
+    coarse quantizer, then inside each cluster drop every vector that
+    has a strictly-lower-id neighbor with cosine ≥ τ. Clustering
+    bounds the pairwise stage to cluster size (vs corpus-quadratic);
+    the min-id rule is deterministic and order-free, so results are
+    reproducible across cluster shapes.
+
+    Oracle-backed since round 7 (VERDICT r06 ask #3, the q271/q83f
+    playbook): the quantizer is the 8 hash-least PORTABLE seed vectors
+    (md5-derived order, no engine RNG, no Lloyd float drift) and the
+    assignment key is round(cosine, 5) with smallest-c_id tiebreak —
+    the whole cluster-then-prune pipeline replays in DuckDB and the
+    kept/dropped sets hash-check. The in-cluster threshold compares
+    RAW cosines (both engines fold sequentially — bit-identical), per
+    the threshold contract; only surfaced values round.
+
+    Multi-probe prune (probe=2): each vector participates in its TWO
+    nearest lists for the pair search (reported c_id stays the argmax
+    list). A near-dup pair straddling a Voronoi boundary is invisible
+    to single-assignment SemDeDup — both members sit near the same
+    boundary, so their top-2 list sets overlap and the pair is found
+    at 2× (not quadratic) cost. Found one real split on the sf0.001
+    fixture (vec 38 vs its copy).
 
     The fixture's 500 embeddings are near-orthogonal (max pairwise
     cosine 0.51 — no natural near-dups), so the operator injects a
     deterministic near-identical copy of every vec_id < 50 at
     vec_id + 100000 (one coordinate scaled 5%); the prune must drop
     exactly the injected copies and keep every original."""
-    from ..functions.vectors import dot, normalize
-    from .similarity import spherical_kmeans
+    from ..functions.compat import portable_hash64
+    from ..functions.ranking import topn_ranked
+    from ..functions.vectors import cosine
 
     tau = 0.92
     base = load_table(spark, sf_dir, "embeddings").select(
@@ -376,33 +442,64 @@ def q107_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = base.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform(
-            "v", lambda x, i: F.when(i == 0, x * F.lit(1.05)).otherwise(x)
+            "v", lambda x, i: F.when(i == 0, x * F.lit(1.05)).otherwise(
+                x.cast("double")
+            )
         ).alias("v"),
     )
     e = base.unionAll(copies)
-    cent = spherical_kmeans(e, "v", k=8, max_iter=2)
-    nv = e.select("vec_id", normalize(F.col("v")).alias("nv"))
-    assigned = (
-        nv.join(F.broadcast(cent))
-        .withColumn("_sim", dot(F.col("nv"), F.col("cv")))
+    seeds = topn_ranked(
+        e.withColumn("_h", portable_hash64(F.col("vec_id").cast("string"))),
+        [F.col("_h"), F.col("vec_id")],
+        8,
+        rank_name="_hrk",
+    ).drop("_h", "_hrk")
+    cent = topn_ranked(seeds, [F.col("vec_id")], 8, rank_name="c_id").select(
+        "c_id", F.col("v").alias("cv")
+    )
+    # top-2 lists per vector in ONE map-side partial agg (collect the
+    # 8 (sim, -c_id) structs, sort desc, slice) — no N×k shuffle, no
+    # second argmax pass; struct order ≡ the oracle's (sim DESC, c_id)
+    probed = (
+        e.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "v",
+            F.struct(
+                F.round(cosine(F.col("v"), F.col("cv")), 5).alias("s"),
+                (-F.col("c_id")).alias("nc"),
+            ).alias("_key"),
+            "c_id",
+        )
         .groupBy("vec_id")
         .agg(
-            F.max_by(
-                "c_id", F.struct(F.col("_sim"), (-F.col("c_id")).alias("_t"))
-            ).alias("c_id"),
-            F.any_value("nv").alias("nv"),
+            F.any_value("v").alias("v"),
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_key"), F.col("c_id"))),
+                    asc=False,
+                ),
+                1,
+                2,
+            ).alias("_top2"),
         )
     )
-    a = assigned.select(
-        F.col("c_id"), F.col("vec_id").alias("id_a"), F.col("nv").alias("nv_a")
+    assigned = probed.select(
+        "vec_id", F.col("_top2")[0]["c_id"].alias("c_id"), "v"
     )
-    b = assigned.select(
-        F.col("c_id"), F.col("vec_id").alias("id_b"), F.col("nv").alias("nv_b")
+    member = probed.select(
+        "vec_id", F.explode("_top2").alias("_m"), "v"
+    ).select("vec_id", F.col("_m.c_id").alias("c_id"), "v")
+    a = member.select(
+        F.col("c_id"), F.col("vec_id").alias("id_a"), F.col("v").alias("v_a")
+    )
+    b = member.select(
+        F.col("c_id"), F.col("vec_id").alias("id_b"), F.col("v").alias("v_b")
     )
     dup = (
         a.join(b, ["c_id"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", dot(F.col("nv_a"), F.col("nv_b")))
+        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos") >= tau)
         .groupBy(F.col("id_b").alias("vec_id"))
         .agg(F.round(F.max("cos"), 6).alias("max_sim_to_lower"))

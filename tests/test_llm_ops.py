@@ -718,21 +718,24 @@ def test_pmi_cooccurrence_bounds_and_perfect_collocation(spark):
 
 
 def test_retrieval_metrics_floors_and_ranges(spark):
-    """The eval harness must reproduce the per-index recall floors the
-    dedicated tests pin, with all metrics in-range and MRR ≥ recall's
-    implied floor for a system whose top hit usually survives."""
+    """The eval harness (portable indexes since round 7) must report
+    in-range metrics with sane floors: SRP-LSH (3 planes × 8 tables,
+    expected ≈ 0.87 on the near-orthogonal fixture) ≥ 0.8; the
+    nprobe=4/16 fixed-seed IVF is a coarse-quantizer demo — its floor
+    is a collapse guard. MRR ≥ recall (the top hit survives at least
+    as often as the average rank position)."""
     rows = {
         r.system: r
         for r in SPECS["q186_retrieval_metrics"].fn(spark, SF_DIR).collect()
     }
-    assert set(rows) == {"srp_lsh", "ivf", "pq_adc"}
+    assert set(rows) == {"srp_lsh_portable", "ivf_portable"}
     for r in rows.values():
         assert 0.0 <= r.macro_recall_at_k <= 1.0
         assert 0.0 <= r.macro_mrr <= 1.0
         assert r.n_queries == 10
-    assert rows["srp_lsh"].macro_recall_at_k >= 0.8
-    assert rows["pq_adc"].macro_recall_at_k >= 0.8
-    assert rows["ivf"].macro_recall_at_k >= 0.25
+        assert r.macro_mrr >= r.macro_recall_at_k
+    assert rows["srp_lsh_portable"].macro_recall_at_k >= 0.8
+    assert rows["ivf_portable"].macro_recall_at_k >= 0.4
 
 
 def test_dedup_metrics_recall_floor(spark):
