@@ -362,3 +362,156 @@ class IncrementalAggView:
                 F.array_min(ests).alias(f"{alias}_estimate"),
             )
         )
+
+
+class IncrementalSessionView:
+    """Incrementally-maintained gap-based SESSIONIZATION over an
+    append-only ``VersionedTable`` of events — the non-aligned-window
+    counterpart of ``IncrementalAggView`` (VERDICT r06 ask #4b: q272's
+    lakehouse loop closed for session windows, which no group-key merge
+    can express because sessions MERGE across refreshes).
+
+    State = one row per session fragment: (key, session_start,
+    session_end = last event + gap, n_events, total_value as exact
+    DECIMAL(38,2)). Each refresh sessionizes ONLY the delta read from
+    ``source.changes(last, cur)`` and interval-merges the resulting
+    fragments into the stored state for contested keys (semi/anti split
+    — untouched keys pass through byte-identical, the merge(precedence)
+    lesson). Correct because gap sessionization is ASSOCIATIVE:
+    sessionize(A ∪ B) == interval_merge(sessionize(A) ∪ sessionize(B))
+    — two fragments belong to one session iff their [start, last+gap)
+    intervals touch, regardless of which batch delivered which event;
+    late or out-of-order batches just produce fragments that merge
+    backward. Per-refresh cost is O(|delta| + |contested-key state|),
+    independent of source size.
+
+    The session rule mirrors the repo's lag/cumulative-flag oracle
+    (events with gap strictly greater than ``gap_minutes`` start a new
+    session), so the final state equals the from-scratch batch
+    sessionization — which is exactly what q290's oracle computes."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: VersionedTable,
+        root: str,
+        key: str = "user_id",
+        ts_col: str = "tsec",
+        value_col: str = "value",
+        gap_minutes: int = 30,
+    ):
+        self.spark = spark
+        self.source = source
+        self.state = VersionedTable(spark, root)
+        self.key = key
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.gap_minutes = gap_minutes
+
+    # -- metadata (same contract as IncrementalAggView) ---------------
+
+    def last_refreshed_source_version(self) -> int | None:
+        refreshed = [
+            int(s.op.split(":", 1)[1])
+            for s in self.state.snapshots()
+            if s.op.startswith("refresh:")
+        ]
+        return max(refreshed) if refreshed else None
+
+    def staleness(self) -> int:
+        cur = self.source.current_version()
+        last = self.last_refreshed_source_version()
+        if cur is None:
+            return 0
+        return cur if last is None else cur - last
+
+    # -- sessionization ------------------------------------------------
+
+    def _gap(self):
+        return F.expr(f"INTERVAL {self.gap_minutes} MINUTES")
+
+    def _fragments(self, df: DataFrame) -> DataFrame:
+        """Sessionize one event frame with the lag/cumulative-flag
+        decomposition (the oracle's own rule: gap STRICTLY greater than
+        ``gap_minutes`` starts a new session)."""
+        from pyspark.sql import Window as W
+
+        k, t = self.key, self.ts_col
+        w = W.partitionBy(k).orderBy(t)
+        prev = F.lag(t).over(w)
+        is_new = F.when(
+            prev.isNull() | (F.col(t) > prev + self._gap()), 1
+        ).otherwise(0)
+        sess = df.withColumn("_new", is_new).withColumn(
+            "_sno",
+            F.sum("_new").over(
+                W.partitionBy(k).orderBy(t).rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        return sess.groupBy(k, "_sno").agg(
+            F.min(t).alias("session_start"),
+            (F.max(t) + self._gap()).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(self.value_col).cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_value"),
+        ).drop("_sno")
+
+    def _interval_merge(self, frags: DataFrame) -> DataFrame:
+        """Merge touching/overlapping fragments per key: a fragment
+        starts a new session iff its start is strictly after the
+        running max end of all earlier fragments (start == prev end
+        means the boundary event arrived at exactly the gap — same
+        session under the strict-greater rule). Fragment event sets
+        are disjoint by construction, so counts and sums add."""
+        from pyspark.sql import Window as W
+
+        k = self.key
+        w = W.partitionBy(k).orderBy("session_start", "session_end")
+        prev_end = F.max("session_end").over(
+            w.rowsBetween(W.unboundedPreceding, -1)
+        )
+        flagged = frags.withColumn(
+            "_new",
+            F.when(
+                prev_end.isNull() | (F.col("session_start") > prev_end), 1
+            ).otherwise(0),
+        ).withColumn(
+            "_sno", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+        )
+        return flagged.groupBy(k, "_sno").agg(
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").cast("decimal(38,2)").alias("total_value"),
+        ).drop("_sno")
+
+    # -- refresh (IncrementalAggView's skeleton, session merge) -------
+
+    def refresh(self) -> int | None:
+        src_v = self.source.current_version()
+        if src_v is None:
+            raise VersioningError("source table is empty — nothing to materialize")
+        last = self.last_refreshed_source_version()
+        if last == src_v:
+            return None
+        tag = f"refresh:{src_v}"
+        if last is None:
+            new_state = self._fragments(self.source.read())
+        else:
+            try:
+                delta = self.source.changes(last, src_v)
+            except VersioningError:
+                new_state = self._fragments(self.source.read())
+                return self.state.write(new_state, mode="overwrite", _op=tag)
+            frags = self._fragments(delta)
+            old = self.state.read()
+            affected = frags.select(self.key).distinct()
+            contested = old.join(affected, self.key, "left_semi")
+            untouched = old.join(affected, self.key, "left_anti")
+            merged = self._interval_merge(contested.unionByName(frags))
+            new_state = untouched.unionByName(merged)
+        return self.state.write(new_state, mode="overwrite", _op=tag)
+
+    def read(self) -> DataFrame:
+        return self.state.read()

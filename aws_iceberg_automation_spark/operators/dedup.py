@@ -301,11 +301,15 @@ _PH = "CAST('0x' || substring(md5({0}), 1, 15) AS BIGINT)"
 
 # Shared shingle→MinHash→banding CTE chain (the DuckDB re-derivation of
 # minhash_from_base_hashes + lsh_bands on the portable hash family).
-# Both LSH oracles compose from this ONE fragment so a parameter change
+# All LSH oracles compose from this ONE fragment so a parameter change
 # (num_hashes=32, P=2147483647, A=2654435761, B=40503, 8×4 banding)
-# can never drift between them.
-_MINHASH_CTES = f"""tok AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+# can never drift between them. ``src`` parameterizes the doc source
+# so fixture-extended corpora (q288's injected crawl) reuse it.
+
+
+def _minhash_ctes(src: str = "documents") -> str:
+    return f"""tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM {src}
 ), sh AS (
   SELECT doc_id, list_distinct(list_transform(
            range(1, greatest(len(toks) - 2, 1) + 1),
@@ -329,6 +333,9 @@ _MINHASH_CTES = f"""tok AS (
     )} AS band_hash
   FROM sig, (SELECT unnest(range(0, 8)) AS b) bs
 )"""
+
+
+_MINHASH_CTES = _minhash_ctes()
 
 # Candidate CTEs (cap-salted band buckets) — shared verbatim by the
 # q82 verified-pair oracle and the q268 estimator-audit oracle, mirror
@@ -2031,4 +2038,226 @@ def q285_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(nd / F.col("szb"), 6).alias("containment_ba"),
         F.round(jac, 6).alias("jaccard"),
         ((cmax >= 0.9) & (jac < 0.6)).alias("subset_flag"),
+    )
+
+
+_Q288_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, text || ' qzx qzx' AS text
+  FROM documents WHERE doc_id < 20
+), {_minhash_ctes("docs")}, idx AS (
+  SELECT band, band_hash, doc_id AS corpus_doc_id FROM (
+    SELECT band, band_hash, doc_id,
+           row_number() OVER (PARTITION BY band, band_hash
+                              ORDER BY doc_id) AS rk
+    FROM banded WHERE doc_id < 400)
+  WHERE rk <= 64
+), cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc_id, idx.corpus_doc_id
+  FROM (SELECT * FROM banded WHERE doc_id >= 400) n
+  JOIN idx USING (band, band_hash)
+), verified AS (
+  SELECT new_doc_id, corpus_doc_id,
+    round(CAST(len(list_intersect(sn.shingles, sc.shingles)) AS DOUBLE)
+          / len(list_distinct(sn.shingles || sc.shingles)), 6) AS jaccard
+  FROM cand
+  JOIN sh sn ON sn.doc_id = cand.new_doc_id
+  JOIN sh sc ON sc.doc_id = cand.corpus_doc_id
+  WHERE CAST(len(list_intersect(sn.shingles, sc.shingles)) AS DOUBLE)
+        / len(list_distinct(sn.shingles || sc.shingles)) >= 0.5
+), best AS (
+  SELECT new_doc_id, corpus_doc_id, jaccard FROM (
+    SELECT *, row_number() OVER (PARTITION BY new_doc_id
+                                 ORDER BY jaccard DESC, corpus_doc_id) AS rk
+    FROM verified)
+  WHERE rk = 1
+)
+SELECT d.doc_id AS new_doc_id, b.corpus_doc_id, b.jaccard,
+  CAST(CASE WHEN b.corpus_doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
+FROM (SELECT doc_id FROM docs WHERE doc_id >= 400) d
+LEFT JOIN best b ON b.new_doc_id = d.doc_id
+"""
+
+
+@register(
+    "q288_snapshot_incremental_neardup",
+    oracle=_Q288_ORACLE,
+    tags=("dedup", "llm", "versioning"),
+)
+def q288_snapshot_incremental_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-SNAPSHOT incremental near-dup (VERDICT r06 ask #4a — the
+    100 TB daily-arrival dedup story): the corpus lands as snapshot v1
+    of a versioned table, a new crawl batch (novel docs + injected
+    near-copies of corpus docs) arrives as an append commit v2, and the
+    batch is deduped against v1's MinHash-LSH index reading ONLY the
+    delta files via ``changes(1)`` — never re-scanning the corpus. The
+    same q82/q131 portable machinery, composed with versioning the way
+    q271 composed IVF maintenance: index once, dedup each arrival at
+    |batch| cost.
+
+    Oracle replays the whole pipeline (injection, shingling, portable
+    MinHash, capped postings, candidate join, exact-Jaccard verify,
+    best-match) in DuckDB — the snapshot plumbing changes WHERE bytes
+    are read, never the answer, which is exactly the property this
+    query attests.
+
+    Scale shape: the index build is q82's (banded postings, capped at
+    64/bucket); the per-arrival cost is |batch postings| ⋈ index plus
+    text verification on |candidates| corpus rows. The v1 index would
+    be persisted bucketed by (band, band_hash) in production; here it
+    is rebuilt per run because the fixture corpus is tiny."""
+    import os
+
+    from ..versioning import VersionedTable, session_fixture_dir
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 400)
+    injected = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qzx qzx")).alias("text"),
+    )
+    batch = d.filter(F.col("doc_id") >= 400).unionAll(injected)
+
+    vt = VersionedTable(
+        spark, os.path.join(session_fixture_dir(spark, "q288_crawl"), "docs")
+    )
+    vt.write(corpus, "append")  # v1: the indexed corpus
+    vt.write(batch, "append")  # v2: the new crawl arrival
+    corpus_v1 = vt.read(version=1)
+    delta = vt.changes(1).select("doc_id", "text")  # only v2's files
+
+    idx = build_lsh_index(corpus_v1, portable=True)
+    return incremental_neardup(idx, corpus_v1, delta, portable=True)
+
+
+_Q289_URL_SYNTH = """
+    CASE doc_id % 5
+      WHEN 0 THEN 'https://news.example.com/' || lang || '/article-'
+                  || CAST(doc_id % 150 AS VARCHAR)
+      WHEN 1 THEN 'https://www.news.example.com/' || lang || '/article-'
+                  || CAST(doc_id % 150 AS VARCHAR)
+      WHEN 2 THEN 'http://news.example.com:80/' || lang || '/article-'
+                  || CAST(doc_id % 150 AS VARCHAR) || '/'
+      WHEN 3 THEN 'https://News.Example.COM/' || lang || '/article-'
+                  || CAST(doc_id % 150 AS VARCHAR)
+                  || '?utm_source=rss&utm_medium=feed'
+      ELSE 'https://news.example.com/' || lang || '/article-'
+           || CAST(doc_id % 150 AS VARCHAR) || '/?ref=home&page=2#sec-2'
+    END
+"""
+
+_Q289_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, n_chars, {_Q289_URL_SYNTH} AS url FROM documents
+), c AS (
+  SELECT doc_id, n_chars,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
+      '^www\\.', ''), ':(80|443)$', '') AS host,
+    regexp_replace(
+      regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+    regexp_replace(regexp_replace(
+      regexp_extract(url, '\\?([^#]*)', 1),
+      '(^|&)(utm_[a-z]+|ref)=[^&]*', '', 'g'), '^&+', '') AS q
+  FROM u
+), canon AS (
+  SELECT doc_id, n_chars,
+    host || path || (CASE WHEN q <> '' THEN '?' || q ELSE '' END)
+      AS canonical_url
+  FROM c
+), r AS (
+  SELECT canonical_url, doc_id, n_chars,
+    row_number() OVER (PARTITION BY canonical_url
+                       ORDER BY n_chars DESC, doc_id) AS rk,
+    COUNT(*) OVER (PARTITION BY canonical_url) AS n_variants
+  FROM canon
+)
+SELECT canonical_url, doc_id AS keep_doc_id,
+  CAST(n_variants AS BIGINT) AS n_variants,
+  CAST(n_chars AS BIGINT) AS best_chars
+FROM r WHERE rk = 1
+"""
+
+
+@register(
+    "q289_url_canonical_dedup",
+    oracle=_Q289_ORACLE,
+    tags=("dedup", "llm"),
+)
+def q289_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/metadata canonicalization dedup (VERDICT r06 ask #4c — the
+    CCNet-style public-pipeline dedup axis the corpus ops didn't yet
+    cover): crawl records that differ only in URL DECORATION (scheme,
+    www prefix, default port, trailing slash, host case, tracking
+    params, fragments) are one document; canonicalize, group, keep the
+    best representative (longest text, smallest id tiebreak).
+
+    Canonicalization kernel — pure string expressions, identical regex
+    family on both engines:
+      host  → lower, strip leading 'www.', strip ':80'/':443'
+      path  → strip trailing '/'
+      query → drop utm_*/ref tracking params, KEEP meaningful params
+              (a '?page=2' variant stays a distinct canonical URL),
+              drop '#fragment'
+
+    The fixture has no URL column, so one is SYNTHESIZED
+    deterministically per doc (5 decoration variants over a shared
+    (lang, doc_id%150) article key) — mirrored verbatim in the oracle,
+    so the hash row attests the canonicalizer, not the synthesis.
+
+    Scale shape: map-only canonicalization (whole-stage codegen, no
+    UDF) + one hash agg on the canonical key — the word-count shape;
+    at 100 TB the only knob is regex cost per row."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    u = d.withColumn("url", F.expr(_Q289_URL_SYNTH.replace("VARCHAR", "STRING")))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract("url", r"^[a-z]+://([^/?#]+)", 1)),
+            r"^www\.",
+            "",
+        ),
+        r":(80|443)$",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[a-z]+://[^/?#]+([^?#]*)", 1), r"/+$", ""
+    )
+    q = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract("url", r"\?([^#]*)", 1),
+            r"(^|&)(utm_[a-z]+|ref)=[^&]*",
+            "",
+        ),
+        r"^&+",
+        "",
+    )
+    canon = u.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            host,
+            path,
+            F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+        ).alias("canonical_url"),
+    )
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("canonical_url")
+    return (
+        canon.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_variants", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rk") == 1)
+        .select(
+            "canonical_url",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_variants").cast("bigint").alias("n_variants"),
+            F.col("n_chars").cast("bigint").alias("best_chars"),
+        )
     )

@@ -8,7 +8,6 @@ form of #80's batch-equivalence requirement.
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,9 +22,16 @@ _REPLAY_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _replay(spark: SparkSession, sf_dir: str) -> str:
+    from ..versioning import session_fixture_dir
+
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _REPLAY_CACHE:
-        d = tempfile.mkdtemp(prefix="events_replay_")
+        # per-session deterministic dir (round-6 advice: mkdtemp per
+        # invocation leaked /tmp across sweep/bench/pytest runs); the
+        # sf tag keeps two scale factors within one session apart
+        d = session_fixture_dir(
+            spark, "events_replay_" + os.path.basename(sf_dir.rstrip("/"))
+        )
         _REPLAY_CACHE[key] = jobs.prepare_replay_dir(spark, sf_dir, d, n_chunks=5)
     return _REPLAY_CACHE[key]
 
@@ -559,9 +565,9 @@ def q266_cdc_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture property, not a contract). The lifecycle API was
     pytest-proven (test_foreach_batch_versioned_upsert); this entry
     puts the end state under the driver's hash."""
-    from ..versioning import VersionedTable
+    from ..versioning import VersionedTable, session_fixture_dir
 
-    d = tempfile.mkdtemp(prefix="q266_cdc_")
+    d = session_fixture_dir(spark, "q266_cdc")
     vt = VersionedTable(spark, os.path.join(d, "state"))
     s = (
         jobs.with_watermark(_stream(spark, sf_dir))
@@ -607,9 +613,9 @@ def q272_stream_lakehouse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth (a failed refresh just leaves staleness() > 0 for the next
     batch to catch up)."""
     from ..matview import IncrementalAggView, Measure
-    from ..versioning import VersionedTable
+    from ..versioning import VersionedTable, session_fixture_dir
 
-    d = tempfile.mkdtemp(prefix="q272_rollup_")
+    d = session_fixture_dir(spark, "q272_rollup")
     vt = VersionedTable(spark, os.path.join(d, "events_table"))
     mv = IncrementalAggView(
         spark,
@@ -675,3 +681,68 @@ SELECT user_id, COUNT(*) AS events_seen FROM events GROUP BY user_id
         return out.groupBy("user_id").agg(
             F.max("events_seen").alias("events_seen")
         )
+
+
+@register(
+    "q290_stream_session_rollup",
+    oracle=_session_oracle(),
+    tags=("streaming", "lakehouse", "matview"),
+)
+def q290_stream_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q272's lakehouse loop for NON-ALIGNED windows (VERDICT r06 ask
+    #4b): stream → exactly-once versioned append → per-microbatch
+    incremental SESSIONIZATION refresh (``matview.
+    IncrementalSessionView`` — each refresh sessionizes only
+    ``changes()`` and interval-merges fragments into the stored
+    per-user session state; sessions that straddle microbatch
+    boundaries merge on arrival, the thing no group-key rollup can
+    express). After the 5-microbatch replay the state must equal the
+    from-scratch batch sessionization — the SAME lag/cumulative-flag
+    oracle that q75/q75c attest, so stream == incremental-view ==
+    batch, transitively. Fails loudly on staleness or any full-rebuild
+    refresh, like q272.
+
+    At 100 TB/day: per-batch cost is O(|batch| + contested-user
+    state); the state table holds one row per session, not per event —
+    sessionization at microbatch latency without ever rescanning the
+    event log."""
+    from ..matview import IncrementalSessionView
+    from ..versioning import VersionedTable, session_fixture_dir
+
+    d = session_fixture_dir(spark, "q290_sess")
+    vt = VersionedTable(spark, os.path.join(d, "events_table"))
+    sv = IncrementalSessionView(
+        spark,
+        vt,
+        os.path.join(d, "sessions"),
+        key="user_id",
+        ts_col="tsec",
+        value_col="value",
+        gap_minutes=30,
+    )
+    s = (
+        jobs.with_watermark(_stream(spark, sf_dir))
+        .withColumn("tsec", ts_sec("ts"))
+        .select("user_id", "tsec", "value")
+    )
+    jobs.foreach_batch_append_with_rollup(s, vt, sv, os.path.join(d, "ckpt"))
+    if sv.staleness() != 0:
+        raise RuntimeError(f"session view ended stale: {sv.staleness()}")
+    n_appends = sum(
+        1 for sn in vt.snapshots() if sn.op.startswith("stream-append:")
+    )
+    n_refresh = sum(
+        1 for sn in sv.state.snapshots() if sn.op.startswith("refresh:")
+    )
+    if n_refresh != n_appends:
+        raise RuntimeError(
+            f"non-incremental refresh path taken: {n_refresh} refreshes "
+            f"for {n_appends} appends"
+        )
+    return sv.read().select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        F.col("total_value").cast("string").alias("total_value"),
+    )
