@@ -32,8 +32,15 @@ as mergeable as a sum; the streaming-equals-batch proof in
 test_streaming is this same property), and ``cms_point_estimate()``
 answers "how often did item X appear in group G" from the state alone —
 the dashboard refresh never rescans the corpus. If the source window contains a rewrite
-commit (overwrite/merge/delete/compact), ``changes()`` refuses it and
-the refresh falls back to a full rebuild — correct over fast, loudly.
+commit (overwrite/merge/delete/compact), ``changes()`` refuses it; when
+every measure is sign-invertible (sum/count, with a count present) the
+refresh instead consumes row-level CHANGE IMAGES from ``changelog()``
+— the classic counting algorithm: +expr for insert/update_after, -expr
+for delete/update_before, groups whose count hits zero dropped — so
+updates and deletes stay incremental too. Otherwise (min/max/sketches
+cannot subtract) it falls back to a full rebuild — correct over fast,
+loudly. Each refresh snapshot tag records its mode:
+``refresh:<source_version>:{full|delta|cdc}``.
 
 Semantics note: group keys may be NULL (SQL GROUP BY treats NULL as a
 real group), so the state merge joins with *null-safe* key equality.
@@ -93,7 +100,7 @@ class IncrementalAggView:
     def last_refreshed_source_version(self) -> int | None:
         """Source version the stored state reflects (from snapshot tags)."""
         refreshed = [
-            int(s.op.split(":", 1)[1])
+            int(s.op.split(":")[1])
             for s in self.state.snapshots()
             if s.op.startswith("refresh:")
         ]
@@ -204,6 +211,33 @@ class IncrementalAggView:
             )
         return out
 
+    def _partial_signed(self, images: DataFrame) -> DataFrame:
+        """Grouped SIGNED partial over changelog images (the classic
+        counting algorithm for incremental view maintenance under
+        updates/deletes): insert/update_after contribute +expr,
+        delete/update_before contribute -expr — an update whose group
+        and measures are unchanged cancels exactly. Only sum/count are
+        sign-invertible; min/max/sketches cannot subtract (refresh
+        falls back to a rebuild when they are present)."""
+        sign = (
+            F.when(
+                F.col("_change_type").isin("insert", "update_after"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+        )
+        aggs = []
+        for m in self.measures:
+            if m.kind == "sum":
+                aggs.append(F.sum(sign * m.expr).alias(m.alias))
+            elif m.kind == "count":
+                aggs.append(F.sum(sign).cast("long").alias(m.alias))
+            else:  # pragma: no cover — guarded by the caller
+                raise VersioningError(
+                    f"measure kind {m.kind!r} is not CDC-refreshable"
+                )
+        return images.groupBy(*self.group_by).agg(*aggs)
+
     def _merge(self, old: DataFrame, delta: DataFrame) -> DataFrame:
         o, n = old.alias("o"), delta.alias("n")
         cond = None
@@ -261,18 +295,44 @@ class IncrementalAggView:
         last = self.last_refreshed_source_version()
         if last == src_v:
             return None
-        tag = f"refresh:{src_v}"
         if last is None:
             new_state = self._partial(self.source.read())
-        else:
-            try:
-                delta = self.source.changes(last, src_v)
-            except VersioningError:
-                # rewrite commit inside the window — rebuild from scratch
-                new_state = self._partial(self.source.read())
-                return self.state.write(new_state, mode="overwrite", _op=tag)
-            new_state = self._merge(self.state.read(), self._partial(delta))
-        return self.state.write(new_state, mode="overwrite", _op=tag)
+            return self.state.write(
+                new_state, mode="overwrite", _op=f"refresh:{src_v}:full"
+            )
+        try:
+            delta = self.source.changes(last, src_v)
+        except VersioningError:
+            # rewrite commit (merge/delete/overwrite/compact) inside
+            # the window. If every measure is sign-invertible AND a
+            # count measure exists (to drop groups whose membership
+            # hits zero — a rebuild would not have them), refresh from
+            # row-level CHANGE IMAGES instead of rescanning the source
+            # (the counting algorithm); otherwise rebuild — correct
+            # over fast, loudly.
+            cdc_ok = all(
+                m.kind in ("sum", "count") for m in self.measures
+            ) and any(m.kind == "count" for m in self.measures)
+            if cdc_ok:
+                images = self.source.changelog(last, src_v)
+                merged = self._merge(
+                    self.state.read(), self._partial_signed(images)
+                )
+                n_col = next(
+                    m.alias for m in self.measures if m.kind == "count"
+                )
+                new_state = merged.filter(F.col(n_col) > 0)
+                return self.state.write(
+                    new_state, mode="overwrite", _op=f"refresh:{src_v}:cdc"
+                )
+            new_state = self._partial(self.source.read())
+            return self.state.write(
+                new_state, mode="overwrite", _op=f"refresh:{src_v}:full"
+            )
+        new_state = self._merge(self.state.read(), self._partial(delta))
+        return self.state.write(
+            new_state, mode="overwrite", _op=f"refresh:{src_v}:delta"
+        )
 
     def read(self, estimated: bool = False) -> DataFrame:
         """The current state. ``estimated=True`` renders sketch-typed
@@ -412,7 +472,7 @@ class IncrementalSessionView:
 
     def last_refreshed_source_version(self) -> int | None:
         refreshed = [
-            int(s.op.split(":", 1)[1])
+            int(s.op.split(":")[1])
             for s in self.state.snapshots()
             if s.op.startswith("refresh:")
         ]

@@ -341,3 +341,272 @@ def q283_schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         dsum(dec2("o_totalprice"), "sum_price"),
     )
+
+
+@register(
+    "q291_wap_publish_audit",
+    oracle=f"""
+SELECT l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  {sql_dsum("l_quantity", "sum_qty")}
+FROM lineitem WHERE l_orderkey % 10 <> 9
+GROUP BY l_returnflag
+""",
+    tags=("lakehouse", "versioning", "dq"),
+)
+def q291_wap_publish_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish ingestion (versioning.write_audit_publish —
+    Iceberg's branch + fast_forward safety pattern) under the driver
+    hash: a clean batch publishes, a poisoned batch (negated
+    quantities) is REJECTED with main left byte-identical, and the
+    corrected batch then publishes. The final table must equal the
+    predicate-derived slice the oracle computes — proof that a failed
+    audit leaks nothing and a passed audit loses nothing.
+
+    In-query assertions fail loudly if the bad batch publishes, if the
+    rejection dirtied main, or if either clean batch fails its audit —
+    the WAP state machine itself is under test, not just the end
+    aggregate. At 100 TB this is the ingestion front door: the audit
+    costs one scan of the staged branch; publish is a metadata
+    fast-forward, no data rewrite."""
+    from .dq import Rule
+    from ..functions.compat import dec2
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    m = F.col("l_orderkey") % 10
+    vt = VersionedTable(
+        spark, os.path.join(session_fixture_dir(spark, "q291_wap"), "li")
+    )
+    vt.write(li.filter(m < 5), "append")
+    rules = [Rule("qty_non_negative", F.col("l_quantity") >= 0)]
+
+    good = vt.write_audit_publish(li.filter(m.isin(5, 6)), rules)
+    if not good["published"]:
+        raise VersioningError(f"clean batch failed audit: {good['report']}")
+    before_bad = vt.current_version()
+    bad = vt.write_audit_publish(
+        li.filter(m.isin(7, 8)).withColumn(
+            "l_quantity", -F.col("l_quantity")
+        ),
+        rules,
+    )
+    if bad["published"]:
+        raise VersioningError("poisoned batch published — WAP audit is broken")
+    if vt.current_version() != before_bad:
+        raise VersioningError("failed audit advanced main — WAP leaked state")
+    vt.drop_ref("_audit")
+    fixed = vt.write_audit_publish(li.filter(m.isin(7, 8)), rules)
+    if not fixed["published"]:
+        raise VersioningError(f"corrected batch failed audit: {fixed['report']}")
+
+    return vt.read().groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum(dec2("l_quantity"), "sum_qty"),
+    )
+
+
+@register(
+    "q292_partition_evolution_scan",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events WHERE event_type = 'click'
+GROUP BY 1
+""",
+    tags=("lakehouse", "versioning"),
+)
+def q292_partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION (Iceberg's headline layout feature —
+    specs are per-snapshot, never a table rewrite): commit v1 of an
+    events table partitioned by event_type alone, then append v2
+    partitioned by (event_type, day) — the finer spec new data should
+    get once volume grows. One ``scan([("event_type","=","click")])``
+    must prune dead files under BOTH specs from the manifest alone and
+    return exactly the rows a plain filter would — layout evolution
+    changes IO, never answers. Fails loudly if pruning dropped nothing
+    (spec change silently disabling pruning is the regression this
+    guards).
+
+    At 100 TB: re-partitioning a table by rewrite costs a full pass;
+    per-snapshot specs cost zero — old files keep their old layout,
+    pruning honors each file's own spec via its path bounds."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.to_date(F.col("ts")).cast("string").alias("day"),
+    )
+    vt = VersionedTable(
+        spark, os.path.join(session_fixture_dir(spark, "q292_pevo"), "ev")
+    )
+    vt.write(
+        ev.filter(F.col("event_id") % 2 == 0), "append",
+        partition_by=["event_type"],
+    )
+    vt.write(
+        ev.filter(F.col("event_id") % 2 == 1), "append",
+        partition_by=["event_type", "day"],
+    )
+    filters = [("event_type", "=", "click")]
+    kept = vt.plan_files(filters)
+    all_files = vt.snapshot(vt.current_version()).files
+    if not len(kept) < len(all_files):
+        raise VersioningError(
+            "partition pruning dropped no files across the spec change"
+        )
+    return (
+        vt.scan(filters)
+        .groupBy(F.col("day").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+
+
+@register(
+    "q293_forgotten_user_audit",
+    oracle="""
+WITH target AS (SELECT min(user_id) AS u FROM events),
+rem AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_remaining
+  FROM events WHERE user_id <> (SELECT u FROM target)
+  GROUP BY event_type
+),
+del AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_deleted
+  FROM events WHERE user_id = (SELECT u FROM target)
+  GROUP BY event_type
+)
+SELECT r.event_type, r.n_remaining, COALESCE(d.n_deleted, 0) AS n_deleted
+FROM rem r LEFT JOIN del d ON d.event_type = r.event_type
+""",
+    tags=("lakehouse", "versioning", "dq"),
+)
+def q293_forgotten_user_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten with PROOF (the GDPR/CCPA deletion flow a
+    lakehouse must support): versioned ``delete_where`` of one user's
+    every event with changelog capture, then a three-part audit the
+    driver hashes — (1) remaining counts per event type, (2) deleted
+    counts per type read from the DELETE CHANGE IMAGES (the evidence
+    trail a compliance review wants), (3) an in-query absence proof
+    (any surviving row for the user raises). The oracle re-derives
+    both sides from the fixture, so the hash row certifies that delete
+    + changelog + post-state agree exactly.
+
+    Scale shape: COW delete rewrites only files containing the user
+    (here: all, fixture-small; at 100 TB file/partition pruning bounds
+    the rewrite); the changelog is written AT delete time — the audit
+    never diffs snapshots."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    u = ev.agg(F.min("user_id")).collect()[0][0]  # one scalar, bounded
+    vt = VersionedTable(
+        spark, os.path.join(session_fixture_dir(spark, "q293_rtbf"), "ev")
+    )
+    vt.write(ev, "append")
+    v = vt.delete_where(f"user_id = {u}", capture_changelog=True)
+    if vt.read().filter(F.col("user_id") == u).limit(1).count() != 0:
+        raise VersioningError(f"user {u} still readable after delete")
+    deleted = (
+        vt.changelog(v - 1, v)
+        .filter(F.col("_change_type") == "delete")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_deleted"))
+    )
+    remaining = vt.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_remaining")
+    )
+    return remaining.join(deleted, "event_type", "left").select(
+        "event_type",
+        "n_remaining",
+        F.coalesce("n_deleted", F.lit(0).cast("bigint")).alias("n_deleted"),
+    )
+
+
+@register(
+    "q294_matview_cdc_refresh",
+    oracle=f"""
+WITH final AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END
+      AS o_orderstatus,
+    o_totalprice
+  FROM orders
+  WHERE o_orderkey % 5 <> 0
+)
+SELECT o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  {sql_dsum("o_totalprice", "total_price")}
+FROM final GROUP BY o_orderstatus
+""",
+    tags=("lakehouse", "versioning", "matview"),
+)
+def q294_matview_cdc_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under UPDATES AND DELETES — the
+    counting algorithm (matview CDC refresh, new in round 7): the
+    orders rollup stays incremental across (1) two appends (delta
+    refreshes from ``changes()``), (2) a MERGE that flips o_orderkey%7
+    rows to status 'U' (CDC refresh from update_before/update_after
+    images — the +new/-old signed partial), and (3) a DELETE of
+    o_orderkey%5 rows (CDC refresh from delete images; groups whose
+    count hits zero drop from state). The final state must equal the
+    from-scratch aggregate the oracle computes — and the query fails
+    loudly if ANY refresh after the first took the full-rebuild path
+    (tags record the mode: refresh:<v>:{{full|delta|cdc}}).
+
+    At 100 TB this is the difference between "the daily rollup
+    re-aggregates the table after every GDPR delete" and "the rollup
+    consumes the delete's change images": per-refresh cost is
+    O(|images| + |state|), source size never appears."""
+    from ..functions.compat import dec2
+    from ..matview import IncrementalAggView, Measure
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = session_fixture_dir(spark, "q294_cdc")
+    vt = VersionedTable(spark, os.path.join(d, "orders"))
+    mv = IncrementalAggView(
+        spark,
+        vt,
+        os.path.join(d, "rollup"),
+        group_by=["o_orderstatus"],
+        measures=[
+            Measure("n_orders", "count"),
+            Measure("total_price", "sum", dec2("o_totalprice")),
+        ],
+    )
+    vt.write(o.filter(F.col("o_orderkey") % 2 == 0), "append")
+    mv.refresh()
+    vt.write(o.filter(F.col("o_orderkey") % 2 == 1), "append")
+    mv.refresh()
+    vt.merge(
+        o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_orderstatus", F.lit("U")
+        ),
+        on=["o_orderkey"],
+        capture_changelog=True,
+    )
+    mv.refresh()
+    vt.delete_where("o_orderkey % 5 = 0", capture_changelog=True)
+    mv.refresh()
+    if mv.staleness() != 0:
+        raise VersioningError(f"view ended stale: {mv.staleness()}")
+    modes = [
+        s.op.rsplit(":", 1)[1]
+        for s in mv.state.snapshots()
+        if s.op.startswith("refresh:")
+    ]
+    if modes != ["full", "delta", "cdc", "cdc"]:
+        raise VersioningError(
+            f"refresh modes {modes} != ['full', 'delta', 'cdc', 'cdc'] — "
+            "an update/delete fell back to a rebuild"
+        )
+    return mv.read().select(
+        "o_orderstatus",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("total_price").cast("decimal(38,2)").cast("string").alias(
+            "total_price"
+        ),
+    )

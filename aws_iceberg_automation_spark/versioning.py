@@ -110,12 +110,22 @@ def _collect_file_stats(files: list[str]) -> dict[str, dict[str, list]]:
                 if "." in name or name in dropped:
                     continue  # nested leaves don't map to top-level cols
                 st = col.statistics
-                if (
-                    st is None
-                    or not st.has_min_max
-                    or not isinstance(st.min, _BOUND_TYPES)
-                    or not isinstance(st.max, _BOUND_TYPES)
-                ):
+                try:
+                    # pyarrow RAISES (ArrowNotImplementedError) merely
+                    # ACCESSING .min/.max for some logical types it
+                    # can't cast — e.g. Spark-written INT64-backed
+                    # DECIMAL(<=18,s) — rather than reporting
+                    # has_min_max=False. No stats → never pruned,
+                    # same conservative posture as an unreadable footer.
+                    unusable = (
+                        st is None
+                        or not st.has_min_max
+                        or not isinstance(st.min, _BOUND_TYPES)
+                        or not isinstance(st.max, _BOUND_TYPES)
+                    )
+                except Exception:
+                    unusable = True
+                if unusable:
                     dropped.add(name)
                     bounds.pop(name, None)
                     continue
