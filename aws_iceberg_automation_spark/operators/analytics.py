@@ -2924,3 +2924,290 @@ def q261_order_size_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s2") / F.col("n_orders") - mean * mean) / mean, 4
         ).alias("dispersion_index"),
     )
+
+
+def _sql_twin(spark: SparkSession, sf_dir: str, template: str,
+              tables: list[str]) -> DataFrame:
+    """Run a dialect-shared SQL template on Spark temp views of the
+    fixture tables. The SAME template string (module below formats it
+    with the DuckDB table names) is the oracle — one parse tree, two
+    engines, so every float expression evaluates the identical op
+    order on both sides (the strongest form of the compat contract for
+    statistics queries whose z/ρ denominators are sqrt trees)."""
+    names = {}
+    for t in tables:
+        v = f"tw_{t}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(v)
+        names[t] = v
+    return spark.sql(template.format(**names))
+
+
+# Mann-Whitney U (rank-sum) between every pair of document sources.
+# All rank math is INTEGER-EXACT: avg tie ranks ride as 2×rank
+# (rx2 = 2*n_less + cnt + 1), so U surfaces as exact halves and the
+# normal-approximation z is one double expression over exact integer
+# inputs (sqrt is IEEE-correctly-rounded — bit-identical cross-engine).
+_Q296_SQL = """
+WITH vals AS (SELECT source, n_chars AS v FROM {documents}),
+counts AS (SELECT source, v, COUNT(*) AS c FROM vals GROUP BY source, v),
+srcs AS (SELECT DISTINCT source FROM vals),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+pc AS (
+  SELECT p.sa, p.sb, c.source, c.v, c.c
+  FROM pairs p JOIN counts c ON c.source = p.sa OR c.source = p.sb
+),
+grouped AS (
+  SELECT sa, sb, v, SUM(c) AS cnt,
+         SUM(CASE WHEN source = sa THEN c ELSE 0 END) AS ca
+  FROM pc GROUP BY sa, sb, v
+),
+ranked AS (
+  SELECT sa, sb, v, cnt, ca,
+    COALESCE(SUM(cnt) OVER (PARTITION BY sa, sb ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_less
+  FROM grouped
+),
+stats AS (
+  SELECT sa, sb,
+    CAST(SUM(ca) AS BIGINT) AS n_a,
+    CAST(SUM(cnt - ca) AS BIGINT) AS n_b,
+    CAST(SUM(ca * (2 * n_less + cnt + 1)) AS BIGINT) AS r2_a,
+    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_t
+  FROM ranked GROUP BY sa, sb
+)
+SELECT sa AS source_a, sb AS source_b, n_a, n_b,
+  CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2 AS u_stat,
+  round((r2_a - n_a * (n_a + 1) - n_a * n_b)
+        / NULLIF(2 * sqrt((n_a * CAST(n_b AS DOUBLE) / 12)
+            * ((n_a + n_b + 1)
+               - CAST(tie_t AS DOUBLE)
+                 / ((n_a + n_b) * (n_a + n_b - 1.0)))), 0), 4) AS z
+FROM stats
+"""
+
+
+@register(
+    "q296_mann_whitney_u",
+    oracle=_Q296_SQL.format(documents="documents"),
+    tags=("analytics", "stats", "llm"),
+)
+def q296_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between every pair of document
+    sources on doc length — the NONPARAMETRIC two-sample location test
+    (no normality assumption, robust to the heavy-tailed length
+    distributions real corpora have; the parametric KS/t-test family
+    is covered by q189/q250). Tie handling is the textbook
+    average-rank rule with the tie-corrected variance.
+
+    Determinism: ranks never materialize per row — per-VALUE counts
+    carry (2×avg-rank) as exact integers, so U is exact and z's only
+    float ops are one shared expression tree over exact ints (sqrt is
+    correctly rounded per IEEE-754 — identical on both engines; the
+    oracle IS this same template).
+
+    Scale shape: one hash agg to per-(source, value) counts (tiny:
+    |values| per source), a 20×20 pair grid over those count rows —
+    the corpus itself is read once and never joined pairwise."""
+    return _sql_twin(spark, sf_dir, _Q296_SQL, ["documents"])
+
+
+# SPRT constants, computed once and INLINED as integer literals in
+# micro-units (×1e6) on both sides — the walk and both boundary
+# comparisons are pure int64 arithmetic, so the stopping decision can
+# never flip on a libm ulp: round(ln(0.22/0.18)*1e6), round(ln(0.78/
+# 0.82)*1e6), round(ln(19)*1e6)  [alpha = beta = 0.05].
+_SPRT_C1 = 200671
+_SPRT_C0 = -50010
+_SPRT_A = 2944439
+
+_Q297_SQL = f"""
+WITH base AS (
+  SELECT user_id % 2 AS arm,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s,
+    date_trunc('second', ts) AS tsec, event_id
+  FROM {{events}}
+),
+obs AS (
+  SELECT arm, s,
+    row_number() OVER (PARTITION BY arm ORDER BY tsec, event_id) AS rn
+  FROM base
+),
+walk AS (
+  SELECT arm, rn,
+    SUM(s) OVER (PARTITION BY arm ORDER BY rn) AS ns
+  FROM obs
+),
+llr AS (
+  SELECT arm, rn, ns * {_SPRT_C1} + (rn - ns) * {_SPRT_C0} AS cum_m
+  FROM walk
+),
+crossing AS (
+  SELECT arm, rn, cum_m,
+    CASE WHEN cum_m >= {_SPRT_A} THEN 'accept_h1'
+         WHEN cum_m <= -{_SPRT_A} THEN 'accept_h0' END AS hit
+  FROM llr
+),
+first_hit AS (
+  SELECT arm, min(rn) AS stop_rn FROM crossing
+  WHERE hit IS NOT NULL GROUP BY arm
+),
+last AS (SELECT arm, max(rn) AS max_rn FROM obs GROUP BY arm),
+sel AS (
+  SELECT l.arm, COALESCE(f.stop_rn, l.max_rn) AS at_rn
+  FROM last l LEFT JOIN first_hit f ON f.arm = l.arm
+)
+SELECT s.arm, c.rn AS n_obs, CAST(c.cum_m AS BIGINT) AS llr_micro,
+  COALESCE(c.hit, 'continue') AS decision
+FROM sel s JOIN crossing c ON c.arm = s.arm AND c.rn = s.at_rn
+"""
+
+
+@register(
+    "q297_sprt_sequential_test",
+    oracle=_Q297_SQL.format(events="events"),
+    tags=("analytics", "stats", "behavioral"),
+)
+def q297_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT — SEQUENTIAL hypothesis testing over an event
+    stream (the always-valid monitoring an A/B platform runs instead
+    of fixed-horizon tests, q254/q257's complement): per arm, walk the
+    purchase/no-purchase log-likelihood ratio in event order and stop
+    at the first crossing of the ±ln((1-β)/α) boundary (H0 p=0.18 vs
+    H1 p=0.22, α=β=0.05). The fixture's true rate (~0.198) sits
+    between the hypotheses — the walk legitimately meanders, and
+    whatever it does is exactly replayed.
+
+    Determinism: the LLR increments are data-independent CONSTANTS,
+    inlined as ×1e6 integer literals on both sides — the entire walk
+    and both boundary tests are int64 arithmetic; no libm call can
+    flip a stopping decision (the q119 fixed-point lesson applied to
+    sequential statistics).
+
+    Scale shape: one window-sum per arm over (ts, event_id) order; the
+    crossing scan is a filter + min — no iteration, no driver loop."""
+    return _sql_twin(spark, sf_dir, _Q297_SQL, ["events"])
+
+
+_Q298_SQL = """
+WITH seg AS (
+  SELECT lang, source, COUNT(*) AS n,
+    SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS k
+  FROM {documents} GROUP BY lang, source
+),
+tot AS (SELECT CAST(SUM(k) AS DOUBLE) / SUM(n) AS p0 FROM seg),
+p AS (
+  SELECT lang, source, n,
+    round(exp(-2.0 * n * pow(CAST(k AS DOUBLE) / n
+                             - (SELECT p0 FROM tot), 2)), 8) AS p_val
+  FROM seg
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY p_val, lang, source) AS i,
+         COUNT(*) OVER () AS m
+  FROM p
+),
+thresh AS (SELECT max(i) AS i_star FROM r WHERE p_val * m <= i * 0.10)
+SELECT lang, source, CAST(n AS BIGINT) AS n_docs, p_val,
+  (i <= COALESCE((SELECT i_star FROM thresh), 0)) AS rejected
+FROM r
+"""
+
+
+@register(
+    "q298_bh_fdr_control",
+    oracle=_Q298_SQL.format(documents="documents"),
+    tags=("analytics", "stats", "llm"),
+)
+def q298_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a family of per-segment
+    enrichment tests — the MULTIPLE-TESTING correction every
+    segment-scanning dashboard needs (testing 60 segments at α=0.05
+    expects 3 false alarms; BH caps the false-discovery RATE instead).
+    Per (lang, source) segment: Hoeffding-bound p-value for "long-doc
+    share differs from the corpus rate", then the BH step-up: sort
+    p ascending, reject ranks 1..i* where i* = max{{i : p(i) ≤ (i/m)q}}
+    at q = 0.10.
+
+    The p-value is a closed-form exp() — rounded to 8 digits on both
+    sides BEFORE the step-up comparison, so a libm ulp can only matter
+    if a rounded p lands exactly on its (i/m)q threshold (measure-zero
+    on continuous statistics; the accepted q83f-class boundary).
+
+    Scale shape: one hash agg to segments, then all work is over the
+    |segments|-row frame — the rank, the threshold scan, the verdict
+    join are all metadata-sized."""
+    return _sql_twin(spark, sf_dir, _Q298_SQL, ["documents"])
+
+
+# Spearman ρ per return-flag between discount and quantity: 2×avg-ranks
+# are exact integers; the five moment sums ride in DECIMAL(38,0) (the
+# round-4 overflow lesson: n·Σr² ≈ 5e23 at sf0.1 — far past int64);
+# ρ is one double expression over those exact sums.
+_Q299_SQL = """
+WITH t AS (
+  SELECT l_returnflag AS grp, l_discount AS x, l_quantity AS y
+  FROM {lineitem}
+),
+cx AS (SELECT grp, x, COUNT(*) AS c FROM t GROUP BY grp, x),
+rx AS (
+  SELECT grp, x,
+    2 * COALESCE(SUM(c) OVER (PARTITION BY grp ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+      AS rx2
+  FROM cx
+),
+cy AS (SELECT grp, y, COUNT(*) AS c FROM t GROUP BY grp, y),
+ry AS (
+  SELECT grp, y,
+    2 * COALESCE(SUM(c) OVER (PARTITION BY grp ORDER BY y
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+      AS ry2
+  FROM cy
+),
+j AS (
+  SELECT t.grp, rx.rx2, ry.ry2
+  FROM t
+  JOIN rx ON rx.grp = t.grp AND rx.x = t.x
+  JOIN ry ON ry.grp = t.grp AND ry.y = t.y
+),
+s AS (
+  SELECT grp, COUNT(*) AS n,
+    SUM(CAST(rx2 AS DECIMAL(38,0))) AS sx,
+    SUM(CAST(ry2 AS DECIMAL(38,0))) AS sy,
+    SUM(CAST(rx2 AS DECIMAL(38,0)) * rx2) AS sxx,
+    SUM(CAST(ry2 AS DECIMAL(38,0)) * ry2) AS syy,
+    SUM(CAST(rx2 AS DECIMAL(38,0)) * ry2) AS sxy
+  FROM j GROUP BY grp
+)
+SELECT grp AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+  round(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+        / NULLIF(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)),
+                 0), 5) AS spearman_rho
+FROM s
+"""
+
+
+@register(
+    "q299_spearman_rank_corr",
+    oracle=_Q299_SQL.format(lineitem="lineitem"),
+    tags=("analytics", "stats"),
+)
+def q299_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (discount vs quantity per return
+    flag) — the RANK-based dependence measure that catches monotone-
+    but-nonlinear relationships Pearson (q205/q233's family) misses
+    and ignores outliers entirely. Average-rank tie handling, exact:
+    2×avg-ranks are integers carried per distinct VALUE (never a
+    per-row rank shuffle), the five moment sums accumulate in
+    DECIMAL(38,0) (order-independent, overflow-proof past int64), and
+    ρ is one shared double expression over those exact sums — the
+    oracle runs the identical template.
+
+    Scale shape: two per-value count aggs (|distinct values| rows),
+    two broadcast-sized rank joins back to the fact rows, one moment
+    agg — no row-level window over the fact table anywhere."""
+    return _sql_twin(spark, sf_dir, _Q299_SQL, ["lineitem"])

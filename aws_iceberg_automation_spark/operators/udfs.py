@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
+from ..functions.compat import ts_sec
 from ..io import load_table
 from ..registry import register
 
@@ -319,4 +320,83 @@ def q152_arrow_native_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(
         kernel,
         "doc_id bigint, n_bytes bigint, n_tokens bigint, content_hash string",
+    )
+
+
+@register(
+    "q295_clamped_running_balance",
+    oracle="""
+WITH RECURSIVE ev AS (
+  SELECT user_id,
+    CAST(round(value * 100) AS BIGINT)
+      * (CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END) AS delta,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY date_trunc('second', ts), event_id) AS rn
+  FROM events WHERE event_type IN ('purchase', 'error')
+), walk AS (
+  SELECT user_id, rn, greatest(delta, 0) AS bal,
+    CAST(CASE WHEN delta < 0 THEN 1 ELSE 0 END AS BIGINT) AS n_clamped
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn,
+    greatest(w.bal + e.delta, 0),
+    w.n_clamped + CASE WHEN w.bal + e.delta < 0 THEN 1 ELSE 0 END
+  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT user_id, bal AS balance_cents, n_clamped
+FROM walk w
+WHERE rn = (SELECT max(rn) FROM ev e2 WHERE e2.user_id = w.user_id)
+""",
+    tags=("udf", "behavioral"),
+)
+def q295_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running balance with a floor at zero — credits ('purchase')
+    add, debits ('error') subtract, and the balance CLAMPS at 0 (a
+    prepaid wallet / inventory / quota shape). The clamp makes each
+    step depend non-linearly on the previous one, so NO window
+    function expresses it — this is the canonical case for a per-key
+    imperative kernel: deltas are computed JVM-side in integer cents
+    (exact, engine-identical rounding), then one Arrow-batched
+    ``applyInPandas`` walks each user's sequence in a tight loop.
+    The DuckDB oracle replays the same walk as a RECURSIVE CTE — a
+    genuinely non-SQL-expressible-in-Spark operator with a full value
+    oracle, not a rows-only waiver.
+
+    Scale shape: one hash partition per user key, O(events-per-user)
+    memory inside the kernel (a generator over Arrow batches per
+    group), no driver collect; at 100 TB the only constraint is the
+    usual stateful one — a single user's history must fit a task."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "user_id",
+            "event_id",
+            ts_sec("ts").cast("string").alias("tsec"),
+            (
+                F.round(F.col("value") * 100).cast("long")
+                * F.when(F.col("event_type") == "purchase", 1).otherwise(-1)
+            ).alias("delta"),
+        )
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["tsec", "event_id"])
+        bal, clamps = 0, 0
+        for d in pdf["delta"]:
+            nb = bal + int(d)
+            if nb < 0:
+                nb = 0
+                clamps += 1
+            bal = nb
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "balance_cents": [bal],
+                "n_clamped": [clamps],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        walk, schema="user_id long, balance_cents long, n_clamped long"
     )
