@@ -2261,3 +2261,67 @@ def q289_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("bigint").alias("best_chars"),
         )
     )
+
+
+_Q302_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 600000 AS doc_id, 'mirror' AS source, text
+  FROM documents WHERE doc_id < 25
+),
+h AS (SELECT doc_id, source, md5(text) AS cluster_hash FROM corpus),
+g AS (
+  SELECT cluster_hash,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+    CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+  FROM h GROUP BY cluster_hash
+  HAVING COUNT(*) > 1
+)
+SELECT cluster_hash, n_docs, n_sources, keep_doc_id,
+  (n_sources > 1) AS cross_source
+FROM g
+"""
+
+
+@register(
+    "q302_cross_source_dups",
+    oracle=_Q302_ORACLE,
+    tags=("dedup", "llm"),
+)
+def q302_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplicate PROVENANCE census — the syndication
+    /mirror-site signal (the same article crawled from N hosts) that
+    dedup pipelines use both to drop copies and to weight trust in a
+    source: per duplicate text cluster, how many copies, how many
+    DISTINCT sources, which doc to keep (min id), and whether the
+    cluster crosses sources at all. The fixture corpus has zero
+    natural byte-identical dups (profiled), so a deterministic
+    'mirror' source re-publishing docs 0-24 is injected — mirrored
+    verbatim in the oracle, so the hash row attests the census, not
+    the synthesis.
+
+    Scale shape: one md5 per doc (map-side), one hash agg on the
+    digest — q81's exact-dedup shape plus a COUNT(DISTINCT source)
+    that stays inside the same two-phase agg."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    mirror = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.lit("mirror").alias("source"),
+        "text",
+    )
+    corpus = d.unionAll(mirror)
+    return (
+        corpus.select("doc_id", "source", F.md5("text").alias("cluster_hash"))
+        .groupBy("cluster_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .withColumn("cross_source", F.col("n_sources") > 1)
+    )

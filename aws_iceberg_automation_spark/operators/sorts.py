@@ -126,3 +126,78 @@ def q60_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 3)
     )
+
+
+def _morton_sql(p: str, s: str, bits: int = 10) -> str:
+    """DuckDB expression interleaving the low ``bits`` of two ints
+    into a Morton (Z-order) code via shift/mask — exact int64 math."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({p} >> {b}) & 1) << {2 * b + 1})")
+        terms.append(f"((({s} >> {b}) & 1) << {2 * b})")
+    return " | ".join(terms)
+
+
+def morton_code(p, s, bits: int = 10):
+    """Spark twin of ``_morton_sql`` (shiftright/shiftleft builtins)."""
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out.bitwiseOR(
+            F.shiftleft(F.shiftright(p, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(s, b).bitwiseAND(F.lit(1)), 2 * b)
+        )
+    return out
+
+
+@register(
+    "q303_zorder_locality",
+    oracle=f"""
+WITH k AS (
+  SELECT CAST(l_partkey % 1024 AS BIGINT) AS pk,
+         CAST(l_suppkey % 1024 AS BIGINT) AS sk
+  FROM lineitem
+),
+z AS (SELECT pk, sk, ({_morton_sql("pk", "sk")}) >> 14 AS bucket FROM k)
+SELECT bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(MIN(pk) AS BIGINT) AS min_pk, CAST(MAX(pk) AS BIGINT) AS max_pk,
+  CAST(MIN(sk) AS BIGINT) AS min_sk, CAST(MAX(sk) AS BIGINT) AS max_sk,
+  CAST((MAX(pk) - MIN(pk) + 1) * (MAX(sk) - MIN(sk) + 1) AS BIGINT)
+    AS bbox_area
+FROM z GROUP BY bucket
+""",
+    tags=("sorts", "lakehouse"),
+)
+def q303_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) clustering key + locality audit — the
+    multi-dimensional data-layout primitive behind Delta OPTIMIZE
+    ZORDER / Iceberg sort orders: interleave the bits of two join/
+    filter columns so range-contiguous buckets stay contiguous in BOTH
+    dimensions, then measure each bucket's bounding box (a linear sort
+    on either single key would leave the other dimension's min/max
+    spanning the whole domain — Z-order bounds both, which is exactly
+    what turns file min/max stats into 2-D pruning). Pure int64
+    shift/mask on both engines — bit-exact.
+
+    Scale shape: the code is a map-side expression (no shuffle to
+    ASSIGN layout); the audit is one hash agg per bucket. At 100 TB
+    the real deployment writes files sorted by the code and this
+    audit's bbox_area IS the pruning-quality metric per file."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 1024).cast("long").alias("pk"),
+        (F.col("l_suppkey") % 1024).cast("long").alias("sk"),
+    )
+    z = li.withColumn(
+        "bucket", F.shiftright(morton_code(F.col("pk"), F.col("sk")), 14)
+    )
+    return z.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("pk").cast("bigint").alias("min_pk"),
+        F.max("pk").cast("bigint").alias("max_pk"),
+        F.min("sk").cast("bigint").alias("min_sk"),
+        F.max("sk").cast("bigint").alias("max_sk"),
+        (
+            (F.max("pk") - F.min("pk") + 1) * (F.max("sk") - F.min("sk") + 1)
+        ).cast("bigint").alias("bbox_area"),
+    )

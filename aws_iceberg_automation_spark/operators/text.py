@@ -1945,3 +1945,224 @@ def q275_bpe_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topn_ranked(
         counted, [F.col("n_pairs").desc(), F.col("pair")], 20, rank_name="rk"
     ).select("pair", "n_pairs", "rk")
+
+
+_Q300_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dt AS (SELECT doc_id, term, COUNT(*) AS n_dt FROM tok GROUP BY doc_id, term),
+tf AS (SELECT term, CAST(SUM(n_dt) AS BIGINT) AS cnt FROM dt GROUP BY term),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM tf),
+sup AS (
+  SELECT term,
+    CAST(round(-ln(CAST(cnt AS DOUBLE) / (SELECT t FROM tot)), 6)
+         AS DECIMAL(18,6)) AS s
+  FROM tf
+),
+doc AS (
+  SELECT d.doc_id, SUM(d.n_dt) AS n_tok,
+         SUM(CAST(d.n_dt AS DECIMAL(18,0)) * s.s) AS tots
+  FROM dt d JOIN sup s USING (term) GROUP BY d.doc_id
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+  round(CAST(tots AS DOUBLE) / n_tok, 6) AS avg_surprisal
+FROM doc
+"""
+
+
+@register(
+    "q300_unigram_surprisal",
+    oracle=_Q300_ORACLE,
+    tags=("text", "llm"),
+)
+def q300_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram SURPRISAL under the corpus's own
+    unigram LM (-ln p(term), the KenLM-free quality/novelty signal
+    real pipelines rank by: low = templated boilerplate, high =
+    rare-token soup). Determinism is the q240 pattern applied to log
+    space: each TERM's surprisal rounds once to 6 digits and rides as
+    DECIMAL(18,6); the per-doc accumulation is an exact decimal
+    SUM(count×surprisal) — never a float sum over doc tokens — with
+    ONE double division at the end. The only libm call (ln) happens
+    per distinct TERM on both engines and is rounded before any
+    aggregation (accepted q83f boundary class).
+
+    Scale shape: word-count twice (doc-term, then term), broadcast-
+    sized surprisal table joined back on term — explode-agg-join, no
+    per-row UDF, no window over the corpus."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("n_dt"))
+    )
+    tf = dt.groupBy("term").agg(F.sum("n_dt").cast("bigint").alias("cnt"))
+    total = tf.agg(F.sum("cnt").cast("bigint").alias("t"))
+    sup = tf.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(-F.log(F.col("cnt").cast("double") / F.col("t")), 6)
+        .cast("decimal(18,6)")
+        .alias("s"),
+    )
+    doc = (
+        dt.join(sup, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_dt").alias("n_tok"),
+            F.sum(F.col("n_dt").cast("decimal(18,0)") * F.col("s")).alias(
+                "tots"
+            ),
+        )
+    )
+    return doc.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tokens"),
+        F.round(F.col("tots").cast("double") / F.col("n_tok"), 6).alias(
+            "avg_surprisal"
+        ),
+    )
+
+
+_Q301_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS rk FROM tf)
+  WHERE rk <= 1000
+),
+per_src AS (
+  SELECT t.source,
+    COUNT(*) AS n_tokens,
+    SUM(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS in_vocab
+  FROM tok t LEFT JOIN vocab v ON v.term = t.term
+  GROUP BY t.source
+)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(in_vocab AS BIGINT) AS in_vocab_tokens,
+  round(CAST(in_vocab AS DOUBLE) / n_tokens, 6) AS coverage
+FROM per_src
+"""
+
+
+@register(
+    "q301_vocab_coverage",
+    oracle=_Q301_ORACLE,
+    tags=("text", "llm"),
+)
+def q301_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary COVERAGE curve input (the go/no-go number
+    when sizing a vocab against a new corpus slice): fix the top-1000
+    corpus terms as the vocab (total-ordered by count desc, term asc —
+    rank-1000 ties cannot flip membership) and measure, per source,
+    the fraction of token OCCURRENCES the vocab covers. All integer
+    counts; one final division.
+
+    Scale shape: term census (word-count), broadcast the 1000-term
+    vocab, map-side membership + per-source agg — the corpus shuffles
+    once on term and once on source, both partial-agg'd map-side."""
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = topn_ranked(
+        tf, [F.col("cnt").desc(), F.col("term")], 1000, rank_name="rk"
+    ).select("term")
+    per_src = (
+        tok.join(F.broadcast(vocab.withColumn("_v", F.lit(1))), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_v").isNotNull(), 1).otherwise(0)
+            ).alias("in_vocab"),
+        )
+    )
+    return per_src.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("in_vocab").cast("bigint").alias("in_vocab_tokens"),
+        F.round(
+            F.col("in_vocab").cast("double") / F.col("n_tokens"), 6
+        ).alias("coverage"),
+    )
+
+
+_Q304_ORACLE = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tf AS (
+  SELECT term, COUNT(*) AS cnt FROM (
+    SELECT unnest(toks) AS term FROM tok) GROUP BY term
+),
+probe AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS rk FROM tf)
+  WHERE rk = 1
+),
+pos AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p FROM tok
+)
+SELECT doc_id, CAST(p AS BIGINT) AS pos,
+  COALESCE(array_to_string(list_slice(toks, greatest(p - 2, 1), p - 1), ' '),
+           '') AS left_ctx,
+  COALESCE(array_to_string(list_slice(toks, p + 1, least(p + 2, len(toks))),
+           ' '), '') AS right_ctx
+FROM pos
+WHERE toks[p] = (SELECT term FROM probe)
+"""
+
+
+@register(
+    "q304_kwic_concordance",
+    oracle=_Q304_ORACLE,
+    tags=("text", "llm"),
+)
+def q304_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance — the corpus-linguistics
+    primitive behind "show me every use of term X with ±2 tokens of
+    context" (how annotation teams audit scrubbing rules and prompt
+    writers check term senses). The probe term is the corpus's top-1
+    token (total-ordered — deterministic); every occurrence emits its
+    position and joined left/right context windows, clamped at doc
+    edges.
+
+    Scale shape: positional explode of only the matching docs' token
+    arrays; context extraction is an array slice per hit — map-only
+    after the one broadcast of the probe term; output rows scale with
+    term frequency, not corpus size."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    tf = d.select(F.explode("toks").alias("term")).groupBy("term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    probe = topn_ranked(
+        tf, [F.col("cnt").desc(), F.col("term")], 1, rank_name="rk"
+    ).select("term")
+    hits = (
+        d.select("doc_id", "toks", F.posexplode("toks").alias("p0", "term"))
+        .join(F.broadcast(probe), "term")
+        .select("doc_id", "toks", (F.col("p0") + 1).alias("p"))
+    )
+    return hits.select(
+        "doc_id",
+        F.col("p").cast("bigint").alias("pos"),
+        F.array_join(
+            F.slice(
+                "toks",
+                F.greatest(F.col("p") - 2, F.lit(1)),
+                F.col("p") - F.greatest(F.col("p") - 2, F.lit(1)),
+            ),
+            " ",
+        ).alias("left_ctx"),
+        F.array_join(
+            F.slice(
+                "toks",
+                F.col("p") + 1,
+                F.least(F.col("p") + 2, F.size("toks")) - F.col("p"),
+            ),
+            " ",
+        ).alias("right_ctx"),
+    )
