@@ -3211,3 +3211,49 @@ def q299_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     two broadcast-sized rank joins back to the fact rows, one moment
     agg — no row-level window over the fact table anywhere."""
     return _sql_twin(spark, sf_dir, _Q299_SQL, ["lineitem"])
+
+
+_Q309_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM {events}
+),
+tot AS (SELECT COUNT(*) AS n FROM e),
+arm AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM e GROUP BY event_type
+)
+SELECT event_type, n_events, sum_cents,
+  round(CAST((SELECT n FROM tot) AS DOUBLE) / (5 * n_events), 6) AS ips_weight,
+  round(CAST(sum_cents AS DOUBLE) / (5 * n_events) / 100, 6)
+    AS ips_contribution
+FROM arm
+"""
+
+
+@register(
+    "q309_ips_offpolicy_eval",
+    oracle=_Q309_SQL.format(events="events"),
+    tags=("analytics", "stats", "behavioral"),
+)
+def q309_ips_offpolicy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-scored OFF-POLICY evaluation — estimate what
+    the average event value WOULD be under a uniform target policy
+    over the 5 event types, from logs collected under the empirical
+    logging policy (the counterfactual question every
+    recommendation/bandit system answers before shipping a policy
+    change, without an online experiment). IPS weight per type =
+    p_target/p_logged = N/(5·n_type); the estimate decomposes into
+    per-type contributions Σvalue/(5·n_type) — surfaced per type so
+    the variance-dominating rare types are visible (the practical
+    failure mode of IPS).
+
+    Determinism: values ride as integer cents, counts are exact; the
+    weights and contributions are single double expressions over exact
+    ints, shared-template on both engines.
+
+    Scale shape: one hash agg on the 5 types; everything downstream is
+    5 rows."""
+    return _sql_twin(spark, sf_dir, _Q309_SQL, ["events"])

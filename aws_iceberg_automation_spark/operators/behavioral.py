@@ -1202,3 +1202,168 @@ def q251_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((n_new + n_res).cast("double") / n_chn)
         .alias("quick_ratio"),
     )
+
+
+@register(
+    "q305_transition_dwell",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch(date_trunc('second', ts)) AS tse,
+         event_id
+  FROM events
+),
+o AS (
+  SELECT user_id, event_type, tse,
+    lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY tse, event_id) AS prev_type,
+    lag(tse) OVER (PARTITION BY user_id ORDER BY tse, event_id) AS prev_tse
+  FROM e
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, tse - prev_tse AS dwell
+  FROM o WHERE prev_type IS NOT NULL
+)
+SELECT prev_type, next_type,
+  CAST(COUNT(*) AS BIGINT) AS n_transitions,
+  round(CAST(SUM(dwell) AS DOUBLE) / COUNT(*), 2) AS avg_dwell_sec,
+  round(quantile_cont(dwell, 0.5), 1) AS p50_dwell_sec,
+  CAST(MAX(dwell) AS BIGINT) AS max_dwell_sec
+FROM t GROUP BY prev_type, next_type
+""",
+    tags=("behavioral", "timeseries"),
+)
+def q305_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time profile per event-type TRANSITION (the edge-weighted
+    companion of q164's transition matrix: not just how often view→
+    purchase happens but how LONG users sit between them — the numbers
+    a UX funnel or session-timeout tuning actually needs). Dwell is an
+    exact integer second difference; avg is an exact int ratio; the
+    median interpolates between two ints (exact halves in double —
+    deterministic; Spark percentile() ≡ DuckDB quantile_cont, the q42
+    equivalence).
+
+    Scale shape: one per-user window (lag), one hash agg on the ~25
+    transition pairs — partial-agg'd map-side after the window."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_secs("ts").alias("tse"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("tse", "event_id")
+    t = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn("prev_tse", F.lag("tse").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select(
+            "prev_type",
+            F.col("event_type").alias("next_type"),
+            (F.col("tse") - F.col("prev_tse")).alias("dwell"),
+        )
+    )
+    return t.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        F.round(
+            F.sum("dwell").cast("double") / F.count(F.lit(1)), 2
+        ).alias("avg_dwell_sec"),
+        F.round(F.expr("percentile(dwell, 0.5)"), 1).alias("p50_dwell_sec"),
+        F.max("dwell").cast("bigint").alias("max_dwell_sec"),
+    )
+
+
+@register(
+    "q306_session_concurrency",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch(date_trunc('second', ts)) AS tse, ts
+  FROM events
+),
+o AS (
+  SELECT user_id, tse, ts,
+    CASE WHEN tse - lag(tse) OVER (PARTITION BY user_id ORDER BY tse)
+              > 1800
+         OR lag(tse) OVER (PARTITION BY user_id ORDER BY tse) IS NULL
+         THEN 1 ELSE 0 END AS is_new
+  FROM e
+),
+s AS (
+  SELECT user_id, tse, ts,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tse
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_no
+  FROM o
+),
+sess AS (
+  SELECT user_id, min(tse) AS s_start, max(tse) + 1800 AS s_end,
+         min(ts) AS start_ts
+  FROM s GROUP BY user_id, session_no
+),
+pts AS (
+  SELECT s_start AS t, 1 AS d, start_ts AS ts0 FROM sess
+  UNION ALL
+  SELECT s_end AS t, -1 AS d, start_ts AS ts0 FROM sess
+),
+sw AS (SELECT t, d, SUM(d) OVER (ORDER BY t, d) AS conc FROM pts)
+SELECT DATE '1970-01-01' + CAST(floor(t / 86400) AS INT) AS day,
+  CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+  CAST(COUNT(*) AS BIGINT) AS n_boundary_events
+FROM sw GROUP BY 1
+""",
+    tags=("behavioral", "timeseries"),
+)
+def q306_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak CONCURRENT sessions per day — the capacity-planning number
+    (licenses, connection pools, GPU seats) — via the classic
+    sweep-line: every session contributes +1 at start and -1 at
+    end-plus-gap, and the running sum IS the concurrency. Sessions are
+    q75's gap rule (30 min). Tie determinism: ends sort before starts
+    at the same instant ([start, end) semantics) and the default
+    RANGE-to-CURRENT-ROW frame gives every tied row the post-peer
+    level, so no per-row value depends on shuffle order. Peak is taken
+    over boundary MOMENTS within each day (concurrency only changes at
+    boundaries; the day attribution of a level is the boundary's day —
+    stated contract).
+
+    Scale shape: 2 rows per session; the global ordered sweep is the
+    one genuinely sequential step (documented: partition by day with
+    carried-in offsets at 100 TB — offsets are per-day +1/-1 sums, a
+    tiny second pass)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", epoch_secs("ts").alias("tse"), "ts"
+    )
+    wo = Window.partitionBy("user_id").orderBy("tse")
+    s = (
+        e.withColumn("prev", F.lag("tse").over(wo))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev").isNull() | (F.col("tse") - F.col("prev") > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_no",
+            F.sum("is_new").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    sess = s.groupBy("user_id", "session_no").agg(
+        F.min("tse").alias("s_start"),
+        (F.max("tse") + 1800).alias("s_end"),
+    )
+    pts = sess.select(F.col("s_start").alias("t"), F.lit(1).alias("d")).unionAll(
+        sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("d"))
+    )
+    sw = pts.withColumn("conc", F.sum("d").over(Window.orderBy("t", "d")))
+    return (
+        sw.select(
+            # tz-independent epoch-day bucket (fixture timestamps are
+            # non-negative, so integer div == floor on both engines)
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                F.expr("CAST(t div 86400 AS INT)"),
+            ).alias("day"),
+            "conc",
+        )
+        .groupBy("day")
+        .agg(
+            F.max("conc").cast("bigint").alias("peak_concurrency"),
+            F.count(F.lit(1)).cast("bigint").alias("n_boundary_events"),
+        )
+    )

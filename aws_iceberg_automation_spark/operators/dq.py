@@ -1546,3 +1546,75 @@ def q250_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ks_raw") > crit).alias("drift_flag"),
         )
     )
+
+
+@register(
+    "q308_invoice_reconciliation",
+    oracle="""
+WITH line AS (
+  SELECT l_orderkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+        * (1 - CAST(l_discount AS DECIMAL(6,4)))
+        * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS line_total
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderstatus,
+    CAST(o.o_totalprice AS DECIMAL(12,2)) AS header_total,
+    CAST(l.line_total AS DECIMAL(38,10)) AS line_total
+  FROM orders o JOIN line l ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CASE WHEN abs(header_total - line_total) > 0.01
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+  CAST(CAST(SUM(abs(header_total - line_total)) AS DECIMAL(38,10))
+       AS VARCHAR) AS total_abs_drift
+FROM j GROUP BY o_orderstatus
+""",
+    tags=("dq", "analytics"),
+)
+def q308_invoice_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail INVOICE reconciliation — the derived-column
+    consistency audit every finance pipeline runs (does the order
+    header's o_totalprice equal the sum of its lines' charge?): per
+    order status, how many orders drift beyond a cent tolerance and by
+    how much in total. All money math is exact DECIMAL — the charge
+    expression is the shared SQL_CHARGE family, the drift an exact
+    decimal |difference| summed without float noise (digits identical
+    on both engines by construction).
+
+    Scale shape: one hash agg on l_orderkey (map-side partial), one
+    equi-join to headers (co-partitioned on the same key at scale),
+    one tiny status agg. The audit reads each table exactly once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    line = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(10,2)")
+            * (1 - F.col("l_discount").cast("decimal(6,4)"))
+            * (1 + F.col("l_tax").cast("decimal(6,4)"))
+        ).alias("line_total")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("header_total"),
+    )
+    j = o.join(line, o.o_orderkey == line.l_orderkey).select(
+        "o_orderstatus",
+        "header_total",
+        # full sub-cent scale: rounding the charge to cents is the
+        # decimal round-TIE class (half-cent residues are exact and
+        # COMMON here) — compare and sum drift at scale 10, exactly
+        F.col("line_total").cast("decimal(38,10)").alias("line_total"),
+    )
+    drift = F.abs(F.col("header_total") - F.col("line_total"))
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(drift > 0.01, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mismatched"),
+        F.sum(drift).cast("decimal(38,10)").cast("string").alias(
+            "total_abs_drift"
+        ),
+    )

@@ -201,3 +201,53 @@ def q303_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("pk") - F.min("pk") + 1) * (F.max("sk") - F.min("sk") + 1)
         ).cast("bigint").alias("bbox_area"),
     )
+
+
+@register(
+    "q307_topk_with_ties",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT o_custkey, n_orders,
+    rank() OVER (ORDER BY n_orders DESC) AS rnk,
+    row_number() OVER (ORDER BY n_orders DESC, o_custkey) AS rn
+  FROM c
+)
+SELECT o_custkey, n_orders, CAST(rnk AS BIGINT) AS rnk,
+  (rn <= 10) AS in_row_number_10
+FROM r WHERE rnk <= 10
+""",
+    tags=("sorts", "window"),
+)
+def q307_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES (ANSI FETCH FIRST k ROWS WITH TIES semantics —
+    the leaderboard contract where rank-k ties must ALL appear or the
+    cut is arbitrary): customers ranked by order count, everyone at
+    rank ≤ 10 kept, however many rows that is. The in_row_number_10
+    flag exposes exactly which rows an arbitrary row_number cut would
+    have kept — the difference between the two top-k semantics IS the
+    output (integer counts tie heavily, so the gap is real, not
+    cosmetic).
+
+    Scale shape: hash agg to per-customer counts, then rank over the
+    count frame; the WindowGroupLimit pushdown keeps per-partition
+    heaps at k + ties."""
+    c = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    w = Window.orderBy(F.col("n_orders").desc())
+    wr = Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
+    return (
+        c.withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "o_custkey",
+            "n_orders",
+            "rnk",
+            (F.col("rn") <= 10).alias("in_row_number_10"),
+        )
+    )

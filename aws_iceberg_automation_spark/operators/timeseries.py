@@ -1252,3 +1252,81 @@ def q282_gapfill_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("qty_x1000"),
     )
+
+
+# Business-day arithmetic: g(e) counts completed business days from the
+# epoch (shift +3 aligns week starts to Monday; epoch day 0 was a
+# Thursday), so bdays(d1→d2) = g(e2) - g(e1) — pure int math, identical
+# on both engines, no calendar/timezone functions anywhere.
+_Q310_SQL = """
+WITH li AS (
+  SELECT o.o_orderdate, l.l_shipdate,
+    date_diff('day', DATE '1970-01-01',
+              CAST(o.o_orderdate AS DATE)) + 3 AS e1,
+    date_diff('day', DATE '1970-01-01',
+              CAST(l.l_shipdate AS DATE)) + 3 AS e2
+  FROM {lineitem} l JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+),
+b AS (
+  SELECT CAST(strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS VARCHAR)
+      AS order_month,
+    (CAST(floor(e2 / 7) AS BIGINT) * 5 + least(e2 % 7, 4))
+    - (CAST(floor(e1 / 7) AS BIGINT) * 5 + least(e1 % 7, 4)) AS bdays
+  FROM li
+)
+SELECT order_month,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  round(CAST(SUM(bdays) AS DOUBLE) / COUNT(*), 3) AS avg_bdays_to_ship,
+  CAST(MAX(bdays) AS BIGINT) AS max_bdays
+FROM b GROUP BY order_month
+"""
+
+
+@register(
+    "q310_business_days_to_ship",
+    oracle=_Q310_SQL.format(lineitem="lineitem", orders="orders"),
+    tags=("timeseries", "scalar"),
+)
+def q310_business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency in BUSINESS days per order month — the
+    SLA metric operations actually contracts on (calendar-day deltas
+    overstate weekend-spanning shipments by up to 2/7). Weekend-aware
+    date math as a closed form over epoch-day integers: g(e) =
+    5·⌊e'/7⌋ + min(e' mod 7, 4) with e' Monday-aligned counts business
+    days since the epoch, so the delta is g(ship) − g(order) — no
+    per-day explode, no calendar UDF, no timezone anywhere (dates are
+    taken as civil dates on both engines).
+
+    Scale shape: an equi-join on the order key (co-partitioned at
+    scale), map-side int arithmetic, one month-grain agg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_d")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("order_d")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.date_format("order_d", "yyyy-MM").alias("order_month"),
+        (F.datediff("order_d", F.lit("1970-01-01").cast("date")) + 3).alias(
+            "e1"
+        ),
+        (F.datediff("ship_d", F.lit("1970-01-01").cast("date")) + 3).alias(
+            "e2"
+        ),
+    )
+    g1 = (F.col("e1") - (F.col("e1") % 7)) / 7 * 5 + F.least(
+        F.col("e1") % 7, F.lit(4)
+    )
+    g2 = (F.col("e2") - (F.col("e2") % 7)) / 7 * 5 + F.least(
+        F.col("e2") % 7, F.lit(4)
+    )
+    b = j.select(
+        "order_month", (g2 - g1).cast("long").alias("bdays")
+    )
+    return b.groupBy("order_month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(F.sum("bdays").cast("double") / F.count(F.lit(1)), 3).alias(
+            "avg_bdays_to_ship"
+        ),
+        F.max("bdays").cast("bigint").alias("max_bdays"),
+    )
