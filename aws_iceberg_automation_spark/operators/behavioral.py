@@ -1367,3 +1367,254 @@ def q306_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_boundary_events"),
         )
     )
+
+
+_Q311_MASK = (
+    "CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 "
+    "WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END"
+)
+
+
+@register(
+    "q311_behavior_bitmask_census",
+    oracle=f"""
+WITH m AS (
+  SELECT user_id,
+    CAST(bit_or({_Q311_MASK}) AS BIGINT) AS mask
+  FROM events GROUP BY user_id
+)
+SELECT mask,
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  ((mask & 4) <> 0) AS has_purchase,
+  trim(concat(
+    CASE WHEN (mask & 1) <> 0 THEN 'click ' ELSE '' END,
+    CASE WHEN (mask & 2) <> 0 THEN 'error ' ELSE '' END,
+    CASE WHEN (mask & 4) <> 0 THEN 'purchase ' ELSE '' END,
+    CASE WHEN (mask & 8) <> 0 THEN 'signup ' ELSE '' END,
+    CASE WHEN (mask & 16) <> 0 THEN 'view' ELSE '' END)) AS behaviors
+FROM m GROUP BY mask
+""",
+    tags=("behavioral", "agg"),
+)
+def q311_behavior_bitmask_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-segment census via BITMASK aggregation — the
+    roaring-bitmap-style trick for set-valued per-key state in one
+    integer: each user's lifetime event-type SET folds to a 5-bit mask
+    with ``bit_or`` (mergeable, 8 bytes of state per user — the 100 TB
+    alternative to collect_set's unbounded arrays), and the census
+    groups users by exact behavioral signature. Bit tests decode the
+    mask back to names engine-identically.
+
+    Scale shape: two hash aggs (user → mask, mask → census), both
+    map-side partial; state per group is one int64."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(_Q311_MASK).alias("m")
+    )
+    masks = ev.groupBy("user_id").agg(
+        F.expr("bit_or(m)").cast("bigint").alias("mask")
+    )
+    decoded = F.trim(
+        F.concat(
+            *[
+                F.when(
+                    F.col("mask").bitwiseAND(F.lit(bit)) != 0, F.lit(name)
+                ).otherwise(F.lit(""))
+                for bit, name in [
+                    (1, "click "),
+                    (2, "error "),
+                    (4, "purchase "),
+                    (8, "signup "),
+                    (16, "view"),
+                ]
+            ]
+        )
+    )
+    return masks.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    ).select(
+        "mask",
+        "n_users",
+        (F.col("mask").bitwiseAND(F.lit(4)) != 0).alias("has_purchase"),
+        decoded.alias("behaviors"),
+    )
+
+
+@register(
+    "q313_weekly_cohort_overlap",
+    oracle="""
+WITH a AS (
+  SELECT DISTINCT
+    CAST((date_diff('day', DATE '1970-01-01',
+                    CAST(date_trunc('second', ts) AS DATE)) + 3) // 7
+         AS BIGINT) AS wk,
+    user_id
+  FROM events
+),
+wks AS (SELECT DISTINCT wk FROM a),
+pair AS (
+  SELECT w.wk AS wk_prev, w.wk + 1 AS wk_cur FROM wks w
+  WHERE EXISTS (SELECT 1 FROM wks x WHERE x.wk = w.wk + 1)
+),
+j AS (
+  SELECT p.wk_prev, p.wk_cur,
+    (SELECT COUNT(*) FROM a WHERE a.wk = p.wk_prev) AS n_prev,
+    (SELECT COUNT(*) FROM a WHERE a.wk = p.wk_cur) AS n_cur,
+    (SELECT COUNT(*) FROM a x JOIN a y
+      ON x.user_id = y.user_id AND x.wk = p.wk_prev AND y.wk = p.wk_cur)
+      AS n_common
+  FROM pair p
+)
+SELECT wk_prev, wk_cur,
+  CAST(n_prev AS BIGINT) AS actives_prev,
+  CAST(n_cur AS BIGINT) AS actives_cur,
+  CAST(n_common AS BIGINT) AS n_common,
+  round(CAST(n_common AS DOUBLE) / (n_prev + n_cur - n_common), 6)
+    AS jaccard,
+  round(CAST(n_common AS DOUBLE) / n_prev, 6) AS wow_retention
+FROM j
+""",
+    tags=("behavioral", "analytics"),
+)
+def q313_weekly_cohort_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week active-user OVERLAP (the engagement-continuity
+    metric: how much of this week's audience is last week's) — exact
+    set intersection per consecutive week pair, with both Jaccard and
+    the directed WoW retention rate. Weeks are Monday-aligned epoch
+    integers (tz-independent — no calendar function that could shift a
+    boundary under a session-timezone change).
+
+    Scale shape: distinct (week, user) once (the dedup agg), then a
+    self-equi-join ON user restricted to adjacent weeks — never a
+    cross of week sets; counts partial-agg map-side."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (
+            (
+                F.datediff(
+                    F.col("ts").cast("timestamp_ntz").cast("date"),
+                    F.lit("1970-01-01").cast("date"),
+                )
+                + 3
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("wk"),
+        "user_id",
+    )
+    a = ev.distinct()
+    prev = a.select(F.col("wk").alias("wk_prev"), "user_id")
+    cur = a.select(
+        (F.col("wk") - 1).alias("wk_p2"), F.col("user_id").alias("u2")
+    )
+    common = (
+        prev.join(
+            cur, (prev.wk_prev == cur.wk_p2) & (prev.user_id == cur.u2)
+        )
+        .groupBy("wk_prev")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sizes = a.groupBy("wk").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    out = (
+        sizes.select(F.col("wk").alias("wk_prev"), F.col("n").alias("n_prev"))
+        .join(
+            sizes.select(
+                (F.col("wk") - 1).alias("wk_prev"), F.col("n").alias("n_cur")
+            ),
+            "wk_prev",
+        )
+        .join(common, "wk_prev", "left")
+        .select(
+            "wk_prev",
+            (F.col("wk_prev") + 1).alias("wk_cur"),
+            F.col("n_prev").alias("actives_prev"),
+            F.col("n_cur").alias("actives_cur"),
+            F.coalesce("n_common", F.lit(0).cast("bigint")).alias("n_common"),
+        )
+    )
+    return out.select(
+        "wk_prev",
+        "wk_cur",
+        "actives_prev",
+        "actives_cur",
+        "n_common",
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("actives_prev") + F.col("actives_cur") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
+        F.round(
+            F.col("n_common").cast("double") / F.col("actives_prev"), 6
+        ).alias("wow_retention"),
+    )
+
+
+@register(
+    "q315_event_streak_rle",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type,
+    epoch(date_trunc('second', ts)) AS tse, event_id
+  FROM events
+),
+o AS (
+  SELECT user_id, event_type, tse, event_id,
+    CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY tse, event_id) IS NULL
+           OR lag(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY tse, event_id) <> event_type
+         THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+runs AS (
+  SELECT user_id, event_type,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY tse, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS run_id
+  FROM o
+),
+rl AS (
+  SELECT user_id, event_type, run_id, COUNT(*) AS run_len
+  FROM runs GROUP BY user_id, event_type, run_id
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_runs,
+  CAST(MAX(run_len) AS BIGINT) AS max_run_len,
+  round(CAST(SUM(run_len) AS DOUBLE) / COUNT(*), 3) AS avg_run_len
+FROM rl GROUP BY event_type
+""",
+    tags=("behavioral",),
+)
+def q315_event_streak_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of per-user event STREAKS (consecutive
+    same-type events — the rage-click / error-storm / binge signal
+    that per-type counts hide): classic gaps-and-islands with a
+    change-flag cumsum, then run-length stats per type. All integers
+    until one final avg division.
+
+    Scale shape: one per-user window pass (lag + running sum on the
+    same sort — ONE shuffle, the window exchange is reused), then two
+    hash aggs; run rows are bounded by event rows."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_secs("ts").alias("tse"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("tse", "event_id")
+    o = e.withColumn("prev", F.lag("event_type").over(w)).withColumn(
+        "brk",
+        F.when(
+            F.col("prev").isNull() | (F.col("prev") != F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    runs = o.withColumn(
+        "run_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    rl = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return rl.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.max("run_len").cast("bigint").alias("max_run_len"),
+        F.round(
+            F.sum("run_len").cast("double") / F.count(F.lit(1)), 3
+        ).alias("avg_run_len"),
+    )

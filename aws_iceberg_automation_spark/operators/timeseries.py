@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.compat import corr_from_moments, dec2, ts_sec
+from ..functions.compat import corr_from_moments, dec2, epoch_secs, ts_sec
 from ..io import load_table
 from ..registry import register
 
@@ -1329,4 +1329,159 @@ def q310_business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_bdays_to_ship"
         ),
         F.max("bdays").cast("bigint").alias("max_bdays"),
+    )
+
+
+@register(
+    "q314_twap_by_brand",
+    oracle="""
+WITH obs AS (
+  SELECT p.p_brand,
+    date_diff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE)) AS e,
+    CAST(l.l_extendedprice AS DECIMAL(10,2)) AS px,
+    l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+o AS (
+  SELECT p_brand, e, px,
+    lead(e) OVER (PARTITION BY p_brand
+                  ORDER BY e, l_orderkey, l_linenumber) AS e_next
+  FROM obs
+),
+w AS (
+  SELECT p_brand, px,
+    CAST(COALESCE(e_next, e + 1) - e AS BIGINT) AS wt
+  FROM o
+)
+SELECT p_brand,
+  CAST(COUNT(*) AS BIGINT) AS n_obs,
+  CAST(SUM(wt) AS BIGINT) AS span_days,
+  round(CAST(CAST(SUM(px * wt) AS DECIMAL(38,2)) AS DOUBLE)
+        / NULLIF(SUM(wt), 0), 4) AS twap
+FROM w GROUP BY p_brand
+""",
+    tags=("timeseries", "agg"),
+)
+def q314_twap_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average price per brand (TWAP — the finance/
+    pricing aggregate where each observation's weight is the time it
+    remained the "current" price, not 1): each shipment's price is
+    weighted by the integer days until the brand's next observation
+    (same-day earlier observations weigh 0 under the total order —
+    last-of-day carries the day, the standard step-function reading;
+    the final observation carries 1 day). Exact decimal×int products,
+    exact sums, one double division.
+
+    Scale shape: equi-join to part (broadcast-able dim), one per-brand
+    window (lead) on the observation order, one brand agg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("e"),
+        F.col("l_extendedprice").cast("decimal(10,2)").alias("px"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    obs = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    w = Window.partitionBy("p_brand").orderBy(
+        "e", "l_orderkey", "l_linenumber"
+    )
+    o = obs.withColumn("e_next", F.lead("e").over(w)).select(
+        "p_brand",
+        "px",
+        (F.coalesce("e_next", F.col("e") + 1) - F.col("e"))
+        .cast("long")
+        .alias("wt"),
+    )
+    return o.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum("wt").cast("bigint").alias("span_days"),
+        F.round(
+            F.sum(F.col("px") * F.col("wt"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            / F.nullif(F.sum("wt"), F.lit(0)),
+            4,
+        ).alias("twap"),
+    )
+
+
+@register(
+    "q316_asof_join_tolerance",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id,
+    epoch(date_trunc('second', ts)) AS pt
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch(date_trunc('second', ts)) AS ct,
+    event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+m AS (
+  SELECT purchase_id, user_id, pt, click_id, ct FROM (
+    SELECT p.purchase_id, p.user_id, p.pt, c.click_id, c.ct,
+      row_number() OVER (PARTITION BY p.purchase_id
+                         ORDER BY c.ct DESC, c.click_id DESC) AS rk
+    FROM p JOIN c ON c.user_id = p.user_id
+      AND c.ct <= p.pt AND c.ct >= p.pt - 1800)
+  WHERE rk = 1
+)
+SELECT p.purchase_id, p.user_id,
+  m.click_id AS attributed_click,
+  CAST(p.pt - m.ct AS BIGINT) AS gap_sec,
+  (m.click_id IS NOT NULL) AS attributed
+FROM p LEFT JOIN m ON m.purchase_id = p.purchase_id
+""",
+    tags=("timeseries", "join"),
+)
+def q316_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with a TOLERANCE bound (pandas merge_asof's
+    ``tolerance=``, the missing variant of the q35 family): each
+    purchase attributes to the user's most recent click, but ONLY if
+    it happened within 30 minutes — older clicks are no attribution,
+    not a stale one (the correctness difference between "last touch"
+    and "last RELEVANT touch"). Ties on click time break to the larger
+    click_id, totally ordered.
+
+    Spark plan is the scalable MERGE-shaped asof: the tolerance turns
+    the unbounded backward scan into a bounded RANGE window (max_by
+    over [t-1800, t] per user) — no per-row range join against the
+    full click history, state bounded by the tolerance at any scale.
+    The oracle computes the identical contract with a bounded
+    range join + max_by."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        epoch_secs("ts").alias("t"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-1800, 0)
+    )
+    click_t = F.when(F.col("event_type") == "click", F.col("t"))
+    click_key = F.when(
+        F.col("event_type") == "click",
+        F.struct(F.col("t").alias("ct"), F.col("event_id").alias("cid")),
+    )
+    enriched = tagged.withColumn(
+        "best_click", F.max(click_key).over(w)
+    )
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("best_click.cid").alias("attributed_click"),
+            (F.col("t") - F.col("best_click.ct"))
+            .cast("bigint")
+            .alias("gap_sec"),
+            F.col("best_click").isNotNull().alias("attributed"),
+        )
     )

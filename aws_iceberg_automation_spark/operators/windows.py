@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.compat import dec2, dec_out
+from ..functions.compat import dec2, dec_out, epoch_secs
 from ..io import load_table
 from ..registry import register
 
@@ -433,4 +433,70 @@ def q154_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             price.cast("double") / F.sum(price).over(w).cast("double"), 6
         ).alias("order_share"),
         F.count(F.lit(1)).over(w).alias("n_lines"),
+    )
+
+
+_Q312_MASK = (
+    "CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 "
+    "WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END"
+)
+
+
+@register(
+    "q312_rolling_distinct_bitmask",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, {_Q312_MASK} AS m,
+    epoch(date_trunc('second', ts)) AS tse, event_id
+  FROM events
+),
+r AS (
+  SELECT user_id,
+    bit_count(CAST(bit_or(m) OVER (PARTITION BY user_id
+        ORDER BY tse, event_id
+        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT)) AS k
+  FROM e
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(MAX(k) AS BIGINT) AS max_types_in_10,
+  round(CAST(SUM(k) AS DOUBLE) / COUNT(*), 4) AS avg_types_in_10
+FROM r GROUP BY user_id
+""",
+    tags=("window", "behavioral"),
+)
+def q312_rolling_distinct_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING DISTINCT-count over a row frame — the operation SQL
+    windows can't express directly (COUNT(DISTINCT) OVER is illegal in
+    both engines) — made exact for small domains by the bitmask trick:
+    encode each event type as one bit, ``bit_or`` over the trailing
+    10-row frame, ``bit_count`` the result. Behavioral diversity per
+    sliding window in pure integer ops, no state blow-up (the general-
+    domain rolling distinct is q197/q149's exact/sketch pair; this is
+    the O(1)-state exact path every low-cardinality column should
+    take at 100 TB).
+
+    Scale shape: one per-user window (frame-bounded agg, map-side
+    after the window exchange), one user-grain agg."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(_Q312_MASK).alias("m"),
+        epoch_secs("ts").alias("tse"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tse", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    r = e.select(
+        "user_id",
+        F.bit_count(F.expr("bit_or(m)").over(w).cast("bigint")).alias("k"),
+    )
+    return r.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("k").cast("bigint").alias("max_types_in_10"),
+        F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_types_in_10"
+        ),
     )
