@@ -610,3 +610,206 @@ def q294_matview_cdc_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price"
         ),
     )
+
+
+@register(
+    "q317_tag_read_isolation",
+    oracle=f"""
+SELECT 'tagged_v1' AS snapshot_ref, l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  {sql_dsum("l_quantity", "sum_qty")}
+FROM lineitem WHERE l_orderkey % 4 = 0 GROUP BY l_returnflag
+UNION ALL
+SELECT 'current' AS snapshot_ref, l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  {sql_dsum("l_quantity", "sum_qty")}
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("lakehouse", "versioning"),
+)
+def q317_tag_read_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot TAG read isolation (Iceberg tags — the named,
+    immutable audit points compliance snapshots pin): tag the first
+    commit, keep appending, and prove a read THROUGH THE TAG still
+    sees exactly the v1 slice while 'current' sees everything — two
+    aggregates of the same table at two named points in time, one
+    query. A tag that drifted with later writes is the bug this
+    hashes against.
+
+    Scale shape: refs are metadata (a name → version file); the
+    tagged read plans exactly the v1 file set — no copy, no rewrite,
+    same pruning machinery."""
+    from ..functions.compat import dec2
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    vt = VersionedTable(
+        spark, os.path.join(session_fixture_dir(spark, "q317_tag"), "li")
+    )
+    vt.write(li.filter(F.col("l_orderkey") % 4 == 0), "append")
+    vt.create_tag("audit_2024q1")  # pin v1
+    vt.write(li.filter(F.col("l_orderkey") % 4 != 0), "append")
+
+    def agg(df: DataFrame, ref: str) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(dec2("l_quantity"), "sum_qty"),
+        ).select(F.lit(ref).alias("snapshot_ref"), "*")
+
+    tagged = agg(
+        vt.read(version=vt.resolve_ref("audit_2024q1")), "tagged_v1"
+    )
+    return tagged.unionByName(agg(vt.read(), "current"))
+
+
+@register(
+    "q318_compact_equivalence",
+    oracle="""
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR)
+    AS total_value
+FROM events GROUP BY event_type
+""",
+    tags=("lakehouse", "versioning"),
+)
+def q318_compact_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``compact()`` under the driver hash (Iceberg
+    rewrite_data_files): land events in 8 deliberately fragmented
+    append commits (the micro-committing streaming-sink file pattern),
+    bin-pack to 2 files, and prove (1) the compacted snapshot is
+    byte-equivalent to the pre-compact state — the oracle is the plain
+    batch aggregate — (2) the file count actually dropped, and (3) the
+    PRE-compact snapshot remains time-travelable with the same answer
+    (in-query equality assertion). Compaction that changes answers or
+    breaks history is the regression class this pins.
+
+    Scale shape: compaction reads once and writes ``target_files``;
+    scan planning cost is what it buys — file count falls 8× here and
+    orders of magnitude under real microbatch producers."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("decimal(18,2)").alias("value")
+    )
+    vt = VersionedTable(
+        spark, os.path.join(session_fixture_dir(spark, "q318_compact"), "ev")
+    )
+    for i in range(8):
+        vt.write(
+            ev.filter(F.col("event_id") % 8 == i).repartition(4), "append"
+        )
+    pre_v = vt.current_version()
+    n_files_before = len(vt.snapshot(pre_v).files)
+    vt.compact(target_files=2)
+    n_files_after = len(vt.snapshot(vt.current_version()).files)
+    if not n_files_after < n_files_before:
+        raise VersioningError(
+            f"compact did not reduce files: {n_files_before} -> {n_files_after}"
+        )
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("value").cast("decimal(38,2)").cast("string").alias(
+                "total_value"
+            ),
+        )
+
+    pre = {tuple(r) for r in agg(vt.read(version=pre_v)).collect()}
+    post = agg(vt.read())
+    if {tuple(r) for r in post.collect()} != pre:
+        raise VersioningError("compact changed visible data")
+    return post
+
+
+@register(
+    "q319_rollback_lineage",
+    oracle="""
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 3 = 2
+GROUP BY o_orderpriority
+""",
+    tags=("lakehouse", "versioning"),
+)
+def q319_rollback_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rollback()`` + write-after-rollback lineage (Iceberg
+    rollback_to_snapshot): commit good data (v1), commit a bad batch
+    (v2 — %3=1 rows standing in for a poisoned load), roll CURRENT
+    back to v1, then append the corrected batch (%3=2). The final
+    state must contain good + corrected and NO trace of the bad batch
+    — while the abandoned v2 stays readable by explicit version for
+    forensics (asserted in-query). This is the operational undo story:
+    rollback is a metadata pointer move, never a data rewrite.
+
+    Scale shape: all snapshots share unchanged files; the rollback
+    branch costs one manifest write."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    m = F.col("o_orderkey") % 3
+    vt = VersionedTable(
+        spark, os.path.join(session_fixture_dir(spark, "q319_rb"), "o")
+    )
+    vt.write(o.filter(m == 0), "append")  # v1 good
+    bad_v = vt.write(o.filter(m == 1), "append")  # v2 bad
+    vt.rollback(bad_v - 1)
+    vt.write(o.filter(m == 2), "append")  # corrected
+    # forensics: the abandoned snapshot is still readable by version
+    bad_rows = vt.read(version=bad_v).count()
+    good_rows = vt.read(version=bad_v - 1).count()
+    if not bad_rows > good_rows:
+        raise VersioningError("abandoned snapshot lost after rollback")
+    return vt.read().groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+
+
+@register(
+    "q320_expire_snapshots_gc",
+    oracle="""
+SELECT l_linestatus,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem WHERE l_orderkey % 2 = 0 AND l_quantity > 10
+GROUP BY l_linestatus
+""",
+    tags=("lakehouse", "versioning"),
+)
+def q320_expire_snapshots_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``expire_snapshots()`` EXECUTED under the driver hash (q277
+    plans retention; this enforces it): append, COW-delete (so the
+    old file set is fully dead weight), append again, then expire to
+    the last 2 snapshots. Asserts files were actually deleted from
+    disk, the expired version now fails loudly on read, and the
+    CURRENT answer — the oracle's aggregate — survives GC
+    byte-identically. Storage-bounding that silently ate live data is
+    the failure mode this pins.
+
+    Scale shape: expiry is manifest set-difference + file unlinks;
+    cost scales with dead files, never with table size."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_quantity"
+    )
+    vt = VersionedTable(
+        spark, os.path.join(session_fixture_dir(spark, "q320_gc"), "li")
+    )
+    vt.write(li.filter(F.col("l_orderkey") % 2 == 0), "append")  # v1
+    vt.delete_where("l_quantity <= 10")  # v2 rewrites the file set
+    vt.write(  # v3: a second slice arrives (kept small: status agg only)
+        li.filter(
+            (F.col("l_orderkey") % 2 == 0) & (F.col("l_quantity") <= 0)
+        ),
+        "append",
+    )
+    stats = vt.expire_snapshots(keep_last=2)
+    if stats["deleted_files"] < 1:
+        raise VersioningError(f"expire deleted nothing: {stats}")
+    try:
+        vt.read(version=1).count()
+        raise VersioningError("expired snapshot v1 still readable")
+    except VersioningError as e:
+        if "still readable" in str(e):
+            raise
+    return vt.read().groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
