@@ -14,7 +14,7 @@ standard correction factors rather than loosening the comparison.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.compat import (
@@ -909,4 +909,72 @@ def q280_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(est_int.cast("double") - n_int.cast("double")) <= tol).alias(
             "intersect_est_ok"
         ),
+    )
+
+
+@register(
+    "q322_percentile_two_phase",
+    oracle="""
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+counts AS (
+  SELECT event_type, cents, COUNT(*) AS c FROM e GROUP BY event_type, cents
+),
+cum AS (
+  SELECT event_type, cents, c,
+    SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+    SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM counts
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+  CAST(MIN(CASE WHEN cm * 100 >= n * 50 THEN cents END) AS BIGINT)
+    AS p50_cents,
+  CAST(MIN(CASE WHEN cm * 100 >= n * 90 THEN cents END) AS BIGINT)
+    AS p90_cents,
+  CAST(MIN(CASE WHEN cm * 100 >= n * 99 THEN cents END) AS BIGINT)
+    AS p99_cents
+FROM cum GROUP BY event_type
+""",
+    tags=("agg",),
+)
+def q322_percentile_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentile_disc at scale, two-phase (the q42 builtin
+    ``percentile()`` collects every group value into executor memory —
+    the thing that OOMs on a 100 TB group): phase 1 reduces to
+    per-(group, value) counts, phase 2 takes the inverse-CDF on the
+    count frame — the p-quantile is the smallest value whose
+    cumulative count reaches ⌈p·n⌉, selected with an integer
+    cross-multiplied comparison (cm·100 ≥ n·p — no float thresholds
+    anywhere). State is |distinct values| per group, not |rows|.
+
+    Values ride as integer cents (the exact-money convention); output
+    is the exact order statistic, bit-equal on both engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    counts = e.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.withColumn("cm", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("event_type"))
+    )
+    def pick(p: int, alias: str):
+        return F.min(
+            F.when(F.col("cm") * 100 >= F.col("n") * p, F.col("cents"))
+        ).cast("bigint").alias(alias)
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        pick(50, "p50_cents"),
+        pick(90, "p90_cents"),
+        pick(99, "p99_cents"),
     )

@@ -2325,3 +2325,104 @@ def q302_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .withColumn("cross_source", F.col("n_sources") > 1)
     )
+
+
+def _q321_band_expr(bands: int) -> str:
+    """DuckDB banding over the shared ``sig`` CTE for one (bands,
+    rows=32/bands) config — the same portable band hash as
+    _minhash_ctes but parametric in the split."""
+    rows = 32 // bands
+    inner = (
+        f"array_to_string(list_transform("
+        f"list_slice(sig, b * {rows} + 1, b * {rows} + {rows}), "
+        f"x -> CAST(x AS VARCHAR)), ',')"
+    )
+    return f"""
+  SELECT {bands} AS bands, doc_id, b AS band, {_PH.format(inner)} AS bh
+  FROM sig, (SELECT unnest(range(0, {bands})) AS b) bs"""
+
+
+_Q321_ORACLE = f"""
+WITH {_minhash_ctes()}, bx AS (
+{_q321_band_expr(4)}
+  UNION ALL
+{_q321_band_expr(8)}
+  UNION ALL
+{_q321_band_expr(16)}
+),
+sizes AS (
+  SELECT bands, band, bh, COUNT(*) AS n FROM bx GROUP BY bands, band, bh
+)
+SELECT bands, CAST(32 / bands AS BIGINT) AS rows_per_band,
+  CAST(COUNT(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS nonsingleton_buckets,
+  CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS candidate_pair_mass,
+  CAST(MAX(n) AS BIGINT) AS max_bucket
+FROM sizes GROUP BY bands
+"""
+
+
+@register(
+    "q321_lsh_band_tradeoff",
+    oracle=_Q321_ORACLE,
+    tags=("dedup", "llm"),
+)
+def q321_lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding TRADEOFF table — the tuning measurement behind
+    q82's 8×4 choice, computed from the data instead of asserted: for
+    (bands×rows) ∈ {{4×8, 8×4, 16×2}} over the SAME 32-hash portable
+    signatures, the realized candidate-pair mass Σ C(bucket, 2), the
+    non-singleton bucket count, and the worst bucket. More bands =
+    higher recall AND quadratically more candidate pairs — this query
+    is the measured curve an operator reads before re-banding a 100 TB
+    index (the threshold-side twin is q253's curve).
+
+    Signatures are computed ONCE and banded three ways map-side; cost
+    is the census aggs over postings — never a pair join (the mass is
+    counted from bucket sizes, not materialized)."""
+    from ..functions.compat import portable_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
+    ).withColumn(
+        "_hm",
+        F.transform("shingles", lambda s: portable_hash64(s) % _MH_P),
+    )
+    sig = sh.select(
+        "doc_id", minhash_from_base_hashes(F.col("_hm"), 32).alias("sig")
+    ).localCheckpoint(eager=False)
+    outs = []
+    for bands in (4, 8, 16):
+        rows = 32 // bands
+        banded = sig.select(
+            F.lit(bands).alias("bands"),
+            "doc_id",
+            F.explode(
+                lsh_bands(F.col("sig"), bands, rows, portable=True)
+            ).alias("tb"),
+        ).select(
+            "bands", "doc_id", F.col("tb.band").alias("band"),
+            F.col("tb.band_hash").alias("bh"),
+        )
+        outs.append(banded)
+    bx = outs[0]
+    for o in outs[1:]:
+        bx = bx.unionByName(o)
+    sizes = bx.groupBy("bands", "band", "bh").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return sizes.groupBy("bands").agg(
+        F.count(F.when(F.col("n") > 1, 1)).cast("bigint").alias(
+            "nonsingleton_buckets"
+        ),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias(
+            "candidate_pair_mass"
+        ),
+        F.max("n").cast("bigint").alias("max_bucket"),
+    ).select(
+        "bands",
+        (F.lit(32) / F.col("bands")).cast("bigint").alias("rows_per_band"),
+        "nonsingleton_buckets",
+        "candidate_pair_mass",
+        "max_bucket",
+    )

@@ -1618,3 +1618,99 @@ def q308_invoice_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_abs_drift"
         ),
     )
+
+
+_Q323_PAIRS = [
+    # (child_table, child_col, parent_table, parent_col) — two true FKs,
+    # one true FK at one remove, and two deliberate non-FKs
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_suppkey", "part", "p_partkey"),
+    ("customer", "c_nationkey", "supplier", "s_suppkey"),
+]
+
+
+def _q323_pair_sql(ct: str, cc: str, pt: str, pc: str) -> str:
+    return f"""
+  SELECT '{ct}.{cc} -> {pt}.{pc}' AS candidate,
+    (SELECT CAST(COUNT(DISTINCT {cc}) AS BIGINT) FROM {ct}) AS n_child_keys,
+    (SELECT CAST(COUNT(DISTINCT {cc}) AS BIGINT) FROM {ct}
+      WHERE {cc} IN (SELECT {pc} FROM {pt})) AS n_contained,
+    (SELECT COUNT(*) = COUNT(DISTINCT {pc}) FROM {pt}) AS parent_unique"""
+
+
+_Q323_ORACLE = (
+    "\nUNION ALL\n".join(_q323_pair_sql(*p) for p in _Q323_PAIRS)
+    + """
+"""
+)
+
+
+@register(
+    "q323_fk_inference_profile",
+    oracle=f"""
+WITH cand AS ({_Q323_ORACLE})
+SELECT candidate, n_child_keys, n_contained, parent_unique,
+  round(CAST(n_contained AS DOUBLE) / n_child_keys, 6) AS containment,
+  (n_contained = n_child_keys AND parent_unique) AS fk_plausible
+FROM cand
+""",
+    tags=("dq",),
+)
+def q323_fk_inference_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key INFERENCE profiling (schema discovery on an
+    un-documented lake — q117 validates *declared* FKs; this scores
+    *candidate* column pairs): for each candidate child→parent pair,
+    exact containment (share of distinct child keys present in the
+    parent) and parent-key uniqueness; a pair is fk_plausible only at
+    containment 1.0 with a unique parent. The candidate list mixes
+    true FKs with deliberate impostors (suppkey→partkey,
+    nationkey→suppkey) so the verdict column carries information.
+
+    Scale shape: per pair, one distinct-agg on the child key and a
+    left-semi containment count against the parent key set — key-space
+    sized, never row-space; candidates evaluated independently (and in
+    production, in parallel over the catalog)."""
+    tables = {t: load_table(spark, sf_dir, t) for t in
+              {"lineitem", "orders", "part", "supplier", "customer"}}
+    outs = []
+    for ct, cc, pt, pc in _Q323_PAIRS:
+        child = tables[ct].select(F.col(cc).alias("k")).distinct()
+        parent = tables[pt].select(F.col(pc).alias("k"))
+        contained = child.join(parent.distinct(), "k", "left_semi")
+        stats = child.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child_keys")
+        ).crossJoin(
+            contained.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_contained")
+            )
+        ).crossJoin(
+            parent.agg(
+                (F.count(F.lit(1)) == F.countDistinct("k")).alias(
+                    "parent_unique"
+                )
+            )
+        ).select(
+            F.lit(f"{ct}.{cc} -> {pt}.{pc}").alias("candidate"),
+            "n_child_keys",
+            "n_contained",
+            "parent_unique",
+        )
+        outs.append(stats)
+    cand = outs[0]
+    for o in outs[1:]:
+        cand = cand.unionByName(o)
+    return cand.select(
+        "candidate",
+        "n_child_keys",
+        "n_contained",
+        "parent_unique",
+        F.round(
+            F.col("n_contained").cast("double") / F.col("n_child_keys"), 6
+        ).alias("containment"),
+        (
+            (F.col("n_contained") == F.col("n_child_keys"))
+            & F.col("parent_unique")
+        ).alias("fk_plausible"),
+    )

@@ -440,3 +440,83 @@ def q166_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@register(
+    "q325_luhn_checksum_census",
+    oracle="""
+WITH acct AS (
+  SELECT o_orderkey,
+    lpad(CAST(o_orderkey * 9973 % 1000000000000000 AS VARCHAR), 15, '0')
+      AS digits
+  FROM orders
+),
+d AS (
+  SELECT o_orderkey, digits,
+    unnest(range(1, 16)) AS pos
+  FROM acct
+),
+v AS (
+  -- Luhn over 15 payload digits (check digit appended at position 16):
+  -- counting from the RIGHT of the 16-digit number, even offsets
+  -- double — with 15 payload digits that is positions 15, 13, ... (odd
+  -- string positions from the left)
+  SELECT o_orderkey,
+    SUM(CASE WHEN pos % 2 = 1
+         THEN CASE WHEN 2 * CAST(substr(digits, pos, 1) AS INT) > 9
+                   THEN 2 * CAST(substr(digits, pos, 1) AS INT) - 9
+                   ELSE 2 * CAST(substr(digits, pos, 1) AS INT) END
+         ELSE CAST(substr(digits, pos, 1) AS INT) END) AS luhn_sum
+  FROM d GROUP BY o_orderkey
+)
+SELECT CAST((10 - luhn_sum % 10) % 10 AS BIGINT) AS check_digit,
+  CAST(COUNT(*) AS BIGINT) AS n_accounts
+FROM v GROUP BY 1
+""",
+    tags=("scalar", "dq"),
+)
+def q325_luhn_checksum_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn (mod-10) CHECK-DIGIT computation — the identifier-
+    validation kernel behind card/IMEI/account-number DQ rules,
+    expressed as pure positional digit arithmetic (explode positions,
+    double-and-subtract-nine on alternating offsets, fold mod 10): a
+    census of computed check digits over deterministic synthetic
+    15-digit account numbers derived from order keys. Exercises
+    string↔digit manipulation at the expression layer — no UDF — and
+    is bit-exact by construction.
+
+    Scale shape: 15-way positional explode then two hash aggs; at
+    100 TB the explode is map-local and the whole kernel fuses into
+    one codegen stage."""
+    acct = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.lpad(
+            (F.col("o_orderkey") * 9973 % 1000000000000000).cast("string"),
+            15,
+            "0",
+        ).alias("digits"),
+    )
+    d = acct.select(
+        "o_orderkey",
+        F.posexplode(F.split(F.col("digits"), "(?!^)(?=.)")).alias(
+            "p0", "ch"
+        ),
+    ).select(
+        "o_orderkey", (F.col("p0") + 1).alias("pos"), F.col("ch").cast("int").alias("dig")
+    )
+    doubled = F.when(
+        F.col("pos") % 2 == 1,
+        F.when(2 * F.col("dig") > 9, 2 * F.col("dig") - 9).otherwise(
+            2 * F.col("dig")
+        ),
+    ).otherwise(F.col("dig"))
+    v = d.groupBy("o_orderkey").agg(F.sum(doubled).alias("luhn_sum"))
+    return (
+        v.select(
+            ((10 - F.col("luhn_sum") % 10) % 10)
+            .cast("bigint")
+            .alias("check_digit")
+        )
+        .groupBy("check_digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_accounts"))
+    )

@@ -746,3 +746,42 @@ def q290_stream_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("total_value").cast("string").alias("total_value"),
     )
+
+
+@register(
+    "q324_stream_bitmask_profile",
+    oracle="""
+WITH m AS (
+  SELECT user_id,
+    CAST(bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END)
+         AS BIGINT) AS mask
+  FROM events GROUP BY user_id
+)
+SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM m GROUP BY mask
+""",
+    tags=("streaming", "behavioral"),
+)
+def q324_stream_bitmask_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q311's behavioral bitmask as STREAMING state: bit_or is as
+    mergeable as a sum, so the per-user lifetime event-type set
+    accumulates in 8 bytes of state per user across microbatches —
+    the O(1)-state streaming alternative to collect_set aggregations
+    whose state grows with history. Replayed over 5 microbatches in
+    complete mode; the final mask census must equal the batch oracle
+    (#80 batch-equivalence applied to bitwise aggregation state)."""
+    s = jobs.with_watermark(_stream(spark, sf_dir)).selectExpr(
+        "user_id",
+        "CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 "
+        "WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END AS m",
+    )
+    masks = s.groupBy("user_id").agg(
+        F.expr("bit_or(m)").cast("bigint").alias("mask")
+    )
+    out = jobs.run_to_memory(
+        masks, f"q324_mem_{uuid.uuid4().hex[:8]}", output_mode="complete"
+    )
+    return out.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
