@@ -3257,3 +3257,112 @@ def q309_ips_offpolicy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one hash agg on the 5 types; everything downstream is
     5 rows."""
     return _sql_twin(spark, sf_dir, _Q309_SQL, ["events"])
+
+
+_Q326_SQL = """
+WITH k AS (SELECT DISTINCT o_orderkey AS k FROM {orders}),
+o AS (
+  SELECT k, lead(k) OVER (ORDER BY k) AS nxt FROM k
+)
+SELECT k AS gap_start_after, nxt AS resumes_at,
+  CAST(nxt - k - 1 AS BIGINT) AS missing_keys
+FROM o WHERE nxt - k > 1
+"""
+
+
+@register(
+    "q326_sequence_gap_detection",
+    oracle=_Q326_SQL.format(orders="orders"),
+    tags=("analytics", "dq"),
+)
+def q326_sequence_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP detection over an identifier sequence (the ingestion-
+    completeness audit: a gap in an append-only key sequence is a lost
+    batch, a silent producer failure, or a retention hole): every
+    maximal missing range of order keys with its width — the
+    gaps-and-islands complement of q234's islands.
+
+    Scale shape: distinct keys, one ordered lead() pass, filter —
+    gap rows scale with GAPS, not keys (at 100 TB partition the lead
+    by key range and stitch boundaries, the q306 carry pattern)."""
+    return _sql_twin(spark, sf_dir, _Q326_SQL, ["orders"])
+
+
+_Q327_SQL = """
+WITH c AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS n
+  FROM {lineitem} GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+),
+r AS (
+  SELECT l_returnflag, qty, n,
+    row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY n DESC, qty) AS rk,
+    SUM(n) OVER (PARTITION BY l_returnflag) AS total
+  FROM c
+)
+SELECT l_returnflag, qty AS mode_qty,
+  CAST(n AS BIGINT) AS mode_count,
+  round(CAST(n AS DOUBLE) / total, 6) AS mode_share
+FROM r WHERE rk = 1
+""".replace("CAST(l_quantity AS BIGINT)", "CAST(l_quantity AS BIGINT)")
+
+
+@register(
+    "q327_exact_mode_by_group",
+    oracle=_Q327_SQL.format(lineitem="lineitem"),
+    tags=("agg", "analytics"),
+)
+def q327_exact_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE per group with a total-order tiebreak (both engines'
+    builtin mode() leaves ties implementation-defined — useless under
+    a cross-engine hash): most frequent quantity per return flag,
+    ties to the smallest value, plus the mode's share of the group.
+    The deterministic-tiebreak discipline is the point: a mode that
+    can flip between equally-frequent values is not a reportable
+    statistic.
+
+    Scale shape: value-grain hash agg then a per-group top-1 over the
+    count frame (WindowGroupLimit heap) — never a per-row window."""
+    return _sql_twin(spark, sf_dir, _Q327_SQL, ["lineitem"])
+
+
+_Q328_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+    CAST(o_orderdate AS DATE) AS od,
+    CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio
+  FROM {orders}
+),
+w AS (
+  SELECT o_custkey, o_orderkey, od, prio,
+    min(prio) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS best_earlier_prio
+  FROM o
+)
+SELECT o_custkey, o_orderkey,
+  CAST(prio AS BIGINT) AS prio,
+  CAST(best_earlier_prio AS BIGINT) AS best_earlier_prio
+FROM w
+WHERE best_earlier_prio IS NOT NULL AND prio < best_earlier_prio
+"""
+
+
+@register(
+    "q328_priority_inversion_audit",
+    oracle=_Q328_SQL.format(orders="orders"),
+    tags=("analytics", "window", "dq"),
+)
+def q328_priority_inversion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-INVERSION audit: orders that arrived URGENT (lower
+    priority digit) for a customer whose earlier orders were all less
+    urgent — the escalation signal (a customer upgrading priority
+    mid-relationship) that a per-order view can't see because it needs
+    each row compared against the running best of everything before
+    it. One running-min window, exact integer comparisons,
+    tz-independent epoch-day ordering.
+
+    Scale shape: one per-customer window (running min over the
+    arrival order) — single shuffle on the customer key, then a
+    filter; output scales with inversions."""
+    return _sql_twin(spark, sf_dir, _Q328_SQL, ["orders"])
