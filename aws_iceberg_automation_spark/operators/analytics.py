@@ -2956,8 +2956,14 @@ pairs AS (
   FROM srcs a JOIN srcs b ON a.source < b.source
 ),
 pc AS (
+  -- two equi-joins, not an OR condition: an OR join degenerates to a
+  -- nested-loop plan on both engines; the union of hash joins stays
+  -- broadcastable at any pair-grid size
   SELECT p.sa, p.sb, c.source, c.v, c.c
-  FROM pairs p JOIN counts c ON c.source = p.sa OR c.source = p.sb
+  FROM pairs p JOIN counts c ON c.source = p.sa
+  UNION ALL
+  SELECT p.sa, p.sb, c.source, c.v, c.c
+  FROM pairs p JOIN counts c ON c.source = p.sb
 ),
 grouped AS (
   SELECT sa, sb, v, SUM(c) AS cnt,

@@ -813,3 +813,63 @@ def q320_expire_snapshots_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vt.read().groupBy("l_linestatus").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows")
     )
+
+
+@register(
+    "q329_branch_divergence_summary",
+    oracle="""
+WITH main AS (
+  SELECT l_returnflag, COUNT(*) AS n_main
+  FROM lineitem WHERE l_orderkey % 6 = 0 GROUP BY l_returnflag
+),
+br AS (
+  SELECT l_returnflag, COUNT(*) AS n_branch
+  FROM lineitem WHERE l_orderkey % 6 IN (0, 3) GROUP BY l_returnflag
+)
+SELECT m.l_returnflag,
+  CAST(m.n_main AS BIGINT) AS n_main,
+  CAST(b.n_branch AS BIGINT) AS n_branch,
+  CAST(b.n_branch - m.n_main AS BIGINT) AS n_branch_only
+FROM main m JOIN br b ON b.l_returnflag = m.l_returnflag
+""",
+    tags=("lakehouse", "versioning"),
+)
+def q329_branch_divergence_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch DIVERGENCE summary (the code-review view of Iceberg
+    branching: what would merging `dev` change?): stage a batch on a
+    branch with ``write_to_branch``, then report per return flag how
+    far the branch has diverged from main — main rows, branch rows,
+    branch-only delta — while MAIN remains byte-identical (asserted
+    in-query: the staging write must not move the main head). The
+    WAP publish path is q291; this is the inspection step before it.
+
+    Scale shape: a branch head is one manifest pointer — both reads
+    plan their own file sets, no copies; the summary is two aggs and
+    a tiny join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    m = F.col("l_orderkey") % 6
+    vt = VersionedTable(
+        spark, os.path.join(session_fixture_dir(spark, "q329_brd"), "li")
+    )
+    vt.write(li.filter(m == 0), "append")
+    head_before = vt.current_version()
+    vt.create_branch("dev")
+    vt.write_to_branch(li.filter(m == 3), "dev", mode="append")
+    if vt.current_version() != head_before:
+        raise VersioningError("branch staging moved the main head")
+    main_agg = vt.read().groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_main")
+    )
+    br_agg = vt.read_branch("dev").groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_branch")
+    )
+    return main_agg.join(br_agg, "l_returnflag").select(
+        "l_returnflag",
+        "n_main",
+        "n_branch",
+        (F.col("n_branch") - F.col("n_main")).cast("bigint").alias(
+            "n_branch_only"
+        ),
+    )

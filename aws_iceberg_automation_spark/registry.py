@@ -78,78 +78,66 @@ _LOADED = False
 # The external driver verifies the FIRST 50 specs in queries() order and
 # stops (its per-round verification budget). Registration order is
 # therefore attestation budget: re-listing an already-green query
-# re-proves the proven. Round-6 rotation (VERDICT r05 ask #1): rounds
-# 1-5 drove 235 queries green (233 hash rows); this window holds ALL 32
-# remaining never-driver-verified oracle-backed specs — the q240..q262
-# attestation tail, the round-5 registrations q263..q269, and the
-# q41/q42b sketch->error-bound oracle conversions — followed by the
-# round-6 newcomers in registration order (18 slots). Attesting this
-# window takes the never-attested oracle-backed set to ZERO. Rows-only
-# specs NEVER occupy a top-50 slot (they cannot earn a hash row).
+# re-proves the proven. Round-7 rotation (VERDICT r06 ask #1): the
+# round-6 window went 50/50 green, so this window leads with the 4
+# conversions staged below the line at round-6 end, the 3 round-7
+# rows-only->oracle conversions (changed semantics => any old
+# attestation is void; they earn hash rows here), and the 43 round-7
+# newcomers in registration order — exactly 50, zero re-proofs.
+# Rows-only specs NEVER occupy a top-50 slot (they cannot earn a hash
+# row); the remaining never-attested oracle-backed set after this
+# window is EMPTY again.
 _DRIVER_PRIORITY = [
-    # -- round-6 window part 1: the 32 staged (gate-green end of r5) --
-    "q240_dsir_importance",
-    "q241_token_epoch_plan",
-    "q242_label_centroid_separation",
-    "q243_duplicate_ngram_mass",
-    "q244_readability",
-    "q245_hapax_ratio",
-    "q246_tfidf_top_terms",
-    "q247_template_prefix_census",
-    "q248_embedding_dim_stats",
-    "q249_doclen_histogram",
-    "q250_source_ks_drift",
-    "q251_growth_accounting",
-    "q252_term_burstiness",
-    "q253_dedup_threshold_curve",
-    "q254_experiment_power",
-    "q255_seasonal_decomposition",
-    "q256_stream_drift_monitor",
-    "q257_ab_srm_check",
-    "q258_forecast_backtest",
-    "q259_source_lang_entropy",
-    "q260_bulk_discount_curve",
-    "q261_order_size_dispersion",
-    "q262_positional_dup_mass",
-    "q263_stream_static_replay",
-    "q41_approx_count_distinct",
-    "q42b_percentile_sketch",
-    "q264_stream_stream_full_outer",
-    "q265_doc_repetition",
-    "q266_cdc_upsert_replay",
-    "q267_embedding_outliers",
-    "q268_minhash_estimator_audit",
-    "q269_crawl_novelty",
-    # -- round-6 window part 2: newcomers (18 slots to the line) --
-    # 16 new operators + the q119/q96b rows-only->oracle conversions
-    # (changed semantics => their old rows-only attestations are void;
-    # they re-earn hash rows here).
-    "q270_journey_census",
-    "q271_ivf_delta_reassign",
-    "q272_stream_lakehouse_rollup",
-    "q273_scd2_intervals",
-    "q274_time_travel_diff",
-    "q275_bpe_pair_census",
-    "q276_media_integrity_audit",
-    "q277_expire_retention_plan",
-    "q278_copurchase_2hop_recs",
-    "q279_weighted_pps_sample",
-    "q280_sketch_set_ops",
-    "q281_pruned_scan_filter",
-    "q282_gapfill_interpolation",
-    "q283_schema_drift_union",
-    "q284_bucketed_join",
-    "q285_doc_containment_pairs",
-    "q119_supplier_pagerank",
-    "q96b_stratified_sample",
-    # ---- 50-slot budget line (driver stops here) ----
-    # round-6 late conversions (rows-only -> oracle-backed; changed
-    # semantics void their old rows-only attestations): head of the
-    # round-7 window.
     "q149_rolling_distinct_sketch",
     "q187_dedup_metrics",
     "q85g_freq_terms_sketch",
     "q83f_ann_lsh_topk_portable",
+    "q83e_topk_vectorized",
+    "q186_retrieval_metrics",
+    "q107_semdedup",
+    "q287_ann_ivf_topk_portable",
+    "q288_snapshot_incremental_neardup",
+    "q289_url_canonical_dedup",
+    "q290_stream_session_rollup",
+    "q291_wap_publish_audit",
+    "q292_partition_evolution_scan",
+    "q293_forgotten_user_audit",
+    "q294_matview_cdc_refresh",
+    "q295_clamped_running_balance",
+    "q296_mann_whitney_u",
+    "q297_sprt_sequential_test",
+    "q298_bh_fdr_control",
+    "q299_spearman_rank_corr",
+    "q300_unigram_surprisal",
+    "q301_vocab_coverage",
+    "q302_cross_source_dups",
+    "q303_zorder_locality",
+    "q304_kwic_concordance",
+    "q305_transition_dwell",
+    "q306_session_concurrency",
+    "q307_topk_with_ties",
+    "q308_invoice_reconciliation",
+    "q309_ips_offpolicy_eval",
+    "q310_business_days_to_ship",
+    "q311_behavior_bitmask_census",
+    "q312_rolling_distinct_bitmask",
+    "q313_weekly_cohort_overlap",
+    "q314_twap_by_brand",
+    "q315_event_streak_rle",
+    "q316_asof_join_tolerance",
+    "q317_tag_read_isolation",
+    "q318_compact_equivalence",
+    "q319_rollback_lineage",
+    "q320_expire_snapshots_gc",
+    "q321_lsh_band_tradeoff",
+    "q322_percentile_two_phase",
+    "q323_fk_inference_profile",
+    "q324_stream_bitmask_profile",
+    "q325_luhn_checksum_census",
+    "q326_sequence_gap_detection",
+    "q327_exact_mode_by_group",
+    "q328_priority_inversion_audit",
+    "q329_branch_divergence_summary",
 ]
 
 
