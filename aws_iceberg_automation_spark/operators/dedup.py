@@ -91,18 +91,31 @@ def minhash_from_base_hashes(base: Column, num_hashes: int = 32) -> Column:
     column first — expression CSE does not reach across lambda scopes,
     so inlining the md5 map here would re-digest every shingle once per
     permutation (measured 32×: 3.1s vs 0.4s for the base map at
-    sf0.1)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda h: F.array_min(
-            F.transform(
-                base,
-                lambda m: (
-                    ((h + 1) * F.lit(_MH_A) % _MH_P) * m
-                    + (h + 1) * F.lit(_MH_B) % _MH_P
+    sf0.1). Projecting alone is NOT enough (round-7 20× probe catch):
+    when the signature is consumed projection-shaped (Project over
+    Project, e.g. q321's census — generator-shaped plans like q82's
+    explode are safe), CollapseProject sees the base alias referenced
+    ONCE lexically, merges the projections, and the md5 map lands back
+    inside the 32 lambdas — runtime multiplicity is invisible to the
+    refcount. The size() guard below references the base array a
+    second time OUTSIDE any lambda, so the collapse rule (non-cheap
+    expression used more than once) keeps the producing projection —
+    measured 209 s → 10 s for the projected signature at the 20×
+    replica. Semantics unchanged: NULL base → NULL either way."""
+    return F.when(
+        F.size(base) >= 0,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda h: F.array_min(
+                F.transform(
+                    base,
+                    lambda m: (
+                        ((h + 1) * F.lit(_MH_A) % _MH_P) * m
+                        + (h + 1) * F.lit(_MH_B) % _MH_P
+                    )
+                    % _MH_P,
                 )
-                % _MH_P,
-            )
+            ),
         ),
     )
 
@@ -2378,36 +2391,56 @@ def q321_lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Signatures are computed ONCE and banded three ways map-side; cost
     is the census aggs over postings — never a pair join (the mass is
-    counted from bucket sizes, not materialized)."""
+    counted from bucket sizes, not materialized). Single-pass shape
+    (round-7 20× probe catch): the first cut banded via a 3-branch
+    UNION over a lazily-checkpointed signature frame — but union
+    branches execute as CONCURRENT scans in one job, so each branch
+    re-computed the 32-hash signatures before any checkpoint partition
+    landed (250 s at 20×; the q285 lazy-checkpoint fix only pays off
+    when arms materialize sequentially). Concatenating all three
+    configs' band arrays into ONE explode scans the corpus exactly
+    once — no checkpoint, no union: 30 s at the same replica."""
     from ..functions.compat import portable_hash64
 
     d = load_table(spark, sf_dir, "documents")
+    # Same undersplit guard as _lsh_candidate_pairs_frame: the md5
+    # base-hash map is the CPU stage, and a 4-file fixture scan would
+    # otherwise serialize it on 4 of 32 cores (the other half of the
+    # round-7 250 s probe catch).
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
     sh = d.select(
         "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
     ).withColumn(
         "_hm",
         F.transform("shingles", lambda s: portable_hash64(s) % _MH_P),
     )
-    sig = sh.select(
-        "doc_id", minhash_from_base_hashes(F.col("_hm"), 32).alias("sig")
-    ).localCheckpoint(eager=False)
-    outs = []
-    for bands in (4, 8, 16):
-        rows = 32 // bands
-        banded = sig.select(
-            F.lit(bands).alias("bands"),
-            "doc_id",
-            F.explode(
-                lsh_bands(F.col("sig"), bands, rows, portable=True)
-            ).alias("tb"),
-        ).select(
-            "bands", "doc_id", F.col("tb.band").alias("band"),
-            F.col("tb.band_hash").alias("bh"),
+    def _tagged(bands: int):
+        # NB: the transform lambda must stay single-arg — a second
+        # parameter makes Spark pass the ARRAY INDEX into it
+        return F.transform(
+            lsh_bands(F.col("sig"), bands, 32 // bands, portable=True),
+            lambda s: F.struct(
+                F.lit(bands).alias("bands"),
+                s["band"].alias("band"),
+                s["band_hash"].alias("bh"),
+            ),
         )
-        outs.append(banded)
-    bx = outs[0]
-    for o in outs[1:]:
-        bx = bx.unionByName(o)
+
+    all_bands = F.concat(*[_tagged(bands) for bands in (4, 8, 16)])
+    bx = (
+        sh.select(
+            "doc_id", minhash_from_base_hashes(F.col("_hm"), 32).alias("sig")
+        )
+        .select("doc_id", F.explode(all_bands).alias("tb"))
+        .select(
+            F.col("tb.bands").alias("bands"),
+            "doc_id",
+            F.col("tb.band").alias("band"),
+            F.col("tb.bh").alias("bh"),
+        )
+    )
     sizes = bx.groupBy("bands", "band", "bh").agg(
         F.count(F.lit(1)).alias("n")
     )

@@ -1742,6 +1742,225 @@ def q287_ann_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQP_M, _PQP_K, _PQP_SUB = 4, 8, 16  # 4 subspaces × 16 dims, 8 codes each
+_PQP_RERANK = 8 * _TOP_K
+
+
+def _pqp_codebook() -> list[list[list[float]]]:
+    """Portable PQ codebook: M×K×SUB literal centroids in [-0.5, 0.5)
+    from the same md5 coefficient family as _srp_coefs — data-independent
+    CONSTANTS inlined into both the Spark plan and the DuckDB oracle, so
+    encode/ADC replay bit-for-bit (q172's Lloyd-trained books stay the
+    production default; recall there, replayability here)."""
+    import hashlib
+
+    def h(m: int, j: int, i: int) -> int:
+        key = f"pq:{m}:{j}:{i}".encode()
+        return int(hashlib.md5(key).hexdigest()[:15], 16)
+
+    return [
+        [
+            [h(m, j, i) % 100003 / 100003.0 - 0.5 for i in range(_PQP_SUB)]
+            for j in range(_PQP_K)
+        ]
+        for m in range(_PQP_M)
+    ]
+
+
+def _pqp_cc(c: list[float]) -> float:
+    # sequential fold — one shared literal, both engines consume it
+    acc = 0.0
+    for x in c:
+        acc += x * x
+    return acc
+
+
+def _q172b_oracle() -> str:
+    books = _pqp_codebook()
+    vals = ",\n    ".join(
+        f"({m}, {j}, {books[m][j]!r}::DOUBLE[], {_pqp_cc(books[m][j])!r})"
+        for m in range(_PQP_M)
+        for j in range(_PQP_K)
+    )
+    ms = ",".join(f"({m})" for m in range(_PQP_M))
+    cos = _q287_cos("q.v", "mm.v")
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+subs AS (
+  SELECT vec_id, m,
+         list_slice(v, m*{_PQP_SUB}+1, m*{_PQP_SUB}+{_PQP_SUB}) AS x
+  FROM e, (VALUES {ms}) AS ms(m)
+),
+books AS (SELECT * FROM (VALUES
+    {vals}
+  ) AS t(m, j, cv, cc)),
+d2 AS (
+  SELECT s.vec_id, s.m, b.j,
+    round(list_dot_product(s.x, s.x)
+          - 2*list_dot_product(s.x, b.cv) + b.cc, 9) AS d2
+  FROM subs s JOIN books b ON b.m = s.m
+),
+enc AS (
+  SELECT vec_id, m, j FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d2, j) AS rk FROM d2)
+  WHERE rk = 1
+),
+lut AS (
+  SELECT vec_id AS q_id, m, j, CAST(d2 AS DECIMAL(20,9)) AS lutd
+  FROM d2 WHERE vec_id < {_N_QUERIES}
+),
+adc AS (
+  SELECT l.q_id, enc.vec_id AS neighbor_id, SUM(l.lutd) AS adc_d2
+  FROM enc JOIN lut l ON l.m = enc.m AND l.j = enc.j
+  WHERE enc.vec_id <> l.q_id
+  GROUP BY l.q_id, enc.vec_id
+),
+short AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY adc_d2, neighbor_id) AS srk
+    FROM adc)
+  WHERE srk <= {_PQP_RERANK}
+),
+rer AS (
+  SELECT s.q_id, s.neighbor_id, mm.label AS neighbor_label,
+    round({cos}, 6) AS cosine
+  FROM short s
+  JOIN e q ON q.vec_id = s.q_id
+  JOIN e mm ON mm.vec_id = s.neighbor_id
+)
+SELECT q_id, neighbor_id, neighbor_label, cosine, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM rer)
+WHERE rk <= {_TOP_K}
+"""
+
+
+@register(
+    "q172b_pq_adc_topk_portable",
+    oracle=_q172b_oracle(),
+    tags=("similarity", "llm", "vector"),
+)
+def q172b_pq_adc_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q172's PQ-ADC ANN on a PORTABLE literal codebook (staged round-8
+    conversion, completing the ANN-family playbook: SRP q83f, IVF q287,
+    PQ here): every 64-dim vector encodes to M=4 subspace code ids
+    (argmin squared distance to 8 literal centroids per subspace,
+    round(9)+smallest-j key), queries keep an M×K LUT of their own
+    subspace distances, ADC distance = exact DECIMAL sum of M LUT
+    gathers, and the top ADC shortlist gets the exact round(6) cosine
+    re-rank. Encode, LUT, ADC, shortlist, re-rank all replay in DuckDB
+    — the top-k hash-checks end-to-end. q172 (Lloyd books, packed
+    32-bit codes, mapInPandas gather kernels) remains the production
+    memory-bound scale path with its recall-floor test.
+
+    Scale shape: the codebook is a 32-row broadcast; encode is
+    argmin-as-partial-agg (min_by map-side combine — N×M×K scored rows
+    never shuffle); the ADC scan is an (m, j) equi-join against a
+    broadcast |Q|×M×K LUT followed by a (q_id, vec_id) partial-agg sum
+    — per-vector cost O(M·|Q|), the PQ contract; only the ≤|Q|·40-row
+    shortlist ever touches float vectors again."""
+    books = _pqp_codebook()
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    dims = len(e.select("v").head()[0])
+    if dims != _PQP_M * _PQP_SUB:
+        raise ValueError(
+            f"embeddings dim {dims} != {_PQP_M * _PQP_SUB}: regenerate "
+            "the q172b codebook for the new dimensionality"
+        )
+
+    subs = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("v", m * _PQP_SUB + 1, _PQP_SUB).alias("x"),
+                    )
+                    for m in range(_PQP_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.x").alias("x"))
+
+    codes_tbl = spark.createDataFrame(
+        [
+            (m, j, books[m][j], _pqp_cc(books[m][j]))
+            for m in range(_PQP_M)
+            for j in range(_PQP_K)
+        ],
+        "m int, j int, cv array<double>, cc double",
+    )
+    d2 = subs.join(F.broadcast(codes_tbl), "m").withColumn(
+        "d2",
+        F.round(
+            dot(F.col("x"), F.col("x"))
+            - 2 * dot(F.col("x"), F.col("cv"))
+            + F.col("cc"),
+            9,
+        ),
+    )
+    # argmin as a partial agg (map-side combine), not a window — the
+    # N×M×K scored rows collapse to N×M before any shuffle
+    enc = d2.groupBy("vec_id", "m").agg(
+        F.min_by("j", F.struct(F.col("d2"), F.col("j"))).alias("j")
+    )
+    lut = (
+        d2.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "m",
+            "j",
+            F.col("d2").cast("decimal(20,9)").alias("lutd"),
+        )
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["m", "j"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("lutd").alias("adc_d2"))
+    )
+    ws = Window.partitionBy("q_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    short = (
+        adc.withColumn("_srk", F.row_number().over(ws))
+        .filter(F.col("_srk") <= _PQP_RERANK)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qv = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    rer = (
+        short.join(F.broadcast(qv), "q_id")
+        .join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("neighbor_label"),
+                F.col("v").alias("nv"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "q_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return rer.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _TOP_K
+    )
+
+
 # Late-bind q186's composed oracle now that q83/q83f/q287 are all
 # registered (dataclass is frozen — rebuild the spec).
 from dataclasses import replace as _dc_replace  # noqa: E402

@@ -170,6 +170,11 @@ def run(sf_dir: str, only: list[str]) -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     names = only or list(qs)
     failed = []
+    # Per-query wall seconds (green rows only) — recorded into the
+    # sweep report so plan_report.py can pick the most expensive
+    # registry queries for the post-execution codegen audit
+    # (VERDICT r06 ask #6) from MEASURED sweep cost, not guesswork.
+    secs: dict[str, float] = {}
     for name in names:
         t0 = time.monotonic()
         try:
@@ -187,9 +192,10 @@ def run(sf_dir: str, only: list[str]) -> int:
                 note = ""
             except DriverCrash as ex:
                 note = f"  [warn: canon would crash: {ex}]"
+            secs[name] = round(time.monotonic() - t0, 3)
             print(
                 f"[rows-only] {name}: {len(spark_pd)} rows "
-                f"({time.monotonic()-t0:.1f}s){note}",
+                f"({secs[name]:.1f}s){note}",
                 flush=True,
             )
             continue
@@ -209,9 +215,10 @@ def run(sf_dir: str, only: list[str]) -> int:
             failed.append(name)
             print(f"[FAIL] {name}: " + "; ".join(problems))
         else:
+            secs[name] = round(time.monotonic() - t0, 3)
             print(
                 f"[ok] {name}: {len(spark_pd)} rows match "
-                f"({time.monotonic()-t0:.1f}s)",
+                f"({secs[name]:.1f}s)",
                 flush=True,
             )
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
@@ -238,6 +245,7 @@ def run(sf_dir: str, only: list[str]) -> int:
                     ("rows-only" if n not in oracles else "ok"))
                 for n in names
             },
+            "seconds": secs,
         }
         with open(report_path, "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
