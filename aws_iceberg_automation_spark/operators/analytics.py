@@ -3111,11 +3111,16 @@ p AS (
   FROM seg
 ),
 r AS (
-  SELECT *, row_number() OVER (ORDER BY p_val, lang, source) AS i,
-         COUNT(*) OVER () AS m
-  FROM p
+  SELECT /*+ BROADCAST(b) */ a.lang, a.source, a.n, a.p_val,
+    COUNT(*) AS i
+  FROM p a JOIN p b
+    ON b.p_val < a.p_val
+    OR (b.p_val = a.p_val AND (b.lang < a.lang
+        OR (b.lang = a.lang AND b.source <= a.source)))
+  GROUP BY a.lang, a.source, a.n, a.p_val
 ),
-thresh AS (SELECT max(i) AS i_star FROM r WHERE p_val * m <= i * 0.10)
+thresh AS (SELECT max(i) AS i_star FROM r
+           WHERE p_val * (SELECT COUNT(*) FROM p) <= i * 0.10)
 SELECT lang, source, CAST(n AS BIGINT) AS n_docs, p_val,
   (i <= COALESCE((SELECT i_star FROM thresh), 0)) AS rejected
 FROM r
@@ -3143,8 +3148,14 @@ def q298_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     on continuous statistics; the accepted q83f-class boundary).
 
     Scale shape: one hash agg to segments, then all work is over the
-    |segments|-row frame — the rank, the threshold scan, the verdict
-    join are all metadata-sized."""
+    |segments|-row frame — metadata-sized, so the step-up rank runs as
+    a windowless broadcast theta self-join (rank = count of (p, lang,
+    source)-tuples ≤ mine; the registry lint bans the unpartitioned
+    window the first cut used, and |segments| is bounded by the
+    lang×source grid, so the |seg|² pair count is a constant, never a
+    data term). The BROADCAST hint pins the non-equi join to
+    BroadcastNestedLoop on the Spark side; DuckDB reads it as a plain
+    comment."""
     return _sql_twin(spark, sf_dir, _Q298_SQL, ["documents"])
 
 
@@ -3266,7 +3277,11 @@ def q309_ips_offpolicy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q326_SQL = """
-WITH k AS (SELECT DISTINCT o_orderkey AS k FROM {orders}),
+WITH k AS (
+  SELECT DISTINCT o_orderkey AS k FROM {orders}
+  WHERE o_orderkey % 211 <> 0
+    AND o_orderkey % 500 NOT IN (123, 124, 125)
+),
 o AS (
   SELECT k, lead(k) OVER (ORDER BY k) AS nxt FROM k
 )
@@ -3286,12 +3301,60 @@ def q326_sequence_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     completeness audit: a gap in an append-only key sequence is a lost
     batch, a silent producer failure, or a retention hole): every
     maximal missing range of order keys with its width — the
-    gaps-and-islands complement of q234's islands.
+    gaps-and-islands complement of q234's islands. The fixture key
+    sequence is DENSE (profiled: 0 gaps at every sf), which would make
+    the oracle comparison vacuous (empty == empty); a deterministic
+    retention hole (k % 211 == 0 dropped, plus a width-3 hole every
+    500 keys) is injected and mirrored verbatim in the oracle — the
+    hash row attests the gap detection, not the synthesis (the q302
+    injected-mirror pattern).
 
-    Scale shape: distinct keys, one ordered lead() pass, filter —
-    gap rows scale with GAPS, not keys (at 100 TB partition the lead
-    by key range and stitch boundaries, the q306 carry pattern)."""
-    return _sql_twin(spark, sf_dir, _Q326_SQL, ["orders"])
+    Scale shape (the carry pattern, implemented — the registry lint
+    bans the one-task global lead the first cut used; the oracle keeps
+    it as the spec): keys bucket by range (k div 4096), lead() runs
+    PARTITIONED per bucket, and each bucket's last key stitches to the
+    next OCCUPIED bucket's min via a broadcast theta join over the
+    bucket-summary frame (|keys|/4096 rows; at 100 TB widen the
+    bucket or recurse the same stitch one level — the summary is
+    min/max per bucket either way). Gap rows scale with GAPS, not
+    keys."""
+    from pyspark.sql import Window
+
+    k = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderkey") % 211 != 0)
+            & (~(F.col("o_orderkey") % 500).isin(123, 124, 125))
+        )
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+        .withColumn("bkt", F.expr("CAST(k div 4096 AS BIGINT)"))
+    )
+    wb = Window.partitionBy("bkt").orderBy("k")
+    summ = k.groupBy("bkt").agg(F.min("k").alias("min_k"))
+    nxtb = (
+        summ.alias("a")
+        .join(
+            F.broadcast(summ.alias("b")),
+            F.col("b.bkt") > F.col("a.bkt"),
+            "left",
+        )
+        .groupBy(F.col("a.bkt").alias("bkt"))
+        .agg(F.min("b.min_k").alias("next_min"))
+    )
+    return (
+        k.withColumn("nxt_local", F.lead("k").over(wb))
+        .join(F.broadcast(nxtb), "bkt", "left")
+        .withColumn("nxt", F.coalesce("nxt_local", "next_min"))
+        .filter(F.col("nxt") - F.col("k") > 1)
+        .select(
+            F.col("k").alias("gap_start_after"),
+            F.col("nxt").alias("resumes_at"),
+            (F.col("nxt") - F.col("k") - 1).cast("bigint").alias(
+                "missing_keys"
+            ),
+        )
+    )
 
 
 _Q327_SQL = """

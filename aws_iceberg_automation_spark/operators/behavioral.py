@@ -1321,10 +1321,15 @@ def q306_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries; the day attribution of a level is the boundary's day —
     stated contract).
 
-    Scale shape: 2 rows per session; the global ordered sweep is the
-    one genuinely sequential step (documented: partition by day with
-    carried-in offsets at 100 TB — offsets are per-day +1/-1 sums, a
-    tiny second pass)."""
+    Scale shape: 2 rows per session; the sweep runs PARTITIONED by
+    day with carried-in offsets (the decomposition the first cut only
+    documented — the registry lint bans the one-task global window it
+    used): the running sum within each day is a day-partitioned
+    window, and the level carried into a day is the Σ(+1/-1) of all
+    prior days — per-day totals are a calendar-bounded frame, so the
+    exclusive prefix over them is a windowless broadcast theta join.
+    conc(t) = day_offset + local_cumsum, identical to the global
+    sweep (the oracle keeps the plain global window as the spec)."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id", epoch_secs("ts").alias("tse"), "ts"
     )
@@ -1350,14 +1355,32 @@ def q306_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = sess.select(F.col("s_start").alias("t"), F.lit(1).alias("d")).unionAll(
         sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("d"))
     )
-    sw = pts.withColumn("conc", F.sum("d").over(Window.orderBy("t", "d")))
+    # tz-independent epoch-day bucket (fixture timestamps are
+    # non-negative, so integer div == floor on both engines)
+    pts = pts.withColumn("dayno", F.expr("CAST(t div 86400 AS INT)"))
+    # default RANGE frame (peers share the post-peer level), matching
+    # the oracle's global ORDER BY t, d — now per day
+    wd = Window.partitionBy("dayno").orderBy("t", "d")
+    daytot = pts.groupBy("dayno").agg(F.sum("d").alias("day_sum"))
+    off = (
+        daytot.alias("a")
+        .join(
+            F.broadcast(daytot.alias("b")),
+            F.col("b.dayno") < F.col("a.dayno"),
+            "left",
+        )
+        .groupBy(F.col("a.dayno").alias("dayno"))
+        .agg(F.coalesce(F.sum("b.day_sum"), F.lit(0)).alias("offset"))
+    )
+    sw = (
+        pts.withColumn("local_conc", F.sum("d").over(wd))
+        .join(F.broadcast(off), "dayno")
+        .withColumn("conc", F.col("offset") + F.col("local_conc"))
+    )
     return (
         sw.select(
-            # tz-independent epoch-day bucket (fixture timestamps are
-            # non-negative, so integer div == floor on both engines)
             F.date_add(
-                F.lit("1970-01-01").cast("date"),
-                F.expr("CAST(t div 86400 AS INT)"),
+                F.lit("1970-01-01").cast("date"), F.col("dayno")
             ).alias("day"),
             "conc",
         )

@@ -149,7 +149,13 @@ def test_scale_md_sweep_count_matches_report():
 
 
 @pytest.mark.parametrize(
-    "name", ["q31_anti_join", "q64_except", "q82d_embedding_neardup"]
+    "name",
+    [
+        "q31_anti_join",
+        "q64_except",
+        "q82d_embedding_neardup",
+        "q326_sequence_gap_detection",
+    ],
 )
 def test_fixture_results_stay_nonvacuous(name, spark):
     """These queries once returned the empty set on the fixtures,
