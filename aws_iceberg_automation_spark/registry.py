@@ -86,7 +86,9 @@ _LOADED = False
 # newcomers in registration order — exactly 50, zero re-proofs.
 # Rows-only specs NEVER occupy a top-50 slot (they cannot earn a hash
 # row); the remaining never-attested oracle-backed set after this
-# window is EMPTY again.
+# window is exactly {q172b_pq_adc_topk_portable} — the one round-7
+# late addition, staged at the head of the round-8 rotation the same
+# way q83f/q149/q187/q85g were staged at round-6 end.
 _DRIVER_PRIORITY = [
     "q149_rolling_distinct_sketch",
     "q187_dedup_metrics",

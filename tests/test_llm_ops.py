@@ -1394,3 +1394,40 @@ def test_dedup_threshold_curve_inclusive_boundary(spark, tmp_path):
     }
     assert out[0.5] == 1 and out[0.4] == 1
     assert out[0.6] == 0 and out[0.9] == 0
+
+
+def test_minhash_signature_projection_survives_collapse(spark):
+    """Round-7 probe catch, pinned: when minhash_from_base_hashes is
+    consumed PROJECTION-shaped (Project over Project — q321's census
+    shape), CollapseProject used to merge the base-hash projection into
+    the 32 permutation lambdas, re-running the md5 map once per
+    permutation (209 s vs 10 s for the projected signature at the 20×
+    replica). The size() guard keeps the producing projection alive;
+    this asserts the structural signal — the `_hm` alias must still
+    exist in the OPTIMIZED plan (a collapsed plan eliminates the
+    intermediate alias entirely), so an optimizer-rule or guard
+    regression reddens here instead of at the next 20× probe."""
+    from aws_iceberg_automation_spark.functions.compat import portable_hash64
+    from aws_iceberg_automation_spark.operators.dedup import (
+        _MH_P,
+        minhash_from_base_hashes,
+        word_shingles,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    sh = d.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
+    ).withColumn(
+        "_hm", F.transform("shingles", lambda s: portable_hash64(s) % _MH_P)
+    )
+    sig = sh.select(
+        "doc_id", minhash_from_base_hashes(F.col("_hm"), 32).alias("sig")
+    )
+    optimized = sig._jdf.queryExecution().optimizedPlan().toString()
+    assert "_hm#" in optimized, (
+        "base-hash projection was collapsed into the signature lambdas — "
+        "the md5 map now runs once per permutation (32×); see "
+        "minhash_from_base_hashes's size() guard"
+    )
+    # and the guard must not have added a second md5 map either
+    assert optimized.count("md5(") == 1, optimized.count("md5(")
