@@ -475,27 +475,43 @@ def q82c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SQL-expression form: the Python shiftleft/shiftright wrappers only
     # take literal ints, but the SQL functions accept expressions — which
     # the per-bit lambda needs.
+    #
+    # Evaluation shape (round-7 full-registry 20× probe catch, the
+    # minhash_from_base_hashes lesson applied): the token-hash array
+    # must be hoisted OUT of the per-bit lambda — inlined, the md5 map
+    # re-runs once per bit (60×), and referencing the whole simhash
+    # expression twice in one select doubles that again (120× total —
+    # 48 s at the 20× replica, 3.5 s after hoisting). The size() guard
+    # gives the hash-array alias a second lexical reference outside
+    # any lambda so CollapseProject keeps its projection, and simhash
+    # itself is consumed from its own projection (two references →
+    # never collapsed).
+    hm = d.select(
+        "doc_id",
+        F.expr(
+            "transform(array_distinct(split(text, ' ')), "
+            "t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+        ).alias("hm"),
+    )
     simhash = F.expr(
         """
+IF(size(hm) >= 0,
 aggregate(
   zip_with(
     transform(sequence(0, 59),
-      b -> aggregate(
-             transform(array_distinct(split(text, ' ')),
-                       t -> CAST(conv(substring(md5(t), 1, 15), 16, 10)
-                                 AS BIGINT)),
-             0,
+      b -> aggregate(hm, 0,
              (acc, h) -> acc + IF(shiftright(h, b) & 1 = 1, 1, -1))),
     sequence(0, 59),
     (v, b) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
   CAST(0 AS BIGINT),
-  (acc, x) -> acc | x)
+  (acc, x) -> acc | x),
+CAST(NULL AS BIGINT))
 """
     )
-    return d.select(
+    return hm.select("doc_id", simhash.alias("simhash")).select(
         "doc_id",
-        simhash.alias("simhash"),
-        F.shiftright(simhash, 44).alias("band_prefix"),
+        "simhash",
+        F.shiftright("simhash", 44).alias("band_prefix"),
     )
 
 

@@ -137,17 +137,28 @@ def pagerank_fixedpoint(
     SHARED ``_graph_state`` — the float and fixed-point iterations see
     identical edges/state by construction."""
     edges, state, n = _graph_state(edges)
-    # Enforce the headroom contract at runtime: under the non-ANSI
-    # sweep config an int64 overflow WRAPS silently instead of raising,
-    # so exceeding ~5e5 nodes at SCALE=1e12 would produce wrong ranks,
-    # not an error (round-6 advice). Fail loudly with the remedy.
-    if 17 * n * _PR_SCALE >= 2**63 // 2:  # 2x safety margin
+    # Headroom contract, now SELF-SIZING (round-6 advice asked for a
+    # guard OR a derived SCALE; the round-7 full-registry 20× probe
+    # showed the plain guard just turns a big graph into a refusal —
+    # n=301k at the replica): SCALE is the largest power of 10 ≤ 1e12
+    # with 17·n·SCALE < 2^62 (the 2× margin), losing one digit of rank
+    # precision per 10× nodes past ~2.7e5 exactly as the module doc
+    # prescribes. The oracle's sc CTE derives the IDENTICAL tier from
+    # its own node count, so bit-replay holds at every sf. Below the
+    # first tier boundary (every driver/sweep scale) SCALE stays 1e12
+    # — historical results and hash rows are untouched. Fail-loud
+    # remains for absurd graphs where even SCALE=100 would overflow.
+    scale = _PR_SCALE
+    while scale > 100 and 17 * n * scale >= 2**62:
+        scale //= 10
+    if 17 * n * scale >= 2**62:
         raise ValueError(
-            f"pagerank_fixedpoint int64 headroom exceeded: n={n} nodes at "
-            f"SCALE={_PR_SCALE} puts per-round terms (17*n*SCALE) within 2x "
-            "of 2^63 — lower _PR_SCALE one digit per 10x nodes"
+            f"pagerank_fixedpoint int64 headroom exceeded even at "
+            f"SCALE=100: n={n} nodes — fixed-point PageRank needs a "
+            "wider integer type at this size"
         )
-    ranks = state.select("node", F.lit(_PR_SCALE).cast("bigint").alias("r"))
+    base = (3 * scale) // 20  # (1-d)·SCALE exactly, for SCALE = 10^k ≥ 100
+    ranks = state.select("node", F.lit(scale).cast("bigint").alias("r"))
     for _ in range(iters):
         with_deg = ranks.join(state, "node")
         dang = (
@@ -170,7 +181,7 @@ def pagerank_fixedpoint(
             .select(
                 "node",
                 (
-                    F.lit(_PR_BASE)
+                    F.lit(base)
                     + F.expr(
                         f"(17 * (COALESCE(contrib, 0) + {dang_div})) div 20"
                     )
@@ -206,7 +217,8 @@ d{i} AS MATERIALIZED (
   GROUP BY e.dst
 ), r{i} AS MATERIALIZED (
   SELECT nd.node,
-    CAST({_PR_BASE} + (17 * (COALESCE(c.contrib, 0) + (SELECT dv FROM dd{i}))) // 20
+    CAST((SELECT b FROM sc)
+         + (17 * (COALESCE(c.contrib, 0) + (SELECT dv FROM dd{i}))) // 20
          AS BIGINT) AS r
   FROM nodes nd LEFT JOIN c{i} c ON c.node = nd.node
 )""")
@@ -222,8 +234,18 @@ WITH edges AS MATERIALIZED (
   SELECT node, deg FROM nodes LEFT JOIN deg ON node = src
 ), nn AS MATERIALIZED (
   SELECT COUNT(*) AS n FROM nodes
+), sc AS MATERIALIZED (
+  -- self-sizing fixed-point unit, identical tiers to
+  -- pagerank_fixedpoint: largest power of 10 <= 1e12 with
+  -- 17*n*s < 2^62, rearranged divide-side so the probe itself
+  -- cannot overflow; b = (1-d)*s exactly
+  SELECT s, (3 * s) // 20 AS b FROM (
+    SELECT MAX(pw) AS s FROM (VALUES (CAST(100 AS BIGINT)),(1000),(10000),
+      (100000),(1000000),(10000000),(100000000),(1000000000),
+      (10000000000),(100000000000),(1000000000000)) t(pw)
+    WHERE pw <= 4611686018427387903 // (17 * (SELECT n FROM nn)))
 ), r0 AS MATERIALIZED (
-  SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r FROM nodes
+  SELECT node, CAST((SELECT s FROM sc) AS BIGINT) AS r FROM nodes
 ),{",".join(rounds)}
 SELECT CAST(node - 10000000 AS BIGINT) AS s_suppkey,
        CAST(r AS BIGINT) AS rank_fp

@@ -94,7 +94,11 @@ def main() -> None:
         build_sec = round(time.monotonic() - t0, 1)
 
     specs = all_specs()
-    if os.environ.get("SPARK_GRAFT_STRESS_ONLY") == "1":
+    if sys.argv[3:] == ["ALL"]:
+        # full-registry probe: every registered query, bench set first
+        headline = [n for n, s in specs.items() if "bench" in s.tags]
+        headline += [n for n in specs if n not in headline]
+    elif os.environ.get("SPARK_GRAFT_STRESS_ONLY") == "1":
         # extras only — skip the bench headline set (already probed)
         headline = [n for n in sys.argv[3:] if n in specs]
     else:

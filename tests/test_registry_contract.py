@@ -259,3 +259,27 @@ def test_plans_md_bench_exec_rows_measured_and_arrow_only():
         )
         rowpy = sorted(n for n in top if "BatchEvalPython" in rows[n][1])
         assert not rowpy, f"row-at-a-time Python in top sweep-cost set: {rowpy}"
+
+
+def test_probe20x_covers_whole_registry():
+    """PROBE20X.json (the full-registry 20× scale probe — every
+    registered query measured at the key-shifted replica) must name
+    every registered query, the same discipline the hostile-sweep
+    guard enforces for correctness: a query registered after the last
+    probe reddens here instead of silently dodging the 'measured at
+    20×' claim. Round 7 introduced the artifact after the full probe
+    caught two scale defects (q107's quadratic pair stage, q82c's
+    60×-per-bit md5) that per-round newcomer probes alone had missed."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "PROBE20X.json")
+    assert os.path.exists(path), "PROBE20X.json missing — run the full 20× probe"
+    probed = json.load(open(path))["seconds"]
+    unprobed = sorted(set(SPECS) - set(probed))
+    assert not unprobed, (
+        f"registered but never 20×-probed: {unprobed} — run "
+        "scripts/scale_stress.py 20 /root/testdata/sf0.1 ALL and refresh "
+        "PROBE20X.json"
+    )
