@@ -716,7 +716,18 @@ def _banded_postings(
     """(id, band, band_hash) postings from a (id, shingles) frame —
     the shared banding step of the one-shot pipeline, the persistable
     index build and the incremental crawl. Portable signatures project
-    the base-hash array first (see minhash_from_base_hashes)."""
+    the base-hash array first (see minhash_from_base_hashes).
+
+    Undersplit guard lives HERE so every caller gets it (round-7
+    full-registry probe: q131/q288 banded their batch straight off a
+    4-file fixture scan and serialized the md5 stage on 4 of 32 cores
+    — the same catch q321 and _lsh_candidate_pairs_frame had already
+    fixed locally). At real scale the file set splits naturally and
+    the branch never fires; when the input is already wide the
+    repartition is a no-op check."""
+    par = sh.sparkSession.sparkContext.defaultParallelism
+    if sh.rdd.getNumPartitions() < par:
+        sh = sh.repartition(par)
     if portable:
         from ..functions.compat import portable_hash64
 
