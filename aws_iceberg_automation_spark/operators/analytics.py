@@ -3099,9 +3099,17 @@ def q297_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q298_SQL = """
 WITH seg AS (
-  SELECT lang, source, COUNT(*) AS n,
+  -- COALESCE: the step-up rank below is an INNER theta self-join, and
+  -- a NULL lang/source would fail every branch of its predicate
+  -- (including the self-match) and silently vanish from the output —
+  -- a divergence from the window-rank semantics this replaced that no
+  -- oracle differential can see because both engines run this SQL
+  -- (ADVICE r7). Fixture lang/source are non-null, so values are
+  -- unchanged; the sentinel only makes the join total.
+  SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
+    COUNT(*) AS n,
     SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS k
-  FROM {documents} GROUP BY lang, source
+  FROM {documents} GROUP BY 1, 2
 ),
 tot AS (SELECT CAST(SUM(k) AS DOUBLE) / SUM(n) AS p0 FROM seg),
 p AS (

@@ -722,11 +722,23 @@ def _banded_postings(
     full-registry probe: q131/q288 banded their batch straight off a
     4-file fixture scan and serialized the md5 stage on 4 of 32 cores
     — the same catch q321 and _lsh_candidate_pairs_frame had already
-    fixed locally). At real scale the file set splits naturally and
-    the branch never fires; when the input is already wide the
-    repartition is a no-op check."""
+    fixed locally). The guard reads ``inputFiles()`` — pure plan
+    metadata — NOT ``.rdd.getNumPartitions()``: under AQE, ``.rdd`` on
+    a frame with upstream shuffles eagerly EXECUTES those stages and
+    throws the work away when the frame is re-used as a DataFrame
+    (ADVICE r7). Scan-shaped callers (every current one) get the same
+    behavior: few fixture files → spread before the signature map.
+    Non-scan frames (``inputFiles()`` empty) skip the guard — their
+    upstream shuffle already wrote spark.sql.shuffle.partitions
+    splits, so a forced repartition would only add an exchange. At
+    real scale the file set splits naturally and the branch never
+    fires."""
     par = sh.sparkSession.sparkContext.defaultParallelism
-    if sh.rdd.getNumPartitions() < par:
+    try:
+        n_files = len(sh.inputFiles())
+    except Exception:  # non-file-backed plan (e.g. in-memory fixture)
+        n_files = par
+    if 0 < n_files < par:
         sh = sh.repartition(par)
     if portable:
         from ..functions.compat import portable_hash64

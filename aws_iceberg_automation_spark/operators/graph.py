@@ -239,11 +239,19 @@ WITH edges AS MATERIALIZED (
   -- pagerank_fixedpoint: largest power of 10 <= 1e12 with
   -- 17*n*s < 2^62, rearranged divide-side so the probe itself
   -- cannot overflow; b = (1-d)*s exactly
+  -- degenerate-graph parity (ADVICE r7): GREATEST(n,1) keeps an empty
+  -- node set from dividing by zero here while the Spark side proceeds,
+  -- and error() makes a too-large graph (no tier fits) fail loudly the
+  -- same way pagerank_fixedpoint raises — never a silent NULL rank.
+  -- Unreachable on current fixtures; values unchanged.
   SELECT s, (3 * s) // 20 AS b FROM (
-    SELECT MAX(pw) AS s FROM (VALUES (CAST(100 AS BIGINT)),(1000),(10000),
+    SELECT CASE WHEN MAX(pw) IS NULL THEN CAST(error(
+        'pagerank oracle: no int64 fixed-point tier fits this graph'
+      ) AS BIGINT) ELSE MAX(pw) END AS s
+    FROM (VALUES (CAST(100 AS BIGINT)),(1000),(10000),
       (100000),(1000000),(10000000),(100000000),(1000000000),
       (10000000000),(100000000000),(1000000000000)) t(pw)
-    WHERE pw <= 4611686018427387903 // (17 * (SELECT n FROM nn)))
+    WHERE pw <= 4611686018427387903 // (17 * GREATEST((SELECT n FROM nn), 1)))
 ), r0 AS MATERIALIZED (
   SELECT node, CAST((SELECT s FROM sc) AS BIGINT) AS r FROM nodes
 ),{",".join(rounds)}

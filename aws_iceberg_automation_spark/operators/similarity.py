@@ -31,6 +31,21 @@ _N_QUERIES = 10
 _TOP_K = 5
 
 
+def _vec_dims(df: DataFrame, vec_col: str) -> int:
+    """Dimensionality of ``vec_col`` read from one sample row.
+
+    ``head(1)`` + explicit empty check: bare ``head()[0]`` on an empty
+    table returns ``None`` and raises an opaque ``TypeError`` instead
+    of the intended explanatory error (ADVICE r7, q172b)."""
+    rows = df.select(vec_col).head(1)
+    if not rows:
+        raise ValueError(
+            f"cannot infer vector dimensionality: input table is empty "
+            f"(no rows in column {vec_col!r})"
+        )
+    return len(rows[0][0])
+
+
 @register(
     "q83_cosine_topk_exact",
     oracle=f"""
@@ -195,7 +210,7 @@ def spherical_kmeans(
     tolerates. Returns (c_id, cv) with unit-norm cv."""
     from ..functions.vectors import normalize
 
-    dim = len(vectors.select(vec_col).head()[0])
+    dim = _vec_dims(vectors, vec_col)
     nv = vectors.select("vec_id", normalize(F.col(vec_col)).alias("nv"))
     # seed selection by hash order, but c_id labels assigned in vec_id
     # order among the k survivors (the pre-refactor labeling — q107
@@ -1545,7 +1560,7 @@ def q83f_ann_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").alias("v")
     )
-    dims = len(e.select("v").head()[0])
+    dims = _vec_dims(e, "v")
     if dims != _Q83F_DIMS:
         raise ValueError(
             f"embeddings dim {dims} != {_Q83F_DIMS}: regenerate the "
@@ -1866,7 +1881,7 @@ def q172b_pq_adc_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").alias("v")
     )
-    dims = len(e.select("v").head()[0])
+    dims = _vec_dims(e, "v")
     if dims != _PQP_M * _PQP_SUB:
         raise ValueError(
             f"embeddings dim {dims} != {_PQP_M * _PQP_SUB}: regenerate "

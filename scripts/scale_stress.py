@@ -104,6 +104,8 @@ def main() -> None:
     else:
         headline = [n for n, s in specs.items() if "bench" in s.tags]
         headline += [n for n in sys.argv[3:] if n in specs and n not in headline]
+    if not headline:
+        sys.exit("no queries selected (unknown names under STRESS_ONLY?)")
     specs[headline[0]].fn(spark, out).write.format("noop").mode("overwrite").save()
     timings = {}
     for name in headline:
