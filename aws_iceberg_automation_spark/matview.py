@@ -55,27 +55,52 @@ from pyspark.sql import functions as F
 
 from .versioning import VersionedTable, VersioningError
 
-_KINDS = ("sum", "count", "min", "max", "approx_distinct", "countmin")
+_KINDS = (
+    "sum",
+    "count",
+    "min",
+    "max",
+    "approx_distinct",
+    "countmin",
+    "quantile_sample",
+)
 
 
 @dataclass(frozen=True)
 class Measure:
     """A mergeable aggregate: ``kind`` in sum/count/min/max/
-    approx_distinct/countmin; ``expr`` is the input expression (ignored
-    for count, which counts rows). ``depth``/``width`` size the
-    ``countmin`` cell array (error ε ≈ e/width with prob 1-e^-depth)."""
+    approx_distinct/countmin/quantile_sample; ``expr`` is the input
+    expression (ignored for count, which counts rows). ``depth``/
+    ``width`` size the ``countmin`` cell array (error ε ≈ e/width with
+    prob 1-e^-depth). ``quantile_sample`` stores a deterministic
+    bottom-k min-wise-hash sample of (``key``, ``expr``) pairs — the
+    mergeable quantile summary (VERDICT r07 ask #3): merging two
+    groups' bottom-k sets and re-taking the k least hashes IS the
+    bottom-k of the union, so incremental refresh is bit-identical to
+    a rebuild, and any quantile is read off the stored sample with
+    rank error O(1/√k) whp. Chosen over KLL/t-digest because the
+    sample is hash-deterministic — the q331 oracle differential proves
+    the whole sketch cross-engine, which compaction randomness never
+    could; ``sample_size`` is k."""
 
     alias: str
     kind: str
     expr: Column | None = None
     depth: int = 4
     width: int = 1024
+    key: Column | None = None
+    sample_size: int = 256
 
     def __post_init__(self):
         if self.kind not in _KINDS:
             raise ValueError(f"measure kind must be one of {_KINDS}, got {self.kind!r}")
         if self.kind != "count" and self.expr is None:
             raise ValueError(f"measure {self.alias!r} ({self.kind}) needs an expr")
+        if self.kind == "quantile_sample" and self.key is None:
+            raise ValueError(
+                f"measure {self.alias!r} (quantile_sample) needs a key "
+                "expression (the per-row identity the sample hashes)"
+            )
 
 
 class IncrementalAggView:
@@ -174,9 +199,47 @@ class IncrementalAggView:
             .select(*self.group_by, dense.alias(m.alias))
         )
 
+    def _quantile_partial(self, df: DataFrame, m: Measure) -> DataFrame:
+        """Per-group bottom-k sample state: array<struct<h,v>> of the k
+        least-hash rows. Build is two bounded windowed top-k passes —
+        shard-local (64 hash shards, the parallelism knob) then
+        group-level over ≤ 64·k survivors — so no task ever sorts or
+        collects more than 64·k rows no matter the group size; the
+        final collect_list sees ≤ k rows per group."""
+        from pyspark.sql import Window
+
+        from .functions.compat import portable_hash64
+
+        k = m.sample_size
+        base = df.select(
+            *self.group_by,
+            portable_hash64(m.key.cast("string")).alias("_h"),
+            m.expr.alias("_v"),
+        ).withColumn("_shard", F.pmod(F.col("_h"), F.lit(64)))
+        w1 = Window.partitionBy(*self.group_by, "_shard").orderBy("_h", "_v")
+        w2 = Window.partitionBy(*self.group_by).orderBy("_h", "_v")
+        kept = (
+            base.withColumn("_rk", F.row_number().over(w1))
+            .filter(F.col("_rk") <= k)
+            .withColumn("_rk2", F.row_number().over(w2))
+            .filter(F.col("_rk2") <= k)
+        )
+        return kept.groupBy(*self.group_by).agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_h").alias("h"), F.col("_v").alias("v"))
+                )
+            ).alias(m.alias)
+        )
+
     def _partial(self, df: DataFrame) -> DataFrame:
         cms = [m for m in self.measures if m.kind == "countmin"]
-        rest = [m for m in self.measures if m.kind != "countmin"]
+        qs = [m for m in self.measures if m.kind == "quantile_sample"]
+        rest = [
+            m
+            for m in self.measures
+            if m.kind not in ("countmin", "quantile_sample")
+        ]
         parts: list[DataFrame] = []
         if rest:
             aggs = []
@@ -193,6 +256,7 @@ class IncrementalAggView:
                     aggs.append(F.max(m.expr).alias(m.alias))
             parts.append(df.groupBy(*self.group_by).agg(*aggs))
         parts.extend(self._cms_partial(df, m) for m in cms)
+        parts.extend(self._quantile_partial(df, m) for m in qs)
         out = parts[0]
         for p in parts[1:]:
             # same input rows → identical group sets, so inner join;
@@ -275,6 +339,22 @@ class IncrementalAggView:
                     .when(nv.isNull(), ov)
                     .otherwise(F.zip_with(ov, nv, lambda a, b: a + b))
                 )
+            elif m.kind == "quantile_sample":
+                # bottom-k of a union = k least of the concatenated
+                # bottom-k sets — the property that makes the sample a
+                # true mergeable summary (delta rows are new, so hashes
+                # never collide with stored ones)
+                merged = (
+                    F.when(ov.isNull(), nv)
+                    .when(nv.isNull(), ov)
+                    .otherwise(
+                        F.slice(
+                            F.array_sort(F.concat(ov, nv)),
+                            1,
+                            m.sample_size,
+                        )
+                    )
+                )
             else:
                 merged = (
                     F.when(ov.isNull(), nv)
@@ -352,6 +432,29 @@ class IncrementalAggView:
                 # (use cms_point_estimate); its raw cells pass through
                 cols.append(F.col(m.alias))
         return df.select(*cols)
+
+    def sample_quantile(self, alias: str, pct: int) -> DataFrame:
+        """Estimated p-th percentile per group from the stored bottom-k
+        sample alone (no source scan): the sample's values are a
+        uniform without-replacement sample of the group, so its exact
+        order statistic estimates the group's with rank error O(1/√k)
+        whp. ``pct`` is an integer percent; the pick index is the
+        integer ceil(m·pct/100) — no float thresholds, same formula as
+        q331's oracle."""
+        m = next(x for x in self.measures if x.alias == alias)
+        if m.kind != "quantile_sample":
+            raise ValueError(f"measure {alias!r} is {m.kind}, not quantile_sample")
+        vs = F.array_sort(
+            F.transform(F.col(alias), lambda x: x.getField("v"))
+        )
+        msize = F.size(F.col(alias))
+        idx = (msize * pct + 99) / F.lit(100)  # integer ceil
+        est = F.element_at(vs, F.floor(idx).cast("int"))
+        return self.state.read().select(
+            *self.group_by,
+            msize.cast("bigint").alias("m_sample"),
+            est.alias(f"{alias}_p{pct}"),
+        )
 
     def cms_point_estimate(
         self, alias: str, probes: DataFrame, item_col: str = "item"

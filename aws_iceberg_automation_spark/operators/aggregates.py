@@ -978,3 +978,164 @@ def q322_percentile_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(90, "p90_cents"),
         pick(99, "p99_cents"),
     )
+
+
+def _q331_oracle() -> str:
+    from ..functions.compat import sql_portable_hash64
+
+    ph = sql_portable_hash64("CAST(event_id AS VARCHAR)")
+    return f"""
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         {ph} AS h, event_id % 8 AS shard
+  FROM events
+), b AS (
+  SELECT event_type, h, cents FROM (
+    SELECT event_type, h, cents,
+      row_number() OVER (PARTITION BY event_type, shard
+                         ORDER BY h, cents) AS rk
+    FROM e) WHERE rk <= 256
+), s AS (
+  SELECT event_type, h, cents FROM (
+    SELECT event_type, h, cents,
+      row_number() OVER (PARTITION BY event_type ORDER BY h, cents) AS rk
+    FROM b) WHERE rk <= 256
+), m AS (SELECT event_type, COUNT(*) AS ms FROM s GROUP BY event_type),
+v AS (
+  SELECT s.event_type, cents, ms,
+    row_number() OVER (PARTITION BY s.event_type ORDER BY cents, h) AS vr
+  FROM s JOIN m USING (event_type)
+), est AS (
+  SELECT event_type, CAST(MAX(ms) AS BIGINT) AS m_sample,
+    CAST(MIN(CASE WHEN vr * 100 >= ms * 50 THEN cents END) AS BIGINT)
+      AS p50_est_cents,
+    CAST(MIN(CASE WHEN vr * 100 >= ms * 90 THEN cents END) AS BIGINT)
+      AS p90_est_cents
+  FROM v GROUP BY event_type
+), fullc AS (
+  SELECT event_type, cents, COUNT(*) AS c FROM e GROUP BY event_type, cents
+), chk AS (
+  SELECT f.event_type,
+    CAST(SUM(c) AS BIGINT) AS n_events,
+    SUM(CASE WHEN f.cents <= est.p50_est_cents THEN c ELSE 0 END) AS le50,
+    SUM(CASE WHEN f.cents <= est.p90_est_cents THEN c ELSE 0 END) AS le90
+  FROM fullc f JOIN est USING (event_type) GROUP BY f.event_type
+)
+SELECT est.event_type, chk.n_events, est.m_sample,
+  est.p50_est_cents, est.p90_est_cents,
+  (abs(CAST(le50 AS DOUBLE) / n_events - 0.5) <= 0.10) AS p50_rank_ok,
+  (abs(CAST(le90 AS DOUBLE) / n_events - 0.9) <= 0.10) AS p90_rank_ok
+FROM est JOIN chk USING (event_type)
+"""
+
+
+@register(
+    "q331_quantile_sketch_merge",
+    oracle=_q331_oracle(),
+    tags=("agg", "sketch"),
+)
+def q331_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (VERDICT r07 ask #3): per-group
+    deterministic BOTTOM-K min-wise-hash sample — build k=256
+    summaries on 8 independent shards, MERGE the shard summaries into
+    one group summary (k least hashes of the union — bottom-k's
+    defining mergeability, the same closure property HLL union and CMS
+    cell-sum give the other matview measures), then read p50/p90 off
+    the merged sample and CHECK them against the full data: the
+    sample quantile's true rank must sit within ±10 points of the
+    target (Hoeffding: P(|rank err| > 0.10) < 2e^{-2·256·0.01} ≈ 0.6%
+    per check; the fixture's draws pass with margin).
+
+    Why bottom-k instead of KLL/t-digest: the sample is a pure
+    function of md5 — DuckDB replays the ENTIRE sketch (shard build,
+    merge, estimate) bit-for-bit, so the estimates themselves earn a
+    hash row, not just the error booleans; KLL/t-digest compaction
+    randomness can never be oracle'd. Space-accuracy is worse than
+    KLL (O(1/√k) vs O(1/k) rank error) — that tradeoff is the
+    documented price of cross-engine attestability; the matview twin
+    (Measure kind ``quantile_sample``) inherits the same state and is
+    pinned by a refresh-equals-rebuild test.
+
+    Scale shape: shard-local windowed top-k (shard count = the
+    parallelism knob; no task ever holds more than k rows per
+    (group, shard)), merge over ≤ shards·k rows per group, estimate
+    and rank-check from counts-of-counts — the q322 two-phase
+    discipline end to end; nothing scales with row count except the
+    map-side hash."""
+    from ..functions.compat import portable_hash64
+
+    k, shards = 256, 8
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        portable_hash64(F.col("event_id").cast("string")).alias("h"),
+        (F.col("event_id") % shards).alias("shard"),
+    )
+    w1 = Window.partitionBy("event_type", "shard").orderBy("h", "cents")
+    built = (
+        e.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= k)
+        .select("event_type", "h", "cents")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("h", "cents")
+    sample = (
+        built.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("event_type", "h", "cents")
+    )
+    msize = sample.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ms")
+    )
+    wv = Window.partitionBy("event_type").orderBy("cents", "h")
+    v = sample.join(msize, "event_type").withColumn(
+        "vr", F.row_number().over(wv)
+    )
+
+    def pick(p: int, alias: str):
+        return (
+            F.min(
+                F.when(F.col("vr") * 100 >= F.col("ms") * p, F.col("cents"))
+            )
+            .cast("bigint")
+            .alias(alias)
+        )
+
+    est = v.groupBy("event_type").agg(
+        F.max("ms").cast("bigint").alias("m_sample"),
+        pick(50, "p50_est_cents"),
+        pick(90, "p90_est_cents"),
+    )
+    fullc = e.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("c"))
+    chk = (
+        fullc.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(F.col("cents") <= F.col("p50_est_cents"), F.col("c"))
+                .otherwise(F.lit(0))
+            ).alias("le50"),
+            F.sum(
+                F.when(F.col("cents") <= F.col("p90_est_cents"), F.col("c"))
+                .otherwise(F.lit(0))
+            ).alias("le90"),
+        )
+    )
+    return (
+        est.join(chk, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "m_sample",
+            "p50_est_cents",
+            "p90_est_cents",
+            (
+                F.abs(F.col("le50").cast("double") / F.col("n_events") - 0.5)
+                <= 0.10
+            ).alias("p50_rank_ok"),
+            (
+                F.abs(F.col("le90").cast("double") / F.col("n_events") - 0.9)
+                <= 0.10
+            ).alias("p90_rank_ok"),
+        )
+    )

@@ -2498,3 +2498,132 @@ def q321_lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "candidate_pair_mass",
         "max_bucket",
     )
+
+
+_Q330_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 600000 AS doc_id, text || ' vbn vbn' AS text
+  FROM documents WHERE doc_id < 30
+), {_minhash_ctes("docs")}, idx AS (
+  SELECT band, band_hash, doc_id AS corpus_doc_id FROM (
+    SELECT band, band_hash, doc_id,
+           row_number() OVER (PARTITION BY band, band_hash
+                              ORDER BY doc_id) AS rk
+    FROM banded WHERE doc_id < 450)
+  WHERE rk <= 64
+), cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc_id, idx.corpus_doc_id
+  FROM (SELECT * FROM banded WHERE doc_id >= 450) n
+  JOIN idx USING (band, band_hash)
+), verified AS (
+  SELECT new_doc_id, corpus_doc_id,
+    round(CAST(len(list_intersect(sn.shingles, sc.shingles)) AS DOUBLE)
+          / len(list_distinct(sn.shingles || sc.shingles)), 6) AS jaccard
+  FROM cand
+  JOIN sh sn ON sn.doc_id = cand.new_doc_id
+  JOIN sh sc ON sc.doc_id = cand.corpus_doc_id
+  WHERE CAST(len(list_intersect(sn.shingles, sc.shingles)) AS DOUBLE)
+        / len(list_distinct(sn.shingles || sc.shingles)) >= 0.5
+), best AS (
+  SELECT new_doc_id, corpus_doc_id, jaccard FROM (
+    SELECT *, row_number() OVER (PARTITION BY new_doc_id
+                                 ORDER BY jaccard DESC, corpus_doc_id) AS rk
+    FROM verified)
+  WHERE rk = 1
+)
+SELECT d.doc_id AS new_doc_id, b.corpus_doc_id, b.jaccard,
+  CAST(CASE WHEN b.corpus_doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+    AS is_dup,
+  TRUE AS idx_exchange_free
+FROM (SELECT doc_id FROM docs WHERE doc_id >= 450) d
+LEFT JOIN best b ON b.new_doc_id = d.doc_id
+"""
+
+
+@register(
+    "q330_bucketed_incremental_neardup",
+    oracle=_Q330_ORACLE,
+    tags=("dedup", "llm", "bucketing"),
+)
+def q330_bucketed_incremental_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Zero-exchange incremental near-dup against a PERSISTED bucketed
+    LSH index (VERDICT r07 ask #2 — the missing last step of the
+    100 TB daily-dedup story q288 started): the corpus band postings
+    are written ONCE as a managed table ``bucketBy(16, band,
+    band_hash)`` + ``sortBy`` — the exact key every arrival batch
+    joins on — so the daily dedup job reads index bucket i straight
+    into the task that probes it: the index side of the candidate
+    join plans NO shuffle Exchange, ever, and at 100 TB that is the
+    difference between re-shuffling a corpus-sized posting table per
+    arrival and touching only |batch| bytes.
+
+    The property is asserted IN-QUERY, differentially (the q284
+    machinery): the same banded probe is planned against the bucketed
+    index and an identically-populated UNBUCKETED copy — both under a
+    merge-join hint so AQE cannot hide the comparison behind a
+    broadcast — and the bucketed plan must show exactly one fewer
+    shuffle Exchange (the index-side one). A layout regression
+    (bucketing disabled, bucket spec dropped by a path write, count
+    mismatch) raises instead of silently re-shuffling.
+
+    Dedup semantics are q288's portable pipeline (shingle → portable
+    MinHash → 8×4 bands → capped postings → candidate equi-join →
+    exact-Jaccard verify ≥ 0.5 → best match per new doc), so the
+    DuckDB oracle re-derives the full answer; the bucketed layout
+    changes WHERE the index bytes live, never the answer. Fixture:
+    corpus = doc_id < 450, arrivals = the rest plus 30 injected
+    near-copies (anti-vacuousness: injected docs MUST come back
+    is_dup=1)."""
+    from ..sources.bucketing import (
+        exchange_count,
+        session_table,
+        write_bucketed,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 450)
+    injected = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" vbn vbn")).alias("text"),
+    )
+    batch = d.filter(F.col("doc_id") >= 450).unionAll(injected)
+
+    idx = build_lsh_index(corpus, portable=True)
+    t_idx = session_table(spark, "q330_idx")
+    t_plain = session_table(spark, "q330_idx_plain")
+    write_bucketed(idx, t_idx, ["band", "band_hash"])
+    # identically-populated unbucketed control for the differential
+    idx.write.format("parquet").mode("overwrite").saveAsTable(t_plain)
+
+    probe = _banded_postings(
+        batch.select(
+            F.col("doc_id").alias("new_doc_id"),
+            word_shingles(F.col("text"), 3).alias("new_sh"),
+        ),
+        "new_doc_id",
+        "new_sh",
+        32,
+        8,
+        4,
+        True,
+    )
+    n_bucketed = exchange_count(
+        probe.join(spark.table(t_idx).hint("merge"), ["band", "band_hash"])
+    )
+    n_plain = exchange_count(
+        probe.join(spark.table(t_plain).hint("merge"), ["band", "band_hash"])
+    )
+    if n_bucketed != n_plain - 1:
+        raise RuntimeError(
+            f"bucketed index join planned {n_bucketed} exchanges vs "
+            f"{n_plain} unbucketed — the (band, band_hash) bucket "
+            "layout was not honored at read time"
+        )
+    res = incremental_neardup(
+        spark.table(t_idx).hint("merge"), corpus, batch, portable=True
+    )
+    return res.withColumn("idx_exchange_free", F.lit(True))

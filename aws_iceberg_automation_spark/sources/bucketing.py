@@ -86,3 +86,26 @@ def exchange_count(df: DataFrame) -> int:
         for line in plan.splitlines()
         if "Exchange" in line and "BroadcastExchange" not in line
     )
+
+
+def session_table(spark: SparkSession, prefix: str) -> str:
+    """Per-SESSION managed-table name ``<prefix>_<appId>`` plus GC of
+    stale same-prefix directories from previous sessions — the q284
+    naming rule generalized: within a session repeated invocations
+    (bench ×3, plan_report) OVERWRITE one copy; a fresh session gets a
+    new applicationId-derived name, because a fixed name would collide
+    with the on-disk location a previous session left behind that the
+    new in-memory catalog knows nothing about (LOCATION_ALREADY_EXISTS).
+    Warehouse growth stays bounded at one live copy per prefix. Spark
+    gate processes never run concurrently (the q196 rule)."""
+    import os
+    import shutil
+
+    tag = spark.sparkContext.applicationId.replace("-", "_").lower()
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file:")
+    if os.path.isdir(wh):
+        for name in os.listdir(wh):
+            if name.startswith(prefix + "_") and not name.endswith(tag):
+                shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+    return f"{prefix}_{tag}"

@@ -374,3 +374,86 @@ def test_countmin_null_items_contribute_no_cells(spark, tmp_path):
     assert cells_b["gnull"] == [0] * (4 * 64)
     counts = {r.k: r.n for r in mv_b.read().collect()}
     assert counts == {"g1": 350, "gnull": 10}  # count() still counts rows
+
+
+def test_quantile_sample_measure_refresh_equals_rebuild(spark, tmp_path):
+    """The bottom-k quantile sample is order-insensitive and exactly
+    mergeable: state after N incremental refreshes must be BIT-EQUAL
+    to a from-scratch build over the full source (stronger than the
+    error-bound claim — it pins the merge algebra), and the estimate
+    read off the sample must sit within the O(1/√k) rank bound of the
+    exact percentile."""
+    from aws_iceberg_automation_spark.matview import IncrementalAggView, Measure
+    from aws_iceberg_automation_spark.versioning import VersionedTable
+
+    def rows(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 3).cast("string").alias("k"),
+            F.col("id").alias("rid"),
+            # deterministic value with a skewed tail
+            (F.pmod(F.col("id") * 37, F.lit(1000))).cast("long").alias("v"),
+        )
+
+    src = VersionedTable(spark, str(tmp_path / "qsrc"))
+    src.write(rows(0, 400), "append")
+
+    def mk(root):
+        return IncrementalAggView(
+            spark,
+            src,
+            str(tmp_path / root),
+            group_by=["k"],
+            measures=[
+                Measure("n", "count"),
+                Measure(
+                    "qs",
+                    "quantile_sample",
+                    F.col("v"),
+                    key=F.col("rid"),
+                    sample_size=64,
+                ),
+            ],
+        )
+
+    mv = mk("qmv")
+    mv.refresh()
+    src.write(rows(400, 700), "append")
+    mv.refresh()
+    src.write(rows(700, 900), "append")
+    mv.refresh()
+    assert mv.staleness() == 0
+
+    rebuilt = mk("qmv_rebuild")
+    rebuilt.refresh()  # single full build over all 900 rows
+
+    inc = {
+        r.k: (r.n, [(s.h, s.v) for s in r.qs])
+        for r in mv.read().collect()
+    }
+    full = {
+        r.k: (r.n, [(s.h, s.v) for s in r.qs])
+        for r in rebuilt.read().collect()
+    }
+    assert inc == full  # bit-equal state, not just close estimates
+
+    est = {r.k: r.qs_p50 for r in mv.sample_quantile("qs", 50).collect()}
+    exact = {
+        r.k: r.p50
+        for r in src.read()
+        .groupBy("k")
+        .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").alias("p50"))
+        .collect()
+    }
+    vals = src.read()
+    for k, e in est.items():
+        grp = vals.filter(F.col("k") == k)
+        n = grp.count()
+        rank = grp.filter(F.col("v") <= e).count() / n
+        assert abs(rank - 0.5) <= 3 / (64**0.5), (k, e, exact[k], rank)
+
+
+def test_quantile_sample_requires_key():
+    from aws_iceberg_automation_spark.matview import Measure
+
+    with pytest.raises(ValueError, match="needs a key"):
+        Measure("qs", "quantile_sample", F.lit(1))
