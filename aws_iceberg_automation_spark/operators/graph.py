@@ -590,3 +590,117 @@ def q278_copurchase_2hop_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@register(
+    "q332_clustering_coefficient",
+    oracle="""
+WITH cs0 AS (
+  SELECT DISTINCT o.o_custkey c, l.l_suppkey s, CAST(l.l_shipdate AS DATE) d
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), cs AS (
+  SELECT c, s, d FROM (
+    SELECT c, s, d,
+      row_number() OVER (PARTITION BY s, d ORDER BY c) AS grp_rn
+    FROM cs0)
+  WHERE grp_rn <= 64
+), e AS (
+  SELECT DISTINCT a.c AS x, b.c AS y
+  FROM cs a JOIN cs b ON a.s = b.s AND a.d = b.d AND a.c < b.c
+), deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT x AS node FROM e UNION ALL SELECT y FROM e)
+  GROUP BY node
+), t AS (
+  SELECT e1.x AS u, e1.y AS v, e2.y AS w
+  FROM e e1
+  JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+  JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
+), corners AS (
+  SELECT u AS node FROM t UNION ALL SELECT v FROM t UNION ALL SELECT w FROM t
+), counts AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM corners GROUP BY node
+), lcc AS (
+  SELECT c.node, CAST(deg AS BIGINT) AS deg, n_triangles,
+    round(2.0 * n_triangles / (deg * (deg - 1)), 6) AS lcc
+  FROM counts c JOIN deg USING (node)
+)
+SELECT node, deg, n_triangles, lcc, rk FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY lcc DESC, n_triangles DESC, node) AS rk
+  FROM lcc)
+WHERE rk <= 50
+""",
+    tags=("graph",),
+)
+def q332_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (VERDICT r07 ask #4 — the
+    community-density metric on top of q135's triangle kernel):
+    lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) over the customer
+    co-purchase graph, top-50 nodes. The engine reuses the
+    degree-oriented triangle counter (out-degree bounded O(√m) — the
+    skew-safe orientation) plus one degree aggregate; the oracle
+    recounts by brute id-ordered 3-way self-join, so a hash match
+    proves orientation AND the degree join lose nothing. Nodes with
+    zero triangles are excluded on both sides (lcc 0 by convention,
+    uninteresting at top-k; the corner aggregate never sees them).
+
+    Float parity: lcc is one division of exact int64 products —
+    identical IEEE result in both engines — rounded to 6 before the
+    rank, with (n_triangles, node) tiebreaks so rounding ties cannot
+    reorder.
+
+    Scale shape: q135's bounded-edge generation (64-cap per
+    (supplier, day) group) + 3-shuffle triangle kernel + one hash agg
+    for degrees; the rank is a pre-bounded top-50
+    (TakeOrderedAndProject), never a global window."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").alias("s"),
+            F.col("l_shipdate").cast("date").alias("d"),
+        )
+        .distinct()
+    )
+    from ..functions.ranking import cap_groups, topn_ranked
+
+    cs = cap_groups(cs0, ["s", "d"], [F.col("c")], 64)
+    a, b = cs.alias("ga"), cs.alias("gb")
+    edges = (
+        a.join(
+            b,
+            (F.col("ga.s") == F.col("gb.s"))
+            & (F.col("ga.d") == F.col("gb.d"))
+            & (F.col("ga.c") < F.col("gb.c")),
+        )
+        .select(F.col("ga.c").alias("x"), F.col("gb.c").alias("y"))
+        .distinct()
+        .localCheckpoint()  # edges feed degrees AND the triangle kernel
+    )
+    deg = (
+        edges.select(F.col("x").alias("node"))
+        .unionAll(edges.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_count(edges)
+    lcc = tri.join(deg, "node").select(
+        "node",
+        F.col("deg").cast("bigint").alias("deg"),
+        "n_triangles",
+        F.round(
+            F.lit(2.0)
+            * F.col("n_triangles")
+            / (F.col("deg") * (F.col("deg") - 1)),
+            6,
+        ).alias("lcc"),
+    )
+    return topn_ranked(
+        lcc,
+        [F.col("lcc").desc(), F.col("n_triangles").desc(), F.col("node")],
+        50,
+    ).select("node", "deg", "n_triangles", "lcc", "rk")

@@ -82,6 +82,62 @@ def prepare_replay_dir(spark: SparkSession, sf_dir: str, out_dir: str, n_chunks:
     return out_dir
 
 
+def prepare_scrambled_replay_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_chunks: int = 5,
+    salt: str = "scramble-0",
+) -> str:
+    """ADVERSARIAL replay split (VERDICT r07 ask #5): chunks are
+    assigned by salted hash of event_id, NOT by event time — so every
+    microbatch interleaves rows from the whole time range and
+    downstream stateful operators see worst-case disordered delivery
+    (late fragments that bridge two already-stored sessions, session
+    starts arriving after their ends, …). ``prepare_replay_dir``'s
+    time-ordered split can never exercise those merge paths.
+
+    Deterministic per (fixture, salt): same scramble every run, so
+    differential results are replayable. The build ASSERTS the
+    scramble is non-vacuous — at least two chunks' time ranges must
+    overlap (they always do for hash chunking; the guard catches a
+    refactor quietly restoring time order, the q326 vacuous-fixture
+    lesson applied to replays)."""
+    ev = load_table(spark, sf_dir, "events")
+    chunked = ev.withColumn(
+        "chunk",
+        F.pmod(F.xxhash64(F.col("event_id"), F.lit(salt)), F.lit(n_chunks)),
+    ).persist()
+    try:
+        for i in range(n_chunks):
+            (
+                chunked.filter(F.col("chunk") == i)
+                .drop("chunk")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, f"chunk={i}"))
+            )
+        ranges = (
+            chunked.groupBy("chunk")
+            .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+            .collect()
+        )
+    finally:
+        chunked.unpersist()
+    overlaps = sum(
+        1
+        for a in ranges
+        for b in ranges
+        if a.chunk < b.chunk and a.lo < b.hi and b.lo < a.hi
+    )
+    if overlaps == 0:
+        raise RuntimeError(
+            "scrambled replay degenerated to a time-ordered split — "
+            "the reorder differential would be vacuous"
+        )
+    return out_dir
+
+
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 1
 ) -> DataFrame:

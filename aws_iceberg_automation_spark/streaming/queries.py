@@ -785,3 +785,65 @@ def q324_stream_bitmask_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("mask").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+@register(
+    "q333_stream_reorder_sessions",
+    oracle=_session_oracle(),
+    tags=("streaming", "matview"),
+)
+def q333_stream_reorder_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-correctness differential for the session rollup
+    (VERDICT r07 ask #5): the SAME lakehouse loop as q290 — stream →
+    exactly-once versioned append → per-microbatch incremental
+    sessionization — but fed an ADVERSARIALLY SCRAMBLED replay: rows
+    land in microbatches by salted hash, not time, so fragments
+    arrive maximally disordered (a session's end before its start;
+    late fragments bridging two sessions the state table already
+    holds as separate rows). The watermark delay is set beyond the
+    fixture's full span — the permitted-lateness regime, where the
+    contract says NOTHING may be dropped and the final state must be
+    bit-equal to the calm time-ordered batch answer; the oracle is
+    q75/q290's batch sessionization SQL, so a hash row here attests
+    order-insensitivity of the whole loop (the property q290's
+    order-preserving replay could not see). Beyond-watermark DROP
+    semantics stay attested by q184's census; the reorder fuzz pytest
+    replays further salts and chunk counts.
+
+    Scale shape: identical to q290 — per-batch cost O(|batch| +
+    contested-user state); disorder only changes how often the
+    interval-merge path fires, never its per-batch bound."""
+    from ..matview import IncrementalSessionView
+    from ..versioning import VersionedTable, session_fixture_dir
+
+    d = session_fixture_dir(spark, "q333_reorder")
+    replay = jobs.prepare_scrambled_replay_dir(
+        spark, sf_dir, os.path.join(d, "replay"), n_chunks=5, salt="q333-s0"
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = jobs.read_events_stream(spark, replay)
+    vt = VersionedTable(spark, os.path.join(d, "events_table"))
+    sv = IncrementalSessionView(
+        spark,
+        vt,
+        os.path.join(d, "sessions"),
+        key="user_id",
+        ts_col="tsec",
+        value_col="value",
+        gap_minutes=30,
+    )
+    s = (
+        jobs.with_watermark(stream, "1080 hours")  # ≥ fixture span
+        .withColumn("tsec", ts_sec("ts"))
+        .select("user_id", "tsec", "value")
+    )
+    jobs.foreach_batch_append_with_rollup(s, vt, sv, os.path.join(d, "ckpt"))
+    if sv.staleness() != 0:
+        raise RuntimeError(f"session view ended stale: {sv.staleness()}")
+    return sv.read().select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        F.col("total_value").cast("string").alias("total_value"),
+    )

@@ -690,3 +690,74 @@ def test_prefix_sums_with_tiebreaks_match_window(spark, rows, n_buckets):
         for r in df.withColumn("cum_x", F.sum("x").over(w)).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "salt,n_chunks",
+    [("fuzz-a", 3), ("fuzz-b", 7), ("fuzz-c", 5)],
+)
+def test_session_rollup_invariant_under_reordered_delivery(
+    spark, tmp_path, salt, n_chunks
+):
+    """Watermark-reorder differential (VERDICT r07 ask #5, the q180
+    fuzz pattern applied to sessionization): replay the events fixture
+    through the q290 lakehouse session loop under ADVERSARIAL
+    microbatch splits — rows hash-scattered across microbatches, so
+    in-progress sessions arrive as disordered fragments — and the
+    final session state must equal the calm one-shot batch
+    sessionization row for row. Three salts × three chunk shapes
+    exercise different interleavings of the interval-merge paths
+    (extend-left, extend-right, bridge-two, brand-new)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_iceberg_automation_spark.functions.compat import ts_sec
+    from aws_iceberg_automation_spark.matview import IncrementalSessionView
+    from aws_iceberg_automation_spark.operators.events import q75_session_window
+    from aws_iceberg_automation_spark.streaming import jobs
+    from aws_iceberg_automation_spark.versioning import VersionedTable
+    from tests.conftest import SF_DIR
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = str(tmp_path / salt)
+    replay = jobs.prepare_scrambled_replay_dir(
+        spark, SF_DIR, os.path.join(d, "replay"), n_chunks=n_chunks, salt=salt
+    )
+    vt = VersionedTable(spark, os.path.join(d, "events_table"))
+    sv = IncrementalSessionView(
+        spark,
+        vt,
+        os.path.join(d, "sessions"),
+        key="user_id",
+        ts_col="tsec",
+        value_col="value",
+        gap_minutes=30,
+    )
+    s = (
+        jobs.with_watermark(
+            jobs.read_events_stream(spark, replay), "1080 hours"
+        )
+        .withColumn("tsec", ts_sec("ts"))
+        .select("user_id", "tsec", "value")
+    )
+    jobs.foreach_batch_append_with_rollup(s, vt, sv, os.path.join(d, "ckpt"))
+    assert sv.staleness() == 0
+
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, str(r.total_value))
+        for r in sv.read()
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            F.col("total_value").cast("string").alias("total_value"),
+        )
+        .collect()
+    )
+    want = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, str(r.total_value))
+        for r in q75_session_window(spark, SF_DIR).collect()
+    )
+    assert got == want
