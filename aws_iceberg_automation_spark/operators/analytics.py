@@ -3443,3 +3443,373 @@ def q328_priority_inversion_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     arrival order) — single shuffle on the customer key, then a
     filter; output scales with inversions."""
     return _sql_twin(spark, sf_dir, _Q328_SQL, ["orders"])
+
+
+_Q334_SQL = """
+WITH pts AS (
+  SELECT event_type, CAST(day(ts) AS BIGINT) AS x,
+         CAST(round(value) AS BIGINT) AS y
+  FROM {events}
+), s AS (
+  SELECT event_type, COUNT(*) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pts GROUP BY event_type
+), d AS (
+  SELECT event_type, n, sx, sy,
+    n * sxy - sx * sy AS num,
+    n * sxx - sx * sx AS den,
+    n * syy - sy * sy AS syd
+  FROM s
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_points,
+  round(CAST(num AS DOUBLE) / den, 6) AS slope,
+  round((sy - CAST(num AS DOUBLE) / den * sx) / n, 6) AS intercept,
+  round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+        / (CAST(den AS DOUBLE) * CAST(syd AS DOUBLE)), 6) AS r2
+FROM d
+"""
+
+
+@register(
+    "q334_ols_by_group",
+    oracle=_Q334_SQL.format(events="events"),
+    tags=("analytics", "stats"),
+)
+def q334_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares (slope/intercept/R²) from the
+    five sufficient moments — regression as a pure two-phase hash
+    aggregate, the scalable alternative to regr_slope's float moments:
+    x (day index) and y (whole units) ride as int64, so Σx/Σy/Σxy/Σxx/
+    Σyy are EXACT and order-independent; slope, intercept and R² are
+    then a handful of double ops over identical integers on both
+    engines (int→double casts are correctly rounded everywhere),
+    rounded to 6.
+
+    int64 headroom: n·Σy² is the largest term — safe to ~4·10⁶ rows
+    per group at y ≤ 10³ (20× probe: 1.2·10¹⁷, 75× under the edge);
+    beyond that, production centers y or shards the moments and merges
+    (they are sums — trivially mergeable), same story as q322.
+
+    Scale shape: one map-side projection + one hash agg to |groups|
+    rows; everything after is constant-size."""
+    return _sql_twin(spark, sf_dir, _Q334_SQL, ["events"])
+
+
+_Q335_SQL = """
+WITH pts AS (
+  SELECT CASE WHEN substring(md5(CAST(user_id AS STRING)), 1, 1) < '8'
+              THEN 'treat' ELSE 'control' END AS grp,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM {events}
+), s AS (
+  SELECT grp, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sv,
+         CAST(SUM(cents * cents) AS BIGINT) AS svv
+  FROM pts GROUP BY grp
+), w AS (
+  SELECT
+    MAX(CASE WHEN grp = 'treat' THEN n END) AS nt,
+    MAX(CASE WHEN grp = 'treat' THEN sv END) AS st,
+    MAX(CASE WHEN grp = 'treat' THEN svv END) AS stt,
+    MAX(CASE WHEN grp = 'control' THEN n END) AS nc,
+    MAX(CASE WHEN grp = 'control' THEN sv END) AS sc,
+    MAX(CASE WHEN grp = 'control' THEN svv END) AS scc
+  FROM s
+), v AS (
+  SELECT nt, nc,
+    CAST(st AS DOUBLE) / nt AS mt, CAST(sc AS DOUBLE) / nc AS mc,
+    (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / nt) / (nt - 1) AS vt,
+    (CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * sc / nc) / (nc - 1) AS vc
+  FROM w
+), se AS (SELECT nt, nc, mt, mc, vt, vc, vt / nt + vc / nc AS se2 FROM v)
+SELECT CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_control,
+  round(mt / 100, 6) AS mean_treat, round(mc / 100, 6) AS mean_control,
+  round((mt - mc) / sqrt(se2), 4) AS t_stat,
+  round(se2 * se2 / ((vt / nt) * (vt / nt) / (nt - 1)
+                     + (vc / nc) * (vc / nc) / (nc - 1)), 2) AS df_welch
+FROM se
+"""
+
+
+@register(
+    "q335_welch_ttest",
+    oracle=_Q335_SQL.format(events="events"),
+    tags=("analytics", "stats"),
+)
+def q335_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the md5 A/B arms (the
+    ab_treat assignment the SRM/lift/power family audits): mean,
+    sample variance, t statistic and Welch–Satterthwaite df — all from
+    exact int64 sufficient statistics (cents and cents², order-
+    independent sums), so every double expression evaluates over
+    identical integers on both engines; one shared SQL template makes
+    the op ORDER identical too (the q296 z-statistic discipline).
+
+    Complements q296 (Mann-Whitney, rank-based): Welch is the
+    parametric arm of the same experiment-readout family and the one
+    the power planner's variance inputs actually assume.
+
+    Scale shape: single hash agg to 2 rows; the test is O(1) after the
+    map-side projection."""
+    return _sql_twin(spark, sf_dir, _Q335_SQL, ["events"])
+
+
+_Q336_SQL = """
+WITH vals AS (
+  SELECT o_orderpriority AS grp,
+         CAST(round(o_totalprice) AS BIGINT) AS dollars
+  FROM {orders}
+), counts AS (
+  SELECT grp, dollars, COUNT(*) AS c FROM vals GROUP BY grp, dollars
+), cum AS (
+  SELECT grp, dollars, c,
+    SUM(c) OVER (PARTITION BY grp ORDER BY dollars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM counts
+), agg AS (
+  SELECT grp, CAST(SUM(c) AS BIGINT) AS n,
+    CAST(SUM(c * dollars) AS BIGINT) AS total,
+    CAST(SUM(dollars * c * (2 * m - c + 1)) AS BIGINT) AS two_s1
+  FROM cum GROUP BY grp
+)
+SELECT grp AS o_orderpriority, n AS n_orders,
+  round(CAST(two_s1 AS DOUBLE) / (CAST(n AS DOUBLE) * total)
+        - (CAST(n AS DOUBLE) + 1) / n, 6) AS gini
+FROM agg
+"""
+
+
+@register(
+    "q336_gini_by_segment",
+    oracle=_Q336_SQL.format(orders="orders"),
+    tags=("analytics", "stats"),
+)
+def q336_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini inequality coefficient of order value per priority class —
+    the rank-weighted formula G = 2·Σᵢ i·x₍ᵢ₎/(n·Σx) − (n+1)/n made
+    SCALE-SAFE with the q322 counts-of-counts trick: ranks never
+    materialize per row; for each distinct value v with count c and
+    inclusive cumulative count m, Σ i·x over its tie-run is
+    v·c·(2m−c+1)/2 exactly, so the whole statistic reduces over the
+    |distinct values| frame. All integer until one final division.
+
+    int64 headroom: the tie-run term is ≤ dollars·c·2n — safe to
+    ~10⁷ orders per group at 5·10⁴ dollar cap (20× probe: 9·10¹⁷);
+    beyond that production quantizes values into equi-width buckets
+    first (the standard big-data Gini), shrinking c·m products.
+
+    Scale shape: hash agg to distinct values, one PARTITIONED
+    cumulative window over the value-count frame, final group agg —
+    never a per-row rank."""
+    return _sql_twin(spark, sf_dir, _Q336_SQL, ["orders"])
+
+
+_Q337_SQL = """
+WITH rev AS (
+  SELECT n.n_name AS nation, l.l_suppkey AS s,
+    CAST(SUM(CAST(round(l.l_extendedprice) AS BIGINT)) AS BIGINT) AS r
+  FROM {lineitem} l
+  JOIN {supplier} su ON su.s_suppkey = l.l_suppkey
+  JOIN {nation} n ON n.n_nationkey = su.s_nationkey
+  GROUP BY n.n_name, l.l_suppkey
+), tot AS (
+  SELECT nation, CAST(SUM(r) AS BIGINT) AS rt,
+         COUNT(*) AS n_suppliers
+  FROM rev GROUP BY nation
+)
+SELECT t.nation, CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
+  round(SUM((CAST(r AS DOUBLE) / rt) * (CAST(r AS DOUBLE) / rt)) * 10000,
+        4) AS hhi
+FROM rev v JOIN tot t ON v.nation = t.nation
+GROUP BY t.nation, t.n_suppliers
+"""
+
+
+@register(
+    "q337_hhi_concentration",
+    oracle=_Q337_SQL.format(
+        lineitem="lineitem", supplier="supplier", nation="nation"
+    ),
+    tags=("analytics", "stats"),
+)
+def q337_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index per nation:
+    Σ (supplier revenue share)² × 10000 — the antitrust/market-power
+    census over the supplier dimension. Revenue reduces to exact int64
+    dollars per (nation, supplier) first; the share squares are the
+    only float stage and are rounded to 4 (float Σ over the
+    |suppliers|-sized frame — the standard order-rounding contract).
+
+    Scale shape: fact-side hash agg to (nation, supplier) — the join
+    to supplier/nation broadcasts both dims — then a second agg over
+    the supplier frame. Nothing after phase 1 scales with lineitem."""
+    return _sql_twin(spark, sf_dir, _Q337_SQL, ["lineitem", "supplier", "nation"])
+
+
+_Q338_SQL = """
+WITH e AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice) AS BIGINT) AS dollars,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM {lineitem}
+), counts AS (
+  SELECT flag, dollars, CAST(SUM(w) AS BIGINT) AS wc
+  FROM e GROUP BY flag, dollars
+), cum AS (
+  SELECT flag, dollars, wc,
+    SUM(wc) OVER (PARTITION BY flag ORDER BY dollars
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+    SUM(wc) OVER (PARTITION BY flag) AS wt
+  FROM counts
+)
+SELECT flag AS l_returnflag, CAST(MAX(wt) AS BIGINT) AS total_weight,
+  CAST(MIN(CASE WHEN cm * 100 >= wt * 50 THEN dollars END) AS BIGINT)
+    AS p50_w_dollars,
+  CAST(MIN(CASE WHEN cm * 100 >= wt * 90 THEN dollars END) AS BIGINT)
+    AS p90_w_dollars
+FROM cum GROUP BY flag
+"""
+
+
+@register(
+    "q338_weighted_percentile",
+    oracle=_Q338_SQL.format(lineitem="lineitem"),
+    tags=("agg", "stats"),
+)
+def q338_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted percentile (weight = quantity, value = price):
+    the p-quantile is the smallest value whose cumulative WEIGHT
+    reaches p·W — q322's two-phase inverse-CDF generalized from counts
+    to weights (quantity rides as exact int64). State is |distinct
+    values| per group; the threshold comparison is integer
+    cross-multiplied (cm·100 ≥ W·p), no float anywhere.
+
+    This is the quantile the reorder-buffer/inventory questions
+    actually ask ('the price point below which half the VOLUME
+    ships'), not the row-count percentile q322 answers."""
+    return _sql_twin(spark, sf_dir, _Q338_SQL, ["lineitem"])
+
+
+_Q339_SQL = """
+WITH s AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(CASE WHEN value > 80 THEN 1 ELSE 0 END) AS k
+  FROM {events} GROUP BY event_type
+), tot AS (SELECT CAST(SUM(k) AS DOUBLE) / SUM(n) AS pooled FROM s),
+w AS (
+  SELECT event_type, n, k, CAST(k AS DOUBLE) / n AS p,
+         1.959963984540054 AS z
+  FROM s
+), ci AS (
+  SELECT event_type, n, k, p,
+    (p + z * z / (2 * n)
+       - z * sqrt((p * (1 - p) + z * z / (4 * n)) / n)) / (1 + z * z / n)
+      AS lo,
+    (p + z * z / (2 * n)
+       + z * sqrt((p * (1 - p) + z * z / (4 * n)) / n)) / (1 + z * z / n)
+      AS hi
+  FROM w
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events, CAST(k AS BIGINT) AS n_hits,
+  round(p, 6) AS rate, round(lo, 6) AS wilson_lo, round(hi, 6) AS wilson_hi,
+  ((SELECT pooled FROM tot) BETWEEN lo AND hi) AS contains_pooled
+FROM ci
+"""
+
+
+@register(
+    "q339_wilson_ci",
+    oracle=_Q339_SQL.format(events="events"),
+    tags=("analytics", "stats"),
+)
+def q339_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score confidence interval for per-segment success rates
+    (value > 80 — ~20% base rate in the fixture — as the success proxy): the interval every rate
+    dashboard should use instead of the Wald ±z√(p(1-p)/n) that
+    collapses at small n or extreme p. Bounds are closed-form doubles
+    over exact (n, k) integers — shared template, identical op order —
+    plus a contains_pooled boolean locating each segment against the
+    pooled rate (the q298-family enrichment readout without its
+    multiple-testing machinery, which BH-FDR already covers).
+
+    Scale shape: one hash agg to |segments| rows; O(1) after."""
+    return _sql_twin(spark, sf_dir, _Q339_SQL, ["events"])
+
+
+_Q340_SQL = """
+WITH t0 AS (
+  SELECT user_id,
+    CAST((month(ts) - 1) * 31 + day(ts) AS BIGINT) * 86400
+      + hour(ts) * 3600 + minute(ts) * 60 + second(ts) AS ssec
+  FROM {events}
+), m AS (
+  SELECT user_id, ssec,
+    MAX(ssec) OVER (PARTITION BY user_id ORDER BY ssec
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS prev
+  FROM t0
+), f AS (
+  SELECT user_id, ssec,
+    SUM(CASE WHEN prev IS NULL OR ssec - prev > 1800 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ssec
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM m
+), sess AS (
+  SELECT user_id, sid, MIN(ssec) AS s0, MAX(ssec) AS s1
+  FROM f GROUP BY user_id, sid
+), cut AS (SELECT MAX(s1) AS h FROM sess),
+obs AS (
+  SELECT LEAST(CAST(floor((s1 - s0) / 600.0) AS BIGINT), 48) AS dur,
+    CASE WHEN s1 < (SELECT h FROM cut) - 1800 THEN 1 ELSE 0 END AS churned
+  FROM sess
+), ev AS (
+  SELECT dur AS t, COUNT(*) AS at_t, CAST(SUM(churned) AS BIGINT) AS d
+  FROM obs GROUP BY dur
+), risk AS (
+  SELECT a.t, a.d,
+    CAST(SUM(b.at_t) AS BIGINT) AS n_risk
+  FROM ev a JOIN ev b ON b.t >= a.t
+  GROUP BY a.t, a.d
+), km AS (
+  SELECT a.t, a.d, a.n_risk,
+    round(exp(SUM(CASE WHEN b.d < b.n_risk
+                       THEN ln(1.0 - CAST(b.d AS DOUBLE) / b.n_risk)
+                       ELSE 0.0 END)), 6) AS surv_pos,
+    MIN(b.n_risk - b.d) AS min_slack
+  FROM risk a JOIN risk b ON b.t <= a.t
+  GROUP BY a.t, a.d, a.n_risk
+)
+SELECT t AS duration_bucket, n_risk, d AS d_ended,
+  CASE WHEN min_slack = 0 THEN 0.0 ELSE surv_pos END AS survival
+FROM km WHERE d > 0
+"""
+
+
+@register(
+    "q340_kaplan_meier",
+    oracle=_Q340_SQL.format(events="events"),
+    tags=("analytics", "stats", "behavioral"),
+)
+def q340_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival estimate of SESSION lifetime (duration =
+    session length in 10-minute buckets, capped at 48; sessions
+    ending within 30 minutes of the horizon are right-CENSORED — the
+    thing a naive duration histogram gets wrong, since a still-open
+    session is not an observed ending): S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ)
+    with risk set nᵢ = sessions lasting ≥ tᵢ.
+
+    Plan discipline: sessionization is the standard per-user
+    lag/cumulative-flag pair (PARTITIONED windows); the risk-set
+    suffix sum and the running product are theta SELF-JOINS over the
+    duration frame (≤ 49 rows — bounded by the BUCKET domain, never
+    the data; the cap exists precisely to keep it bounded), the q298
+    rewrite pattern — an ORDER BY t window there would be the banned
+    single-task global window. The product rides as exp(Σ ln(·)) over
+    identical doubles (shared template); a risk set fully consumed at
+    some tᵢ forces S = 0 exactly via the min_slack guard, never
+    ln(0).
+
+    Scale shape: two partitioned windows + one hash agg to sessions,
+    one to duration buckets; everything after is O(49²)."""
+    return _sql_twin(spark, sf_dir, _Q340_SQL, ["events"])
