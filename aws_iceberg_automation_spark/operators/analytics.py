@@ -3813,3 +3813,134 @@ def q340_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two partitioned windows + one hash agg to sessions,
     one to duration buckets; everything after is O(49²)."""
     return _sql_twin(spark, sf_dir, _Q340_SQL, ["events"])
+
+
+# Shared base for the bucketed-CDF pair (q341/q342): 64 equi-width
+# buckets over the global n_chars range, per-source and global counts,
+# and cumulative counts via BOUNDED theta self-joins (the bucket
+# domain is 64 no matter the data — an ORDER BY window here would be
+# the banned global single-task stage).
+_CDF_BASE = """
+v AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x FROM {documents}
+), rng AS (
+  SELECT MIN(x) AS lo, MAX(x) AS hi FROM v
+), b AS (
+  SELECT source,
+    LEAST(CAST(floor((x - (SELECT lo FROM rng)) * 64.0
+          / ((SELECT hi FROM rng) - (SELECT lo FROM rng) + 1)) AS BIGINT),
+          63) AS bkt
+  FROM v
+), cs AS (SELECT source, bkt, COUNT(*) AS c FROM b GROUP BY source, bkt),
+ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cs GROUP BY source),
+cg AS (SELECT bkt, COUNT(*) AS c FROM b GROUP BY bkt),
+ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM b),
+grid AS (SELECT DISTINCT bkt FROM cg),
+cums AS (
+  SELECT a.source, a.bkt, CAST(SUM(b2.c) AS BIGINT) AS cum
+  FROM cs a JOIN cs b2 ON b2.source = a.source AND b2.bkt <= a.bkt
+  GROUP BY a.source, a.bkt
+), cumg AS (
+  SELECT a.bkt, CAST(SUM(b2.c) AS BIGINT) AS cum
+  FROM cg a JOIN cg b2 ON b2.bkt <= a.bkt
+  GROUP BY a.bkt
+)
+"""
+
+_Q341_SQL = (
+    "WITH "
+    + _CDF_BASE
+    + """, mapped AS (
+  SELECT s.source, s.bkt,
+    CAST(MIN(CASE WHEN g.cum * ns.n >= s.cum * (SELECT nn FROM ntot)
+             THEN g.bkt END) AS BIGINT) AS gbkt
+  FROM cums s
+  JOIN ns ON ns.source = s.source
+  JOIN cumg g ON g.cum * ns.n >= s.cum * (SELECT nn FROM ntot)
+  GROUP BY s.source, s.bkt
+), final AS (
+  SELECT m.source, m.bkt, m.gbkt, cs.c, ns.n
+  FROM mapped m
+  JOIN cs ON cs.source = m.source AND cs.bkt = m.bkt
+  JOIN ns ON ns.source = m.source
+)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+  round(CAST(SUM(c * bkt) AS DOUBLE) / MAX(n), 6) AS avg_raw_bucket,
+  round(CAST(SUM(c * gbkt) AS DOUBLE) / MAX(n), 6) AS avg_norm_bucket
+FROM final GROUP BY source
+"""
+)
+
+
+@register(
+    "q341_quantile_normalize",
+    oracle=_Q341_SQL.format(documents="documents"),
+    tags=("analytics", "stats", "llm"),
+)
+def q341_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-source length distributions onto
+    the GLOBAL distribution (the cross-source calibration step before
+    any length-based quality threshold is comparable between a
+    verbose and a terse source): each source bucket maps to the
+    smallest global bucket at ≥ the same cumulative fraction — the
+    inverse-CDF composition F_g⁻¹∘F_s, evaluated entirely in INTEGER
+    cross-multiplied comparisons (g_cum·n_s ≥ s_cum·N; no float
+    quantiles anywhere), on 64 equi-width buckets.
+
+    Plan discipline: every cumulative is a theta self-join over the
+    ≤64-bucket frame — bounded by the BUCKET domain, never the data
+    (the q298/q340 rewrite rule); the output avg is exact-int
+    products with one final division.
+
+    Scale shape: one map-side bucketing pass + two hash aggs; all
+    joins after phase 1 touch ≤ |sources|·64 rows."""
+    return _sql_twin(spark, sf_dir, _Q341_SQL, ["documents"])
+
+
+_Q342_SQL = (
+    "WITH "
+    + _CDF_BASE
+    + """, fs AS (
+  SELECT /*+ BROADCAST(grid) */ ns.source, grid.bkt, ns.n,
+    CAST(COALESCE(SUM(cs.c), 0) AS BIGINT) AS cum
+  FROM ns CROSS JOIN grid
+  LEFT JOIN cs ON cs.source = ns.source AND cs.bkt <= grid.bkt
+  GROUP BY ns.source, grid.bkt, ns.n
+), w AS (
+  SELECT fs.source, CAST(MAX(fs.n) AS BIGINT) AS n,
+    CAST(SUM(ABS(fs.cum * (SELECT nn FROM ntot) - cumg.cum * fs.n))
+         AS BIGINT) AS w1_scaled
+  FROM fs JOIN cumg ON cumg.bkt = fs.bkt
+  GROUP BY fs.source
+)
+SELECT source, n AS n_docs, w1_scaled,
+  round(CAST(w1_scaled AS DOUBLE)
+        / (CAST(n AS DOUBLE) * (SELECT nn FROM ntot)), 6) AS w1_buckets
+FROM w
+"""
+)
+
+
+@register(
+    "q342_wasserstein_1d",
+    oracle=_Q342_SQL.format(documents="documents"),
+    tags=("analytics", "stats", "llm"),
+)
+def q342_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between each source's
+    length distribution and the corpus — the drift metric that, unlike
+    KS (q189/q250) or PSI (q120), weights HOW FAR mass moved, not just
+    whether CDFs separate: W₁ = Σ_b |F_s(b) − F(b)| over 64 equi-width
+    buckets. The statistic rides as the EXACT integer
+    Σ|cumS·N − cumG·n_s| (one scale, one final division) — zero float
+    accumulation, so the hash row covers the distance itself, not a
+    rounded shadow.
+
+    Plan discipline: the per-source CDF is evaluated on the global
+    bucket grid via a broadcast ≤64-row frame + bounded theta join
+    (missing buckets inherit the step function via COALESCE(SUM)=0) —
+    the q341 machinery reused; no window anywhere.
+
+    Scale shape: identical to q341 — bucketing map + two hash aggs,
+    then |sources|·64-bounded joins."""
+    return _sql_twin(spark, sf_dir, _Q342_SQL, ["documents"])

@@ -1937,3 +1937,126 @@ def q241_token_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _q343_oracle() -> str:
+    from ..functions.compat import sql_portable_hash64
+
+    ph = sql_portable_hash64("tok")
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), hashed AS (
+  SELECT lang, tok, {ph} % 4096 AS bucket FROM tok
+), loads AS (
+  SELECT lang, bucket, COUNT(*) AS c FROM hashed GROUP BY lang, bucket
+)
+SELECT lang,
+  CAST(SUM(c) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+  CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_collided,
+  CAST(MAX(c) AS BIGINT) AS max_load,
+  round(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS collision_rate
+FROM loads GROUP BY lang
+"""
+
+
+@register(
+    "q343_feature_hash_collisions",
+    oracle=_q343_oracle(),
+    tags=("llm", "text"),
+)
+def q343_feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the 'hashing trick' every vowpal-style
+    featurizer uses to cap vocabulary memory): per-language vocabulary
+    hashed into 4096 buckets, with the collision census that tells you
+    whether the dimensionality is honest — tokens lost to shared
+    buckets, the worst bucket load, and the collision rate. Portable
+    hash → DuckDB replays bucket-for-bucket.
+
+    Scale shape: explode → DISTINCT (lang, token) hash agg — the
+    word-count shape — then a |buckets|-bounded second agg. The census
+    is what production uses to pick the dimension BEFORE burning a
+    training run on a saturated feature space."""
+    from ..functions.compat import portable_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .select("lang", (portable_hash64(F.col("tok")) % 4096).alias("bucket"))
+    )
+    loads = tok.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    return loads.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+        (F.sum("c") - F.count(F.lit(1))).cast("bigint").alias("n_collided"),
+        F.max("c").cast("bigint").alias("max_load"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("c"), 6
+        ).alias("collision_rate"),
+    )
+
+
+_Q344_ORACLE = """
+WITH base AS (
+  SELECT doc_id, source,
+    CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS y
+  FROM documents
+), s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS k
+  FROM base GROUP BY source
+)
+SELECT b.doc_id, b.source, CAST(b.y AS INT) AS y,
+  round(CAST(s.k - b.y AS DOUBLE) / (s.n - 1), 6) AS te_loo,
+  round((CAST(s.k - b.y AS DOUBLE) + 20.0 * 0.5) / (s.n - 1 + 20.0), 6)
+    AS te_loo_smoothed
+FROM base b JOIN s ON s.source = b.source
+WHERE b.doc_id < 200
+"""
+
+
+@register(
+    "q344_target_encode_loo",
+    oracle=_Q344_ORACLE,
+    tags=("llm", "analytics"),
+)
+def q344_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (the ML-prep categorical encoder
+    that avoids self-leakage: each row's category rate EXCLUDES its
+    own label — encoding with it included is the classic train-time
+    leak): te = (k_cat − y_row)/(n_cat − 1), plus the m-estimate
+    smoothed variant (m=20 toward the 0.5 prior) that tames rare
+    categories. Exact integer numerators/denominators → identical
+    divisions, rounded 6.
+
+    Scale shape: one hash agg to |categories|, broadcast back onto
+    the rows — map-only after the census; the doc_id < 200 window
+    bounds the surfaced rows, not the computation."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.col("n_chars") > 300, 1).otherwise(0).alias("y"),
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("k"),
+    )
+    return (
+        d.filter(F.col("doc_id") < 200)
+        .join(F.broadcast(s), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.col("y").cast("int").alias("y"),
+            F.round(
+                (F.col("k") - F.col("y")).cast("double") / (F.col("n") - 1), 6
+            ).alias("te_loo"),
+            F.round(
+                ((F.col("k") - F.col("y")).cast("double") + F.lit(20.0 * 0.5))
+                / (F.col("n") - 1 + F.lit(20.0)),
+                6,
+            ).alias("te_loo_smoothed"),
+        )
+    )

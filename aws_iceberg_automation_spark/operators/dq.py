@@ -1714,3 +1714,133 @@ def q323_fk_inference_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("parent_unique")
         ).alias("fk_plausible"),
     )
+
+
+def _q346_oracle() -> str:
+    ph = sql_portable_hash64(
+        "event_type || '#' || CAST(d AS VARCHAR) || '#dp-r8'"
+    )
+    return f"""
+WITH g AS (
+  SELECT event_type, CAST(day(ts) AS BIGINT) AS d, COUNT(*) AS c
+  FROM events GROUP BY event_type, day(ts)
+), u AS (
+  SELECT event_type, d, c,
+    (CAST({ph} % 2000001 AS DOUBLE) - 1000000) / 1000001.0 AS uu
+  FROM g
+)
+SELECT event_type, d AS day, CAST(c AS BIGINT) AS true_count,
+  round(c - 2.0 * (CASE WHEN uu < 0 THEN -1.0 ELSE 1.0 END)
+          * ln(1.0 - ABS(uu)), 3) AS noisy_count,
+  (ABS(2.0 * ln(1.0 - ABS(uu))) <= 30.0) AS noise_bounded
+FROM u
+"""
+
+
+@register(
+    "q346_dp_noisy_counts",
+    oracle=_q346_oracle(),
+    tags=("dq", "privacy"),
+)
+def q346_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private histogram release (ε = 0.5): per
+    (event_type, day) counts plus Laplace(b = 1/ε = 2) noise drawn by
+    DETERMINISTIC inverse-CDF — u uniform on (−1, 1) from the portable
+    hash of the cell key, noise = −b·sign(u)·ln(1−|u|). Determinism is
+    what makes a DP release auditable-by-replay (and oracle-checkable:
+    DuckDB redraws the identical noise); in production the salt is a
+    per-release secret, which restores the privacy guarantee — the
+    mechanism and its sensitivity-1 calibration are what this query
+    attests. true_count sits next to noisy_count for attestation
+    only; a real release drops it. ln() may differ by an ulp across
+    engines; noisy_count is rounded to 3 (the accepted q83f boundary
+    class) and the |noise| ≤ 30 boolean has margin 10⁶× the drift.
+
+    Scale shape: one hash agg to |cells|, then map-only noise — the
+    mechanism adds zero shuffles to the histogram it protects."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.dayofmonth("ts").cast("bigint").alias("d")
+    )
+    g = e.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c"))
+    uu = (
+        (
+            portable_hash64(
+                F.concat(
+                    F.col("event_type"),
+                    F.lit("#"),
+                    F.col("d").cast("string"),
+                    F.lit("#dp-r8"),
+                )
+            )
+            % 2000001
+        ).cast("double")
+        - 1000000
+    ) / 1000001.0
+    noise = (
+        F.lit(-2.0)
+        * F.when(uu < 0, -1.0).otherwise(1.0)
+        * F.log(F.lit(1.0) - F.abs(uu))
+    )
+    return g.select(
+        "event_type",
+        F.col("d").alias("day"),
+        F.col("c").cast("bigint").alias("true_count"),
+        F.round(F.col("c") + noise, 3).alias("noisy_count"),
+        (F.abs(noise) <= 30.0).alias("noise_bounded"),
+    )
+
+
+@register(
+    "q347_l_diversity",
+    oracle="""
+WITH q AS (
+  SELECT lang, source,
+    CASE WHEN n_chars < 250 THEN 'short'
+         WHEN n_chars < 400 THEN 'mid' ELSE 'long' END AS sens
+  FROM documents
+), g AS (
+  SELECT lang, source, COUNT(*) AS n, COUNT(DISTINCT sens) AS l
+  FROM q GROUP BY lang, source
+)
+SELECT CAST(l AS BIGINT) AS l_diversity,
+  CAST(COUNT(*) AS BIGINT) AS n_groups,
+  CAST(SUM(n) AS BIGINT) AS n_rows,
+  CAST(MIN(n) AS BIGINT) AS min_group_size
+FROM g GROUP BY l
+""",
+    tags=("dq", "privacy"),
+)
+def q347_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity census — k-anonymity's (q181) necessary companion:
+    a quasi-identifier group can be k-large yet still leak if every
+    member shares the same SENSITIVE value (the homogeneity attack).
+    Per (lang, source) QI group, count distinct sensitive length
+    classes; report how many groups achieve each l with their minimum
+    size. A release gate reads min l off this frame the way q181
+    reads min k.
+
+    Scale shape: two hash aggs (rows → QI groups → l histogram);
+    distinct-sensitive is exact per group — the sensitive domain is 3
+    values, so state is O(1) per group."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.when(F.col("n_chars") < 250, "short")
+        .when(F.col("n_chars") < 400, "mid")
+        .otherwise("long")
+        .alias("sens"),
+    )
+    g = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("sens").alias("l"),
+    )
+    return g.groupBy("l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.min("n").cast("bigint").alias("min_group_size"),
+    ).select(
+        F.col("l").cast("bigint").alias("l_diversity"),
+        "n_groups",
+        "n_rows",
+        "min_group_size",
+    )

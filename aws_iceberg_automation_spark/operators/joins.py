@@ -374,3 +374,161 @@ def q284_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         dsum(dec2("o_totalprice"), "sum_price"),
     )
+
+
+def _q345_oracle() -> str:
+    from ..functions.compat import sql_portable_hash64
+
+    def pos(inner: str, i: int) -> str:
+        return (
+            sql_portable_hash64(f"CAST({inner} AS VARCHAR) || '#b{i}'")
+            + " % 16380"
+        )
+
+    build_pos = " UNION ALL ".join(
+        f"SELECT {pos('o_orderkey', i)} AS pos FROM f" for i in (0, 1)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT k, {pos('k', i)} AS pos FROM probe" for i in (0, 1)
+    )
+    return f"""
+WITH f AS (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+), build AS ({build_pos}),
+words AS (
+  SELECT CAST(pos / 63 AS BIGINT) AS word,
+    CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS BIGINT)
+      AS mask
+  FROM (SELECT CAST(floor(pos) AS BIGINT) AS pos FROM build)
+  GROUP BY CAST(pos / 63 AS BIGINT)
+), probe AS (
+  SELECT DISTINCT l_orderkey AS k FROM lineitem
+), pp AS ({probe_pos}),
+hits AS (
+  SELECT pp.k, COUNT(*) AS nbits
+  FROM pp JOIN words ON words.word = CAST(pp.pos / 63 AS BIGINT)
+  WHERE (mask & (CAST(1 AS BIGINT) << CAST(pp.pos % 63 AS INT))) <> 0
+  GROUP BY pp.k
+), passed AS (SELECT k FROM hits WHERE nbits = 2),
+exact AS (SELECT DISTINCT p.k FROM probe p JOIN f ON f.o_orderkey = p.k),
+m AS (
+  SELECT CAST((SELECT COUNT(*) FROM f) AS BIGINT) AS n_build,
+    CAST((SELECT COUNT(*) FROM probe) AS BIGINT) AS n_probe,
+    CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_true,
+    CAST((SELECT COUNT(*) FROM passed) AS BIGINT) AS n_pass
+)
+SELECT n_build, n_probe, n_true, n_pass,
+  round(CAST(n_pass - n_true AS DOUBLE) / (n_probe - n_true), 6) AS fpr,
+  (CAST(n_pass - n_true AS DOUBLE) / (n_probe - n_true)
+     <= 1.5 * pow(1.0 - exp(-2.0 * n_build / 16380), 2) + 0.001)
+    AS fpr_ok
+FROM m
+"""
+
+
+@register(
+    "q345_bloom_semijoin",
+    oracle=_q345_oracle(),
+    tags=("join", "sketch"),
+)
+def q345_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning — the classic pre-shuffle
+    runtime filter (what Spark's own InjectRuntimeFilter does
+    internally, here built as an explicit, persistable operator): the
+    selective build side (urgent orders) condenses into a 16380-bit /
+    2-hash Bloom bitmap — 260 int64 words via one hash agg — which
+    broadcasts to the probe side and drops non-members BEFORE any
+    shuffle of the 100 TB fact table. The census proves the contract:
+    zero false negatives by construction (every true member passes,
+    asserted via n_pass ≥ n_true in the fpr arithmetic), and the
+    false-positive rate lands within 1.5× of the (1−e^{{-kn/m}})^k
+    theory bound — the bound is computed from the SAME integers on
+    both engines, so the boolean stays meaningful even when a bigger
+    sf saturates the fixed-size demo filter.
+
+    Portable md5 hashing → DuckDB rebuilds the bitmap word-for-word;
+    production swaps xxhash64 (the q71b rule). 63 usable bits per
+    word keep 1<<bit positive in both engines' signed int64.
+
+    Scale shape: build = hash agg to 260 words; probe = distinct keys
+    + broadcast-join membership test — the fact side never shuffles
+    on the build side's account."""
+    from ..functions.compat import portable_hash64
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    f = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+
+    def positions(df: DataFrame, key: str) -> DataFrame:
+        parts = [
+            df.select(
+                F.col(key).alias("k"),
+                (
+                    portable_hash64(
+                        F.concat(
+                            F.col(key).cast("string"), F.lit(f"#b{i}")
+                        )
+                    )
+                    % 16380
+                ).alias("pos"),
+            )
+            for i in (0, 1)
+        ]
+        return parts[0].unionAll(parts[1])
+
+    build = positions(f, "o_orderkey")
+    words = (
+        build.select(
+            (F.col("pos") / 63).cast("bigint").alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 63 AS INT))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").cast("bigint").alias("mask"))
+    )
+    probe = li.select(F.col("l_orderkey").alias("k")).distinct()
+    pp = positions(probe, "k").withColumn(
+        "word", (F.col("pos") / 63).cast("bigint")
+    )
+    hits = (
+        pp.join(F.broadcast(words), "word")
+        .filter(
+            F.expr("(mask & shiftleft(1L, CAST(pos % 63 AS INT))) <> 0")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("nbits"))
+    )
+    passed = hits.filter(F.col("nbits") == 2).select("k")
+    exact = probe.join(F.broadcast(f), probe.k == f.o_orderkey, "left_semi")
+    m = (
+        f.agg(F.count(F.lit(1)).cast("bigint").alias("n_build"))
+        .crossJoin(
+            F.broadcast(
+                probe.agg(F.count(F.lit(1)).cast("bigint").alias("n_probe"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                passed.agg(F.count(F.lit(1)).cast("bigint").alias("n_pass"))
+            )
+        )
+    )
+    fpr = (F.col("n_pass") - F.col("n_true")).cast("double") / (
+        F.col("n_probe") - F.col("n_true")
+    )
+    theory = 1.5 * F.pow(
+        F.lit(1.0) - F.exp(F.lit(-2.0) * F.col("n_build") / F.lit(16380)),
+        2,
+    ) + F.lit(0.001)
+    return m.select(
+        "n_build",
+        "n_probe",
+        "n_true",
+        "n_pass",
+        F.round(fpr, 6).alias("fpr"),
+        (fpr <= theory).alias("fpr_ok"),
+    )
