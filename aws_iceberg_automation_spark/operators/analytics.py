@@ -3944,3 +3944,60 @@ def q342_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to q341 — bucketing map + two hash aggs,
     then |sources|·64-bounded joins."""
     return _sql_twin(spark, sf_dir, _Q342_SQL, ["documents"])
+
+
+@register(
+    "q354_skyline_2d",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+), dm AS (SELECT d, CAST(MAX(v) AS BIGINT) AS mx FROM o GROUP BY d),
+bb AS (
+  SELECT a.d, MAX(b.mx) AS before_mx
+  FROM dm a LEFT JOIN dm b ON b.d < a.d
+  GROUP BY a.d
+)
+SELECT o.o_orderkey, o.d AS order_date, o.v AS price_cents
+FROM o JOIN dm ON dm.d = o.d JOIN bb ON bb.d = o.d
+WHERE o.v = dm.mx AND (bb.before_mx IS NULL OR o.v > bb.before_mx)
+""",
+    tags=("analytics",),
+)
+def q354_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) — the classic multi-criteria
+    operator: orders not DOMINATED on (earlier date, higher value);
+    what's left is the frontier a buyer scanning 'best value soonest'
+    actually considers. Decomposed scale-safely: dominance against
+    millions of rows reduces to the per-day maximum frame (hash agg)
+    plus a strictly-before max via theta self-join over the ≤|days|
+    frame — bounded by the calendar domain, never the data (the
+    q340/q341 rule; a global ORDER BY date running-max window is the
+    banned plan). Same-day value ties both survive, per skyline
+    semantics (neither strictly dominates).
+
+    Scale shape: one hash agg to days, |days|² bounded theta join,
+    one broadcast join back — the order table is scanned once."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    dm = o.groupBy("d").agg(F.max("v").cast("bigint").alias("mx"))
+    a, b = dm.alias("a"), dm.alias("b")
+    bb = (
+        a.join(b, F.col("b.d") < F.col("a.d"), "left")
+        .groupBy(F.col("a.d").alias("d"))
+        .agg(F.max("b.mx").alias("before_mx"))
+    )
+    return (
+        o.join(F.broadcast(dm), "d")
+        .join(F.broadcast(bb), "d")
+        .filter(
+            (F.col("v") == F.col("mx"))
+            & (F.col("before_mx").isNull() | (F.col("v") > F.col("before_mx")))
+        )
+        .select("o_orderkey", F.col("d").alias("order_date"),
+                F.col("v").alias("price_cents"))
+    )

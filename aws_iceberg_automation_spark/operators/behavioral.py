@@ -1641,3 +1641,332 @@ def q315_event_streak_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("run_len").cast("double") / F.count(F.lit(1)), 3
         ).alias("avg_run_len"),
     )
+
+
+@register(
+    "q350_dau_wau_stickiness",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(day(ts) AS BIGINT) AS d FROM events
+), dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
+grid AS (SELECT DISTINCT d FROM ud),
+wau AS (
+  SELECT g.d, COUNT(DISTINCT ud.user_id) AS wau
+  FROM grid g JOIN ud ON ud.d BETWEEN g.d - 6 AND g.d
+  GROUP BY g.d
+)
+SELECT dau.d AS day, CAST(dau AS BIGINT) AS dau,
+  CAST(wau AS BIGINT) AS wau,
+  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+FROM dau JOIN wau ON wau.d = dau.d
+""",
+    tags=("behavioral",),
+)
+def q350_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness — the engagement ratio every growth
+    dashboard tracks (what share of the week's actives showed up
+    today): rolling 7-day distinct users per day WITHOUT a
+    distinct-over-window (no such aggregate exists at scale) — the
+    (user, day) distinct frame theta-joins the ≤|days| broadcast day
+    grid, so each activity row fans out to ≤7 grid days and WAU is an
+    ordinary count-distinct hash agg per day.
+
+    Scale shape: distinct to (user, day) — the frame is bounded by
+    users×days, far under the event count — then a broadcast-grid
+    range join; no windows at all."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.dayofmonth("ts").cast("bigint").alias("d")
+    )
+    ud = e.distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    grid = ud.select("d").distinct().withColumnRenamed("d", "gd")
+    wau = (
+        ud.join(
+            F.broadcast(grid),
+            (F.col("d") >= F.col("gd") - 6) & (F.col("d") <= F.col("gd")),
+        )
+        .groupBy("gd")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.d == wau.gd)
+        .select(
+            F.col("d").alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+@register(
+    "q351_cohort_ltv_curve",
+    oracle="""
+WITH p AS (
+  SELECT user_id, CAST(day(ts) AS BIGINT) AS d,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), fw AS (
+  SELECT user_id,
+    CAST(floor((MIN(d) - 1) / 7.0) AS BIGINT) AS cohort_w
+  FROM p GROUP BY user_id
+), sizes AS (
+  SELECT cohort_w, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM fw GROUP BY cohort_w
+), rev AS (
+  SELECT f.cohort_w,
+    CAST(floor((p.d - 1) / 7.0) AS BIGINT) - f.cohort_w AS age_w,
+    CAST(SUM(p.cents) AS BIGINT) AS wk_rev
+  FROM p JOIN fw f ON f.user_id = p.user_id
+  GROUP BY f.cohort_w, CAST(floor((p.d - 1) / 7.0) AS BIGINT) - f.cohort_w
+), cum AS (
+  SELECT cohort_w, age_w, wk_rev,
+    SUM(wk_rev) OVER (PARTITION BY cohort_w ORDER BY age_w
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum_rev
+  FROM rev
+)
+SELECT c.cohort_w AS cohort_week, c.age_w AS age_weeks, s.n_users,
+  CAST(c.cum_rev AS BIGINT) AS cum_rev_cents,
+  round(CAST(c.cum_rev AS DOUBLE) / s.n_users / 100, 4) AS ltv_per_user
+FROM cum c JOIN sizes s ON s.cohort_w = c.cohort_w
+""",
+    tags=("behavioral",),
+)
+def q351_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve — cumulative revenue per acquisition
+    cohort by cohort AGE (the revenue twin of q98's retention
+    triangle; retention says who came back, LTV says what that was
+    worth): cohort = first-purchase week, curve = running revenue per
+    cohort member. Revenue rides as exact integer cents; the only
+    window is PARTITIONED by cohort over the ≤|weeks| aggregate
+    frame.
+
+    Scale shape: filter → per-user min (hash agg) → broadcast-join
+    cohorts back → hash agg to (cohort, age) → bounded window; the
+    event table is touched once."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.dayofmonth("ts").cast("bigint").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    fw = p.groupBy("user_id").agg(
+        F.floor((F.min("d") - 1) / 7.0).cast("bigint").alias("cohort_w")
+    )
+    sizes = fw.groupBy("cohort_w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    rev = (
+        p.join(F.broadcast(fw), "user_id")
+        .withColumn(
+            "age_w",
+            F.floor((F.col("d") - 1) / 7.0).cast("bigint")
+            - F.col("cohort_w"),
+        )
+        .groupBy("cohort_w", "age_w")
+        .agg(F.sum("cents").cast("bigint").alias("wk_rev"))
+    )
+    w = Window.partitionBy("cohort_w").orderBy("age_w").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = rev.withColumn("cum_rev", F.sum("wk_rev").over(w))
+    return cum.join(F.broadcast(sizes), "cohort_w").select(
+        F.col("cohort_w").alias("cohort_week"),
+        F.col("age_w").alias("age_weeks"),
+        "n_users",
+        F.col("cum_rev").cast("bigint").alias("cum_rev_cents"),
+        F.round(
+            F.col("cum_rev").cast("double") / F.col("n_users") / 100, 4
+        ).alias("ltv_per_user"),
+    )
+
+
+@register(
+    "q352_entry_exit_census",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_type,
+    epoch(date_trunc('second', ts)) AS es, event_id
+  FROM events
+), m AS (
+  SELECT user_id, event_type, es, event_id,
+    MAX(es) OVER (PARTITION BY user_id ORDER BY es, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS prev
+  FROM t
+), f AS (
+  SELECT user_id, event_type, es, event_id,
+    SUM(CASE WHEN prev IS NULL OR es - prev > 1800 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY es, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM m
+), ranked AS (
+  SELECT user_id, sid, event_type, es, event_id,
+    row_number() OVER (PARTITION BY user_id, sid
+                       ORDER BY es, event_id) AS rk_in,
+    row_number() OVER (PARTITION BY user_id, sid
+                       ORDER BY es DESC, event_id DESC) AS rk_out
+  FROM f
+), pairs AS (
+  SELECT a.user_id, a.sid, a.event_type AS entry_type,
+    b.event_type AS exit_type
+  FROM (SELECT * FROM ranked WHERE rk_in = 1) a
+  JOIN (SELECT * FROM ranked WHERE rk_out = 1) b
+    ON b.user_id = a.user_id AND b.sid = a.sid
+)
+SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM pairs GROUP BY entry_type, exit_type
+""",
+    tags=("behavioral",),
+)
+def q352_entry_exit_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry/exit census — the landing-page/exit-page analysis
+    of web analytics generalized to event types: per 30-min-gap
+    session, which event type OPENED it and which CLOSED it, counted
+    over the (entry, exit) matrix. Top-of-funnel anomalies (sessions
+    opening with 'error') and abandonment signatures (closing on
+    'view') both read straight off this frame.
+
+    Plan discipline: sessionization is the shared lag/cumulative-flag
+    pair, entries/exits are two per-(user, session) PARTITIONED
+    row_numbers with full (time, event_id) tiebreaks — deterministic
+    under any partitioning; the census is one hash agg.
+
+    Scale shape: all windows keyed by user — the event table sorts
+    once per user partition; output is ≤ |event types|²."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_secs("ts").alias("es"), "event_id"
+    )
+    wo = Window.partitionBy("user_id").orderBy("es", "event_id")
+    m = e.withColumn(
+        "prev", F.max("es").over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    f = m.withColumn(
+        "sid",
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("es") - F.col("prev") > 1800),
+                1,
+            ).otherwise(0)
+        ).over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "sid")
+    ranked = f.withColumn(
+        "rk_in", F.row_number().over(ws.orderBy("es", "event_id"))
+    ).withColumn(
+        "rk_out",
+        F.row_number().over(
+            ws.orderBy(F.col("es").desc(), F.col("event_id").desc())
+        ),
+    )
+    entry = ranked.filter(F.col("rk_in") == 1).select(
+        "user_id", "sid", F.col("event_type").alias("entry_type")
+    )
+    exit_ = ranked.filter(F.col("rk_out") == 1).select(
+        "user_id", "sid", F.col("event_type").alias("exit_type")
+    )
+    return (
+        entry.join(exit_, ["user_id", "sid"])
+        .groupBy("entry_type", "exit_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    )
+
+
+@register(
+    "q353_fifo_allocation",
+    oracle="""
+WITH d AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+    CAST(l_quantity AS BIGINT) AS q,
+    epoch(date_trunc('second', l_shipdate)) AS es
+  FROM lineitem
+), cum AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber, q,
+    SUM(q) OVER (PARTITION BY l_suppkey
+                 ORDER BY es, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cq
+  FROM d
+), alloc AS (
+  SELECT l_suppkey, q,
+    GREATEST(CAST(0 AS BIGINT),
+             LEAST(q, 500 - (cq - q))) AS filled
+  FROM cum
+)
+SELECT l_suppkey AS s_suppkey,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CASE WHEN filled = q THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+  CAST(SUM(CASE WHEN filled > 0 AND filled < q THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_partial,
+  CAST(SUM(CASE WHEN filled = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unfilled,
+  CAST(SUM(filled) AS BIGINT) AS units_filled
+FROM alloc GROUP BY l_suppkey
+""",
+    tags=("behavioral", "analytics"),
+)
+def q353_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO stock allocation — the order-fulfillment kernel (each
+    supplier holds a 500-unit budget; line items consume it in
+    ship-date order; later lines get partial or zero fills): the
+    greedy sequential semantics collapse to CLOSED FORM over a
+    per-supplier cumulative sum — filled = clamp(budget − cum_before,
+    0, qty) — because FIFO with a fixed budget never revisits a
+    decision. No iterative loop, no applyInPandas: one partitioned
+    window over exact integer quantities (full (date, order, line)
+    tiebreak), one clamp, one census agg.
+
+    The contrast with q295 (clamped running balance, which needs a
+    genuine sequential scan because its clamp FEEDS BACK into the
+    running state) is the design point: recognize when the recurrence
+    is prefix-decomposable and stay declarative.
+
+    Scale shape: one window partitioned by supplier + one hash agg;
+    output is |suppliers| rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        epoch_secs("l_shipdate").alias("es"),
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "es", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    cum = li.withColumn("cq", F.sum("q").over(w))
+    alloc = cum.withColumn(
+        "filled",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(F.col("q"), F.lit(500) - (F.col("cq") - F.col("q"))),
+        ),
+    )
+    return alloc.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("filled") == F.col("q"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_full"),
+        F.sum(
+            F.when(
+                (F.col("filled") > 0) & (F.col("filled") < F.col("q")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_partial"),
+        F.sum(F.when(F.col("filled") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unfilled"),
+        F.sum("filled").cast("bigint").alias("units_filled"),
+    ).select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        "n_lines",
+        "n_full",
+        "n_partial",
+        "n_unfilled",
+        "units_filled",
+    )

@@ -1485,3 +1485,240 @@ def q316_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best_click").isNotNull().alias("attributed"),
         )
     )
+
+
+@register(
+    "q348_max_drawdown",
+    oracle="""
+WITH t AS (
+  SELECT user_id, epoch(date_trunc('second', ts)) AS es, event_id,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), cum AS (
+  SELECT user_id, es, event_id,
+    SUM(cents) OVER (PARTITION BY user_id ORDER BY es, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS bal
+  FROM t
+), dd AS (
+  SELECT user_id, es, event_id, bal,
+    MAX(bal) OVER (PARTITION BY user_id ORDER BY es, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - bal AS draw
+  FROM cum
+), agg AS (
+  SELECT user_id, CAST(MAX(draw) AS BIGINT) AS max_dd_cents,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(MAX(bal) AS BIGINT) AS peak_cents
+  FROM dd GROUP BY user_id
+)
+SELECT user_id, max_dd_cents, peak_cents, n_events, rk FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY max_dd_cents DESC, user_id) AS rk
+  FROM agg)
+WHERE rk <= 25
+""",
+    tags=("timeseries",),
+)
+def q348_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user — THE risk statistic of any
+    cumulative series (portfolio equity, credits balance, points):
+    dd(t) = running_max(balance) − balance(t), reported at its
+    per-user max with the peak it fell from. Cumulative sum and
+    running max are one pass of per-user PARTITIONED windows over
+    exact integer cents — order-tied on (second, event_id) so replays
+    are bit-stable; top-25 via the windowless pre-bounded rank.
+
+    Scale shape: two stacked windows on the same (user) partitioning
+    — one sort, no extra exchange (Catalyst folds same-spec windows);
+    the rank runs on the |users| aggregate frame."""
+    from ..functions.ranking import topn_ranked
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        epoch_secs("ts").alias("es"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = e.withColumn("bal", F.sum("cents").over(w))
+    dd = cum.withColumn("draw", F.max("bal").over(w) - F.col("bal"))
+    agg = dd.groupBy("user_id").agg(
+        F.max("draw").cast("bigint").alias("max_dd_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("bal").cast("bigint").alias("peak_cents"),
+    )
+    return topn_ranked(
+        agg, [F.col("max_dd_cents").desc(), F.col("user_id")], 25
+    ).select("user_id", "max_dd_cents", "peak_cents", "n_events", "rk")
+
+
+@register(
+    "q349_ltob_downsample",
+    oracle="""
+WITH t AS (
+  SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+    epoch(date_trunc('second', ts)) AS x, event_id,
+    CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+), b AS (
+  SELECT event_type, d, CAST(SUM(x) AS BIGINT) AS sx,
+    CAST(SUM(y) AS BIGINT) AS sy, COUNT(*) AS n
+  FROM t GROUP BY event_type, d
+), ctx AS (
+  SELECT c.event_type, c.d,
+    CAST(p.sx AS DOUBLE) / p.n AS px, CAST(p.sy AS DOUBLE) / p.n AS py,
+    CAST(nx.sx AS DOUBLE) / nx.n AS qx, CAST(nx.sy AS DOUBLE) / nx.n AS qy
+  FROM b c
+  JOIN b p ON p.event_type = c.event_type AND p.d = c.d - 1
+  JOIN b nx ON nx.event_type = c.event_type AND nx.d = c.d + 1
+), scored AS (
+  SELECT t.event_type, t.d, t.event_id, t.y,
+    round(ABS((t.x - ctx.px) * (ctx.qy - ctx.py)
+              - (ctx.qx - ctx.px) * (t.y - ctx.py)), 4) AS area2
+  FROM t JOIN ctx ON ctx.event_type = t.event_type AND ctx.d = t.d
+)
+SELECT event_type, d AS day, event_id AS kept_event_id,
+  y AS kept_cents, area2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type, d
+    ORDER BY area2 DESC, event_id) AS rk
+  FROM scored)
+WHERE rk = 1
+""",
+    tags=("timeseries",),
+)
+def q349_ltob_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-One-Bucket downsampling — the standard
+    visualization decimator (keep the point per bucket that subtends
+    the largest triangle with its neighbor buckets' centroids, so
+    spikes survive where naive bucket-averages flatten them): one
+    point per (event_type, day), neighbors = adjacent days' mean
+    points. LTOB is chosen over LTTB because its buckets are
+    INDEPENDENT — per-bucket argmax parallelizes embarrassingly,
+    while LTTB's selected-previous-point chain is inherently
+    sequential (the documented tradeoff).
+
+    Numerics: bucket centroids are exact-int ratios (identical
+    doubles), the 2×area is pure arithmetic on those, rounded to 4
+    BEFORE the argmax with an event_id tiebreak — rounding ties
+    cannot flip the kept point.
+
+    Scale shape: one hash agg to buckets, self-join on day±1
+    (equi-join on the bucket frame), then a per-bucket PARTITIONED
+    rank — never a global window; edge buckets drop out by the inner
+    join, by design."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofmonth("ts").cast("bigint").alias("d"),
+        epoch_secs("ts").alias("x"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    b = e.groupBy("event_type", "d").agg(
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    p = b.select(
+        "event_type",
+        (F.col("d") + 1).alias("d"),
+        (F.col("sx").cast("double") / F.col("n")).alias("px"),
+        (F.col("sy").cast("double") / F.col("n")).alias("py"),
+    )
+    nx = b.select(
+        "event_type",
+        (F.col("d") - 1).alias("d"),
+        (F.col("sx").cast("double") / F.col("n")).alias("qx"),
+        (F.col("sy").cast("double") / F.col("n")).alias("qy"),
+    )
+    ctx = p.join(nx, ["event_type", "d"])
+    scored = e.join(ctx, ["event_type", "d"]).withColumn(
+        "area2",
+        F.round(
+            F.abs(
+                (F.col("x") - F.col("px")) * (F.col("qy") - F.col("py"))
+                - (F.col("qx") - F.col("px")) * (F.col("y") - F.col("py"))
+            ),
+            4,
+        ),
+    )
+    w = Window.partitionBy("event_type", "d").orderBy(
+        F.col("area2").desc(), F.col("event_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("day"),
+            F.col("event_id").alias("kept_event_id"),
+            F.col("y").alias("kept_cents"),
+            "area2",
+        )
+    )
+
+
+@register(
+    "q355_rolling_ols_slope",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY event_type, day(ts)
+), w AS (
+  SELECT event_type, d, y,
+    COUNT(*) OVER win AS n,
+    CAST(SUM(d) OVER win AS BIGINT) AS sx,
+    CAST(SUM(y) OVER win AS BIGINT) AS sy,
+    CAST(SUM(d * y) OVER win AS BIGINT) AS sxy,
+    CAST(SUM(d * d) OVER win AS BIGINT) AS sxx
+  FROM daily
+  WINDOW win AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, d AS day, y AS day_cents,
+  round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 4)
+    AS slope_7d
+FROM w WHERE n = 7
+""",
+    tags=("timeseries",),
+)
+def q355_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day regression slope of daily revenue — the trend
+    detector that, unlike a moving-average delta, weights every point
+    in the window (q334's exact-moment OLS composed with q205's
+    rolling-frame discipline): the four sufficient sums ride as
+    windowed integer aggregates over the per-(type, day) frame, slope
+    is one double division, rounded 4. Windows are PARTITIONED by
+    event_type over the ≤|days| daily frame — post-aggregate, so the
+    window input is bounded by the calendar, not the event count.
+
+    Scale shape: one hash agg events → (type, day), then constant-
+    width windows on the tiny frame; n = 7 gates out warm-up rows."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofmonth("ts").cast("bigint").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = e.groupBy("event_type", "d").agg(
+        F.sum("cents").cast("bigint").alias("y")
+    )
+    win = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    w = (
+        daily.withColumn("n", F.count(F.lit(1)).over(win))
+        .withColumn("sx", F.sum("d").over(win).cast("bigint"))
+        .withColumn("sy", F.sum("y").over(win).cast("bigint"))
+        .withColumn("sxy", F.sum(F.col("d") * F.col("y")).over(win).cast("bigint"))
+        .withColumn("sxx", F.sum(F.col("d") * F.col("d")).over(win).cast("bigint"))
+        .filter(F.col("n") == 7)
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return w.select(
+        "event_type",
+        F.col("d").alias("day"),
+        F.col("y").alias("day_cents"),
+        F.round(num.cast("double") / den, 4).alias("slope_7d"),
+    )
