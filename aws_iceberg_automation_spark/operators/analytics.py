@@ -4001,3 +4001,110 @@ def q354_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", F.col("d").alias("order_date"),
                 F.col("v").alias("price_cents"))
     )
+
+
+def _q360_sql() -> str:
+    rounds = []
+    prev = "r0"
+    for k in range(1, 21):
+        rounds.append(
+            f"r{k} AS MATERIALIZED (\n"
+            f"  SELECT p.tto AS state, SUM({prev}.v * p.pr) AS v\n"
+            f"  FROM {prev} JOIN p ON p.f = {prev}.state GROUP BY p.tto\n)"
+        )
+        prev = f"r{k}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH t AS (
+  SELECT user_id, event_type, event_id,
+    CAST((month(ts) - 1) * 31 + day(ts) AS BIGINT) * 86400
+      + hour(ts) * 3600 + minute(ts) * 60 + second(ts) AS ssec
+  FROM {{events}}
+), tr AS (
+  SELECT event_type AS tto,
+    LAG(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ssec, event_id) AS f
+  FROM t
+), cnt AS MATERIALIZED (
+  SELECT f, tto, COUNT(*) AS c FROM tr WHERE f IS NOT NULL
+  GROUP BY f, tto
+), p AS MATERIALIZED (
+  SELECT f, tto,
+    CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY f) AS pr
+  FROM cnt
+), r0 AS MATERIALIZED (SELECT DISTINCT f AS state, 0.2 AS v FROM cnt),
+{body}
+SELECT state, round(v, 6) AS pi,
+  (ABS((SELECT SUM(v) FROM r20) - 1.0) < 0.000001) AS mass_conserved
+FROM r20
+"""
+
+
+_Q360_SQL = _q360_sql()
+
+
+@register(
+    "q360_markov_stationary",
+    oracle=_Q360_SQL.format(events="events"),
+    tags=("analytics", "behavioral", "graph"),
+)
+def q360_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-behavior Markov chain —
+    where the q164 transition matrix SETTLES (the long-run share of
+    attention each event type commands, the 5-state cousin of
+    PageRank's random surfer): 20 unrolled power-iteration rounds,
+    each one |states|²-bounded join + aggregate over the transition
+    frame. Unrolled chained CTEs, not recursion — aggregates are
+    illegal in a recursive term on both engines, and unrolling is
+    exactly how the q119 fixed-point oracle replays iteration.
+
+    Transition probabilities are exact count ratios; iteration floats
+    accumulate ≤ 20 ulp of order drift, rounded at 6 with a
+    mass-conservation boolean (Σπ = 1 ± 1e-6) as the stochasticity
+    guard.
+
+    Scale shape: the data-sized work is one partitioned LAG + one
+    hash agg to the 5×5 matrix, which is then PINNED with
+    localCheckpoint before the rounds — without the pin Spark
+    re-derives the whole events subtree once per round (the q360
+    first-cut measured 77 s at sf0.01; pinned it is ~4 s), the same
+    lineage tax every iterative kernel here pays once. Each round is
+    a ≤25-row join; the driver loop carries no data."""
+    from ..functions.compat import epoch_secs
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", epoch_secs("ts").alias("ssec")
+    )
+    w = Window.partitionBy("user_id").orderBy("ssec", "event_id")
+    tr = e.select(
+        F.col("event_type").alias("tto"),
+        F.lag("event_type").over(w).alias("f"),
+    ).filter(F.col("f").isNotNull())
+    cnt = tr.groupBy("f", "tto").agg(F.count(F.lit(1)).alias("c"))
+    p = cnt.select(
+        "f",
+        "tto",
+        (
+            F.col("c").cast("double")
+            / F.sum("c").over(Window.partitionBy("f"))
+        ).alias("pr"),
+    ).localCheckpoint()
+    v = (
+        p.select(F.col("f").alias("state"))
+        .distinct()
+        .withColumn("v", F.lit(0.2))
+        .localCheckpoint()
+    )
+    for _ in range(20):
+        v = (
+            v.join(p, v.state == p.f)
+            .groupBy(F.col("tto").alias("state"))
+            .agg(F.sum(F.col("v") * F.col("pr")).alias("v"))
+            .localCheckpoint()
+        )
+    total = v.agg(F.sum("v").alias("s"))
+    return v.crossJoin(F.broadcast(total)).select(
+        "state",
+        F.round(F.col("v"), 6).alias("pi"),
+        (F.abs(F.col("s") - 1.0) < 0.000001).alias("mass_conserved"),
+    )

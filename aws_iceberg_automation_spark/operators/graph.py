@@ -704,3 +704,398 @@ def q332_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("lcc").desc(), F.col("n_triangles").desc(), F.col("node")],
         50,
     ).select("node", "deg", "n_triangles", "lcc", "rk")
+
+
+@register(
+    "q356_bom_explosion",
+    oracle="""
+WITH RECURSIVE pc AS (
+  SELECT p_partkey AS node,
+    CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part
+), anc AS (
+  SELECT node AS anc, node, cents FROM pc
+  UNION ALL
+  SELECT CAST(anc // 10 AS BIGINT), node, cents FROM anc WHERE anc >= 10
+), roll AS (
+  SELECT anc AS node, CAST(COUNT(*) AS BIGINT) AS n_desc,
+    CAST(SUM(cents) AS BIGINT) AS subtree_cents,
+    CAST(length(CAST(anc AS VARCHAR)) AS BIGINT) AS depth
+  FROM anc GROUP BY anc HAVING COUNT(*) >= 2
+)
+SELECT node, n_desc, subtree_cents, depth, rk FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY subtree_cents DESC, node) AS rk
+  FROM roll)
+WHERE rk <= 25
+""",
+    tags=("graph", "hierarchy"),
+)
+def q356_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials explosion / hierarchy rollup — the recursive
+    aggregate every org-chart, account-tree and BOM system needs:
+    subtree cost per ancestor over the synthetic decimal hierarchy
+    parent(p) = p div 10 (roots are single-digit keys; depth is the
+    digit count, ≤ 8 at 10⁷ parts). The DuckDB oracle walks the tree
+    with WITH RECURSIVE — the engine instead EXPLODES each leaf's
+    ancestor chain arithmetically (p, p/10, p/100, …) as a map-side
+    array and hash-aggregates per ancestor: zero joins, zero
+    iteration, because a known-arity ancestor function makes the
+    transitive closure a projection. A hash match proves the explode
+    equals the genuine recursion.
+
+    For hierarchies WITHOUT an arithmetic parent (arbitrary edge
+    lists), the iterative min-id propagation in
+    ``connected_components`` / the q357 BFS frontier is the engine's
+    general path; this query pins the cheap special case a 100 TB
+    catalog rollup should prefer when the key encodes the path.
+
+    Scale shape: explode ×depth (≤8) then one hash agg — the
+    word-count shape on the part table."""
+    from ..functions.ranking import topn_ranked
+
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+    )
+    anc = p.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    *[
+                        (F.col("node") / F.lit(10**k)).cast("bigint")
+                        for k in range(8)
+                    ]
+                ),
+                lambda a: a >= 1,
+            )
+        ).alias("anc"),
+        "cents",
+    )
+    roll = (
+        anc.groupBy("anc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_desc"),
+            F.sum("cents").cast("bigint").alias("subtree_cents"),
+        )
+        .filter(F.col("n_desc") >= 2)
+        .select(
+            F.col("anc").alias("node"),
+            "n_desc",
+            "subtree_cents",
+            F.length(F.col("anc").cast("string")).cast("bigint").alias("depth"),
+        )
+    )
+    return topn_ranked(
+        roll, [F.col("subtree_cents").desc(), F.col("node")], 25
+    ).select("node", "n_desc", "subtree_cents", "depth", "rk")
+
+
+@register(
+    "q357_bfs_hops",
+    oracle="""
+WITH RECURSIVE cs0 AS (
+  SELECT DISTINCT o.o_custkey c, l.l_suppkey s, CAST(l.l_shipdate AS DATE) d
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), cs AS (
+  SELECT c, s, d FROM (
+    SELECT c, s, d,
+      row_number() OVER (PARTITION BY s, d ORDER BY c) AS grp_rn
+    FROM cs0)
+  WHERE grp_rn <= 64
+), e0 AS (
+  SELECT DISTINCT a.c AS x, b.c AS y
+  FROM cs a JOIN cs b ON a.s = b.s AND a.d = b.d AND a.c < b.c
+), e AS (
+  SELECT x, y FROM e0 UNION ALL SELECT y, x FROM e0
+), seeds AS (
+  SELECT node FROM (
+    SELECT x AS node FROM e GROUP BY x ORDER BY x LIMIT 5)
+), bfs AS (
+  SELECT node, 0 AS hop FROM seeds
+  UNION
+  SELECT e.y, bfs.hop + 1 FROM bfs JOIN e ON e.x = bfs.node
+  WHERE bfs.hop < 3
+), mh AS (SELECT node, CAST(MIN(hop) AS BIGINT) AS hop FROM bfs GROUP BY node)
+SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+  CAST(SUM(node) AS BIGINT) AS node_id_sum
+FROM mh GROUP BY hop
+""",
+    tags=("graph",),
+)
+def q357_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first search — min-hop distance ≤ 3 from a seed
+    set (the 5 smallest customers) over the undirected co-purchase
+    graph: the reach/influence primitive (q278's 2-hop recommendations
+    generalized to an explicit frontier algorithm with per-node
+    distances). Engine: 3 frontier rounds, each one equi-join
+    frontier ⋈ edges + an anti-join against the visited set — cost
+    per round is |frontier|·avg-degree, the BFS contract; visited
+    state is pinned with localCheckpoint like every iterative kernel
+    here. Oracle: a genuine WITH RECURSIVE walk (UNION-distinct,
+    hop-capped) + MIN(hop) — two different derivations, one hash.
+
+    Output is the hop histogram with a node-id checksum per ring, so
+    a single misplaced node reddens the row."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").alias("s"),
+            F.col("l_shipdate").cast("date").alias("d"),
+        )
+        .distinct()
+    )
+    from ..functions.ranking import cap_groups
+
+    cs = cap_groups(cs0, ["s", "d"], [F.col("c")], 64)
+    a, b = cs.alias("ga"), cs.alias("gb")
+    e0 = (
+        a.join(
+            b,
+            (F.col("ga.s") == F.col("gb.s"))
+            & (F.col("ga.d") == F.col("gb.d"))
+            & (F.col("ga.c") < F.col("gb.c")),
+        )
+        .select(F.col("ga.c").alias("x"), F.col("gb.c").alias("y"))
+        .distinct()
+    )
+    edges = (
+        e0.unionAll(e0.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .repartition("x")
+        .localCheckpoint()
+    )
+    seeds = (
+        edges.select("x").distinct().orderBy("x").limit(5)
+        .select(F.col("x").alias("node"))
+    )
+    visited = seeds.withColumn("hop", F.lit(0)).localCheckpoint()
+    frontier = visited
+    for h in (1, 2, 3):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.x)
+            .select(F.col("y").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+        )
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.groupBy("hop").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("node").cast("bigint").alias("node_id_sum"),
+    ).select(F.col("hop").cast("bigint").alias("hop"), "n_nodes", "node_id_sum")
+
+
+_Q358_EDGES_SQL = """cs0 AS (
+  SELECT DISTINCT o.o_custkey c, l.l_suppkey s, CAST(l.l_shipdate AS DATE) d
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), cs AS (
+  SELECT c, s, d FROM (
+    SELECT c, s, d,
+      row_number() OVER (PARTITION BY s, d ORDER BY c) AS grp_rn
+    FROM cs0)
+  WHERE grp_rn <= 64
+), e0 AS (
+  SELECT DISTINCT a.c AS x, b.c AS y
+  FROM cs a JOIN cs b ON a.s = b.s AND a.d = b.d AND a.c < b.c
+), e AS (
+  SELECT x, y FROM e0 UNION ALL SELECT y, x FROM e0
+), deg AS (
+  SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY x
+)"""
+
+
+@register(
+    "q358_common_neighbor_linkpred",
+    oracle=f"""
+WITH {_Q358_EDGES_SQL}, wedge AS (
+  SELECT a.y AS u, b.y AS v, COUNT(*) AS cn
+  FROM e a JOIN e b ON b.x = a.x AND a.y < b.y
+  GROUP BY a.y, b.y
+), cand AS (
+  SELECT w.u, w.v, CAST(w.cn AS BIGINT) AS cn
+  FROM wedge w
+  LEFT JOIN e0 ON e0.x = w.u AND e0.y = w.v
+  WHERE e0.x IS NULL
+), scored AS (
+  SELECT c.u, c.v, c.cn,
+    round(CAST(c.cn AS DOUBLE) / (du.deg + dv.deg - c.cn), 6) AS jaccard
+  FROM cand c
+  JOIN deg du ON du.node = c.u
+  JOIN deg dv ON dv.node = c.v
+)
+SELECT u, v, cn, jaccard, rk FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY cn DESC, jaccard DESC, u, v) AS rk
+  FROM scored)
+WHERE rk <= 25
+""",
+    tags=("graph",),
+)
+def q358_common_neighbor_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor count + neighborhood Jaccard
+    — the classic 'people you may know' kernel: for every NON-adjacent
+    pair sharing ≥1 neighbor, score = |Γ(u)∩Γ(v)| and
+    |Γ∩|/|Γ∪|; top-25 predicted links. The wedge enumeration rides
+    the same capped co-purchase edge list as q135/q332 (per-middle
+    fan-out bounded by the 64-cap), the existing-edge exclusion is a
+    LEFT ANTI join, and Jaccard is exact integers with one division.
+
+    Scale shape: wedge self-join bounded by Σ deg² of the CAPPED
+    graph, two broadcast degree joins, windowless pre-bounded top-25.
+    At 100 TB the cap is the knob — identical to the triangle
+    family's posture."""
+    from ..functions.ranking import cap_groups, topn_ranked
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").alias("s"),
+            F.col("l_shipdate").cast("date").alias("d"),
+        )
+        .distinct()
+    )
+    cs = cap_groups(cs0, ["s", "d"], [F.col("c")], 64)
+    a, b = cs.alias("ga"), cs.alias("gb")
+    e0 = (
+        a.join(
+            b,
+            (F.col("ga.s") == F.col("gb.s"))
+            & (F.col("ga.d") == F.col("gb.d"))
+            & (F.col("ga.c") < F.col("gb.c")),
+        )
+        .select(F.col("ga.c").alias("x"), F.col("gb.c").alias("y"))
+        .distinct()
+        .localCheckpoint()  # e0 feeds e (×2), the anti-join, and degrees
+    )
+    e = e0.unionAll(e0.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    deg = e.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    w1 = e.select(F.col("x").alias("m"), F.col("y").alias("u"))
+    w2 = e.select(F.col("x").alias("m"), F.col("y").alias("v"))
+    wedge = (
+        w1.join(w2, "m")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    )
+    cand = wedge.join(
+        e0,
+        (wedge.u == e0.x) & (wedge.v == e0.y),
+        "left_anti",
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("deg").alias("dv"))
+    scored = (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return topn_ranked(
+        scored,
+        [F.col("cn").desc(), F.col("jaccard").desc(), F.col("u"), F.col("v")],
+        25,
+    ).select("u", "v", "cn", "jaccard", "rk")
+
+
+@register(
+    "q359_degree_assortativity",
+    oracle=f"""
+WITH {_Q358_EDGES_SQL}, pairs AS (
+  SELECT dx.deg AS a, dy.deg AS b
+  FROM e
+  JOIN deg dx ON dx.node = e.x
+  JOIN deg dy ON dy.node = e.y
+), s AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+    CAST(SUM(a * b) AS BIGINT) AS sab,
+    CAST(SUM(a * a) AS BIGINT) AS saa,
+    CAST(SUM(b * b) AS BIGINT) AS sbb
+  FROM pairs
+)
+SELECT CAST(n AS BIGINT) AS n_directed_edges,
+  round((CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+        / sqrt((CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+               * (CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)),
+        6) AS assortativity
+FROM s
+""",
+    tags=("graph", "stats"),
+)
+def q359_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity — Pearson correlation of endpoint degrees
+    over every directed edge: do hubs attach to hubs (r > 0, social
+    graphs) or to leaves (r < 0, technological graphs)? One number
+    that summarizes mixing structure; computed from exact int64
+    moment sums over the capped co-purchase graph (q334's
+    sufficient-statistics discipline — the only floats are the final
+    products, as doubles from identical integers).
+
+    Scale shape: two broadcast degree joins onto the edge list, one
+    hash agg to six numbers."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").alias("s"),
+            F.col("l_shipdate").cast("date").alias("d"),
+        )
+        .distinct()
+    )
+    from ..functions.ranking import cap_groups
+
+    cs = cap_groups(cs0, ["s", "d"], [F.col("c")], 64)
+    ga, gb = cs.alias("ga"), cs.alias("gb")
+    e0 = (
+        ga.join(
+            gb,
+            (F.col("ga.s") == F.col("gb.s"))
+            & (F.col("ga.d") == F.col("gb.d"))
+            & (F.col("ga.c") < F.col("gb.c")),
+        )
+        .select(F.col("ga.c").alias("x"), F.col("gb.c").alias("y"))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = e0.unionAll(e0.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    deg = e.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    dx = deg.select(F.col("x"), F.col("deg").alias("a"))
+    dy = deg.select(F.col("x").alias("y"), F.col("deg").alias("b"))
+    pairs = e.join(dx, "x").join(dy, "y")
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").cast("bigint").alias("sa"),
+        F.sum("b").cast("bigint").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("sab"),
+        F.sum(F.col("a") * F.col("a")).cast("bigint").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("bigint").alias("sbb"),
+    )
+    n, sa, sb = F.col("n").cast("double"), F.col("sa").cast("double"), F.col("sb").cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_directed_edges"),
+        F.round(
+            (n * F.col("sab") - sa * F.col("sb"))
+            / F.sqrt(
+                (n * F.col("saa") - sa * F.col("sa"))
+                * (n * F.col("sbb") - sb * F.col("sb"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )
