@@ -4108,3 +4108,129 @@ def q360_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("v"), 6).alias("pi"),
         (F.abs(F.col("s") - 1.0) < 0.000001).alias("mass_conserved"),
     )
+
+
+@register(
+    "q365_isoweek_rollup",
+    oracle=f"""
+SELECT CAST(isoyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_year,
+  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  {sql_dsum("CAST(o_totalprice AS DECIMAL(12,2))", "revenue")}
+FROM orders
+GROUP BY 1, 2
+""",
+    tags=("analytics", "scalar"),
+)
+def q365_isoweek_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 week rollup — the calendar trap every weekly report
+    hits: early-January days belong to the PREVIOUS iso-year's week
+    52/53 (and late-December to week 1 of the next), so grouping by
+    (year(d), weekofyear(d)) silently splits those weeks into
+    phantom buckets. The correct key is (YEAROFWEEK, weekofyear) —
+    verified here cross-engine (Spark extract(YEAROFWEEK) ≡ DuckDB
+    isoyear, both ISO), with exact decimal revenue.
+
+    Scale shape: map-side calendar functions + one hash agg — the
+    value is the SEMANTIC parity pin, not the plan."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.expr("extract(YEAROFWEEK FROM CAST(o_orderdate AS DATE))")
+            .cast("bigint")
+            .alias("iso_year"),
+            F.weekofyear(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("iso_week"),
+            dec2("o_totalprice").alias("p"),
+        )
+        .groupBy("iso_year", "iso_week")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum(F.col("p"), "revenue"),
+        )
+    )
+
+
+@register(
+    "q368_pareto_share",
+    oracle="""
+WITH cust AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey,
+    CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_mktsegment, o.o_custkey
+), ranked AS (
+  SELECT seg, rev,
+    row_number() OVER (PARTITION BY seg
+                       ORDER BY rev DESC, o_custkey) AS rk,
+    SUM(rev) OVER (PARTITION BY seg ORDER BY rev DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum,
+    SUM(rev) OVER (PARTITION BY seg) AS tot,
+    COUNT(*) OVER (PARTITION BY seg) AS n
+  FROM cust
+)
+SELECT seg AS c_mktsegment, CAST(MAX(n) AS BIGINT) AS n_customers,
+  round(CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN rk END)
+             AS DOUBLE) / MAX(n), 6) AS cust_frac_rev50,
+  round(CAST(MIN(CASE WHEN cum * 100 >= tot * 80 THEN rk END)
+             AS DOUBLE) / MAX(n), 6) AS cust_frac_rev80,
+  round(CAST(MIN(CASE WHEN cum * 100 >= tot * 90 THEN rk END)
+             AS DOUBLE) / MAX(n), 6) AS cust_frac_rev90
+FROM ranked GROUP BY seg
+""",
+    tags=("analytics",),
+)
+def q368_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto revenue concentration — 'what fraction of customers
+    produce 50/80/90% of revenue' per market segment, the 80/20
+    readout q188's fixed deciles can't answer directly (it bins
+    customers evenly; this inverts the curve at given REVENUE
+    levels). Customers rank by exact integer revenue within their
+    segment (PARTITIONED window with full tiebreaks); the crossing
+    rank is an integer cross-multiplied pick, divided once.
+
+    Scale shape: hash agg to (segment, customer), partitioned
+    window over the customer frame, final 5-row agg. The window
+    input is |customers| — at extreme scale swap in the
+    counts-of-counts decomposition (q336's Gini trick); at any
+    realistic segment cardinality the partitioned sort is cheap."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("seg", "o_custkey")
+        .agg(F.sum("cents").cast("bigint").alias("rev"))
+    )
+    wo = Window.partitionBy("seg").orderBy(F.col("rev").desc(), "o_custkey")
+    ranked = (
+        cust.withColumn("rk", F.row_number().over(wo))
+        .withColumn(
+            "cum", F.sum("rev").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("tot", F.sum("rev").over(Window.partitionBy("seg")))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("seg")))
+    )
+
+    def frac(p: int, alias: str):
+        return F.round(
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("tot") * p, F.col("rk"))
+            ).cast("double")
+            / F.max("n"),
+            6,
+        ).alias(alias)
+
+    return ranked.groupBy("seg").agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        frac(50, "cust_frac_rev50"),
+        frac(80, "cust_frac_rev80"),
+        frac(90, "cust_frac_rev90"),
+    ).withColumnRenamed("seg", "c_mktsegment")

@@ -2060,3 +2060,146 @@ def q344_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("te_loo_smoothed"),
         )
     )
+
+
+@register(
+    "q366_cohens_kappa",
+    oracle="""
+WITH lab AS (
+  SELECT lang,
+    CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS a,
+    CASE WHEN len(string_split(text, ' ')) > 55 THEN 1 ELSE 0 END AS b
+  FROM documents
+), s AS (
+  SELECT lang, COUNT(*) AS n,
+    CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+    CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+    CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+    CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+  FROM lab GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n_docs, n11, n10, n01, n00,
+  round(
+    (CAST(n11 + n00 AS DOUBLE) / n
+     - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+        + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / (CAST(n AS DOUBLE) * n))
+    / (1.0
+       - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+          + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / (CAST(n AS DOUBLE) * n)),
+    6) AS kappa
+FROM s
+""",
+    tags=("llm", "stats"),
+)
+def q366_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two quality raters — the
+    chance-corrected agreement every labeling pipeline should report
+    instead of raw accuracy (two raters that both say 'keep' 90% of
+    the time agree 82% BY CHANCE): rater A = char-length gate, rater
+    B = token-count gate, per language. κ = (p_o − p_e)/(1 − p_e)
+    from the exact 2×2 confusion integers; one double expression,
+    rounded 6.
+
+    Scale shape: map-side labels + one hash agg to |langs| confusion
+    rows; O(1) after."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.when(F.col("n_chars") > 300, 1).otherwise(0).alias("a"),
+        F.when(F.size(F.split("text", " ")) > 55, 1).otherwise(0).alias("b"),
+    )
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint").alias("n11"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint").alias("n10"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint").alias("n01"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint").alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")).cast("double")
+        * (F.col("n10") + F.col("n00"))
+    ) / (n * F.col("n"))
+    return s.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+_Q367_KS = (50, 100, 200, 400)
+
+
+_Q367_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT CAST({k} AS BIGINT) AS k,
+  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_topk,
+  round(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) / {k}, 6)
+    AS precision_at_k,
+  round(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+        / (SELECT COUNT(*) FROM documents WHERE lang = 'en'), 6)
+    AS recall_at_k
+FROM (
+  SELECT (lang = 'en') AS pos FROM (
+    SELECT lang, row_number() OVER (
+      ORDER BY {_LOGIT_SQL} DESC, doc_id) AS rk
+    FROM documents) t WHERE rk <= {k}) u"""
+    for k in _Q367_KS
+)
+
+
+@register(
+    "q367_precision_at_k",
+    oracle=_Q367_ORACLE,
+    tags=("llm", "analytics"),
+)
+def q367_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@k / recall@k curve of the quality-scorer ranking
+    against the is-English pseudo-label — the operating-point view
+    q190's single AUC number hides (a ranker can have fine AUC and
+    useless precision at the cut you actually deploy). Four k cuts;
+    each is a windowless pre-bounded top-k (TakeOrderedAndProject via
+    topn_ranked — the global-rank decomposition never materializes a
+    full sort), counted exactly.
+
+    Scale shape: per cut, a top-k over the scored scan + one count —
+    k is constant, so the whole curve is O(scan)."""
+    from ..functions.ranking import topn_ranked
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").alias("pos"), _logit_col().alias("s")
+    )
+    total_pos = d.filter("pos").count()
+    outs = []
+    for k in _Q367_KS:
+        top = topn_ranked(d, [F.col("s").desc(), F.col("doc_id")], k)
+        outs.append(
+            top.agg(
+                F.sum(F.when(F.col("pos"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_pos_topk")
+            ).select(
+                F.lit(k).cast("bigint").alias("k"),
+                "n_pos_topk",
+                F.round(F.col("n_pos_topk").cast("double") / k, 6).alias(
+                    "precision_at_k"
+                ),
+                F.round(
+                    F.col("n_pos_topk").cast("double") / total_pos, 6
+                ).alias("recall_at_k"),
+            )
+        )
+    res = outs[0]
+    for x in outs[1:]:
+        res = res.unionAll(x)
+    return res

@@ -1844,3 +1844,154 @@ def q347_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "min_group_size",
     )
+
+
+@register(
+    "q363_merkle_integrity",
+    oracle="""
+WITH leaf AS (
+  SELECT CAST(doc_id // 64 AS BIGINT) AS leaf_id,
+    CAST(doc_id // 4096 AS BIGINT) AS node_id,
+    md5(CAST(doc_id AS VARCHAR) || '|' || text) AS h,
+    doc_id
+  FROM documents
+), lh AS (
+  SELECT leaf_id, node_id, COUNT(*) AS n_docs,
+    md5(string_agg(h, '' ORDER BY doc_id)) AS leaf_digest
+  FROM leaf GROUP BY leaf_id, node_id
+), l2 AS (
+  SELECT node_id, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+    md5(string_agg(leaf_digest, '' ORDER BY leaf_id)) AS digest
+  FROM lh GROUP BY node_id
+)
+SELECT node_id, n_docs, digest FROM l2
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS node_id,
+  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+  md5(string_agg(digest, '' ORDER BY node_id)) AS digest
+FROM l2
+""",
+    tags=("dq", "versioning"),
+)
+def q363_merkle_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle integrity tree over the corpus — the tamper-evidence /
+    replication-audit primitive (compare roots to prove two copies
+    equal; descend mismatching subtrees to find WHICH 64-row chunk
+    diverged, in log time instead of a full diff): three levels with
+    FIXED fanout 64 — leaf = md5 of its ≤64 row-hashes in doc_id
+    order, inner node = md5 of its ≤64 leaf digests, root = md5 over
+    inner digests. Fixed fanout is the scale contract: every
+    string_agg concatenates a BOUNDED set (≤64 digests = 2 KB), so no
+    aggregation state grows with the table; deeper tables add log₆₄
+    levels, never bigger nodes (the root here aggregates |docs|/4096
+    digests — add one more level past ~256k docs, same code shape).
+
+    md5 and ordered string-agg are bit-identical cross-engine, so the
+    DIGESTS themselves hash-match — the strongest possible oracle row
+    (any single-byte corruption anywhere reddens it)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") / 64).cast("bigint").alias("leaf_id"),
+        (F.col("doc_id") / 4096).cast("bigint").alias("node_id"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text"))
+        ).alias("h"),
+    )
+
+    def ordered_digest(order_col: str, hash_col: str) -> F.Column:
+        return F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col(order_col).alias("o"),
+                                     F.col(hash_col).alias("hh"))
+                        )
+                    ),
+                    lambda x: x.getField("hh"),
+                ),
+                "",
+            )
+        )
+
+    lh = d.groupBy("leaf_id", "node_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        ordered_digest("doc_id", "h").alias("leaf_digest"),
+    )
+    l2 = lh.groupBy("node_id").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        ordered_digest("leaf_id", "leaf_digest").alias("digest"),
+    ).localCheckpoint()  # consumed twice: output + root
+    root = l2.groupBy().agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        ordered_digest("node_id", "digest").alias("digest"),
+    ).select(F.lit(-1).cast("bigint").alias("node_id"), "n_docs", "digest")
+    return l2.select("node_id", "n_docs", "digest").unionAll(root)
+
+
+_Q364_FD_CANDIDATES = [
+    ("o_orderkey", "o_custkey"),
+    ("o_orderkey", "o_orderstatus"),
+    ("o_custkey", "o_orderstatus"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderpriority", "o_orderstatus"),
+]
+
+
+def _q364_oracle() -> str:
+    parts = []
+    for lhs, rhs in _Q364_FD_CANDIDATES:
+        parts.append(f"""
+SELECT '{lhs} -> {rhs}' AS candidate,
+  CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_violating_groups,
+  (SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0) AS holds
+FROM (
+  SELECT {lhs}, COUNT(DISTINCT {rhs}) AS nd
+  FROM orders GROUP BY {lhs})""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "q364_fd_discovery",
+    oracle=_q364_oracle(),
+    tags=("dq",),
+)
+def q364_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery — the schema-profiling
+    primitive behind key inference, normalization advice and
+    constraint mining (q323's foreign-key profiler's intra-table
+    sibling): for each candidate X → Y, count LHS groups with more
+    than one distinct Y (violations); FD holds iff zero. Candidates
+    here are the fixed audit set a profiler would test on the orders
+    schema — the key column proves its keyness, the non-keys fail
+    loudly with their violation counts.
+
+    Scale shape: one hash agg per candidate (distinct-Y per X is
+    exact; Y domains here are tiny so state is O(1) per group), each
+    reduced to a 1-row verdict — candidates union into the report
+    frame. At 100 TB you run the same plan per candidate pair; the
+    lattice pruning that picks WHICH pairs is a planner concern, not
+    an executor one."""
+    o = load_table(spark, sf_dir, "orders")
+    outs = []
+    for lhs, rhs in _Q364_FD_CANDIDATES:
+        g = o.groupBy(lhs).agg(F.countDistinct(rhs).alias("nd"))
+        outs.append(
+            g.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_lhs_groups"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating_groups"),
+            ).select(
+                F.lit(f"{lhs} -> {rhs}").alias("candidate"),
+                "n_lhs_groups",
+                "n_violating_groups",
+                (F.col("n_violating_groups") == 0).alias("holds"),
+            )
+        )
+    res = outs[0]
+    for x in outs[1:]:
+        res = res.unionAll(x)
+    return res

@@ -873,3 +873,130 @@ def q329_branch_divergence_summary(spark: SparkSession, sf_dir: str) -> DataFram
             "n_branch_only"
         ),
     )
+
+
+@register(
+    "q361_mor_read_equivalence",
+    oracle="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  TRUE AS mor_equals_cow
+FROM documents
+WHERE doc_id % 7 <> 0
+GROUP BY lang
+""",
+    tags=("lakehouse", "versioning"),
+)
+def q361_mor_read_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ deletes — the other half of the DELETE design
+    space (versioning.py is copy-on-write): instead of rewriting data
+    files, a delete commit writes only a tiny DELETE-VECTOR file of
+    keys, and the READ path applies it as a left-anti join — O(|deletes|)
+    commit cost, the property that makes GDPR erasure affordable on a
+    100 TB table (Iceberg v2 position/equality deletes, Delta deletion
+    vectors — same idea). Both paths are materialized to parquet and
+    read back: base + delete-vector (MOR) vs rewritten base (COW); the
+    query ASSERTS row-level equivalence in-query (anti-joins in both
+    directions must be empty — not just equal counts) and surfaces the
+    post-delete census the oracle recomputes relationally.
+
+    Scale shape: the MOR read is scan + broadcast anti-join on the
+    (small) delete vector; the COW rewrite is the full-file cost MOR
+    avoids — which is exactly the tradeoff the query documents."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = session_fixture_dir(spark, "q361_mor")
+    base_p = os.path.join(root, "base")
+    dv_p = os.path.join(root, "deletes")
+    cow_p = os.path.join(root, "cow")
+    d.write.mode("overwrite").parquet(base_p)
+    deletes = d.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    deletes.write.mode("overwrite").parquet(dv_p)
+    # COW: rewrite the base without the deleted keys
+    d.join(deletes, "doc_id", "left_anti").write.mode("overwrite").parquet(
+        cow_p
+    )
+    base = spark.read.parquet(base_p)
+    dv = spark.read.parquet(dv_p)
+    mor = base.join(F.broadcast(dv), "doc_id", "left_anti")
+    cow = spark.read.parquet(cow_p)
+    extra = mor.join(cow, "doc_id", "left_anti").count()
+    missing = cow.join(mor, "doc_id", "left_anti").count()
+    if extra or missing:
+        raise RuntimeError(
+            f"MOR read diverged from COW rewrite: {extra} extra, "
+            f"{missing} missing rows"
+        )
+    return (
+        mor.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .withColumn("mor_equals_cow", F.lit(True))
+    )
+
+
+@register(
+    "q362_binpack_compaction_plan",
+    oracle="""
+WITH files AS (
+  SELECT lang, doc_id % 8 AS file_id,
+    CAST(SUM(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY lang, doc_id % 8
+), planned AS (
+  SELECT lang, file_id, bytes,
+    CAST(floor((SUM(bytes) OVER (PARTITION BY lang
+                 ORDER BY bytes DESC, file_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - bytes) / 8000.0) AS BIGINT) AS bin
+  FROM files
+)
+SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+  CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+  round(CAST(SUM(bytes) AS DOUBLE) / 8000.0, 4) AS fill_ratio
+FROM planned GROUP BY lang, bin
+""",
+    tags=("lakehouse",),
+)
+def q362_binpack_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLANNING — the bin-pack step of every
+    lakehouse maintenance job (Iceberg rewrite_data_files binpack,
+    Delta OPTIMIZE): group each partition's files into ~8 KB output
+    bins by descending size with a cumulative-fill assignment
+    (bin = ⌊cum_bytes_before / target⌋ — deterministic, one window,
+    and within 2× of optimal fill like any size-ordered first-fit).
+    q318 attests that EXECUTING a compaction preserves data; this
+    plans WHICH files co-rewrite, per partition, the way real
+    maintenance schedules work.
+
+    Plan discipline: the window is PARTITIONED by the table partition
+    (lang) — compaction planning is per-partition by definition, which
+    is also exactly what makes it scale: no global file ordering
+    exists or is needed.
+
+    Scale shape: one hash agg to the file inventory, one partitioned
+    window over it; |files| rows total."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", (F.col("doc_id") % 8).alias("file_id"), "n_chars"
+    )
+    files = d.groupBy("lang", "file_id").agg(
+        F.sum("n_chars").cast("bigint").alias("bytes")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("bytes").desc(), F.col("file_id")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    planned = files.withColumn(
+        "bin",
+        F.floor((F.sum("bytes").over(w) - F.col("bytes")) / 8000.0).cast(
+            "bigint"
+        ),
+    )
+    return planned.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("bin_bytes"),
+        F.round(F.sum("bytes").cast("double") / 8000.0, 4).alias(
+            "fill_ratio"
+        ),
+    )
