@@ -1970,3 +1970,179 @@ def q353_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_unfilled",
         "units_filled",
     )
+
+
+@register(
+    "q371_window_funnel",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_type,
+    epoch(date_trunc('second', ts)) AS es, event_id
+  FROM events
+), lv AS (
+  SELECT user_id, event_type, es, event_id,
+    MAX(CASE WHEN event_type = 'view' THEN es END)
+      OVER (PARTITION BY user_id ORDER BY es, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view
+  FROM t
+), cq AS (
+  SELECT user_id, event_type, es, event_id,
+    CASE WHEN event_type = 'click' AND last_view IS NOT NULL
+              AND es - last_view <= 600 THEN es END AS click_q,
+    last_view
+  FROM lv
+), pq AS (
+  SELECT user_id, event_type, es,
+    MAX(click_q) OVER (PARTITION BY user_id ORDER BY es, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS last_click_q,
+    click_q, last_view
+  FROM cq
+), levels AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS l1,
+    MAX(CASE WHEN click_q IS NOT NULL THEN 1 ELSE 0 END) AS l2,
+    MAX(CASE WHEN event_type = 'purchase' AND last_click_q IS NOT NULL
+                  AND es - last_click_q <= 600 THEN 1 ELSE 0 END) AS l3
+  FROM pq GROUP BY user_id
+)
+SELECT CAST(l1 + l2 + l3 AS BIGINT) AS funnel_level,
+  CAST(COUNT(*) AS BIGINT) AS n_users
+FROM levels GROUP BY l1 + l2 + l3
+""",
+    tags=("behavioral",),
+)
+def q371_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel (ClickHouse windowFunnel semantics, step-wise
+    variant): view → click → purchase where each step follows the
+    previous within 600 s; per-user max level reached, histogrammed.
+    q97's funnel counts unordered lifetime conversion — this one is
+    the TIMED journey, which is what checkout-flow dashboards mean by
+    'funnel'.
+
+    The sequential step dependency is deliberately NOT a self-join
+    (per-user quadratic — n_u² pairs per user is the classic funnel
+    scale trap): each step qualifies via a conditional running-max
+    window over the previous step's qualifying timestamps — two
+    chained PARTITIONED windows, linear per user, exact integer
+    seconds.
+
+    Scale shape: two windows on the same (user) sort + one hash agg
+    to users + one to levels."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_secs("ts").alias("es"), "event_id"
+    )
+    wp = Window.partitionBy("user_id").orderBy("es", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lv = e.withColumn(
+        "last_view",
+        F.max(F.when(F.col("event_type") == "view", F.col("es"))).over(wp),
+    )
+    cq = lv.withColumn(
+        "click_q",
+        F.when(
+            (F.col("event_type") == "click")
+            & F.col("last_view").isNotNull()
+            & (F.col("es") - F.col("last_view") <= 600),
+            F.col("es"),
+        ),
+    )
+    pq = cq.withColumn("last_click_q", F.max("click_q").over(wp))
+    levels = pq.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("l1"),
+        F.max(
+            F.when(F.col("click_q").isNotNull(), 1).otherwise(0)
+        ).alias("l2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("last_click_q").isNotNull()
+                & (F.col("es") - F.col("last_click_q") <= 600),
+                1,
+            ).otherwise(0)
+        ).alias("l3"),
+    )
+    return (
+        levels.select(
+            (F.col("l1") + F.col("l2") + F.col("l3"))
+            .cast("bigint")
+            .alias("funnel_level")
+        )
+        .groupBy("funnel_level")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+@register(
+    "q372_abandonment_census",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_type, CAST(day(ts) AS BIGINT) AS d,
+    epoch(date_trunc('second', ts)) AS es, event_id
+  FROM events
+), nx AS (
+  SELECT user_id, event_type, d, es,
+    MIN(CASE WHEN event_type = 'purchase' THEN es END)
+      OVER (PARTITION BY user_id ORDER BY es, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      AS next_purchase
+  FROM t
+), views AS (
+  SELECT d,
+    CASE WHEN next_purchase IS NULL OR next_purchase - es > 1800
+         THEN 1 ELSE 0 END AS abandoned
+  FROM nx WHERE event_type = 'view'
+)
+SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS n_views,
+  CAST(SUM(abandoned) AS BIGINT) AS n_abandoned,
+  round(CAST(SUM(abandoned) AS DOUBLE) / COUNT(*), 6) AS abandon_rate
+FROM views GROUP BY d
+""",
+    tags=("behavioral",),
+)
+def q372_abandonment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abandonment census — views not followed by a purchase from the
+    same user within 30 minutes, per day (the inverse of q219's
+    conversion latency: it measures the journeys that DIDN'T
+    convert, which is where funnel fixes actually live). The
+    next-purchase lookup is a conditional running-MIN over the
+    FOLLOWING frame of the per-user time sort — one window, linear,
+    no view×purchase self-join.
+
+    Scale shape: one partitioned window + one hash agg to days."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.dayofmonth("ts").cast("bigint").alias("d"),
+        epoch_secs("ts").alias("es"),
+        "event_id",
+    )
+    wf = Window.partitionBy("user_id").orderBy("es", "event_id").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    nx = e.withColumn(
+        "next_purchase",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("es"))
+        ).over(wf),
+    )
+    views = nx.filter(F.col("event_type") == "view").select(
+        "d",
+        F.when(
+            F.col("next_purchase").isNull()
+            | (F.col("next_purchase") - F.col("es") > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("abandoned"),
+    )
+    return views.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_views"),
+        F.sum("abandoned").cast("bigint").alias("n_abandoned"),
+        F.round(
+            F.sum("abandoned").cast("double") / F.count(F.lit(1)), 6
+        ).alias("abandon_rate"),
+    ).withColumnRenamed("d", "day")

@@ -2203,3 +2203,110 @@ def q367_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in outs[1:]:
         res = res.unionAll(x)
     return res
+
+
+def _q375_oracle() -> str:
+    from ..functions.compat import sql_portable_hash64
+
+    def cand(k: int) -> str:
+        h = sql_portable_hash64(
+            f"CAST(c.o_custkey AS VARCHAR) || '#neg{k}'"
+        )
+        return (
+            f"SELECT c.o_custkey, {h} % (SELECT mx FROM mp) AS cand_part"
+            " FROM custs c"
+        )
+
+    cands = " UNION ALL ".join(cand(k) for k in range(4))
+    return f"""
+WITH pos AS (
+  SELECT DISTINCT o.o_custkey, l.l_partkey
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), custs AS (SELECT DISTINCT o_custkey FROM pos),
+mp AS (SELECT MAX(p_partkey) + 1 AS mx FROM part),
+cands AS ({cands}),
+flagged AS (
+  SELECT c.o_custkey, c.cand_part,
+    CASE WHEN p.l_partkey IS NOT NULL THEN 1 ELSE 0 END AS was_pos
+  FROM cands c
+  LEFT JOIN pos p
+    ON p.o_custkey = c.o_custkey AND p.l_partkey = c.cand_part
+), seg AS (
+  SELECT cu.c_mktsegment AS seg, f.was_pos
+  FROM flagged f JOIN customer cu ON cu.c_custkey = f.o_custkey
+)
+SELECT seg AS c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+  CAST(SUM(was_pos) AS BIGINT) AS n_collisions,
+  CAST(COUNT(*) - SUM(was_pos) AS BIGINT) AS n_kept,
+  round(CAST(SUM(was_pos) AS DOUBLE) / COUNT(*), 6) AS collision_rate
+FROM seg GROUP BY seg
+"""
+
+
+@register(
+    "q375_negative_sampling",
+    oracle=_q375_oracle(),
+    tags=("llm", "analytics"),
+)
+def q375_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling — the recommender/contrastive
+    training-prep step (for each customer, draw parts they did NOT
+    buy as negatives): 4 hash-drawn candidates per customer over the
+    part-key space, rejected when they collide with a true positive
+    (the LEFT anti-flag join), censused per market segment. Hash
+    draws make the training set reproducible on any cluster shape
+    (the q162 deterministic-shuffle rule applied to sampling) and the
+    collision rate measures how many redraws production would need —
+    which is the number this census exists to audit.
+
+    Scale shape: positives = one distinct hash agg; candidates are
+    map-side; rejection is one equi-join on (customer, part)."""
+    from ..functions.compat import portable_hash64
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cu = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    pos = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    custs = pos.select("o_custkey").distinct()
+    mx = p.agg((F.max("p_partkey") + 1).alias("mx"))
+    cands = None
+    for k in range(4):
+        c = custs.crossJoin(F.broadcast(mx)).select(
+            "o_custkey",
+            (
+                portable_hash64(
+                    F.concat(
+                        F.col("o_custkey").cast("string"), F.lit(f"#neg{k}")
+                    )
+                )
+                % F.col("mx")
+            ).alias("cand_part"),
+        )
+        cands = c if cands is None else cands.unionAll(c)
+    flagged = cands.join(
+        pos.withColumnRenamed("l_partkey", "cand_part").withColumn(
+            "was_pos", F.lit(1)
+        ),
+        ["o_custkey", "cand_part"],
+        "left",
+    ).withColumn("was_pos", F.coalesce(F.col("was_pos"), F.lit(0)))
+    seg = flagged.join(
+        F.broadcast(cu.select("c_custkey", "c_mktsegment")),
+        flagged.o_custkey == F.col("c_custkey"),
+    )
+    return seg.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum("was_pos").cast("bigint").alias("n_collisions"),
+        (F.count(F.lit(1)) - F.sum("was_pos"))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.round(
+            F.sum("was_pos").cast("double") / F.count(F.lit(1)), 6
+        ).alias("collision_rate"),
+    )

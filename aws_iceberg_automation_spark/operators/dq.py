@@ -1995,3 +1995,56 @@ def q364_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in outs[1:]:
         res = res.unionAll(x)
     return res
+
+
+@register(
+    "q378_props_profile",
+    oracle="""
+WITH p AS (
+  SELECT event_type,
+    CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k,
+    CASE WHEN regexp_extract(props, '"k":\\s*(-?\\d+)', 1) = ''
+         THEN 1 ELSE 0 END AS unparsed
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(unparsed) AS BIGINT) AS n_unparsed,
+  CAST(MIN(k) AS BIGINT) AS k_min,
+  CAST(MAX(k) AS BIGINT) AS k_max,
+  CAST(COUNT(DISTINCT k) AS BIGINT) AS k_distinct,
+  CAST(SUM(k) AS BIGINT) AS k_sum
+FROM p GROUP BY event_type
+""",
+    tags=("dq",),
+)
+def q378_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload PROFILING — the schema-inference census
+    run before promoting a JSON string column to typed storage (q70's
+    extraction operators assume you already know the shape; this is
+    how you find out, and how you catch producers drifting): per
+    event type, parse coverage (unparsed counts), value range,
+    cardinality and checksum of the embedded `k` field. Extraction is
+    a shared-regex map (RE2/Java-compatible pattern, the q103 rule) —
+    at 100 TB this pass is one codegen'd scan, which is why profiling
+    before schema migration is cheap insurance.
+
+    Scale shape: map-side regex + one hash agg to |event types|."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.regexp_extract("props", r'"k":\s*(-?\d+)', 1).alias("raw"),
+    ).select(
+        "event_type",
+        F.when(F.col("raw") == "", None)
+        .otherwise(F.col("raw"))
+        .cast("bigint")
+        .alias("k"),
+        F.when(F.col("raw") == "", 1).otherwise(0).alias("unparsed"),
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("unparsed").cast("bigint").alias("n_unparsed"),
+        F.min("k").cast("bigint").alias("k_min"),
+        F.max("k").cast("bigint").alias("k_max"),
+        F.countDistinct("k").cast("bigint").alias("k_distinct"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+    )

@@ -1099,3 +1099,100 @@ def q359_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+@register(
+    "q374_harmonic_centrality_2hop",
+    oracle=f"""
+WITH {_Q358_EDGES_SQL}, hop2 AS (
+  SELECT DISTINCT a.y AS node, b.y AS nb2
+  FROM e a JOIN e b ON b.x = a.x AND b.y <> a.y
+), pure2 AS (
+  SELECT h.node, COUNT(*) AS n2
+  FROM hop2 h
+  LEFT JOIN e ON e.x = h.node AND e.y = h.nb2
+  WHERE e.x IS NULL
+  GROUP BY h.node
+), cent AS (
+  SELECT d.node, d.deg AS n1,
+    CAST(COALESCE(p.n2, 0) AS BIGINT) AS n2,
+    round(d.deg + COALESCE(p.n2, 0) * 0.5, 4) AS harmonic2
+  FROM deg d LEFT JOIN pure2 p ON p.node = d.node
+)
+SELECT node, n1, n2, harmonic2, rk FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY harmonic2 DESC, node) AS rk
+  FROM cent)
+WHERE rk <= 25
+""",
+    tags=("graph",),
+)
+def q374_harmonic_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded harmonic centrality — Σ 1/d(u,v) truncated at radius 2
+    (the standard scalable stand-in for exact closeness, which needs
+    all-pairs distances): h₂(v) = |N₁(v)| + ½|N₂(v)| where N₂ is
+    nodes at EXACTLY distance 2 (2-hop reachable, minus direct
+    neighbors, minus self). Top-25 most central customers in the
+    co-purchase graph.
+
+    Engine and oracle both run wedge enumeration over the capped edge
+    list, but the engine's exactly-2 filter is a LEFT ANTI join
+    against the adjacency while the oracle's is a null-extended LEFT
+    JOIN — different plan, same set, one hash.
+
+    Scale shape: one wedge self-join (bounded by the 64-cap), one
+    anti-join, degree frame broadcast; windowless top-25."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").alias("s"),
+            F.col("l_shipdate").cast("date").alias("d"),
+        )
+        .distinct()
+    )
+    from ..functions.ranking import cap_groups, topn_ranked
+
+    cs = cap_groups(cs0, ["s", "d"], [F.col("c")], 64)
+    ga, gb = cs.alias("ga"), cs.alias("gb")
+    e0 = (
+        ga.join(
+            gb,
+            (F.col("ga.s") == F.col("gb.s"))
+            & (F.col("ga.d") == F.col("gb.d"))
+            & (F.col("ga.c") < F.col("gb.c")),
+        )
+        .select(F.col("ga.c").alias("x"), F.col("gb.c").alias("y"))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = e0.unionAll(e0.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    deg = e.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1")
+    )
+    a = e.select(F.col("x").alias("m"), F.col("y").alias("node"))
+    b = e.select(F.col("x").alias("m"), F.col("y").alias("nb2"))
+    hop2 = (
+        a.join(b, "m")
+        .filter(F.col("nb2") != F.col("node"))
+        .select("node", "nb2")
+        .distinct()
+    )
+    pure2 = hop2.join(
+        e.select(F.col("x").alias("node"), F.col("y").alias("nb2")),
+        ["node", "nb2"],
+        "left_anti",
+    ).groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    cent = deg.join(pure2, "node", "left").select(
+        "node",
+        "n1",
+        F.coalesce(F.col("n2"), F.lit(0)).cast("bigint").alias("n2"),
+        F.round(
+            F.col("n1") + F.coalesce(F.col("n2"), F.lit(0)) * 0.5, 4
+        ).alias("harmonic2"),
+    )
+    return topn_ranked(
+        cent, [F.col("harmonic2").desc(), F.col("node")], 25
+    ).select("node", "n1", "n2", "harmonic2", "rk")

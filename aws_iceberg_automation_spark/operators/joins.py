@@ -532,3 +532,130 @@ def q345_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fpr, 6).alias("fpr"),
         (fpr <= theory).alias("fpr_ok"),
     )
+
+
+def _q377_oracle() -> str:
+    from ..functions.compat import sql_portable_hash64
+
+    hx = sql_portable_hash64("CAST(c_custkey AS VARCHAR) || '#gx'")
+    hy = sql_portable_hash64("CAST(c_custkey AS VARCHAR) || '#gy'")
+    return f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+    ({hx} % 1000001) / 1000000.0 AS x,
+    ({hy} % 1000001) / 1000000.0 AS y
+  FROM customer
+), pairs AS (
+  SELECT a.id AS a_id, b.id AS b_id,
+    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM pts a JOIN pts b ON a.id < b.id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= 0.0004
+)
+SELECT CAST((SELECT COUNT(*) FROM pts) AS BIGINT) AS n_points,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(a_id + b_id) AS BIGINT) AS pair_id_checksum,
+  round(SUM(sqrt(d2)) / COUNT(*), 6) AS avg_dist
+FROM pairs
+"""
+
+
+@register(
+    "q377_geo_grid_join",
+    oracle=_q377_oracle(),
+    tags=("join", "spatial"),
+)
+def q377_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join via GRID BUCKETING — the standard
+    distributed spatial-join strategy (geohash/S2/H3 cell + neighbor
+    probe): points within distance r = 0.02 of each other in the unit
+    square, where the all-pairs O(n²) the ORACLE runs becomes, on the
+    engine, an EQUI-join on grid cells of side r — each point probes
+    only its 9-cell neighborhood (one side exploded ×9, the classic
+    build/probe asymmetry), so cost is n·(9·points-per-cell), not n².
+    A hash match against the brute-force oracle proves the grid
+    decomposition loses no pair (points near cell borders are exactly
+    the ones a naive same-cell join drops).
+
+    Coordinates are deterministic hash ratios — identical doubles on
+    both engines; the distance threshold compares identically (exact
+    same expression tree per side).
+
+    Scale shape: map-side cell keys, explode ×9 on the probe side,
+    shuffle on cell — at 100 TB the cell key IS the partitioner, and
+    skew (dense cities) is handled by the same salting the LSH bucket
+    caps use."""
+    from ..functions.compat import portable_hash64
+
+    c = load_table(spark, sf_dir, "customer")
+    r = 0.02
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (
+            (
+                portable_hash64(
+                    F.concat(F.col("c_custkey").cast("string"), F.lit("#gx"))
+                )
+                % 1000001
+            )
+            / 1000000.0
+        ).alias("x"),
+        (
+            (
+                portable_hash64(
+                    F.concat(F.col("c_custkey").cast("string"), F.lit("#gy"))
+                )
+                % 1000001
+            )
+            / 1000000.0
+        ).alias("y"),
+    ).withColumn("cx", F.floor(F.col("x") / r).cast("long")).withColumn(
+        "cy", F.floor(F.col("y") / r).cast("long")
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = pts.select(
+        F.col("id").alias("a_id"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(offsets).alias("o"),
+        "cx",
+        "cy",
+    ).select(
+        "a_id",
+        "ax",
+        "ay",
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    build = pts.select(
+        F.col("id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        "cx",
+        "cy",
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    pairs = (
+        probe.join(build, ["cx", "cy"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(d2 <= r * r)
+        .select("a_id", "b_id", d2.alias("d2"))
+    )
+    n_pts = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("a_id") + F.col("b_id"))
+        .cast("bigint")
+        .alias("pair_id_checksum"),
+        F.round(F.sum(F.sqrt("d2")) / F.count(F.lit(1)), 6).alias("avg_dist"),
+    ).crossJoin(F.broadcast(n_pts)).select(
+        "n_points", "n_pairs", "pair_id_checksum", "avg_dist"
+    )

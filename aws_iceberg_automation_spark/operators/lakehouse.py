@@ -1000,3 +1000,101 @@ def q362_binpack_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fill_ratio"
         ),
     )
+
+
+@register(
+    "q373_bitemporal_asof",
+    oracle="""
+WITH rated AS (
+  SELECT l.l_suppkey, CAST(l.l_quantity AS BIGINT) AS q,
+    CAST(l.l_suppkey % 5 AS BIGINT)
+      + CASE WHEN l.l_suppkey % 2 = 0
+                  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             THEN 10 ELSE 0 END AS rating
+  FROM lineitem l
+)
+SELECT rating, CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(q) AS BIGINT) AS sum_qty
+FROM rated GROUP BY rating
+""",
+    tags=("lakehouse", "versioning", "timeseries"),
+)
+def q373_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL as-of join — both time axes at once: TRANSACTION
+    time (which snapshot of the dimension the system had committed)
+    and VALID time (which effective-dated attribute version applies
+    to each fact row). The supplier-rating dimension takes three
+    commits (base ratings; a 1996-effective uplift for even keys; a
+    1997-effective correction for keys % 3 = 0); the query reads the
+    dimension AS OF transaction version 2 — so commit 3 must be
+    INVISIBLE even though its valid dates would match — and resolves
+    each lineitem's rating AS OF its ship date within that snapshot.
+    This is the reproducibility contract of every regulatory/ML
+    backtest: 'what did we believe then, about the state valid then'.
+    The oracle derives the same ratings closed-form (the commits are
+    deterministic functions of the key), so a hash match proves both
+    axes resolved correctly.
+
+    Scale shape: snapshot read = time travel (metadata); valid-time
+    resolution = interval-ize the snapshot (one PARTITIONED lead()
+    window over the dimension, [eff, next-eff) per row) and broadcast
+    it — each fact then matches exactly one interval row, so the join
+    needs no fact primary key and no per-fact dedup."""
+    # dimension keyed by the fact table's own supplier keys (the
+    # fixture's lineitem references more suppliers than the supplier
+    # dim holds — building from the dim dropped 14k facts, round-8
+    # first-cut lesson)
+    sup = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    root = session_fixture_dir(spark, "q373_bitemporal")
+    vt = VersionedTable(spark, os.path.join(root, "dim"))
+    base = sup.select(
+        "s_suppkey",
+        (F.col("s_suppkey") % 5).cast("bigint").alias("rating"),
+        F.lit("1992-01-01 00:00:00").cast("timestamp_ntz").alias("eff"),
+    )
+    vt.write(base, "append")  # tx v1
+    uplift = sup.filter(F.col("s_suppkey") % 2 == 0).select(
+        "s_suppkey",
+        ((F.col("s_suppkey") % 5) + 10).cast("bigint").alias("rating"),
+        F.lit("1996-01-01 00:00:00").cast("timestamp_ntz").alias("eff"),
+    )
+    vt.write(uplift, "append")  # tx v2
+    correction = sup.filter(F.col("s_suppkey") % 3 == 0).select(
+        "s_suppkey",
+        ((F.col("s_suppkey") % 5) + 100).cast("bigint").alias("rating"),
+        F.lit("1997-01-01 00:00:00").cast("timestamp_ntz").alias("eff"),
+    )
+    vt.write(correction, "append")  # tx v3 — must NOT be visible below
+
+    # Interval-ize the snapshot (SCD2: each effective-dated row is
+    # valid [eff, next eff)) so every fact matches EXACTLY ONE dim row
+    # by construction — no per-fact dedup, hence no need for a fact
+    # primary key (the fixture's (orderkey, linenumber) is NOT unique
+    # — a row_number pick there silently collapsed 14k facts, round-8
+    # first-cut lesson).
+    wd = Window.partitionBy("s_suppkey").orderBy("eff")
+    dim_v2 = vt.read(version=2).withColumn(
+        "valid_to", F.lead("eff").over(wd)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_shipdate",
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    resolved = li.join(
+        F.broadcast(dim_v2),
+        (li.l_suppkey == dim_v2.s_suppkey)
+        & (dim_v2.eff <= li.l_shipdate)
+        & (
+            F.col("valid_to").isNull()
+            | (li.l_shipdate < F.col("valid_to"))
+        ),
+    )
+    return resolved.groupBy("rating").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("q").cast("bigint").alias("sum_qty"),
+    )

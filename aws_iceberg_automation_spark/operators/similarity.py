@@ -1983,3 +1983,108 @@ from dataclasses import replace as _dc_replace  # noqa: E402
 _REGISTRY["q186_retrieval_metrics"] = _dc_replace(
     _REGISTRY["q186_retrieval_metrics"], oracle=_q186_oracle()
 )
+
+
+@register(
+    "q369_dim_truncation_recall",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    CAST(embedding AS DOUBLE[])[1:16] AS vt
+  FROM embeddings
+), q AS (SELECT vec_id AS q_id, v AS qv, vt AS qvt FROM e
+         WHERE vec_id < {_N_QUERIES}),
+full_rk AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q.q_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        round(list_dot_product(q.qv, e.v)
+          / (sqrt(list_dot_product(q.qv, q.qv))
+             * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
+        e.vec_id) AS rk
+    FROM q JOIN e ON e.vec_id <> q.q_id) t
+  WHERE rk <= {_TOP_K}
+), trunc_rk AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q.q_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        round(list_dot_product(q.qvt, e.vt)
+          / (sqrt(list_dot_product(q.qvt, q.qvt))
+             * sqrt(list_dot_product(e.vt, e.vt))), 6) DESC,
+        e.vec_id) AS rk
+    FROM q JOIN e ON e.vec_id <> q.q_id) t
+  WHERE rk <= {_TOP_K}
+)
+SELECT f.q_id,
+  CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_overlap,
+  round(CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / {_TOP_K}, 6) AS recall
+FROM full_rk f
+LEFT JOIN trunc_rk t
+  ON t.q_id = f.q_id AND t.neighbor_id = f.neighbor_id
+GROUP BY f.q_id
+""",
+    tags=("similarity", "vector", "llm"),
+)
+def q369_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation recall: top-k cosine
+    neighbors using only the FIRST 16 of 64 dimensions, measured
+    against the full-dimension exact top-k — the feasibility probe
+    for the standard two-stage retrieval trick (coarse search in a
+    prefix of the embedding, exact re-rank in full precision) that
+    cuts index memory and bandwidth 4× at 100 TB. Per-query overlap
+    counts are exact integers; both rankings round cosines to 6 with
+    vec_id tiebreaks, the q83 determinism contract.
+
+    Scale shape: two broadcast-query scans (the q83 exact plan ×2 —
+    oracle-scale by design; the production path composes truncation
+    with the q83f/q287 bucketed indexes)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.slice(F.col("embedding"), 1, 16).alias("vt"),
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("vt").alias("qvt"),
+    )
+
+    def topk(qcol: str, ecol: str):
+        scored = F.broadcast(q).join(e, e.vec_id != F.col("q_id")).select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col(qcol), F.col(ecol)), 6).alias("c"),
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("c").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _TOP_K)
+            .select("q_id", "neighbor_id")
+        )
+
+    full = topk("qv", "v")
+    trunc = topk("qvt", "vt").withColumnRenamed("neighbor_id", "t_id")
+    return (
+        full.join(
+            trunc,
+            (full.q_id == trunc.q_id) & (full.neighbor_id == trunc.t_id),
+            "left",
+        )
+        .groupBy(full.q_id.alias("q_id"))
+        .agg(
+            F.sum(F.when(F.col("t_id").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_overlap")
+        )
+        .select(
+            "q_id",
+            "n_overlap",
+            F.round(F.col("n_overlap").cast("double") / _TOP_K, 6).alias(
+                "recall"
+            ),
+        )
+    )

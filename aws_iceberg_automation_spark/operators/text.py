@@ -2166,3 +2166,159 @@ def q304_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("right_ctx"),
     )
+
+
+@register(
+    "q370_sharded_topk_merge",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id % 8 AS shard, unnest(string_split(text, ' ')) AS term
+  FROM documents
+), sc AS (SELECT shard, term, COUNT(*) AS c FROM tok GROUP BY shard, term),
+loc AS (
+  SELECT shard, term FROM (
+    SELECT shard, term,
+      row_number() OVER (PARTITION BY shard ORDER BY c DESC, term) AS rk
+    FROM sc) t WHERE rk <= 64
+), cand AS (SELECT DISTINCT term FROM loc),
+gc AS (SELECT term, CAST(SUM(c) AS BIGINT) AS cnt FROM sc GROUP BY term),
+candk AS (
+  SELECT term, cnt, rk FROM (
+    SELECT g.term, g.cnt,
+      row_number() OVER (ORDER BY g.cnt DESC, g.term) AS rk
+    FROM gc g JOIN cand ON cand.term = g.term) t
+  WHERE rk <= 10
+), truek AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS rk
+    FROM gc) t WHERE rk <= 10
+)
+SELECT c.rk, c.term, c.cnt,
+  (t.term IS NOT NULL) AS in_exact_topk
+FROM candk c LEFT JOIN truek t ON t.term = c.term
+""",
+    tags=("text", "llm", "sketch"),
+)
+def q370_sharded_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded top-k with candidate-union merge — the two-phase
+    distributed heavy-hitters pattern for when per-term state is too
+    expensive to keep for EVERY term (distinct-user sets, sketches):
+    each document shard surfaces its LOCAL top-64 terms, the
+    candidate union is recounted exactly, and the top-10 is taken
+    from candidates only. The guarantee under test: any term in the
+    global top-10 must lead at least one shard's top-64 (it can only
+    miss if 8-way splitting dilutes it below 64 local ranks
+    everywhere — a bounded-failure event the in_exact_topk boolean
+    column measures against the direct exact top-10; all TRUE on the
+    fixture, and a FALSE would hash-redden the row, not hide).
+
+    Scale shape: word-count agg per shard, per-shard PARTITIONED
+    top-64 windows, candidate recount via semi-join — the global
+    rank runs only on the ≤ 8·64 candidate frame (windowless
+    pre-bounded top-10)."""
+    from ..functions.ranking import topn_ranked
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        (F.col("doc_id") % 8).alias("shard"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    sc = tok.groupBy("shard", "term").agg(F.count(F.lit(1)).alias("c"))
+    wl = Window.partitionBy("shard").orderBy(F.col("c").desc(), F.col("term"))
+    cand = (
+        sc.withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") <= 64)
+        .select("term")
+        .distinct()
+    )
+    gc = sc.groupBy("term").agg(F.sum("c").cast("bigint").alias("cnt"))
+    candk = topn_ranked(
+        gc.join(cand, "term"), [F.col("cnt").desc(), F.col("term")], 10
+    )
+    truek = topn_ranked(gc, [F.col("cnt").desc(), F.col("term")], 10).select(
+        F.col("term").alias("t_term")
+    )
+    return candk.join(
+        truek, candk.term == truek.t_term, "left"
+    ).select(
+        "rk",
+        "term",
+        "cnt",
+        F.col("t_term").isNotNull().alias("in_exact_topk"),
+    )
+
+
+@register(
+    "q376_term_trends",
+    oracle="""
+WITH k AS (
+  SELECT CAST((SELECT MAX(event_id) FROM events)
+              // (SELECT MAX(doc_id) + 1 FROM documents) AS BIGINT) AS st
+), tok AS (
+  SELECT CAST(floor((day(e.ts) - 1) / 7.0) AS BIGINT) AS wk,
+    unnest(string_split(d.text, ' ')) AS term
+  FROM documents d
+  JOIN events e ON e.event_id = d.doc_id * (SELECT st FROM k)
+), gc AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+topt AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS rk
+    FROM gc) t WHERE rk <= 10
+), wk_tot AS (SELECT wk, COUNT(*) AS tot FROM tok GROUP BY wk),
+trend AS (
+  SELECT t.wk, t.term, COUNT(*) AS cnt
+  FROM tok t JOIN topt ON topt.term = t.term
+  GROUP BY t.wk, t.term
+)
+SELECT tr.term, tr.wk AS week, CAST(tr.cnt AS BIGINT) AS n_mentions,
+  round(CAST(tr.cnt AS DOUBLE) / wt.tot, 6) AS week_share
+FROM trend tr JOIN wk_tot wt ON wt.wk = tr.wk
+""",
+    tags=("text", "llm"),
+)
+def q376_term_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term trend tracking — weekly mention share of the corpus-wide
+    top-10 terms (the trending-topics kernel: term velocity needs a
+    TIME axis, which the static q85b top-terms census lacks). The
+    fixture's documents carry no timestamp, so each doc borrows a
+    stride-spaced event as a deterministic publication time (stride =
+    max event id div doc count, derived identically on both sides so
+    every doc matches and the weeks cover the fixture's full range) —
+    synthetic but stable, and mirrored exactly in the oracle.
+
+    Scale shape: explode → word-count agg; top-10 via windowless
+    pre-bounded rank; the trend frame is (10 terms × |weeks|) joined
+    against weekly totals — everything after the first agg is
+    metadata-sized."""
+    d0 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev0 = load_table(spark, sf_dir, "events")
+    stride = ev0.agg(F.max("event_id").alias("mx")).crossJoin(
+        F.broadcast(d0.agg((F.max("doc_id") + 1).alias("nd")))
+    ).select((F.col("mx") / F.col("nd")).cast("bigint").alias("st"))
+    d = d0.crossJoin(F.broadcast(stride)).select(
+        (F.col("doc_id") * F.col("st")).alias("event_id"), "text"
+    )
+    ev = ev0.select(
+        "event_id",
+        F.floor((F.dayofmonth("ts") - 1) / 7.0).cast("bigint").alias("wk"),
+    )
+    tok = (
+        d.join(ev, "event_id")
+        .select("wk", F.explode(F.split("text", " ")).alias("term"))
+    )
+    gc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    topt = topn_ranked(
+        gc, [F.col("cnt").desc(), F.col("term")], 10
+    ).select("term")
+    wk_tot = tok.groupBy("wk").agg(F.count(F.lit(1)).alias("tot"))
+    trend = tok.join(F.broadcast(topt), "term").groupBy("wk", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_mentions")
+    )
+    return trend.join(F.broadcast(wk_tot), "wk").select(
+        "term",
+        F.col("wk").alias("week"),
+        "n_mentions",
+        F.round(F.col("n_mentions").cast("double") / F.col("tot"), 6).alias(
+            "week_share"
+        ),
+    )
