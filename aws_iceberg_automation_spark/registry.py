@@ -78,68 +78,65 @@ _LOADED = False
 # The external driver verifies the FIRST 50 specs in queries() order and
 # stops (its per-round verification budget). Registration order is
 # therefore attestation budget: re-listing an already-green query
-# re-proves the proven. Round-7 rotation (VERDICT r06 ask #1): the
-# round-6 window went 50/50 green, so this window leads with the 4
-# conversions staged below the line at round-6 end, the 3 round-7
-# rows-only->oracle conversions (changed semantics => any old
-# attestation is void; they earn hash rows here), and the 43 round-7
-# newcomers in registration order — exactly 50, zero re-proofs.
+# re-proves the proven. Round-8 rotation (VERDICT r07 ask #1): the
+# round-7 window went 50/50 green, so this window leads with
+# q172b_pq_adc_topk_portable (the one oracle-backed query with no
+# driver row — staged at round-7 end) followed by the 49 round-8
+# newcomers q330..q378 in numeric order — exactly 50, zero re-proofs.
 # Rows-only specs NEVER occupy a top-50 slot (they cannot earn a hash
-# row); the remaining never-attested oracle-backed set after this
-# window is exactly {q172b_pq_adc_topk_portable} — the one round-7
-# late addition, staged at the head of the round-8 rotation the same
-# way q83f/q149/q187/q85g were staged at round-6 end.
+# row); after this window the never-attested oracle-backed set is
+# EMPTY.
 _DRIVER_PRIORITY = [
-    "q149_rolling_distinct_sketch",
-    "q187_dedup_metrics",
-    "q85g_freq_terms_sketch",
-    "q83f_ann_lsh_topk_portable",
-    "q83e_topk_vectorized",
-    "q186_retrieval_metrics",
-    "q107_semdedup",
-    "q287_ann_ivf_topk_portable",
-    "q288_snapshot_incremental_neardup",
-    "q289_url_canonical_dedup",
-    "q290_stream_session_rollup",
-    "q291_wap_publish_audit",
-    "q292_partition_evolution_scan",
-    "q293_forgotten_user_audit",
-    "q294_matview_cdc_refresh",
-    "q295_clamped_running_balance",
-    "q296_mann_whitney_u",
-    "q297_sprt_sequential_test",
-    "q298_bh_fdr_control",
-    "q299_spearman_rank_corr",
-    "q300_unigram_surprisal",
-    "q301_vocab_coverage",
-    "q302_cross_source_dups",
-    "q303_zorder_locality",
-    "q304_kwic_concordance",
-    "q305_transition_dwell",
-    "q306_session_concurrency",
-    "q307_topk_with_ties",
-    "q308_invoice_reconciliation",
-    "q309_ips_offpolicy_eval",
-    "q310_business_days_to_ship",
-    "q311_behavior_bitmask_census",
-    "q312_rolling_distinct_bitmask",
-    "q313_weekly_cohort_overlap",
-    "q314_twap_by_brand",
-    "q315_event_streak_rle",
-    "q316_asof_join_tolerance",
-    "q317_tag_read_isolation",
-    "q318_compact_equivalence",
-    "q319_rollback_lineage",
-    "q320_expire_snapshots_gc",
-    "q321_lsh_band_tradeoff",
-    "q322_percentile_two_phase",
-    "q323_fk_inference_profile",
-    "q324_stream_bitmask_profile",
-    "q325_luhn_checksum_census",
-    "q326_sequence_gap_detection",
-    "q327_exact_mode_by_group",
-    "q328_priority_inversion_audit",
-    "q329_branch_divergence_summary",
+    "q172b_pq_adc_topk_portable",
+    "q330_bucketed_incremental_neardup",
+    "q331_quantile_sketch_merge",
+    "q332_clustering_coefficient",
+    "q333_stream_reorder_sessions",
+    "q334_ols_by_group",
+    "q335_welch_ttest",
+    "q336_gini_by_segment",
+    "q337_hhi_concentration",
+    "q338_weighted_percentile",
+    "q339_wilson_ci",
+    "q340_kaplan_meier",
+    "q341_quantile_normalize",
+    "q342_wasserstein_1d",
+    "q343_feature_hash_collisions",
+    "q344_target_encode_loo",
+    "q345_bloom_semijoin",
+    "q346_dp_noisy_counts",
+    "q347_l_diversity",
+    "q348_max_drawdown",
+    "q349_ltob_downsample",
+    "q350_dau_wau_stickiness",
+    "q351_cohort_ltv_curve",
+    "q352_entry_exit_census",
+    "q353_fifo_allocation",
+    "q354_skyline_2d",
+    "q355_rolling_ols_slope",
+    "q356_bom_explosion",
+    "q357_bfs_hops",
+    "q358_common_neighbor_linkpred",
+    "q359_degree_assortativity",
+    "q360_markov_stationary",
+    "q361_mor_read_equivalence",
+    "q362_binpack_compaction_plan",
+    "q363_merkle_integrity",
+    "q364_fd_discovery",
+    "q365_isoweek_rollup",
+    "q366_cohens_kappa",
+    "q367_precision_at_k",
+    "q368_pareto_share",
+    "q369_dim_truncation_recall",
+    "q370_sharded_topk_merge",
+    "q371_window_funnel",
+    "q372_abandonment_census",
+    "q373_bitemporal_asof",
+    "q374_harmonic_centrality_2hop",
+    "q375_negative_sampling",
+    "q376_term_trends",
+    "q377_geo_grid_join",
+    "q378_props_profile",
 ]
 
 
