@@ -3767,12 +3767,12 @@ obs AS (
   SELECT dur AS t, COUNT(*) AS at_t, CAST(SUM(churned) AS BIGINT) AS d
   FROM obs GROUP BY dur
 ), risk AS (
-  SELECT a.t, a.d,
+  SELECT /*+ BROADCAST(b) */ a.t, a.d,
     CAST(SUM(b.at_t) AS BIGINT) AS n_risk
   FROM ev a JOIN ev b ON b.t >= a.t
   GROUP BY a.t, a.d
 ), km AS (
-  SELECT a.t, a.d, a.n_risk,
+  SELECT /*+ BROADCAST(b) */ a.t, a.d, a.n_risk,
     round(exp(SUM(CASE WHEN b.d < b.n_risk
                        THEN ln(1.0 - CAST(b.d AS DOUBLE) / b.n_risk)
                        ELSE 0.0 END)), 6) AS surv_pos,
@@ -3851,7 +3851,7 @@ _Q341_SQL = (
     "WITH "
     + _CDF_BASE
     + """, mapped AS (
-  SELECT s.source, s.bkt,
+  SELECT /*+ BROADCAST(g) */ s.source, s.bkt,
     CAST(MIN(CASE WHEN g.cum * ns.n >= s.cum * (SELECT nn FROM ntot)
              THEN g.bkt END) AS BIGINT) AS gbkt
   FROM cums s

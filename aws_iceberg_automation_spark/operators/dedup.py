@@ -2596,8 +2596,13 @@ def q330_bucketed_incremental_neardup(
     t_idx = session_table(spark, "q330_idx")
     t_plain = session_table(spark, "q330_idx_plain")
     write_bucketed(idx, t_idx, ["band", "band_hash"])
-    # identically-populated unbucketed control for the differential
-    idx.write.format("parquet").mode("overwrite").saveAsTable(t_plain)
+    # unbucketed CONTROL for the plan differential: exchange counts are
+    # a property of the plan SHAPE, not the row count, so the control
+    # table holds only a 1000-row sample — at 20×/100 TB the full index
+    # is written once (bucketed), never twice
+    idx.limit(1000).write.format("parquet").mode("overwrite").saveAsTable(
+        t_plain
+    )
 
     probe = _banded_postings(
         batch.select(

@@ -1037,9 +1037,11 @@ def q373_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: snapshot read = time travel (metadata); valid-time
     resolution = interval-ize the snapshot (one PARTITIONED lead()
-    window over the dimension, [eff, next-eff) per row) and broadcast
-    it — each fact then matches exactly one interval row, so the join
-    needs no fact primary key and no per-fact dedup."""
+    window over the dimension, [eff, next-eff) per row) and equi-join
+    on the key with interval residuals — each fact matches exactly one
+    interval row, so the join needs no fact primary key and no
+    per-fact dedup; AQE broadcasts the dimension only when it is
+    actually small."""
     # dimension keyed by the fact table's own supplier keys (the
     # fixture's lineitem references more suppliers than the supplier
     # dim holds — building from the dim dropped 14k facts, round-8
@@ -1085,8 +1087,12 @@ def q373_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_shipdate",
         F.col("l_quantity").cast("bigint").alias("q"),
     )
+    # no broadcast hint: the dimension is keyed by every distinct
+    # supplier (millions at scale) — the join is an equi-join on
+    # s_suppkey with interval residuals, and AQE picks broadcast
+    # itself when the snapshot is actually small
     resolved = li.join(
-        F.broadcast(dim_v2),
+        dim_v2,
         (li.l_suppkey == dim_v2.s_suppkey)
         & (dim_v2.eff <= li.l_shipdate)
         & (
