@@ -210,3 +210,17 @@ def test_fd_discovery_expectations(spark):
     assert rows["o_orderkey -> o_orderstatus"].holds
     assert not rows["o_custkey -> o_orderstatus"].holds
     assert rows["o_custkey -> o_orderstatus"].n_violating_groups > 0
+
+
+def test_half_plane_offsets_tile_all_neighbor_directions():
+    """The q377 probe set's correctness precondition, proven directly:
+    the nonzero half-plane offsets plus their negations must cover all
+    8 neighbor directions exactly once (any overlap double-counts a
+    pair; any gap drops one)."""
+    f = {(0, 0), (1, 0), (0, 1), (1, 1), (1, -1)}
+    nonzero = f - {(0, 0)}
+    neg = {(-dx, -dy) for dx, dy in nonzero}
+    assert nonzero | neg == {
+        (dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    } - {(0, 0)}
+    assert not (nonzero & neg)
