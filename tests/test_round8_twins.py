@@ -173,3 +173,93 @@ def test_wasserstein_matches_scipy_style_reference(spark):
         present = np.isin(grid, np.unique(bkt))
         w1 = float(np.abs(scdf[present] - gcdf[present]).sum())
         assert abs(got[s] - w1) < 1e-5, (s, got[s], w1)
+
+
+def test_wilson_ci_matches_formula(spark):
+    rows = _events(spark)
+    from collections import Counter
+
+    n = Counter(r.event_type for r in rows)
+    k = Counter(r.event_type for r in rows if r.value > 80)
+    z = 1.959963984540054
+    got = {
+        r.event_type: r
+        for r in SPECS["q339_wilson_ci"].fn(spark, SF_DIR).collect()
+    }
+    pooled = sum(k.values()) / sum(n.values())
+    for t in n:
+        p = k[t] / n[t]
+        denom = 1 + z * z / n[t]
+        center = p + z * z / (2 * n[t])
+        half = z * np.sqrt((p * (1 - p) + z * z / (4 * n[t])) / n[t])
+        lo, hi = (center - half) / denom, (center + half) / denom
+        g = got[t]
+        assert g.n_events == n[t] and g.n_hits == k[t]
+        assert abs(g.wilson_lo - lo) < 1e-5 and abs(g.wilson_hi - hi) < 1e-5
+        assert g.contains_pooled == (lo <= pooled <= hi)
+    # non-degenerate: the proxy fires for some but not all events
+    assert 0 < sum(k.values()) < sum(n.values())
+
+
+def test_quantile_normalize_matches_reference(spark):
+    """avg_norm_bucket per source recomputed by explicit inverse-CDF
+    composition on the bucketed values."""
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    xs = np.array([r.n_chars for r in docs], dtype=np.int64)
+    lo, hi = xs.min(), xs.max()
+    bkt = np.minimum((xs - lo) * 64 // (hi - lo + 1), 63)
+    srcs = np.array([r.source for r in docs])
+    gvals, gcounts = np.unique(bkt, return_counts=True)
+    gcum = np.cumsum(gcounts)
+    N = len(bkt)
+    got = {
+        r.source: (r.n_docs, r.avg_raw_bucket, r.avg_norm_bucket)
+        for r in SPECS["q341_quantile_normalize"].fn(spark, SF_DIR).collect()
+    }
+    for s in np.unique(srcs):
+        sb = np.sort(bkt[srcs == s])
+        ns = len(sb)
+        svals, scounts = np.unique(sb, return_counts=True)
+        scum = np.cumsum(scounts)
+        mapped = {}
+        for v, cum in zip(svals, scum):
+            # smallest global bucket with gcum·ns >= scum·N
+            idx = np.argmax(gcum * ns >= cum * N)
+            mapped[v] = gvals[idx]
+        avg_norm = sum(
+            c * mapped[v] for v, c in zip(svals, scounts)
+        ) / ns
+        nd, raw, norm = got[s]
+        assert nd == ns
+        assert abs(raw - sb.mean()) < 1e-5
+        assert abs(norm - avg_norm) < 1e-5, (s, norm, avg_norm)
+
+
+def test_markov_stationary_matches_numpy_power_iteration(spark):
+    rows = sorted(
+        _events(spark), key=lambda r: (r.user_id, r.ts, r.event_id)
+    )
+    states = sorted({r.event_type for r in rows})
+    idx = {s: i for i, s in enumerate(states)}
+    counts = np.zeros((len(states), len(states)))
+    prev_u, prev_t = None, None
+    for r in rows:
+        if r.user_id == prev_u:
+            counts[idx[prev_t], idx[r.event_type]] += 1
+        prev_u, prev_t = r.user_id, r.event_type
+    P = counts / counts.sum(axis=1, keepdims=True)
+    v = np.full(len(states), 0.2)
+    for _ in range(20):
+        v = v @ P
+    got = {
+        r.state: r.pi
+        for r in SPECS["q360_markov_stationary"].fn(spark, SF_DIR).collect()
+    }
+    for s, i in idx.items():
+        assert abs(got[s] - v[i]) < 1e-5, (s, got[s], v[i])
+    assert all(
+        r.mass_conserved
+        for r in SPECS["q360_markov_stationary"].fn(spark, SF_DIR).collect()
+    )
