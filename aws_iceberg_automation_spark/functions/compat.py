@@ -203,6 +203,24 @@ def sql_split_bucket(inner: str) -> str:
     )
 
 
+def month_day(col_name: str = "ts") -> Column:
+    """Month-aware day bucket: ``(month-1)*31 + day`` — a strictly
+    increasing day index across month boundaries (the q340/q352/q360
+    epoch convention). On the single-month events fixture this equals
+    plain day-of-month, so adopting it is hash-neutral; on any
+    multi-month fixture it stops Jan-5 silently merging with Feb-5
+    (round-8 advice finding — plain ``dayofmonth`` buckets collide
+    across months and a shared-expression oracle can never catch it)."""
+    return F.expr(
+        f"(month({col_name}) - 1) * 31 + day({col_name})"
+    ).cast("bigint")
+
+
+def sql_month_day(col_name: str = "ts") -> str:
+    """DuckDB fragment value-equal to :func:`month_day`."""
+    return f"CAST((month({col_name}) - 1) * 31 + day({col_name}) AS BIGINT)"
+
+
 def corr_from_moments(
     n: Column, sx: Column, sy: Column, sxy: Column, sxx: Column, syy: Column
 ) -> Column:

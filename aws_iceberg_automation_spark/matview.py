@@ -444,12 +444,19 @@ class IncrementalAggView:
         m = next(x for x in self.measures if x.alias == alias)
         if m.kind != "quantile_sample":
             raise ValueError(f"measure {alias!r} is {m.kind}, not quantile_sample")
+        if not 1 <= pct <= 100:
+            # pct=0 would pick element_at(vs, 0) — an illegal array index
+            # in Spark — and pct>100 silently indexes past the sample
+            # returning NULL (round-8 advice finding).
+            raise ValueError(f"pct must be in 1..100, got {pct}")
         vs = F.array_sort(
             F.transform(F.col(alias), lambda x: x.getField("v"))
         )
         msize = F.size(F.col(alias))
-        idx = (msize * pct + 99) / F.lit(100)  # integer ceil
-        est = F.element_at(vs, F.floor(idx).cast("int"))
+        # integer ceil(m·pct/100) in pure integer arithmetic (no double
+        # division round-trip): (m*pct + 99) div 100
+        idx = F.expr(f"(size({alias}) * {pct} + 99) div 100").cast("int")
+        est = F.element_at(vs, idx)
         return self.state.read().select(
             *self.group_by,
             msize.cast("bigint").alias("m_sample"),

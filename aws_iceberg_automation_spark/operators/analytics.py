@@ -3447,7 +3447,7 @@ def q328_priority_inversion_audit(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _Q334_SQL = """
 WITH pts AS (
-  SELECT event_type, CAST(day(ts) AS BIGINT) AS x,
+  SELECT event_type, CAST((month(ts) - 1) * 31 + day(ts) AS BIGINT) AS x,
          CAST(round(value) AS BIGINT) AS y
   FROM {events}
 ), s AS (

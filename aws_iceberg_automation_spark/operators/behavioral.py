@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..functions.compat import (
     dec2,
     epoch_secs,
+    month_day,
     split_bucket,
     sql_dsum,
     sql_split_bucket,
@@ -1647,7 +1648,7 @@ def q315_event_streak_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q350_dau_wau_stickiness",
     oracle="""
 WITH ud AS (
-  SELECT DISTINCT user_id, CAST(day(ts) AS BIGINT) AS d FROM events
+  SELECT DISTINCT user_id, CAST((month(ts) - 1) * 31 + day(ts) AS BIGINT) AS d FROM events
 ), dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
 grid AS (SELECT DISTINCT d FROM ud),
 wau AS (
@@ -1675,7 +1676,7 @@ def q350_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     users×days, far under the event count — then a broadcast-grid
     range join; no windows at all."""
     e = load_table(spark, sf_dir, "events").select(
-        "user_id", F.dayofmonth("ts").cast("bigint").alias("d")
+        "user_id", month_day("ts").alias("d")
     )
     ud = e.distinct()
     dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
@@ -1705,7 +1706,7 @@ def q350_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q351_cohort_ltv_curve",
     oracle="""
 WITH p AS (
-  SELECT user_id, CAST(day(ts) AS BIGINT) AS d,
+  SELECT user_id, CAST((month(ts) - 1) * 31 + day(ts) AS BIGINT) AS d,
     CAST(round(value * 100) AS BIGINT) AS cents
   FROM events WHERE event_type = 'purchase'
 ), fw AS (
@@ -1752,7 +1753,7 @@ def q351_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select(
             "user_id",
-            F.dayofmonth("ts").cast("bigint").alias("d"),
+            month_day("ts").alias("d"),
             F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
     )
@@ -2080,7 +2081,7 @@ def q371_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q372_abandonment_census",
     oracle="""
 WITH t AS (
-  SELECT user_id, event_type, CAST(day(ts) AS BIGINT) AS d,
+  SELECT user_id, event_type, CAST((month(ts) - 1) * 31 + day(ts) AS BIGINT) AS d,
     epoch(date_trunc('second', ts)) AS es, event_id
   FROM events
 ), nx AS (
@@ -2116,7 +2117,7 @@ def q372_abandonment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
-        F.dayofmonth("ts").cast("bigint").alias("d"),
+        month_day("ts").alias("d"),
         epoch_secs("ts").alias("es"),
         "event_id",
     )

@@ -39,7 +39,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.compat import dec2, portable_hash64, sql_portable_hash64
+from ..functions.compat import dec2, month_day, portable_hash64, sql_portable_hash64
 from ..functions.ranking import topn_ranked
 from ..io import SCHEMAS, load_table
 from ..registry import register
@@ -1722,8 +1722,8 @@ def _q346_oracle() -> str:
     )
     return f"""
 WITH g AS (
-  SELECT event_type, CAST(day(ts) AS BIGINT) AS d, COUNT(*) AS c
-  FROM events GROUP BY event_type, day(ts)
+  SELECT event_type, CAST((month(ts) - 1) * 31 + day(ts) AS BIGINT) AS d, COUNT(*) AS c
+  FROM events GROUP BY event_type, (month(ts) - 1) * 31 + day(ts)
 ), u AS (
   SELECT event_type, d, c,
     (CAST({ph} % 2000001 AS DOUBLE) - 1000000) / 1000001.0 AS uu
@@ -1759,7 +1759,7 @@ def q346_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one hash agg to |cells|, then map-only noise — the
     mechanism adds zero shuffles to the histogram it protects."""
     e = load_table(spark, sf_dir, "events").select(
-        "event_type", F.dayofmonth("ts").cast("bigint").alias("d")
+        "event_type", month_day("ts").alias("d")
     )
     g = e.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c"))
     uu = (

@@ -763,7 +763,11 @@ def q356_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(
                 F.array(
                     *[
-                        (F.col("node") / F.lit(10**k)).cast("bigint")
+                        # exact integer floor-division (`div`), matching
+                        # the oracle's `//` at ANY key magnitude — a
+                        # double quotient truncation would diverge past
+                        # ~4.5e15 (round-8 advice finding)
+                        F.expr(f"node div {10**k}").cast("bigint")
                         for k in range(8)
                     ]
                 ),

@@ -921,8 +921,12 @@ def q361_mor_read_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = spark.read.parquet(dv_p)
     mor = base.join(F.broadcast(dv), "doc_id", "left_anti")
     cow = spark.read.parquet(cow_p)
-    extra = mor.join(cow, "doc_id", "left_anti").count()
-    missing = cow.join(mor, "doc_id", "left_anti").count()
+    # Anti-join on ALL columns, not just the key, so a COW rewrite that
+    # corrupted lang/n_chars for a surviving key fails here too (the
+    # documented row-level contract — round-8 advice finding).
+    all_cols = ["doc_id", "lang", "n_chars"]
+    extra = mor.join(cow, all_cols, "left_anti").count()
+    missing = cow.join(mor, all_cols, "left_anti").count()
     if extra or missing:
         raise RuntimeError(
             f"MOR read diverged from COW rewrite: {extra} extra, "

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.compat import portable_hash64, sql_portable_hash64
+from ..functions.compat import month_day, portable_hash64, sql_portable_hash64
 from ..functions.ranking import topn_ranked
 from ..io import load_table
 from ..registry import register
@@ -2300,7 +2300,7 @@ def q376_term_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = ev0.select(
         "event_id",
-        F.floor((F.dayofmonth("ts") - 1) / 7.0).cast("bigint").alias("wk"),
+        F.floor((month_day("ts") - 1) / 7.0).cast("bigint").alias("wk"),
     )
     tok = (
         d.join(ev, "event_id")

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.compat import corr_from_moments, dec2, epoch_secs, ts_sec
+from ..functions.compat import corr_from_moments, dec2, epoch_secs, month_day, ts_sec
 from ..io import load_table
 from ..registry import register
 
@@ -1559,7 +1559,7 @@ def q348_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q349_ltob_downsample",
     oracle="""
 WITH t AS (
-  SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+  SELECT event_type, CAST((month(ts) - 1) * 31 + day(ts) AS BIGINT) AS d,
     epoch(date_trunc('second', ts)) AS x, event_id,
     CAST(round(value * 100) AS BIGINT) AS y
   FROM events
@@ -1611,7 +1611,7 @@ def q349_ltob_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, by design."""
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
-        F.dayofmonth("ts").cast("bigint").alias("d"),
+        month_day("ts").alias("d"),
         epoch_secs("ts").alias("x"),
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("y"),
@@ -1664,9 +1664,9 @@ def q349_ltob_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q355_rolling_ols_slope",
     oracle="""
 WITH daily AS (
-  SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+  SELECT event_type, CAST((month(ts) - 1) * 31 + day(ts) AS BIGINT) AS d,
     CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
-  FROM events GROUP BY event_type, day(ts)
+  FROM events GROUP BY event_type, (month(ts) - 1) * 31 + day(ts)
 ), w AS (
   SELECT event_type, d, y,
     COUNT(*) OVER win AS n,
@@ -1699,7 +1699,7 @@ def q355_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     width windows on the tiny frame; n = 7 gates out warm-up rows."""
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
-        F.dayofmonth("ts").cast("bigint").alias("d"),
+        month_day("ts").alias("d"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     daily = e.groupBy("event_type", "d").agg(
