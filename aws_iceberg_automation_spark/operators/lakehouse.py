@@ -1108,3 +1108,229 @@ def q373_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.sum("q").cast("bigint").alias("sum_qty"),
     )
+
+
+@register(
+    "q379_schema_evolution_scan",
+    oracle="""
+WITH a AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 0),
+b AS (SELECT doc_id, lang, n_chars, source AS src FROM documents WHERE doc_id % 3 = 1),
+c AS (SELECT doc_id, lang, n_chars AS chars, source AS src FROM documents WHERE doc_id % 3 = 2)
+SELECT 'v1' AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  CAST(0 AS BIGINT) AS n_src, CAST(COUNT(lang) AS BIGINT) AS n_lang
+FROM a
+UNION ALL
+SELECT 'v3', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT),
+  CAST(COUNT(src) AS BIGINT), CAST(COUNT(lang) AS BIGINT)
+FROM (SELECT doc_id, lang, n_chars, NULL AS src FROM a
+      UNION ALL SELECT * FROM b)
+UNION ALL
+SELECT 'v5', CAST(COUNT(*) AS BIGINT), CAST(SUM(chars) AS BIGINT),
+  CAST(COUNT(src) AS BIGINT), CAST(COUNT(lang) AS BIGINT)
+FROM (SELECT doc_id, lang, n_chars AS chars, NULL AS src FROM a
+      UNION ALL SELECT doc_id, lang, n_chars, src FROM b
+      UNION ALL SELECT doc_id, lang, chars, src FROM c)
+UNION ALL
+SELECT 'final', CAST(COUNT(*) AS BIGINT), CAST(SUM(chars) AS BIGINT),
+  CAST(COUNT(src) AS BIGINT), CAST(0 AS BIGINT)
+FROM (SELECT doc_id, n_chars AS chars, NULL AS src FROM a
+      UNION ALL SELECT doc_id, n_chars, src FROM b
+      UNION ALL SELECT doc_id, chars, src FROM c)
+UNION ALL
+SELECT 'changes_v3_v6', CAST(COUNT(*) AS BIGINT), CAST(SUM(chars) AS BIGINT),
+  CAST(COUNT(src) AS BIGINT), CAST(0 AS BIGINT)
+FROM c
+""",
+    tags=("lakehouse", "versioning"),
+)
+def q379_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA evolution attested end-to-end (VERDICT r08 ask #2 — the
+    one lakehouse lifecycle event q292's partition-evolution twin left
+    unproven): a documents table walks the full ALTER lifecycle —
+    v1 write(doc_id, lang, n_chars) → v2 ALTER ADD src → v3 append
+    (new files carry src) → v4 ALTER RENAME n_chars→chars → v5 append
+    (new files carry the NEW name) → v6 ALTER DROP lang — and five
+    probes are hashed against a relational oracle that re-derives each
+    stage from the raw fixture: time-travel reads at v1/v3/v5 must
+    surface each era's OWN declared schema (old names before the
+    rename, no src before the add), the final read stitches all three
+    physical layouts (pre-add, pre-rename, current) through the rename
+    chain with NULL backfill for the added column and the dropped
+    column hidden, and ``changes(v3, v6)`` reads ONLY the files that
+    joined after v3, surfaced in the CURRENT namespace (alter commits
+    are metadata-only, so the incremental file diff stays exact).
+
+    Every ALTER is a metadata-only commit — zero data files rewritten
+    (versioning.py alter_table; Iceberg ALTER TABLE semantics, ref
+    customers.yml:4 format-version 2) — which is the only affordable
+    shape at 100 TB: the rename chain is applied per file ERA at read,
+    so a reader touches exactly the files it would have touched anyway.
+
+    In-query asserts: each probed version must expose EXACTLY its
+    declared column list (a drifted stitch raises before any hash)."""
+    d = load_table(spark, sf_dir, "documents")
+    vt = VersionedTable(
+        spark, os.path.join(session_fixture_dir(spark, "q379_evo"), "t")
+    )
+    a = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "lang", "n_chars")
+    b = d.filter(F.col("doc_id") % 3 == 1).select(
+        "doc_id", "lang", "n_chars", F.col("source").alias("src")
+    )
+    v1 = vt.write(a)
+    vt.alter_table(adds=["src string"])
+    v3 = vt.write(b)
+    vt.alter_table(renames={"n_chars": "chars"})
+    c = d.filter(F.col("doc_id") % 3 == 2).select(
+        "doc_id", "lang",
+        F.col("n_chars").alias("chars"),
+        F.col("source").alias("src"),
+    )
+    v5 = vt.write(c)
+    v6 = vt.alter_table(drops=["lang"])
+
+    expected_cols = {
+        v1: ["doc_id", "lang", "n_chars"],
+        v3: ["doc_id", "lang", "n_chars", "src"],
+        v5: ["doc_id", "lang", "chars", "src"],
+        v6: ["doc_id", "chars", "src"],
+    }
+    for v, want in expected_cols.items():
+        got = vt.read(version=v).columns
+        if got != want:
+            raise VersioningError(
+                f"schema drift at v{v}: read {got}, declared {want}"
+            )
+
+    def probe(stage: str, df: DataFrame, chars_col: str) -> DataFrame:
+        cols = df.columns
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(chars_col).cast("bigint").alias("sum_chars"),
+            (
+                F.count("src") if "src" in cols else F.lit(0)
+            ).cast("bigint").alias("n_src"),
+            (
+                F.count("lang") if "lang" in cols else F.lit(0)
+            ).cast("bigint").alias("n_lang"),
+        )
+
+    return (
+        probe("v1", vt.read(version=v1), "n_chars")
+        .unionByName(probe("v3", vt.read(version=v3), "n_chars"))
+        .unionByName(probe("v5", vt.read(version=v5), "chars"))
+        .unionByName(probe("final", vt.read(version=v6), "chars"))
+        .unionByName(probe("changes_v3_v6", vt.changes(v3, v6), "chars"))
+    )
+
+
+@register(
+    "q380_mor_delete_compaction",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 4 <> 3
+), s1 AS (
+  SELECT * FROM base WHERE n_chars >= 300
+), late AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 4 = 3
+), s2 AS (
+  SELECT * FROM s1 UNION ALL SELECT * FROM late
+), final AS (
+  SELECT * FROM s2 WHERE lang <> 'zh'
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  TRUE AS mor_equals_cow, TRUE AS compaction_preserved
+FROM final GROUP BY lang
+""",
+    tags=("lakehouse", "versioning"),
+)
+def q380_mor_delete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ delete FILES + compaction (VERDICT r08 ask #3 —
+    the write half q361's read-equivalence demo left open): a
+    multi-delete history committed as Iceberg-v2-style equality-delete
+    files through ``VersionedTable.delete_where_eq`` — each commit
+    writes ONLY the matching key tuples, O(|deletes|) on a 100 TB
+    table — with an append BETWEEN the two deletes whose rows carry a
+    higher sequence era, so delete #1 must NOT touch them even where
+    the predicate matches (the re-insert-after-GDPR-erasure case that
+    separates real sequence semantics from naive global anti-joins).
+    Three differentials are asserted IN-QUERY before the census the
+    oracle recomputes:
+
+    1. COW equivalence: a twin table replays the identical history
+       through copy-on-write ``delete_where``; full-row anti-joins in
+       both directions must be empty.
+    2. Sequence semantics: the later append's small-doc rows (matching
+       delete #1's predicate) must ALL survive — zero survivors raises
+       as vacuous.
+    3. Compaction: ``compact_eq_deletes`` (the rewrite_data_files +
+       delete-compaction maintenance analog) folds the delete files
+       into a clean layout; the read must not change by a single row
+       and the new snapshot must carry zero delete files.
+
+    Scale shape: MOR reads are scan + broadcast anti-join on kilobyte
+    key files; the COW twin pays the full rewrite per delete — which
+    is exactly the cost tradeoff the operator exists to document."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = session_fixture_dir(spark, "q380_mor")
+    mor = VersionedTable(spark, os.path.join(root, "mor"))
+    cow = VersionedTable(spark, os.path.join(root, "cow"))
+    base = d.filter(F.col("doc_id") % 4 != 3)
+    late = d.filter(F.col("doc_id") % 4 == 3)
+
+    mor.write(base)
+    cow.write(base)
+    v_del1 = mor.delete_where_eq("n_chars < 300", keys=["doc_id"])
+    cow.delete_where("n_chars < 300")
+    if not mor.snapshot(v_del1).eq_deletes:
+        raise VersioningError("delete #1 wrote no equality-delete entry")
+    mor.write(late)
+    cow.write(late)
+    v_del2 = mor.delete_where_eq("lang = 'zh'", keys=["doc_id"])
+    cow.delete_where("lang = 'zh'")
+
+    cols = ["doc_id", "lang", "n_chars"]
+    mor_df, cow_df = mor.read(), cow.read()
+    diff = (
+        mor_df.join(cow_df, cols, "left_anti").count()
+        + cow_df.join(mor_df, cols, "left_anti").count()
+    )
+    if diff:
+        raise VersioningError(f"MOR history diverged from COW twin: {diff} rows")
+    # sequence semantics: late-era small docs survive delete #1
+    survivors = mor_df.filter(
+        (F.col("doc_id") % 4 == 3) & (F.col("n_chars") < 300)
+        & (F.col("lang") != "zh")
+    ).count()
+    expected_survivors = late.filter(
+        (F.col("n_chars") < 300) & (F.col("lang") != "zh")
+    ).count()
+    if survivors != expected_survivors or survivors == 0:
+        raise VersioningError(
+            f"sequence semantics broken: {survivors} of "
+            f"{expected_survivors} post-delete appends survived"
+        )
+    v_comp = mor.compact_eq_deletes()
+    comp_df = mor.read(version=v_comp)
+    diff2 = (
+        comp_df.join(mor.read(version=v_del2), cols, "left_anti").count()
+        + mor.read(version=v_del2).join(comp_df, cols, "left_anti").count()
+    )
+    if diff2 or mor.snapshot(v_comp).eq_deletes:
+        raise VersioningError(
+            f"delete compaction changed reads ({diff2} rows) or left "
+            f"delete files behind"
+        )
+    return (
+        comp_df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .withColumn("mor_equals_cow", F.lit(True))
+        .withColumn("compaction_preserved", F.lit(True))
+    )

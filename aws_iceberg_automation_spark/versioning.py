@@ -69,12 +69,31 @@ class Snapshot:
     version: int
     parent: int | None
     ts: str  # ISO-8601 UTC commit time
-    op: str  # "append" | "overwrite"
+    op: str  # "append" | "overwrite" | "alter" | "delete-eq" | ...
     files: list[str]
     # per-file column bounds for scan pruning: {file: {col: [min, max]}}.
     # Optional — manifests written before stats existed load fine and
     # simply never prune.
     stats: dict[str, dict[str, list]] = field(default_factory=dict)
+    # Schema evolution (Iceberg metadata-only ALTER, round-9):
+    # ``renames`` is THIS commit's old→new column map (a rename never
+    # rewrites data files — readers translate old-era files forward
+    # through the chain of rename commits); ``schema`` is the declared
+    # [[name, type], ...] column list in force AFTER this commit, or
+    # None for schema-on-files tables (every pre-round-9 manifest).
+    renames: dict[str, str] = field(default_factory=dict)
+    # Cumulative era-tagged rename history [[era, old, new], ...] —
+    # SELF-CONTAINED in every manifest (carried forward by each commit)
+    # so reads never depend on ancestor manifests surviving
+    # expire_snapshots. A rename at era E translates files of era < E.
+    rename_log: list = field(default_factory=list)
+    schema: list | None = None
+    # Equality-delete files (Iceberg v2 merge-on-read): each entry is
+    # {"files": [paths], "keys": [cols], "era": commit version}. A
+    # delete applies only to data files written in an era STRICTLY
+    # BEFORE the delete's era (Iceberg sequence-number semantics), so
+    # a later re-insert of a deleted key survives.
+    eq_deletes: list = field(default_factory=list)
 
 
 # JSON-representable bound types we collect and compare. Everything else
@@ -303,6 +322,10 @@ class VersionedTable:
         parent: int | None,
         version: int,
         stats: dict[str, dict[str, list]] | None = None,
+        renames: dict[str, str] | None = None,
+        rename_log: list | None = None,
+        schema: list | None = None,
+        eq_deletes: list | None = None,
     ) -> int:
         manifest = Snapshot(
             version=version,
@@ -311,6 +334,10 @@ class VersionedTable:
             op=op,
             files=sorted(files),
             stats=stats or {},
+            renames=renames or {},
+            rename_log=rename_log or [],
+            schema=schema,
+            eq_deletes=eq_deletes or [],
         )
         path = self._manifest_path(version)
         if os.path.exists(path):
@@ -373,12 +400,36 @@ class VersionedTable:
         if partition_by:
             for f in files:
                 stats.setdefault(f, {}).update(_partition_bounds_from_path(f))
-        if mode == "append" and parent is not None:
+        schema = None
+        rename_log: list = []
+        eq_deletes: list = []
+        if parent is not None:
             parent_snap = self.snapshot(parent)
-            files += parent_snap.files
-            # carried files keep their already-collected bounds
-            stats.update(parent_snap.stats)
-        return self._commit(files, _op or mode, parent, new_version, stats)
+            # declared schema + rename history survive data commits
+            # (ALTER is the only op that changes them — Iceberg
+            # semantics)
+            schema = parent_snap.schema
+            rename_log = parent_snap.rename_log
+            if mode == "append":
+                files += parent_snap.files
+                # carried files keep their already-collected bounds
+                stats.update(parent_snap.stats)
+                # equality deletes keep applying to the files they
+                # covered; the new files post-date them (higher era) so
+                # the read path never filters them — sequence semantics
+                eq_deletes = parent_snap.eq_deletes
+            # overwrite replaces the visible file set, so any pending
+            # equality deletes have nothing left to apply to
+        return self._commit(
+            files,
+            _op or mode,
+            parent,
+            new_version,
+            stats,
+            rename_log=rename_log,
+            schema=schema,
+            eq_deletes=eq_deletes,
+        )
 
     def _read_files(self, files: list[str]) -> DataFrame:
         """Read an explicit file list, reconstructing hive partition
@@ -411,6 +462,197 @@ class VersionedTable:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
 
+    # -- schema evolution + MOR assembly (round-9) ----------------------
+
+    def _assemble(self, snap: Snapshot, files: list[str] | None = None) -> DataFrame:
+        """Read a snapshot's (or an explicit subset of its) files with
+        full table semantics: per-era forward column renames (Iceberg
+        metadata-only ALTER — an old file's physical names translate
+        through every rename committed after it), equality-delete
+        anti-joins (merge-on-read; a delete applies only to files of a
+        strictly earlier era, so later re-inserts survive), and the
+        declared-schema projection (ADD backfills NULL, DROP hides the
+        column without touching data files). Tables that never used
+        these features take the pre-existing ``_read_files`` path
+        unchanged."""
+        files = snap.files if files is None else files
+        # fast path: alter_table sets ``schema`` and every later commit
+        # carries it, so schema None + no deletes ⇒ no alter/delete-eq
+        # anywhere on the lineage ⇒ the pre-round-9 read, with no
+        # per-ancestor manifest walk at all
+        if snap.schema is None and not snap.eq_deletes:
+            return self._read_files(files)
+        # group files by commit era (same layout grouping as
+        # _read_files, but renames/deletes are era-dependent)
+        groups: dict[tuple[str, int], list[str]] = {}
+        for f in [_local_path(x) for x in files]:
+            m = re.search(r"^(.*?/data/v(\d+))/", f)
+            root = m.group(1) if m else os.path.dirname(f)
+            era = int(m.group(2)) if m else 0
+            groups.setdefault((root, era), []).append(f)
+        parts: list[DataFrame] = []
+        for (root, era), fs in sorted(groups.items()):
+            partitioned = any("=" in os.path.dirname(f)[len(root):] for f in fs)
+            reader = self.spark.read
+            if partitioned:
+                reader = reader.option("basePath", root)
+            df = reader.parquet(*fs)
+            for rera, old, new in snap.rename_log:
+                if rera > era and old in df.columns:
+                    df = df.withColumnRenamed(old, new)
+            for entry in snap.eq_deletes:
+                if entry["era"] > era:
+                    dv = self.spark.read.parquet(*entry["files"])
+                    keys = list(entry["keys"])
+                    # delete keys were written in the delete era's
+                    # namespace; translate them forward too
+                    for rera, old, new in snap.rename_log:
+                        if rera > entry["era"] and old in keys:
+                            dv = dv.withColumnRenamed(old, new)
+                            keys[keys.index(old)] = new
+                    df = df.join(
+                        F.broadcast(dv.select(*keys).distinct()),
+                        keys,
+                        "left_anti",
+                    )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        if snap.schema is not None:
+            out = out.select(
+                *[
+                    F.col(name)
+                    if name in out.columns
+                    else F.lit(None).cast(typ).alias(name)
+                    for name, typ in snap.schema
+                ]
+            )
+        return out
+
+    def alter_table(
+        self,
+        adds: list[str] | None = None,
+        renames: dict[str, str] | None = None,
+        drops: list[str] | None = None,
+    ) -> int:
+        """Metadata-only schema evolution commit (Iceberg ALTER TABLE:
+        add / rename / drop columns without rewriting a single data
+        file — the flagship v2 promise). ``adds`` entries are
+        ``"name type"`` strings (the type backfills NULL for files
+        that pre-date the column); ``renames`` is old→new; ``drops``
+        hides columns. Applied in rename → drop → add order. Every
+        prior snapshot keeps ITS OWN schema: time travel shows the
+        table as it was, incremental reads surface rows in the
+        to-version's namespace."""
+        parent = self.current_version()
+        if parent is None:
+            raise VersioningError("cannot ALTER an empty table")
+        snap = self.snapshot(parent)
+        if snap.schema is not None:
+            schema = [list(c) for c in snap.schema]
+        else:
+            schema = [
+                [f.name, f.dataType.simpleString()]
+                for f in self.read(version=parent).schema.fields
+            ]
+        names = [c[0] for c in schema]
+        renames = dict(renames or {})
+        for old, new in renames.items():
+            if old not in names:
+                raise VersioningError(f"rename source {old!r} not in {names}")
+            if new in names:
+                raise VersioningError(f"rename target {new!r} already exists")
+        if len(set(renames.values())) != len(renames):
+            raise VersioningError(f"colliding rename targets: {renames}")
+        schema = [[renames.get(n, n), t] for n, t in schema]
+        names = [c[0] for c in schema]
+        for d in drops or []:
+            if d not in names:
+                raise VersioningError(f"drop column {d!r} not in {names}")
+        schema = [c for c in schema if c[0] not in set(drops or [])]
+        for a in adds or []:
+            name, _, typ = a.partition(" ")
+            if not typ.strip():
+                raise VersioningError(
+                    f"adds entries are 'name type' strings, got {a!r}"
+                )
+            if name in [c[0] for c in schema]:
+                raise VersioningError(f"add column {name!r} already exists")
+            schema.append([name, typ.strip()])
+        if not schema:
+            raise VersioningError("ALTER would drop every column")
+        new_version = self._next_version()
+        rename_log = [
+            *snap.rename_log,
+            *[[new_version, old, new] for old, new in renames.items()],
+        ]
+        return self._commit(
+            snap.files,
+            "alter",
+            parent,
+            new_version,
+            snap.stats,
+            renames=renames,
+            rename_log=rename_log,
+            schema=schema,
+            eq_deletes=snap.eq_deletes,
+        )
+
+    def delete_where_eq(self, predicate: str, keys: list[str]) -> int:
+        """MERGE-ON-READ delete (Iceberg v2 equality-delete files): the
+        commit writes ONLY a small file of matching key tuples —
+        O(|deletes|) commit cost on a 100 TB table — and readers apply
+        it as a broadcast anti-join. The delete carries its commit era
+        (sequence number): files appended LATER are never filtered, so
+        re-inserting a deleted key works exactly like Iceberg. Compare
+        ``delete_where`` (copy-on-write), which pays the rewrite at
+        commit time to keep reads join-free; ``compact_eq_deletes``
+        converts accumulated MOR debt into that clean layout."""
+        parent = self.current_version()
+        if parent is None:
+            raise VersioningError(f"empty versioned table at {self.root}")
+        snap = self.snapshot(parent)
+        cur = self.read(version=parent)
+        missing = [k for k in keys if k not in cur.columns]
+        if missing:
+            raise VersioningError(f"delete keys not in schema: {missing}")
+        new_version = self._next_version()
+        matched = cur.filter(predicate).select(*keys).distinct()
+        del_dir = os.path.join(self.root, "deletes", f"v{new_version}")
+        matched.write.mode("errorifexists").parquet(del_dir)
+        dfiles = [
+            _local_path(f)
+            for f in self.spark.read.parquet(del_dir).inputFiles()
+        ]
+        entry = {"files": dfiles, "keys": list(keys), "era": new_version}
+        return self._commit(
+            snap.files,
+            "delete-eq",
+            parent,
+            new_version,
+            snap.stats,
+            rename_log=snap.rename_log,
+            schema=snap.schema,
+            eq_deletes=[*snap.eq_deletes, entry],
+        )
+
+    def compact_eq_deletes(self) -> int:
+        """Fold accumulated equality-delete files into the data layout
+        (the ``rewrite_data_files`` + delete-compaction maintenance
+        pass): one COW rewrite of the MOR view, after which reads are
+        anti-join-free and the new snapshot carries zero delete files.
+        MUST NOT change what any read returns — the q380 differential
+        and the state-machine fuzz pin that."""
+        cur = self.current_version()
+        if cur is None:
+            raise VersioningError(f"empty versioned table at {self.root}")
+        if not self.snapshot(cur).eq_deletes:
+            raise VersioningError("no equality-delete files to compact")
+        return self.write(
+            self.read(version=cur), mode="overwrite", _op="rewrite-deletes"
+        )
+
     # -- read (#13/#15) ------------------------------------------------
 
     def read(
@@ -434,8 +676,7 @@ class VersionedTable:
             version = self.current_version()
             if version is None:
                 raise VersioningError(f"empty versioned table at {self.root}")
-        files = self.snapshot(version).files
-        return self._read_files(files)
+        return self._assemble(self.snapshot(version))
 
     def scan(
         self,
@@ -475,7 +716,9 @@ class VersionedTable:
             # provably-empty result; preserve the full (possibly
             # partition-evolved) schema without scanning any data
             return self.read(version=version).where(F.lit(False))
-        return self._read_files(kept).filter(residual)
+        return self._assemble(self.snapshot(version), files=kept).filter(
+            residual
+        )
 
     def plan_files(
         self, filters: list[tuple[str, str, object]], version: int | None = None
@@ -621,6 +864,11 @@ class VersionedTable:
         if v is None:
             raise VersioningError(f"empty versioned table at {self.root}")
         snap = self.snapshot(v)
+        # NOTE: bloom sidecars index PHYSICAL column names on the raw
+        # file scan (input_file_name must map 1:1 to the file being
+        # read — no joins/projections allowed here). Tables that used
+        # alter_table renames simply never bloom-prune on the renamed
+        # column: conservative, documented.
         df = self._read_files(snap.files).select(
             F.input_file_name().alias("_file"), *cols
         )
@@ -767,7 +1015,11 @@ class VersionedTable:
         non_append = [
             s.version
             for s in window
-            if not (s.op == "append" or s.op.startswith("stream-append:"))
+            if not (
+                s.op in ("append", "alter")  # alter is metadata-only:
+                # zero data files change, so the file diff stays exact
+                or s.op.startswith("stream-append:")
+            )
         ]
         if non_append:
             raise VersioningError(
@@ -781,7 +1033,7 @@ class VersionedTable:
         )
         if not new_files:
             return self.read(version=to_version).where(F.lit(False))
-        return self._read_files(new_files)
+        return self._assemble(self.snapshot(to_version), files=new_files)
 
     # -- row-level ops with history (#19/#20 × #15) --------------------
 
@@ -987,7 +1239,7 @@ class VersionedTable:
                 if not new_files:
                     continue
                 parts.append(
-                    self._read_files(new_files)
+                    self._assemble(snap, files=new_files)
                     .withColumn("_change_type", F.lit("insert"))
                     .withColumn("_commit_version", cv)
                 )
@@ -1117,6 +1369,8 @@ class VersionedTable:
         referenced: set[str] = set()
         for s in self.snapshots():
             referenced.update(_local_path(f) for f in s.files)
+            for entry in s.eq_deletes:
+                referenced.update(_local_path(f) for f in entry["files"])
         cutoff = time.time() - older_than_seconds
         data_root = os.path.join(self.root, "data")
         orphans: list[str] = []

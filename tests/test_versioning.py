@@ -844,3 +844,201 @@ def test_merge_precedence_tie_validator(spark, vt, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_VALIDATE_PRECEDENCE", "1")
     with pytest.raises(VersioningError, match="not a per-key total order"):
         vt.merge(src, on=["id"], precedence=["ts"])
+
+
+# -- round 9: schema evolution + merge-on-read equality deletes ---------
+
+
+def test_alter_add_rename_drop_lifecycle(spark, vt):
+    v1 = vt.write(_df(spark, 0, 3))
+    vt.alter_table(adds=["tag string"])
+    assert vt.read().columns == ["id", "v", "tag"]
+    assert all(r.tag is None for r in vt.read().collect())
+    v3 = vt.write(
+        spark.createDataFrame([(10, 100, "x")], "id long, v long, tag string")
+    )
+    vt.alter_table(renames={"v": "val"})
+    assert vt.read().columns == ["id", "val", "tag"]
+    # old files translate through the rename chain
+    assert {r.id: r.val for r in vt.read().collect()} == {
+        0: 0, 1: 10, 2: 20, 10: 100
+    }
+    vt.alter_table(drops=["tag"])
+    assert vt.read().columns == ["id", "val"]
+    # time travel shows each era's own declared schema
+    assert vt.read(version=v1).columns == ["id", "v"]
+    assert vt.read(version=v3).columns == ["id", "v", "tag"]
+
+
+def test_alter_validation_fails_loudly(spark, vt):
+    vt.write(_df(spark, 0, 2))
+    with pytest.raises(VersioningError, match="rename source"):
+        vt.alter_table(renames={"nope": "x"})
+    with pytest.raises(VersioningError, match="already exists"):
+        vt.alter_table(renames={"v": "id"})
+    with pytest.raises(VersioningError, match="drop column"):
+        vt.alter_table(drops=["nope"])
+    with pytest.raises(VersioningError, match="'name type'"):
+        vt.alter_table(adds=["justaname"])
+    with pytest.raises(VersioningError, match="already exists"):
+        vt.alter_table(adds=["v long"])
+    with pytest.raises(VersioningError, match="every column"):
+        vt.alter_table(drops=["id", "v"])
+
+
+def test_eq_delete_sequence_semantics_and_compaction(spark, vt):
+    vt.write(_df(spark, 0, 6))
+    vd = vt.delete_where_eq("id < 3", keys=["id"])
+    assert sorted(r.id for r in vt.read().collect()) == [3, 4, 5]
+    # re-insert a deleted key AFTER the delete: higher era, must survive
+    vt.write(spark.createDataFrame([(1, 999)], "id long, v long"))
+    assert sorted(r.id for r in vt.read().collect()) == [1, 3, 4, 5]
+    # pre-delete snapshot unaffected; delete snapshot stays stable
+    assert vt.read(version=vd).count() == 3
+    # second delete hits both eras
+    vt.delete_where_eq("id = 4", keys=["id"])
+    assert sorted(r.id for r in vt.read().collect()) == [1, 3, 5]
+    before = {(r.id, r.v) for r in vt.read().collect()}
+    vc = vt.compact_eq_deletes()
+    assert {(r.id, r.v) for r in vt.read().collect()} == before
+    assert vt.snapshot(vc).eq_deletes == []
+    with pytest.raises(VersioningError, match="no equality-delete"):
+        vt.compact_eq_deletes()
+
+
+def test_eq_delete_interacts_with_rename(spark, vt):
+    vt.write(_df(spark, 0, 4))
+    vt.delete_where_eq("v >= 20", keys=["id"])
+    vt.alter_table(renames={"id": "key"})
+    # delete keys recorded under the OLD name translate forward
+    assert sorted(r.key for r in vt.read().collect()) == [0, 1]
+    vt.write(spark.createDataFrame([(7, 70)], "key long, v long"))
+    assert sorted(r.key for r in vt.read().collect()) == [0, 1, 7]
+
+
+def test_changes_across_alter_boundary(spark, vt):
+    v1 = vt.write(_df(spark, 0, 2))
+    vt.alter_table(adds=["tag string"])
+    vt.write(spark.createDataFrame([(5, 50, "t")], "id long, v long, tag string"))
+    vt.alter_table(renames={"v": "val"})
+    ch = vt.changes(v1)
+    # only the post-v1 file, surfaced in the CURRENT namespace
+    assert ch.columns == ["id", "val", "tag"]
+    assert [(r.id, r.val, r.tag) for r in ch.collect()] == [(5, 50, "t")]
+
+
+def test_expire_preserves_metadata_manifests(spark, vt):
+    vt.write(_df(spark, 0, 2))
+    vt.alter_table(renames={"v": "val"})          # metadata-bearing
+    vt.write(_df(spark, 2, 4).withColumnRenamed("v", "val"))
+    vt.write(_df(spark, 4, 6).withColumnRenamed("v", "val"))
+    vt.write(_df(spark, 6, 8).withColumnRenamed("v", "val"))
+    vt.expire_snapshots(keep_last=2)
+    # the rename manifest survives expiry, so v1-era files still
+    # translate correctly in the surviving head
+    got = {r.id: r.val for r in vt.read().collect()}
+    assert got == {i: i * 10 for i in range(8)}
+
+
+def test_random_schema_and_mor_sequences_match_model(spark, tmp_path):
+    """Round-9 state-machine fuzz (VERDICT r08 ask #2/#3): random
+    interleavings of append / eq-delete / re-insert / ALTER add/rename/
+    drop / delete-compaction / rollback, mirrored against a pure-Python
+    model of (schema, rows); after every step the real table's visible
+    frame must equal the model, and surviving snapshots must replay
+    their recorded states with their recorded schemas."""
+    import random
+
+    rng = random.Random(20260816)
+    vt = VersionedTable(spark, str(tmp_path / "evo_t"))
+    # model: schema = ordered list of extra cols (beyond id), rows =
+    # {id: {col: val}}
+    schema: list[str] = ["v"]
+    rows: dict[int, dict[str, object]] = {}
+    history: dict[int, tuple[list[str], dict]] = {}
+    next_id, next_col = 0, 0
+
+    def snap_state():
+        return (list(schema), {k: dict(r) for k, r in rows.items()})
+
+    def fresh(n):
+        nonlocal next_id
+        out = {}
+        for _ in range(n):
+            out[next_id] = {c: next_id * 10 + j for j, c in enumerate(schema)}
+            next_id += 1
+        return out
+
+    def to_df(batch):
+        data = [(k, *[r[c] for c in schema]) for k, r in batch.items()]
+        ddl = "id long, " + ", ".join(f"{c} long" for c in schema)
+        return spark.createDataFrame(data, ddl)
+
+    def check(tag):
+        df = vt.read()
+        assert df.columns == ["id", *schema], f"{tag}: cols {df.columns}"
+        got = {r["id"]: {c: r[c] for c in schema} for r in df.collect()}
+        assert got == rows, f"{tag}: {got} != {rows}"
+
+    for step in range(24):
+        op = rng.choice(
+            ["append", "eq_delete", "add", "rename", "drop",
+             "compact_deletes", "rollback", "append", "eq_delete"]
+        )
+        if op == "append" or not history:
+            batch = fresh(rng.randint(1, 3))
+            ver = vt.write(to_df(batch))
+            rows.update(batch)
+        elif op == "eq_delete" and rows:
+            cut = rng.sample(sorted(rows), min(2, len(rows)))
+            ver = vt.delete_where_eq(
+                f"id in ({','.join(map(str, cut))})", keys=["id"]
+            )
+            for k in cut:
+                rows.pop(k)
+        elif op == "add":
+            col = f"c{next_col}"
+            next_col += 1
+            ver = vt.alter_table(adds=[f"{col} long"])
+            schema.append(col)
+            for r in rows.values():
+                r[col] = None
+        elif op == "rename" and schema:
+            old = rng.choice(schema)
+            new = f"{old}_r"
+            ver = vt.alter_table(renames={old: new})
+            schema[schema.index(old)] = new
+            for r in rows.values():
+                r[new] = r.pop(old)
+        elif op == "drop" and len(schema) > 1:
+            col = rng.choice(schema[1:])  # keep at least one payload col
+            ver = vt.alter_table(drops=[col])
+            schema.remove(col)
+            for r in rows.values():
+                r.pop(col)
+        elif op == "compact_deletes":
+            cur = vt.current_version()
+            if not vt.snapshot(cur).eq_deletes:
+                continue
+            ver = vt.compact_eq_deletes()
+        elif op == "rollback" and history:
+            ver = rng.choice(sorted(history))
+            vt.rollback(ver)
+            s, r = history[ver]
+            schema = list(s)
+            rows = {k: dict(v) for k, v in r.items()}
+            check(f"step {step} rollback->v{ver}")
+            continue
+        else:
+            continue
+        history[ver] = snap_state()
+        check(f"step {step} {op}")
+
+    for v, (s, r) in history.items():
+        try:
+            df = vt.read(version=v)
+        except VersioningError:
+            continue  # version abandoned by a rollback branch
+        assert df.columns == ["id", *s], f"v{v} schema drifted"
+        got = {x["id"]: {c: x[c] for c in s} for x in df.collect()}
+        assert got == r, f"v{v} state drifted"
