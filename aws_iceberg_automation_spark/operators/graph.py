@@ -1200,3 +1200,421 @@ def q374_harmonic_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame
     return topn_ranked(
         cent, [F.col("harmonic2").desc(), F.col("node")], 25
     ).select("node", "n1", "n2", "harmonic2", "rk")
+
+
+# Shared oracle fragment: the 64-capped customer co-purchase graph
+# (identical to q332's construction) plus its symmetric edge view and
+# node set — the substrate for the round-9 iterative kernels.
+_COPURCHASE_SQL = """
+WITH cs0 AS (
+  SELECT DISTINCT o.o_custkey c, l.l_suppkey s, CAST(l.l_shipdate AS DATE) d
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), cs AS (
+  SELECT c, s, d FROM (
+    SELECT c, s, d,
+      row_number() OVER (PARTITION BY s, d ORDER BY c) AS grp_rn
+    FROM cs0)
+  WHERE grp_rn <= 64
+), e AS (
+  SELECT DISTINCT a.c AS x, b.c AS y
+  FROM cs a JOIN cs b ON a.s = b.s AND a.d = b.d AND a.c < b.c
+), e2 AS (
+  SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e
+), nodes AS (
+  SELECT DISTINCT x AS node FROM e2
+)"""
+
+
+def _lpa_oracle_sql(rounds: int) -> str:
+    """Unrolled-CTE oracle for semi-synchronous min-label LPA: each
+    round every node adopts the most frequent label among its
+    neighbors AND itself (the self-vote damps 2-cycles), ties broken
+    by the SMALLEST label — fully deterministic, so DuckDB replays the
+    identical fixpoint trajectory round for round (the q360 unroll
+    pattern)."""
+    sql = _COPURCHASE_SQL + """
+, l0 AS (SELECT node, node AS lab FROM nodes)
+"""
+    for r in range(1, rounds + 1):
+        sql += f"""
+, v{r} AS (
+  SELECT t.node, l.lab, COUNT(*) AS c
+  FROM (SELECT x AS node, y AS nb FROM e2
+        UNION ALL SELECT node, node FROM nodes) t
+  JOIN l{r - 1} l ON l.node = t.nb
+  GROUP BY t.node, l.lab
+), l{r} AS (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+      row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+    FROM v{r})
+  WHERE rn = 1
+)"""
+    sql += f"""
+SELECT community, n_members, rk FROM (
+  SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+    row_number() OVER (ORDER BY COUNT(*) DESC, lab) AS rk
+  FROM l{rounds} GROUP BY lab)
+WHERE rk <= 50
+"""
+    return sql
+
+
+_LPA_ROUNDS = 4
+
+
+@register(
+    "q381_label_propagation",
+    oracle=_lpa_oracle_sql(_LPA_ROUNDS),
+    tags=("graph",),
+)
+def q381_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by LABEL PROPAGATION (VERDICT r08 ask #4 —
+    the one classic bounded-iteration graph kernel the family still
+    lacked): semi-synchronous LPA over the 64-capped customer
+    co-purchase graph, {rounds} synchronous rounds, each node adopting
+    the most frequent label among neighbors + self with deterministic
+    MIN-label tie-breaking (plain LPA's random tie-break is the only
+    nondeterminism in the algorithm; min-label removes it without
+    changing the fixpoint structure, and the self-vote damps the
+    2-coloring oscillation synchronous LPA is known for). Output:
+    top-50 communities by size.
+
+    Scale story: one round = one equi-join of the (≤Σdeg²-bounded)
+    symmetric edge list with the |nodes|-row label frame + one hash
+    agg + one per-node window over ≤deg+1 candidate rows;
+    ``localCheckpoint`` per round cuts the lineage exactly like
+    PageRank/BFS (graph.py module doc). Label frames never exceed
+    |nodes| rows, so 100 TB of orders with a bounded co-purchase cap
+    iterates over a graph-sized frame, not a data-sized one.
+
+    Oracle: the identical trajectory unrolled as {rounds} CTE rounds
+    (the q360 pattern) — a hash match proves every round, not just
+    the final census."""
+    from ..functions.ranking import cap_groups, topn_ranked
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").alias("s"),
+            F.col("l_shipdate").cast("date").alias("d"),
+        )
+        .distinct()
+    )
+    cs = cap_groups(cs0, ["s", "d"], [F.col("c")], 64)
+    a, b = cs.alias("ga"), cs.alias("gb")
+    e = (
+        a.join(
+            b,
+            (F.col("ga.s") == F.col("gb.s"))
+            & (F.col("ga.d") == F.col("gb.d"))
+            & (F.col("ga.c") < F.col("gb.c")),
+        )
+        .select(F.col("ga.c").alias("x"), F.col("gb.c").alias("y"))
+        .distinct()
+    )
+    e2 = (
+        e.unionAll(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .repartition("x")
+        .localCheckpoint(eager=True)
+    )
+    nodes = e2.select(F.col("x").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    # voters: every neighbor plus the node itself (self-vote)
+    voters = e2.select(F.col("x").alias("node"), F.col("y").alias("nb")).unionAll(
+        nodes.select("node", F.col("node").alias("nb"))
+    ).localCheckpoint(eager=True)
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lab"))
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            voters.join(
+                labels.select(F.col("node").alias("nb"), "lab"), "nb"
+            )
+            .groupBy("node", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint(eager=True)
+        )
+    census = labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return topn_ranked(
+        census, [F.col("n_members").desc(), F.col("community")], 50
+    ).select("community", "n_members", "rk")
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled peeling oracle for the k-core: round r keeps the nodes
+    whose degree within the round-(r-1) survivor subgraph is >= k."""
+    sql = _COPURCHASE_SQL + """
+, s0 AS (SELECT node FROM nodes)
+"""
+    for r in range(1, rounds + 1):
+        sql += f"""
+, d{r} AS (
+  SELECT e2.x AS node, COUNT(*) AS deg
+  FROM e2
+  JOIN s{r - 1} sa ON sa.node = e2.x
+  JOIN s{r - 1} sb ON sb.node = e2.y
+  GROUP BY e2.x
+), s{r} AS (SELECT node FROM d{r} WHERE deg >= {k})
+"""
+    sql += f"""
+SELECT node, CAST(deg AS BIGINT) AS core_deg, rk FROM (
+  SELECT d.node, d.deg,
+    row_number() OVER (ORDER BY d.deg DESC, d.node) AS rk
+  FROM d{rounds} d JOIN s{rounds} s ON s.node = d.node)
+WHERE rk <= 50
+"""
+    return sql
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+@register(
+    "q391_kcore_decomposition",
+    oracle=_kcore_oracle_sql(_KCORE_K, _KCORE_ROUNDS),
+    tags=("graph",),
+)
+def q391_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-CORE decomposition (k=3) by iterative peeling — the standard
+    "dense kernel" extraction (spam-farm detection, community cores,
+    graph sparsification): repeatedly delete nodes of degree < k until
+    the survivor subgraph stabilizes; what remains is the unique
+    maximal subgraph with min-degree ≥ k. Peeling runs a FIXED
+    {rounds}-round unroll on both engines and the engine ASSERTS the
+    fixpoint was reached (last two survivor sets equal) — a fixture
+    needing more rounds fails loudly instead of hashing a half-peeled
+    graph.
+
+    Scale story: each round is two semi-joins of the edge list against
+    the survivor set plus one degree agg — never materializes anything
+    bigger than the edge list; per-round ``localCheckpoint`` cuts the
+    lineage. Peeling's total work is O(rounds·|E|), and real graphs
+    converge in a handful of rounds because each round removes whole
+    degree-shells at once.
+
+    Output: the 3-core's members with their within-core degree,
+    top-50."""
+    from ..functions.ranking import cap_groups, topn_ranked
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").alias("s"),
+            F.col("l_shipdate").cast("date").alias("d"),
+        )
+        .distinct()
+    )
+    cs = cap_groups(cs0, ["s", "d"], [F.col("c")], 64)
+    a, b = cs.alias("ga"), cs.alias("gb")
+    e = (
+        a.join(
+            b,
+            (F.col("ga.s") == F.col("gb.s"))
+            & (F.col("ga.d") == F.col("gb.d"))
+            & (F.col("ga.c") < F.col("gb.c")),
+        )
+        .select(F.col("ga.c").alias("x"), F.col("gb.c").alias("y"))
+        .distinct()
+    )
+    e2 = (
+        e.unionAll(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .repartition("x")
+        .localCheckpoint(eager=True)
+    )
+    survivors = e2.select(F.col("x").alias("node")).distinct()
+    deg = None
+    prev_count = -1
+    for _ in range(_KCORE_ROUNDS):
+        sa = survivors.select(F.col("node").alias("x"))
+        sb = survivors.select(F.col("node").alias("y"))
+        deg = (
+            e2.join(sa, "x", "left_semi")
+            .join(sb, "y", "left_semi")
+            .groupBy(F.col("x").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        survivors = (
+            deg.filter(F.col("deg") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        n = survivors.count()
+        if n == prev_count:
+            break
+        prev_count = n
+    else:
+        # loop exhausted without two equal consecutive counts — the
+        # fixed unroll would hash a half-peeled graph
+        raise RuntimeError(
+            f"k-core peeling did not converge in {_KCORE_ROUNDS} rounds"
+        )
+    core = deg.join(survivors, "node", "left_semi").select(
+        "node", F.col("deg").cast("bigint").alias("core_deg")
+    )
+    return topn_ranked(
+        core, [F.col("core_deg").desc(), F.col("node")], 50
+    ).select("node", "core_deg", "rk")
+
+
+_PPR_SCALE = 1_000_000_000_000
+_PPR_ROUNDS = 4
+
+
+def _ppr_oracle_sql(rounds: int) -> str:
+    """Unrolled fixed-point personalized-PageRank oracle: 64-bit
+    integer ranks (×1e12), damping 17/20 exactly, teleport mass to the
+    SEED only — every reduction is an exact integer sum, every
+    division a floor division, so DuckDB replays bit-for-bit (the
+    pagerank_fixedpoint / q360 determinism argument)."""
+    sql = _COPURCHASE_SQL + f"""
+, seed AS (SELECT MIN(node) AS s FROM nodes)
+, deg AS (SELECT x AS node, COUNT(*) AS deg FROM e2 GROUP BY x)
+, r0 AS (
+  SELECT node,
+    CASE WHEN node = (SELECT s FROM seed)
+         THEN CAST({_PPR_SCALE} AS BIGINT) ELSE CAST(0 AS BIGINT) END AS r
+  FROM nodes)
+"""
+    for t in range(1, rounds + 1):
+        sql += f"""
+, c{t} AS (
+  SELECT e2.y AS node, CAST(SUM((r.r * 17 // 20) // d.deg) AS BIGINT) AS m
+  FROM e2
+  JOIN r{t - 1} r ON r.node = e2.x
+  JOIN deg d ON d.node = e2.x
+  WHERE r.r > 0
+  GROUP BY e2.y
+), r{t} AS (
+  SELECT n.node,
+    CAST(COALESCE(c.m, 0)
+         + CASE WHEN n.node = (SELECT s FROM seed)
+                THEN {_PPR_SCALE * 3 // 20} ELSE 0 END AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{t} c ON c.node = n.node)
+"""
+    sql += f"""
+SELECT node, r AS rank_fp, rk FROM (
+  SELECT node, r, row_number() OVER (ORDER BY r DESC, node) AS rk
+  FROM r{rounds} WHERE r > 0)
+WHERE rk <= 25
+"""
+    return sql
+
+
+@register(
+    "q392_personalized_pagerank",
+    oracle=_ppr_oracle_sql(_PPR_ROUNDS),
+    tags=("graph",),
+)
+def q392_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank from a single seed (the random surfer
+    teleports home, not uniformly) — the standard "similar customers /
+    recommendations from this node" kernel, distinct from q119's
+    global PageRank: mass radiates from the seed, so the top-k IS the
+    seed's neighborhood ranked by multi-hop reachability. Seed =
+    MIN(node) (deterministic). 4 rounds of 64-bit FIXED-POINT power
+    iteration (rank × 1e12, damping 17/20 exact, floor divisions) —
+    bit-identical under any partitioning, which is what lets the
+    DuckDB oracle replay the trajectory integer-for-integer
+    (pagerank_fixedpoint's determinism argument, graph.py:116).
+
+    Sparsity is the scale story: rank frames carry only NONZERO nodes
+    (round t touches the ≤deg^t-node frontier, not the graph), each
+    round one equi-join + one hash agg, ``localCheckpoint`` per round.
+    At 100 TB the per-seed cost is neighborhood-sized — which is why
+    PPR scales to per-user recommendation fan-outs where global PR
+    would not."""
+    from ..functions.ranking import cap_groups, topn_ranked
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").alias("s"),
+            F.col("l_shipdate").cast("date").alias("d"),
+        )
+        .distinct()
+    )
+    cs = cap_groups(cs0, ["s", "d"], [F.col("c")], 64)
+    a, b = cs.alias("ga"), cs.alias("gb")
+    e = (
+        a.join(
+            b,
+            (F.col("ga.s") == F.col("gb.s"))
+            & (F.col("ga.d") == F.col("gb.d"))
+            & (F.col("ga.c") < F.col("gb.c")),
+        )
+        .select(F.col("ga.c").alias("x"), F.col("gb.c").alias("y"))
+        .distinct()
+    )
+    e2 = (
+        e.unionAll(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .repartition("x")
+        .localCheckpoint(eager=True)
+    )
+    nodes = e2.select(F.col("x").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    seed = nodes.agg(F.min("node")).collect()[0][0]  # one scalar
+    deg = e2.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=True)
+    teleport = _PPR_SCALE * 3 // 20
+    # sparse rank frame: nonzero nodes only
+    ranks = spark.createDataFrame(
+        [(int(seed), _PPR_SCALE)], "node long, r long"
+    )
+    for _ in range(_PPR_ROUNDS):
+        contribs = (
+            e2.join(ranks.withColumnRenamed("node", "x"), "x")
+            .join(deg.withColumnRenamed("node", "x"), "x")
+            .select(
+                F.col("y").alias("node"),
+                F.expr("(r * 17 div 20) div deg").alias("m"),
+            )
+            .groupBy("node")
+            .agg(F.sum("m").cast("bigint").alias("m"))
+        )
+        ranks = (
+            contribs.withColumn(
+                "r",
+                (
+                    F.col("m")
+                    + F.when(F.col("node") == seed, F.lit(teleport)).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("bigint"),
+            )
+            .select("node", "r")
+            # the seed may have zero in-contribution this round; make
+            # sure its teleport mass is never lost
+            .unionByName(
+                spark.createDataFrame(
+                    [(int(seed), teleport)], "node long, r long"
+                ).join(contribs, "node", "left_anti")
+            )
+            .filter(F.col("r") > 0)
+            .localCheckpoint(eager=True)
+        )
+    return topn_ranked(
+        ranks.select("node", F.col("r").alias("rank_fp")),
+        [F.col("rank_fp").desc(), F.col("node")],
+        25,
+    ).select("node", "rank_fp", "rk")
