@@ -4234,3 +4234,562 @@ def q368_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac(80, "cust_frac_rev80"),
         frac(90, "cust_frac_rev90"),
     ).withColumnRenamed("seg", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------
+# Round-9 statistics families (q382-…): all shared-template twins — one
+# SQL string, two engines (the strongest compat form, _sql_twin) — with
+# integer-exact moments inside, the grid-int trick for any sum of
+# per-row doubles (round each identical double onto a fixed integer
+# grid, SUM the BIGINTs exactly, divide once at the end: Spark's
+# partition-order double sums can never drift from DuckDB's serial
+# ones), and NumPy first-principles twins in tests/test_round9_twins.py
+# (the round-8 habit: a shared template shares bugs; the twin doesn't).
+# ---------------------------------------------------------------------
+
+_Q382_SQL = """
+WITH vals AS (
+  SELECT source, n_chars AS v FROM {documents}
+), bysrc AS (
+  SELECT source, v, COUNT(*) AS c FROM vals GROUP BY source, v
+), pooled AS (
+  SELECT v, CAST(SUM(c) AS BIGINT) AS l FROM bysrc GROUP BY v
+), tot AS (
+  SELECT CAST(SUM(l) AS BIGINT) AS nn FROM pooled
+), srcs AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS na FROM bysrc GROUP BY source
+), grid AS (
+  -- per (source, distinct pooled value): this source's count at v
+  SELECT /*+ BROADCAST(s) */ s.source, s.na, p.v, p.l,
+    COALESCE(b.c, 0) AS ca
+  FROM pooled p
+  CROSS JOIN srcs s
+  LEFT JOIN bysrc b ON b.source = s.source AND b.v = p.v
+), cum AS (
+  SELECT source, na, v, l,
+    SUM(ca) OVER (PARTITION BY source ORDER BY v) AS ma,
+    SUM(l)  OVER (PARTITION BY source ORDER BY v) AS b
+  FROM grid
+), terms AS (
+  -- Scholz-Stephens k-sample A-D inner term at each distinct value
+  -- group j with B_j < N; exact integers inside, one double division,
+  -- then the grid-int trick for the cross-row sum
+  SELECT /*+ BROADCAST(t) */ c.source, c.na,
+    CAST(floor(
+      CAST(c.l AS DOUBLE)
+      * (CAST(t.nn AS DOUBLE) * c.ma - CAST(c.na AS DOUBLE) * c.b)
+      * (CAST(t.nn AS DOUBLE) * c.ma - CAST(c.na AS DOUBLE) * c.b)
+      / (CAST(c.b AS DOUBLE) * (t.nn - c.b))
+      / c.na / t.nn * 1000000.0
+    ) AS BIGINT) AS g
+  FROM cum c CROSS JOIN tot t
+  WHERE c.b < t.nn
+)
+SELECT source, CAST(MAX(na) AS BIGINT) AS n_docs,
+  round(CAST(SUM(g) AS DOUBLE) / 1000000.0, 4) AS ad_component
+FROM terms GROUP BY source
+"""
+
+
+@register(
+    "q382_anderson_darling_ksample",
+    oracle=_Q382_SQL.format(documents="documents"),
+    tags=("analytics", "stats", "llm"),
+)
+def q382_anderson_darling_ksample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-sample Anderson-Darling components (Scholz-Stephens 1987) —
+    are the per-source doc-length distributions draws from one common
+    distribution? A-D is the tail-sensitive alternative to the q250 KS
+    census (KS sees only the max CDF gap; A-D integrates the squared
+    gap with 1/(F(1-F)) weighting, so tail divergence — exactly where
+    corpus contamination shows — dominates). Per-source component
+    A²ₐ = Σⱼ lⱼ(N·Mₐⱼ − nₐ·Bⱼ)²/(Bⱼ(N−Bⱼ))/nₐ/N over distinct pooled
+    values (the tie-aware discrete form); the k-sample statistic is
+    their sum.
+
+    Exactness: Mₐⱼ/Bⱼ/lⱼ/N ride as exact integers (windowed integer
+    cumsum over distinct values, PARTITIONED per source); each j-term
+    is one double expression over those integers — bit-identical cross-
+    engine — floored onto a 1e-6 grid and summed as BIGINT, so the
+    cross-row sum can never see partition-order drift.
+
+    Scale: |distinct values|×k grid rows after one hash agg; the
+    windows are per-source over that bounded frame — never over docs."""
+    return _sql_twin(spark, sf_dir, _Q382_SQL, ["documents"])
+
+
+_Q383_SQL = """
+WITH nat AS (
+  SELECT c_nationkey AS nk,
+    CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM {customer} GROUP BY c_nationkey
+), rev AS (
+  SELECT c.c_nationkey AS nk,
+    CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey
+), pts AS (
+  SELECT n.nk, n.x, COALESCE(r.y, 0) AS y
+  FROM nat n LEFT JOIN rev r ON r.nk = n.nk
+), pairs AS (
+  SELECT /*+ BROADCAST(b) */
+    CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS con,
+    CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS dis,
+    CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+    CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+  FROM pts a JOIN pts b ON a.nk < b.nk
+), s AS (
+  SELECT CAST(SUM(con) AS BIGINT) AS nc, CAST(SUM(dis) AS BIGINT) AS nd,
+    CAST(SUM(tx) AS BIGINT) AS ntx, CAST(SUM(ty) AS BIGINT) AS nty,
+    CAST(COUNT(*) AS BIGINT) AS n0
+  FROM pairs
+)
+SELECT n0 AS n_pairs, nc AS concordant, nd AS discordant,
+  round((nc - nd) / sqrt(CAST((n0 - ntx) AS DOUBLE) * (n0 - nty)), 6)
+    AS kendall_tau_b
+FROM s
+"""
+
+
+@register(
+    "q383_kendall_tau",
+    oracle=_Q383_SQL.format(customer="customer", orders="orders"),
+    tags=("analytics", "stats"),
+)
+def q383_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between nation-level account balance and nation-
+    level order revenue — the RANK-concordance association measure
+    (Spearman q299 correlates rank VALUES; Kendall counts pairwise
+    order agreements, is more robust to a few wild ranks, and its τ-b
+    form corrects for ties). Pairwise by nature (O(k²)), so the engine
+    FIRST aggregates to the 25-nation grain (two hash aggs), then the
+    pair join runs over a broadcast 25-row frame — the bounded-pairs
+    discipline (q168): never all-pairs on raw rows. Concordant/
+    discordant/tie counts are exact integers on cent-exact sums; τ-b
+    is one double expression, rounded 6."""
+    return _sql_twin(spark, sf_dir, _Q383_SQL, ["customer", "orders"])
+
+
+_Q384_SQL = """
+WITH u AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'error'
+         AND (month(ts) - 1) * 31 + day(ts) <= 15 THEN 1 ELSE 0 END) AS h1,
+    MAX(CASE WHEN event_type = 'error'
+         AND (month(ts) - 1) * 31 + day(ts) > 15 THEN 1 ELSE 0 END) AS h2
+  FROM {events} GROUP BY user_id
+), s AS (
+  SELECT
+    CAST(SUM(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN h1 = 1 AND h2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS both_halves,
+    CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM u
+)
+SELECT n_users, b AS only_first_half, c AS only_second_half, both_halves,
+  CASE WHEN b + c > 0 THEN
+    round((abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c), 6)
+  END AS mcnemar_chi2_cc,
+  CASE WHEN b + c > 0 THEN
+    round((abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c), 6) > 3.841459
+  END AS reject_h0_95
+FROM s
+"""
+
+
+@register(
+    "q384_mcnemar_paired",
+    oracle=_Q384_SQL.format(events="events"),
+    tags=("analytics", "stats"),
+)
+def q384_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on PAIRED binary outcomes — did each user's
+    error incidence change between the first and second half of the
+    month? The paired design cancels between-user variance, so only
+    the DISCORDANT pairs (b = errored early only, c = errored late
+    only) carry information: χ²cc = (|b−c|−1)²/(b+c) with the standard
+    continuity correction, vs the χ²₁ 95% critical value. Welch (q335)
+    compares independent groups; this is the within-subject twin every
+    before/after product change needs.
+
+    Exactness: b/c are exact integer counts from one hash agg; the
+    statistic is one double expression. NULL (not false) when b+c=0 —
+    no discordance means the test is undefined, not 'accepted'.
+
+    Scale: one per-user hash agg, one global fold. Map-side combine
+    does almost all the work."""
+    return _sql_twin(spark, sf_dir, _Q384_SQL, ["events"])
+
+
+_Q385_SQL = """
+WITH g AS (
+  SELECT c.c_mktsegment AS seg,
+    CAST(round(o.o_totalprice) AS BIGINT) AS v
+  FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
+), s AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(v) AS BIGINT) AS sv, CAST(SUM(v * v) AS BIGINT) AS svv
+  FROM g GROUP BY seg
+), grid AS (
+  -- per-group between/within pieces on the 1e2 grid (identical
+  -- doubles from exact ints on both engines; the 5-term sums then
+  -- ride as exact BIGINTs)
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+    CAST(SUM(sv) AS BIGINT) AS tsv,
+    CAST(SUM(CAST(floor(CAST(sv AS DOUBLE) * sv / n * 100.0) AS BIGINT))
+      AS BIGINT) AS gssb,
+    CAST(SUM(CAST(floor(
+      (svv - CAST(sv AS DOUBLE) * sv / n) * 100.0) AS BIGINT)) AS BIGINT)
+      AS gssw
+  FROM s
+), f AS (
+  SELECT k, nn,
+    gssb / 1e2 - CAST(tsv AS DOUBLE) * tsv / nn AS ssb,
+    gssw / 1e2 AS ssw
+  FROM grid
+)
+SELECT k AS n_groups, nn AS n_rows,
+  round(ssb, 2) AS ss_between, round(ssw, 2) AS ss_within,
+  round((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS f_stat,
+  round(ssb / (ssb + ssw), 6) AS eta_squared
+FROM f
+"""
+
+
+@register(
+    "q385_anova_oneway",
+    oracle=_Q385_SQL.format(orders="orders", customer="customer"),
+    tags=("analytics", "stats"),
+)
+def q385_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across market segments on order value — the
+    k-group generalization the stats family lacked (Welch q335 stops
+    at two groups): decompose total variance into between-segment and
+    within-segment sums of squares from per-group (n, Σv, Σv²) integer
+    moments, F = (SSB/(k−1))/(SSW/(N−k)), effect size η² = SSB/SST.
+
+    Float discipline: v rides as whole units (int64-safe: Σv² needs
+    headroom N·max(v)² ≈ 5·10¹⁷ at sf1); per-group pieces Σv²ᵢ/nᵢ are
+    single double expressions floored onto a 1e-2 grid before the
+    k-term sum, so Spark's partition-order sum and DuckDB's serial sum
+    add IDENTICAL integers. The one remaining subtraction (−T²/N) is
+    scalar.
+
+    Scale: two hash aggs (orders→groups→one row). The cross-segment
+    join broadcasts the 150-row customer dimension at fixture scale;
+    at 100 TB it is the standard fact-dim equi-join."""
+    return _sql_twin(spark, sf_dir, _Q385_SQL, ["orders", "customer"])
+
+
+_Q388_SQL = """
+WITH feat AS (
+  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS x1,
+    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2
+  FROM {lineitem} GROUP BY l_orderkey
+), pts AS (
+  SELECT f.x1, f.x2, CAST(round(o.o_totalprice) AS BIGINT) AS y
+  FROM feat f JOIN {orders} o ON o.o_orderkey = f.k
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+    CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+    CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+    CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+    CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+    CAST(SUM(x2 * y) AS BIGINT) AS s2y
+  FROM pts
+), c AS (
+  -- centered second moments (doubles over exact ints) + ridge lambda
+  SELECT n,
+    s11 - CAST(s1 AS DOUBLE) * s1 / n + 1000.0 AS a11,
+    s12 - CAST(s1 AS DOUBLE) * s2 / n          AS a12,
+    s22 - CAST(s2 AS DOUBLE) * s2 / n + 1000.0 AS a22,
+    s1y - CAST(s1 AS DOUBLE) * sy / n          AS b1,
+    s2y - CAST(s2 AS DOUBLE) * sy / n          AS b2,
+    CAST(s1 AS DOUBLE) / n AS m1, CAST(s2 AS DOUBLE) / n AS m2,
+    CAST(sy AS DOUBLE) / n AS my
+  FROM m
+)
+SELECT n AS n_orders,
+  round((a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12), 6) AS w_lines,
+  round((a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12), 6) AS w_qty,
+  round(my - (a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12) * m1
+           - (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12) * m2,
+        4) AS intercept
+FROM c
+"""
+
+
+@register(
+    "q388_ridge_regression_2f",
+    oracle=_Q388_SQL.format(lineitem="lineitem", orders="orders"),
+    tags=("analytics", "stats", "ml"),
+)
+def q388_ridge_regression_2f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature RIDGE regression in closed form — predict order
+    value from (line count, total quantity) with L2 penalty λ=1000 on
+    the centered normal equations: w = (XᶜᵀXᶜ + λI)⁻¹ Xᶜᵀy via the
+    explicit 2×2 inverse. Extends the moment-regression family (q334
+    is 1-feature OLS, q355 rolling) to MULTIVARIATE with
+    regularization — the workhorse shape of every feature-pipeline
+    sanity model, and the proof that 'fit a small linear model' is a
+    pure two-phase hash aggregate at any scale: nine integer moments,
+    then constant scalar algebra.
+
+    int64 headroom: Σx2·y ≤ n · 350 · 6·10⁵ ≈ 3·10¹⁴ at sf1 — wide
+    margin. The 2×2 solve is one double expression tree over exact
+    integers: bit-identical cross-engine, rounded at the surface."""
+    return _sql_twin(spark, sf_dir, _Q388_SQL, ["lineitem", "orders"])
+
+
+def _q389_sql(rounds: int) -> str:
+    """Unrolled Lloyd iterations: deterministic min/avg/max init, each
+    round = one broadcast assignment join + one integer hash agg."""
+    sql = """
+WITH pts AS (
+  SELECT c_custkey AS id, CAST(round(c_acctbal * 100) AS BIGINT) AS v
+  FROM {customer}
+), c0 AS (
+  SELECT 0 AS cid, CAST(MIN(v) AS DOUBLE) AS ctr FROM pts
+  UNION ALL
+  SELECT 1, CAST(SUM(v) AS DOUBLE) / COUNT(*) FROM pts
+  UNION ALL
+  SELECT 2, CAST(MAX(v) AS DOUBLE) FROM pts
+)
+"""
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        sql += f"""
+, a{r} AS (
+  SELECT /*+ BROADCAST(c) */ p.id, p.v, c.cid, c.ctr,
+    row_number() OVER (
+      PARTITION BY p.id ORDER BY abs(p.v - c.ctr), c.cid) AS rn
+  FROM pts p CROSS JOIN {prev} c
+), c{r} AS (
+  SELECT cid, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS ctr
+  FROM a{r} WHERE rn = 1 GROUP BY cid
+)"""
+        prev = f"c{r}"
+    sql += f"""
+SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+  round(MIN(ctr) / 100.0, 4) AS centroid,
+  round((SUM(v * v) - 2.0 * MIN(ctr) * SUM(v)
+         + COUNT(*) * MIN(ctr) * MIN(ctr)) / 10000.0, 2) AS wss
+FROM a{rounds} WHERE rn = 1
+GROUP BY cid
+"""
+    return sql
+
+
+_Q389_SQL = _q389_sql(3)
+
+
+@register(
+    "q389_kmeans_1d_unrolled",
+    oracle=_Q389_SQL.format(customer="customer"),
+    tags=("analytics", "ml"),
+)
+def q389_kmeans_1d_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D k-means (k=3) on customer balances, THREE unrolled Lloyd
+    rounds with deterministic (min, mean, max) initialization — Lloyd
+    as pure SQL: assignment is a broadcast join against the 3-row
+    centroid frame with a per-point window (PARTITION BY point — never
+    global) picking the nearest centroid (ties → lower cluster id),
+    the update is one integer hash agg. Both engines replay the
+    IDENTICAL trajectory because every centroid is an exact-integer
+    sum divided once (double), and distance comparisons see identical
+    doubles — the q360 unrolled-iteration determinism argument applied
+    to clustering.
+
+    WSS reported from the (Σv², Σv, n, c) identity — never a sum of
+    per-row doubles.
+
+    Scale: per round one broadcast-3-rows join + one hash agg over
+    points; k·rounds constant. The init is two aggregate passes. This
+    is exactly how Spark MLlib's k-means iterates, minus the RNG."""
+    return _sql_twin(spark, sf_dir, _Q389_SQL, ["customer"])
+
+
+def _q390_sql(steps: int) -> str:
+    """Unrolled batch gradient descent with the RATIONAL sigmoid
+    s(z) = 0.5 + 0.5·z/(1+|z|): pure +,*,/,abs ops (all IEEE
+    correctly-rounded — bit-identical cross-engine, unlike exp), so
+    per-row gradient terms are identical doubles; they are floored
+    onto a 1e9 grid and summed as BIGINT (the grid-int trick)."""
+    sql = """
+WITH pts AS (
+  SELECT CAST(round(o_totalprice) AS BIGINT) / 100000.0 AS x,
+    CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y
+  FROM {orders}
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts
+), w0 AS (SELECT 0.0 AS w, 0.0 AS b)
+"""
+    prev = "w0"
+    for s in range(1, steps + 1):
+        sql += f"""
+, g{s} AS (
+  SELECT /*+ BROADCAST(c) */
+    CAST(SUM(CAST(floor(
+      ((0.5 + 0.5 * (c.w * p.x + c.b) / (1 + abs(c.w * p.x + c.b))) - p.y)
+      * p.x * 1000000000.0) AS BIGINT)) AS BIGINT) AS gw,
+    CAST(SUM(CAST(floor(
+      ((0.5 + 0.5 * (c.w * p.x + c.b) / (1 + abs(c.w * p.x + c.b))) - p.y)
+      * 1000000000.0) AS BIGINT)) AS BIGINT) AS gb,
+    MIN(c.w) AS w, MIN(c.b) AS b
+  FROM pts p CROSS JOIN {prev} c
+), w{s} AS (
+  SELECT /*+ BROADCAST(n) */
+    g.w - 1.0 * (g.gw / 1e9 / n.n) AS w,
+    g.b - 1.0 * (g.gb / 1e9 / n.n) AS b
+  FROM g{s} g CROSS JOIN n
+)"""
+        prev = f"w{s}"
+    sql += f"""
+SELECT /*+ BROADCAST(c) */
+  round(MIN(c.w), 6) AS w, round(MIN(c.b), 6) AS b,
+  round(CAST(SUM(CASE WHEN (CASE WHEN c.w * p.x + c.b >= 0 THEN 1.0
+                            ELSE 0.0 END) = p.y
+                 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+        4) AS train_accuracy
+FROM pts p CROSS JOIN w{steps} c
+"""
+    return sql
+
+
+_Q390_SQL = _q390_sql(3)
+
+
+@register(
+    "q390_logistic_gd_unrolled",
+    oracle=_Q390_SQL.format(orders="orders"),
+    tags=("analytics", "ml"),
+)
+def q390_logistic_gd_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-style classifier by THREE unrolled batch-gradient
+    steps (urgent-priority vs order value) — iterative ML re-expressed
+    as a fixed pipeline of aggregates: each step is one broadcast of
+    the 1-row (w, b) state against the points, one exact-integer
+    gradient sum, one scalar update. Two deliberate determinism trades
+    make the trajectory ORACLE-REPLAYABLE (the q360/fixed-point
+    argument): (1) the RATIONAL sigmoid 0.5+0.5z/(1+|z|) instead of
+    1/(1+e⁻ᶻ) — division/abs are IEEE correctly-rounded everywhere,
+    libm exp is not; (2) per-row gradient terms floored onto a 1e-9
+    grid and summed as BIGINT, so partition order cannot move the sum
+    by an ulp. Accuracy readout is a pure integer count (the decision
+    boundary wx+b≥0 is sign-exact).
+
+    Scale: steps×(broadcast + hash agg) over the fact table — batch GD
+    at 100 TB is exactly this plan with bigger partials."""
+    return _sql_twin(spark, sf_dir, _Q390_SQL, ["orders"])
+
+
+_Q413_SQL = """
+WITH g AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+      AS k,
+    CAST(COUNT(*) AS BIGINT) AS t
+  FROM {events} GROUP BY 1
+), w AS (
+  SELECT
+    MAX(CASE WHEN grp = 'A' THEN k END) AS ka,
+    MAX(CASE WHEN grp = 'B' THEN k END) AS kb,
+    MAX(CASE WHEN grp = 'A' THEN t END) AS ta,
+    MAX(CASE WHEN grp = 'B' THEN t END) AS tb
+  FROM g
+)
+SELECT ka AS errors_a, kb AS errors_b, ta AS exposure_a, tb AS exposure_b,
+  round((CAST(ka AS DOUBLE) / ta) / (CAST(kb AS DOUBLE) / tb), 6)
+    AS rate_ratio,
+  round((ka - CAST(ka + kb AS DOUBLE) * ta / (ta + tb))
+        / sqrt(CAST(ka + kb AS DOUBLE) * ta / (ta + tb) * tb / (ta + tb)),
+        6) AS z_score
+FROM w
+"""
+
+
+@register(
+    "q413_poisson_rate_test",
+    oracle=_Q413_SQL.format(events="events"),
+    tags=("analytics", "stats"),
+)
+def q413_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson RATE test (error events per unit exposure,
+    even- vs odd-id users) — the conditional test: given K = k_A+k_B
+    total errors, k_A ~ Binomial(K, t_A/(t_A+t_B)) under H₀ of equal
+    rates, so z = (k_A − K·w)/√(K·w·(1−w)) with w the exposure share.
+    Proportions (Wilson q339) assume per-trial binomials; RATES need
+    the exposure-conditional form — the SRE/error-budget statistic.
+    Counts and exposures are exact integers from one hash agg; z is
+    one double expression, rounded 6."""
+    return _sql_twin(spark, sf_dir, _Q413_SQL, ["events"])
+
+
+_Q414_SQL = """
+WITH g AS (
+  SELECT c.c_mktsegment AS seg,
+    CAST(round(o.o_totalprice) AS BIGINT) AS v
+  FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
+), s AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(v) AS BIGINT) AS sv, CAST(SUM(v * v) AS BIGINT) AS svv
+  FROM g GROUP BY seg
+), m AS (
+  -- per-segment mean + its squared standard error (doubles over
+  -- exact ints), grand mean of MEANS on the 1e6 grid
+  SELECT seg, n, CAST(sv AS DOUBLE) / n AS mean_v,
+    (svv - CAST(sv AS DOUBLE) * sv / n) / (n - 1) / n AS se2
+  FROM s
+), gm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+    CAST(SUM(CAST(floor(CAST(sv AS DOUBLE) / n * 1000000.0) AS BIGINT))
+      AS BIGINT) AS gmeans,
+    CAST(SUM(CAST(floor(
+      (svv - CAST(sv AS DOUBLE) * sv / n) / (n - 1) / n * 1000000.0)
+      AS BIGINT)) AS BIGINT) AS gse2
+  FROM s
+), c AS (
+  SELECT /*+ BROADCAST(gm) */ m.seg, m.n, m.mean_v, m.se2,
+    gm.gmeans / 1e6 / gm.k AS grand_mean,
+    gm.gse2 / 1e6 / gm.k AS avg_se2,
+    gm.k AS k
+  FROM m CROSS JOIN gm
+), dev AS (
+  SELECT CAST(SUM(CAST(floor(
+      (mean_v - grand_mean) * (mean_v - grand_mean) * 1000000.0)
+      AS BIGINT)) AS BIGINT) AS gdev
+  FROM c
+)
+SELECT /*+ BROADCAST(d) */ c.seg, c.n AS n_orders,
+  round(c.mean_v, 4) AS raw_mean,
+  round(c.grand_mean
+        + GREATEST(0.0, 1.0 - (c.k - 3) * c.avg_se2
+                          / (d.gdev / 1e6))
+          * (c.mean_v - c.grand_mean), 4) AS js_mean,
+  round(GREATEST(0.0, 1.0 - (c.k - 3) * c.avg_se2
+                        / (d.gdev / 1e6)), 6) AS shrink_factor
+FROM c CROSS JOIN dev d
+"""
+
+
+@register(
+    "q414_james_stein_shrinkage",
+    oracle=_Q414_SQL.format(orders="orders", customer="customer"),
+    tags=("analytics", "stats", "ml"),
+)
+def q414_james_stein_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """James-Stein / empirical-Bayes shrinkage of per-segment mean
+    order values toward the grand mean — the estimator that DOMINATES
+    the raw per-group means in total squared error whenever k ≥ 4
+    (Stein's paradox), and the statistical core of every
+    small-cell dashboard fix (noisy segment averages pulled toward the
+    global prior in proportion to their noise): shrink factor
+    c = max(0, 1 − (k−3)·σ̄²/Σ(m̄ᵢ−m̄)²) with σ̄² the average squared
+    standard error. All group moments are exact integers; the k-term
+    cross-group sums (means, SEs, squared deviations) ride the 1e-6
+    grid-int trick so both engines add identical integers.
+
+    Scale: one fact-dim join + two hash aggs to k rows; everything
+    after is constant-size broadcasts."""
+    return _sql_twin(spark, sf_dir, _Q414_SQL, ["orders", "customer"])
