@@ -4793,3 +4793,463 @@ def q414_james_stein_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one fact-dim join + two hash aggs to k rows; everything
     after is constant-size broadcasts."""
     return _sql_twin(spark, sf_dir, _Q414_SQL, ["orders", "customer"])
+
+
+_Q416_SQL = """
+WITH daily AS (
+  SELECT (month(ts) - 1) * 31 + day(ts) AS d,
+    CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mx
+  FROM {events} GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(mx) AS BIGINT) AS s, CAST(SUM(mx * mx) AS BIGINT) AS ss
+  FROM daily
+), fit AS (
+  SELECT n, CAST(s AS DOUBLE) / n / 1e2 AS mean_max,
+    sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)) / 1e2 AS sd_max
+  FROM m
+)
+SELECT n AS n_days, round(mean_max, 4) AS mean_daily_max,
+  round(sqrt(6e0) / 3.141592653589793 * sd_max, 6) AS gumbel_beta,
+  round(mean_max - 0.5772156649015329
+        * sqrt(6e0) / 3.141592653589793 * sd_max, 6) AS gumbel_mu,
+  round(mean_max - 0.5772156649015329
+          * sqrt(6e0) / 3.141592653589793 * sd_max
+        - sqrt(6e0) / 3.141592653589793 * sd_max
+          * (-3.3842944934992527), 4) AS return_level_30d
+FROM fit
+"""
+
+
+@register(
+    "q416_gumbel_block_maxima",
+    oracle=_Q416_SQL.format(events="events"),
+    tags=("analytics", "stats", "timeseries"),
+)
+def q416_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis by BLOCK MAXIMA: fit a Gumbel
+    distribution to the daily maxima of event value by method of
+    moments (β = s√6/π, μ = m − γβ with Euler-Mascheroni γ), then read
+    off the 30-day RETURN LEVEL μ − β·ln(−ln(1−1/30)) — 'the value
+    exceeded about once a month', the capacity-planning number mean
+    and p99 both fail to give (extremes follow EVT, not the bulk
+    distribution). The Fisher-Tippett theorem makes Gumbel the right
+    light-tailed limit; the ln constant is precomputed so both engines
+    see one literal (libm ln never enters). Daily maxima and their two
+    moments are exact integers; the fit is scalar double algebra.
+
+    Scale: one hash agg to |days| rows, one fold. Block-maxima EVT at
+    100 TB is exactly this two-agg shape."""
+    return _sql_twin(spark, sf_dir, _Q416_SQL, ["events"])
+
+
+_Q421_SQL = """
+WITH daily AS (
+  SELECT year(o_orderdate) AS yr,
+    CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+  FROM {orders} GROUP BY 1, 2
+), ch AS (
+  SELECT yr, d, rev,
+    rev - LAG(rev) OVER (PARTITION BY yr ORDER BY d) AS diff
+  FROM daily
+), signs AS (
+  SELECT yr, d,
+    CASE WHEN diff > 0 THEN 1 ELSE 0 END AS up
+  FROM ch WHERE diff IS NOT NULL AND diff <> 0
+), runs AS (
+  SELECT yr, d, up,
+    CASE WHEN LAG(up) OVER (PARTITION BY yr ORDER BY d) IS NULL
+           OR LAG(up) OVER (PARTITION BY yr ORDER BY d) <> up
+         THEN 1 ELSE 0 END AS new_run
+  FROM signs
+), s AS (
+  SELECT yr, CAST(SUM(up) AS BIGINT) AS np,
+    CAST(COUNT(*) AS BIGINT) - CAST(SUM(up) AS BIGINT) AS nm,
+    CAST(SUM(new_run) AS BIGINT) AS r
+  FROM runs GROUP BY yr
+)
+SELECT yr AS year, np AS n_up, nm AS n_down, r AS n_runs,
+  round((r - (2e0 * np * nm / (np + nm) + 1))
+        / sqrt(2e0 * np * nm * (2e0 * np * nm - np - nm)
+               / ((np + nm) * (np + nm) * (np + nm - 1))), 6) AS z_score
+FROM s WHERE np > 0 AND nm > 0
+"""
+
+
+@register(
+    "q421_runs_test",
+    oracle=_Q421_SQL.format(orders="orders"),
+    tags=("analytics", "stats", "timeseries"),
+)
+def q421_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz RUNS test per year on the sign sequence of
+    day-over-day revenue changes — is the direction of movement
+    random, or does it streak/alternate more than chance allows?
+    z = (R − μ_R)/σ_R with μ_R = 2n₊n₋/N + 1; |z| large ⇒ momentum
+    (too few runs) or mean-reversion (too many). The nonparametric
+    complement to q227's ACF: runs sees only SIGNS, so one outlier
+    day cannot fake autocorrelation. Zero-change days are dropped
+    (the standard convention). Runs are counted by a lag-transition
+    flag — exact integers end to end; windows are PARTITIONED by
+    year over the |days| frame, never over raw orders."""
+    return _sql_twin(spark, sf_dir, _Q421_SQL, ["orders"])
+
+
+_Q422_SQL = """
+WITH pts AS (
+  SELECT CASE WHEN substring(md5(CAST(user_id AS STRING)), 1, 1) < '8'
+              THEN 1 ELSE 0 END AS treat,
+    CASE WHEN (month(ts) - 1) * 31 + day(ts) <= 15 THEN 0 ELSE 1 END
+      AS post,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM {events}
+), cells AS (
+  SELECT treat, post, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(cents) AS BIGINT) AS s, CAST(SUM(cents * cents) AS BIGINT) AS ss
+  FROM pts GROUP BY treat, post
+), w AS (
+  SELECT
+    MAX(CASE WHEN treat = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS m_t1,
+    MAX(CASE WHEN treat = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS m_t0,
+    MAX(CASE WHEN treat = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS m_c1,
+    MAX(CASE WHEN treat = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS m_c0,
+    MAX(CASE WHEN treat = 1 AND post = 1 THEN
+      (ss - CAST(s AS DOUBLE) * s / n) / (n - 1) / n END) AS v_t1,
+    MAX(CASE WHEN treat = 1 AND post = 0 THEN
+      (ss - CAST(s AS DOUBLE) * s / n) / (n - 1) / n END) AS v_t0,
+    MAX(CASE WHEN treat = 0 AND post = 1 THEN
+      (ss - CAST(s AS DOUBLE) * s / n) / (n - 1) / n END) AS v_c1,
+    MAX(CASE WHEN treat = 0 AND post = 0 THEN
+      (ss - CAST(s AS DOUBLE) * s / n) / (n - 1) / n END) AS v_c0
+  FROM cells
+)
+SELECT
+  round((m_t1 - m_t0) / 1e2, 4) AS treat_delta,
+  round((m_c1 - m_c0) / 1e2, 4) AS control_delta,
+  round(((m_t1 - m_t0) - (m_c1 - m_c0)) / 1e2, 4) AS did_estimate,
+  round(sqrt(v_t1 + v_t0 + v_c1 + v_c0) / 1e2, 4) AS did_se,
+  round(((m_t1 - m_t0) - (m_c1 - m_c0))
+        / sqrt(v_t1 + v_t0 + v_c1 + v_c0), 6) AS t_stat
+FROM w
+"""
+
+
+@register(
+    "q422_diff_in_diff",
+    oracle=_Q422_SQL.format(events="events"),
+    tags=("analytics", "stats"),
+)
+def q422_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES: the causal-inference workhorse for
+    'treatment launched mid-month' — (treated post−pre) minus (control
+    post−pre) cancels both the level difference between groups AND the
+    common time trend; the SE combines the four cell variances (the
+    2×2 unpooled form). Treatment assignment is the shared md5 gate
+    (compat.ab_treat — same experiment the q238 CUPED and q257 SRM
+    auditors watch). Four cells of exact integer (n, Σ, Σ²) moments →
+    one row of scalar double algebra. The q335 Welch test compares two
+    groups at one time; DiD is the 2×2 causal extension."""
+    return _sql_twin(spark, sf_dir, _Q422_SQL, ["events"])
+
+
+_Q423_SQL = """
+WITH daily AS (
+  SELECT (month(ts) - 1) * 31 + day(ts) AS d,
+    CAST(SUM(CASE WHEN event_type = 'purchase'
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      AS a,
+    CAST(SUM(CASE WHEN event_type = 'click'
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      AS b
+  FROM {events} GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+    CAST(SUM(a * a) AS BIGINT) AS saa, CAST(SUM(b * b) AS BIGINT) AS sbb,
+    CAST(SUM(a * b) AS BIGINT) AS sab
+  FROM daily
+), v AS (
+  SELECT n,
+    (saa - CAST(sa AS DOUBLE) * sa / n) / (n - 1) AS va,
+    (sbb - CAST(sb AS DOUBLE) * sb / n) / (n - 1) AS vb,
+    (sab - CAST(sa AS DOUBLE) * sb / n) / (n - 1) AS cab
+  FROM m
+)
+SELECT n AS n_days,
+  round((vb - cab) / (va + vb - 2 * cab), 6) AS w_purchase,
+  round(1e0 - (vb - cab) / (va + vb - 2 * cab), 6) AS w_click,
+  round(cab / sqrt(va * vb), 6) AS correlation,
+  round((va * vb - cab * cab) / (va + vb - 2 * cab) / 1e4, 4)
+    AS min_portfolio_var
+FROM v
+"""
+
+
+@register(
+    "q423_min_variance_portfolio",
+    oracle=_Q423_SQL.format(events="events"),
+    tags=("analytics", "stats", "timeseries"),
+)
+def q423_min_variance_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-asset MINIMUM-VARIANCE portfolio (Markowitz closed form)
+    over the daily purchase- and click-revenue series: the weight
+    w* = (σ_B² − σ_AB)/(σ_A² + σ_B² − 2σ_AB) that minimizes combined
+    variance, with the achieved variance (σ_A²σ_B² − σ_AB²)/(σ_A² +
+    σ_B² − 2σ_AB) — diversification quantified from one covariance.
+    The finance framing is the memorable one, but the identical math
+    allocates between any two noisy revenue streams. Daily sums and
+    all five moments are exact integers; the solve is scalar."""
+    return _sql_twin(spark, sf_dir, _Q423_SQL, ["events"])
+
+
+_Q424_SQL = """
+WITH pts AS (
+  SELECT c.c_mktsegment AS seg,
+    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents, o.o_orderkey AS k
+  FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
+), r AS (
+  SELECT seg, cents,
+    row_number() OVER (PARTITION BY seg ORDER BY cents, k) AS rnk,
+    COUNT(*) OVER (PARTITION BY seg) AS n
+  FROM pts
+), q AS (
+  SELECT seg, cents, rnk, n,
+    CAST(floor((n * 5 + 99) / 1e2) AS BIGINT) AS kq
+  FROM r
+)
+SELECT seg, CAST(MAX(n) AS BIGINT) AS n_orders,
+  round(MAX(CASE WHEN rnk = kq THEN cents END) / 1e2, 2) AS var_95,
+  round(CAST(SUM(CASE WHEN rnk <= kq THEN cents ELSE 0 END) AS DOUBLE)
+        / MAX(kq) / 1e2, 4) AS cvar_95
+FROM q GROUP BY seg
+"""
+
+
+@register(
+    "q424_var_cvar",
+    oracle=_Q424_SQL.format(orders="orders", customer="customer"),
+    tags=("analytics", "stats"),
+)
+def q424_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical Value-at-Risk and EXPECTED SHORTFALL (CVaR) at 95%
+    per market segment, on the low-revenue tail of order values: VaR
+    is the exact ⌈0.05n⌉-th smallest order (rank-based selection —
+    integer cents, deterministic o_orderkey tiebreak, no interpolation
+    convention to disagree on), CVaR the exact mean of the tail at or
+    below it. CVaR is the coherent risk measure VaR famously is not
+    (it sees HOW BAD the tail is, not just where it starts) — the pair
+    is the standard downside-risk readout for any revenue stream.
+
+    The rank window is PARTITIONED by segment; the tail mean is an
+    integer sum over ≤⌈0.05n⌉ rows. One join, one window, one agg."""
+    return _sql_twin(spark, sf_dir, _Q424_SQL, ["orders", "customer"])
+
+
+_Q425_SQL = """
+WITH daily AS (
+  SELECT event_type, (month(ts) - 1) * 31 + day(ts) AS d,
+    CAST(SUM(CAST(round(value) AS BIGINT)) AS BIGINT) AS y
+  FROM {events} GROUP BY 1, 2
+), m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(d) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(d * y) AS BIGINT) AS sxy, CAST(SUM(d * d) AS BIGINT) AS sxx
+  FROM daily GROUP BY event_type
+), fit AS (
+  SELECT event_type, n,
+    (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+      / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) AS b1,
+    CAST(sy AS DOUBLE) / n
+      - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+        / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+        * CAST(sx AS DOUBLE) / n AS b0
+  FROM m
+), res AS (
+  SELECT /*+ BROADCAST(f) */ d.event_type, d.d,
+    d.y - f.b0 - f.b1 * d.d AS e
+  FROM daily d JOIN fit f ON f.event_type = d.event_type
+), lagd AS (
+  SELECT event_type, e,
+    LAG(e) OVER (PARTITION BY event_type ORDER BY d) AS ep
+  FROM res
+), s AS (
+  SELECT event_type,
+    CAST(SUM(CAST(floor(e * e * 1e4) AS BIGINT)) AS BIGINT) AS see,
+    CAST(SUM(CASE WHEN ep IS NOT NULL THEN
+      CAST(floor((e - ep) * (e - ep) * 1e4) AS BIGINT) ELSE 0 END)
+      AS BIGINT) AS sdd,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM lagd GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+  round(CAST(sdd AS DOUBLE) / see, 6) AS durbin_watson,
+  round(1e0 - CAST(sdd AS DOUBLE) / see / 2, 6) AS rho_hat
+FROM s
+"""
+
+
+@register(
+    "q425_durbin_watson",
+    oracle=_Q425_SQL.format(events="events"),
+    tags=("analytics", "stats", "timeseries"),
+)
+def q425_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic per event type: after detrending the
+    daily value series with OLS (exact integer moments → scalar
+    slope/intercept), are the RESIDUALS serially correlated?
+    DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² ≈ 2(1−ρ) — the standard 'is my regression
+    lying about its standard errors' diagnostic (q334 reports slopes;
+    DW says whether their inference is trustworthy). Residuals are
+    identical doubles on both engines (rational functions of integer
+    moments); their squares ride the 1e-4 grid-int trick so the sums
+    are exact. Windows are PARTITIONED per event type over the
+    |days| frame."""
+    return _sql_twin(spark, sf_dir, _Q425_SQL, ["events"])
+
+
+def _q426_sql() -> str:
+    """Granger 1-lag template: restricted (y_t ~ y_{t-1}) and
+    unrestricted (y_t ~ y_{t-1} + x_{t-1}) RSS computed per row from
+    closed-form coefficients, grid-int summed, F folded at the end.
+    Lags come from a day-1 equi-join, not a global window."""
+    return """
+WITH daily AS (
+  SELECT (month(ts) - 1) * 31 + day(ts) AS d,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      AS BIGINT) AS y,
+    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      AS BIGINT) AS x
+  FROM {events} GROUP BY 1
+), lagj AS (
+  SELECT c.d, c.y, p.y AS y1, p.x AS x1
+  FROM daily c JOIN daily p ON p.d = c.d - 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y1) AS BIGINT) AS s1,
+    CAST(SUM(x1) AS BIGINT) AS s2,
+    CAST(SUM(y1 * y1) AS BIGINT) AS s11,
+    CAST(SUM(x1 * x1) AS BIGINT) AS s22,
+    CAST(SUM(y1 * x1) AS BIGINT) AS s12,
+    CAST(SUM(y1 * y) AS BIGINT) AS s1y,
+    CAST(SUM(x1 * y) AS BIGINT) AS s2y
+  FROM lagj
+), c AS (
+  SELECT n,
+    s11 - CAST(s1 AS DOUBLE) * s1 / n AS a11,
+    s12 - CAST(s1 AS DOUBLE) * s2 / n AS a12,
+    s22 - CAST(s2 AS DOUBLE) * s2 / n AS a22,
+    s1y - CAST(s1 AS DOUBLE) * sy / n AS b1,
+    s2y - CAST(s2 AS DOUBLE) * sy / n AS b2,
+    CAST(s1 AS DOUBLE) / n AS m1, CAST(s2 AS DOUBLE) / n AS m2,
+    CAST(sy AS DOUBLE) / n AS my
+  FROM m
+), coefs AS (
+  SELECT n,
+    -- restricted: y on y1 alone
+    b1 / a11 AS r1, my - b1 / a11 * m1 AS r0,
+    -- unrestricted: y on (y1, x1), 2x2 solve
+    (a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12) AS u1,
+    (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12) AS u2,
+    my - (a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12) * m1
+       - (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12) * m2 AS u0
+  FROM c
+), rss AS (
+  SELECT /*+ BROADCAST(cf) */ cf.n,
+    CAST(SUM(CAST(floor((l.y - cf.r0 - cf.r1 * l.y1)
+      * (l.y - cf.r0 - cf.r1 * l.y1) * 1e6) AS BIGINT)) AS BIGINT) AS rss_r,
+    CAST(SUM(CAST(floor((l.y - cf.u0 - cf.u1 * l.y1 - cf.u2 * l.x1)
+      * (l.y - cf.u0 - cf.u1 * l.y1 - cf.u2 * l.x1) * 1e6) AS BIGINT))
+      AS BIGINT) AS rss_u
+  FROM lagj l CROSS JOIN coefs cf
+  GROUP BY cf.n
+)
+SELECT n AS n_days, round(rss_r / 1e6, 4) AS rss_restricted,
+  round(rss_u / 1e6, 4) AS rss_unrestricted,
+  round((rss_r - CAST(rss_u AS DOUBLE)) * (n - 3) / rss_u, 6) AS f_stat,
+  (rss_r - CAST(rss_u AS DOUBLE)) * (n - 3) / rss_u > 4.2 AS x_granger_causes_y
+FROM rss
+"""
+
+
+_Q426_SQL = _q426_sql()
+
+
+@register(
+    "q426_granger_1lag",
+    oracle=_Q426_SQL.format(events="events"),
+    tags=("analytics", "stats", "timeseries"),
+)
+def q426_granger_1lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRANGER causality (1 lag): do yesterday's views help predict
+    today's purchases beyond yesterday's purchases alone? Nested-model
+    F-test — restricted RSS (y_t ~ y_{t−1}) vs unrestricted
+    (y_t ~ y_{t−1} + x_{t−1}, the q388 2×2 closed form with λ=0),
+    F = (RSS_r − RSS_u)(n−3)/RSS_u against the F(1, n−3) ≈ 4.2
+    critical value. The daily lag is an equi-join on d−1 (never a
+    global window); coefficients are rational functions of exact
+    integer moments, per-row squared residuals ride the 1e-6 grid.
+    This is the leading-indicator test q387's cross-correlation
+    screen suggests and this query confirms or rejects."""
+    return _sql_twin(spark, sf_dir, _Q426_SQL, ["events"])
+
+
+_Q428_SQL = """
+WITH daily AS (
+  SELECT (month(ts) - 1) * 31 + day(ts) AS d,
+    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM {events} GROUP BY 1
+), pairs AS (
+  SELECT /*+ BROADCAST(b) */ a.d AS di, b.d AS dj, a.y AS yi, b.y AS yj,
+    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn,
+    CAST(b.y - a.y AS DOUBLE) / (b.d - a.d) AS slope
+  FROM daily a JOIN daily b ON a.d < b.d
+), ranked AS (
+  SELECT /*+ BROADCAST(q) */ p.slope, p.di, p.dj,
+    1 + CAST(SUM(CASE WHEN q.slope < p.slope
+          OR (q.slope = p.slope
+              AND (q.di < p.di OR (q.di = p.di AND q.dj < p.dj)))
+        THEN 1 ELSE 0 END) AS BIGINT) AS rnk
+  FROM pairs p JOIN pairs q ON TRUE
+  GROUP BY p.slope, p.di, p.dj
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily
+), ties AS (
+  SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY y)
+), s AS (
+  SELECT CAST(SUM(sgn) AS BIGINT) AS s_stat,
+    CAST(COUNT(*) AS BIGINT) AS m
+  FROM pairs
+)
+SELECT /*+ BROADCAST(nn) */ nn.n AS n_days, s.s_stat,
+  round((s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
+                         WHEN s.s_stat < 0 THEN -1 ELSE 0 END)
+        / sqrt((CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2 * nn.n + 5)
+                - t.tie_term) / 18), 6) AS z_score,
+  round((SELECT MIN(slope) FROM ranked
+         WHERE rnk = CAST(floor((s.m + 1) / 2e0) AS BIGINT)), 6)
+    AS sen_slope,
+  CASE WHEN s.s_stat > 0 THEN 'increasing'
+       WHEN s.s_stat < 0 THEN 'decreasing' ELSE 'no trend' END AS trend
+FROM s CROSS JOIN nn CROSS JOIN ties t
+"""
+
+
+@register(
+    "q428_mann_kendall",
+    oracle=_Q428_SQL.format(events="events"),
+    tags=("analytics", "stats", "timeseries"),
+)
+def q428_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + SEN'S SLOPE on the daily revenue
+    series — the standard nonparametric monotone-trend pair (q231's
+    Theil-Sen gives the robust slope; MK adds the significance test
+    with tie-corrected variance and continuity correction):
+    S = Σᵢ<ⱼ sign(yⱼ−yᵢ) over all day pairs, z = (S∓1)/√Var(S), Sen's
+    slope = the LOWER MEDIAN of pairwise slopes selected by exact rank
+    (count-based, deterministic (di,dj) tiebreak — no interpolation
+    convention, no global window; the pair frame is |days|²-bounded,
+    the bounded-pairs discipline). All counts exact integers; z and
+    the slope are scalar doubles rounded 6."""
+    return _sql_twin(spark, sf_dir, _Q428_SQL, ["events"])
