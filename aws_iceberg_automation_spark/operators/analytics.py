@@ -5253,3 +5253,144 @@ def q428_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded-pairs discipline). All counts exact integers; z and
     the slope are scalar doubles rounded 6."""
     return _sql_twin(spark, sf_dir, _Q428_SQL, ["events"])
+
+
+@register(
+    "q415_conformal_interval",
+    oracle="""
+WITH feat AS (
+  SELECT l_orderkey AS k, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+  FROM lineitem GROUP BY l_orderkey
+), pts AS (
+  SELECT f.x, CAST(round(o.o_totalprice) AS BIGINT) AS y,
+    CASE WHEN substring(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 2) < '1a'
+           THEN 'test'
+         WHEN substring(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 2) < '34'
+           THEN 'val' ELSE 'train' END AS split
+  FROM feat f JOIN orders o ON o.o_orderkey = f.k
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts WHERE split = 'train'
+), fit AS (
+  SELECT n,
+    (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+      / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) AS b1,
+    CAST(sy AS DOUBLE) / n
+      - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+        / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+        * CAST(sx AS DOUBLE) / n AS b0
+  FROM m
+), qhat AS (
+  SELECT f.n AS n_train, CAST(COUNT(*) AS BIGINT) AS n_cal,
+    quantile_cont(abs(p.y - f.b0 - f.b1 * p.x), 0.9) AS q90,
+    MAX(f.b0) AS b0, MAX(f.b1) AS b1
+  FROM pts p CROSS JOIN fit f
+  WHERE p.split = 'val'
+  GROUP BY f.n
+)
+SELECT q.n_train, q.n_cal, CAST(COUNT(*) AS BIGINT) AS n_test,
+  round(q.b1, 6) AS slope, round(q.b0, 4) AS intercept,
+  round(q.q90, 4) AS q_hat_90,
+  round(CAST(SUM(CASE WHEN abs(p.y - q.b0 - q.b1 * p.x) <= q.q90
+              THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS test_coverage
+FROM pts p CROSS JOIN qhat q
+WHERE p.split = 'test'
+GROUP BY q.n_train, q.n_cal, q.b1, q.b0, q.q90
+""",
+    tags=("analytics", "stats", "ml"),
+)
+def q415_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL prediction interval — the modern
+    distribution-free uncertainty wrapper every deployed regressor
+    needs: fit OLS (order value ~ total quantity) on the TRAIN split,
+    take the 90th-percentile absolute residual on the held-out
+    CALIBRATION split as q̂, and verify on TEST that |y−ŷ| ≤ q̂ covers
+    ≈90% — conformal's finite-sample guarantee, checked empirically.
+    Splits are the engine's deterministic md5 split (compat.
+    split_bucket — the same train/val/test gate q206/q207 audit), so
+    both engines partition identically. The calibration quantile is
+    the one interpolated percentile (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, the q42 precedent); everything else is exact
+    integer moments + identical-double comparisons.
+
+    Scale: one lineitem hash agg, one train-moment agg, two broadcast
+    folds over cal/test. Nothing sorts more than the calibration
+    residuals."""
+    from ..functions.compat import split_bucket
+
+    feat = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("x"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    pts = feat.join(o, feat.k == o.o_orderkey).select(
+        "x",
+        F.round("o_totalprice").cast("bigint").alias("y"),
+        split_bucket(F.col("o_orderkey")).alias("split"),
+    )
+    m = pts.filter(F.col("split") == "train").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    fit = m.select(
+        "n",
+        (
+            (F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy"))
+            / (F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx"))
+        ).alias("b1"),
+        "sx", "sy",
+    ).select(
+        "n",
+        "b1",
+        (
+            F.col("sy").cast("double") / F.col("n")
+            - F.col("b1") * F.col("sx").cast("double") / F.col("n")
+        ).alias("b0"),
+    )
+    cal = (
+        pts.filter(F.col("split") == "val")
+        .crossJoin(F.broadcast(fit))
+        .select(
+            "n",
+            "b0",
+            "b1",
+            F.abs(
+                F.col("y") - F.col("b0") - F.col("b1") * F.col("x")
+            ).alias("r"),
+        )
+    )
+    qhat = cal.groupBy(F.col("n").alias("n_train")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+        F.expr("percentile(r, 0.9)").alias("q90"),
+        F.max("b0").alias("b0"),
+        F.max("b1").alias("b1"),
+    )
+    test = pts.filter(F.col("split") == "test").crossJoin(F.broadcast(qhat))
+    return test.groupBy("n_train", "n_cal", "b1", "b0", "q90").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.abs(F.col("y") - F.col("b0") - F.col("b1") * F.col("x"))
+                    <= F.col("q90"),
+                    1,
+                ).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("test_coverage"),
+    ).select(
+        "n_train",
+        "n_cal",
+        "n_test",
+        F.round("b1", 6).alias("slope"),
+        F.round("b0", 4).alias("intercept"),
+        F.round("q90", 4).alias("q_hat_90"),
+        "test_coverage",
+    )

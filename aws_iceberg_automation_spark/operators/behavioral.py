@@ -25,6 +25,7 @@ from ..functions.compat import (
 )
 from ..io import load_table
 from ..registry import register
+from .analytics import _sql_twin
 
 
 @register(
@@ -2147,3 +2148,100 @@ def q372_abandonment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("abandoned").cast("double") / F.count(F.lit(1)), 6
         ).alias("abandon_rate"),
     ).withColumnRenamed("d", "day")
+
+
+_Q408_SQL = """
+WITH li AS (
+  SELECT p.p_brand AS brand,
+    CASE WHEN year(l.l_shipdate) <= 1997 THEN 1 ELSE 2 END AS period,
+    CAST(l.l_quantity AS BIGINT) AS qty,
+    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+  FROM {lineitem} l JOIN {part} p ON p.p_partkey = l.l_partkey
+), agg AS (
+  SELECT brand, period, CAST(SUM(qty) AS BIGINT) AS q,
+    CAST(SUM(cents) AS BIGINT) AS rev
+  FROM li GROUP BY brand, period
+), wide AS (
+  SELECT brand,
+    MAX(CASE WHEN period = 1 THEN q END) AS q1,
+    MAX(CASE WHEN period = 2 THEN q END) AS q2,
+    MAX(CASE WHEN period = 1 THEN rev END) AS r1,
+    MAX(CASE WHEN period = 2 THEN rev END) AS r2
+  FROM agg GROUP BY brand
+  HAVING MAX(CASE WHEN period = 1 THEN q END) IS NOT NULL
+     AND MAX(CASE WHEN period = 2 THEN q END) IS NOT NULL
+)
+SELECT brand,
+  round(r1 / 1e2, 2) AS rev_p1, round(r2 / 1e2, 2) AS rev_p2,
+  round((r2 - r1) / 1e2, 2) AS delta_rev,
+  round((CAST(r2 AS DOUBLE) / q2 - CAST(r1 AS DOUBLE) / q1) * q2 / 1e2, 2)
+    AS price_effect,
+  round((q2 - q1) * (CAST(r1 AS DOUBLE) / q1) / 1e2, 2) AS volume_effect
+FROM wide
+"""
+
+
+@register(
+    "q408_price_volume_mix",
+    oracle=_Q408_SQL.format(lineitem="lineitem", part="part"),
+    tags=("behavioral", "analytics"),
+)
+def q408_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE-VOLUME bridge per brand — the finance-close decomposition
+    of WHY revenue moved between two periods (≤1997 vs after; the fixture ships 1995-2001): the
+    Laspeyres split Δrev = (p₂−p₁)·q₂ (price effect, current volumes
+    at the price change) + (q₂−q₁)·p₁ (volume effect, old price on the
+    volume change), which reconciles EXACTLY by construction — the
+    bridge always sums to the delta, the property a revenue waterfall
+    chart depends on. Unit prices are revenue/quantity per
+    brand-period from exact integer cents; the two effects are scalar
+    doubles per brand, rounded at the surface.
+
+    Scale: one fact-dim join + one hash agg to |brands|×2, then a
+    |brands|-row pivot fold."""
+    return _sql_twin(spark, sf_dir, _Q408_SQL, ["lineitem", "part"])
+
+
+_Q420_SQL = """
+WITH spend AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN (month(ts) - 1) * 31 + day(ts) <= 15
+             AND event_type = 'purchase'
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      AS s1,
+    CAST(SUM(CASE WHEN (month(ts) - 1) * 31 + day(ts) > 15
+             AND event_type = 'purchase'
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      AS s2
+  FROM {events} GROUP BY user_id
+), tiers AS (
+  SELECT
+    CASE WHEN s1 = 0 THEN 'none' WHEN s1 < 10000 THEN 'low'
+         WHEN s1 < 40000 THEN 'mid' ELSE 'high' END AS tier_h1,
+    CASE WHEN s2 = 0 THEN 'none' WHEN s2 < 10000 THEN 'low'
+         WHEN s2 < 40000 THEN 'mid' ELSE 'high' END AS tier_h2
+  FROM spend
+)
+SELECT tier_h1, tier_h2, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM tiers GROUP BY tier_h1, tier_h2
+"""
+
+
+@register(
+    "q420_rfm_migration",
+    oracle=_Q420_SQL.format(events="events"),
+    tags=("behavioral",),
+)
+def q420_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer VALUE-TIER MIGRATION matrix — how users moved between
+    spend tiers (none/low/mid/high on fixed cent thresholds) from the
+    first half of the month to the second: the churn/upgrade flow
+    behind every retention deck (q208 assigns RFM segments at a point
+    in time; this is the TRANSITION census between two points).
+    Fixed integer thresholds — not quantiles — so tier boundaries are
+    portable across engines and stable across refreshes, which is
+    what makes period-over-period migration comparable at all.
+
+    Scale: one per-user hash agg (map-side combine does the work),
+    one 16-cell census."""
+    return _sql_twin(spark, sf_dir, _Q420_SQL, ["events"])

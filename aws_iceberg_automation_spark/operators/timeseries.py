@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.compat import corr_from_moments, dec2, epoch_secs, month_day, ts_sec
+from .analytics import _sql_twin
 from ..io import load_table
 from ..registry import register
 
@@ -1722,3 +1723,144 @@ def q355_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").alias("day_cents"),
         F.round(num.cast("double") / den, 4).alias("slope_7d"),
     )
+
+
+_Q386_SQL = """
+WITH daily AS (
+  SELECT event_type, (month(ts) - 1) * 31 + day(ts) AS d,
+    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM {events} GROUP BY 1, 2
+), nb AS (
+  SELECT event_type, d, y,
+    LAG(y)  OVER (PARTITION BY event_type ORDER BY d) AS yp,
+    LEAD(y) OVER (PARTITION BY event_type ORDER BY d) AS yn
+  FROM daily
+)
+SELECT event_type, d AS day, y AS revenue_cents,
+  y - GREATEST(yp, yn) AS prominence_cents
+FROM nb
+WHERE yp IS NOT NULL AND yn IS NOT NULL
+  AND y > yp AND y >= yn
+  AND (y - GREATEST(yp, yn)) * 20 >= y
+"""
+
+
+@register(
+    "q386_peak_detection",
+    oracle=_Q386_SQL.format(events="events"),
+    tags=("timeseries",),
+)
+def q386_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK detection with prominence on the per-type daily revenue
+    series — the alerting primitive behind every 'traffic spiked'
+    signal: a day is a peak when it strictly beats yesterday, at least
+    ties tomorrow (the >/>= asymmetry resolves plateaus to their FIRST
+    day, deterministically), and its prominence (height above the
+    taller neighbor) is ≥5% of the peak itself — an integer-exact
+    relative threshold (p·20 ≥ y, no float ratio). Complements q239's
+    seasonal anomalies (which need a baseline model); peaks need only
+    the local shape.
+
+    Windows are PARTITIONED per event type over the |days| frame;
+    everything rides as exact integer cents."""
+    return _sql_twin(spark, sf_dir, _Q386_SQL, ["events"])
+
+
+_Q387_SQL = """
+WITH daily AS (
+  SELECT (month(ts) - 1) * 31 + day(ts) AS d,
+    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      AS BIGINT) AS xv,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      AS BIGINT) AS yp
+  FROM {events} GROUP BY 1
+), lags AS (
+  SELECT * FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) AS t(lag)
+), joined AS (
+  SELECT /*+ BROADCAST(l) */ l.lag, a.xv AS x, b.yp AS y
+  FROM lags l
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.d = a.d + l.lag
+), m AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM joined GROUP BY lag
+), c AS (
+  SELECT lag, n,
+    round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+      / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+           * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)
+      AS xcorr
+  FROM m
+), best AS (
+  SELECT MAX(abs(xcorr)) AS mx FROM c
+)
+SELECT /*+ BROADCAST(b) */ c.lag, c.n AS n_day_pairs, c.xcorr,
+  abs(c.xcorr) = b.mx AS is_best_lag
+FROM c CROSS JOIN best b
+"""
+
+
+@register(
+    "q387_lead_lag_xcorr",
+    oracle=_Q387_SQL.format(events="events"),
+    tags=("timeseries", "stats"),
+)
+def q387_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD-LAG cross-correlation between daily view and purchase
+    counts at lags −3..+3 — which series LEADS? (positive best lag =
+    views predict purchases that many days ahead — the screening step
+    before q426's Granger test makes it formal). Each lag is a day-
+    shifted equi-join (b.d = a.d + lag) against a broadcast 7-row lag
+    table — never a global window — and each lag's Pearson r comes
+    from exact integer moments, rounded 6; the argmax flag is one
+    broadcast fold.
+
+    Scale: |days|×7 joined rows from one hash agg. Cross-correlating
+    100 TB of raw events is THIS shape because the daily rollup comes
+    first."""
+    return _sql_twin(spark, sf_dir, _Q387_SQL, ["events"])
+
+
+_Q394_SQL = """
+WITH shard_day AS (
+  SELECT user_id % 4 AS shard, (month(ts) - 1) * 31 + day(ts) AS d,
+    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      AS BIGINT) AS errs,
+    CAST(COUNT(*) AS BIGINT) AS reqs
+  FROM {events} GROUP BY 1, 2
+), budget AS (
+  SELECT shard, CAST(floor(SUM(reqs) / 1e2) AS BIGINT) AS err_budget
+  FROM shard_day GROUP BY shard
+), burn AS (
+  SELECT shard, d, errs,
+    SUM(errs) OVER (PARTITION BY shard ORDER BY d) AS cum_errs
+  FROM shard_day
+)
+SELECT b.shard, b.d AS day, b.errs AS day_errors,
+  CAST(b.cum_errs AS BIGINT) AS cum_errors, g.err_budget,
+  round(CAST(b.cum_errs AS DOUBLE) / g.err_budget, 4) AS budget_burned,
+  b.cum_errs > g.err_budget AS exhausted
+FROM burn b JOIN budget g ON g.shard = b.shard
+"""
+
+
+@register(
+    "q394_slo_error_budget",
+    oracle=_Q394_SQL.format(events="events"),
+    tags=("timeseries", "dq"),
+)
+def q394_slo_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO ERROR-BUDGET burn-down (SRE's operating currency): with a
+    99% success objective, each shard's monthly budget is 1% of its
+    request volume; the running error count against it — per shard,
+    per day, with the exhaustion flag — is the page-worthy trajectory.
+    The cumulative window is PARTITIONED by shard (user_id%4, the
+    service-shard stand-in), the budget one hash agg, the join
+    broadcast-sized. All integers except the final burn ratio.
+
+    Complements q413 (is the error RATE different?) with the
+    operational question (when do we run out?)."""
+    return _sql_twin(spark, sf_dir, _Q394_SQL, ["events"])
