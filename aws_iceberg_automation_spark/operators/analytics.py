@@ -5394,3 +5394,131 @@ def q415_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q90", 4).alias("q_hat_90"),
         "test_coverage",
     )
+
+
+_Q401_SQL = """
+WITH seg AS (
+  SELECT c.c_mktsegment AS seg,
+    CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment
+), tot AS (
+  SELECT CAST(SUM(rev) AS BIGINT) AS t FROM seg
+), q AS (
+  SELECT /*+ BROADCAST(t) */ s.seg, s.rev,
+    CAST(floor(1e3 * s.rev / t.t) AS BIGINT) AS base,
+    1000 * s.rev - CAST(floor(1e3 * s.rev / t.t) AS BIGINT) * t.t AS rem,
+    t.t AS t
+  FROM seg s CROSS JOIN tot t
+), leftover AS (
+  SELECT 1000 - CAST(SUM(base) AS BIGINT) AS extra FROM q
+), ranked AS (
+  SELECT /*+ BROADCAST(b) */ a.seg, a.rev, a.base, a.t,
+    1 + CAST(SUM(CASE WHEN b.rem > a.rem
+          OR (b.rem = a.rem AND b.seg < a.seg)
+        THEN 1 ELSE 0 END) AS BIGINT) AS rk
+  FROM q a JOIN q b ON TRUE
+  GROUP BY a.seg, a.rev, a.base, a.t
+)
+SELECT /*+ BROADCAST(l) */ r.seg,
+  round(r.rev / 1e2, 2) AS revenue,
+  round(1e3 * r.rev / r.t, 4) AS exact_quota,
+  CAST(r.base + CASE WHEN r.rk <= l.extra THEN 1 ELSE 0 END AS BIGINT)
+    AS seats
+FROM ranked r CROSS JOIN leftover l
+"""
+
+
+@register(
+    "q401_largest_remainder_alloc",
+    oracle=_Q401_SQL.format(orders="orders", customer="customer"),
+    tags=("analytics",),
+)
+def q401_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LARGEST-REMAINDER (Hamilton) apportionment: split 1000 budget
+    units across market segments proportionally to revenue so the
+    result is INTEGER and sums to exactly 1000 — the constraint naive
+    per-group rounding breaks (sum drifts by ±k/2) that every quota,
+    budget-split and seat-allocation job hits. Quotas floor exactly
+    (1000·rev and base·T both < 2⁵³, so the double division floors
+    true); remainders compare as EXACT INTEGERS (1000·rev − base·T) —
+    no float tie ambiguity — and the +1 seats go to the largest
+    remainders with a deterministic segment tiebreak. The rank over
+    the 5-row frame is a broadcast pair-count, not a global window.
+
+    The same machinery integerizes q404's Neyman allocation and
+    q241's token-epoch plan; this query pins the apportionment
+    contract itself (Σ = 1000, |seats − quota| < 1)."""
+    return _sql_twin(spark, sf_dir, _Q401_SQL, ["orders", "customer"])
+
+
+_Q406_SQL = """
+WITH cust AS (
+  SELECT c_custkey AS k, c_nationkey AS nk,
+    (CAST(c_custkey * 37 % 160 AS DOUBLE) - 80) + (c_custkey * 7919 % 1000) / 1e3
+      AS lat,
+    (CAST(c_custkey * 53 % 360 AS DOUBLE) - 180) + (c_custkey * 104729 % 1000) / 1e3
+      AS lon
+  FROM {customer}
+), supp AS (
+  SELECT s_suppkey AS k,
+    (CAST(s_suppkey * 41 % 160 AS DOUBLE) - 80) + (s_suppkey * 7919 % 1000) / 1e3
+      AS lat,
+    (CAST(s_suppkey * 59 % 360 AS DOUBLE) - 180) + (s_suppkey * 104729 % 1000) / 1e3
+      AS lon
+  FROM {supplier}
+), pairs AS (
+  SELECT c.nk, c.lat AS la1, c.lon AS lo1, s.lat AS la2, s.lon AS lo2
+  FROM {lineitem} l
+  JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+  JOIN cust c ON c.k = o.o_custkey
+  JOIN supp s ON s.k = l.l_suppkey
+), hav AS (
+  SELECT nk,
+    12742.0 * asin(sqrt(
+      sin((la2 - la1) * 0.008726646259971648) * sin((la2 - la1) * 0.008726646259971648)
+      + cos(la1 * 0.017453292519943295) * cos(la2 * 0.017453292519943295)
+        * sin((lo2 - lo1) * 0.008726646259971648) * sin((lo2 - lo1) * 0.008726646259971648)
+    )) AS km
+  FROM pairs
+), g AS (
+  SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_shipments,
+    CAST(SUM(CAST(floor(km * 1e3) AS BIGINT)) AS BIGINT) AS gsum,
+    CAST(MAX(CAST(floor(km * 1e3) AS BIGINT)) AS BIGINT) AS gmax
+  FROM hav GROUP BY nk
+)
+SELECT nk AS nationkey, n_shipments,
+  round(gsum / 1e3 / n_shipments, 2) AS avg_km,
+  round(gmax / 1e3, 2) AS max_km
+FROM g
+"""
+
+
+@register(
+    "q406_haversine_distance",
+    oracle=_Q406_SQL.format(
+        customer="customer", supplier="supplier",
+        lineitem="lineitem", orders="orders",
+    ),
+    tags=("analytics", "geo"),
+)
+def q406_haversine_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVERSINE great-circle shipping distance per customer nation —
+    the geo-distance aggregate q377's grid join deliberately avoids
+    (the grid buckets PLANAR proximity; logistics KPIs need true
+    spherical km): customer/supplier coordinates derive
+    deterministically from their keys (pure integer arithmetic —
+    engine-replayable, the portable-randomness discipline), distance
+    is the standard 2R·asin(√(sin²(Δφ/2)+cosφ₁cosφ₂sin²(Δλ/2))) with
+    degree→radian factors inlined as literals. Per-row km values are
+    floored onto a 1-meter grid before aggregation, so the per-nation
+    sums are exact integers (partition order cannot drift them), and
+    the one double division per group happens at the surface.
+
+    Scale: the pair frame is the natural lineitem⋈orders⋈dims star
+    join — no cross join anywhere; trig is whole-stage-codegen
+    JVM-side."""
+    return _sql_twin(
+        spark, sf_dir, _Q406_SQL,
+        ["customer", "supplier", "lineitem", "orders"],
+    )

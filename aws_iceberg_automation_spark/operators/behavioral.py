@@ -2245,3 +2245,68 @@ def q420_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one per-user hash agg (map-side combine does the work),
     one 16-cell census."""
     return _sql_twin(spark, sf_dir, _Q420_SQL, ["events"])
+
+
+_Q418_SQL = """
+WITH u AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS s,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM {events} GROUP BY user_id
+), cells AS (
+  SELECT v, c, s, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(conv) AS BIGINT) AS k
+  FROM u GROUP BY v, c, s
+), r AS (
+  -- conversion rate per exposure subset; empty cells -> 0 (stated)
+  SELECT
+    COALESCE(MAX(CASE WHEN v=0 AND c=0 AND s=0 THEN CAST(k AS DOUBLE)/n END), 0) AS r000,
+    COALESCE(MAX(CASE WHEN v=1 AND c=0 AND s=0 THEN CAST(k AS DOUBLE)/n END), 0) AS r100,
+    COALESCE(MAX(CASE WHEN v=0 AND c=1 AND s=0 THEN CAST(k AS DOUBLE)/n END), 0) AS r010,
+    COALESCE(MAX(CASE WHEN v=0 AND c=0 AND s=1 THEN CAST(k AS DOUBLE)/n END), 0) AS r001,
+    COALESCE(MAX(CASE WHEN v=1 AND c=1 AND s=0 THEN CAST(k AS DOUBLE)/n END), 0) AS r110,
+    COALESCE(MAX(CASE WHEN v=1 AND c=0 AND s=1 THEN CAST(k AS DOUBLE)/n END), 0) AS r101,
+    COALESCE(MAX(CASE WHEN v=0 AND c=1 AND s=1 THEN CAST(k AS DOUBLE)/n END), 0) AS r011,
+    COALESCE(MAX(CASE WHEN v=1 AND c=1 AND s=1 THEN CAST(k AS DOUBLE)/n END), 0) AS r111
+  FROM cells
+), phi AS (
+  SELECT 'view' AS channel,
+    round((2*(r100 - r000) + (r110 - r010) + (r101 - r001)
+           + 2*(r111 - r011)) / 6e0, 6) AS shapley
+  FROM r
+  UNION ALL
+  SELECT 'click',
+    round((2*(r010 - r000) + (r110 - r100) + (r011 - r001)
+           + 2*(r111 - r101)) / 6e0, 6)
+  FROM r
+  UNION ALL
+  SELECT 'signup',
+    round((2*(r001 - r000) + (r101 - r100) + (r011 - r010)
+           + 2*(r111 - r110)) / 6e0, 6)
+  FROM r
+)
+SELECT channel, shapley FROM phi
+"""
+
+
+@register(
+    "q418_shapley_attribution",
+    oracle=_Q418_SQL.format(events="events"),
+    tags=("behavioral", "analytics"),
+)
+def q418_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHAPLEY-VALUE channel attribution over three exposure channels
+    (view/click/signup → purchase): each channel's credit is its
+    average marginal lift across all 2³ coalition orderings —
+    φᵢ = Σ_S |S|!(2−|S|)!/3! · (v(S∪{i}) − v(S)) with v(S) = the
+    conversion rate of users whose exposure set is exactly S, the
+    game-theoretic attribution that uniquely satisfies efficiency/
+    symmetry/dummy (q201's touch attribution splits by position rules;
+    Shapley splits by counterfactual contribution). For 3 players the
+    24 weighted terms collapse to the closed form spelled per channel
+    (weights 2/6, 1/6, 1/6, 2/6). Empty coalition cells contribute 0
+    — stated convention, not silent NULL. One per-user hash agg, one
+    8-cell pivot, constant algebra."""
+    return _sql_twin(spark, sf_dir, _Q418_SQL, ["events"])

@@ -42,6 +42,8 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import register
+from ..functions.compat import sql_portable_hash64
+from .analytics import _sql_twin
 
 # RE2-compatible (DuckDB) and Java-compatible (Spark) alike: no
 # lookaround, no backreferences.
@@ -2310,3 +2312,166 @@ def q375_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("was_pos").cast("double") / F.count(F.lit(1)), 6
         ).alias("collision_rate"),
     )
+
+
+_Q396_SQL = """
+WITH rows_ AS (
+  SELECT p.p_brand AS brand,
+    CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+  FROM {lineitem} l JOIN {part} p ON p.p_partkey = l.l_partkey
+), byb AS (
+  SELECT brand, CAST(SUM(bad) AS BIGINT) AS nb,
+    CAST(COUNT(*) AS BIGINT) - CAST(SUM(bad) AS BIGINT) AS ng
+  FROM rows_ GROUP BY brand
+), tot AS (
+  SELECT CAST(SUM(nb) AS BIGINT) AS tb, CAST(SUM(ng) AS BIGINT) AS tg
+  FROM byb
+), woe AS (
+  SELECT /*+ BROADCAST(t) */ b.brand, b.nb, b.ng,
+    ln((CAST(b.nb AS DOUBLE) / t.tb) / (CAST(b.ng AS DOUBLE) / t.tg))
+      AS woe,
+    (CAST(b.nb AS DOUBLE) / t.tb - CAST(b.ng AS DOUBLE) / t.tg)
+      * ln((CAST(b.nb AS DOUBLE) / t.tb) / (CAST(b.ng AS DOUBLE) / t.tg))
+      AS iv_term
+  FROM byb b CROSS JOIN tot t
+  WHERE b.nb > 0 AND b.ng > 0
+), iv AS (
+  SELECT CAST(SUM(CAST(floor(iv_term * 1e9) AS BIGINT)) AS BIGINT) AS g
+  FROM woe
+)
+SELECT /*+ BROADCAST(i) */ w.brand, w.nb AS n_returned, w.ng AS n_kept,
+  round(w.woe, 6) AS woe,
+  round(i.g / 1e9, 6) AS information_value
+FROM woe w CROSS JOIN iv i
+"""
+
+
+@register(
+    "q396_woe_iv",
+    oracle=_Q396_SQL.format(lineitem="lineitem", part="part"),
+    tags=("curation", "ml", "stats"),
+)
+def q396_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHT OF EVIDENCE + Information Value of brand → return-flag —
+    the credit-scoring feature-screening pair (WOE is the log-odds
+    encoding a scorecard feeds to logistic models; IV =
+    Σ(bad%−good%)·WOE summarizes the feature's total separating power;
+    the classic read: <0.02 useless, >0.3 strong). Complements q344's
+    leave-one-out target encoding (which prevents leakage at row
+    grain) with the bucket-grain screening statistic.
+
+    Counts exact from one hash agg; WOE is one ln over count ratios
+    (rounded 6); the IV cross-bucket sum rides the 1e-9 grid. Brands
+    with a zero cell are excluded (WOE undefined) — the standard
+    convention, stated rather than silently smoothed.
+
+    Scale: fact-dim join + hash agg to |brands|."""
+    return _sql_twin(spark, sf_dir, _Q396_SQL, ["lineitem", "part"])
+
+
+@register(
+    "q417_stratified_kfold",
+    oracle=f"""
+WITH folds AS (
+  SELECT label,
+    {sql_portable_hash64("CAST(vec_id AS VARCHAR)")} % 5 AS fold
+  FROM embeddings
+)
+SELECT fold, label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM folds GROUP BY fold, label
+""",
+    tags=("curation", "ml"),
+)
+def q417_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-FOLD cross-validation assignment with per-label
+    balance census — the split_bucket (q206) idea extended from a
+    fixed train/val/test cut to k rotating folds: fold(id) =
+    portable_hash64(id) mod 5, reproducible across runs, engines and
+    cluster shapes (no RNG, no shuffle-order dependence), which is
+    what makes CV results comparable between retrains. The census
+    (fold × label counts) IS the stratification audit: hash uniformity
+    keeps every label's mass within sampling noise of 1/5 per fold —
+    the label-leakage-free approximation to sklearn's StratifiedKFold
+    that scales to 100 TB because it is one map-side expression plus
+    one hash agg."""
+    e = load_table(spark, sf_dir, "embeddings")
+    from ..functions.compat import portable_hash64
+
+    return (
+        e.select(
+            "label",
+            (portable_hash64(F.col("vec_id").cast("string")) % 5).alias(
+                "fold"
+            ),
+        )
+        .groupBy("fold", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    )
+
+
+_Q404_SQL = """
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS nh,
+    CAST(SUM(n_chars) AS BIGINT) AS sv,
+    CAST(SUM(n_chars * n_chars) AS BIGINT) AS svv
+  FROM {documents} GROUP BY source
+), sd AS (
+  SELECT source, nh,
+    sqrt((svv - CAST(sv AS DOUBLE) * sv / nh) / (nh - 1)) AS sh
+  FROM s WHERE nh > 1
+), quota AS (
+  SELECT source, nh, sh,
+    CAST(floor(nh * sh * 1e6) AS BIGINT) AS wgrid
+  FROM sd
+), tot AS (
+  SELECT CAST(SUM(wgrid) AS BIGINT) AS tw, CAST(COUNT(*) AS BIGINT) AS k
+  FROM quota
+), q2 AS (
+  SELECT /*+ BROADCAST(t) */ q.source, q.nh, q.sh,
+    -- integer-exact quota on the grid: base = floor(1000*w/T),
+    -- remainder compared as exact integers
+    CAST(floor(1e3 * q.wgrid / t.tw) AS BIGINT) AS base,
+    1000 * q.wgrid - CAST(floor(1e3 * q.wgrid / t.tw) AS BIGINT) * t.tw
+      AS rem
+  FROM quota q CROSS JOIN tot t
+), leftover AS (
+  SELECT 1000 - CAST(SUM(base) AS BIGINT) AS extra FROM q2
+), ranked AS (
+  SELECT /*+ BROADCAST(b) */ a.source, a.nh, a.sh, a.base,
+    1 + CAST(SUM(CASE WHEN b.rem > a.rem
+          OR (b.rem = a.rem AND b.source < a.source)
+        THEN 1 ELSE 0 END) AS BIGINT) AS rk
+  FROM q2 a JOIN q2 b ON TRUE
+  GROUP BY a.source, a.nh, a.sh, a.base
+)
+SELECT /*+ BROADCAST(l) */ r.source, r.nh AS stratum_size,
+  round(r.sh, 4) AS stratum_sd,
+  CAST(r.base + CASE WHEN r.rk <= l.extra THEN 1 ELSE 0 END AS BIGINT)
+    AS n_alloc
+FROM ranked r CROSS JOIN leftover l
+"""
+
+
+@register(
+    "q404_neyman_allocation",
+    oracle=_Q404_SQL.format(documents="documents"),
+    tags=("curation", "stats"),
+)
+def q404_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN-optimal stratified sample allocation: split a 1000-doc
+    labeling budget across sources with n_h ∝ N_h·S_h (stratum size ×
+    stratum std of doc length) — the design that minimizes the
+    stratified estimator's variance for fixed budget; big AND noisy
+    strata get the samples, uniform strata barely any. The q96c exact-N
+    sampler draws a stratified sample; this computes what the strata
+    ALLOCATION should be in the first place.
+
+    Integerization is largest-remainder (Hamilton) on an exact integer
+    grid: weights floor to a 1e6 grid, bases are exact floor(1000·w/T)
+    (both factors < 2⁵³ so the double division floors exactly),
+    remainders compare as exact integers with a source tiebreak, and
+    the allocations sum to EXACTLY 1000 by construction. Rank over the
+    20-row frame is a broadcast pair-count join, not a global window.
+
+    Scale: one hash agg to |strata|, then constant-size algebra."""
+    return _sql_twin(spark, sf_dir, _Q404_SQL, ["documents"])

@@ -43,6 +43,7 @@ from ..functions.compat import dec2, month_day, portable_hash64, sql_portable_ha
 from ..functions.ranking import topn_ranked
 from ..io import SCHEMAS, load_table
 from ..registry import register
+from .analytics import _sql_twin
 
 
 @dataclass(frozen=True)
@@ -2048,3 +2049,116 @@ def q378_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("k").cast("bigint").alias("k_distinct"),
         F.sum("k").cast("bigint").alias("k_sum"),
     )
+
+
+_Q399_SQL = """
+WITH b AS (
+  SELECT lang,
+    LEAST(CAST(floor(n_chars / 1e2) AS BIGINT), 9) AS bin
+  FROM {documents}
+), counts AS (
+  SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS c
+  FROM b GROUP BY lang, bin
+), bins AS (
+  SELECT DISTINCT bin FROM b
+), langs AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS nl FROM counts GROUP BY lang
+), gbin AS (
+  SELECT bin, CAST(SUM(c) AS BIGINT) AS g FROM counts GROUP BY bin
+), tot AS (
+  SELECT CAST(SUM(g) AS BIGINT) AS nn FROM gbin
+), grid AS (
+  SELECT /*+ BROADCAST(bn) */ l.lang, l.nl, bn.bin,
+    COALESCE(c.c, 0) AS c
+  FROM langs l
+  CROSS JOIN bins bn
+  LEFT JOIN counts c ON c.lang = l.lang AND c.bin = bn.bin
+), cum AS (
+  SELECT /*+ BROADCAST(t) */ g.lang, g.nl, g.bin,
+    SUM(g.c) OVER (PARTITION BY g.lang ORDER BY g.bin) AS cl,
+    SUM(gl.g) OVER (PARTITION BY g.lang ORDER BY g.bin) AS cg,
+    t.nn
+  FROM grid g JOIN gbin gl ON gl.bin = g.bin CROSS JOIN tot t
+), emd AS (
+  SELECT lang, MAX(nl) AS n_docs,
+    CAST(SUM(CAST(floor(
+      abs(CAST(cl AS DOUBLE) / nl - CAST(cg AS DOUBLE) / nn) * 1e9)
+      AS BIGINT)) AS BIGINT) AS g
+  FROM cum GROUP BY lang
+)
+SELECT lang, n_docs,
+  round(g / 1e9 / 10, 6) AS emd_t_closeness,
+  g / 1e9 / 10 <= 0.05 AS t_close_005
+FROM emd
+"""
+
+
+@register(
+    "q399_t_closeness",
+    oracle=_Q399_SQL.format(documents="documents"),
+    tags=("dq", "privacy"),
+)
+def q399_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-CLOSENESS audit — the third rung of the anonymization ladder
+    the engine already climbs (k-anonymity q181 bounds group sizes,
+    l-diversity q347 bounds distinct sensitive values; t-closeness
+    bounds the DISTRIBUTION gap): per quasi-identifier group (lang),
+    the Earth-Mover's Distance between the group's sensitive-attribute
+    distribution (doc length, 10 ordered bins) and the global one —
+    EMD over an ordered 1-D histogram is exactly the mean |CDF gap|,
+    the q342 Wasserstein machinery specialized to the privacy test.
+    A group that fails (> 0.05) leaks attribute information even when
+    k-anonymous and l-diverse.
+
+    Integer counts → windowed integer cumsums (PARTITIONED per lang
+    over 10 bins) → per-bin gaps on the 1e-9 grid. One hash agg plus
+    constant-size folds."""
+    return _sql_twin(spark, sf_dir, _Q399_SQL, ["documents"])
+
+
+_Q400_SQL = """
+WITH u AS (
+  SELECT user_id, user_id % 3 AS cohort,
+    MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS t
+  FROM {events} GROUP BY user_id
+), rr AS (
+  -- randomized response: flip the true bit when the user's salted md5
+  -- nibble < '4' (flip prob q = 1/4, deterministic, engine-replayable)
+  SELECT cohort, t,
+    CASE WHEN substring(md5(CAST(user_id * 7919 AS STRING)), 1, 1) < '4'
+         THEN 1 - t ELSE t END AS reported
+  FROM u
+), s AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(reported) AS BIGINT) AS nr, CAST(SUM(t) AS BIGINT) AS nt
+  FROM rr GROUP BY cohort
+)
+SELECT cohort, n AS n_users,
+  round(CAST(nr AS DOUBLE) / n, 6) AS reported_rate,
+  round((CAST(nr AS DOUBLE) / n - 0.25) / 0.5, 6) AS debiased_estimate,
+  round(CAST(nt AS DOUBLE) / n, 6) AS true_rate,
+  round(abs((CAST(nr AS DOUBLE) / n - 0.25) / 0.5
+            - CAST(nt AS DOUBLE) / n), 6) AS abs_error
+FROM s
+"""
+
+
+@register(
+    "q400_randomized_response",
+    oracle=_Q400_SQL.format(events="events"),
+    tags=("dq", "privacy"),
+)
+def q400_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOMIZED RESPONSE debiasing (Warner 1965 — the mechanism
+    behind RAPPOR-style local differential privacy): each user's
+    sensitive bit is flipped with probability q=1/4 BEFORE collection,
+    giving per-user plausible deniability (ε = ln(3) local DP); the
+    aggregate truth is recovered as (p̂_reported − q)/(1 − 2q). The
+    fixture knows ground truth, so the query surfaces estimate AND
+    truth AND the estimation error per cohort — the end-to-end
+    privacy-utility demonstration (q346's central-DP noisy counts add
+    noise at the aggregator; RR pushes it to the client, the stronger
+    threat model). The 'randomness' is the salted md5 nibble —
+    deterministic, so both engines replay the identical mechanism
+    (the q136/q96 portable-randomness discipline)."""
+    return _sql_twin(spark, sf_dir, _Q400_SQL, ["events"])

@@ -1864,3 +1864,136 @@ def q394_slo_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complements q413 (is the error RATE different?) with the
     operational question (when do we run out?)."""
     return _sql_twin(spark, sf_dir, _Q394_SQL, ["events"])
+
+
+_Q397_SQL = """
+WITH seq AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+    epoch_s, event_id
+  FROM (
+    SELECT user_id, value, event_id,
+      ((month(ts) - 1) * 31 + day(ts)) * 86400
+        + hour(ts) * 3600 + minute(ts) * 60 + second(ts) AS epoch_s
+    FROM {events})
+), tri AS (
+  SELECT user_id, v AS v3,
+    LAG(v, 1) OVER (PARTITION BY user_id ORDER BY epoch_s, event_id) AS v2,
+    LAG(v, 2) OVER (PARTITION BY user_id ORDER BY epoch_s, event_id) AS v1
+  FROM seq
+), pats AS (
+  -- ordinal pattern of (v1, v2, v3), ties resolved to the EARLIER
+  -- position (<= / <) — deterministic, stated convention
+  SELECT CASE
+    WHEN v1 <= v2 AND v2 <= v3 THEN '012'
+    WHEN v1 <= v3 AND v3 <  v2 THEN '021'
+    WHEN v2 <  v1 AND v1 <= v3 THEN '102'
+    WHEN v3 <  v1 AND v1 <= v2 THEN '120'
+    WHEN v2 <= v3 AND v3 <  v1 THEN '201'
+    ELSE '210' END AS pattern
+  FROM tri WHERE v1 IS NOT NULL
+), cnt AS (
+  SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n FROM pats GROUP BY pattern
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cnt
+), ent AS (
+  SELECT /*+ BROADCAST(t) */
+    CAST(SUM(CAST(floor(
+      -(CAST(c.n AS DOUBLE) / t.nn) * ln(CAST(c.n AS DOUBLE) / t.nn) * 1e9)
+      AS BIGINT)) AS BIGINT) AS g
+  FROM cnt c CROSS JOIN tot t
+)
+SELECT /*+ BROADCAST(e) */ c.pattern, c.n AS n_triples,
+  round(CAST(c.n AS DOUBLE) / t.nn, 6) AS p,
+  round(e.g / 1e9 / ln(6e0), 6) AS normalized_perm_entropy
+FROM cnt c CROSS JOIN tot t CROSS JOIN ent e
+"""
+
+
+@register(
+    "q397_permutation_entropy",
+    oracle=_Q397_SQL.format(events="events"),
+    tags=("timeseries", "stats"),
+)
+def q397_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMUTATION entropy (Bandt-Pompe, order 3) of per-user value
+    sequences — complexity measured through ORDINAL patterns: each
+    consecutive triple maps to one of 3! = 6 order patterns; the
+    Shannon entropy of the pattern distribution (normalized by ln 6)
+    reads 1.0 for white noise, lower for any temporal structure —
+    robust to monotone transformations and outliers, which is why it
+    beats spectral measures on messy behavioral data (and complements
+    q141's VALUE entropy with TEMPORAL-ORDER entropy). Tie convention
+    (earlier position wins) is explicit in the CASE ladder, so both
+    engines classify identically. Windows PARTITION per user; the
+    6-row entropy fold rides the 1e-9 grid."""
+    return _sql_twin(spark, sf_dir, _Q397_SQL, ["events"])
+
+
+_Q398_SQL = """
+WITH hourly AS (
+  SELECT ((month(ts) - 1) * 31 + day(ts) - 1) * 24 + hour(ts) AS h,
+    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM {events} GROUP BY 1
+), blocks AS (
+  SELECT /*+ BROADCAST(m) */ m.m, CAST(floor(h.h / (1e0 * m.m)) AS BIGINT)
+      AS blk, h.h, h.y
+  FROM hourly h
+  JOIN (SELECT * FROM (VALUES (24), (72)) AS t(m)) m ON TRUE
+), bstats AS (
+  SELECT m, blk, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(y) AS BIGINT) AS s, CAST(SUM(y * y) AS BIGINT) AS ss
+  FROM blocks GROUP BY m, blk
+), dev AS (
+  SELECT b.m, b.blk, b.h,
+    SUM(b.y - CAST(st.s AS DOUBLE) / st.n) OVER (
+      PARTITION BY b.m, b.blk ORDER BY b.h) AS cum
+  FROM blocks b JOIN bstats st ON st.m = b.m AND st.blk = b.blk
+), rs AS (
+  SELECT d.m, d.blk,
+    (MAX(d.cum) - MIN(d.cum))
+      / sqrt((MAX(st.ss) - CAST(MAX(st.s) AS DOUBLE) * MAX(st.s) / MAX(st.n))
+             / MAX(st.n)) AS rs
+  FROM dev d JOIN bstats st ON st.m = d.m AND st.blk = d.blk
+  WHERE st.n >= CAST(d.m * 3 / 4e0 AS BIGINT)
+    AND st.ss * st.n > st.s * st.s
+  GROUP BY d.m, d.blk
+), avg_rs AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+    CAST(SUM(CAST(floor(rs * 1e6) AS BIGINT)) AS BIGINT) AS g
+  FROM rs GROUP BY m
+), wide AS (
+  SELECT
+    MAX(CASE WHEN m = 24 THEN g / 1e6 / n_blocks END) AS rs24,
+    MAX(CASE WHEN m = 72 THEN g / 1e6 / n_blocks END) AS rs72,
+    MAX(CASE WHEN m = 24 THEN n_blocks END) AS nb24,
+    MAX(CASE WHEN m = 72 THEN n_blocks END) AS nb72
+  FROM avg_rs
+)
+SELECT nb24 AS n_blocks_24h, nb72 AS n_blocks_72h,
+  round(rs24, 4) AS rs_24h, round(rs72, 4) AS rs_72h,
+  round(ln(rs72 / rs24) / ln(3e0), 6) AS hurst_exponent
+FROM wide
+"""
+
+
+@register(
+    "q398_hurst_rs",
+    oracle=_Q398_SQL.format(events="events"),
+    tags=("timeseries", "stats"),
+)
+def q398_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HURST exponent by rescaled-range (R/S) analysis on the hourly
+    revenue series: within blocks of 24 h and 72 h, R = range of the
+    cumulative mean-deviation walk, S = block std; H is the log-log
+    slope of avg(R/S) between the two block sizes (H ≈ 0.5 memoryless,
+    > 0.5 long-range persistent, < 0.5 mean-reverting) — the
+    long-memory diagnostic ACF (q227) cannot see because it decays too
+    fast to estimate tail dependence. Mandelbrot's original use was
+    exactly this series shape (aggregated flows).
+
+    Per-block cumulative walks are windows PARTITIONED by (size,
+    block); block moments are exact integers; per-block R/S values
+    ride the 1e-6 grid into the block average. Degenerate blocks
+    (zero variance or truncated tail blocks) are excluded by stated
+    rule on both sides."""
+    return _sql_twin(spark, sf_dir, _Q398_SQL, ["events"])
