@@ -2088,3 +2088,303 @@ def q369_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q402_gram_matrix",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), exi AS (
+  SELECT vec_id AS vec, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS x
+  FROM e
+), g AS (
+  SELECT a.pos AS i, b.pos AS j, SUM(a.x * b.x) AS gval
+  FROM exi a JOIN exi b ON b.vec = a.vec AND a.pos <= b.pos
+  GROUP BY a.pos, b.pos
+)
+SELECT i, j, round(gval, 3) AS gram, rk FROM (
+  SELECT i, j, gval,
+    row_number() OVER (ORDER BY abs(gval) DESC, i, j) AS rk
+  FROM g)
+WHERE rk <= 25
+""",
+    tags=("vector",),
+)
+def q402_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed GRAM MATRIX G = EᵀE of the embedding store — the
+    64×64 second-moment matrix that PCA (q403), whitening (q419) and
+    every covariance-based diagnostic start from, computed as pure
+    relational algebra: posexplode to (vec, dim, x), self-join per
+    vector on dim_a ≤ dim_b (upper triangle — symmetry is free), hash
+    aggregate to the 2080-entry matrix. The per-(i,j) partial sums
+    combine MAP-SIDE, so the 64²/2·N product rows flow through
+    whole-stage codegen and only |dims|²-sized partials ever shuffle —
+    the reason EᵀE (d×d, data-reduced) scales where the N×N kernel
+    matrix would not. Top-25 entries by magnitude (TakeOrdered, no
+    global window); values round(3) under the q199 ulp contract for
+    float-data sums."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = e.select(
+        "vec_id", F.posexplode("v").alias("p0", "x")
+    ).select("vec_id", (F.col("p0") + 1).alias("pos"), "x")
+    a, b = ex.alias("a"), ex.alias("b")
+    g = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.pos") <= F.col("b.pos")),
+        )
+        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("gval"))
+    )
+    return topn_ranked(
+        g, [F.abs(F.col("gval")).desc(), F.col("i"), F.col("j")], 25
+    ).select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        F.round("gval", 3).alias("gram"),
+        "rk",
+    )
+
+
+_PCA_ROUNDS = 5
+
+
+def _q403_oracle() -> str:
+    """DuckDB-only oracle (MATERIALIZED is legal here): same Gram CTE,
+    same uniform init, 5 unrolled normalized power-iteration rounds."""
+    sql = """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), exi AS MATERIALIZED (
+  SELECT vec_id AS vec, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS x
+  FROM e
+), gU AS MATERIALIZED (
+  SELECT a.pos AS i, b.pos AS j, SUM(a.x * b.x) AS gval
+  FROM exi a JOIN exi b ON b.vec = a.vec AND a.pos <= b.pos
+  GROUP BY a.pos, b.pos
+), g AS MATERIALIZED (
+  SELECT i, j, gval FROM gU
+  UNION ALL
+  SELECT j, i, gval FROM gU WHERE i <> j
+), v0 AS MATERIALIZED (
+  SELECT DISTINCT i AS pos, 0.125 AS c FROM g
+)
+"""
+    prev = "v0"
+    for r in range(1, _PCA_ROUNDS + 1):
+        sql += f"""
+, w{r} AS MATERIALIZED (
+  SELECT g.i AS pos, SUM(g.gval * v.c) AS wc
+  FROM g JOIN {prev} v ON v.pos = g.j GROUP BY g.i
+), n{r} AS MATERIALIZED (
+  SELECT sqrt(SUM(wc * wc)) AS nrm FROM w{r}
+), v{r} AS MATERIALIZED (
+  SELECT w.pos, w.wc / n.nrm AS c FROM w{r} w CROSS JOIN n{r} n
+)"""
+        prev = f"v{r}"
+    sql += f"""
+, ray AS (
+  SELECT SUM(w.wc * v.c) AS eig
+  FROM w{_PCA_ROUNDS} w JOIN v{_PCA_ROUNDS - 1} v ON v.pos = w.pos
+)
+SELECT pos AS dim, round(loading, 4) AS loading, rk,
+  round((SELECT eig FROM ray), 2) AS eigenvalue
+FROM (
+  SELECT pos, c * (CASE WHEN (SELECT SUM(CASE WHEN c > 0 THEN 1 ELSE -1 END
+                                           * abs(c)) FROM v{_PCA_ROUNDS}) >= 0
+                        THEN 1 ELSE -1 END) AS loading,
+    row_number() OVER (ORDER BY abs(c) DESC, pos) AS rk
+  FROM v{_PCA_ROUNDS})
+WHERE rk <= 8
+"""
+    return sql
+
+
+@register(
+    "q403_pca_power_iteration",
+    oracle=_q403_oracle(),
+    tags=("vector",),
+)
+def q403_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP PRINCIPAL COMPONENT of the embedding store by POWER
+    ITERATION on q402's Gram matrix: v ← G·v/‖G·v‖ from the uniform
+    start, 5 rounds — each round is one 64-row-keyed equi-join + one
+    hash agg over the 2080-entry matrix frame, i.e. CONSTANT work
+    after the one corpus-wide Gram pass, which is exactly why
+    power-iteration PCA scales to 100 TB of vectors while full SVD
+    does not. Sign is fixed by the sum-of-components convention
+    (eigenvectors are sign-ambiguous; both engines apply the same
+    rule), the eigenvalue is the Rayleigh quotient vᵀGv, and the
+    top-8 loadings surface by magnitude (TakeOrdered). The matrix is
+    localCheckpoint-pinned before the loop (the q360 lineage
+    discipline). Oracle: the identical trajectory unrolled in
+    MATERIALIZED CTEs."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = e.select(
+        "vec_id", F.posexplode("v").alias("p0", "x")
+    ).select("vec_id", (F.col("p0") + 1).alias("pos"), "x")
+    a, b = ex.alias("a"), ex.alias("b")
+    g_u = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.pos") <= F.col("b.pos")),
+        )
+        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("gval"))
+    )
+    g = (
+        g_u.unionAll(
+            g_u.filter(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "gval"
+            )
+        )
+        .repartition("j")
+        .localCheckpoint(eager=True)
+    )
+    v = g.select(F.col("i").alias("pos")).distinct().select(
+        "pos", F.lit(0.125).alias("c")
+    )
+    w = None
+    v_prev = None
+    for _ in range(_PCA_ROUNDS):
+        v_prev = v
+        w = (
+            g.join(F.broadcast(v.withColumnRenamed("pos", "j")), "j")
+            .groupBy(F.col("i").alias("pos"))
+            .agg(F.sum(F.col("gval") * F.col("c")).alias("wc"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("wc") * F.col("wc"))).alias("nrm"))
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("pos", (F.col("wc") / F.col("nrm")).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    eig = (
+        w.join(v_prev.withColumnRenamed("c", "cp"), "pos")
+        .agg(F.sum(F.col("wc") * F.col("cp")).alias("eig"))
+    )
+    sign = v.agg(
+        F.when(F.sum("c") >= 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("sg")
+    )
+    ranked = topn_ranked(
+        v.crossJoin(F.broadcast(sign)).select(
+            "pos", (F.col("c") * F.col("sg")).alias("loading")
+        ),
+        [F.abs(F.col("loading")).desc(), F.col("pos")],
+        8,
+    )
+    return ranked.crossJoin(F.broadcast(eig)).select(
+        F.col("pos").cast("bigint").alias("dim"),
+        F.round("loading", 4).alias("loading"),
+        "rk",
+        F.round("eig", 2).alias("eigenvalue"),
+    )
+
+
+@register(
+    "q419_whitening_isotropy",
+    oracle="""
+WITH e AS (
+  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+), ex AS (
+  SELECT vid, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS x FROM e
+), stats AS (
+  SELECT pos, AVG(x) AS m,
+    sqrt((SUM(x * x) - SUM(x) * SUM(x) / COUNT(*)) / (COUNT(*) - 1)) AS sd
+  FROM ex GROUP BY pos
+), z AS (
+  SELECT ex.vid, ex.pos, ex.x, (ex.x - s.m) / s.sd AS zx
+  FROM ex JOIN stats s ON s.pos = ex.pos
+), pairs AS (
+  SELECT a.vid AS va, a.pos,
+    a.x AS xa, b.x AS xb, a.zx AS za, b.zx AS zb
+  FROM z a JOIN z b ON b.vid = a.vid + 1 AND b.pos = a.pos
+), percos AS (
+  SELECT va,
+    SUM(xa * xb) / sqrt(SUM(xa * xa) * SUM(xb * xb)) AS cos_raw,
+    SUM(za * zb) / sqrt(SUM(za * za) * SUM(zb * zb)) AS cos_white
+  FROM pairs GROUP BY va
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  round(AVG(abs(cos_raw)), 4) AS mean_abs_cos_raw,
+  round(AVG(abs(cos_white)), 4) AS mean_abs_cos_whitened,
+  round(AVG(abs(cos_raw)) - AVG(abs(cos_white)), 4) AS isotropy_gain
+FROM percos
+""",
+    tags=("vector",),
+)
+def q419_whitening_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding WHITENING and its isotropy payoff, measured: per-dim
+    standardization z = (x−μ_d)/σ_d (the cheap diagonal whitening every
+    retrieval stack tries first), evaluated by the mean |cosine| over
+    consecutive-id vector pairs before vs after — anisotropic
+    embedding spaces (the 'narrow cone' pathology of transformer
+    embeddings) show mean |cos| ≫ 0, and whitening's job is to push it
+    toward 0; the GAIN column is the measured improvement. Pairs are
+    deterministic (vid, vid+1) equi-joins — |N| pairs, no sampling RNG,
+    no all-pairs. Per-dim stats come from one explode + hash agg
+    (q248's shape); per-pair cosines are 64-term folds rounded under
+    the q199 ulp contract."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = e.select(
+        "vec_id", F.posexplode("v").alias("p0", "x")
+    ).select(F.col("vec_id").alias("vid"), (F.col("p0") + 1).alias("pos"), "x")
+    stats = ex.groupBy("pos").agg(
+        F.avg("x").alias("m"),
+        F.sqrt(
+            (
+                F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum("x") / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("sd"),
+    )
+    z = ex.join(F.broadcast(stats), "pos").select(
+        "vid", "pos", "x", ((F.col("x") - F.col("m")) / F.col("sd")).alias("zx")
+    )
+    a, b = z.alias("a"), z.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.vid") == F.col("a.vid") + 1)
+        & (F.col("b.pos") == F.col("a.pos")),
+    ).select(
+        F.col("a.vid").alias("va"),
+        F.col("a.x").alias("xa"),
+        F.col("b.x").alias("xb"),
+        F.col("a.zx").alias("za"),
+        F.col("b.zx").alias("zb"),
+    )
+    percos = pairs.groupBy("va").agg(
+        (
+            F.sum(F.col("xa") * F.col("xb"))
+            / F.sqrt(
+                F.sum(F.col("xa") * F.col("xa"))
+                * F.sum(F.col("xb") * F.col("xb"))
+            )
+        ).alias("cos_raw"),
+        (
+            F.sum(F.col("za") * F.col("zb"))
+            / F.sqrt(
+                F.sum(F.col("za") * F.col("za"))
+                * F.sum(F.col("zb") * F.col("zb"))
+            )
+        ).alias("cos_white"),
+    )
+    return percos.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg(F.abs("cos_raw")), 4).alias("mean_abs_cos_raw"),
+        F.round(F.avg(F.abs("cos_white")), 4).alias("mean_abs_cos_whitened"),
+        F.round(
+            F.avg(F.abs("cos_raw")) - F.avg(F.abs("cos_white")), 4
+        ).alias("isotropy_gain"),
+    )
