@@ -1334,3 +1334,225 @@ def q380_mor_delete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("mor_equals_cow", F.lit(True))
         .withColumn("compaction_preserved", F.lit(True))
     )
+
+
+_Q393_SQL = """
+WITH ops AS (
+  SELECT user_id,
+    CASE event_type WHEN 'signup' THEN 'insert'
+                    WHEN 'error' THEN 'delete'
+                    ELSE 'update' END AS op,
+    CAST(round(value * 100) AS BIGINT) AS cents,
+    CAST(((month(ts) - 1) * 31 + day(ts)) * 86400
+      + hour(ts) * 3600 + minute(ts) * 60 + second(ts) AS BIGINT) AS ssec,
+    event_id
+  FROM {events}
+), keyed AS (
+  SELECT user_id,
+    min_by(op, ssec * 16777216 + event_id) AS first_op,
+    max_by(op, ssec * 16777216 + event_id) AS last_op,
+    max_by(cents, ssec * 16777216 + event_id) AS last_cents
+  FROM ops GROUP BY user_id
+), net AS (
+  SELECT user_id,
+    CASE WHEN first_op = 'insert' AND last_op = 'delete' THEN 'cancelled'
+         WHEN first_op = 'insert' THEN 'net_insert'
+         WHEN last_op = 'delete' THEN 'net_delete'
+         ELSE 'net_update' END AS net_op,
+    last_cents
+  FROM keyed
+)
+SELECT net_op, CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(CASE WHEN net_op IN ('net_insert', 'net_update')
+           THEN last_cents ELSE 0 END) AS BIGINT) AS net_cents
+FROM net GROUP BY net_op
+""".replace("{events}", "{events}")
+
+
+@register(
+    "q393_cdc_netting",
+    oracle=_Q393_SQL.format(events="events"),
+    tags=("lakehouse", "cdc"),
+)
+def q393_cdc_netting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC NETTING — collapse a change stream to its NET effect per
+    key before applying it (the Debezium/Flink 'changelog
+    normalization' step that turns an hours-long op log into one merge
+    per key): with each user's events mapped to I/U/D ops in event-
+    time order, the net outcome depends only on (first_op, last_op) —
+    insert→…→delete cancels entirely, insert→…→X nets to one insert,
+    …→delete nets to one delete, everything else to one update
+    carrying the LAST payload. q266 replays upserts row by row;
+    netting is why a 100 TB backfill can skip most of the log: apply
+    cost becomes |keys|, not |ops|.
+
+    first/last ride min_by/max_by on one integer event-order key
+    (second-epoch · 2²⁴ + event_id — exact, tie-free); the census is
+    two hash aggs."""
+    from .analytics import _sql_twin
+
+    return _sql_twin(spark, sf_dir, _Q393_SQL, ["events"])
+
+
+@register(
+    "q409_branch_merge_3way",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pri,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 5 <= 3
+), merged AS (
+  -- branch updated keys %5=1 (+10%), main deleted keys %5=2 and
+  -- added keys %5=4; disjoint edits -> clean 3-way result
+  SELECT k, pri,
+    CASE WHEN k % 5 = 1
+         THEN CAST(round(cents * 1.1) AS BIGINT) ELSE cents END AS cents
+  FROM base WHERE k % 5 <> 2
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority,
+    CAST(round(o_totalprice * 100) AS BIGINT)
+  FROM orders WHERE o_orderkey % 5 = 4
+)
+SELECT pri, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+  TRUE AS conflict_branch_rejected
+FROM merged GROUP BY pri
+""",
+    tags=("lakehouse", "versioning"),
+)
+def q409_branch_merge_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-WAY BRANCH MERGE — the collaboration primitive
+    fast-forward publishing (q291 WAP) refuses to be: main and a
+    branch BOTH advance after the fork (main deletes one key family
+    and appends another; the branch reprices a third), and
+    ``merge_branch`` reconciles them at key grain against the recorded
+    fork point: branch-only changes apply, main-only changes persist,
+    and a SECOND branch that edits the keys main deleted must be
+    REJECTED as a conflict (changed on both sides with different
+    rows) — asserted in-query, before any hash. The oracle re-derives
+    the merged table relationally from the same %5 splits.
+
+    At 100 TB the merge costs three per-key fingerprint aggregates and
+    keyed semi/anti joins — the same shuffle class as one COW merge —
+    and commits exactly one snapshot, or nothing at all on conflict
+    (no half-merged state)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    vt = VersionedTable(
+        spark, os.path.join(session_fixture_dir(spark, "q409_merge"), "t")
+    )
+    base = o.filter(F.col("k") % 5 <= 3)
+    vt.write(base)
+    vt.create_branch("reprice")
+    vt.create_branch("doomed")
+    # branch edit: +10% on keys %5=1
+    vt.write_to_branch(
+        base.withColumn(
+            "cents",
+            F.when(
+                F.col("k") % 5 == 1, F.round(F.col("cents") * 1.1).cast("bigint")
+            ).otherwise(F.col("cents")),
+        ),
+        "reprice",
+        mode="overwrite",
+    )
+    # main edits: delete %5=2, append %5=4
+    vt.delete_where("k % 5 = 2")
+    vt.write(o.filter(F.col("k") % 5 == 4))
+    # conflicting branch: edits the keys main deleted
+    vt.write_to_branch(
+        base.withColumn(
+            "cents",
+            F.when(F.col("k") % 5 == 2, F.lit(1)).otherwise(F.col("cents")),
+        ),
+        "doomed",
+        mode="overwrite",
+    )
+    try:
+        vt.merge_branch("doomed", on=["k"])
+    except VersioningError:
+        vt.drop_ref("doomed")
+    else:
+        raise VersioningError(
+            "conflicting branch merged cleanly — 3-way diff is broken"
+        )
+    res = vt.merge_branch("reprice", on=["k"])
+    if res["keys_from_branch"] == 0:
+        raise VersioningError("vacuous merge: no keys taken from branch")
+    return (
+        vt.read()
+        .groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .withColumn("conflict_branch_rejected", F.lit(True))
+    )
+
+
+@register(
+    "q410_scan_pruning_census",
+    oracle="""
+WITH langs AS (SELECT DISTINCT lang FROM documents),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nf FROM langs)
+SELECT p.label, t.nf AS n_files_total, p.kept AS n_files_kept, p.n_rows
+FROM (
+  SELECT 'lang=en' AS label,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM langs WHERE lang = 'en') AS kept,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE lang = 'en')
+      AS n_rows
+  UNION ALL
+  SELECT 'lang<=es',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM langs WHERE lang <= 'es'),
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE lang <= 'es')
+  UNION ALL
+  SELECT 'lang in (fr,zh)',
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM langs WHERE lang IN ('fr', 'zh')),
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+     WHERE lang IN ('fr', 'zh'))
+) p CROSS JOIN tot t
+""",
+    tags=("lakehouse", "versioning"),
+)
+def q410_scan_pruning_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-planning PRUNING CENSUS with an ORACLE-CHECKED file count —
+    q281 asserts pruning happens; this pins exactly HOW MUCH against a
+    relational reconstruction: the table is written hive-partitioned
+    by lang with one file per partition (repartition on the partition
+    column first — each lang lands in exactly one task, the
+    deterministic-layout discipline), so the oracle can recompute
+    files-total and files-kept as DISTINCT-lang counts while the
+    engine reads them from ``plan_files`` — manifest planning and
+    relational truth must agree on equality, range AND in-list
+    predicates, plus the row counts the pruned scans return.
+
+    At 100 TB this census IS the capacity-planning question (what
+    fraction of files does this predicate class touch?), answered from
+    manifests alone — zero data IO for the file columns."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    vt = VersionedTable(
+        spark, os.path.join(session_fixture_dir(spark, "q410_prune"), "t")
+    )
+    vt.write(d.repartition("lang"), partition_by=["lang"])
+    total = len(vt.snapshot(vt.current_version()).files)
+    probes = [
+        ("lang=en", [("lang", "=", "en")]),
+        ("lang<=es", [("lang", "<=", "es")]),
+        ("lang in (fr,zh)", [("lang", "in", ["fr", "zh"])]),
+    ]
+    rows = []
+    for label, filters in probes:
+        kept = len(vt.plan_files(filters))
+        if not kept < total:
+            raise VersioningError(f"probe {label!r} pruned nothing")
+        n = vt.scan(filters).count()
+        rows.append((label, total, kept, n))
+    return spark.createDataFrame(
+        rows,
+        "label string, n_files_total long, n_files_kept long, n_rows long",
+    )

@@ -401,3 +401,96 @@ def q276_media_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("reclaimable_bytes"),
     )
+
+
+@register(
+    "q411_binary_header_census",
+    oracle="""
+WITH blob AS (
+  -- deterministic 16-byte synthetic media payload per doc
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':media') AS h
+  FROM documents
+), hdr AS (
+  -- parse 'header fields' from fixed byte offsets (big-endian):
+  -- bytes 1-2 -> width, 3-4 -> height, 5 -> channels
+  SELECT doc_id,
+    1 + CAST('0x' || substring(h, 1, 4) AS BIGINT) % 1920 AS w,
+    1 + CAST('0x' || substring(h, 5, 4) AS BIGINT) % 1080 AS ht,
+    1 + CAST('0x' || substring(h, 9, 2) AS BIGINT) % 4 AS ch
+  FROM blob
+), shaped AS (
+  SELECT doc_id, w, ht, ch,
+    CASE WHEN w * 3 >= ht * 4 THEN 'wide'
+         WHEN ht * 3 >= w * 4 THEN 'tall' ELSE 'boxy' END AS aspect,
+    w * ht * ch AS n_samples
+  FROM hdr
+)
+SELECT aspect, CAST(ch AS BIGINT) AS channels,
+  CAST(COUNT(*) AS BIGINT) AS n_media,
+  CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+  round(CAST(SUM(w) AS DOUBLE) / COUNT(*), 2) AS avg_width
+FROM shaped GROUP BY aspect, ch
+""",
+    tags=("multimodal",),
+)
+def q411_binary_header_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-column header parsing with a REAL ORACLE — the first
+    multimodal entry whose full pipeline DuckDB replays (the q84
+    family's decode kernels are honest stubs, rows-only by nature):
+    a deterministic 16-byte payload per document is materialized as a
+    true ``BinaryType`` column (``unhex(md5 ...)``), and typed header
+    fields (width/height/channels at fixed byte offsets, the
+    magic-number parse every media-ingest job runs before any decoder)
+    are extracted FROM THE BYTES — ``substring`` on binary →
+    ``hex`` → integer — then rolled into an aspect-ratio ×
+    channel-count census. The oracle parses the identical offsets from
+    the md5 hex directly, so the hash certifies the binary round-trip
+    (string → bytes → slices → ints) end to end.
+
+    Aspect classes compare as exact integer cross-products (w·3 ≥
+    h·4), never float ratios. Map-side expressions + one hash agg —
+    the 100 TB shape of any header-scan inventory pass."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    blob = d.select(
+        "doc_id",
+        F.unhex(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":media")))
+        ).alias("payload"),
+    )
+    # parse from the BYTES (substring on BinaryType), not the hex string
+    hdr = blob.select(
+        "doc_id",
+        (
+            F.conv(F.hex(F.expr("substring(payload, 1, 2)")), 16, 10)
+            .cast("bigint") % 1920 + 1
+        ).alias("w"),
+        (
+            F.conv(F.hex(F.expr("substring(payload, 3, 2)")), 16, 10)
+            .cast("bigint") % 1080 + 1
+        ).alias("ht"),
+        (
+            F.conv(F.hex(F.expr("substring(payload, 5, 1)")), 16, 10)
+            .cast("bigint") % 4 + 1
+        ).alias("ch"),
+        F.length("payload").alias("n_bytes"),
+    )
+    bad = hdr.filter(F.col("n_bytes") != 16).count()
+    if bad:
+        raise RuntimeError(f"{bad} payloads are not 16 bytes — unhex broken")
+    shaped = hdr.select(
+        "w",
+        "ht",
+        "ch",
+        F.when(F.col("w") * 3 >= F.col("ht") * 4, "wide")
+        .when(F.col("ht") * 3 >= F.col("w") * 4, "tall")
+        .otherwise("boxy")
+        .alias("aspect"),
+        (F.col("w") * F.col("ht") * F.col("ch")).alias("n_samples"),
+    )
+    return shaped.groupBy("aspect", F.col("ch").alias("channels")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media"),
+        F.sum("n_samples").cast("bigint").alias("total_samples"),
+        F.round(F.sum("w").cast("double") / F.count(F.lit(1)), 2).alias(
+            "avg_width"
+        ),
+    )

@@ -2322,3 +2322,392 @@ def q376_term_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
             "week_share"
         ),
     )
+
+
+@register(
+    "q405_rake_keyphrases",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, u.w, u.pos
+  FROM documents,
+    LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+                    generate_subscripts(string_split(text, ' '), 1) AS pos) u
+), stop AS (
+  SELECT w FROM (
+    SELECT w, COUNT(*) AS c,
+      row_number() OVER (ORDER BY COUNT(*) DESC, w) AS rk
+    FROM tok GROUP BY w)
+  WHERE rk <= 20
+), marked AS (
+  SELECT t.doc_id, t.pos, t.w,
+    CASE WHEN s.w IS NULL THEN 0 ELSE 1 END AS is_stop
+  FROM tok t LEFT JOIN stop s ON s.w = t.w
+), segs AS (
+  SELECT doc_id, pos, w, is_stop,
+    SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+  FROM marked
+), phrases AS (
+  SELECT doc_id, seg,
+    string_agg(w, ' ' ORDER BY pos) AS phrase,
+    CAST(COUNT(*) AS BIGINT) AS plen
+  FROM segs WHERE is_stop = 0
+  GROUP BY doc_id, seg
+  HAVING COUNT(*) BETWEEN 2 AND 4
+), members AS (
+  SELECT p.phrase, p.plen, u.w
+  FROM phrases p,
+    LATERAL (SELECT unnest(string_split(p.phrase, ' ')) AS w) u
+), wscore AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+    CAST(SUM(plen) AS BIGINT) AS degree
+  FROM members GROUP BY w
+), pscore AS (
+  SELECT m.phrase, CAST(COUNT(*) AS BIGINT) AS n_words,
+    CAST(SUM(CAST(floor(
+      CAST(s.degree AS DOUBLE) / s.freq * 1e6) AS BIGINT)) AS BIGINT) AS g
+  FROM (SELECT DISTINCT phrase, w FROM members) m
+  JOIN wscore s ON s.w = m.w
+  GROUP BY m.phrase
+), occ AS (
+  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM phrases GROUP BY phrase
+)
+SELECT phrase, n_occurrences, rake_score, rk FROM (
+  SELECT o.phrase, o.n_occurrences, round(p.g / 1e6, 4) AS rake_score,
+    row_number() OVER (ORDER BY p.g DESC, o.phrase) AS rk
+  FROM occ o JOIN pscore p ON p.phrase = o.phrase)
+WHERE rk <= 25
+""",
+    tags=("text", "llm"),
+)
+def q405_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — the classic
+    unsupervised keyword miner: candidate phrases are maximal stopword-
+    free token runs (stopwords = the corpus's own top-20 words, fully
+    deterministic — no external list), each word scores degree/freq
+    (degree = Σ lengths of phrases containing it — co-occurrence
+    weight), and a phrase scores the sum over its DISTINCT member
+    words; top-25 phrases corpus-wide. Complements q246's TF-IDF
+    (single-term importance) with MULTI-WORD term mining — the
+    vocabulary-builder step of every domain-corpus pipeline.
+
+    Plan: tokenize with position (map-side), one windowed stopword-run
+    segmentation PARTITIONED per doc, two word-count-shaped hash aggs;
+    per-phrase score sums ride the 1e-6 grid (2–4 terms each). Phrase
+    length capped at 4 — the standard RAKE guard against run-on
+    candidates, and the bound that keeps the phrase key space small."""
+    from ..functions.ranking import topn_ranked
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "w")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "w")
+    stop = topn_ranked(
+        tok.groupBy("w").agg(F.count(F.lit(1)).alias("c")),
+        [F.col("c").desc(), F.col("w")],
+        20,
+    ).select("w")
+    marked = tok.join(
+        F.broadcast(stop.withColumn("is_stop", F.lit(1))), "w", "left"
+    ).select(
+        "doc_id", "pos", "w", F.coalesce("is_stop", F.lit(0)).alias("is_stop")
+    )
+    seg_w = Window.partitionBy("doc_id").orderBy("pos")
+    segs = marked.withColumn("seg", F.sum("is_stop").over(seg_w))
+    phrases = (
+        segs.filter(F.col("is_stop") == 0)
+        .groupBy("doc_id", "seg")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x.getField("w"),
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("plen"),
+        )
+        .filter(F.col("plen").between(2, 4))
+    )
+    members = phrases.select(
+        "phrase", "plen", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    wscore = members.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+    )
+    pscore = (
+        members.select("phrase", "w")
+        .distinct()
+        .join(wscore, "w")
+        .groupBy("phrase")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("degree").cast("double") / F.col("freq") * 1e6
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("g")
+        )
+    )
+    occ = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    scored = occ.join(pscore, "phrase").select(
+        "phrase",
+        "n_occurrences",
+        F.round(F.col("g") / 1e6, 4).alias("rake_score"),
+        "g",
+    )
+    return topn_ranked(
+        scored, [F.col("g").desc(), F.col("phrase")], 25
+    ).select("phrase", "n_occurrences", "rake_score", "rk")
+
+
+@register(
+    "q407_golden_record_merge",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, lang, source, n_chars,
+    lang || '|' || CAST(CAST(floor(n_chars / 5e1) AS BIGINT) AS VARCHAR)
+      || '|' || string_split(text, ' ')[1] AS blk
+  FROM documents
+), sized AS (
+  SELECT blk, CAST(COUNT(*) AS BIGINT) AS n_members,
+    CAST(MIN(doc_id) AS BIGINT) AS rep_doc,
+    CAST(MAX(n_chars) AS BIGINT) AS longest_chars,
+    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+  FROM keyed GROUP BY blk HAVING COUNT(*) >= 2
+), src_rank AS (
+  SELECT blk, source,
+    row_number() OVER (PARTITION BY blk
+                       ORDER BY COUNT(*) DESC, source) AS rn
+  FROM keyed GROUP BY blk, source
+)
+SELECT s.blk AS block_key, s.n_members, s.rep_doc, s.longest_chars,
+  s.n_sources, r.source AS canonical_source, rk
+FROM sized s
+JOIN (SELECT blk, source FROM src_rank WHERE rn = 1) r ON r.blk = s.blk
+JOIN (SELECT blk, row_number() OVER (
+        ORDER BY n_members DESC, blk) AS rk FROM sized) t ON t.blk = s.blk
+WHERE rk <= 50
+""",
+    tags=("text", "dedup", "llm"),
+)
+def q407_golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOLDEN-RECORD survivorship — the MDM step AFTER dedup finds
+    duplicate clusters: within each blocking cluster (lang +
+    length-bucket + first token, the standard cheap blocking key),
+    merge members into one canonical record by explicit per-field
+    rules — representative id = MIN (stable), longest_chars = MAX
+    (most complete wins), canonical source = MAJORITY with
+    deterministic min-tiebreak (the mode rule). Every rule is stated
+    and order-free, which is what makes the merged record reproducible
+    across runs — the survivorship contract MDM systems audit.
+    Clusters of one need no merging and are excluded; top-50 by size.
+
+    Plan: one hash agg per rule family + one PARTITIONED mode window
+    over (cluster, source) counts; blocking keys bound cluster size,
+    so nothing here is pairwise."""
+    from ..functions.ranking import topn_ranked
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.concat_ws(
+            "|",
+            F.col("lang"),
+            F.floor(F.col("n_chars") / F.lit(5e1)).cast("bigint").cast("string"),
+            F.split("text", " ").getItem(0),
+        ).alias("blk"),
+    )
+    sized = (
+        keyed.groupBy("blk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("doc_id").cast("bigint").alias("rep_doc"),
+            F.max("n_chars").cast("bigint").alias("longest_chars"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    mode_w = Window.partitionBy("blk").orderBy(
+        F.col("c").desc(), F.col("source")
+    )
+    canon = (
+        keyed.groupBy("blk", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(mode_w))
+        .filter(F.col("rn") == 1)
+        .select("blk", F.col("source").alias("canonical_source"))
+    )
+    ranked = topn_ranked(
+        sized, [F.col("n_members").desc(), F.col("blk")], 50
+    )
+    return ranked.join(canon, "blk").select(
+        F.col("blk").alias("block_key"),
+        "n_members",
+        "rep_doc",
+        "longest_chars",
+        "n_sources",
+        "canonical_source",
+        "rk",
+    )
+
+
+def _q427_oracle() -> str:
+    """DuckDB oracle replaying the identical two merge rounds. The
+    re-segmentation uses replace() with sentinel-delimited tokens —
+    single-pass leftmost non-overlapping substitution, the exact
+    semantics of Spark's replace() and Python's str.replace (the
+    pure-Python twin test pins all three). Back-to-back overlapping
+    occurrences (…a|b|a|b…) leave the second pair unmerged within a
+    round — stated convention, identical everywhere."""
+    census = """
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT unnest(list_transform(
+      range(1, len(toks{i})), j -> toks{i}[j] || '|' || toks{i}[j + 1]))
+      AS pair
+    FROM (SELECT list_filter(string_split(state{i}, '|'), x -> x <> '')
+            AS toks{i}
+          FROM st{i}))
+  GROUP BY pair
+"""
+    return f"""
+WITH words AS (
+  SELECT u.w FROM documents,
+    LATERAL (SELECT unnest(string_split(text, ' ')) AS w) u
+  WHERE len(u.w) >= 2
+), st0 AS (
+  SELECT '|' || list_aggregate(list_transform(range(1, len(w) + 1),
+          i -> w[i]), 'string_agg', '|') || '|' AS state0
+  FROM words
+), c0 AS ({census.format(i=0)}
+), m1 AS (
+  SELECT pair, n FROM c0 ORDER BY n DESC, pair LIMIT 1
+), st1 AS (
+  SELECT replace(s.state0, '|' || m.pair || '|',
+                 '|' || replace(m.pair, '|', '') || '|') AS state1
+  FROM st0 s CROSS JOIN m1 m
+), c1 AS ({census.format(i=1)}
+), m2 AS (
+  SELECT pair, n FROM c1 ORDER BY n DESC, pair LIMIT 1
+), st2 AS (
+  SELECT replace(s.state1, '|' || m.pair || '|',
+                 '|' || replace(m.pair, '|', '') || '|') AS state2
+  FROM st1 s CROSS JOIN m2 m
+), c2 AS ({census.format(i=2)}
+)
+SELECT rk, pair, n AS n_pairs,
+  (SELECT replace(pair, '|', '+') FROM m1) AS merge1,
+  (SELECT replace(pair, '|', '+') FROM m2) AS merge2
+FROM (
+  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rk
+  FROM c2)
+WHERE rk <= 10
+"""
+
+
+@register(
+    "q427_bpe_merge_rounds",
+    oracle=_q427_oracle(),
+    tags=("text", "llm"),
+)
+def q427_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING, two real merge rounds — the loop q275's
+    iteration-0 census feeds: pick the most frequent adjacent token
+    pair (ties → lexicographic min), MERGE it across the whole
+    segmented corpus, recount, merge again; output the two learned
+    merges plus the top-10 pair census of the twice-merged state. This
+    is byte-pair-encoding exactly as tokenizer training runs it, with
+    two determinism conventions stated and shared by engine, oracle
+    and the pure-Python twin: tie-breaking is lexicographic, and
+    re-segmentation is sentinel-delimited single-pass replace()
+    (leftmost non-overlapping — Spark replace ≡ DuckDB replace ≡
+    Python str.replace).
+
+    Scale story: each round = one map-side pair explode + a
+    word-count hash agg over a ≤|vocab|² live-pair space + a 1-row
+    TakeOrdered + one broadcast map-side substitution. Round cost is
+    FLAT in corpus size — the property that makes 100 TB tokenizer
+    training feasible; full training is this loop × 32k."""
+    from pyspark.sql import Window as _W  # noqa: F401 (doc parity)
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    state = words.select(
+        F.concat(
+            F.lit("|"),
+            F.array_join(
+                F.expr(
+                    "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+                ),
+                "|",
+            ),
+            F.lit("|"),
+        ).alias("state")
+    )
+    merges = []
+    for _ in range(2):
+        census = (
+            state.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(filter(split(state, "
+                        "'\\\\|'), x -> x <> '')) - 1), "
+                        "j -> concat(element_at(filter(split(state, '\\\\|'),"
+                        " x -> x <> ''), j), '|', "
+                        "element_at(filter(split(state, '\\\\|'), "
+                        "x -> x <> ''), j + 1)))"
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        top = census.orderBy(F.col("n").desc(), F.col("pair")).limit(1)
+        merges.append(top)
+        state = state.crossJoin(F.broadcast(top.select("pair"))).select(
+            F.expr(
+                "replace(state, '|' || pair || '|', "
+                "'|' || replace(pair, '|', '') || '|')"
+            ).alias("state")
+        )
+    final_census = (
+        state.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(filter(split(state, "
+                    "'\\\\|'), x -> x <> '')) - 1), "
+                    "j -> concat(element_at(filter(split(state, '\\\\|'),"
+                    " x -> x <> ''), j), '|', "
+                    "element_at(filter(split(state, '\\\\|'), "
+                    "x -> x <> ''), j + 1)))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    from ..functions.ranking import topn_ranked
+
+    ranked = topn_ranked(
+        final_census, [F.col("n_pairs").desc(), F.col("pair")], 10
+    )
+    m1 = merges[0].select(
+        F.regexp_replace("pair", r"\|", "+").alias("merge1")
+    )
+    m2 = merges[1].select(
+        F.regexp_replace("pair", r"\|", "+").alias("merge2")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(m1))
+        .crossJoin(F.broadcast(m2))
+        .select("rk", "pair", "n_pairs", "merge1", "merge2")
+    )

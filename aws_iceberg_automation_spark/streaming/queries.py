@@ -847,3 +847,175 @@ def q333_stream_reorder_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("total_value").cast("string").alias("total_value"),
     )
+
+
+@register(
+    "q395_stream_ohlc_replay",
+    oracle="""
+WITH pts AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+    CAST(round(value * 100) AS BIGINT) AS cents,
+    CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 16777216 + event_id
+      AS ok
+  FROM events
+)
+SELECT day, event_type,
+  CAST(min_by(cents, ok) AS BIGINT) AS open_cents,
+  CAST(MAX(cents) AS BIGINT) AS high_cents,
+  CAST(MIN(cents) AS BIGINT) AS low_cents,
+  CAST(max_by(cents, ok) AS BIGINT) AS close_cents,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM pts GROUP BY day, event_type
+""",
+    tags=("streaming",),
+)
+def q395_stream_ohlc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC candlesticks — the incremental twin of q35b's
+    batch resample, run as a genuine multi-microbatch replay: per
+    (day, event_type), open/high/low/close of the event value, where
+    open/close ride ``min_by``/``max_by`` on one exact integer
+    event-order key (second-epoch·2²⁴ + event_id). The point being
+    attested: OHLC state is MERGEABLE (min/max/min_by/max_by are all
+    commutative-associative aggregates), so the stream can consume the
+    feed in any microbatch chunking and the watermark-closed windows
+    still equal the batch answer — which is exactly what the DuckDB
+    batch oracle checks. Per-window state is five scalars: a 100 TB
+    day of ticks folds map-side into kilobytes of candle state."""
+    s = jobs.with_watermark(_stream(spark, sf_dir))
+    pts = s.select(
+        F.col("ts"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (
+            F.unix_timestamp(ts_sec("ts")).cast("bigint") * 16777216
+            + F.col("event_id")
+        ).alias("ok"),
+    )
+    agg = pts.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(
+        F.min_by("cents", "ok").cast("bigint").alias("open_cents"),
+        F.max("cents").cast("bigint").alias("high_cents"),
+        F.min("cents").cast("bigint").alias("low_cents"),
+        F.max_by("cents", "ok").cast("bigint").alias("close_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    out = jobs.run_to_memory(agg, f"q395_mem_{uuid.uuid4().hex[:8]}")
+    return out.select(
+        F.col("w.start").cast("date").alias("day"),
+        "event_type",
+        "open_cents",
+        "high_cents",
+        "low_cents",
+        "close_cents",
+        "n_events",
+    )
+
+
+@register(
+    "q412_stream_cdc_netting_replay",
+    oracle="""
+WITH ops AS (
+  SELECT user_id,
+    CASE event_type WHEN 'signup' THEN 'insert'
+                    WHEN 'error' THEN 'delete'
+                    ELSE 'update' END AS op,
+    CAST(round(value * 100) AS BIGINT) AS cents,
+    CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 16777216 + event_id
+      AS ok
+  FROM events
+), keyed AS (
+  SELECT user_id,
+    min_by(op, ok) AS first_op,
+    max_by(op, ok) AS last_op,
+    max_by(cents, ok) AS last_cents
+  FROM ops GROUP BY user_id
+), net AS (
+  SELECT user_id,
+    CASE WHEN first_op = 'insert' AND last_op = 'delete' THEN 'cancelled'
+         WHEN first_op = 'insert' THEN 'net_insert'
+         WHEN last_op = 'delete' THEN 'net_delete'
+         ELSE 'net_update' END AS net_op,
+    last_cents
+  FROM keyed
+)
+SELECT net_op, CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(CASE WHEN net_op IN ('net_insert', 'net_update')
+           THEN last_cents ELSE 0 END) AS BIGINT) AS net_cents
+FROM net GROUP BY net_op
+""",
+    tags=("streaming", "cdc"),
+)
+def q412_stream_cdc_netting_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL CDC netting as a replayed stream — q393's batch
+    netting maintained microbatch by microbatch with TWO apply-if-
+    newer versioned sinks over the same op stream: a LAST-state table
+    (precedence = the event-order key; newest op/payload wins) and a
+    FIRST-state table (precedence = the NEGATED key — 'newest by
+    negative order' IS oldest, so the fork-lift trick turns the
+    existing apply-if-newer merge into keep-oldest without new sink
+    machinery). Each microbatch costs |batch| merge work; no op log is
+    ever re-scanned — the property that makes netting deployable as a
+    continuous pipeline. The final (first_op, last_op) join nets each
+    key exactly like the batch rule, and the DuckDB oracle recomputes
+    the census from the raw events — chunking-independence proven by
+    the hash, with the q333 reorder fuzz covering adversarial
+    arrival orders for this same sink family."""
+    from ..versioning import VersionedTable, session_fixture_dir
+
+    d = session_fixture_dir(spark, "q412_net")
+    first_t = VersionedTable(spark, os.path.join(d, "first"))
+    last_t = VersionedTable(spark, os.path.join(d, "last"))
+
+    def ops_stream() -> DataFrame:
+        s = jobs.with_watermark(_stream(spark, sf_dir))
+        return s.select(
+            "user_id",
+            F.when(F.col("event_type") == "signup", "insert")
+            .when(F.col("event_type") == "error", "delete")
+            .otherwise("update")
+            .alias("op"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            (
+                F.unix_timestamp(ts_sec("ts")).cast("bigint") * 16777216
+                + F.col("event_id")
+            ).alias("ok"),
+        ).withColumn("neg_ok", -F.col("ok"))
+
+    jobs.foreach_batch_versioned_upsert(
+        ops_stream(), last_t, ["user_id"],
+        os.path.join(d, "ckpt_last"), precedence=["ok"],
+    )
+    jobs.foreach_batch_versioned_upsert(
+        ops_stream(), first_t, ["user_id"],
+        os.path.join(d, "ckpt_first"), precedence=["neg_ok"],
+    )
+    first = first_t.read().select(
+        "user_id", F.col("op").alias("first_op")
+    )
+    last = last_t.read().select(
+        "user_id", F.col("op").alias("last_op"),
+        F.col("cents").alias("last_cents"),
+    )
+    net = first.join(last, "user_id").select(
+        F.when(
+            (F.col("first_op") == "insert") & (F.col("last_op") == "delete"),
+            "cancelled",
+        )
+        .when(F.col("first_op") == "insert", "net_insert")
+        .when(F.col("last_op") == "delete", "net_delete")
+        .otherwise("net_update")
+        .alias("net_op"),
+        "last_cents",
+    )
+    return net.groupBy("net_op").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(
+            F.when(
+                F.col("net_op").isin("net_insert", "net_update"),
+                F.col("last_cents"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("net_cents"),
+    )

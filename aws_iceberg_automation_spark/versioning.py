@@ -1430,7 +1430,9 @@ class VersionedTable:
         refs = self.refs()
         if name in refs:
             raise VersioningError(f"ref {name!r} already exists ({refs[name]})")
-        refs[name] = {"type": kind, "version": v}
+        # branches remember their fork point ("base") so merge_branch
+        # can run a genuine 3-way diff later
+        refs[name] = {"type": kind, "version": v, "base": v}
         self._write_refs(refs)
         return v
 
@@ -1500,6 +1502,100 @@ class VersionedTable:
         refs[branch]["version"] = new_version
         self._write_refs(refs)
         return new_version
+
+    def _key_fingerprints(self, df: DataFrame, on: list[str]) -> DataFrame:
+        """Per-key payload fingerprint: md5 over the SORTED list of
+        row-JSONs of the non-key columns — row-order-free and
+        multi-row-per-key-safe, so 'changed' means the key's full row
+        SET changed."""
+        payload = [c for c in df.columns if c not in on]
+        return df.groupBy(*on).agg(
+            F.md5(
+                F.to_json(
+                    F.array_sort(
+                        F.collect_list(F.to_json(F.struct(*payload)))
+                    )
+                )
+            ).alias("_fp")
+        )
+
+    def merge_branch(self, branch: str, on: list[str]) -> dict:
+        """THREE-WAY branch merge (the git-merge analog Iceberg's
+        fast_forward refuses to be): diff both heads against the
+        branch's recorded fork point at key grain — a key counts as
+        changed on a side if its full row set differs from base
+        (update, insert and delete all count) — then:
+
+        - keys changed on NEITHER or only on MAIN keep main's rows;
+        - keys changed only on the BRANCH take the branch's rows
+          (including branch deletions);
+        - keys changed on BOTH sides with DIFFERENT final row sets are
+          CONFLICTS → the merge raises before committing anything
+          (no half-merged state; resolve by re-staging). Both-changed-
+          but-equal keys merge cleanly (the git rule).
+
+        Commits one overwrite snapshot (op="merge-branch") on MAIN and
+        drops the branch ref. Returns {"version", "from_branch",
+        "keys_from_branch"}.
+
+        Scale: three per-key fingerprint aggregates + keyed anti/semi
+        joins — no row-by-row driver work; fingerprints shuffle at key
+        grain exactly like the COW merge."""
+        refs = self.refs()
+        if branch not in refs or refs[branch]["type"] != "branch":
+            raise VersioningError(f"no branch {branch!r} (refs: {refs})")
+        base_v = refs[branch].get("base")
+        if base_v is None:
+            raise VersioningError(
+                f"branch {branch!r} predates fork-point tracking — "
+                "cannot 3-way merge"
+            )
+        cur = self.current_version()
+        ours = self.read(version=cur)
+        theirs = self.read_branch(branch)
+        base = self.read(version=base_v)
+        if set(ours.columns) != set(theirs.columns):
+            raise VersioningError(
+                f"schema mismatch: main {ours.columns} vs "
+                f"branch {theirs.columns}"
+            )
+        fp_b = self._key_fingerprints(base, on).withColumnRenamed("_fp", "_b")
+        fp_o = self._key_fingerprints(ours, on).withColumnRenamed("_fp", "_o")
+        fp_t = self._key_fingerprints(theirs, on).withColumnRenamed("_fp", "_t")
+        tri = (
+            fp_o.join(fp_t, on, "full")
+            .join(fp_b, on, "full")
+            .select(
+                *on,
+                (~F.col("_o").eqNullSafe(F.col("_b"))).alias("o_ch"),
+                (~F.col("_t").eqNullSafe(F.col("_b"))).alias("t_ch"),
+                (~F.col("_o").eqNullSafe(F.col("_t"))).alias("diff_ot"),
+            )
+        )
+        n_conflicts = tri.filter(
+            F.col("o_ch") & F.col("t_ch") & F.col("diff_ot")
+        ).count()
+        if n_conflicts:
+            raise VersioningError(
+                f"merge of branch {branch!r} has {n_conflicts} conflicting "
+                "key(s) (changed on both sides with different rows) — "
+                "resolve and re-stage"
+            )
+        take_theirs = tri.filter(
+            F.col("t_ch") & ~F.col("o_ch").eqNullSafe(F.lit(True))
+            | (F.col("t_ch") & F.col("o_ch") & ~F.col("diff_ot"))
+        ).select(*on)
+        n_from_branch = take_theirs.count()
+        merged = ours.join(take_theirs, on, "left_anti").unionByName(
+            theirs.join(take_theirs, on, "left_semi")
+        )
+        v = self.write(merged, mode="overwrite", _op="merge-branch")
+        self.drop_ref(branch)
+        return {
+            "version": v,
+            "from_branch": branch,
+            "keys_from_branch": int(n_from_branch),
+        }
 
     def read_branch(self, name: str) -> DataFrame:
         """Scan a ref head (branch or tag) with snapshot isolation."""
