@@ -78,65 +78,64 @@ _LOADED = False
 # The external driver verifies the FIRST 50 specs in queries() order and
 # stops (its per-round verification budget). Registration order is
 # therefore attestation budget: re-listing an already-green query
-# re-proves the proven. Round-8 rotation (VERDICT r07 ask #1): the
-# round-7 window went 50/50 green, so this window leads with
-# q172b_pq_adc_topk_portable (the one oracle-backed query with no
-# driver row — staged at round-7 end) followed by the 49 round-8
-# newcomers q330..q378 in numeric order — exactly 50, zero re-proofs.
-# Rows-only specs NEVER occupy a top-50 slot (they cannot earn a hash
-# row); after this window the never-attested oracle-backed set is
-# EMPTY.
+# re-proves the proven. Round-9 rotation (VERDICT r08 ask #1): the
+# round-8 window went 50/50 green and attestation debt is zero, so
+# this window is exactly the 50 round-9 newcomers q379..q428 in
+# numeric order — led by the named asks (schema-evolution attestation
+# q379, MOR delete files + compaction q380, label-propagation
+# communities q381). Rows-only specs NEVER occupy a top-50 slot (they
+# cannot earn a hash row).
 _DRIVER_PRIORITY = [
-    "q172b_pq_adc_topk_portable",
-    "q330_bucketed_incremental_neardup",
-    "q331_quantile_sketch_merge",
-    "q332_clustering_coefficient",
-    "q333_stream_reorder_sessions",
-    "q334_ols_by_group",
-    "q335_welch_ttest",
-    "q336_gini_by_segment",
-    "q337_hhi_concentration",
-    "q338_weighted_percentile",
-    "q339_wilson_ci",
-    "q340_kaplan_meier",
-    "q341_quantile_normalize",
-    "q342_wasserstein_1d",
-    "q343_feature_hash_collisions",
-    "q344_target_encode_loo",
-    "q345_bloom_semijoin",
-    "q346_dp_noisy_counts",
-    "q347_l_diversity",
-    "q348_max_drawdown",
-    "q349_ltob_downsample",
-    "q350_dau_wau_stickiness",
-    "q351_cohort_ltv_curve",
-    "q352_entry_exit_census",
-    "q353_fifo_allocation",
-    "q354_skyline_2d",
-    "q355_rolling_ols_slope",
-    "q356_bom_explosion",
-    "q357_bfs_hops",
-    "q358_common_neighbor_linkpred",
-    "q359_degree_assortativity",
-    "q360_markov_stationary",
-    "q361_mor_read_equivalence",
-    "q362_binpack_compaction_plan",
-    "q363_merkle_integrity",
-    "q364_fd_discovery",
-    "q365_isoweek_rollup",
-    "q366_cohens_kappa",
-    "q367_precision_at_k",
-    "q368_pareto_share",
-    "q369_dim_truncation_recall",
-    "q370_sharded_topk_merge",
-    "q371_window_funnel",
-    "q372_abandonment_census",
-    "q373_bitemporal_asof",
-    "q374_harmonic_centrality_2hop",
-    "q375_negative_sampling",
-    "q376_term_trends",
-    "q377_geo_grid_join",
-    "q378_props_profile",
+    "q379_schema_evolution_scan",
+    "q380_mor_delete_compaction",
+    "q381_label_propagation",
+    "q382_anderson_darling_ksample",
+    "q383_kendall_tau",
+    "q384_mcnemar_paired",
+    "q385_anova_oneway",
+    "q386_peak_detection",
+    "q387_lead_lag_xcorr",
+    "q388_ridge_regression_2f",
+    "q389_kmeans_1d_unrolled",
+    "q390_logistic_gd_unrolled",
+    "q391_kcore_decomposition",
+    "q392_personalized_pagerank",
+    "q393_cdc_netting",
+    "q394_slo_error_budget",
+    "q395_stream_ohlc_replay",
+    "q396_woe_iv",
+    "q397_permutation_entropy",
+    "q398_hurst_rs",
+    "q399_t_closeness",
+    "q400_randomized_response",
+    "q401_largest_remainder_alloc",
+    "q402_gram_matrix",
+    "q403_pca_power_iteration",
+    "q404_neyman_allocation",
+    "q405_rake_keyphrases",
+    "q406_haversine_distance",
+    "q407_golden_record_merge",
+    "q408_price_volume_mix",
+    "q409_branch_merge_3way",
+    "q410_scan_pruning_census",
+    "q411_binary_header_census",
+    "q412_stream_cdc_netting_replay",
+    "q413_poisson_rate_test",
+    "q414_james_stein_shrinkage",
+    "q415_conformal_interval",
+    "q416_gumbel_block_maxima",
+    "q417_stratified_kfold",
+    "q418_shapley_attribution",
+    "q419_whitening_isotropy",
+    "q420_rfm_migration",
+    "q421_runs_test",
+    "q422_diff_in_diff",
+    "q423_min_variance_portfolio",
+    "q424_var_cvar",
+    "q425_durbin_watson",
+    "q426_granger_1lag",
+    "q427_bpe_merge_rounds",
+    "q428_mann_kendall",
 ]
 
 
