@@ -761,3 +761,134 @@ def test_session_rollup_invariant_under_reordered_delivery(
         for r in q75_session_window(spark, SF_DIR).collect()
     )
     assert got == want
+
+
+@pytest.mark.parametrize("late_days,delay_h", [(10, 2), (6, 3)])
+def test_watermark_drop_set_is_exact(spark, tmp_path, late_days, delay_h):
+    """Beyond-watermark DROP-SET differential (VERDICT r08 ask #7 —
+    q333 proved the permitted-lateness regime; this pins the DROP
+    regime at row grain, not counts): a hand-built 4-chunk replay
+    delivers (0) the bulk, (1) a small in-range batch whose only job
+    is to LOCK IN the watermark for the next batch (Spark filters late
+    events with the PREVIOUS batch's watermark — the one-microbatch
+    propagation lag, measured in this container and encoded here), then
+    (2) the late batch mixing rows that MUST be dropped (window end ≤
+    that locked watermark) with rows that MUST survive (window still
+    open), then (3) the held-back global-latest rows, which push the
+    final watermark far enough to close and emit every window of
+    interest. The streaming result must equal, window for window and
+    event_id for event_id, the prediction computed from the watermark
+    spec itself.
+
+    collect_list(event_id) makes the comparison the EXACT ROW SET —
+    a drop rule off by one window, one second, or one comparison
+    polarity produces a different id list, not just a count drift.
+    Region boundaries carry ≥31-minute margins so ≤-vs-< conventions
+    cannot flip any row."""
+    import os
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from aws_iceberg_automation_spark.functions.compat import ts_sec
+    from aws_iceberg_automation_spark.io import load_table
+    from aws_iceberg_automation_spark.streaming import jobs
+    from tests.conftest import SF_DIR
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    delay = timedelta(hours=delay_h)
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "event_id", "user_id", "event_type", "value",
+            ts_sec("ts").alias("ts"),
+        )
+    )
+    rows = ev.collect()
+    t2 = max(r.ts for r in rows)
+    boundary2 = t2 - delay
+    chunk3 = [r for r in rows if r.ts > boundary2]
+    rest = [r for r in rows if r.ts <= boundary2]
+    t0 = max(r.ts for r in rest)
+    w1 = t0 - delay
+
+    def mday(ts):
+        return (ts.month - 1) * 31 + ts.day
+
+    late_old = [r for r in rest if mday(r.ts) <= late_days]
+    mid_lo, mid_hi = t0 - timedelta(minutes=89), t0 - timedelta(minutes=31)
+    late_mid = [
+        r for r in rest if mid_lo < r.ts <= mid_hi and mday(r.ts) > late_days
+    ]
+    late_ids = {r.event_id for r in late_old} | {r.event_id for r in late_mid}
+    chunk2 = late_old + late_mid
+    bulk = [r for r in rest if r.event_id not in late_ids]
+    # chunk1: a handful of bulk rows NOT at the max — re-delivered
+    # in-range data that burns one microbatch so the chunk-0 watermark
+    # becomes the late-events filter for chunk 2
+    bulk.sort(key=lambda r: (r.ts, r.event_id))
+    chunk0, chunk1 = bulk[:-3], bulk[-3:-1] + bulk[-1:]
+    assert late_old and late_mid and chunk3 and chunk1, "vacuous split"
+    t01 = max(r.ts for r in chunk0 + chunk1)
+    assert t01 == t0 and t0 - delay == w1
+
+    def window_end(ts):
+        base = ts.replace(minute=0, second=0, microsecond=0)
+        return base + timedelta(hours=1)
+
+    # the watermark spec, applied by hand
+    for r in late_old:
+        assert window_end(r.ts) <= w1  # must be dropped
+    for r in late_mid:
+        assert window_end(r.ts) > w1  # must survive
+
+    kept = chunk0 + chunk1 + chunk3 + late_mid
+    w_final = t2 - delay
+    expected = {}
+    for r in kept:
+        we = window_end(r.ts)
+        if we <= w_final:
+            expected.setdefault(we, []).append(r.event_id)
+    expected = {k: sorted(v) for k, v in expected.items()}
+    # Non-vacuousness: if Spark wrongly ACCEPTED the late_old rows,
+    # their windows (all closed well before the final watermark) would
+    # materialize in the streaming output — as extra ids in an emitted
+    # window, or as whole windows `expected` does not contain. Either
+    # way got != expected. The guard pins that the wrong outcome would
+    # be visible: every dropped window closes before the final
+    # watermark.
+    dropped_windows = {window_end(r.ts) for r in late_old}
+    assert all(w <= w_final for w in dropped_windows)
+
+    d = str(tmp_path / "replay")
+    schema = (
+        "event_id long, user_id long, event_type string, value double, "
+        "ts timestamp_ntz"
+    )
+    for i, chunk in enumerate([chunk0, chunk1, chunk2, chunk3]):
+        spark.createDataFrame(
+            [(r.event_id, r.user_id, r.event_type, r.value, r.ts)
+             for r in chunk],
+            schema,
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"chunk={i}")
+        )
+
+    s = jobs.with_watermark(
+        jobs.read_events_stream(spark, d), f"{delay_h} hours"
+    )
+    agg = s.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.sort_array(F.collect_list("event_id")).alias("ids")
+    )
+    out = jobs.run_to_memory(
+        agg, f"dropset_{late_days}_{delay_h}", output_mode="append"
+    )
+    got = {
+        r.w.end.replace(tzinfo=None): list(r.ids) for r in out.collect()
+    }
+    assert got == expected, (
+        f"windows: got {len(got)} expected {len(expected)}; "
+        f"key diff: {sorted(set(got) ^ set(expected))[:3]}; "
+        f"id diffs: "
+        f"{[(k, got[k], expected[k]) for k in got if k in expected and got[k] != expected[k]][:2]}"
+    )
