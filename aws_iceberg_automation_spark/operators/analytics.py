@@ -4333,8 +4333,10 @@ WITH nat AS (
   FROM nat n LEFT JOIN rev r ON r.nk = n.nk
 ), pairs AS (
   SELECT /*+ BROADCAST(b) */
-    CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS con,
-    CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS dis,
+    CASE WHEN (a.x > b.x AND a.y > b.y) OR (a.x < b.x AND a.y < b.y)
+         THEN 1 ELSE 0 END AS con,
+    CASE WHEN (a.x > b.x AND a.y < b.y) OR (a.x < b.x AND a.y > b.y)
+         THEN 1 ELSE 0 END AS dis,
     CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
     CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
   FROM pts a JOIN pts b ON a.nk < b.nk
@@ -4632,16 +4634,16 @@ WITH pts AS (
   SELECT /*+ BROADCAST(c) */
     CAST(SUM(CAST(floor(
       ((0.5 + 0.5 * (c.w * p.x + c.b) / (1 + abs(c.w * p.x + c.b))) - p.y)
-      * p.x * 1000000000.0) AS BIGINT)) AS BIGINT) AS gw,
+      * p.x * 100000000.0) AS BIGINT)) AS BIGINT) AS gw,
     CAST(SUM(CAST(floor(
       ((0.5 + 0.5 * (c.w * p.x + c.b) / (1 + abs(c.w * p.x + c.b))) - p.y)
-      * 1000000000.0) AS BIGINT)) AS BIGINT) AS gb,
+      * 100000000.0) AS BIGINT)) AS BIGINT) AS gb,
     MIN(c.w) AS w, MIN(c.b) AS b
   FROM pts p CROSS JOIN {prev} c
 ), w{s} AS (
   SELECT /*+ BROADCAST(n) */
-    g.w - 1.0 * (g.gw / 1e9 / n.n) AS w,
-    g.b - 1.0 * (g.gb / 1e9 / n.n) AS b
+    g.w - 1.0 * (g.gw / 1e8 / n.n) AS w,
+    g.b - 1.0 * (g.gb / 1e8 / n.n) AS b
   FROM g{s} g CROSS JOIN n
 )"""
         prev = f"w{s}"
@@ -4957,10 +4959,10 @@ _Q423_SQL = """
 WITH daily AS (
   SELECT (month(ts) - 1) * 31 + day(ts) AS d,
     CAST(SUM(CASE WHEN event_type = 'purchase'
-             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+             THEN CAST(round(value) AS BIGINT) ELSE 0 END) AS BIGINT)
       AS a,
     CAST(SUM(CASE WHEN event_type = 'click'
-             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+             THEN CAST(round(value) AS BIGINT) ELSE 0 END) AS BIGINT)
       AS b
   FROM {events} GROUP BY 1
 ), m AS (
@@ -4980,7 +4982,7 @@ SELECT n AS n_days,
   round((vb - cab) / (va + vb - 2 * cab), 6) AS w_purchase,
   round(1e0 - (vb - cab) / (va + vb - 2 * cab), 6) AS w_click,
   round(cab / sqrt(va * vb), 6) AS correlation,
-  round((va * vb - cab * cab) / (va + vb - 2 * cab) / 1e4, 4)
+  round((va * vb - cab * cab) / (va + vb - 2 * cab), 4)
     AS min_portfolio_var
 FROM v
 """
@@ -5075,9 +5077,9 @@ WITH daily AS (
   FROM res
 ), s AS (
   SELECT event_type,
-    CAST(SUM(CAST(floor(e * e * 1e4) AS BIGINT)) AS BIGINT) AS see,
+    CAST(SUM(CAST(floor(e * e * 1e1) AS BIGINT)) AS BIGINT) AS see,
     CAST(SUM(CASE WHEN ep IS NOT NULL THEN
-      CAST(floor((e - ep) * (e - ep) * 1e4) AS BIGINT) ELSE 0 END)
+      CAST(floor((e - ep) * (e - ep) * 1e1) AS BIGINT) ELSE 0 END)
       AS BIGINT) AS sdd,
     CAST(COUNT(*) AS BIGINT) AS n
   FROM lagd GROUP BY event_type
@@ -5102,7 +5104,7 @@ def q425_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     lying about its standard errors' diagnostic (q334 reports slopes;
     DW says whether their inference is trustworthy). Residuals are
     identical doubles on both engines (rational functions of integer
-    moments); their squares ride the 1e-4 grid-int trick so the sums
+    moments); their squares ride a 0.1 grid-int trick so the sums
     are exact. Windows are PARTITIONED per event type over the
     |days| frame."""
     return _sql_twin(spark, sf_dir, _Q425_SQL, ["events"])
@@ -5111,7 +5113,9 @@ def q425_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q426_sql() -> str:
     """Granger 1-lag template: restricted (y_t ~ y_{t-1}) and
     unrestricted (y_t ~ y_{t-1} + x_{t-1}) RSS computed per row from
-    closed-form coefficients, grid-int summed, F folded at the end.
+    closed-form coefficients, floored to integers and summed exactly (unit grid — daily-count
+    residuals square up fast; int64 headroom beats sub-unit precision,
+    and cross-engine identity holds at any grid), F folded at the end.
     Lags come from a day-1 equi-join, not a global window."""
     return """
 WITH daily AS (
@@ -5157,15 +5161,15 @@ WITH daily AS (
 ), rss AS (
   SELECT /*+ BROADCAST(cf) */ cf.n,
     CAST(SUM(CAST(floor((l.y - cf.r0 - cf.r1 * l.y1)
-      * (l.y - cf.r0 - cf.r1 * l.y1) * 1e6) AS BIGINT)) AS BIGINT) AS rss_r,
+      * (l.y - cf.r0 - cf.r1 * l.y1)) AS BIGINT)) AS BIGINT) AS rss_r,
     CAST(SUM(CAST(floor((l.y - cf.u0 - cf.u1 * l.y1 - cf.u2 * l.x1)
-      * (l.y - cf.u0 - cf.u1 * l.y1 - cf.u2 * l.x1) * 1e6) AS BIGINT))
+      * (l.y - cf.u0 - cf.u1 * l.y1 - cf.u2 * l.x1)) AS BIGINT))
       AS BIGINT) AS rss_u
   FROM lagj l CROSS JOIN coefs cf
   GROUP BY cf.n
 )
-SELECT n AS n_days, round(rss_r / 1e6, 4) AS rss_restricted,
-  round(rss_u / 1e6, 4) AS rss_unrestricted,
+SELECT n AS n_days, CAST(rss_r AS BIGINT) AS rss_restricted,
+  CAST(rss_u AS BIGINT) AS rss_unrestricted,
   round((rss_r - CAST(rss_u AS DOUBLE)) * (n - 3) / rss_u, 6) AS f_stat,
   (rss_r - CAST(rss_u AS DOUBLE)) * (n - 3) / rss_u > 4.2 AS x_granger_causes_y
 FROM rss
@@ -5399,7 +5403,9 @@ def q415_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q401_SQL = """
 WITH seg AS (
   SELECT c.c_mktsegment AS seg,
-    CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+    -- whole units: 1000*rev must stay < 2^53 for the exact-floor
+    -- argument even at the 20x replica
+    CAST(SUM(CAST(round(o.o_totalprice) AS BIGINT)) AS BIGINT) AS rev
   FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
   GROUP BY c.c_mktsegment
 ), tot AS (
@@ -5421,7 +5427,7 @@ WITH seg AS (
   GROUP BY a.seg, a.rev, a.base, a.t
 )
 SELECT /*+ BROADCAST(l) */ r.seg,
-  round(r.rev / 1e2, 2) AS revenue,
+  CAST(r.rev AS BIGINT) AS revenue,
   round(1e3 * r.rev / r.t, 4) AS exact_quota,
   CAST(r.base + CASE WHEN r.rk <= l.extra THEN 1 ELSE 0 END AS BIGINT)
     AS seats

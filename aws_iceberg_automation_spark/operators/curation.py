@@ -2421,7 +2421,7 @@ WITH s AS (
   FROM s WHERE nh > 1
 ), quota AS (
   SELECT source, nh, sh,
-    CAST(floor(nh * sh * 1e6) AS BIGINT) AS wgrid
+    CAST(floor(nh * sh * 1e4) AS BIGINT) AS wgrid
   FROM sd
 ), tot AS (
   SELECT CAST(SUM(wgrid) AS BIGINT) AS tw, CAST(COUNT(*) AS BIGINT) AS k
@@ -2467,7 +2467,8 @@ def q404_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALLOCATION should be in the first place.
 
     Integerization is largest-remainder (Hamilton) on an exact integer
-    grid: weights floor to a 1e6 grid, bases are exact floor(1000·w/T)
+    grid: weights floor to a 1e4 grid (1000·w must stay < 2^53 for the
+    exact-floor argument even at replica scale), bases are exact floor(1000·w/T)
     (both factors < 2⁵³ so the double division floors exactly),
     remainders compare as exact integers with a source tiebreak, and
     the allocations sum to EXACTLY 1000 by construction. Rank over the

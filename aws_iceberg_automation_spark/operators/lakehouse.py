@@ -1349,9 +1349,9 @@ WITH ops AS (
   FROM {events}
 ), keyed AS (
   SELECT user_id,
-    min_by(op, ssec * 16777216 + event_id) AS first_op,
-    max_by(op, ssec * 16777216 + event_id) AS last_op,
-    max_by(cents, ssec * 16777216 + event_id) AS last_cents
+    min_by(op, ssec * 17179869184 + event_id) AS first_op,
+    max_by(op, ssec * 17179869184 + event_id) AS last_op,
+    max_by(cents, ssec * 17179869184 + event_id) AS last_cents
   FROM ops GROUP BY user_id
 ), net AS (
   SELECT user_id,
@@ -1387,7 +1387,7 @@ def q393_cdc_netting(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost becomes |keys|, not |ops|.
 
     first/last ride min_by/max_by on one integer event-order key
-    (second-epoch · 2²⁴ + event_id — exact, tie-free); the census is
+    (second-epoch · 2³⁴ + event_id — exact, tie-free); the census is
     two hash aggs."""
     from .analytics import _sql_twin
 

@@ -1932,7 +1932,9 @@ def q397_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q398_SQL = """
 WITH hourly AS (
   SELECT ((month(ts) - 1) * 31 + day(ts) - 1) * 24 + hour(ts) AS h,
-    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    -- whole units, not cents: block moments square these sums, and
+    -- int64 headroom must survive the 20x replica's 48M events
+    CAST(SUM(CAST(round(value) AS BIGINT)) AS BIGINT) AS y
   FROM {events} GROUP BY 1
 ), blocks AS (
   SELECT /*+ BROADCAST(m) */ m.m, CAST(floor(h.h / (1e0 * m.m)) AS BIGINT)

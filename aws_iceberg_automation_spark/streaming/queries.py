@@ -855,7 +855,7 @@ def q333_stream_reorder_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH pts AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
     CAST(round(value * 100) AS BIGINT) AS cents,
-    CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 16777216 + event_id
+    CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 1073741824 + event_id
       AS ok
   FROM events
 )
@@ -874,7 +874,7 @@ def q395_stream_ohlc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch resample, run as a genuine multi-microbatch replay: per
     (day, event_type), open/high/low/close of the event value, where
     open/close ride ``min_by``/``max_by`` on one exact integer
-    event-order key (second-epoch·2²⁴ + event_id). The point being
+    event-order key (second-epoch·2³⁰ + event_id). The point being
     attested: OHLC state is MERGEABLE (min/max/min_by/max_by are all
     commutative-associative aggregates), so the stream can consume the
     feed in any microbatch chunking and the watermark-closed windows
@@ -887,7 +887,7 @@ def q395_stream_ohlc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
         (
-            F.unix_timestamp(ts_sec("ts")).cast("bigint") * 16777216
+            F.unix_timestamp(ts_sec("ts")).cast("bigint") * 1073741824
             + F.col("event_id")
         ).alias("ok"),
     )
@@ -921,7 +921,7 @@ WITH ops AS (
                     WHEN 'error' THEN 'delete'
                     ELSE 'update' END AS op,
     CAST(round(value * 100) AS BIGINT) AS cents,
-    CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 16777216 + event_id
+    CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 1073741824 + event_id
       AS ok
   FROM events
 ), keyed AS (
@@ -977,7 +977,7 @@ def q412_stream_cdc_netting_replay(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("op"),
             F.round(F.col("value") * 100).cast("bigint").alias("cents"),
             (
-                F.unix_timestamp(ts_sec("ts")).cast("bigint") * 16777216
+                F.unix_timestamp(ts_sec("ts")).cast("bigint") * 1073741824
                 + F.col("event_id")
             ).alias("ok"),
         ).withColumn("neg_ok", -F.col("ok"))

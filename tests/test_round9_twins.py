@@ -193,8 +193,8 @@ def test_logistic_gd_matches_pure_python(spark):
         z = w * x + b
         p = 0.5 + 0.5 * z / (1 + np.abs(z))
         # the engine floors per-row grad terms onto a 1e-9 grid
-        gw = np.floor((p - y) * x * 1e9).sum() / 1e9 / n
-        gb = np.floor((p - y) * 1e9).sum() / 1e9 / n
+        gw = np.floor((p - y) * x * 1e8).sum() / 1e8 / n
+        gb = np.floor((p - y) * 1e8).sum() / 1e8 / n
         w, b = w - gw, b - gb
     acc = ((w * x + b >= 0) == (y == 1.0)).mean()
     row = SPECS["q390_logistic_gd_unrolled"].fn(spark, SF_DIR).collect()[0]
@@ -329,14 +329,14 @@ def test_granger_f_matches_numpy(spark):
         a = np.stack([np.ones(n)] + feats, axis=1)
         coef, *_ = np.linalg.lstsq(a, y, rcond=None)
         e = y - a @ coef
-        return np.floor(e * e * 1e6).sum() / 1e6
+        return np.floor(e * e).sum()
 
     rss_r, rss_u = rss([y1]), rss([y1, x1])
     f = (rss_r - rss_u) * (n - 3) / rss_u
     row = SPECS["q426_granger_1lag"].fn(spark, SF_DIR).collect()[0]
     assert row.n_days == n
-    assert abs(row.rss_restricted - rss_r) < 1e-2
-    assert abs(row.rss_unrestricted - rss_u) < 1e-2
+    assert row.rss_restricted == rss_r
+    assert row.rss_unrestricted == rss_u
     assert abs(row.f_stat - f) < 1e-2, (row.f_stat, f)
 
 
