@@ -4433,21 +4433,23 @@ WITH g AS (
     CAST(SUM(v) AS BIGINT) AS sv, CAST(SUM(v * v) AS BIGINT) AS svv
   FROM g GROUP BY seg
 ), grid AS (
-  -- per-group between/within pieces on the 1e2 grid (identical
-  -- doubles from exact ints on both engines; the 5-term sums then
-  -- ride as exact BIGINTs)
+  -- per-group between/within pieces floored to the unit grid
+  -- (identical doubles from exact ints on both engines; the 5-term
+  -- sums then ride as exact BIGINTs — a finer grid would overflow
+  -- int64 at replica scale, and sub-unit precision is irrelevant to
+  -- sums of squares this large)
   SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
     CAST(SUM(sv) AS BIGINT) AS tsv,
-    CAST(SUM(CAST(floor(CAST(sv AS DOUBLE) * sv / n * 100.0) AS BIGINT))
+    CAST(SUM(CAST(floor(CAST(sv AS DOUBLE) * sv / n) AS BIGINT))
       AS BIGINT) AS gssb,
     CAST(SUM(CAST(floor(
-      (svv - CAST(sv AS DOUBLE) * sv / n) * 100.0) AS BIGINT)) AS BIGINT)
+      svv - CAST(sv AS DOUBLE) * sv / n) AS BIGINT)) AS BIGINT)
       AS gssw
   FROM s
 ), f AS (
   SELECT k, nn,
-    gssb / 1e2 - CAST(tsv AS DOUBLE) * tsv / nn AS ssb,
-    gssw / 1e2 AS ssw
+    gssb - CAST(tsv AS DOUBLE) * tsv / nn AS ssb,
+    CAST(gssw AS DOUBLE) AS ssw
   FROM grid
 )
 SELECT k AS n_groups, nn AS n_rows,
@@ -4472,7 +4474,7 @@ def q385_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Float discipline: v rides as whole units (int64-safe: Σv² needs
     headroom N·max(v)² ≈ 5·10¹⁷ at sf1); per-group pieces Σv²ᵢ/nᵢ are
-    single double expressions floored onto a 1e-2 grid before the
+    single double expressions floored onto the unit grid before the
     k-term sum, so Spark's partition-order sum and DuckDB's serial sum
     add IDENTICAL integers. The one remaining subtraction (−T²/N) is
     scalar.
