@@ -477,8 +477,34 @@ def q107_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cosine(a,b) — same ops, same order): drops the fold count per
     # scored pair from 3 to 1 across both the assignment and the
     # in-cluster pair stage (measured 78 → 30 s at the 20× replica).
-    e = base.unionAll(copies).withColumn(
-        "nv", F.sqrt(dot(F.col("v"), F.col("v")))
+    e_all = base.unionAll(copies)
+    # EXACT-DUP PRE-COLLAPSE (round-9, driven by the 40x two-point
+    # probe: slope 2.0 — the key-shifted replicas hold F identical
+    # copies of every vector, and identical-vector cliques cost F²
+    # in the pair stage; dup-heavy corpora are exactly SemDeDup's
+    # target input, so this is a production property, not a replica
+    # artifact). Collapse byte-identical vectors to their min-id
+    # representative BEFORE clustering; expand afterwards. Provably
+    # result-identical: a clique's non-representatives are dups by
+    # definition (cosine of identical vectors = 1 ± ulp → rounds to
+    # 1.0 ≥ τ, and the representative holds the clique's min id), a
+    # clique's cosine against any other vector is one value shared by
+    # every member, and the min-id condition against outside vectors
+    # is decided by the representative's id (= the clique minimum).
+    # On the fixtures no two vectors are byte-identical (the injected
+    # near-copies differ in one coordinate), so the collapse is a
+    # no-op there and the oracle replays unchanged.
+    reps = e_all.groupBy("v").agg(F.min("vec_id").alias("rep_id"))
+    members = e_all.join(reps, "v").select("vec_id", "rep_id")
+    e = (
+        e_all.join(
+            members.filter(F.col("vec_id") == F.col("rep_id")).select(
+                "vec_id"
+            ),
+            "vec_id",
+            "left_semi",
+        )
+        .withColumn("nv", F.sqrt(dot(F.col("v"), F.col("v"))))
     )
     # k = max(8, ceil(sqrt(N))): one bounded-scalar count() action —
     # the oracle computes the identical k in its ks CTE
@@ -556,16 +582,28 @@ def q107_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("id_b").alias("vec_id"))
         .agg(F.round(F.max("cos"), 6).alias("max_sim_to_lower"))
     )
-    return (
-        assigned.join(dup, "vec_id", "left")
+    rep_result = assigned.join(dup, "vec_id", "left").select(
+        "vec_id",
+        "c_id",
+        F.col("max_sim_to_lower").isNull().alias("kept"),
+        F.coalesce("max_sim_to_lower", F.lit(0.0)).alias("max_sim_to_lower"),
+    )
+    # expand the collapsed cliques: every non-representative copy is a
+    # drop at similarity 1.0, carrying its representative's cluster
+    dup_copies = (
+        members.filter(F.col("vec_id") != F.col("rep_id"))
+        .join(
+            rep_result.select(F.col("vec_id").alias("rep_id"), "c_id"),
+            "rep_id",
+        )
         .select(
             "vec_id",
             "c_id",
-            F.col("max_sim_to_lower").isNull().alias("kept"),
-            F.coalesce("max_sim_to_lower", F.lit(0.0)).alias("max_sim_to_lower"),
+            F.lit(False).alias("kept"),
+            F.lit(1.0).alias("max_sim_to_lower"),
         )
-        .orderBy("vec_id")
     )
+    return rep_result.unionByName(dup_copies).orderBy("vec_id")
 
 
 @register(
