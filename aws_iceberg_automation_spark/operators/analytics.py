@@ -4374,10 +4374,15 @@ def q383_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q384_SQL = """
 WITH u AS (
+  -- paired binary outcome: 'made a large purchase (value > 300) in
+  -- that half' — rare enough that discordant users exist at every
+  -- fixture scale (the plain any-error outcome saturated: b = c = 0
+  -- below sf0.1, which left the statistic NULL — a vacuously green
+  -- comparison the sf0.1 cross-scale gate caught)
   SELECT user_id,
-    MAX(CASE WHEN event_type = 'error'
+    MAX(CASE WHEN event_type = 'purchase' AND value > 300
          AND (month(ts) - 1) * 31 + day(ts) <= 15 THEN 1 ELSE 0 END) AS h1,
-    MAX(CASE WHEN event_type = 'error'
+    MAX(CASE WHEN event_type = 'purchase' AND value > 300
          AND (month(ts) - 1) * 31 + day(ts) > 15 THEN 1 ELSE 0 END) AS h2
   FROM {events} GROUP BY user_id
 ), s AS (
@@ -4390,10 +4395,10 @@ WITH u AS (
 )
 SELECT n_users, b AS only_first_half, c AS only_second_half, both_halves,
   CASE WHEN b + c > 0 THEN
-    round((abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c), 6)
+    round((abs(b - c) - 1e0) * (abs(b - c) - 1e0) / (b + c), 6)
   END AS mcnemar_chi2_cc,
   CASE WHEN b + c > 0 THEN
-    round((abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c), 6) > 3.841459
+    round((abs(b - c) - 1e0) * (abs(b - c) - 1e0) / (b + c), 6) > 3.841459
   END AS reject_h0_95
 FROM s
 """
@@ -4406,8 +4411,8 @@ FROM s
 )
 def q384_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     """McNemar's test on PAIRED binary outcomes — did each user's
-    error incidence change between the first and second half of the
-    month? The paired design cancels between-user variance, so only
+    large-purchase incidence change between the first and second half
+    of the month? The paired design cancels between-user variance, so only
     the DISCORDANT pairs (b = errored early only, c = errored late
     only) carry information: χ²cc = (|b−c|−1)²/(b+c) with the standard
     continuity correction, vs the χ²₁ 95% critical value. Welch (q335)

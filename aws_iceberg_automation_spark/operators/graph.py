@@ -1206,21 +1206,21 @@ def q374_harmonic_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame
 # (identical to q332's construction) plus its symmetric edge view and
 # node set — the substrate for the round-9 iterative kernels.
 _COPURCHASE_SQL = """
-WITH cs0 AS (
+WITH cs0 AS MATERIALIZED (
   SELECT DISTINCT o.o_custkey c, l.l_suppkey s, CAST(l.l_shipdate AS DATE) d
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-), cs AS (
+), cs AS MATERIALIZED (
   SELECT c, s, d FROM (
     SELECT c, s, d,
       row_number() OVER (PARTITION BY s, d ORDER BY c) AS grp_rn
     FROM cs0)
   WHERE grp_rn <= 64
-), e AS (
+), e AS MATERIALIZED (
   SELECT DISTINCT a.c AS x, b.c AS y
   FROM cs a JOIN cs b ON a.s = b.s AND a.d = b.d AND a.c < b.c
-), e2 AS (
+), e2 AS MATERIALIZED (
   SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e
-), nodes AS (
+), nodes AS MATERIALIZED (
   SELECT DISTINCT x AS node FROM e2
 )"""
 
@@ -1233,17 +1233,17 @@ def _lpa_oracle_sql(rounds: int) -> str:
     identical fixpoint trajectory round for round (the q360 unroll
     pattern)."""
     sql = _COPURCHASE_SQL + """
-, l0 AS (SELECT node, node AS lab FROM nodes)
+, l0 AS MATERIALIZED (SELECT node, node AS lab FROM nodes)
 """
     for r in range(1, rounds + 1):
         sql += f"""
-, v{r} AS (
+, v{r} AS MATERIALIZED (
   SELECT t.node, l.lab, COUNT(*) AS c
   FROM (SELECT x AS node, y AS nb FROM e2
         UNION ALL SELECT node, node FROM nodes) t
   JOIN l{r - 1} l ON l.node = t.nb
   GROUP BY t.node, l.lab
-), l{r} AS (
+), l{r} AS MATERIALIZED (
   SELECT node, lab FROM (
     SELECT node, lab,
       row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
@@ -1356,17 +1356,17 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
     """Unrolled peeling oracle for the k-core: round r keeps the nodes
     whose degree within the round-(r-1) survivor subgraph is >= k."""
     sql = _COPURCHASE_SQL + """
-, s0 AS (SELECT node FROM nodes)
+, s0 AS MATERIALIZED (SELECT node FROM nodes)
 """
     for r in range(1, rounds + 1):
         sql += f"""
-, d{r} AS (
+, d{r} AS MATERIALIZED (
   SELECT e2.x AS node, COUNT(*) AS deg
   FROM e2
   JOIN s{r - 1} sa ON sa.node = e2.x
   JOIN s{r - 1} sb ON sb.node = e2.y
   GROUP BY e2.x
-), s{r} AS (SELECT node FROM d{r} WHERE deg >= {k})
+), s{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k})
 """
     sql += f"""
 SELECT node, CAST(deg AS BIGINT) AS core_deg, rk FROM (
@@ -1483,9 +1483,9 @@ def _ppr_oracle_sql(rounds: int) -> str:
     division a floor division, so DuckDB replays bit-for-bit (the
     pagerank_fixedpoint / q360 determinism argument)."""
     sql = _COPURCHASE_SQL + f"""
-, seed AS (SELECT MIN(node) AS s FROM nodes)
-, deg AS (SELECT x AS node, COUNT(*) AS deg FROM e2 GROUP BY x)
-, r0 AS (
+, seed AS MATERIALIZED (SELECT MIN(node) AS s FROM nodes)
+, deg AS MATERIALIZED (SELECT x AS node, COUNT(*) AS deg FROM e2 GROUP BY x)
+, r0 AS MATERIALIZED (
   SELECT node,
     CASE WHEN node = (SELECT s FROM seed)
          THEN CAST({_PPR_SCALE} AS BIGINT) ELSE CAST(0 AS BIGINT) END AS r
@@ -1493,14 +1493,14 @@ def _ppr_oracle_sql(rounds: int) -> str:
 """
     for t in range(1, rounds + 1):
         sql += f"""
-, c{t} AS (
+, c{t} AS MATERIALIZED (
   SELECT e2.y AS node, CAST(SUM((r.r * 17 // 20) // d.deg) AS BIGINT) AS m
   FROM e2
   JOIN r{t - 1} r ON r.node = e2.x
   JOIN deg d ON d.node = e2.x
   WHERE r.r > 0
   GROUP BY e2.y
-), r{t} AS (
+), r{t} AS MATERIALIZED (
   SELECT n.node,
     CAST(COALESCE(c.m, 0)
          + CASE WHEN n.node = (SELECT s FROM seed)
