@@ -5497,12 +5497,16 @@ WITH cust AS (
 ), g AS (
   SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_shipments,
     CAST(SUM(CAST(floor(km * 1e3) AS BIGINT)) AS BIGINT) AS gsum,
-    CAST(MAX(CAST(floor(km * 1e3) AS BIGINT)) AS BIGINT) AS gmax
+    -- MAX rounds the RAW km: a single-row statistic must not sit on a
+    -- floor-grid boundary (libm trig differs by ulps across engines;
+    -- the sf0.1 cross-scale gate caught one flipped grid step), while
+    -- the SUM keeps the grid — a few one-step flips vanish in /n
+    MAX(km) AS max_km_raw
   FROM hav GROUP BY nk
 )
 SELECT nk AS nationkey, n_shipments,
   round(gsum / 1e3 / n_shipments, 2) AS avg_km,
-  round(gmax / 1e3, 2) AS max_km
+  round(max_km_raw, 2) AS max_km
 FROM g
 """
 

@@ -959,7 +959,11 @@ WITH files AS (
 )
 SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n_files,
   CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
-  round(CAST(SUM(bytes) AS DOUBLE) / 8000.0, 4) AS fill_ratio
+  -- fill ratio via EXACT floor: bytes*1.25 is a binary-exact scaling
+  -- (x5/4), so floor never sits on an engine-dependent tie — the
+  -- sf0.1 gate caught round()'s half-tie (bytes/8000 yields exact
+  -- .xxxx5 decimals whose rounding flips between engines)
+  CAST(floor(SUM(bytes) * 1.25) AS BIGINT) / 1e4 AS fill_ratio
 FROM planned GROUP BY lang, bin
 """,
     tags=("lakehouse",),
@@ -1000,9 +1004,9 @@ def q362_binpack_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return planned.groupBy("lang", "bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_files"),
         F.sum("bytes").cast("bigint").alias("bin_bytes"),
-        F.round(F.sum("bytes").cast("double") / 8000.0, 4).alias(
-            "fill_ratio"
-        ),
+        (
+            F.floor(F.sum("bytes") * 1.25).cast("bigint") / F.lit(1e4)
+        ).alias("fill_ratio"),
     )
 
 
