@@ -471,3 +471,277 @@ def test_label_propagation_matches_pure_python(spark):
         .orderBy("rk").collect()
     ]
     assert got == expected, (got[:5], expected[:5])
+
+
+def test_mcnemar_matches_pure_python(spark):
+    rows = _events(spark)
+    users: dict[int, list[int]] = {}
+    for r in rows:
+        h = users.setdefault(r.user_id, [0, 0])
+        if r.event_type == "purchase" and r.value > 300:
+            if _mday(r.ts) <= 15:
+                h[0] = 1
+            else:
+                h[1] = 1
+    b = sum(1 for h1, h2 in users.values() if h1 and not h2)
+    c = sum(1 for h1, h2 in users.values() if h2 and not h1)
+    row = SPECS["q384_mcnemar_paired"].fn(spark, SF_DIR).collect()[0]
+    assert (row.only_first_half, row.only_second_half) == (b, c)
+    assert row.n_users == len(users)
+    if b + c > 0:
+        chi2 = (abs(b - c) - 1.0) ** 2 / (b + c)
+        assert abs(row.mcnemar_chi2_cc - chi2) < 1e-6
+    else:
+        assert row.mcnemar_chi2_cc is None
+
+
+def test_poisson_rate_matches_formula(spark):
+    rows = _events(spark)
+    k = {"A": 0, "B": 0}
+    t = {"A": 0, "B": 0}
+    for r in rows:
+        g = "A" if r.user_id % 2 == 0 else "B"
+        t[g] += 1
+        if r.event_type == "error":
+            k[g] += 1
+    kk = k["A"] + k["B"]
+    w = t["A"] / (t["A"] + t["B"])
+    z = (k["A"] - kk * w) / math.sqrt(kk * w * (1 - w))
+    row = SPECS["q413_poisson_rate_test"].fn(spark, SF_DIR).collect()[0]
+    assert (row.errors_a, row.errors_b) == (k["A"], k["B"])
+    assert abs(row.z_score - z) < 1e-5
+    assert abs(
+        row.rate_ratio - (k["A"] / t["A"]) / (k["B"] / t["B"])
+    ) < 1e-5
+
+
+def test_woe_iv_matches_formula(spark):
+    li = load_table(spark, SF_DIR, "lineitem").collect()
+    part = {
+        p.p_partkey: p.p_brand
+        for p in load_table(spark, SF_DIR, "part").collect()
+    }
+    import collections
+
+    nb = collections.Counter()
+    ng = collections.Counter()
+    for r in li:
+        brand = part[r.l_partkey]
+        if r.l_returnflag == "R":
+            nb[brand] += 1
+        else:
+            ng[brand] += 1
+    tb, tg = sum(nb.values()), sum(ng.values())
+    got = {
+        r.brand: (r.woe, r.information_value)
+        for r in SPECS["q396_woe_iv"].fn(spark, SF_DIR).collect()
+    }
+    iv = 0.0
+    for brand in set(nb) | set(ng):
+        if nb[brand] == 0 or ng[brand] == 0:
+            assert brand not in got
+            continue
+        woe = math.log((nb[brand] / tb) / (ng[brand] / tg))
+        term = (nb[brand] / tb - ng[brand] / tg) * woe
+        iv += math.floor(term * 1e9) / 1e9
+        assert abs(got[brand][0] - woe) < 1e-5, brand
+    for brand in got:
+        assert abs(got[brand][1] - iv) < 1e-6
+
+
+def test_permutation_entropy_matches_pure_python(spark):
+    rows = sorted(
+        _events(spark),
+        key=lambda r: (
+            r.user_id,
+            _mday(r.ts) * 86400
+            + r.ts.hour * 3600 + r.ts.minute * 60 + r.ts.second,
+            r.event_id,
+        ),
+    )
+    import collections
+
+    pats = collections.Counter()
+    by_user = collections.defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(int(_r2(r.value * 100)))
+    for vs in by_user.values():
+        for v1, v2, v3 in zip(vs, vs[1:], vs[2:]):
+            if v1 <= v2 <= v3:
+                p = "012"
+            elif v1 <= v3 < v2:
+                p = "021"
+            elif v2 < v1 <= v3:
+                p = "102"
+            elif v3 < v1 <= v2:
+                p = "120"
+            elif v2 <= v3 < v1:
+                p = "201"
+            else:
+                p = "210"
+            pats[p] += 1
+    nn = sum(pats.values())
+    ent = sum(
+        math.floor(-(n / nn) * math.log(n / nn) * 1e9) / 1e9
+        for n in pats.values()
+    ) / math.log(6)
+    got = {
+        r.pattern: (r.n_triples, r.normalized_perm_entropy)
+        for r in SPECS["q397_permutation_entropy"].fn(spark, SF_DIR).collect()
+    }
+    for p, n in pats.items():
+        assert got[p][0] == n, (p, got[p][0], n)
+        assert abs(got[p][1] - ent) < 1e-6
+
+
+def test_t_closeness_matches_emd(spark):
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    import collections
+
+    cnt = collections.Counter()
+    for d in docs:
+        cnt[(d.lang, min(9, d.n_chars // 100))] += 1
+    langs = {d.lang for d in docs}
+    bins = sorted({b for _, b in cnt})
+    nn = len(docs)
+    got = {
+        r.lang: r.emd_t_closeness
+        for r in SPECS["q399_t_closeness"].fn(spark, SF_DIR).collect()
+    }
+    for lang in langs:
+        nl = sum(c for (lg, _), c in cnt.items() if lg == lang)
+        cl = cg = 0
+        emd = 0
+        for b in bins:
+            cl += cnt.get((lang, b), 0)
+            cg += sum(c for (lg, bb), c in cnt.items() if bb == b)
+            emd += math.floor(abs(cl / nl - cg / nn) * 1e9)
+        assert abs(got[lang] - emd / 1e9 / 10) < 1e-6, lang
+
+
+def test_randomized_response_debias(spark):
+    rows = _events(spark)
+    import collections
+
+    truth = collections.defaultdict(int)
+    seen = {}
+    for r in rows:
+        seen.setdefault(r.user_id, 0)
+        if r.event_type == "error":
+            truth[r.user_id] = 1
+    got = {
+        r.cohort: r for r in
+        SPECS["q400_randomized_response"].fn(spark, SF_DIR).collect()
+    }
+    coh = collections.defaultdict(lambda: [0, 0, 0])  # n, reported, true
+    for uid in seen:
+        t = truth.get(uid, 0)
+        flip = hashlib.md5(str(uid * 7919).encode()).hexdigest()[0] < "4"
+        rep = 1 - t if flip else t
+        c = coh[uid % 3]
+        c[0] += 1
+        c[1] += rep
+        c[2] += t
+    for k, (n, rep, t) in coh.items():
+        r = got[k]
+        assert r.n_users == n
+        assert abs(r.reported_rate - rep / n) < 1e-6
+        assert abs(r.debiased_estimate - (rep / n - 0.25) / 0.5) < 1e-6
+        assert abs(r.true_rate - t / n) < 1e-6
+
+
+def test_var_cvar_matches_rank_selection(spark):
+    orders = load_table(spark, SF_DIR, "orders").collect()
+    cust = {
+        c.c_custkey: c.c_mktsegment
+        for c in load_table(spark, SF_DIR, "customer").collect()
+    }
+    import collections
+
+    groups = collections.defaultdict(list)
+    for o in orders:
+        groups[cust[o.o_custkey]].append(
+            (int(_r2(o.o_totalprice * 100)), o.o_orderkey)
+        )
+    got = {
+        r.seg: r for r in SPECS["q424_var_cvar"].fn(spark, SF_DIR).collect()
+    }
+    for seg, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        k = (n * 5 + 99) // 100
+        var = vals[k - 1][0]
+        cvar = sum(v for v, _ in vals[:k]) / k
+        r = got[seg]
+        assert r.n_orders == n
+        assert abs(r.var_95 - var / 100) < 1e-9
+        assert abs(r.cvar_95 - cvar / 100) < 1e-3
+
+
+def test_conformal_coverage_close_to_nominal(spark):
+    """Conformal's finite-sample guarantee: coverage ≥ 0.9 − O(1/n_cal)
+    in expectation; assert the measured test coverage lands in a wide
+    but meaningful band (a broken q̂ would sit near 0 or 1)."""
+    row = SPECS["q415_conformal_interval"].fn(spark, SF_DIR).collect()[0]
+    assert row.n_train > row.n_cal > 0 and row.n_test > 0
+    assert 0.75 <= row.test_coverage <= 1.0, row.test_coverage
+
+
+def test_xcorr_lag_zero_matches_numpy(spark):
+    rows = _events(spark)
+    import collections
+
+    days = collections.defaultdict(lambda: [0, 0])
+    for r in rows:
+        d = _mday(r.ts)
+        if r.event_type == "view":
+            days[d][0] += 1
+        elif r.event_type == "purchase":
+            days[d][1] += 1
+    ds = sorted(days)
+    x = np.array([days[d][0] for d in ds], dtype=float)
+    y = np.array([days[d][1] for d in ds], dtype=float)
+    want = np.corrcoef(x, y)[0, 1]
+    got = {
+        r.lag: r.xcorr
+        for r in SPECS["q387_lead_lag_xcorr"].fn(spark, SF_DIR).collect()
+    }
+    assert abs(got[0] - want) < 1e-4, (got[0], want)
+
+
+def test_hurst_rs_matches_pure_python(spark):
+    rows = _events(spark)
+    import collections
+
+    hourly = collections.defaultdict(int)
+    for r in rows:
+        h = (_mday(r.ts) - 1) * 24 + r.ts.hour
+        hourly[h] += int(_r2(r.value))
+    got = SPECS["q398_hurst_rs"].fn(spark, SF_DIR).collect()[0]
+
+    def avg_rs(m):
+        blocks = collections.defaultdict(list)
+        for h in sorted(hourly):
+            blocks[h // m].append(hourly[h])
+        out = []
+        for ys in blocks.values():
+            n = len(ys)
+            if n < m * 3 / 4 or n < 2:
+                continue
+            mean = sum(ys) / n
+            var = (sum(v * v for v in ys) - sum(ys) ** 2 / n) / n
+            if var <= 0:
+                continue
+            cum, lo, hi = 0.0, float("inf"), float("-inf")
+            for v in ys:
+                cum += v - mean
+                lo, hi = min(lo, cum), max(hi, cum)
+            out.append(math.floor((hi - lo) / math.sqrt(var) * 1e6) / 1e6)
+        return sum(out) / len(out), len(out)
+
+    rs24, n24 = avg_rs(24)
+    rs72, n72 = avg_rs(72)
+    assert got.n_blocks_24h == n24 and got.n_blocks_72h == n72
+    assert abs(got.rs_24h - rs24) < 1e-3
+    assert abs(got.rs_72h - rs72) < 1e-3
+    assert abs(got.hurst_exponent - math.log(rs72 / rs24) / math.log(3)) < 1e-4
