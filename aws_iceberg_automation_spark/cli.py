@@ -88,12 +88,51 @@ def main(argv: list[str] | None = None) -> int:
     br = sub.add_parser("branch", help="versioned-table branch/tag/publish")
     br.add_argument("root", help="versioned table root path")
     br.add_argument(
-        "action", choices=["create", "tag", "drop", "publish", "list"],
-        help="ref operation",
+        "action",
+        choices=["create", "tag", "drop", "publish", "merge", "list"],
+        help="ref operation (merge = 3-way key-grain merge into main)",
     )
     br.add_argument("name", nargs="?", default=None, help="ref name")
     br.add_argument(
         "--at", type=int, default=None, help="snapshot version (default CURRENT)"
+    )
+    br.add_argument(
+        "--on",
+        default=None,
+        help="comma-separated merge key columns (required for merge)",
+    )
+
+    al = sub.add_parser(
+        "alter", help="metadata-only schema evolution on a versioned table"
+    )
+    al.add_argument("root", help="versioned table root path")
+    al.add_argument(
+        "--add", action="append", default=[],
+        help="'name type' column to add (repeatable)",
+    )
+    al.add_argument(
+        "--rename", action="append", default=[],
+        help="'old=new' column rename (repeatable)",
+    )
+    al.add_argument(
+        "--drop", action="append", default=[], help="column to drop (repeatable)"
+    )
+
+    de = sub.add_parser(
+        "delete-eq",
+        help="merge-on-read equality delete (writes a delete FILE, no rewrite)",
+    )
+    de.add_argument("root", help="versioned table root path")
+    de.add_argument(
+        "predicate", nargs="?", default=None,
+        help="SQL predicate selecting rows to delete (omit with --compact)",
+    )
+    de.add_argument(
+        "--keys", default=None, help="comma-separated equality-delete key columns"
+    )
+    de.add_argument(
+        "--compact", action="store_true",
+        help="fold all accumulated delete files into a clean rewrite instead",
     )
 
     dq = sub.add_parser(
@@ -325,12 +364,73 @@ def main(argv: list[str] | None = None) -> int:
                 vt.drop_ref(args.name)
             elif args.action == "publish":
                 vt.publish_branch(args.name)
+            elif args.action == "merge":
+                if not args.on:
+                    print("error: --on key columns required", file=sys.stderr)
+                    return 1
+                res = vt.merge_branch(args.name, on=args.on.split(","))
+                print(json.dumps(res))
             print(
                 json.dumps({"current": vt.current_version(), "refs": vt.refs()})
             )
         except VersioningError as e:
             print(f"error: {e}", file=sys.stderr)
             return 1
+        return 0
+
+    if args.cmd == "alter":
+        from .versioning import VersionedTable, VersioningError
+
+        vt = VersionedTable(spark, args.root)
+        renames = {}
+        for r in args.rename:
+            old, _, new = r.partition("=")
+            if not new:
+                print(f"error: --rename wants 'old=new', got {r!r}", file=sys.stderr)
+                return 1
+            renames[old] = new
+        try:
+            v = vt.alter_table(
+                adds=args.add or None,
+                renames=renames or None,
+                drops=args.drop or None,
+            )
+        except VersioningError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        print(json.dumps({"version": v, "schema": vt.snapshot(v).schema}))
+        return 0
+
+    if args.cmd == "delete-eq":
+        from .versioning import VersionedTable, VersioningError
+
+        vt = VersionedTable(spark, args.root)
+        try:
+            if args.compact:
+                v = vt.compact_eq_deletes()
+            else:
+                if not args.predicate or not args.keys:
+                    print(
+                        "error: predicate and --keys required (or --compact)",
+                        file=sys.stderr,
+                    )
+                    return 1
+                v = vt.delete_where_eq(args.predicate, keys=args.keys.split(","))
+        except VersioningError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        snap = vt.snapshot(v)
+        print(
+            json.dumps(
+                {
+                    "version": v,
+                    "op": snap.op,
+                    "n_delete_files": sum(
+                        len(e["files"]) for e in snap.eq_deletes
+                    ),
+                }
+            )
+        )
         return 0
 
     if args.cmd in ("snapshots", "rollback"):

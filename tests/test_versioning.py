@@ -1042,3 +1042,46 @@ def test_random_schema_and_mor_sequences_match_model(spark, tmp_path):
         assert df.columns == ["id", *s], f"v{v} schema drifted"
         got = {x["id"]: {c: x[c] for c in s} for x in df.collect()}
         assert got == r, f"v{v} state drifted"
+
+
+def test_cli_alter_delete_eq_and_merge(spark, tmp_path, capsys):
+    import json as _json
+
+    from aws_iceberg_automation_spark.cli import main
+
+    root = str(tmp_path / "t")
+    vt = VersionedTable(spark, root)
+    vt.write(_df(spark, 0, 6))
+    # metadata-only ALTER via CLI
+    assert main(["alter", root, "--add", "tag string", "--rename", "v=val"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["schema"] == [["id", "bigint"], ["val", "bigint"], ["tag", "string"]]
+    assert vt.read().columns == ["id", "val", "tag"]
+    # MOR equality delete via CLI
+    assert main(["delete-eq", root, "id < 2", "--keys", "id"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["op"] == "delete-eq" and out["n_delete_files"] >= 1
+    assert sorted(r.id for r in vt.read().collect()) == [2, 3, 4, 5]
+    # compaction folds the delete files away without changing reads
+    assert main(["delete-eq", root, "--compact"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["op"] == "rewrite-deletes" and out["n_delete_files"] == 0
+    assert sorted(r.id for r in vt.read().collect()) == [2, 3, 4, 5]
+    # 3-way merge via CLI: branch edits id=3 (val -> 999), main appends
+    vt.create_branch("fix")
+    fixed = vt.read().withColumn(
+        "val", F.when(F.col("id") == 3, F.lit(999)).otherwise(F.col("val"))
+    )
+    vt.write_to_branch(fixed, "fix", mode="overwrite")
+    vt.write(
+        spark.createDataFrame([(10, 100, None)], "id long, val long, tag string")
+    )
+    assert main(["branch", root, "merge", "fix", "--on", "id"]) == 0
+    out_lines = capsys.readouterr().out.strip().splitlines()
+    res = _json.loads(out_lines[0])
+    assert res["keys_from_branch"] == 1
+    got = {r.id: r.val for r in vt.read().collect()}
+    assert got == {2: 20, 3: 999, 4: 40, 5: 50, 10: 100}
+    # merge requires --on
+    vt.create_branch("fix2")
+    assert main(["branch", root, "merge", "fix2"]) == 1
