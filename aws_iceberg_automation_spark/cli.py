@@ -101,6 +101,12 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="comma-separated merge key columns (required for merge)",
     )
+    br.add_argument(
+        "--resolve",
+        choices=["ours", "theirs"],
+        default=None,
+        help="conflict policy for merge (default: raise on conflicts)",
+    )
 
     al = sub.add_parser(
         "alter", help="metadata-only schema evolution on a versioned table"
@@ -116,6 +122,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     al.add_argument(
         "--drop", action="append", default=[], help="column to drop (repeatable)"
+    )
+    al.add_argument(
+        "--widen", action="append", default=[],
+        help="'col=type' legal type promotion, e.g. qty=bigint (repeatable)",
     )
 
     de = sub.add_parser(
@@ -368,8 +378,22 @@ def main(argv: list[str] | None = None) -> int:
                 if not args.on:
                     print("error: --on key columns required", file=sys.stderr)
                     return 1
-                res = vt.merge_branch(args.name, on=args.on.split(","))
-                print(json.dumps(res))
+                res = vt.merge_branch(
+                    args.name, on=args.on.split(","), resolve=args.resolve
+                )
+                # one machine-readable JSON object per invocation, like
+                # every other CLI path (round-9 ADVICE: the shared
+                # current/refs print after the merge print emitted two)
+                print(
+                    json.dumps(
+                        {
+                            **res,
+                            "current": vt.current_version(),
+                            "refs": vt.refs(),
+                        }
+                    )
+                )
+                return 0
             print(
                 json.dumps({"current": vt.current_version(), "refs": vt.refs()})
             )
@@ -389,12 +413,26 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"error: --rename wants 'old=new', got {r!r}", file=sys.stderr)
                 return 1
             renames[old] = new
+        widens = {}
+        for w in args.widen:
+            col, _, typ = w.partition("=")
+            if not typ:
+                print(f"error: --widen wants 'col=type', got {w!r}", file=sys.stderr)
+                return 1
+            widens[col] = typ
         try:
-            v = vt.alter_table(
-                adds=args.add or None,
-                renames=renames or None,
-                drops=args.drop or None,
-            )
+            v = None
+            if args.add or renames or args.drop:
+                v = vt.alter_table(
+                    adds=args.add or None,
+                    renames=renames or None,
+                    drops=args.drop or None,
+                )
+            if widens:
+                v = vt.alter_column_type(widens)
+            if v is None:
+                print("error: nothing to alter", file=sys.stderr)
+                return 1
         except VersioningError as e:
             print(f"error: {e}", file=sys.stderr)
             return 1

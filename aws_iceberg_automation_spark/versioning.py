@@ -94,6 +94,15 @@ class Snapshot:
     # BEFORE the delete's era (Iceberg sequence-number semantics), so
     # a later re-insert of a deleted key survives.
     eq_deletes: list = field(default_factory=list)
+    # Cumulative era-tagged type-promotion history [[era, col, to]]
+    # (Iceberg v2 legal widens: int→bigint, float→double,
+    # decimal(p,s)→decimal(p',s)). Like rename_log it is SELF-CONTAINED
+    # per manifest; a widen at era E casts files of era < E at read —
+    # data files are never rewritten, and time travel below E shows the
+    # column's own narrower type. ``col`` is the column's name AS OF
+    # the widen era (the replay applies renames and widens in one
+    # era-ordered pass, so names always line up).
+    type_log: list = field(default_factory=list)
 
 
 # JSON-representable bound types we collect and compare. Everything else
@@ -326,6 +335,8 @@ class VersionedTable:
         rename_log: list | None = None,
         schema: list | None = None,
         eq_deletes: list | None = None,
+        type_log: list | None = None,
+        move_current: bool = True,
     ) -> int:
         manifest = Snapshot(
             version=version,
@@ -338,6 +349,7 @@ class VersionedTable:
             rename_log=rename_log or [],
             schema=schema,
             eq_deletes=eq_deletes or [],
+            type_log=type_log or [],
         )
         path = self._manifest_path(version)
         if os.path.exists(path):
@@ -347,10 +359,11 @@ class VersionedTable:
             )
         with open(path, "w") as f:
             json.dump(manifest.__dict__, f)
-        tmp = os.path.join(self._meta, "CURRENT.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, os.path.join(self._meta, "CURRENT"))
+        if move_current:
+            tmp = os.path.join(self._meta, "CURRENT.tmp")
+            with open(tmp, "w") as f:
+                f.write(str(version))
+            os.replace(tmp, os.path.join(self._meta, "CURRENT"))
         return version
 
     # -- write (#17/#18 with history) ----------------------------------
@@ -403,13 +416,24 @@ class VersionedTable:
         schema = None
         rename_log: list = []
         eq_deletes: list = []
+        type_log: list = []
         if parent is not None:
             parent_snap = self.snapshot(parent)
-            # declared schema + rename history survive data commits
-            # (ALTER is the only op that changes them — Iceberg
-            # semantics)
+            # declared schema + rename/type history survive data
+            # commits (ALTER is the only op that changes them —
+            # Iceberg semantics)
             schema = parent_snap.schema
             rename_log = parent_snap.rename_log
+            type_log = parent_snap.type_log
+            if mode == "overwrite" and schema is not None:
+                # an overwrite replaces the visible file set wholesale,
+                # so the declared schema must describe the NEW frame —
+                # a merge commit may legitimately carry branch-side
+                # names/types reconciled past the parent's declaration
+                schema = [
+                    [f.name, f.dataType.simpleString()]
+                    for f in df.schema.fields
+                ]
             if mode == "append":
                 files += parent_snap.files
                 # carried files keep their already-collected bounds
@@ -429,6 +453,7 @@ class VersionedTable:
             rename_log=rename_log,
             schema=schema,
             eq_deletes=eq_deletes,
+            type_log=type_log,
         )
 
     def _read_files(self, files: list[str]) -> DataFrame:
@@ -464,6 +489,32 @@ class VersionedTable:
 
     # -- schema evolution + MOR assembly (round-9) ----------------------
 
+    def _replay_schema_ops(self, df: DataFrame, file_era: int,
+                           snap: Snapshot) -> DataFrame:
+        """Translate one file-era frame forward through every metadata
+        op committed AFTER that era, in era order: renames move the
+        physical column to its current name (a DROP is recorded as a
+        rename onto a reserved tombstone name, so a later ADD that
+        REUSES the dropped name can never resurrect old-era data);
+        widens cast the column to its promoted type (metadata-only —
+        the file keeps its narrow physical type forever, and time
+        travel below the widen era still shows it). One merged pass so
+        a widen recorded under a post-rename name finds the column the
+        commit actually named."""
+        ops = sorted(
+            [(e, "rn", a, b) for e, a, b in snap.rename_log]
+            + [(e, "ty", a, b) for e, a, b in snap.type_log],
+            key=lambda t: t[0],
+        )
+        for era, kind, a, b in ops:
+            if era <= file_era or a not in df.columns:
+                continue
+            if kind == "rn":
+                df = df.withColumnRenamed(a, b)
+            else:
+                df = df.withColumn(a, F.col(a).cast(b))
+        return df
+
     def _assemble(self, snap: Snapshot, files: list[str] | None = None) -> DataFrame:
         """Read a snapshot's (or an explicit subset of its) files with
         full table semantics: per-era forward column renames (Iceberg
@@ -497,18 +548,18 @@ class VersionedTable:
             if partitioned:
                 reader = reader.option("basePath", root)
             df = reader.parquet(*fs)
-            for rera, old, new in snap.rename_log:
-                if rera > era and old in df.columns:
-                    df = df.withColumnRenamed(old, new)
+            df = self._replay_schema_ops(df, era, snap)
             for entry in snap.eq_deletes:
                 if entry["era"] > era:
                     dv = self.spark.read.parquet(*entry["files"])
                     keys = list(entry["keys"])
                     # delete keys were written in the delete era's
-                    # namespace; translate them forward too
+                    # namespace; translate names AND types forward too
+                    # (a widened key column must anti-join at the
+                    # promoted type on both sides)
+                    dv = self._replay_schema_ops(dv, entry["era"], snap)
                     for rera, old, new in snap.rename_log:
                         if rera > entry["era"] and old in keys:
-                            dv = dv.withColumnRenamed(old, new)
                             keys[keys.index(old)] = new
                     df = df.join(
                         F.broadcast(dv.select(*keys).distinct()),
@@ -535,6 +586,7 @@ class VersionedTable:
         adds: list[str] | None = None,
         renames: dict[str, str] | None = None,
         drops: list[str] | None = None,
+        branch: str | None = None,
     ) -> int:
         """Metadata-only schema evolution commit (Iceberg ALTER TABLE:
         add / rename / drop columns without rewriting a single data
@@ -544,8 +596,28 @@ class VersionedTable:
         hides columns. Applied in rename → drop → add order. Every
         prior snapshot keeps ITS OWN schema: time travel shows the
         table as it was, incremental reads surface rows in the
-        to-version's namespace."""
-        parent = self.current_version()
+        to-version's namespace.
+
+        A DROP also records a rename of the physical column onto a
+        reserved tombstone name (``__dropped_v<era>__<col>``) so that a
+        later ADD reusing the dropped NAME is a genuinely new column:
+        old-era files' data stays hidden (NULL-backfilled) instead of
+        resurrecting under the recycled name — Iceberg gets this from
+        field IDs; the tombstone rename is the name-based equivalent.
+
+        ``branch=`` commits the ALTER onto a branch head (moving only
+        the branch ref), so staged write-audit-publish work can evolve
+        its schema before publish/merge."""
+        refs = None
+        if branch is not None:
+            refs = self.refs()
+            if branch not in refs or refs[branch]["type"] != "branch":
+                raise VersioningError(
+                    f"no branch {branch!r} — create_branch first (refs: {refs})"
+                )
+            parent = refs[branch]["version"]
+        else:
+            parent = self.current_version()
         if parent is None:
             raise VersioningError("cannot ALTER an empty table")
         snap = self.snapshot(parent)
@@ -583,11 +655,18 @@ class VersionedTable:
         if not schema:
             raise VersioningError("ALTER would drop every column")
         new_version = self._next_version()
+        # order matters within the era: same-era renames must replay
+        # BEFORE the drop tombstones (rename a→b then drop b tombstones
+        # b); sorted() is stable on equal eras, so list order rules
         rename_log = [
             *snap.rename_log,
             *[[new_version, old, new] for old, new in renames.items()],
+            *[
+                [new_version, d, f"__dropped_v{new_version}__{d}"]
+                for d in (drops or [])
+            ],
         ]
-        return self._commit(
+        v = self._commit(
             snap.files,
             "alter",
             parent,
@@ -597,7 +676,99 @@ class VersionedTable:
             rename_log=rename_log,
             schema=schema,
             eq_deletes=snap.eq_deletes,
+            type_log=snap.type_log,
+            move_current=branch is None,
         )
+        if branch is not None:
+            refs[branch]["version"] = v
+            self._write_refs(refs)
+        return v
+
+    # Iceberg v2 legal type promotions (widen-only — narrowing would
+    # corrupt existing data files' values at read).
+    _WIDENS = {
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("float", "double"),
+    }
+
+    def alter_column_type(
+        self, changes: dict[str, str], branch: str | None = None
+    ) -> int:
+        """Metadata-only TYPE WIDENING (the remaining Iceberg v2 ALTER
+        verb: int→bigint, float→double, decimal(p,s)→decimal(p',s) with
+        p'≥p and the SAME scale). No data file is rewritten — readers
+        cast each narrower-era file forward at scan, exactly like the
+        rename chain, and time travel below the widen era still shows
+        the column's own narrower type. Illegal promotions (narrowing,
+        cross-family, decimal scale changes) raise before committing
+        anything."""
+        refs = None
+        if branch is not None:
+            refs = self.refs()
+            if branch not in refs or refs[branch]["type"] != "branch":
+                raise VersioningError(
+                    f"no branch {branch!r} — create_branch first (refs: {refs})"
+                )
+            parent = refs[branch]["version"]
+        else:
+            parent = self.current_version()
+        if parent is None:
+            raise VersioningError("cannot ALTER an empty table")
+        snap = self.snapshot(parent)
+        if snap.schema is not None:
+            schema = [list(c) for c in snap.schema]
+        else:
+            schema = [
+                [f.name, f.dataType.simpleString()]
+                for f in self.read(version=parent).schema.fields
+            ]
+        by_name = {n: t for n, t in schema}
+        for col, to in changes.items():
+            if col not in by_name:
+                raise VersioningError(
+                    f"widen column {col!r} not in {sorted(by_name)}"
+                )
+            frm = by_name[col].strip().lower()
+            to_n = to.strip().lower()
+            dec = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", frm)
+            dec_to = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", to_n)
+            ok = (frm, to_n) in self._WIDENS or (
+                dec is not None
+                and dec_to is not None
+                and int(dec_to.group(1)) >= int(dec.group(1))
+                and dec_to.group(2) == dec.group(2)
+            )
+            if not ok:
+                raise VersioningError(
+                    f"illegal type promotion {col!r}: {frm} → {to_n} "
+                    "(legal: int→bigint, float→double, "
+                    "decimal(p,s)→decimal(p'≥p,s))"
+                )
+        new_version = self._next_version()
+        new_schema = [
+            [n, changes.get(n, t) if n in changes else t] for n, t in schema
+        ]
+        v = self._commit(
+            snap.files,
+            "alter-type",
+            parent,
+            new_version,
+            snap.stats,
+            rename_log=snap.rename_log,
+            schema=new_schema,
+            eq_deletes=snap.eq_deletes,
+            type_log=[
+                *snap.type_log,
+                *[[new_version, c, t] for c, t in changes.items()],
+            ],
+            move_current=branch is None,
+        )
+        if branch is not None:
+            refs[branch]["version"] = v
+            self._write_refs(refs)
+        return v
 
     def delete_where_eq(self, predicate: str, keys: list[str]) -> int:
         """MERGE-ON-READ delete (Iceberg v2 equality-delete files): the
@@ -635,6 +806,7 @@ class VersionedTable:
             rename_log=snap.rename_log,
             schema=snap.schema,
             eq_deletes=[*snap.eq_deletes, entry],
+            type_log=snap.type_log,
         )
 
     def compact_eq_deletes(self) -> int:
@@ -1483,25 +1655,30 @@ class VersionedTable:
         ]
         stats = _collect_file_stats(files)
         parent_snap = self.snapshot(parent)
+        # carry the parent's FULL metadata exactly like write() — a
+        # manually-built manifest here silently reverted renames/adds/
+        # drops to physical names and resurrected equality-deleted rows
+        # on branch staging (round-9 ADVICE finding)
+        eq_deletes: list = []
         if mode == "append":
             files += parent_snap.files
             stats.update(parent_snap.stats)
-        manifest = Snapshot(
-            version=new_version,
-            parent=parent,
-            ts=datetime.now(timezone.utc).isoformat(),
-            op=f"branch-{mode}",
-            files=sorted(files),
-            stats=stats,
+            eq_deletes = parent_snap.eq_deletes
+        v = self._commit(
+            files,
+            f"branch-{mode}",
+            parent,
+            new_version,
+            stats,
+            rename_log=parent_snap.rename_log,
+            schema=parent_snap.schema,
+            eq_deletes=eq_deletes,
+            type_log=parent_snap.type_log,
+            move_current=False,
         )
-        path = self._manifest_path(new_version)
-        if os.path.exists(path):
-            raise VersioningError(f"snapshot v{new_version} already exists")
-        with open(path, "w") as f:
-            json.dump(manifest.__dict__, f)
-        refs[branch]["version"] = new_version
+        refs[branch]["version"] = v
         self._write_refs(refs)
-        return new_version
+        return v
 
     def _key_fingerprints(self, df: DataFrame, on: list[str]) -> DataFrame:
         """Per-key payload fingerprint: md5 over the SORTED list of
@@ -1519,31 +1696,18 @@ class VersionedTable:
             ).alias("_fp")
         )
 
-    def merge_branch(self, branch: str, on: list[str]) -> dict:
-        """THREE-WAY branch merge (the git-merge analog Iceberg's
-        fast_forward refuses to be): diff both heads against the
-        branch's recorded fork point at key grain — a key counts as
-        changed on a side if its full row set differs from base
-        (update, insert and delete all count) — then:
-
-        - keys changed on NEITHER or only on MAIN keep main's rows;
-        - keys changed only on the BRANCH take the branch's rows
-          (including branch deletions);
-        - keys changed on BOTH sides with DIFFERENT final row sets are
-          CONFLICTS → the merge raises before committing anything
-          (no half-merged state; resolve by re-staging). Both-changed-
-          but-equal keys merge cleanly (the git rule).
-
-        Commits one overwrite snapshot (op="merge-branch") on MAIN and
-        drops the branch ref. Returns {"version", "from_branch",
-        "keys_from_branch"}.
-
-        Scale: three per-key fingerprint aggregates + keyed anti/semi
-        joins — no row-by-row driver work; fingerprints shuffle at key
-        grain exactly like the COW merge."""
-        refs = self.refs()
-        if branch not in refs or refs[branch]["type"] != "branch":
-            raise VersioningError(f"no branch {branch!r} (refs: {refs})")
+    def _reconciled_merge_frames(
+        self, branch: str, on: list[str], refs: dict
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(ours, theirs, base) for a 3-way merge with mid-branch ALTER
+        reconciliation: metadata ops committed on EITHER side after the
+        fork (renames — including the drop tombstones — and type
+        widens) are replayed onto the side that hasn't seen them, and a
+        column ADDed on only one side is NULL-backfilled on the other,
+        so a branch that renamed/widened/added/dropped merges without a
+        single data file moving. Genuinely irreconcilable shapes (both
+        sides renamed the same column differently, same-name adds with
+        different types) still raise."""
         base_v = refs[branch].get("base")
         if base_v is None:
             raise VersioningError(
@@ -1554,11 +1718,85 @@ class VersionedTable:
         ours = self.read(version=cur)
         theirs = self.read_branch(branch)
         base = self.read(version=base_v)
+        o_snap = self.snapshot(cur)
+        t_snap = self.snapshot(self.resolve_ref(branch))
+
+        def post_fork_ops(snap: Snapshot) -> list:
+            return sorted(
+                [(e, "rn", a, b) for e, a, b in snap.rename_log if e > base_v]
+                + [(e, "ty", a, b) for e, a, b in snap.type_log if e > base_v],
+                key=lambda t: t[0],
+            )
+
+        def apply(df: DataFrame, ops: list) -> DataFrame:
+            for _era, kind, a, b in ops:
+                if a not in df.columns:
+                    continue
+                df = (
+                    df.withColumnRenamed(a, b)
+                    if kind == "rn"
+                    else df.withColumn(a, F.col(a).cast(b))
+                )
+            return df
+
+        t_ops, o_ops = post_fork_ops(t_snap), post_fork_ops(o_snap)
+        ours = apply(ours, t_ops)
+        theirs = apply(theirs, o_ops)
+        base = apply(apply(base, t_ops), o_ops)
+
+        def drop_tombstones(df: DataFrame) -> DataFrame:
+            dead = [c for c in df.columns if c.startswith("__dropped_v")]
+            return df.drop(*dead) if dead else df
+
+        ours, theirs, base = map(drop_tombstones, (ours, theirs, base))
+        missing_keys = [
+            k for k in on if k not in ours.columns or k not in theirs.columns
+        ]
+        if missing_keys:
+            raise VersioningError(
+                f"merge keys {missing_keys} missing after schema "
+                f"reconciliation (main {ours.columns}, branch {theirs.columns})"
+            )
+        # post-fork single-side ADDs: NULL-backfill the other side and
+        # base at the adder's declared type — unchanged keys stay
+        # fingerprint-equal, rows from the adding side carry values
+        o_t, t_t = dict(ours.dtypes), dict(theirs.dtypes)
+        for c in [c for c in theirs.columns if c not in o_t]:
+            ours = ours.withColumn(c, F.lit(None).cast(t_t[c]))
+        for c in [c for c in ours.columns if c not in t_t]:
+            theirs = theirs.withColumn(c, F.lit(None).cast(o_t[c]))
+        for c in [c for c in ours.columns if c not in base.columns]:
+            base = base.withColumn(
+                c, F.lit(None).cast(dict(ours.dtypes)[c])
+            )
         if set(ours.columns) != set(theirs.columns):
             raise VersioningError(
-                f"schema mismatch: main {ours.columns} vs "
-                f"branch {theirs.columns}"
+                f"schema mismatch after reconciliation: main {ours.columns} "
+                f"vs branch {theirs.columns}"
             )
+        o_t, t_t = dict(ours.dtypes), dict(theirs.dtypes)
+        mismatched = sorted(c for c in o_t if o_t[c] != t_t[c])
+        if mismatched:
+            raise VersioningError(
+                "dtype mismatch on "
+                + ", ".join(
+                    f"{c!r} (main {o_t[c]} vs branch {t_t[c]})"
+                    for c in mismatched
+                )
+            )
+        if not [c for c in ours.columns if c not in on]:
+            raise VersioningError(
+                f"merge keys {on} cover every column — no payload left "
+                "to diff; merge at a coarser key"
+            )
+        return ours, theirs, base
+
+    def _merge_tri(
+        self, branch: str, on: list[str], refs: dict
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(tri, ours, theirs): per-key changed-on-main/changed-on-
+        branch/sides-differ flags against the recorded fork point."""
+        ours, theirs, base = self._reconciled_merge_frames(branch, on, refs)
         fp_b = self._key_fingerprints(base, on).withColumnRenamed("_fp", "_b")
         fp_o = self._key_fingerprints(ours, on).withColumnRenamed("_fp", "_o")
         fp_t = self._key_fingerprints(theirs, on).withColumnRenamed("_fp", "_t")
@@ -1572,18 +1810,72 @@ class VersionedTable:
                 (~F.col("_o").eqNullSafe(F.col("_t"))).alias("diff_ot"),
             )
         )
-        n_conflicts = tri.filter(
+        return tri, ours, theirs
+
+    def merge_conflicts(self, branch: str, on: list[str]) -> DataFrame:
+        """The conflict KEY SET a ``merge_branch(branch, on)`` would
+        raise on — keys changed on both sides with different final row
+        sets — as a DataFrame the caller can inspect, join back against
+        either head, or feed a manual resolution from. Read-only: no
+        commit, no ref movement."""
+        refs = self.refs()
+        if branch not in refs or refs[branch]["type"] != "branch":
+            raise VersioningError(f"no branch {branch!r} (refs: {refs})")
+        tri, _, _ = self._merge_tri(branch, on, refs)
+        return tri.filter(
             F.col("o_ch") & F.col("t_ch") & F.col("diff_ot")
-        ).count()
-        if n_conflicts:
+        ).select(*on)
+
+    def merge_branch(
+        self, branch: str, on: list[str], resolve: str | None = None
+    ) -> dict:
+        """THREE-WAY branch merge (the git-merge analog Iceberg's
+        fast_forward refuses to be): diff both heads against the
+        branch's recorded fork point at key grain — a key counts as
+        changed on a side if its full row set differs from base
+        (update, insert and delete all count) — then:
+
+        - keys changed on NEITHER or only on MAIN keep main's rows;
+        - keys changed only on the BRANCH take the branch's rows
+          (including branch deletions);
+        - keys changed on BOTH sides with DIFFERENT final row sets are
+          CONFLICTS: with ``resolve=None`` the merge raises before
+          committing anything (inspect via ``merge_conflicts``); with
+          ``resolve="ours"``/``"theirs"`` conflicted keys keep main's /
+          take the branch's rows (git merge -X ours/theirs). Both-
+          changed-but-equal keys merge cleanly (the git rule).
+
+        Mid-branch ALTERs reconcile through the era-tagged metadata
+        logs (see ``_reconciled_merge_frames``) instead of hard-raising
+        on a column-set mismatch.
+
+        Commits one overwrite snapshot (op="merge-branch") on MAIN and
+        drops the branch ref. Returns {"version", "from_branch",
+        "keys_from_branch", "conflicts", "resolve"}.
+
+        Scale: three per-key fingerprint aggregates + keyed anti/semi
+        joins — no row-by-row driver work; fingerprints shuffle at key
+        grain exactly like the COW merge."""
+        if resolve not in (None, "ours", "theirs"):
+            raise VersioningError(
+                f"resolve must be None/'ours'/'theirs', got {resolve!r}"
+            )
+        refs = self.refs()
+        if branch not in refs or refs[branch]["type"] != "branch":
+            raise VersioningError(f"no branch {branch!r} (refs: {refs})")
+        tri, ours, theirs = self._merge_tri(branch, on, refs)
+        conflict = F.col("o_ch") & F.col("t_ch") & F.col("diff_ot")
+        n_conflicts = tri.filter(conflict).count()
+        if n_conflicts and resolve is None:
             raise VersioningError(
                 f"merge of branch {branch!r} has {n_conflicts} conflicting "
                 "key(s) (changed on both sides with different rows) — "
-                "resolve and re-stage"
+                "inspect merge_conflicts(branch, on), then re-stage or "
+                "pass resolve='ours'/'theirs'"
             )
         take_theirs = tri.filter(
-            F.col("t_ch") & ~F.col("o_ch").eqNullSafe(F.lit(True))
-            | (F.col("t_ch") & F.col("o_ch") & ~F.col("diff_ot"))
+            F.col("t_ch")
+            & (~conflict | F.lit(resolve == "theirs"))
         ).select(*on)
         n_from_branch = take_theirs.count()
         merged = ours.join(take_theirs, on, "left_anti").unionByName(
@@ -1595,6 +1887,8 @@ class VersionedTable:
             "version": v,
             "from_branch": branch,
             "keys_from_branch": int(n_from_branch),
+            "conflicts": int(n_conflicts),
+            "resolve": resolve,
         }
 
     def read_branch(self, name: str) -> DataFrame:

@@ -941,25 +941,35 @@ def test_expire_preserves_metadata_manifests(spark, vt):
 
 
 def test_random_schema_and_mor_sequences_match_model(spark, tmp_path):
-    """Round-9 state-machine fuzz (VERDICT r08 ask #2/#3): random
-    interleavings of append / eq-delete / re-insert / ALTER add/rename/
-    drop / delete-compaction / rollback, mirrored against a pure-Python
-    model of (schema, rows); after every step the real table's visible
-    frame must equal the model, and surviving snapshots must replay
+    """Round-9 state-machine fuzz (VERDICT r08 ask #2/#3), extended in
+    round 10 (VERDICT r09 asks #2/#7): random interleavings of append /
+    eq-delete / re-insert / ALTER add/rename/drop / TYPE WIDEN /
+    add-after-drop NAME REUSE / delete-compaction / rollback, mirrored
+    against a pure-Python model of (schema, coltypes, rows); after
+    every step the real table's visible frame must equal the model
+    (names, types AND values), and surviving snapshots must replay
     their recorded states with their recorded schemas."""
     import random
 
     rng = random.Random(20260816)
     vt = VersionedTable(spark, str(tmp_path / "evo_t"))
     # model: schema = ordered list of extra cols (beyond id), rows =
-    # {id: {col: val}}
+    # {id: {col: val}}; coltype tracks int/bigint per payload column
+    # (new columns start int half the time so widen has targets);
+    # retired collects dropped/renamed-away names for reuse
     schema: list[str] = ["v"]
+    coltype: dict[str, str] = {"v": "bigint"}
+    retired: list[str] = []
     rows: dict[int, dict[str, object]] = {}
-    history: dict[int, tuple[list[str], dict]] = {}
+    history: dict[int, tuple[list[str], dict, dict]] = {}
     next_id, next_col = 0, 0
 
     def snap_state():
-        return (list(schema), {k: dict(r) for k, r in rows.items()})
+        return (
+            list(schema),
+            dict(coltype),
+            {k: dict(r) for k, r in rows.items()},
+        )
 
     def fresh(n):
         nonlocal next_id
@@ -971,18 +981,24 @@ def test_random_schema_and_mor_sequences_match_model(spark, tmp_path):
 
     def to_df(batch):
         data = [(k, *[r[c] for c in schema]) for k, r in batch.items()]
-        ddl = "id long, " + ", ".join(f"{c} long" for c in schema)
+        ddl = "id long, " + ", ".join(f"{c} {coltype[c]}" for c in schema)
         return spark.createDataFrame(data, ddl)
 
     def check(tag):
         df = vt.read()
         assert df.columns == ["id", *schema], f"{tag}: cols {df.columns}"
+        want_types = {c: coltype[c].replace("bigint", "bigint") for c in schema}
+        got_types = dict(df.dtypes)
+        for c in schema:
+            assert got_types[c] == want_types[c], (
+                f"{tag}: {c} dtype {got_types[c]} != {want_types[c]}"
+            )
         got = {r["id"]: {c: r[c] for c in schema} for r in df.collect()}
         assert got == rows, f"{tag}: {got} != {rows}"
 
-    for step in range(24):
+    for step in range(28):
         op = rng.choice(
-            ["append", "eq_delete", "add", "rename", "drop",
+            ["append", "eq_delete", "add", "rename", "drop", "widen",
              "compact_deletes", "rollback", "append", "eq_delete"]
         )
         if op == "append" or not history:
@@ -997,25 +1013,46 @@ def test_random_schema_and_mor_sequences_match_model(spark, tmp_path):
             for k in cut:
                 rows.pop(k)
         elif op == "add":
-            col = f"c{next_col}"
-            next_col += 1
-            ver = vt.alter_table(adds=[f"{col} long"])
+            # half the time REUSE a retired name (the add-after-drop /
+            # add-after-rename corner: must come back as a fresh NULL
+            # column, never resurrect old-era data)
+            if retired and rng.random() < 0.5:
+                col = retired.pop(rng.randrange(len(retired)))
+            else:
+                col = f"c{next_col}"
+                next_col += 1
+            typ = rng.choice(["int", "bigint"])
+            ver = vt.alter_table(adds=[f"{col} {typ}"])
             schema.append(col)
+            coltype[col] = typ
             for r in rows.values():
                 r[col] = None
         elif op == "rename" and schema:
             old = rng.choice(schema)
             new = f"{old}_r"
+            if new in schema:
+                continue
             ver = vt.alter_table(renames={old: new})
             schema[schema.index(old)] = new
+            coltype[new] = coltype.pop(old)
+            retired.append(old)
             for r in rows.values():
                 r[new] = r.pop(old)
         elif op == "drop" and len(schema) > 1:
             col = rng.choice(schema[1:])  # keep at least one payload col
             ver = vt.alter_table(drops=[col])
             schema.remove(col)
+            coltype.pop(col)
+            retired.append(col)
             for r in rows.values():
                 r.pop(col)
+        elif op == "widen":
+            narrow = [c for c in schema if coltype[c] == "int"]
+            if not narrow:
+                continue
+            col = rng.choice(narrow)
+            ver = vt.alter_column_type({col: "bigint"})
+            coltype[col] = "bigint"
         elif op == "compact_deletes":
             cur = vt.current_version()
             if not vt.snapshot(cur).eq_deletes:
@@ -1024,9 +1061,11 @@ def test_random_schema_and_mor_sequences_match_model(spark, tmp_path):
         elif op == "rollback" and history:
             ver = rng.choice(sorted(history))
             vt.rollback(ver)
-            s, r = history[ver]
+            s, t, r = history[ver]
             schema = list(s)
+            coltype = dict(t)
             rows = {k: dict(v) for k, v in r.items()}
+            retired = [c for c in retired if c not in schema]
             check(f"step {step} rollback->v{ver}")
             continue
         else:
@@ -1034,7 +1073,7 @@ def test_random_schema_and_mor_sequences_match_model(spark, tmp_path):
         history[ver] = snap_state()
         check(f"step {step} {op}")
 
-    for v, (s, r) in history.items():
+    for v, (s, t, r) in history.items():
         try:
             df = vt.read(version=v)
         except VersioningError:
@@ -1085,3 +1124,204 @@ def test_cli_alter_delete_eq_and_merge(spark, tmp_path, capsys):
     # merge requires --on
     vt.create_branch("fix2")
     assert main(["branch", root, "merge", "fix2"]) == 1
+
+
+# -- round-10: type widening, name reuse, branch metadata, merge resolve --
+
+
+def test_alter_column_type_widen_across_boundary(spark, vt):
+    df = spark.createDataFrame([(1, 7), (2, 8)], "id long, qty int")
+    v1 = vt.write(df)
+    v2 = vt.alter_column_type({"qty": "bigint"})
+    # post-widen files carry the wide type physically
+    v3 = vt.write(spark.createDataFrame([(3, 2**40)], "id long, qty bigint"))
+    # time travel below the widen era shows the column's OWN type
+    assert dict(vt.read(version=v1).dtypes)["qty"] == "int"
+    assert dict(vt.read(version=v2).dtypes)["qty"] == "bigint"
+    got = dict(vt.read(version=v3).dtypes)
+    assert got["qty"] == "bigint"
+    assert {r.id: r.qty for r in vt.read().collect()} == {1: 7, 2: 8, 3: 2**40}
+
+
+def test_alter_column_type_rejects_illegal(spark, vt):
+    vt.write(spark.createDataFrame([(1, 7, 1.5)], "id long, qty int, w float"))
+    with pytest.raises(VersioningError, match="illegal type promotion"):
+        vt.alter_column_type({"id": "int"})  # narrowing
+    with pytest.raises(VersioningError, match="illegal type promotion"):
+        vt.alter_column_type({"qty": "double"})  # cross-family
+    with pytest.raises(VersioningError, match="not in"):
+        vt.alter_column_type({"nope": "bigint"})
+    # float → double is legal
+    vt.alter_column_type({"w": "double"})
+    assert dict(vt.read().dtypes)["w"] == "double"
+
+
+def test_alter_column_type_decimal_widen(spark, vt):
+    df = spark.sql("SELECT 1L AS id, CAST(1.25 AS DECIMAL(5,2)) AS amt")
+    vt.write(df)
+    with pytest.raises(VersioningError, match="illegal"):
+        vt.alter_column_type({"amt": "decimal(4,2)"})  # precision narrow
+    with pytest.raises(VersioningError, match="illegal"):
+        vt.alter_column_type({"amt": "decimal(10,4)"})  # scale change
+    vt.alter_column_type({"amt": "decimal(18,2)"})
+    assert dict(vt.read().dtypes)["amt"] == "decimal(18,2)"
+    assert str(vt.read().collect()[0].amt) == "1.25"
+
+
+def test_widen_interacts_with_rename_and_eq_delete(spark, vt):
+    vt.write(spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id int, v long"))
+    vt.delete_where_eq("v = 20", keys=["id"])   # delete file stores int ids
+    vt.alter_column_type({"id": "bigint"})      # widen the delete KEY column
+    vt.alter_table(renames={"id": "key"})
+    assert dict(vt.read().dtypes)["key"] == "bigint"
+    assert sorted(r.key for r in vt.read().collect()) == [1, 3]
+    # later re-insert of the deleted key survives (sequence semantics)
+    vt.write(spark.createDataFrame([(2, 200)], "key bigint, v long"))
+    assert sorted((r.key, r.v) for r in vt.read().collect()) == [
+        (1, 10), (2, 200), (3, 30)]
+
+
+def test_add_after_drop_name_reuse_stays_era_correct(spark, vt):
+    """A later ADD that reuses a dropped column's NAME is a brand-new
+    column: old-era files must NULL-backfill it, never resurrect the
+    dropped data (Iceberg gets this from field IDs; the tombstone
+    rename in alter_table is the name-based equivalent)."""
+    vt.write(spark.createDataFrame([(1, "secret")], "id long, note string"))
+    v_drop = vt.alter_table(drops=["note"])
+    vt.alter_table(adds=["note string"])
+    vt.write(spark.createDataFrame([(2, "fresh")], "id long, note string"))
+    got = {r.id: r.note for r in vt.read().collect()}
+    assert got == {1: None, 2: "fresh"}
+    # time travel: the drop-era read has no 'note' at all
+    assert vt.read(version=v_drop).columns == ["id"]
+
+
+def test_rename_onto_previously_dropped_name(spark, vt):
+    vt.write(spark.createDataFrame([(1, 10, 99)], "id long, v long, old long"))
+    vt.alter_table(drops=["old"])
+    vt.alter_table(renames={"v": "old"})  # recycle the dropped name
+    got = vt.read().collect()[0]
+    assert vt.read().columns == ["id", "old"]
+    assert (got.id, got.old) == (1, 10)  # v's data, not the dropped 99
+
+
+def test_write_to_branch_preserves_alter_and_mor(spark, vt):
+    """Round-9 ADVICE (high): branch staging used to rebuild its
+    manifest by hand, dropping schema/rename_log/eq_deletes — an
+    append to a branch of an ALTERed + MOR-deleted table silently
+    resurrected deleted rows and reverted renames."""
+    vt.write(spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id long, v long"))
+    vt.alter_table(renames={"v": "val"}, adds=["tag string"])
+    vt.delete_where_eq("val = 20", keys=["id"])
+    vt.create_branch("stage")
+    vt.write_to_branch(
+        spark.createDataFrame([(9, 90, "t")], "id long, val long, tag string"),
+        "stage",
+    )
+    got = {r.id: (r.val, r.tag) for r in vt.read_branch("stage").collect()}
+    # renamed column intact, added column intact, deleted row STILL deleted
+    assert got == {1: (10, None), 3: (30, None), 9: (90, "t")}
+    assert vt.read_branch("stage").columns == ["id", "val", "tag"]
+    # publish fast-forwards the correct semantics to main
+    vt.publish_branch("stage")
+    assert {r.id for r in vt.read().collect()} == {1, 3, 9}
+
+
+def test_alter_on_branch_moves_only_the_ref(spark, vt):
+    vt.write(spark.createDataFrame([(1, 10)], "id int, v long"))
+    main_head = vt.current_version()
+    vt.create_branch("b")
+    vt.alter_table(renames={"v": "val"}, branch="b")
+    vt.alter_column_type({"id": "bigint"}, branch="b")
+    assert vt.current_version() == main_head
+    assert vt.read().columns == ["id", "v"]
+    assert dict(vt.read().dtypes)["id"] == "int"
+    assert vt.read_branch("b").columns == ["id", "val"]
+    assert dict(vt.read_branch("b").dtypes)["id"] == "bigint"
+
+
+def test_merge_conflicts_and_resolve(spark, vt):
+    vt.write(spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id long, v long"))
+    vt.create_branch("b")
+    # branch edits id=2 -> 222 and id=3 -> 333
+    vt.write_to_branch(
+        spark.createDataFrame([(1, 10), (2, 222), (3, 333)], "id long, v long"),
+        "b", mode="overwrite")
+    # main edits id=2 -> 200 (conflict with branch) and adds id=4
+    vt.write(spark.createDataFrame(
+        [(1, 10), (2, 200), (3, 30), (4, 40)], "id long, v long"),
+        mode="overwrite")
+    conf = vt.merge_conflicts("b", on=["id"])
+    assert [r.id for r in conf.collect()] == [2]
+    with pytest.raises(VersioningError, match="conflicting"):
+        vt.merge_branch("b", on=["id"])
+    res = vt.merge_branch("b", on=["id"], resolve="theirs")
+    assert res["conflicts"] == 1
+    got = {r.id: r.v for r in vt.read().collect()}
+    assert got == {1: 10, 2: 222, 3: 333, 4: 40}
+
+
+def test_merge_resolve_ours_keeps_main_conflicts(spark, vt):
+    vt.write(spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"))
+    vt.create_branch("b")
+    vt.write_to_branch(
+        spark.createDataFrame([(1, 111), (2, 222)], "id long, v long"),
+        "b", mode="overwrite")
+    vt.write(spark.createDataFrame([(1, 100), (2, 20)], "id long, v long"),
+             mode="overwrite")
+    res = vt.merge_branch("b", on=["id"], resolve="ours")
+    got = {r.id: r.v for r in vt.read().collect()}
+    # id=1 conflicted -> main's 100 kept; id=2 branch-only change taken
+    assert got == {1: 100, 2: 222}
+    assert res["conflicts"] == 1
+    with pytest.raises(VersioningError, match="resolve must be"):
+        vt.create_branch("b2")
+        vt.merge_branch("b2", on=["id"], resolve="keep-both")
+
+
+def test_merge_reconciles_mid_branch_rename_and_add(spark, vt):
+    vt.write(spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id long, v long"))
+    vt.create_branch("evo")
+    vt.alter_table(renames={"v": "val"}, branch="evo")
+    vt.alter_table(adds=["tag string"], branch="evo")
+    vt.write_to_branch(
+        spark.createDataFrame([(9, 90, "new")],
+                              "id long, val long, tag string"), "evo")
+    # main advances independently (no overlap -> no conflict)
+    vt.write(spark.createDataFrame([(4, 40)], "id long, v long"))
+    res = vt.merge_branch("evo", on=["id"])
+    assert res["conflicts"] == 0
+    out = vt.read()
+    assert sorted(out.columns) == ["id", "tag", "val"]
+    got = {r.id: (r.val, r.tag) for r in out.collect()}
+    assert got == {1: (10, None), 2: (20, None), 3: (30, None),
+                   4: (40, None), 9: (90, "new")}
+
+
+def test_merge_reconciles_mid_branch_widen_and_drop(spark, vt):
+    vt.write(spark.createDataFrame(
+        [(1, 7, "x"), (2, 8, "y")], "id long, qty int, junk string"))
+    vt.create_branch("evo")
+    vt.alter_column_type({"qty": "bigint"}, branch="evo")
+    vt.alter_table(drops=["junk"], branch="evo")
+    vt.write_to_branch(
+        spark.createDataFrame([(3, 2**40)], "id long, qty bigint"), "evo")
+    vt.write(spark.createDataFrame(
+        [(4, 9, "z")], "id long, qty int, junk string"))
+    res = vt.merge_branch("evo", on=["id"])
+    out = vt.read()
+    assert res["conflicts"] == 0
+    assert sorted(out.columns) == ["id", "qty"]
+    assert dict(out.dtypes)["qty"] == "bigint"
+    assert {r.id: r.qty for r in out.collect()} == {
+        1: 7, 2: 8, 3: 2**40, 4: 9}
+
+
+def test_merge_rejects_dtype_mismatch_and_no_payload(spark, vt):
+    vt.write(spark.createDataFrame([(1, 10)], "id long, v long"))
+    vt.create_branch("b")
+    with pytest.raises(VersioningError, match="cover every column"):
+        vt.merge_branch("b", on=["id", "v"])
