@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..functions.compat import split_bucket, sql_portable_hash64, sql_split_bucket
 from ..io import load_table
+from ..functions.ckpt import checkpoint_df
 from ..registry import register
 
 # --- shared shingle/signature expressions (JVM-side, codegen'd) -------
@@ -237,7 +238,7 @@ def _lsh_candidate_pairs_frame(
     # with the same two documented costs: constructing the DataFrame is
     # eager (the checkpoint job runs at plan-build), and PLANS.md's
     # audit row shows the post-checkpoint plan.
-    banded = banded.localCheckpoint()
+    banded = banded.transform(checkpoint_df)
     sizes = banded.groupBy("band", "band_hash").agg(
         F.count(F.lit(1)).alias("bucket_size")
     )
@@ -572,13 +573,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         pairs.selectExpr("doc_id_a AS src", "doc_id_b AS dst")
         .union(pairs.selectExpr("doc_id_b AS src", "doc_id_a AS dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_df)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_df)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -594,7 +595,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_df)
         )
         changed = (
             new_labels.alias("n")
@@ -2057,7 +2058,7 @@ def q285_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pin it or the shingle digest re-runs per arm (62 s → re-probe
         # after pinning at the 20× replica). Lazy: plan-building never
         # executes it.
-        .localCheckpoint(eager=False)
+        .transform(lambda d: checkpoint_df(d, eager=False))
     )
     sz = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     anch = post.groupBy("doc_id").agg(F.min("g").alias("a"))

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..functions.ckpt import checkpoint_df
 from ..registry import register
 
 
@@ -39,13 +40,13 @@ def _graph_state(edges: DataFrame) -> tuple[DataFrame, DataFrame, int]:
         edges.select("src", "dst")
         .distinct()
         .repartition("src")
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_df)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_df)
     )
     n = nodes.count()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -54,7 +55,7 @@ def _graph_state(edges: DataFrame) -> tuple[DataFrame, DataFrame, int]:
         nodes.join(outdeg, nodes.node == outdeg.src, "left")
         .select("node", "deg")
         .repartition("node")
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_df)
     )
     return edges, state, n
 
@@ -93,7 +94,7 @@ def pagerank(
                     * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_df)
         )
         delta = (
             new_ranks.alias("n")
@@ -189,7 +190,7 @@ def pagerank_fixedpoint(
                 .cast("bigint")
                 .alias("r"),
             )
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_df)
         )
     return ranks
 
@@ -332,7 +333,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .transform(checkpoint_df)
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -351,7 +352,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_dst"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("id_dst"),
-    ).localCheckpoint()
+    ).transform(checkpoint_df)
     o1 = oriented.select("src", F.col("dst").alias("d1"),
                          F.col("deg_dst").alias("deg1"), F.col("id_dst").alias("id1"))
     o2 = oriented.select("src", F.col("dst").alias("d2"),
@@ -679,7 +680,7 @@ def q332_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("ga.c").alias("x"), F.col("gb.c").alias("y"))
         .distinct()
-        .localCheckpoint()  # edges feed degrees AND the triangle kernel
+        .transform(checkpoint_df)  # edges feed degrees AND the triangle kernel
     )
     deg = (
         edges.select(F.col("x").alias("node"))
@@ -869,13 +870,13 @@ def q357_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         e0.unionAll(e0.select(F.col("y").alias("x"), F.col("x").alias("y")))
         .repartition("x")
-        .localCheckpoint()
+        .transform(checkpoint_df)
     )
     seeds = (
         edges.select("x").distinct().orderBy("x").limit(5)
         .select(F.col("x").alias("node"))
     )
-    visited = seeds.withColumn("hop", F.lit(0)).localCheckpoint()
+    visited = seeds.withColumn("hop", F.lit(0)).transform(checkpoint_df)
     frontier = visited
     for h in (1, 2, 3):
         nxt = (
@@ -885,7 +886,7 @@ def q357_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(h))
         )
-        visited = visited.unionAll(nxt).localCheckpoint()
+        visited = visited.unionAll(nxt).transform(checkpoint_df)
         frontier = nxt
     return visited.groupBy("hop").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
@@ -976,7 +977,7 @@ def q358_common_neighbor_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select(F.col("ga.c").alias("x"), F.col("gb.c").alias("y"))
         .distinct()
-        .localCheckpoint()  # e0 feeds e (×2), the anti-join, and degrees
+        .transform(checkpoint_df)  # e0 feeds e (×2), the anti-join, and degrees
     )
     e = e0.unionAll(e0.select(F.col("y").alias("x"), F.col("x").alias("y")))
     deg = e.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
@@ -1076,7 +1077,7 @@ def q359_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("ga.c").alias("x"), F.col("gb.c").alias("y"))
         .distinct()
-        .localCheckpoint()
+        .transform(checkpoint_df)
     )
     e = e0.unionAll(e0.select(F.col("y").alias("x"), F.col("x").alias("y")))
     deg = e.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
@@ -1170,7 +1171,7 @@ def q374_harmonic_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select(F.col("ga.c").alias("x"), F.col("gb.c").alias("y"))
         .distinct()
-        .localCheckpoint()
+        .transform(checkpoint_df)
     )
     e = e0.unionAll(e0.select(F.col("y").alias("x"), F.col("x").alias("y")))
     deg = e.groupBy(F.col("x").alias("node")).agg(
@@ -1319,7 +1320,7 @@ def q381_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = (
         e.unionAll(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
         .repartition("x")
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_df)
     )
     nodes = e2.select(F.col("x").alias("node")).distinct().localCheckpoint(
         eager=True
@@ -1327,7 +1328,7 @@ def q381_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # voters: every neighbor plus the node itself (self-vote)
     voters = e2.select(F.col("x").alias("node"), F.col("y").alias("nb")).unionAll(
         nodes.select("node", F.col("node").alias("nb"))
-    ).localCheckpoint(eager=True)
+    ).transform(checkpoint_df)
     labels = nodes.select("node", F.col("node").alias("lab"))
     w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lab"))
     for _ in range(_LPA_ROUNDS):
@@ -1342,7 +1343,7 @@ def q381_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             votes.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", "lab")
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_df)
         )
     census = labels.groupBy(F.col("lab").alias("community")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
@@ -1435,7 +1436,7 @@ def q391_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = (
         e.unionAll(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
         .repartition("x")
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_df)
     )
     survivors = e2.select(F.col("x").alias("node")).distinct()
     deg = None
@@ -1452,7 +1453,7 @@ def q391_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors = (
             deg.filter(F.col("deg") >= _KCORE_K)
             .select("node")
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_df)
         )
         n = survivors.count()
         if n == prev_count:
@@ -1567,7 +1568,7 @@ def q392_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = (
         e.unionAll(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
         .repartition("x")
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_df)
     )
     nodes = e2.select(F.col("x").alias("node")).distinct().localCheckpoint(
         eager=True
@@ -1575,7 +1576,7 @@ def q392_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = nodes.agg(F.min("node")).collect()[0][0]  # one scalar
     deg = e2.groupBy(F.col("x").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
-    ).localCheckpoint(eager=True)
+    ).transform(checkpoint_df)
     teleport = _PPR_SCALE * 3 // 20
     # sparse rank frame: nonzero nodes only
     ranks = spark.createDataFrame(
@@ -1611,7 +1612,7 @@ def q392_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).join(contribs, "node", "left_anti")
             )
             .filter(F.col("r") > 0)
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_df)
         )
     return topn_ranked(
         ranks.select("node", F.col("r").alias("rank_fp")),

@@ -124,3 +124,37 @@ def test_triangle_count_closed_forms(spark):
     )
     out = {r.node: r.n_triangles for r in triangle_count(messy).collect()}
     assert out == {0: 1, 1: 1, 2: 1}
+
+
+def test_checkpoint_modes_identical(spark):
+    """VERDICT r09 ask #3: the reliable-checkpoint option must be a
+    durability change ONLY — PageRank over an asymmetric graph must be
+    bit-identical under checkpointMode local vs reliable (every
+    lineage cut in graph/dedup routes through functions/ckpt.py)."""
+    from aws_iceberg_automation_spark.functions.ckpt import MODE_CONF
+
+    e = _edges(
+        spark,
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (6, 1), (1, 6)],
+    )
+    def run():
+        return {
+            r.node: r.rank for r in pagerank(e, max_iter=12).collect()
+        }
+
+    spark.conf.set(MODE_CONF, "local")
+    local = run()
+    try:
+        spark.conf.set(MODE_CONF, "reliable")
+        reliable = run()
+    finally:
+        spark.conf.set(MODE_CONF, "local")
+    assert local == reliable  # exact float equality, not approx
+    assert spark.sparkContext.getCheckpointDir() is not None
+
+    spark.conf.set(MODE_CONF, "bogus")
+    try:
+        with pytest.raises(ValueError, match="checkpointMode"):
+            run()
+    finally:
+        spark.conf.set(MODE_CONF, "local")
