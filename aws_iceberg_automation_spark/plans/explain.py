@@ -66,3 +66,41 @@ def codegen_stage_count(df: DataFrame) -> int:
     ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", p))
     ids |= set(re.findall(r"codegen id : (\d+)", p))
     return len(ids)
+
+
+def final_plan_string(df: DataFrame) -> str:
+    """The POST-execution (AQE-final) physical plan. Executes the
+    DataFrame via collect() — AQE re-optimizes per materialized stage,
+    so join strategies/exchanges in the pre-execution explain can be
+    superseded at runtime (broadcast↔SMJ promotions and demotions,
+    coalesced or skew-split shuffle reads). Only this string is
+    evidence of what actually ran. Use on audit-sized frames."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def final_join_strategies(df: DataFrame) -> list[str]:
+    """Join operators in the AQE-final executed plan (sorted)."""
+    return sorted(
+        set(
+            re.findall(
+                r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
+                r"|BroadcastNestedLoopJoin|CartesianProduct)",
+                final_plan_string(df),
+            )
+        )
+    )
+
+
+def final_exchange_count(s: str) -> int:
+    """Shuffle-exchange count in an executedPlan string (broadcast
+    exchanges excluded — they are the CHEAP kind; the number that
+    matters at 100 TB is full-data repartitions). ReusedExchange and
+    AQE ShuffleQueryStage wrappers are not double-counted: only
+    'Exchange hashpartitioning/rangepartitioning/...' source nodes."""
+    return len(
+        re.findall(
+            r"(?<!Broadcast)(?<!Reused)Exchange (?:hash|range|Round|Single)",
+            s,
+        )
+    )

@@ -565,3 +565,70 @@ def test_embedding_outliers_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in p, "bottom-5 not pushed into window"
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p, p
+
+
+def test_headline_set_aqe_final_shapes(spark):
+    """POST-AQE audit of the bench headline set (VERDICT r09 ask #5):
+    the registry-wide lint reads the PRE-execution explain, which AQE
+    can supersede at runtime — a broadcast the lint approved can demote
+    to SortMergeJoin once real stage sizes arrive. This executes every
+    headline query at the test sf and pins the strategies/exchange
+    counts of the plan that ACTUALLY ran. Drift = re-measure: if the
+    new shape is intended (better), update the pin; if a broadcast
+    became SMJ or a shuffle appeared, that's the 100 TB regression
+    this test exists to catch."""
+    import re
+
+    from aws_iceberg_automation_spark.plans.explain import (
+        final_exchange_count,
+        final_plan_string,
+    )
+    from aws_iceberg_automation_spark.registry import all_specs
+
+    expected = {
+        "q01_pricing_summary": ([], 4),
+        "q28_inner_equi_join": (["BroadcastHashJoin"], 0),
+        "q32_broadcast_dim_join": (["BroadcastHashJoin"], 2),
+        "q37_star_join_revenue": (["BroadcastHashJoin"], 2),
+        "q284_bucketed_join": (["BroadcastHashJoin"], 2),
+        "q38_hash_agg_groupby": ([], 2),
+        "q50_ranking_functions": ([], 2),
+        "q92_shipping_priority": (["BroadcastHashJoin"], 2),
+        "q93_forecast_revenue_change": ([], 2),
+        "q94_returned_item_ranking": (["BroadcastHashJoin"], 2),
+        # q208's BNL entries are one-row broadcast scalar joins (the
+        # documented allowed shape); 39 exchanges = the 13-stage RFM
+        # pipeline's aggregation tree, all key-grain
+        "q208_rfm_segments": (
+            ["BroadcastHashJoin", "BroadcastNestedLoopJoin"], 39),
+        "q73_tumbling_window": ([], 2),
+        "q82_minhash_lsh_neardup": (["BroadcastHashJoin"], 8),
+        "q171_span_dedup_clean": (["BroadcastHashJoin"], 4),
+        "q83_cosine_topk_exact": (["BroadcastNestedLoopJoin"], 2),
+        "q172_pq_adc_topk": (["BroadcastHashJoin"], 4),
+        "q85b_top_terms": ([], 6),
+    }
+    specs = all_specs()
+    headline = [
+        n for n, s in specs.items()
+        if "bench" in s.tags and "streaming" not in s.tags
+    ]
+    assert sorted(headline) == sorted(expected), (
+        "bench set changed — re-pin this audit"
+    )
+    for name in headline:
+        df = specs[name].fn(spark, SF_DIR)
+        p = final_plan_string(df)
+        joins = sorted(set(re.findall(
+            r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
+            r"|BroadcastNestedLoopJoin|CartesianProduct)", p)))
+        want_joins, want_x = expected[name]
+        assert "CartesianProduct" not in joins, f"{name}: cartesian ran"
+        assert "BatchEvalPython" not in p, f"{name}: row-at-a-time python ran"
+        assert joins == want_joins, (
+            f"{name}: AQE-final joins {joins} != pinned {want_joins}"
+        )
+        got_x = final_exchange_count(p)
+        assert got_x == want_x, (
+            f"{name}: AQE-final shuffle exchanges {got_x} != pinned {want_x}"
+        )
