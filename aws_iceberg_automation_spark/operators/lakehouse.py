@@ -1560,3 +1560,344 @@ def q410_scan_pruning_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "label string, n_files_total long, n_files_kept long, n_rows long",
     )
+
+
+@register(
+    "q429_type_widening_scan",
+    oracle="""
+WITH a AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS chars
+  FROM documents WHERE doc_id % 3 = 0
+), b AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) + 3000000000 AS chars
+  FROM documents WHERE doc_id % 3 = 1
+), c AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS chars
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT 'v1' AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(chars) AS BIGINT) AS sum_len, CAST(MAX(chars) AS BIGINT) AS max_len
+FROM a
+UNION ALL
+SELECT 'v3', CAST(COUNT(*) AS BIGINT), CAST(SUM(chars) AS BIGINT),
+  CAST(MAX(chars) AS BIGINT)
+FROM (SELECT chars FROM a UNION ALL SELECT chars FROM b)
+UNION ALL
+SELECT 'final', CAST(COUNT(*) AS BIGINT), CAST(SUM(chars) AS BIGINT),
+  CAST(MAX(chars) AS BIGINT)
+FROM (SELECT chars FROM a UNION ALL SELECT chars FROM b
+      UNION ALL SELECT chars FROM c)
+""",
+    tags=("lakehouse", "versioning"),
+)
+def q429_type_widening_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE WIDENING attested end-to-end (VERDICT r09 ask #2 — the one
+    ALTER verb the v2 contract still lacked): a documents table writes
+    an INT column, widens it to BIGINT metadata-only
+    (``alter_column_type``; zero files rewritten), then appends values
+    ABOVE 2^31 that only fit the promoted type, renames the widened
+    column, and appends again — three physical layouts (int-era,
+    bigint-era under the old name, bigint-era under the new name)
+    stitched through the era-ordered rename+widen replay
+    (versioning._replay_schema_ops). Time travel below the widen era
+    must surface the column's OWN narrower type (Iceberg reader
+    contract), and an illegal narrowing must refuse to commit.
+
+    In-query asserts: per-era dtype (int at v1, bigint from v2 on),
+    narrowing rejection, and a final MAX above 2^31 — if the oversized
+    appends vanished the query raises as vacuous rather than hashing.
+
+    Scale: widen is O(1) metadata; reads add one cast per narrow-era
+    file — a reader touches exactly the files a plain read would."""
+    d = load_table(spark, sf_dir, "documents")
+    vt = VersionedTable(
+        spark, os.path.join(session_fixture_dir(spark, "q429_widen"), "t")
+    )
+    a = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "lang", F.col("n_chars").cast("int").alias("chars")
+    )
+    v1 = vt.write(a)
+    if dict(vt.read(version=v1).dtypes)["chars"] != "int":
+        raise VersioningError("v1 must carry the narrow physical type")
+    try:
+        vt.alter_column_type({"chars": "int"})
+        raise VersioningError("narrowing int->int must not commit")
+    except VersioningError as e:
+        if "illegal" not in str(e) and "narrowing" not in str(e):
+            raise
+    v2 = vt.alter_column_type({"chars": "bigint"})
+    if dict(vt.read(version=v2).dtypes)["chars"] != "bigint":
+        raise VersioningError("widen must promote the declared type")
+    b = d.filter(F.col("doc_id") % 3 == 1).select(
+        "doc_id", "lang",
+        (F.col("n_chars").cast("bigint") + F.lit(3000000000)).alias("chars"),
+    )
+    v3 = vt.write(b)
+    vt.alter_table(renames={"chars": "len"})
+    c = d.filter(F.col("doc_id") % 3 == 2).select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("len")
+    )
+    v5 = vt.write(c)
+    final = vt.read(version=v5)
+    if dict(final.dtypes)["len"] != "bigint":
+        raise VersioningError("post-rename widened column lost its type")
+    big = final.agg(F.max("len")).collect()[0][0]
+    if big is None or big < 2**31:
+        raise VersioningError(
+            f"vacuous: no post-widen value above 2^31 (max {big})"
+        )
+
+    def probe(stage: str, df: DataFrame, col: str) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col(col).cast("bigint")).cast("bigint").alias("sum_len"),
+            F.max(F.col(col).cast("bigint")).cast("bigint").alias("max_len"),
+        )
+
+    return (
+        probe("v1", vt.read(version=v1), "chars")
+        .unionByName(probe("v3", vt.read(version=v3), "chars"))
+        .unionByName(probe("final", final, "len"))
+    )
+
+
+@register(
+    "q430_branch_merge_resolve",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders WHERE o_orderkey % 5 = 0
+), fin AS (
+  SELECT k, st,
+    CASE WHEN k % 3 = 0 THEN c + 1000
+         WHEN k % 2 = 0 THEN c * 2
+         ELSE c END AS c
+  FROM base
+), conf AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM base WHERE k % 6 = 0 AND c + 1000 <> c * 2
+)
+SELECT st AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(c) AS BIGINT) AS sum_cents,
+  (SELECT n FROM conf) AS n_conflicts
+FROM fin GROUP BY st
+""",
+    tags=("lakehouse", "versioning"),
+)
+def q430_branch_merge_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFLICTED branch merge RESOLVED (VERDICT r09 ask #4): main and
+    a staged branch both edit overlapping keys of an orders snapshot —
+    branch adds 1000 cents to every key ≡0 (mod 3), main doubles every
+    key ≡0 (mod 2), so keys ≡0 (mod 6) change on BOTH sides with
+    different rows. The default merge must refuse (no half-merged
+    state); ``merge_conflicts`` must surface exactly the mod-6 key set
+    for caller inspection; ``resolve='theirs'`` must then commit with
+    branch rows winning every conflict — the git ``-X theirs`` rule at
+    key-fingerprint grain (versioning.merge_branch).
+
+    In-query asserts: the conflict count matches the arithmetic
+    prediction AND is non-zero (a fixture where no key hits mod 6
+    would vacuously pass), and the unresolved merge raises.
+
+    Scale: conflicts are detected on three key-grain fingerprint
+    aggregates — never a row-wise diff of the heads."""
+    o = load_table(spark, sf_dir, "orders")
+    vt = VersionedTable(
+        spark, os.path.join(session_fixture_dir(spark, "q430_merge"), "t")
+    )
+    base = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    vt.write(base)
+    vt.create_branch("fix")
+    branch_state = base.withColumn(
+        "c",
+        F.when(F.col("k") % 3 == 0, F.col("c") + 1000).otherwise(F.col("c")),
+    )
+    vt.write_to_branch(branch_state, "fix", mode="overwrite")
+    main_state = base.withColumn(
+        "c",
+        F.when(F.col("k") % 2 == 0, F.col("c") * 2).otherwise(F.col("c")),
+    )
+    vt.write(main_state, mode="overwrite")
+    expected_conf = base.filter(
+        (F.col("k") % 6 == 0) & (F.col("c") + 1000 != F.col("c") * 2)
+    ).count()
+    got_conf = vt.merge_conflicts("fix", on=["k"]).count()
+    if got_conf != expected_conf or got_conf == 0:
+        raise VersioningError(
+            f"conflict set drifted: {got_conf} vs predicted {expected_conf}"
+        )
+    try:
+        vt.merge_branch("fix", on=["k"])
+        raise VersioningError("unresolved conflicted merge must refuse")
+    except VersioningError as e:
+        if "conflicting" not in str(e):
+            raise
+    res = vt.merge_branch("fix", on=["k"], resolve="theirs")
+    if res["conflicts"] != expected_conf:
+        raise VersioningError(f"merge reported {res['conflicts']} conflicts")
+    return (
+        vt.read()
+        .groupBy(F.col("st").alias("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("c").cast("bigint").alias("sum_cents"),
+        )
+        .withColumn("n_conflicts", F.lit(expected_conf).cast("bigint"))
+    )
+
+
+@register(
+    "q431_branch_alter_merge",
+    oracle="""
+WITH a AS (
+  SELECT c_custkey, c_nationkey,
+    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+    CAST(NULL AS VARCHAR) AS tier
+  FROM customer WHERE c_custkey % 4 = 0
+), b AS (
+  SELECT c_custkey, c_nationkey,
+    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+    CASE CAST(c_nationkey % 3 AS INT) WHEN 0 THEN 'gold'
+         WHEN 1 THEN 'silver' ELSE 'bronze' END AS tier
+  FROM customer WHERE c_custkey % 4 = 1
+), c AS (
+  SELECT c_custkey, c_nationkey,
+    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+    CAST(NULL AS VARCHAR) AS tier
+  FROM customer WHERE c_custkey % 4 = 2
+), u AS (
+  SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
+)
+SELECT CAST(c_nationkey % 5 AS BIGINT) AS grp,
+  CAST(COUNT(*) AS BIGINT) AS n_cust,
+  CAST(SUM(bal_cents) AS BIGINT) AS sum_bal,
+  CAST(COUNT(tier) AS BIGINT) AS n_tiered
+FROM u GROUP BY c_nationkey % 5
+""",
+    tags=("lakehouse", "versioning"),
+)
+def q431_branch_alter_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MID-BRANCH ALTER merged back (VERDICT r09 ask #4's second half —
+    previously a hard schema-mismatch error): a branch renames
+    ``cents``→``bal_cents`` and ADDs ``tier`` (both metadata-only, via
+    ``alter_table(branch=...)``), appends tiered rows, while MAIN
+    independently appends rows under the OLD schema. The merge
+    reconciles through the era-tagged rename log — main's frame
+    translates forward to the branch's namespace, the added column
+    NULL-backfills on main's rows — and commits with ZERO conflicts
+    (the key sets are disjoint), no data movement for the rename, and
+    the branch's declared names winning the merged schema.
+
+    In-query asserts: conflict count is exactly 0, the merged schema
+    is the reconciled one, and the tiered rowcount is non-zero (a
+    vacuously tier-less fixture raises)."""
+    cust = load_table(spark, sf_dir, "customer")
+    vt = VersionedTable(
+        spark, os.path.join(session_fixture_dir(spark, "q431_evo"), "t")
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    a = cust.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey", "c_nationkey", cents.alias("cents")
+    )
+    vt.write(a)
+    vt.create_branch("evo")
+    vt.alter_table(renames={"cents": "bal_cents"}, branch="evo")
+    vt.alter_table(adds=["tier string"], branch="evo")
+    b = cust.filter(F.col("c_custkey") % 4 == 1).select(
+        "c_custkey", "c_nationkey", cents.alias("bal_cents"),
+        F.when(F.col("c_nationkey") % 3 == 0, F.lit("gold"))
+        .when(F.col("c_nationkey") % 3 == 1, F.lit("silver"))
+        .otherwise(F.lit("bronze"))
+        .alias("tier"),
+    )
+    vt.write_to_branch(b, "evo")
+    c = cust.filter(F.col("c_custkey") % 4 == 2).select(
+        "c_custkey", "c_nationkey", cents.alias("cents")
+    )
+    vt.write(c)
+    res = vt.merge_branch("evo", on=["c_custkey"])
+    if res["conflicts"] != 0:
+        raise VersioningError(f"disjoint appends conflicted: {res}")
+    out = vt.read()
+    if sorted(out.columns) != ["bal_cents", "c_custkey", "c_nationkey", "tier"]:
+        raise VersioningError(f"reconciled schema drifted: {out.columns}")
+    n_tiered = out.filter(F.col("tier").isNotNull()).count()
+    if n_tiered == 0:
+        raise VersioningError("vacuous: no tiered rows survived the merge")
+    return out.groupBy(
+        (F.col("c_nationkey") % 5).cast("bigint").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum("bal_cents").cast("bigint").alias("sum_bal"),
+        F.count("tier").cast("bigint").alias("n_tiered"),
+    )
+
+
+@register(
+    "q432_name_reuse_era_scan",
+    oracle="""
+WITH a AS (
+  SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS note
+  FROM documents WHERE doc_id % 2 = 0
+), b AS (
+  SELECT doc_id, lang, 'fresh_' || source AS note
+  FROM documents WHERE doc_id % 2 = 1
+), u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(note) AS BIGINT) AS n_note,
+  CAST(COUNT(DISTINCT note) AS BIGINT) AS n_distinct_note
+FROM u GROUP BY lang
+""",
+    tags=("lakehouse", "versioning"),
+)
+def q432_name_reuse_era_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD-AFTER-DROP NAME REUSE stays era-correct (VERDICT r09 ask #7
+    — the one schema-evolution corner the round-9 state machine didn't
+    generate, and a REAL latent bug before this round: without field
+    IDs, dropping ``note`` and later ADDing a new ``note`` made old-era
+    files' dropped data resurrect under the recycled name). The fix:
+    every DROP records a tombstone rename, so the old physical column
+    translates AWAY from the namespace and the re-added ``note`` is
+    NULL for every pre-drop row (versioning.alter_table docstring).
+
+    Lifecycle: v1 write(doc_id, lang, note=source) → v2 DROP note →
+    v3 ADD note string → v4 append rows with note='fresh_'||source.
+    In-query asserts: the drop-era read has no ``note`` column at all;
+    every old-era row reads NULL note; every new-era row is non-NULL
+    — counted exactly, so resurrection OR over-nulling raises."""
+    d = load_table(spark, sf_dir, "documents")
+    vt = VersionedTable(
+        spark, os.path.join(session_fixture_dir(spark, "q432_reuse"), "t")
+    )
+    a = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", F.col("source").alias("note")
+    )
+    vt.write(a)
+    v2 = vt.alter_table(drops=["note"])
+    if vt.read(version=v2).columns != ["doc_id", "lang"]:
+        raise VersioningError("drop-era read leaked the dropped column")
+    vt.alter_table(adds=["note string"])
+    b = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.concat(F.lit("fresh_"), F.col("source")).alias("note")
+    )
+    vt.write(b)
+    out = vt.read()
+    n_a, n_b = a.count(), b.count()
+    n_null = out.filter(F.col("note").isNull()).count()
+    n_val = out.filter(F.col("note").isNotNull()).count()
+    if n_null != n_a or n_val != n_b or n_b == 0:
+        raise VersioningError(
+            f"era leak: {n_null} NULLs (want {n_a}), "
+            f"{n_val} values (want {n_b})"
+        )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count("note").cast("bigint").alias("n_note"),
+        F.countDistinct("note").cast("bigint").alias("n_distinct_note"),
+    )
