@@ -23,6 +23,7 @@ from ..functions.compat import (
     sql_dsum,
 )
 from ..io import load_table
+from ..functions.ckpt import checkpoint_df
 from ..registry import register
 
 
@@ -974,7 +975,7 @@ def _capped_baskets(spark: SparkSession, sf_dir: str, cap: int = 128) -> DataFra
     return (
         bought.join(sizes.filter(F.col("basket") <= cap), "cust")
         .select("cust", "part")
-        .localCheckpoint(eager=False)
+        .transform(lambda d: checkpoint_df(d, eager=False))
     )
 
 
@@ -1377,7 +1378,7 @@ def q210_segment_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("seg"),
         ),
         "o_custkey",
-    ).localCheckpoint()  # pinned: the grouped decomposition replays it 3x
+    ).transform(checkpoint_df)  # pinned: the grouped decomposition replays it 3x
     ranked = grouped_row_number(
         pc, ["seg"], F.col("cents"), [F.col("o_custkey")]
     )
@@ -1504,7 +1505,7 @@ def q213_ship_delay_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_wk = (
         delays.groupBy("delay_weeks")
         .agg(F.count(F.lit(1)).alias("n_items"))
-        .localCheckpoint()  # ~700 rows; pins the 12M-row join upstream
+        .transform(checkpoint_df)  # ~700 rows; pins the 12M-row join upstream
     )
     cum = partitioned_prefix_sums(per_wk, F.col("delay_weeks"), ["n_items"])
     tot = per_wk.agg(F.sum("n_items").cast("double").alias("tot"))
@@ -1591,7 +1592,7 @@ def q214_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_closed").alias("n_closed"),
         )
         .withColumn("net", F.col("n_opened") - F.col("n_closed"))
-        .localCheckpoint()  # |months| rows; pins the fact join upstream
+        .transform(checkpoint_df)  # |months| rows; pins the fact join upstream
     )
     cum = partitioned_prefix_sums(per_month, F.col("month"), ["net"])
     return cum.select(
@@ -2482,7 +2483,7 @@ def q238_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("post"),
         )
         .withColumn("treat", ab_treat("c_custkey"))
-        .localCheckpoint()  # customer-grain; pins the orders join
+        .transform(checkpoint_df)  # customer-grain; pins the orders join
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
@@ -4088,19 +4089,19 @@ def q360_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").cast("double")
             / F.sum("c").over(Window.partitionBy("f"))
         ).alias("pr"),
-    ).localCheckpoint()
+    ).transform(checkpoint_df)
     v = (
         p.select(F.col("f").alias("state"))
         .distinct()
         .withColumn("v", F.lit(0.2))
-        .localCheckpoint()
+        .transform(checkpoint_df)
     )
     for _ in range(20):
         v = (
             v.join(p, v.state == p.f)
             .groupBy(F.col("tto").alias("state"))
             .agg(F.sum(F.col("v") * F.col("pr")).alias("v"))
-            .localCheckpoint()
+            .transform(checkpoint_df)
         )
     total = v.agg(F.sum("v").alias("s"))
     return v.crossJoin(F.broadcast(total)).select(

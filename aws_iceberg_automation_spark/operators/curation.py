@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..functions.ckpt import checkpoint_df
 from ..registry import register
 from ..functions.compat import sql_portable_hash64
 from .analytics import _sql_twin
@@ -1487,7 +1488,7 @@ def q188_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_pos"),
         )
-        .localCheckpoint()
+        .transform(checkpoint_df)
     )
     # one 10×10 cross join yields cumulative capture AND grand totals
     # as conditional/unconditional sums — windowless, single pass

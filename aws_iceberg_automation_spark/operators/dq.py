@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from ..functions.compat import dec2, month_day, portable_hash64, sql_portable_hash64
 from ..functions.ranking import topn_ranked
 from ..io import SCHEMAS, load_table
+from ..functions.ckpt import checkpoint_df
 from ..registry import register
 from .analytics import _sql_twin
 
@@ -1922,7 +1923,7 @@ def q363_merkle_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     l2 = lh.groupBy("node_id").agg(
         F.sum("n_docs").cast("bigint").alias("n_docs"),
         ordered_digest("leaf_id", "leaf_digest").alias("digest"),
-    ).localCheckpoint()  # consumed twice: output + root
+    ).transform(checkpoint_df)  # consumed twice: output + root
     root = l2.groupBy().agg(
         F.sum("n_docs").cast("bigint").alias("n_docs"),
         ordered_digest("node_id", "digest").alias("digest"),

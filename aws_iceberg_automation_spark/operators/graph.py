@@ -1322,9 +1322,7 @@ def q381_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("x")
         .transform(checkpoint_df)
     )
-    nodes = e2.select(F.col("x").alias("node")).distinct().localCheckpoint(
-        eager=True
-    )
+    nodes = e2.select(F.col("x").alias("node")).distinct().transform(checkpoint_df)
     # voters: every neighbor plus the node itself (self-vote)
     voters = e2.select(F.col("x").alias("node"), F.col("y").alias("nb")).unionAll(
         nodes.select("node", F.col("node").alias("nb"))
@@ -1570,9 +1568,7 @@ def q392_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("x")
         .transform(checkpoint_df)
     )
-    nodes = e2.select(F.col("x").alias("node")).distinct().localCheckpoint(
-        eager=True
-    )
+    nodes = e2.select(F.col("x").alias("node")).distinct().transform(checkpoint_df)
     seed = nodes.agg(F.min("node")).collect()[0][0]  # one scalar
     deg = e2.groupBy(F.col("x").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -1619,3 +1615,128 @@ def q392_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("rank_fp").desc(), F.col("node")],
         25,
     ).select("node", "rank_fp", "rk")
+
+
+_HITS_ORACLE = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), a1 AS MATERIALIZED (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS a FROM e GROUP BY s
+), h1 AS MATERIALIZED (
+  SELECT e.c, CAST(SUM(a1.a) AS BIGINT) AS h
+  FROM e JOIN a1 ON e.s = a1.s GROUP BY e.c
+), a2 AS MATERIALIZED (
+  SELECT e.s, CAST(SUM(h1.h) AS BIGINT) AS a
+  FROM e JOIN h1 ON e.c = h1.c GROUP BY e.s
+), h2 AS MATERIALIZED (
+  SELECT e.c, CAST(SUM(a2.a) AS BIGINT) AS h
+  FROM e JOIN a2 ON e.s = a2.s GROUP BY e.c
+), a3 AS MATERIALIZED (
+  SELECT e.s, CAST(SUM(h2.h) AS BIGINT) AS a
+  FROM e JOIN h2 ON e.c = h2.c GROUP BY e.s
+), ranked AS (
+  SELECT s AS suppkey, a AS auth_fp,
+    ROW_NUMBER() OVER (ORDER BY a DESC, s) AS rk
+  FROM a3
+)
+SELECT CAST(suppkey AS BIGINT) AS suppkey, auth_fp, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 25
+"""
+
+
+@register("q433_hits_authorities", oracle=_HITS_ORACLE, tags=("graph",))
+def q433_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the bipartite
+    customer→supplier purchase graph: a supplier is authoritative when
+    bought by strong hub customers; a customer is a strong hub when
+    buying from authoritative suppliers. Three authority updates and
+    two hub updates of UNNORMALIZED integer power iteration —
+    normalization is a global positive scalar each round, so ranking
+    (and the driver hash on the raw integer masses) is unaffected and
+    every value stays an exact int64: deg-bounded growth keeps a3
+    below ~6e16 even at the 40x replica (sized like q383's grids).
+
+    Each round is one edge⋈score equi-join + one hash agg — the same
+    shuffle budget as PageRank (graph.py module doc) — with
+    ``checkpoint_df`` cutting lineage per round. The DuckDB oracle
+    replays the identical integer trajectory via MATERIALIZED per-round
+    CTEs (the q391 re-inlining lesson). Top-25 authorities, ties by
+    suppkey."""
+    from ..functions.ranking import topn_ranked
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .repartition("c")
+        .transform(checkpoint_df)
+    )
+    auth = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    for _ in range(2):
+        hub = (
+            e.join(auth, "s")
+            .groupBy("c")
+            .agg(F.sum("a").cast("bigint").alias("h"))
+            .transform(checkpoint_df)
+        )
+        auth = (
+            e.join(hub, "c")
+            .groupBy("s")
+            .agg(F.sum("h").cast("bigint").alias("a"))
+            .transform(checkpoint_df)
+        )
+    return topn_ranked(
+        auth.select(F.col("s").cast("bigint").alias("suppkey"),
+                    F.col("a").alias("auth_fp")),
+        [F.col("auth_fp").desc(), F.col("suppkey")],
+        25,
+    ).select("suppkey", "auth_fp", "rk")
+
+
+_Q434_SQL = """
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM {lineitem} l JOIN {orders} o ON l.l_orderkey = o.o_orderkey
+), dc AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS dx FROM e GROUP BY c
+), ds AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS dy FROM e GROUP BY s
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(dc.dx) AS BIGINT) AS sx, CAST(SUM(ds.dy) AS BIGINT) AS sy,
+    CAST(SUM(dc.dx * ds.dy) AS BIGINT) AS sxy,
+    CAST(SUM(dc.dx * dc.dx) AS BIGINT) AS sxx,
+    CAST(SUM(ds.dy * ds.dy) AS BIGINT) AS syy
+  FROM e JOIN dc ON e.c = dc.c JOIN ds ON e.s = ds.s
+)
+SELECT n AS n_edges,
+  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+    / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+    AS assortativity
+FROM m
+"""
+
+
+@register(
+    "q434_degree_assortativity",
+    oracle=_Q434_SQL.format(lineitem="lineitem", orders="orders"),
+    tags=("graph", "stats"),
+)
+def q434_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer→supplier purchase graph —
+    Newman's r: the Pearson correlation between the endpoint degrees
+    over EDGES (here: hub customers vs popular suppliers; r < 0 means
+    busy buyers spread across niche suppliers, the disassortative
+    mixing typical of transaction graphs). Structure-over-iteration
+    twin to q433: degrees from two hash aggs, one edge-grain join back,
+    five exact-integer moments in one fold, r as a single double
+    expression over them (shared template — identical parse tree both
+    engines). Degree products stay far inside int64 at the replicas
+    (dx≲10², dy≲10⁴, |E|≲10⁷)."""
+    from .analytics import _sql_twin
+
+    return _sql_twin(spark, sf_dir, _Q434_SQL, ["lineitem", "orders"])

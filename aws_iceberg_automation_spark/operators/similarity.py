@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..functions.ranking import topn_ranked
 from ..functions.vectors import cosine, dot
 from ..io import load_table
+from ..functions.ckpt import checkpoint_df
 from ..registry import register
 
 _N_QUERIES = 10
@@ -249,7 +250,7 @@ def spherical_kmeans(
         # and stops downstream consumers re-running every Lloyd pass
         # (checkpoint=False keeps the lazy plan for plan-shape tests)
         if checkpoint:
-            cent = cent.localCheckpoint(eager=True)
+            cent = cent.transform(checkpoint_df)
     return cent
 
 
@@ -2246,7 +2247,7 @@ def q403_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .repartition("j")
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_df)
     )
     v = g.select(F.col("i").alias("pos")).distinct().select(
         "pos", F.lit(0.125).alias("c")
@@ -2264,7 +2265,7 @@ def q403_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = (
             w.crossJoin(F.broadcast(nrm))
             .select("pos", (F.col("wc") / F.col("nrm")).alias("c"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_df)
         )
     eig = (
         w.join(v_prev.withColumnRenamed("c", "cp"), "pos")

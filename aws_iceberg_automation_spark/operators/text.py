@@ -2727,3 +2727,457 @@ def q427_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(m2))
         .select("rk", "pair", "n_pairs", "merge1", "merge2")
     )
+
+
+_Q435_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tot
+  FROM dl
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ('scan', 'window', 'key')
+  GROUP BY doc_id, term
+), dfr AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), sc AS (
+  SELECT t.doc_id,
+    CAST(round(
+      ln((g.n - d.df + 5e-1) / (d.df + 5e-1) + 1e0)
+      * (t.tf * 22e-1)
+      / (t.tf + 12e-1 * (25e-2 + 75e-2 * (l.dl
+           / (CAST(g.tot AS DOUBLE) / g.n)))), 6) AS DECIMAL(18,6)) AS s
+  FROM tf t JOIN dfr d USING (term) JOIN dl l USING (doc_id) CROSS JOIN g
+), agg AS (
+  SELECT doc_id, CAST(SUM(s) AS DECIMAL(38,6)) AS sc
+  FROM sc GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, sc, row_number() OVER (ORDER BY sc DESC, doc_id) AS rk
+  FROM agg
+)
+SELECT doc_id, CAST(sc AS VARCHAR) AS bm25, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 20
+"""
+
+
+@register("q435_bm25_ranking", oracle=_Q435_ORACLE, tags=("text", "llm"))
+def q435_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking (Robertson-Spärck Jones; k1=1.2, b=0.75)
+    for a fixed 3-term query — the lexical-retrieval baseline every
+    RAG / training-data search stack still ships beside its embedding
+    index. idf uses the standard +1-smoothed log-odds form; tf
+    saturates via k1 with length normalization against the corpus mean
+    dl. Per-(doc,term) scores are ONE double expression over exact
+    integer tf/df/dl (identical op order both engines), rounded once
+    to 6 digits, and summed per doc as exact DECIMAL — the q300
+    determinism pattern, so cross-term accumulation can never see
+    float order. Top-20, decimal-exact ordering, ties by doc_id.
+
+    Scale: two word-count aggs + a 3-row broadcast (df) + a 1-row
+    broadcast (N, avgdl); no corpus-wide window, no UDF. In-query
+    assert: every query term must appear in the corpus (df > 0) —
+    a vocabulary drift would otherwise hash a vacuous ranking."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qterms = ("scan", "window", "key")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    g = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("tot"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*qterms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    got_terms = {r.term for r in dfr.collect()}
+    if got_terms != set(qterms):
+        raise ValueError(
+            f"vacuous BM25: query terms missing from corpus "
+            f"({sorted(set(qterms) - got_terms)})"
+        )
+    s = (
+        tf.join(F.broadcast(dfr), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (F.col("tf") * F.lit(2.2))
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(0.25)
+                        + F.lit(0.75)
+                        * (
+                            F.col("dl")
+                            / (F.col("tot").cast("double") / F.col("n"))
+                        )
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("s"),
+        )
+    )
+    agg = s.groupBy("doc_id").agg(
+        F.sum("s").cast("decimal(38,6)").alias("sc")
+    )
+    return topn_ranked(
+        agg, [F.col("sc").desc(), F.col("doc_id")], 20, rank_name="rk"
+    ).select("doc_id", F.col("sc").cast("string").alias("bm25"), "rk")
+
+
+_Q436_ORACLE = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY term
+), ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rn FROM tf
+), pts AS (
+  SELECT CAST(round(ln(CAST(rn AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
+  FROM ranked WHERE rn <= 30
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT n AS n_points,
+  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+      / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+    AS zipf_slope,
+  round(((CAST(sy AS DOUBLE)
+      - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+       / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)) * sx)
+      / n) / 1e6, 6) AS zipf_intercept
+FROM m
+"""
+
+
+@register("q436_zipf_slope", oracle=_Q436_ORACLE, tags=("text", "stats"))
+def q436_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency curve: OLS of
+    ln(freq) on ln(rank) over the top-30 terms — the classic corpus
+    health check (natural text slopes ≈ −1; templated/synthetic
+    corpora flatten, spam steepens). Exactness via the grid-int trick:
+    each term's ln(rank)/ln(freq) — single libm calls, identical both
+    engines — snaps once onto a 1e-6 integer grid; every OLS moment is
+    then an exact BIGINT sum, and slope/intercept are one double
+    expression over those ints (the grid unit cancels in the slope).
+
+    Scale: one word-count agg (map-side combined), a 30-row ranked
+    frame via TakeOrdered, moments in one fold — corpus-size
+    independent beyond the word count."""
+    d = load_table(spark, sf_dir, "documents").select("text")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    ranked = topn_ranked(
+        tf, [F.col("cnt").desc(), F.col("term")], 30, rank_name="rn"
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rn").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            ((F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"))
+            / F.lit(1e6),
+            6,
+        ).alias("zipf_intercept"),
+    )
+
+
+_Q437_ORACLE = """
+WITH words AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+), pairs AS (
+  SELECT source, substring(w, CAST(i AS INT), 2) AS pair
+  FROM (SELECT source, w, unnest(range(1, length(w))) AS i
+        FROM words WHERE length(w) >= 2)
+), sp AS (
+  SELECT source, pair, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs GROUP BY source, pair
+), corpus AS (
+  SELECT pair, CAST(SUM(c) AS BIGINT) AS cc FROM sp GROUP BY pair
+), tot AS (
+  SELECT CAST(SUM(cc) AS BIGINT) AS t FROM corpus
+), lp AS (
+  SELECT pair,
+    CAST(round(ln(CAST(cc AS DOUBLE) / (SELECT t FROM tot)) * 1e6)
+         AS BIGINT) AS li
+  FROM corpus
+), x AS (
+  SELECT sp.source, CAST(SUM(sp.c) AS BIGINT) AS n_pairs,
+    CAST(SUM(sp.c * lp.li) AS BIGINT) AS s
+  FROM sp JOIN lp USING (pair) GROUP BY sp.source
+)
+SELECT source, n_pairs,
+  round(-(CAST(s AS DOUBLE) / n_pairs) / 1e6, 6) AS xent_nats
+FROM x ORDER BY source
+"""
+
+
+@register(
+    "q437_char_bigram_xent", oracle=_Q437_ORACLE, tags=("text", "llm")
+)
+def q437_char_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cross-entropy under the corpus character-bigram LM —
+    H(source, corpus) = −Σ p_src(pair)·ln p_corpus(pair) in nats: the
+    cheapest LM-free contamination/outlier detector (a source whose
+    character statistics diverge from the pool scores high, exactly
+    the q300 surprisal idea pushed down to characters, where it is
+    tokenizer-independent). No smoothing needed: every source pair
+    occurs in the corpus by construction. ln p_corpus snaps once per
+    PAIR TYPE onto the 1e-6 grid (single libm call each side); the
+    per-source accumulation is an exact BIGINT Σ count×grid-log with
+    one final double division — order-free.
+
+    Scale: the char explode is map-side; aggregates live on a
+    ≤|alphabet|²-per-source key space — kilobytes of shuffle at any
+    corpus size."""
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    words = d.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    sp = pairs.groupBy("source", "pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    corpus = sp.groupBy("pair").agg(F.sum("c").cast("bigint").alias("cc"))
+    tot = corpus.agg(F.sum("cc").cast("bigint").alias("t"))
+    lp = corpus.crossJoin(F.broadcast(tot)).select(
+        "pair",
+        F.round(
+            F.log(F.col("cc").cast("double") / F.col("t")) * 1e6
+        )
+        .cast("bigint")
+        .alias("li"),
+    )
+    x = (
+        sp.join(F.broadcast(lp), "pair")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_pairs"),
+            F.sum(F.col("c") * F.col("li")).cast("bigint").alias("s"),
+        )
+    )
+    return x.select(
+        "source",
+        "n_pairs",
+        F.round(
+            -(F.col("s").cast("double") / F.col("n_pairs")) / F.lit(1e6), 6
+        ).alias("xent_nats"),
+    )
+
+
+_Q438_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt,
+    CAST(COUNT(DISTINCT term) AS BIGINT) AS nd
+  FROM tok GROUP BY doc_id
+), pts AS (
+  SELECT CAST(round(ln(CAST(nt AS DOUBLE)) * 1e4) AS BIGINT) AS x,
+         CAST(round(ln(CAST(nd AS DOUBLE)) * 1e4) AS BIGINT) AS y
+  FROM per_doc WHERE nt >= 2
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT n AS n_docs,
+  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+      / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+    AS heaps_beta,
+  round(exp(((CAST(sy AS DOUBLE)
+      - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+       / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)) * sx)
+      / n) / 1e4), 6) AS heaps_k
+FROM m
+"""
+
+
+@register("q438_heaps_law", oracle=_Q438_ORACLE, tags=("text", "stats"))
+def q438_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = K·n^β across documents: OLS of ln(distinct
+    terms) on ln(total terms) per doc — the vocabulary-growth exponent
+    that tells a curation pipeline whether a corpus keeps contributing
+    new types (natural text β ≈ 0.4–0.6) or has saturated into
+    repetition (β → 0, the dedup-candidate signal). Grid-int
+    determinism at 1e-4 (the doc-count×grid² product must clear int64
+    at the 20×/40× replicas — the q385 overflow lesson sized this
+    grid): per-doc logs snap once, moments ride as exact BIGINTs,
+    β and K are one double expression each.
+
+    Scale: one doc-grain hash agg with COUNT DISTINCT inside the
+    group — partial-aggregated, then a single 5-moment fold."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    per_doc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nt"),
+            F.countDistinct("term").cast("bigint").alias("nd"),
+        )
+    )
+    pts = per_doc.filter(F.col("nt") >= 2).select(
+        F.round(F.log(F.col("nt").cast("double")) * 1e4)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("nd").cast("double")) * 1e4)
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").alias("n_docs"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round(
+            F.exp(
+                (
+                    (F.col("sy").cast("double") - slope * F.col("sx"))
+                    / F.col("n")
+                )
+                / F.lit(1e4)
+            ),
+            6,
+        ).alias("heaps_k"),
+    )
+
+
+_Q439_ORACLE = """
+WITH w AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
+), wl AS (
+  SELECT w, CAST(length(w) AS BIGINT) AS l FROM w WHERE length(w) >= 3
+), cand AS (
+  SELECT a.w AS wa, b.w AS wb FROM wl a JOIN wl b ON b.l = a.l
+  UNION ALL
+  SELECT a.w AS wa, b.w AS wb FROM wl a JOIN wl b ON b.l = a.l + 1
+), p AS (
+  SELECT wa, wb, CAST(levenshtein(wa, wb) AS BIGINT) AS d
+  FROM cand WHERE wa < wb
+)
+SELECT d AS edit_distance, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  MIN(wa || '~' || wb) AS sample_pair
+FROM p WHERE d <= 2 GROUP BY d ORDER BY d
+"""
+
+
+@register(
+    "q439_edit_distance_blocking",
+    oracle=_Q439_ORACLE,
+    tags=("text", "dedup"),
+)
+def q439_edit_distance_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate detection with LENGTH-BAND
+    blocking — the fuzzy-matching primitive (typo clustering, entity
+    name dedup) done the scalable way: Levenshtein(a,b) ≥ |len(a) −
+    len(b)|, so candidates at distance ≤ 2 MUST sit within one length
+    of each other, and the all-pairs quadratic collapses to two
+    EQUI-joins on length (len = len, len = len+1 — a union of hash
+    joins, never an OR-join nested loop; q296 lesson). Both engines
+    ship the identical classic unit-cost Levenshtein, so the census is
+    integer-exact. Distances over the distinct-VOCABULARY grain (not
+    doc pairs): the candidate grid is |V|²-bounded per length band,
+    independent of corpus row count.
+
+    In-query assert: at least one qualifying pair must exist —
+    a vocabulary with no near-collisions would hash vacuously."""
+    d = load_table(spark, sf_dir, "documents").select("text")
+    w = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 3)
+        .distinct()
+        .select("w", F.length("w").cast("bigint").alias("l"))
+    )
+    a, b = w.alias("a"), w.alias("b")
+    cand = a.join(
+        b, F.col("b.l") == F.col("a.l")
+    ).select(
+        F.col("a.w").alias("wa"), F.col("b.w").alias("wb")
+    ).unionAll(
+        a.join(b, F.col("b.l") == F.col("a.l") + 1).select(
+            F.col("a.w").alias("wa"), F.col("b.w").alias("wb")
+        )
+    )
+    p = (
+        cand.filter(F.col("wa") < F.col("wb"))
+        .select(
+            "wa", "wb",
+            F.levenshtein("wa", "wb").cast("bigint").alias("d"),
+        )
+        .filter(F.col("d") <= 2)
+    )
+    out = (
+        p.groupBy(F.col("d").alias("edit_distance"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min(F.concat("wa", F.lit("~"), "wb")).alias("sample_pair"),
+        )
+        .orderBy("edit_distance")
+    )
+    rows = out.count()
+    if rows == 0:
+        raise ValueError("vacuous: no near-duplicate vocabulary pairs")
+    return out

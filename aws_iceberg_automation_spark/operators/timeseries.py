@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..functions.compat import corr_from_moments, dec2, epoch_secs, month_day, ts_sec
 from .analytics import _sql_twin
 from ..io import load_table
+from ..functions.ckpt import checkpoint_df
 from ..registry import register
 
 _SECS = "date_diff('second', TIMESTAMP '2024-01-01', ts)"
