@@ -5540,3 +5540,173 @@ def q406_haversine_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, _Q406_SQL,
         ["customer", "supplier", "lineitem", "orders"],
     )
+
+
+_Q443_SQL = """
+WITH span AS (
+  SELECT user_id, MIN(CAST(day(ts) AS BIGINT)) AS d0,
+    MAX(CAST(day(ts) AS BIGINT)) AS d1
+  FROM {events} GROUP BY user_id
+), death AS (
+  SELECT user_id, MIN(CAST(day(ts) AS BIGINT)) AS dd
+  FROM {events} WHERE event_type = 'error' AND value >= 150
+  GROUP BY user_id
+), life AS (
+  SELECT s.user_id,
+    CASE WHEN d.dd IS NOT NULL THEN d.dd - s.d0 ELSE s.d1 - s.d0 END AS t,
+    CASE WHEN d.dd IS NOT NULL THEN 1 ELSE 0 END AS died
+  FROM span s LEFT JOIN death d ON d.user_id = s.user_id
+), agg AS (
+  SELECT t, CAST(SUM(died) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS m
+  FROM life GROUP BY t
+), risk AS (
+  SELECT /*+ BROADCAST(b) */ a.t, a.d, CAST(SUM(b.m) AS BIGINT) AS n_risk
+  FROM agg a JOIN agg b ON b.t >= a.t GROUP BY a.t, a.d
+), fac AS (
+  SELECT t, d, n_risk,
+    CASE WHEN d < n_risk THEN
+      CAST(round(ln(1e0 - CAST(d AS DOUBLE) / n_risk) * 1e6) AS BIGINT)
+    ELSE CAST(0 AS BIGINT) END AS lgrid
+  FROM risk
+), surv AS (
+  SELECT /*+ BROADCAST(b) */ a.t,
+    CAST(SUM(CASE WHEN b.d < b.n_risk THEN b.lgrid ELSE 0 END) AS BIGINT)
+      AS cum,
+    CAST(SUM(CASE WHEN b.d >= b.n_risk THEN 1 ELSE 0 END) AS BIGINT) AS nz
+  FROM fac a LEFT JOIN fac b ON b.t <= a.t AND b.d > 0
+  GROUP BY a.t
+)
+SELECT r.t AS day_t, r.d AS n_deaths, r.n_risk,
+  round(CASE WHEN COALESCE(s.nz, 0) > 0 THEN 0e0
+        ELSE exp(COALESCE(s.cum, 0) / 1e6) END, 6) AS km_survival
+FROM risk r LEFT JOIN surv s ON s.t = r.t
+"""
+
+
+@register(
+    "q443_kaplan_meier",
+    oracle=_Q443_SQL.format(events="events"),
+    tags=("analytics", "stats", "survival"),
+)
+def q443_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for TIME-TO-FAILURE — days from a
+    user's first activity to their first severe error (value ≥ 150),
+    RIGHT-CENSORED at the last observed day for users who never fail:
+    the estimator every reliability/churn analysis needs because naive
+    averages are biased low by exactly the users still alive. Discrete
+    product-limit form: S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over distinct
+    failure days. In-query assert: both deaths AND censored users must
+    exist at the verification scale (a one-sided fixture hashes
+    vacuously — the round-9 McNemar lesson).
+
+    Engine-exactness: the product becomes a SUM of per-day ln-factors
+    snapped once onto the 1e-6 grid; the cumulative sum and the
+    at-risk counts both come from broadcast theta-joins over the
+    ≤31-row day frame (never an unpartitioned window), and a day where
+    everyone at risk dies short-circuits S to exactly 0 instead of
+    feeding ln(0) into the grid.
+
+    Scale: one user-grain agg, then everything lives on the bounded
+    day frame."""
+    _assert_survival_mix(spark, sf_dir)
+    return _sql_twin(spark, sf_dir, _Q443_SQL, ["events"])
+
+
+def _assert_survival_mix(spark: SparkSession, sf_dir: str) -> None:
+    """Shared q443/q444 vacuousness guard: the time-to-failure cohort
+    must contain BOTH failures and censored survivors."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct().count()
+    failed = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") >= 150))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    if failed == 0 or failed == users:
+        raise ValueError(
+            f"vacuous survival fixture: {failed} failed of {users} users"
+        )
+
+
+_Q444_SQL = """
+WITH span AS (
+  SELECT user_id, MIN(CAST(day(ts) AS BIGINT)) AS d0,
+    MAX(CAST(day(ts) AS BIGINT)) AS d1
+  FROM {events} GROUP BY user_id
+), death AS (
+  SELECT user_id, MIN(CAST(day(ts) AS BIGINT)) AS dd
+  FROM {events} WHERE event_type = 'error' AND value >= 150
+  GROUP BY user_id
+), life AS (
+  SELECT s.user_id,
+    CASE WHEN d.dd IS NOT NULL THEN d.dd - s.d0 ELSE s.d1 - s.d0 END AS t,
+    CASE WHEN d.dd IS NOT NULL THEN 1 ELSE 0 END AS died,
+    CAST(s.user_id % 2 AS BIGINT) AS g
+  FROM span s LEFT JOIN death d ON d.user_id = s.user_id
+), agg AS (
+  SELECT t, g, CAST(SUM(died) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS m
+  FROM life GROUP BY t, g
+), pooled AS (
+  SELECT t, CAST(SUM(d) AS BIGINT) AS dt, CAST(SUM(m) AS BIGINT) AS mt
+  FROM agg GROUP BY t
+), risk AS (
+  SELECT /*+ BROADCAST(b) */ a.t, MAX(a.dt) AS dt,
+    CAST(SUM(b.mt) AS BIGINT) AS nt
+  FROM pooled a JOIN pooled b ON b.t >= a.t GROUP BY a.t
+), risk1 AS (
+  SELECT /*+ BROADCAST(b) */ a.t,
+    CAST(SUM(CASE WHEN a2.g = 1 THEN a2.d ELSE 0 END) AS BIGINT) AS d1t,
+    CAST(SUM(CASE WHEN b.g = 1 THEN b.m ELSE 0 END) AS BIGINT) AS n1t
+  FROM (SELECT DISTINCT t FROM pooled) a
+  LEFT JOIN agg a2 ON a2.t = a.t
+  LEFT JOIN agg b ON b.t >= a.t
+  GROUP BY a.t
+), terms AS (
+  SELECT r.t, r1.d1t, r.dt, r.nt, r1.n1t,
+    CAST(floor(CAST(r.dt AS DOUBLE) * r1.n1t / r.nt * 1e6) AS BIGINT)
+      AS e_grid,
+    CASE WHEN r.nt > 1 THEN
+      CAST(floor(
+        CAST(r.dt AS DOUBLE) * (CAST(r1.n1t AS DOUBLE) / r.nt)
+        * (1e0 - CAST(r1.n1t AS DOUBLE) / r.nt)
+        * (r.nt - r.dt) / (r.nt - 1) * 1e6) AS BIGINT)
+    ELSE CAST(0 AS BIGINT) END AS v_grid
+  FROM risk r JOIN risk1 r1 ON r1.t = r.t
+  WHERE r.dt > 0
+), s AS (
+  SELECT CAST(SUM(d1t) AS BIGINT) AS o1, CAST(SUM(e_grid) AS BIGINT) AS e1,
+    CAST(SUM(v_grid) AS BIGINT) AS v1
+  FROM terms
+)
+SELECT o1 AS observed_g1, e1 AS expected_g1_micro, v1 AS variance_micro,
+  round((o1 - e1 / 1e6) * (o1 - e1 / 1e6) / (v1 / 1e6), 6)
+    AS logrank_chi2,
+  round((o1 - e1 / 1e6) * (o1 - e1 / 1e6) / (v1 / 1e6), 6) > 3.841459
+    AS reject_h0_95
+FROM s
+"""
+
+
+@register(
+    "q444_logrank_test",
+    oracle=_Q444_SQL.format(events="events"),
+    tags=("analytics", "stats", "survival"),
+)
+def q444_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK test between two survival curves (Mantel-Cox) — do
+    even- and odd-id users churn at the same hazard? The inferential
+    companion to q443's KM curve (eyeballing two curves is not a
+    test): at every death time, O−E compares group-1's observed deaths
+    to its at-risk share of the pooled deaths; the variance is the
+    hypergeometric term; χ²₁ against the 95% critical value.
+
+    Exactness: per-day E and V are single double expressions over
+    exact integer (d, n, n₁) — identical cross-engine — floored onto
+    the 1e-6 grid and BIGINT-summed, so the cross-day accumulation is
+    order-free (q382's discipline). At-risk counts via broadcast
+    theta-joins on the ≤31-row day frame.
+
+    Scale: one user-grain agg; all survival math on the day frame."""
+    _assert_survival_mix(spark, sf_dir)
+    return _sql_twin(spark, sf_dir, _Q444_SQL, ["events"])

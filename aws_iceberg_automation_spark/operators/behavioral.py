@@ -2310,3 +2310,150 @@ def q418_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     — stated convention, not silent NULL. One per-user hash agg, one
     8-cell pivot, constant algebra."""
     return _sql_twin(spark, sf_dir, _Q418_SQL, ["events"])
+
+
+_Q440_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+  FROM {lineitem} l JOIN {part} p ON l.l_partkey = p.p_partkey
+), nb AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS nb FROM ob GROUP BY b
+), tot AS (
+  SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM ob
+), pairs AS (
+  SELECT a.b AS ba, c.b AS bb, CAST(COUNT(*) AS BIGINT) AS nab
+  FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+  GROUP BY a.b, c.b
+), r AS (
+  SELECT ba, bb, nab, x.nb AS na, y.nb AS nbb, (SELECT n FROM tot) AS n
+  FROM pairs JOIN nb x ON x.b = ba JOIN nb y ON y.b = bb
+)
+SELECT ba AS brand_a, bb AS brand_b, nab AS support_ab,
+  round(CAST(nab AS DOUBLE) / na, 6) AS confidence,
+  round(CAST(nab AS DOUBLE) * n / (CAST(na AS DOUBLE) * nbb), 6) AS lift
+FROM r
+ORDER BY round(CAST(nab AS DOUBLE) * n / (CAST(na AS DOUBLE) * nbb), 6) DESC,
+  ba, bb
+LIMIT 15
+"""
+
+
+@register(
+    "q440_association_rules",
+    oracle=_Q440_SQL.format(lineitem="lineitem", part="part"),
+    tags=("behavioral", "basket"),
+)
+def q440_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules at BRAND grain — support /
+    confidence / lift for every co-purchased brand pair, top-15 by
+    lift (the classic Apriori level-2 output, the grain real
+    recommendation pipelines mine because item-grain pairs are
+    support-starved). The basket explode stays bounded: distinct
+    (order, brand) first — ≤|brands| rows per order — then the pair
+    self-join is an equi-join on orderkey with < 25·24/2 result keys,
+    so the aggregate is a few-hundred-row frame no matter the fact
+    size. Counts are exact integers; confidence/lift are single double
+    expressions rounded 6; top-15 via deterministic full ordering
+    (lift, then the pair) — TakeOrdered, no unpartitioned window."""
+    return _sql_twin(spark, sf_dir, _Q440_SQL, ["lineitem", "part"])
+
+
+_Q441_SQL = """
+WITH e AS (
+  SELECT user_id, event_type,
+    (CAST(day(ts) AS BIGINT) * 86400 + CAST(hour(ts) AS BIGINT) * 3600
+     + CAST(minute(ts) AS BIGINT) * 60 + CAST(second(ts) AS BIGINT))
+      * 17179869184 + event_id AS tk
+  FROM {events}
+), conv AS (
+  SELECT user_id, MIN(tk) AS ck
+  FROM e WHERE event_type = 'purchase' GROUP BY user_id
+), touch AS (
+  SELECT e.user_id, e.event_type, e.tk
+  FROM e JOIN conv ON e.user_id = conv.user_id
+  WHERE e.event_type IN ('click', 'view') AND e.tk < conv.ck
+), per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k,
+    min_by(event_type, tk) AS first_t, max_by(event_type, tk) AS last_t
+  FROM touch GROUP BY user_id
+), lin AS (
+  SELECT t.event_type,
+    CAST(SUM(CAST(floor(1000000e0 / p.k) AS BIGINT)) AS BIGINT) AS ppm
+  FROM touch t JOIN per_user p ON t.user_id = p.user_id
+  GROUP BY t.event_type
+), ft AS (
+  SELECT first_t AS event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM per_user GROUP BY first_t
+), lt AS (
+  SELECT last_t AS event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM per_user GROUP BY last_t
+)
+SELECT lin.event_type AS channel,
+  COALESCE(ft.c, 0) AS first_touch_conversions,
+  COALESCE(lt.c, 0) AS last_touch_conversions,
+  lin.ppm AS linear_credit_ppm
+FROM lin
+LEFT JOIN ft ON ft.event_type = lin.event_type
+LEFT JOIN lt ON lt.event_type = lin.event_type
+"""
+
+
+@register(
+    "q441_attribution_models",
+    oracle=_Q441_SQL.format(events="events"),
+    tags=("behavioral",),
+)
+def q441_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch ATTRIBUTION comparison — first-touch, last-touch
+    and linear credit per channel for every user's pre-conversion
+    click/view touches (conversion = the user's FIRST purchase; later
+    touches don't count — the causal-ordering rule single-touch
+    reports silently break). Event ordering is total and engine-free:
+    seconds-resolution timestamp × 2^34 + event_id (q393's key
+    construction). Linear credit avoids float accumulation entirely:
+    each user's 1/k share is floored ONCE onto a ppm grid
+    (floor(1e6/k) — identical IEEE division both engines), and channel
+    totals are exact BIGINT sums of those grid shares.
+
+    Scale: one min_by conversion agg, one touch semi-filter, three
+    channel-grain aggs — all key-partitioned, no window."""
+    return _sql_twin(spark, sf_dir, _Q441_SQL, ["events"])
+
+
+_Q442_SQL = """
+WITH u AS (
+  SELECT user_id, CAST(day(ts) AS BIGINT) AS d FROM {events}
+), fd AS (
+  SELECT user_id, MIN(d) AS cohort FROM u GROUP BY user_id
+), act AS (
+  SELECT DISTINCT f.cohort, u.d - f.cohort AS age, u.user_id
+  FROM u JOIN fd f ON u.user_id = f.user_id
+), base AS (
+  SELECT cohort, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n0
+  FROM act WHERE age = 0 GROUP BY cohort
+)
+SELECT a.cohort AS cohort_day, a.age,
+  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active,
+  round(CAST(COUNT(DISTINCT a.user_id) AS DOUBLE) / MAX(b.n0), 6)
+    AS retention
+FROM act a JOIN base b ON a.cohort = b.cohort
+WHERE a.cohort <= 7 AND a.age <= 10
+GROUP BY a.cohort, a.age
+"""
+
+
+@register(
+    "q442_cohort_retention",
+    oracle=_Q442_SQL.format(events="events"),
+    tags=("behavioral",),
+)
+def q442_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort RETENTION TRIANGLE — users grouped by first-active day,
+    tracked by age-in-days: n_active and retention rate per (cohort,
+    age) cell for the first week of cohorts × 10 ages. The product
+    analytics table every growth team lives in, shaped for scale: one
+    first-touch agg, one distinct (cohort, age, user) projection, and
+    a cell-grain count — the triangle is ≤ 7×11 rows whatever the
+    event volume. Retention = one double division rounded 6; cohort
+    size joins back via broadcast (day-grain frame)."""
+    return _sql_twin(spark, sf_dir, _Q442_SQL, ["events"])
