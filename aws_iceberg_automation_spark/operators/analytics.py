@@ -5710,3 +5710,277 @@ def q444_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one user-grain agg; all survival math on the day frame."""
     _assert_survival_mix(spark, sf_dir)
     return _sql_twin(spark, sf_dir, _Q444_SQL, ["events"])
+
+
+_Q445_SQL = """
+WITH cells AS (
+  SELECT c.c_mktsegment AS seg, n.n_regionkey AS reg,
+    CAST(COUNT(*) AS BIGINT) AS o
+  FROM {customer} c JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+  GROUP BY c.c_mktsegment, n.n_regionkey
+), rt AS (
+  SELECT seg, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY seg
+), ct AS (
+  SELECT reg, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY reg
+), n AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+    CAST(COUNT(DISTINCT seg) AS BIGINT) AS nr,
+    CAST(COUNT(DISTINCT reg) AS BIGINT) AS nc
+  FROM cells
+), terms AS (
+  SELECT CAST(floor(
+      (cells.o - CAST(rt.r AS DOUBLE) * ct.c / n.n)
+      * (cells.o - CAST(rt.r AS DOUBLE) * ct.c / n.n)
+      / (CAST(rt.r AS DOUBLE) * ct.c / n.n) * 1e6) AS BIGINT) AS t
+  FROM cells JOIN rt ON cells.seg = rt.seg
+  JOIN ct ON cells.reg = ct.reg CROSS JOIN n
+), s AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS chi_grid FROM terms
+)
+SELECT n.n AS n_obs, (n.nr - 1) * (n.nc - 1) AS dof,
+  round(chi_grid / 1e6, 4) AS chi2,
+  round(sqrt(chi_grid / 1e6
+    / (n.n * (CASE WHEN n.nr < n.nc THEN n.nr ELSE n.nc END - 1))), 6)
+    AS cramers_v
+FROM s CROSS JOIN n
+"""
+
+
+@register(
+    "q445_cramers_v",
+    oracle=_Q445_SQL.format(customer="customer", nation="nation"),
+    tags=("analytics", "stats"),
+)
+def q445_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² test of independence + Cramér's V on the market-segment ×
+    region contingency table — the effect-size companion every χ²
+    report needs (χ² grows with N even for negligible association; V
+    normalizes to [0,1]). Cell/margin counts are exact integers from
+    one hash agg; each cell's (O−E)²/E is a single double expression
+    over them — identical cross-engine — floored onto the 1e-6 grid
+    and BIGINT-summed over the ≤25-cell frame (q382 discipline), so
+    the χ² accumulation can never see engine sum order. Missing cells
+    contribute E (not 0) to χ² in theory — the 5×5 grid here is fully
+    populated at every fixture scale, and the margins-from-cells
+    construction keeps the two engines' cell sets identical by
+    definition."""
+    return _sql_twin(spark, sf_dir, _Q445_SQL, ["customer", "nation"])
+
+
+_Q446_SQL = """
+WITH r AS (
+  SELECT
+    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         THEN 1 ELSE 0 END AS a,
+    CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS b
+  FROM {orders}
+), c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(a * b) AS BIGINT) AS n11,
+    CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+    CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+    CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM r
+)
+SELECT n, n11, n10, n01, n00,
+  round((n11 + n00) / CAST(n AS DOUBLE), 6) AS po,
+  round(((n11 + n10) * CAST(n11 + n01 AS DOUBLE)
+       + (n01 + n00) * CAST(n10 + n00 AS DOUBLE)) / n / n, 6) AS pe,
+  round(((n11 + n00) / CAST(n AS DOUBLE)
+       - ((n11 + n10) * CAST(n11 + n01 AS DOUBLE)
+        + (n01 + n00) * CAST(n10 + n00 AS DOUBLE)) / n / n)
+      / (1e0 - ((n11 + n10) * CAST(n11 + n01 AS DOUBLE)
+        + (n01 + n00) * CAST(n10 + n00 AS DOUBLE)) / n / n), 6)
+    AS cohens_kappa
+FROM c
+"""
+
+
+@register(
+    "q446_cohens_kappa",
+    oracle=_Q446_SQL.format(orders="orders"),
+    tags=("analytics", "stats"),
+)
+def q446_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ — chance-corrected agreement between two binary
+    'raters' labeling the same orders (a rules-based priority flag vs
+    a price-threshold flag): the inter-annotator-agreement statistic
+    every labeling pipeline reports, because raw agreement p_o is
+    inflated by whatever both raters say most often; κ subtracts the
+    chance agreement p_e implied by the marginals. The 2×2 confusion
+    counts are exact integers from one fold; p_o, p_e and κ are single
+    double expressions over them — no accumulation, nothing to
+    grid."""
+    return _sql_twin(spark, sf_dir, _Q446_SQL, ["orders"])
+
+
+_Q447_SQL = """
+WITH vals AS (
+  SELECT source, n_chars AS v FROM {documents}
+), counts AS (
+  SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM vals GROUP BY source, v
+), vc AS (
+  SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM counts GROUP BY v
+), below AS (
+  SELECT a.v, CAST(COALESCE(SUM(b.cv), 0) AS BIGINT) AS n_less
+  FROM vc a LEFT JOIN vc b ON b.v < a.v GROUP BY a.v
+), rx AS (
+  -- 2x the tie-averaged rank of value v (exact integer)
+  SELECT below.v, 2 * below.n_less + vc.cv + 1 AS rx2
+  FROM below JOIN vc ON vc.v = below.v
+), g AS (
+  SELECT counts.source, CAST(SUM(counts.c) AS BIGINT) AS ng,
+    CAST(SUM(counts.c * rx.rx2) AS BIGINT) AS s2
+  FROM counts JOIN rx ON rx.v = counts.v GROUP BY counts.source
+), tot AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+    CAST(COUNT(*) AS BIGINT) AS k FROM g
+), hterm AS (
+  SELECT CAST(floor(
+      (CAST(g.s2 AS DOUBLE) / 2) * (CAST(g.s2 AS DOUBLE) / 2) / g.ng)
+    AS BIGINT) AS t
+  FROM g
+), ties AS (
+  SELECT CAST(SUM(cv * cv * cv - cv) AS BIGINT) AS tt FROM vc
+)
+SELECT tot.n AS n_obs, tot.k AS n_groups,
+  round(
+    (12e0 * (SELECT SUM(t) FROM hterm)
+      / (CAST(tot.n AS DOUBLE) * (tot.n + 1)) - 3e0 * (tot.n + 1))
+    / (1e0 - (SELECT tt FROM ties)
+       / (CAST(tot.n AS DOUBLE) * tot.n * tot.n - tot.n)), 6)
+    AS kw_h
+FROM tot
+"""
+
+
+@register(
+    "q447_kruskal_wallis",
+    oracle=_Q447_SQL.format(documents="documents"),
+    tags=("analytics", "stats"),
+)
+def q447_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the per-source document-length
+    distributions — the rank-based one-way ANOVA (q385 compares means
+    and assumes normal errors; KW compares rank sums and doesn't),
+    with the standard tie correction. All rank math is INTEGER-exact
+    via the q296 device: tie-averaged ranks ride as 2×rank
+    (2·n_less + count + 1), group rank sums are exact BIGINTs, and
+    each group's R²/n term is floored to the unit grid before the
+    cross-group sum (terms ~1e17 at the replicas — q385's overflow
+    sizing). The tie term Σ(t³−t) stays far inside int64 for any
+    realistic length multiplicity.
+
+    Scale: word-count-shaped aggregates over the distinct-value grid;
+    the rank 'window' is a broadcast theta-join on that bounded
+    frame, never a corpus-wide sort."""
+    return _sql_twin(spark, sf_dir, _Q447_SQL, ["documents"])
+
+
+_Q448_SQL = """
+WITH x AS (
+  SELECT c.c_mktsegment AS seg,
+    CAST(floor(o.o_totalprice) AS BIGINT) AS v
+  FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
+), gm AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+  FROM x GROUP BY seg
+), z AS (
+  SELECT x.seg,
+    CAST(floor(abs(x.v - CAST(gm.s AS DOUBLE) / gm.n)) AS BIGINT) AS z
+  FROM x JOIN gm ON x.seg = gm.seg
+), zg AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(z) AS BIGINT) AS sz,
+    CAST(SUM(z * z) AS BIGINT) AS szz
+  FROM z GROUP BY seg
+), grid AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+    CAST(SUM(sz) AS BIGINT) AS tsz,
+    CAST(SUM(CAST(floor(CAST(sz AS DOUBLE) * sz / n) AS BIGINT))
+      AS BIGINT) AS gssb,
+    CAST(SUM(CAST(floor(szz - CAST(sz AS DOUBLE) * sz / n) AS BIGINT))
+      AS BIGINT) AS gssw
+  FROM zg
+)
+SELECT k AS n_groups, nn AS n_rows,
+  round(((gssb - CAST(tsz AS DOUBLE) * tsz / nn) / (k - 1))
+      / (CAST(gssw AS DOUBLE) / (nn - k)), 6) AS levene_w
+FROM grid
+"""
+
+
+@register(
+    "q448_levene_variance",
+    oracle=_Q448_SQL.format(orders="orders", customer="customer"),
+    tags=("analytics", "stats"),
+)
+def q448_levene_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's test for EQUALITY OF VARIANCES across market segments
+    (mean-centered form): before trusting q385's ANOVA F, check its
+    homoscedasticity assumption by running the same one-way F on the
+    absolute deviations z = |x − x̄_g|. Deviations are floored to the
+    unit (dollar) grid after ONE double expression over exact integer
+    sums — identical both engines — and the ANOVA pieces reuse q385's
+    exact grid-int construction verbatim (sized so z² sums clear int64
+    at the 40× replica).
+
+    Scale: two group-grain hash aggs + one map-side join back —
+    the canonical two-pass variance shape."""
+    return _sql_twin(spark, sf_dir, _Q448_SQL, ["orders", "customer"])
+
+
+_Q449_SQL = """
+WITH x AS (
+  SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS v FROM {orders}
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s1,
+    CAST(SUM(v * v) AS BIGINT) AS s2,
+    CAST(SUM(v * v * v) AS BIGINT) AS s3,
+    CAST(SUM(v * v * v * v) AS BIGINT) AS s4
+  FROM x
+), c AS (
+  SELECT n,
+    CAST(s1 AS DOUBLE) / n AS mu,
+    CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (s1 / CAST(n AS DOUBLE)) AS m2,
+    CAST(s3 AS DOUBLE) / n
+      - 3e0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+      + 2e0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+        * (CAST(s1 AS DOUBLE) / n) AS m3,
+    CAST(s4 AS DOUBLE) / n
+      - 4e0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+      + 6e0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+        * (CAST(s2 AS DOUBLE) / n)
+      - 3e0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+        * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m4
+  FROM m
+)
+SELECT n AS n_obs,
+  round(m3 / sqrt(m2 * m2 * m2), 6) AS skewness,
+  round(m4 / (m2 * m2) - 3e0, 6) AS excess_kurtosis,
+  round(n / 6e0 * ((m3 / sqrt(m2 * m2 * m2)) * (m3 / sqrt(m2 * m2 * m2))
+    + (m4 / (m2 * m2) - 3e0) * (m4 / (m2 * m2) - 3e0) / 4e0), 4)
+    AS jarque_bera,
+  round(n / 6e0 * ((m3 / sqrt(m2 * m2 * m2)) * (m3 / sqrt(m2 * m2 * m2))
+    + (m4 / (m2 * m2) - 3e0) * (m4 / (m2 * m2) - 3e0) / 4e0), 4)
+    > 5.991465 AS reject_normal_95
+FROM c
+"""
+
+
+@register(
+    "q449_jarque_bera",
+    oracle=_Q449_SQL.format(orders="orders"),
+    tags=("analytics", "stats"),
+)
+def q449_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on order values — skewness² and
+    excess-kurtosis² against χ²₂: the distribution-shape gate that
+    should FAIL here (TPC-H prices are uniform-ish, platykurtic), the
+    point being the machinery, not the verdict. Raw power sums Σx..Σx⁴
+    ride as exact BIGINTs (values floored to kilodollar units so x⁴
+    sums clear int64 at the 40× replica — the q385 sizing rule; floor,
+    never round: half-ties flip between engines, the q362 lesson);
+    central moments, S, K and JB are one double expression over those
+    five exact integers."""
+    return _sql_twin(spark, sf_dir, _Q449_SQL, ["orders"])
