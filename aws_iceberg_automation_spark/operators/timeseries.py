@@ -2000,3 +2000,172 @@ def q398_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zero variance or truncated tail blocks) are excluded by stated
     rule on both sides."""
     return _sql_twin(spark, sf_dir, _Q398_SQL, ["events"])
+
+
+# -- round-10 lag family: calendar-lag autocorrelation machinery --------
+#
+# One template, two date-shift dialects ({s1}..{s5} placeholders):
+# Spark lacks DATE+INT, DuckDB lacks date_add(DATE, INT) — everything
+# else in the template is dialect-shared, so both engines evaluate the
+# identical arithmetic tree. The daily series is exact integer
+# hundred-dollar units (floor, never round — q362); deviation products
+# are floored per pair onto the unit grid and BIGINT-summed (q382).
+# Lags are CALENDAR lags over an explicit self-equi-join on shifted
+# date — no unpartitioned window, gaps simply contribute no pair.
+
+_LAG_SERIES = """
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS dol
+  FROM {orders} GROUP BY CAST(o_orderdate AS DATE)
+), s AS (
+  SELECT d, CAST(floor(dol / 100e0) AS BIGINT) AS x FROM daily
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+  FROM s
+), d0 AS (
+  SELECT CAST(SUM(CAST(floor(
+      (x - CAST(sx AS DOUBLE) / n) * (x - CAST(sx AS DOUBLE) / n))
+    AS BIGINT)) AS BIGINT) AS s0
+  FROM s CROSS JOIN m
+)"""
+
+
+def _lag_cte(k: int, shift: str) -> str:
+    return f"""l{k} AS (
+  SELECT CAST(SUM(CAST(floor(
+      (a.x - CAST(m.sx AS DOUBLE) / m.n)
+      * (b.x - CAST(m.sx AS DOUBLE) / m.n)) AS BIGINT)) AS BIGINT) AS sk,
+    CAST(COUNT(*) AS BIGINT) AS nk
+  FROM s a JOIN s b ON b.d = {shift} CROSS JOIN m
+)"""
+
+
+def _q450_sql(shift_fmt: str, orders: str) -> str:
+    lags = ",\n".join(_lag_cte(k, shift_fmt.format(k=k)) for k in range(1, 6))
+    rsum = " + ".join(
+        f"(CAST(l{k}.sk AS DOUBLE) / d0.s0) * (CAST(l{k}.sk AS DOUBLE)"
+        f" / d0.s0) / (m.n - {k})"
+        for k in range(1, 6)
+    )
+    rcols = ",\n  ".join(
+        f"round(CAST(l{k}.sk AS DOUBLE) / d0.s0, 6) AS r{k}"
+        for k in range(1, 6)
+    )
+    return f"""
+WITH {_LAG_SERIES.format(orders=orders).lstrip()},
+{lags}
+SELECT m.n AS n_days,
+  {rcols},
+  round(m.n * (m.n + 2e0) * ({rsum}), 4) AS ljung_box_q,
+  round(m.n * (m.n + 2e0) * ({rsum}), 4) > 11.0705 AS reject_white_95
+FROM m CROSS JOIN d0
+  CROSS JOIN l1 CROSS JOIN l2 CROSS JOIN l3 CROSS JOIN l4 CROSS JOIN l5
+"""
+
+
+@register(
+    "q450_ljung_box",
+    oracle=_q450_sql("(a.d + {k})", "orders"),
+    tags=("timeseries", "stats"),
+)
+def q450_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the daily-revenue series — are
+    the first five autocorrelations jointly zero (white noise), or
+    does revenue carry serial structure worth a forecast model? The
+    autocorrelation estimates are calendar-lag (an explicit self-join
+    on shifted DATE; calendar gaps contribute no pair — documented
+    estimator choice, identical on both engines), with deviation
+    products floored onto the unit grid per pair and BIGINT-summed, so
+    rₖ and Q are deterministic functions of exact integers. Q against
+    χ²₅'s 95% point.
+
+    Scale: one day-grain agg from the fact table, then five
+    broadcast-sized self-joins on a ~2400-row frame."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("tw_orders")
+    return spark.sql(_q450_sql("date_add(a.d, {k})", "tw_orders"))
+
+
+def _q451_sql(shift_fmt: str, orders: str) -> str:
+    def diff_cte(name: str, k: int) -> str:
+        return f"""{name} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(b.x - a.x) AS BIGINT) AS sd,
+    CAST(SUM((b.x - a.x) * (b.x - a.x)) AS BIGINT) AS sdd
+  FROM s a JOIN s b ON b.d = {shift_fmt.format(k=k)}
+)"""
+
+    return f"""
+WITH {_LAG_SERIES.format(orders=orders).lstrip()},
+{diff_cte("d1", 1)},
+{diff_cte("d5", 5)}
+SELECT d1.n AS n_pairs_1d, d5.n AS n_pairs_5d,
+  round(((CAST(d5.sdd AS DOUBLE) - CAST(d5.sd AS DOUBLE) * d5.sd / d5.n)
+         / d5.n / 5e0)
+      / ((CAST(d1.sdd AS DOUBLE) - CAST(d1.sd AS DOUBLE) * d1.sd / d1.n)
+         / d1.n), 6) AS variance_ratio
+FROM d1 CROSS JOIN d5
+"""
+
+
+@register(
+    "q451_variance_ratio",
+    oracle=_q451_sql("(a.d + {k})", "orders"),
+    tags=("timeseries", "stats"),
+)
+def q451_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay VARIANCE-RATIO test statistic on daily revenue:
+    Var(5-day change)/(5·Var(1-day change)) — exactly 1 for a random
+    walk, <1 under mean reversion, >1 under trending. The martingale
+    diagnostic quant desks run before fitting anything fancier.
+    Differences of the integer series are EXACT ints (no grid needed);
+    the two variances and the ratio are one double expression over
+    exact (n, Σd, Σd²) triples. Calendar-lag pairs as in q450.
+
+    Scale: one day-grain agg + two self-joins on the day frame."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("tw_orders")
+    return spark.sql(_q451_sql("date_add(a.d, {k})", "tw_orders"))
+
+
+def _q452_sql(shift_fmt: str, orders: str) -> str:
+    lags = ",\n".join(_lag_cte(k, shift_fmt.format(k=k)) for k in range(1, 4))
+    return f"""
+WITH {_LAG_SERIES.format(orders=orders).lstrip()},
+{lags},
+r AS (
+  SELECT
+    CAST(l1.sk AS DOUBLE) / d0.s0 AS r1,
+    CAST(l2.sk AS DOUBLE) / d0.s0 AS r2,
+    CAST(l3.sk AS DOUBLE) / d0.s0 AS r3
+  FROM d0 CROSS JOIN l1 CROSS JOIN l2 CROSS JOIN l3
+), p2 AS (
+  SELECT r1, r2, r3,
+    r1 * (1e0 - r2) / (1e0 - r1 * r1) AS phi21,
+    (r2 - r1 * r1) / (1e0 - r1 * r1) AS phi22
+  FROM r
+)
+SELECT round(r1, 6) AS acf1, round(r2, 6) AS acf2, round(r3, 6) AS acf3,
+  round(r1, 6) AS pacf1,
+  round((r2 - r1 * r1) / (1e0 - r1 * r1), 6) AS pacf2,
+  round((r3 - phi21 * r2 - phi22 * r1)
+      / (1e0 - phi21 * r1 - phi22 * r2), 6) AS pacf3
+FROM p2
+"""
+
+
+@register(
+    "q452_acf_pacf",
+    oracle=_q452_sql("(a.d + {k})", "orders"),
+    tags=("timeseries", "stats"),
+)
+def q452_acf_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF and PACF (lags 1–3) of the daily-revenue series — the
+    Box-Jenkins model-identification pair: ACF tails off / PACF cuts
+    off ⇒ AR order, and vice versa for MA. PACF via the closed-form
+    Durbin-Levinson recursion unrolled to level 3 (φ₂₁/φ₂₂ as an
+    explicit intermediate layer — a nested subquery, not same-SELECT
+    alias reuse, so both engines bind identically). Autocorrelations
+    from the q450 grid-int machinery; every PACF is a double
+    expression over the same three rₖ doubles on both engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("tw_orders")
+    return spark.sql(_q452_sql("date_add(a.d, {k})", "tw_orders"))
