@@ -5984,3 +5984,258 @@ def q449_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     central moments, S, K and JB are one double expression over those
     five exact integers."""
     return _sql_twin(spark, sf_dir, _Q449_SQL, ["orders"])
+
+
+_Q453_SQL = """
+WITH x AS (
+  SELECT CASE WHEN year(o_orderdate) <= 1997 THEN 'ref' ELSE 'cur' END
+      AS era,
+    LEAST(CAST(floor(o_totalprice / 60000e0) AS BIGINT), 9) AS bin
+  FROM {orders}
+), c AS (
+  SELECT era, bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM x GROUP BY era, bin
+), n AS (
+  SELECT era, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY era
+), bins AS (
+  SELECT DISTINCT bin FROM c
+), sm AS (
+  -- Laplace-smoothed shares so an empty bin on one side stays defined
+  SELECT b.bin,
+    (COALESCE(r.cnt, 0) + 1) / (CAST(rn.n AS DOUBLE) + 10) AS p,
+    (COALESCE(u.cnt, 0) + 1) / (CAST(un.n AS DOUBLE) + 10) AS q
+  FROM bins b
+  LEFT JOIN c r ON r.bin = b.bin AND r.era = 'ref'
+  LEFT JOIN c u ON u.bin = b.bin AND u.era = 'cur'
+  CROSS JOIN (SELECT n FROM n WHERE era = 'ref') rn
+  CROSS JOIN (SELECT n FROM n WHERE era = 'cur') un
+), t AS (
+  SELECT CAST(SUM(CAST(round((q - p) * ln(q / p) * 1e9) AS BIGINT))
+    AS BIGINT) AS psi_grid
+  FROM sm
+)
+SELECT CAST((SELECT COUNT(*) FROM bins) AS BIGINT) AS n_bins,
+  round(psi_grid / 1e9, 6) AS psi,
+  round(psi_grid / 1e9, 6) > 0.2 AS major_shift
+FROM t
+"""
+
+
+@register(
+    "q453_psi_stability",
+    oracle=_Q453_SQL.format(orders="orders"),
+    tags=("analytics", "stats", "drift"),
+)
+def q453_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the ≤1997 reference era and
+    the later scoring era of the order-value distribution — the
+    model-monitoring drift gate (PSI > 0.2 = retrain): Σ(q−p)·ln(q/p)
+    over 10 fixed value bins with Laplace smoothing so a bin empty on
+    one side stays finite. Bin counts are exact integers; each bin's
+    term is one double expression snapped onto the 1e-9 grid before
+    the 10-term sum (q382 discipline). Bins by floor (never round —
+    q362's half-tie lesson)."""
+    return _sql_twin(spark, sf_dir, _Q453_SQL, ["orders"])
+
+
+_Q454_SQL = """
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM {documents} GROUP BY source, lang
+), ns AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY source
+), corpus AS (
+  SELECT lang, CAST(SUM(cnt) AS BIGINT) AS cc FROM c GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(cc) AS BIGINT) AS t FROM corpus
+), terms AS (
+  SELECT c.source,
+    CAST(round(
+      (c.cnt / CAST(ns.n AS DOUBLE))
+      * ln((c.cnt / CAST(ns.n AS DOUBLE))
+         / (corpus.cc / CAST(tot.t AS DOUBLE))) * 1e9) AS BIGINT) AS kl_t,
+    CAST(round(
+      (c.cnt / CAST(ns.n AS DOUBLE))
+      * ln((c.cnt / CAST(ns.n AS DOUBLE))
+         / ((c.cnt / CAST(ns.n AS DOUBLE)
+            + corpus.cc / CAST(tot.t AS DOUBLE)) / 2e0)) * 1e9)
+      AS BIGINT) AS jsp_t,
+    CAST(round(
+      (corpus.cc / CAST(tot.t AS DOUBLE))
+      * ln((corpus.cc / CAST(tot.t AS DOUBLE))
+         / ((c.cnt / CAST(ns.n AS DOUBLE)
+            + corpus.cc / CAST(tot.t AS DOUBLE)) / 2e0)) * 1e9)
+      AS BIGINT) AS jsq_t
+  FROM c JOIN ns ON c.source = ns.source
+  JOIN corpus ON c.lang = corpus.lang CROSS JOIN tot
+)
+SELECT source,
+  round(SUM(kl_t) / 1e9, 6) AS kl_nats,
+  round((SUM(jsp_t) + SUM(jsq_t)) / 2e0 / 1e9, 6) AS js_nats
+FROM terms GROUP BY source
+"""
+
+
+@register(
+    "q454_kl_js_divergence",
+    oracle=_Q454_SQL.format(documents="documents"),
+    tags=("analytics", "stats", "llm"),
+)
+def q454_kl_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL and Jensen-Shannon divergence of each source's language mix
+    against the corpus mix — the mixture-monitoring statistic a
+    training-data pipeline tracks per shard (JS is the symmetric,
+    bounded one worth alerting on; KL blows up on missing support,
+    which can't happen here since every source's langs are in the
+    pool). Per-(source,lang) terms are single double expressions over
+    exact counts, rounded onto the 1e-9 grid, summed per source as
+    BIGINTs; the JS caveat — q's terms over the source's OWN support
+    only — is exact here because every lang appears in every source at
+    fixture scales (missing cells would need +0 terms on the q side,
+    which vanish identically anyway only when p(lang)=0 too)."""
+    return _sql_twin(spark, sf_dir, _Q454_SQL, ["documents"])
+
+
+_Q455_SQL = """
+WITH x AS (
+  SELECT c.c_mktsegment AS seg,
+    CAST(floor(o.o_totalprice / 1000e0) AS BIGINT) AS v
+  FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+), c AS (
+  SELECT seg, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM x GROUP BY seg, v
+), n AS (
+  SELECT seg, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY seg
+), grid AS (
+  SELECT DISTINCT v FROM c
+), cum AS (
+  SELECT /*+ BROADCAST(b) */ g.v,
+    CAST(SUM(CASE WHEN b.seg = 'BUILDING' THEN b.cnt ELSE 0 END)
+      AS BIGINT) AS ca,
+    CAST(SUM(CASE WHEN b.seg = 'MACHINERY' THEN b.cnt ELSE 0 END)
+      AS BIGINT) AS cb
+  FROM grid g LEFT JOIN c b ON b.v <= g.v
+  GROUP BY g.v
+), t AS (
+  SELECT CAST(SUM(CAST(round(abs(
+      cum.ca / CAST(na.n AS DOUBLE) - cum.cb / CAST(nb.n AS DOUBLE))
+      * 1e9) AS BIGINT)) AS BIGINT) AS w_grid
+  FROM cum
+  CROSS JOIN (SELECT n FROM n WHERE seg = 'BUILDING') na
+  CROSS JOIN (SELECT n FROM n WHERE seg = 'MACHINERY') nb
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM grid) AS n_buckets,
+  round(w_grid / 1e9, 6) AS wasserstein_1_kusd
+FROM t
+"""
+
+
+@register(
+    "q455_wasserstein_1d",
+    oracle=_Q455_SQL.format(orders="orders", customer="customer"),
+    tags=("analytics", "stats"),
+)
+def q455_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between the BUILDING and
+    MACHINERY order-value distributions, in kilodollar units — the
+    metric two-sample comparison that, unlike KS (max gap) or KL
+    (needs shared support + is scale-free), reports HOW MUCH value
+    mass must move: W₁ = ∫|CDF_a − CDF_b| over the bucketed value
+    axis (exact for the bucketed variable; q399's t-closeness EMD is
+    the within-table cousin). Cumulative counts come from one
+    broadcast theta-join over the ≤600-bucket grid — no unpartitioned
+    window; per-bucket gaps snap onto the 1e-9 grid and sum as
+    BIGINTs."""
+    return _sql_twin(spark, sf_dir, _Q455_SQL, ["orders", "customer"])
+
+
+_Q456_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS dol
+  FROM {orders} GROUP BY CAST(o_orderdate AS DATE)
+), s AS (
+  SELECT d, CAST(floor(dol / 100e0) AS BIGINT) AS x FROM daily
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+    CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM s
+), dev AS (
+  SELECT d, CAST(floor((x - CAST((SELECT sx FROM m) AS DOUBLE)
+      / (SELECT n FROM m)) * 1e3) AS BIGINT) AS e
+  FROM s
+), cum AS (
+  SELECT /*+ BROADCAST(b) */ a.d, CAST(SUM(b.e) AS BIGINT) AS st
+  FROM dev a JOIN dev b ON b.d <= a.d GROUP BY a.d
+), pick AS (
+  SELECT CAST(d AS STRING) AS change_day, abs(st) AS mx
+  FROM cum ORDER BY abs(st) DESC, d LIMIT 1
+)
+SELECT m.n AS n_days, pick.change_day,
+  round(pick.mx / 1e3 / 100e0, 2) AS max_cusum_kusd,
+  round((pick.mx / 1e3)
+    / (sqrt(CAST(m.sxx AS DOUBLE) / m.n
+        - (CAST(m.sx AS DOUBLE) / m.n) * (CAST(m.sx AS DOUBLE) / m.n))
+       * sqrt(CAST(m.n AS DOUBLE))), 6) AS normalized_cusum
+FROM pick CROSS JOIN m
+"""
+
+
+@register(
+    "q456_cusum_changepoint",
+    oracle=_Q456_SQL.format(orders="orders"),
+    tags=("analytics", "timeseries", "drift"),
+)
+def q456_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point locator on the daily-revenue series: the
+    day maximizing |Σ_{t≤d}(x_t − x̄)| is the classic single
+    change-point estimate, and max|S|/(σ̂·√n) is its normalized
+    magnitude (≫1 ⇒ a level shift, not noise). Per-day deviations
+    snap once onto a 1e-3 grid; the cumulative path is an exact
+    BIGINT sum via a broadcast theta-join over the ~2400-day frame
+    (no unpartitioned window), so the argmax day is deterministic
+    (ties break to the earliest day)."""
+    return _sql_twin(spark, sf_dir, _Q456_SQL, ["orders"])
+
+
+_Q458_SQL = """
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+    AS STRING), 1, 1) AS BIGINT) AS fd
+  FROM {orders} WHERE o_totalprice >= 1
+), c AS (
+  SELECT fd, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY fd
+), n AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c
+), t AS (
+  SELECT c.fd, c.cnt,
+    CAST(round((c.cnt - n.n * ln(1e0 + 1e0 / c.fd) / ln(10e0))
+       * (c.cnt - n.n * ln(1e0 + 1e0 / c.fd) / ln(10e0))
+       / (n.n * ln(1e0 + 1e0 / c.fd) / ln(10e0)) * 1e6) AS BIGINT)
+      AS chi_t,
+    CAST(round(abs(c.cnt / CAST(n.n AS DOUBLE)
+       - ln(1e0 + 1e0 / c.fd) / ln(10e0)) * 1e9) AS BIGINT) AS mad_t
+  FROM c CROSS JOIN n
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_digits,
+  round(SUM(chi_t) / 1e6, 4) AS benford_chi2,
+  round(SUM(mad_t) / CAST(COUNT(*) AS DOUBLE) / 1e9, 6) AS benford_mad
+FROM t
+"""
+
+
+@register(
+    "q458_benford_digits",
+    oracle=_Q458_SQL.format(orders="orders"),
+    tags=("analytics", "stats", "dq"),
+)
+def q458_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order values — χ² and the
+    mean-absolute-deviation of the leading-digit distribution against
+    log₁₀(1+1/d): the forensic-accounting / synthetic-data detector
+    (TPC-H's uniform price generator should FAIL loudly — the point is
+    the machinery and the honest verdict). Leading digit via exact
+    integer-string truncation on both engines (no log10-and-divide
+    float path); per-digit χ²/MAD terms are single double expressions
+    over exact counts, grid-snapped and summed over the 9-cell
+    frame."""
+    return _sql_twin(spark, sf_dir, _Q458_SQL, ["orders"])

@@ -2169,3 +2169,60 @@ def q452_acf_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression over the same three rₖ doubles on both engines."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("tw_orders")
     return spark.sql(_q452_sql("date_add(a.d, {k})", "tw_orders"))
+
+
+def _q457_sql(shift2: str, orders: str) -> str:
+    """shift2 formats with {a} (alias) and {k} (day count)."""
+    prev1 = shift2.format(a="b", k=1)
+    prev2 = shift2.format(a="c", k=2)
+    return f"""
+WITH {_LAG_SERIES.format(orders=orders).lstrip()},
+sd AS (
+  SELECT CAST(SUM(CAST(floor(
+      (x - CAST(sx AS DOUBLE) / n) * (x - CAST(sx AS DOUBLE) / n))
+    AS BIGINT)) AS BIGINT) AS ss
+  FROM s CROSS JOIN m
+), z AS (
+  SELECT s.d,
+    (s.x - CAST(m.sx AS DOUBLE) / m.n)
+      / sqrt(CAST(sd.ss AS DOUBLE) / m.n) AS z
+  FROM s CROSS JOIN m CROSS JOIN sd
+), flags AS (
+  SELECT d,
+    CASE WHEN z > 3e0 OR z < -3e0 THEN 1 ELSE 0 END AS r1,
+    CASE WHEN z > 2e0 THEN 1 WHEN z < -2e0 THEN -1 ELSE 0 END AS s2
+  FROM z
+), rule2 AS (
+  -- simplified Western Electric rule 2: day d beyond 2 sigma AND one
+  -- of the two preceding CALENDAR days beyond 2 sigma the same side
+  SELECT a.d
+  FROM flags a
+  LEFT JOIN flags b ON a.d = {prev1}
+  LEFT JOIN flags c ON a.d = {prev2}
+  WHERE a.s2 <> 0
+    AND (COALESCE(b.s2, 0) = a.s2 OR COALESCE(c.s2, 0) = a.s2)
+)
+SELECT m.n AS n_days,
+  (SELECT CAST(SUM(r1) AS BIGINT) FROM flags) AS rule1_violations,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM rule2) AS rule2_violations
+FROM m
+"""
+
+
+@register(
+    "q457_control_rules",
+    oracle=_q457_sql("({a}.d + {k})", "orders"),
+    tags=("timeseries", "stats", "dq"),
+)
+def q457_control_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart control-chart violations on daily revenue — Western
+    Electric rule 1 (beyond ±3σ) and the 2-of-3-beyond-2σ-same-side
+    run rule (simplified to the two preceding calendar days): the SPC
+    layer a pipeline-health monitor runs on any daily metric, catching
+    both single spikes (rule 1) and sustained small shifts rule 1
+    misses (rule 2). z-scores are one double expression over exact
+    integer sums (identical both engines, so the ±kσ comparisons
+    agree bit-for-bit); the run rule is two calendar-lag self-joins
+    on the day frame — no window."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("tw_orders")
+    return spark.sql(_q457_sql("date_add({a}.d, {k})", "tw_orders"))
