@@ -6239,3 +6239,162 @@ def q458_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     over exact counts, grid-snapped and summed over the 9-cell
     frame."""
     return _sql_twin(spark, sf_dir, _Q458_SQL, ["orders"])
+
+
+_Q459_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+    CAST(floor(SUM(CAST(round(o_totalprice) AS BIGINT)) / 10000e0)
+      AS BIGINT) AS v
+  FROM {orders} GROUP BY o_custkey
+), vc AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS cv FROM rev GROUP BY v
+), below AS (
+  SELECT /*+ BROADCAST(b) */ a.v,
+    CAST(COALESCE(SUM(b.cv), 0) AS BIGINT) AS n_less
+  FROM vc a LEFT JOIN vc b ON b.v < a.v GROUP BY a.v
+), rx AS (
+  SELECT below.v, vc.cv, 2 * below.n_less + vc.cv + 1 AS rx2
+  FROM below JOIN vc ON vc.v = below.v
+), m AS (
+  SELECT CAST(SUM(cv) AS BIGINT) AS n,
+    CAST(SUM(cv * v) AS BIGINT) AS sx,
+    CAST(SUM(cv * rx2 * v) AS BIGINT) AS srx2
+  FROM rx
+), topdec AS (
+  SELECT /*+ BROADCAST(b) */ a.v
+  FROM rx a LEFT JOIN vc b ON b.v > a.v CROSS JOIN m
+  GROUP BY a.v, m.n
+  HAVING COALESCE(SUM(b.cv), 0) + MIN(a.cv) >= CAST(ceil(m.n / 10e0) AS BIGINT)
+    AND COALESCE(SUM(b.cv), 0) < CAST(ceil(m.n / 10e0) AS BIGINT)
+), tshare AS (
+  SELECT CAST(SUM(CASE WHEN rx.v >= (SELECT v FROM topdec)
+    THEN rx.cv * rx.v ELSE 0 END) AS BIGINT) AS stop
+  FROM rx
+)
+SELECT m.n AS n_customers,
+  round(CAST(m.srx2 AS DOUBLE) / (CAST(m.n AS DOUBLE) * m.sx)
+    - (m.n + 1e0) / m.n, 6) AS gini,
+  round(CAST(tshare.stop AS DOUBLE) / m.sx, 6) AS top_decile_share
+FROM m CROSS JOIN tshare
+"""
+
+
+@register(
+    "q459_gini_lorenz",
+    oracle=_Q459_SQL.format(orders="orders"),
+    tags=("analytics", "stats"),
+)
+def q459_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient + top-decile Lorenz share of customer revenue
+    — the concentration summary (how unequal is the customer book?)
+    at ten-kilodollar BUCKET grain, which keeps the statistic exact
+    for the bucketed variable and the value frame bounded (~150
+    buckets at any replica, since per-customer revenue is
+    scale-invariant in TPC-H). Gini via the tie-averaged-rank identity
+    G = 2·Σrᵢxᵢ/(nΣx) − (n+1)/n with the q296 2×-rank device: every
+    term is an exact BIGINT, and the final value is one double
+    expression. The top-decile cutoff bucket is selected exactly by
+    cumulative counting from above (no percentile approximation)."""
+    return _sql_twin(spark, sf_dir, _Q459_SQL, ["orders"])
+
+
+_Q460_SQL = """
+WITH rev AS (
+  SELECT c.c_nationkey AS nk,
+    CAST(floor(SUM(CAST(round(o.o_totalprice) AS BIGINT)) / 10000e0)
+      AS BIGINT) AS v
+  FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
+  GROUP BY o.o_custkey, c.c_nationkey
+), cells AS (
+  -- bucket-midpoint income x = v + 0.5 (ten-kilodollar units): never
+  -- zero, so every log is finite
+  SELECT nk, v, CAST(COUNT(*) AS BIGINT) AS c FROM rev GROUP BY nk, v
+), g AS (
+  SELECT nk, CAST(SUM(c) AS BIGINT) AS ng,
+    CAST(SUM(c * (2 * v + 1)) AS BIGINT) AS sx2g
+  FROM cells GROUP BY nk
+), tot AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sx2g) AS BIGINT) AS sx2
+  FROM g
+), within AS (
+  SELECT CAST(SUM(CAST(round(
+      (c * (2e0 * v + 1) / tot.sx2)
+      * ln(((2e0 * v + 1) / 2e0) / ((CAST(g.sx2g AS DOUBLE) / 2e0) / g.ng))
+      * 1e9) AS BIGINT)) AS BIGINT) AS tw_grid
+  FROM cells JOIN g ON cells.nk = g.nk CROSS JOIN tot
+), between_ AS (
+  SELECT CAST(SUM(CAST(round(
+      (CAST(g.sx2g AS DOUBLE) / tot.sx2)
+      * ln((CAST(g.sx2g AS DOUBLE) / g.ng) / (CAST(tot.sx2 AS DOUBLE) / tot.n))
+      * 1e9) AS BIGINT)) AS BIGINT) AS tb_grid
+  FROM g CROSS JOIN tot
+)
+SELECT tot.n AS n_customers,
+  round((tw_grid + tb_grid) / 1e9, 6) AS theil_total,
+  round(tb_grid / 1e9, 6) AS theil_between_nations,
+  round(tw_grid / 1e9, 6) AS theil_within,
+  round(CAST(tb_grid AS DOUBLE) / (tw_grid + tb_grid), 6)
+    AS between_share
+FROM within CROSS JOIN between_ CROSS JOIN tot
+"""
+
+
+@register(
+    "q460_theil_index",
+    oracle=_Q460_SQL.format(orders="orders", customer="customer"),
+    tags=("analytics", "stats"),
+)
+def q460_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality index of customer revenue with its exact
+    BETWEEN/WITHIN-nation decomposition — the additive-decomposable
+    inequality measure (Gini isn't): T = T_between + Σ share_g·T_g,
+    answering 'is revenue concentration a cross-market or
+    within-market phenomenon?'. Bucket-midpoint incomes (2v+1 halves
+    ride as exact integers — no fractional arithmetic until the one
+    log per cell), per-cell terms snapped onto the 1e-9 grid and
+    BIGINT-summed over the ≤25×150-cell frame. The decomposition
+    identity is checkable from the output columns by construction."""
+    return _sql_twin(spark, sf_dir, _Q460_SQL, ["orders", "customer"])
+
+
+_Q461_SQL = """
+WITH sup AS (
+  SELECT s.s_nationkey AS nk, l.l_suppkey AS sk,
+    CAST(SUM(CAST(round(l.l_extendedprice) AS BIGINT)) AS BIGINT) AS rev
+  FROM {lineitem} l JOIN {supplier} s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey
+), nat AS (
+  SELECT nk, CAST(SUM(rev) AS BIGINT) AS tot,
+    CAST(COUNT(*) AS BIGINT) AS n_sup
+  FROM sup GROUP BY nk
+), t AS (
+  SELECT sup.nk,
+    CAST(SUM(CAST(round(
+      (sup.rev / CAST(nat.tot AS DOUBLE))
+      * (sup.rev / CAST(nat.tot AS DOUBLE)) * 1e10) AS BIGINT))
+      AS BIGINT) AS h_grid
+  FROM sup JOIN nat ON sup.nk = nat.nk GROUP BY sup.nk
+)
+SELECT t.nk AS nationkey, nat.n_sup AS n_suppliers,
+  round(h_grid / 1e10 * 10000, 2) AS hhi,
+  h_grid / 1e10 * 10000 > 2500 AS highly_concentrated
+FROM t JOIN nat ON t.nk = nat.nk
+"""
+
+
+@register(
+    "q461_hhi_concentration",
+    oracle=_Q461_SQL.format(lineitem="lineitem", supplier="supplier"),
+    tags=("analytics", "stats"),
+)
+def q461_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman Index of supplier revenue concentration
+    per nation (0–10,000 points; >2,500 = DOJ 'highly concentrated')
+    — the antitrust/market-structure census, and for a data platform
+    the skew early-warning for any 'share of key within group'
+    question. Supplier revenues are exact integer dollars; each
+    share² term is one double expression snapped onto the 1e-10 grid
+    (shares ≤ 1, so grid sums stay tiny) and summed per nation over
+    the bounded supplier-per-nation frame."""
+    return _sql_twin(spark, sf_dir, _Q461_SQL, ["lineitem", "supplier"])

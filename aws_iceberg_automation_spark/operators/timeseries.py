@@ -2226,3 +2226,155 @@ def q457_control_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the day frame — no window."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("tw_orders")
     return spark.sql(_q457_sql("date_add({a}.d, {k})", "tw_orders"))
+
+
+_Q462_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS dol
+  FROM {orders} GROUP BY CAST(o_orderdate AS DATE)
+), s AS (
+  SELECT d, CAST(floor(dol / 100e0) AS BIGINT) AS x FROM daily
+), dd AS (
+  SELECT /*+ BROADCAST(b) */ a.d AS trough_d, MAX(b.x - a.x) AS fall,
+    max_by(b.d, b.x * 100000 - CAST(
+      year(b.d) * 372 + (month(b.d) - 1) * 31 + day(b.d) AS BIGINT))
+      AS peak_d
+  FROM s a JOIN s b ON b.d <= a.d
+  GROUP BY a.d
+), pick AS (
+  SELECT CAST(peak_d AS STRING) AS peak_day,
+    CAST(trough_d AS STRING) AS trough_day, fall
+  FROM dd ORDER BY fall DESC, trough_d, peak_d LIMIT 1
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_days,
+  peak_day, trough_day,
+  round(fall / 100e0 / 100e0, 2) AS max_drawdown_kusd
+FROM pick
+"""
+
+
+@register(
+    "q462_max_drawdown",
+    oracle=_Q462_SQL.format(orders="orders"),
+    tags=("timeseries", "finance"),
+)
+def q462_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM DRAWDOWN of the daily-revenue level series — the
+    largest peak-to-later-trough fall, with its peak and trough days:
+    the risk metric every metric dashboard wants next to the trend
+    line. The running-peak formulation collapses to a pure pairwise
+    MAX over (peak ≤ trough) day pairs — one broadcast theta-join on
+    the ~2400-day frame, no running window, no iteration. All values
+    exact integers; the argmax pair is fully tie-broken (largest fall,
+    then earliest trough, then the peak picked by max_by's
+    deterministic integer key: highest x, earliest day)."""
+    return _sql_twin(spark, sf_dir, _Q462_SQL, ["orders"])
+
+
+_Q463_SQL = """
+WITH t AS (
+  SELECT CAST(day(ts) AS BIGINT) AS d, value,
+    (CAST(day(ts) AS BIGINT) * 86400 + CAST(hour(ts) AS BIGINT) * 3600
+     + CAST(minute(ts) AS BIGINT) * 60 + CAST(second(ts) AS BIGINT))
+      * 17179869184 + event_id AS tk
+  FROM {events} WHERE value > 0
+), ohlc AS (
+  SELECT d, min_by(value, tk) AS o, MAX(value) AS h, MIN(value) AS l,
+    max_by(value, tk) AS c, CAST(COUNT(*) AS BIGINT) AS n_ticks
+  FROM t GROUP BY d
+), gk AS (
+  SELECT d, n_ticks,
+    CAST(round((5e-1 * ln(h / l) * ln(h / l)
+      - (2e0 * ln(2e0) - 1e0) * ln(c / o) * ln(c / o)) * 1e9)
+      AS BIGINT) AS v_grid
+  FROM ohlc WHERE n_ticks >= 4
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+  round(SUM(v_grid) / CAST(COUNT(*) AS DOUBLE) / 1e9, 6) AS gk_var,
+  round(sqrt(SUM(v_grid) / CAST(COUNT(*) AS DOUBLE) / 1e9), 6) AS gk_vol
+FROM gk
+"""
+
+
+@register(
+    "q463_garman_klass",
+    oracle=_Q463_SQL.format(events="events"),
+    tags=("timeseries", "finance"),
+)
+def q463_garman_klass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Garman-Klass realized-volatility estimator from daily OHLC bars
+    built out of the raw event ticks — the range-based variance
+    estimate that's ~7× more efficient than close-to-close returns
+    because the intraday high/low carry most of the information.
+    Bars via min_by/max_by on the q393 deterministic tick key (both
+    engines); each day's GK term is one double expression over those
+    four bar values, snapped onto the 1e-9 grid, averaged over days.
+    Days with <4 ticks are dropped (an OHLC bar needs distinct
+    opens/extremes to mean anything).
+
+    Scale: one day-grain agg over the fact stream; everything after
+    lives on the ≤31-row bar frame."""
+    return _sql_twin(spark, sf_dir, _Q463_SQL, ["events"])
+
+
+_Q464_SQL = """
+WITH mon AS (
+  SELECT c.c_mktsegment AS seg,
+    CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT) AS ym,
+    CAST(SUM(CAST(round(o.o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+  FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, year(o.o_orderdate) * 12 + month(o.o_orderdate)
+), mkt AS (
+  SELECT ym, CAST(SUM(rev) AS BIGINT) AS rev FROM mon GROUP BY ym
+), rs AS (
+  SELECT a.seg, a.ym,
+    (b.rev - CAST(a.rev AS DOUBLE)) / a.rev AS r
+  FROM mon a JOIN mon b ON b.seg = a.seg AND b.ym = a.ym + 1
+), rm AS (
+  SELECT a.ym, (b.rev - CAST(a.rev AS DOUBLE)) / a.rev AS r
+  FROM mkt a JOIN mkt b ON b.ym = a.ym + 1
+), j AS (
+  SELECT rs.seg,
+    CAST(round(rs.r * 1e6) AS BIGINT) AS rg,
+    CAST(round(rm.r * 1e6) AS BIGINT) AS rk
+  FROM rs JOIN rm ON rm.ym = rs.ym
+), m AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(rg) AS BIGINT) AS sg, CAST(SUM(rk) AS BIGINT) AS sk,
+    CAST(SUM(rg * rk) AS BIGINT) AS sgk,
+    CAST(SUM(rg * rg) AS BIGINT) AS sgg,
+    CAST(SUM(rk * rk) AS BIGINT) AS skk
+  FROM j GROUP BY seg
+)
+SELECT seg AS segment, n AS n_months,
+  round((CAST(sg AS DOUBLE) / n / 1e6)
+    / sqrt((CAST(sgg AS DOUBLE) / n - (CAST(sg AS DOUBLE) / n)
+          * (CAST(sg AS DOUBLE) / n)) / 1e12), 6) AS sharpe_monthly,
+  round((CAST(sgk AS DOUBLE) / n - (CAST(sg AS DOUBLE) / n)
+       * (CAST(sk AS DOUBLE) / n))
+    / (CAST(skk AS DOUBLE) / n - (CAST(sk AS DOUBLE) / n)
+       * (CAST(sk AS DOUBLE) / n)), 6) AS beta_vs_market
+FROM m
+"""
+
+
+@register(
+    "q464_sharpe_beta",
+    oracle=_Q464_SQL.format(orders="orders", customer="customer"),
+    tags=("timeseries", "finance", "stats"),
+)
+def q464_sharpe_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly SHARPE ratio and MARKET BETA per customer segment —
+    treating each segment's month-over-month revenue growth as a
+    return series and the pooled book as 'the market': the two
+    portfolio-risk numbers (risk-adjusted mean, systematic
+    sensitivity) any multi-tenant revenue dashboard should report.
+    Month indices are exact integers (year·12+month), so the lag join
+    is a plain equi-join on ym+1 — dialect-shared, unlike date lags.
+    Returns are identical double ratios of exact integer revenues,
+    snapped onto the 1e-6 grid (partial boundary months make
+    small-sf returns reach O(100), so a finer grid would overflow the
+    squared-moment BIGINTs — the q385 sizing rule), and
+    Sharpe/beta are single double expressions."""
+    return _sql_twin(spark, sf_dir, _Q464_SQL, ["orders", "customer"])
