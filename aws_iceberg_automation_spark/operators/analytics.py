@@ -6398,3 +6398,295 @@ def q461_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shares ≤ 1, so grid sums stay tiny) and summed per nation over
     the bounded supplier-per-nation frame."""
     return _sql_twin(spark, sf_dir, _Q461_SQL, ["lineitem", "supplier"])
+
+
+_Q466_SQL = """
+WITH base AS (
+  SELECT o.o_orderkey, c.c_mktsegment AS f1, n.n_regionkey AS f2,
+    CASE WHEN o.o_totalprice > 150000 THEN 1 ELSE 0 END AS y,
+    CASE WHEN year(o.o_orderdate) <= 1997 THEN 1 ELSE 0 END AS is_train
+  FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
+  JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+), pri AS (
+  SELECT y, CAST(COUNT(*) AS BIGINT) AS nc
+  FROM base WHERE is_train = 1 GROUP BY y
+), nn AS (
+  SELECT CAST(SUM(nc) AS BIGINT) AS n FROM pri
+), l1 AS (
+  SELECT f1, y, CAST(COUNT(*) AS BIGINT) AS c
+  FROM base WHERE is_train = 1 GROUP BY f1, y
+), l2 AS (
+  SELECT f2, y, CAST(COUNT(*) AS BIGINT) AS c
+  FROM base WHERE is_train = 1 GROUP BY f2, y
+), scored AS (
+  SELECT t.o_orderkey, t.y,
+    -- log-posterior up to the shared evidence term, Laplace +1;
+    -- identical double tree both engines, compared directly
+    ln((p1.nc + 1e0) / ((SELECT n FROM nn) + 2))
+      + ln((COALESCE(a1.c, 0) + 1e0) / (p1.nc + 5))
+      + ln((COALESCE(b1.c, 0) + 1e0) / (p1.nc + 5)) AS lp1,
+    ln((p0.nc + 1e0) / ((SELECT n FROM nn) + 2))
+      + ln((COALESCE(a0.c, 0) + 1e0) / (p0.nc + 5))
+      + ln((COALESCE(b0.c, 0) + 1e0) / (p0.nc + 5)) AS lp0
+  FROM base t
+  CROSS JOIN (SELECT nc FROM pri WHERE y = 1) p1
+  CROSS JOIN (SELECT nc FROM pri WHERE y = 0) p0
+  LEFT JOIN l1 a1 ON a1.f1 = t.f1 AND a1.y = 1
+  LEFT JOIN l1 a0 ON a0.f1 = t.f1 AND a0.y = 0
+  LEFT JOIN l2 b1 ON b1.f2 = t.f2 AND b1.y = 1
+  LEFT JOIN l2 b0 ON b0.f2 = t.f2 AND b0.y = 0
+  WHERE t.is_train = 0
+), conf AS (
+  SELECT
+    CAST(SUM(CASE WHEN lp1 > lp0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN lp1 > lp0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN lp1 <= lp0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN lp1 <= lp0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM scored
+)
+SELECT tp, fp, fn, tn, tp + fp + fn + tn AS n_test,
+  round((tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy
+FROM conf
+"""
+
+
+@register(
+    "q466_naive_bayes",
+    oracle=_Q466_SQL.format(
+        orders="orders", customer="customer", nation="nation"
+    ),
+    tags=("analytics", "ml"),
+)
+def q466_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical NAIVE BAYES, trained and evaluated entirely in the
+    engine: learn P(class) and per-feature P(f|class) with Laplace
+    smoothing on the ≤1997 training era (features: market segment,
+    region; class: high-value order), classify the post-1997 era by
+    log-posterior argmax, report the confusion matrix + accuracy.
+    The whole classifier is three training aggregates joined back
+    broadcast-style — the scalable way to ship NB at 100 TB (model =
+    a few hundred rows, scoring = map-side). Log-posteriors are
+    identical double trees over exact counts on both engines, so the
+    argmax comparisons agree bit-for-bit; ties (lp1 = lp0) go to
+    class 0 by the explicit <= branch."""
+    return _sql_twin(spark, sf_dir, _Q466_SQL, ["orders", "customer", "nation"])
+
+
+_Q467_SQL = """
+WITH base AS (
+  SELECT CAST(floor(o_totalprice / 1000e0) AS BIGINT) AS v,
+    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         THEN 1 ELSE 0 END AS y
+  FROM {orders}
+), cells AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS p
+  FROM base GROUP BY v
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS p
+  FROM cells
+), splits AS (
+  SELECT /*+ BROADCAST(b) */ a.v AS thr,
+    CAST(SUM(CASE WHEN b.v <= a.v THEN b.n ELSE 0 END) AS BIGINT) AS nl,
+    CAST(SUM(CASE WHEN b.v <= a.v THEN b.p ELSE 0 END) AS BIGINT) AS pl
+  FROM cells a CROSS JOIN cells b
+  GROUP BY a.v
+), scored AS (
+  SELECT s.thr, s.nl, t.n - s.nl AS nr,
+    -- weighted Gini after the split (one double tree over exact ints)
+    (s.nl * (2e0 * (CAST(s.pl AS DOUBLE) / s.nl)
+       * (1e0 - CAST(s.pl AS DOUBLE) / s.nl))
+     + (t.n - s.nl) * (2e0 * (CAST(t.p - s.pl AS DOUBLE) / (t.n - s.nl))
+       * (1e0 - CAST(t.p - s.pl AS DOUBLE) / (t.n - s.nl)))) / t.n
+      AS gini_after,
+    2e0 * (CAST(t.p AS DOUBLE) / t.n) * (1e0 - CAST(t.p AS DOUBLE) / t.n)
+      AS gini_before
+  FROM splits s CROSS JOIN tot t
+  WHERE s.nl > 0 AND s.nl < t.n
+)
+SELECT thr AS best_threshold_kusd, nl AS n_left, nr AS n_right,
+  round(gini_before, 6) AS gini_before,
+  round(gini_after, 6) AS gini_after,
+  round(gini_before - gini_after, 6) AS gini_gain
+FROM scored
+ORDER BY gini_after, thr LIMIT 1
+"""
+
+
+@register(
+    "q467_decision_stump",
+    oracle=_Q467_SQL.format(orders="orders"),
+    tags=("analytics", "ml"),
+)
+def q467_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECISION STUMP training — the best single price threshold for
+    predicting urgent-priority orders by minimum weighted Gini
+    impurity: CART's split-search inner loop, run the columnar way
+    (it's also gradient boosting's per-round unit of work, so the
+    shape matters at scale). Candidate thresholds = kilodollar value
+    buckets (≤600, scale-invariant); left/right class counts for ALL
+    candidates come from ONE broadcast cross-join over the bucket
+    histogram — never a per-threshold pass over the data. Impurities
+    are identical double trees over exact counts; argmin tie-breaks
+    to the smallest threshold via deterministic TakeOrdered."""
+    return _sql_twin(spark, sf_dir, _Q467_SQL, ["orders"])
+
+
+_Q468_SQL = """
+WITH base AS (
+  SELECT c.c_mktsegment AS seg,
+    CASE WHEN o.o_totalprice > 150000 THEN 1 ELSE 0 END AS y,
+    CASE WHEN year(o.o_orderdate) <= 1997 THEN 1 ELSE 0 END AS is_train
+  FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
+), f AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS nt, CAST(SUM(y) AS BIGINT) AS pt
+  FROM base WHERE is_train = 1 GROUP BY seg
+), t AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS p
+  FROM base WHERE is_train = 0 GROUP BY seg
+), g AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS p FROM t
+), terms AS (
+  SELECT t.seg, t.n, f.pt, f.nt, t.p, g.n AS gn, g.p AS gp,
+    CAST(round(t.n * (CAST(f.pt AS DOUBLE) / f.nt - CAST(t.p AS DOUBLE) / t.n)
+       * (CAST(f.pt AS DOUBLE) / f.nt - CAST(t.p AS DOUBLE) / t.n) * 1e9)
+      AS BIGINT) AS rel_t,
+    CAST(round(t.n * (CAST(t.p AS DOUBLE) / t.n - CAST(g.p AS DOUBLE) / g.n)
+       * (CAST(t.p AS DOUBLE) / t.n - CAST(g.p AS DOUBLE) / g.n) * 1e9)
+      AS BIGINT) AS res_t
+  FROM t JOIN f ON f.seg = t.seg CROSS JOIN g
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+  round(SUM(rel_t) / CAST(MAX(gn) AS DOUBLE) / 1e9, 6) AS reliability,
+  round(SUM(res_t) / CAST(MAX(gn) AS DOUBLE) / 1e9, 6) AS resolution,
+  round((CAST(MAX(gp) AS DOUBLE) / MAX(gn))
+      * (1e0 - CAST(MAX(gp) AS DOUBLE) / MAX(gn)), 6) AS uncertainty,
+  round(SUM(rel_t) / CAST(MAX(gn) AS DOUBLE) / 1e9
+      - SUM(res_t) / CAST(MAX(gn) AS DOUBLE) / 1e9
+      + (CAST(MAX(gp) AS DOUBLE) / MAX(gn))
+        * (1e0 - CAST(MAX(gp) AS DOUBLE) / MAX(gn)), 6) AS brier_score
+FROM terms
+"""
+
+
+@register(
+    "q468_brier_decomposition",
+    oracle=_Q468_SQL.format(orders="orders", customer="customer"),
+    tags=("analytics", "ml", "stats"),
+)
+def q468_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score — reliability (is the
+    forecast calibrated?), resolution (does it separate outcomes?),
+    and uncertainty (base-rate entropy) — for a segment-level
+    probability forecast of high-value orders trained on the ≤1997
+    era and evaluated after it. THE diagnostic for any probabilistic
+    model monitor: Brier = REL − RES + UNC, so a score change
+    attributes to calibration drift vs discrimination loss. Per-bin
+    terms are double trees over exact counts snapped onto the 1e-9
+    grid; bins = 5 segments, forecasts from the train era only (no
+    leakage)."""
+    return _sql_twin(spark, sf_dir, _Q468_SQL, ["orders", "customer"])
+
+
+_Q469_SQL = """
+WITH base AS (
+  SELECT n.n_regionkey AS stratum,
+    CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+         THEN 1 ELSE 0 END AS e,
+    CASE WHEN o.o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+  FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
+  JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+), cells AS (
+  SELECT stratum,
+    CAST(SUM(e * y) AS BIGINT) AS a,
+    CAST(SUM(e * (1 - y)) AS BIGINT) AS b,
+    CAST(SUM((1 - e) * y) AS BIGINT) AS c,
+    CAST(SUM((1 - e) * (1 - y)) AS BIGINT) AS d,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY stratum
+), s AS (
+  SELECT
+    CAST(SUM(CAST(round(CAST(a AS DOUBLE) * d / n * 1e6) AS BIGINT))
+      AS BIGINT) AS num,
+    CAST(SUM(CAST(round(CAST(b AS DOUBLE) * c / n * 1e6) AS BIGINT))
+      AS BIGINT) AS den,
+    CAST(COUNT(*) AS BIGINT) AS k
+  FROM cells
+)
+SELECT k AS n_strata,
+  round(CAST(num AS DOUBLE) / den, 6) AS or_mantel_haenszel,
+  round(ln(CAST(num AS DOUBLE) / den), 6) AS log_or_mh
+FROM s
+"""
+
+
+@register(
+    "q469_cmh_odds_ratio",
+    oracle=_Q469_SQL.format(
+        orders="orders", customer="customer", nation="nation"
+    ),
+    tags=("analytics", "stats"),
+)
+def q469_cmh_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel POOLED odds ratio across region strata
+    — the confounding-aware association between urgent priority and
+    high order value: Simpson's-paradox insurance (a crude 2×2 OR can
+    reverse sign once a confounder stratifies the table; OR_MH
+    weights each stratum's ad/n against bc/n). Per-stratum terms are
+    double expressions over exact cell counts, snapped onto the 1e-6
+    grid and BIGINT-summed over the 5-stratum frame; the ratio and
+    its log are single final expressions."""
+    return _sql_twin(spark, sf_dir, _Q469_SQL, ["orders", "customer", "nation"])
+
+
+_Q470_SQL = """
+WITH items AS (
+  SELECT
+    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         THEN 1 ELSE 0 END AS i1,
+    CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END AS i2,
+    CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END AS i3,
+    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS i4
+  FROM {orders}
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(i1) AS BIGINT) AS s1, CAST(SUM(i2) AS BIGINT) AS s2,
+    CAST(SUM(i3) AS BIGINT) AS s3, CAST(SUM(i4) AS BIGINT) AS s4,
+    CAST(SUM(i1 + i2 + i3 + i4) AS BIGINT) AS st,
+    CAST(SUM((i1 + i2 + i3 + i4) * (i1 + i2 + i3 + i4)) AS BIGINT) AS stt
+  FROM items
+), v AS (
+  SELECT n,
+    (CAST(s1 AS DOUBLE) / n) * (1e0 - CAST(s1 AS DOUBLE) / n)
+      + (CAST(s2 AS DOUBLE) / n) * (1e0 - CAST(s2 AS DOUBLE) / n)
+      + (CAST(s3 AS DOUBLE) / n) * (1e0 - CAST(s3 AS DOUBLE) / n)
+      + (CAST(s4 AS DOUBLE) / n) * (1e0 - CAST(s4 AS DOUBLE) / n)
+      AS sum_item_var,
+    CAST(stt AS DOUBLE) / n - (CAST(st AS DOUBLE) / n)
+      * (CAST(st AS DOUBLE) / n) AS total_var
+  FROM m
+)
+SELECT n AS n_orders,
+  round(sum_item_var, 6) AS sum_item_variances,
+  round(total_var, 6) AS score_variance,
+  round((4e0 / 3e0) * (1e0 - sum_item_var / total_var), 6)
+    AS cronbach_alpha
+FROM v
+"""
+
+
+@register(
+    "q470_cronbach_alpha",
+    oracle=_Q470_SQL.format(orders="orders"),
+    tags=("analytics", "stats"),
+)
+def q470_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's α over a 4-item binary 'order severity scale'
+    (priority flag, two price flags, status flag) — the internal-
+    consistency coefficient for any composite score a pipeline builds
+    from multiple indicator columns (do the items measure one
+    construct, or is the composite meaningless?). α = k/(k−1)·(1 −
+    Σσᵢ²/σ_total²): every variance comes from exact integer sums in
+    ONE fold over the data (items and their sum-score moments
+    together), and α is a single double expression — nothing to
+    grid."""
+    return _sql_twin(spark, sf_dir, _Q470_SQL, ["orders"])

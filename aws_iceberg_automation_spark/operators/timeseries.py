@@ -2378,3 +2378,43 @@ def q464_sharpe_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     squared-moment BIGINTs — the q385 sizing rule), and
     Sharpe/beta are single double expressions."""
     return _sql_twin(spark, sf_dir, _Q464_SQL, ["orders", "customer"])
+
+
+def _q465_sql(shift_fmt: str, orders: str) -> str:
+    s1 = shift_fmt.format(k=1)
+    return f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS dol,
+    CAST(COUNT(*) AS BIGINT) AS vol
+  FROM {orders} GROUP BY CAST(o_orderdate AS DATE)
+), s AS (
+  SELECT d, CAST(floor(dol / 100e0) AS BIGINT) AS x, vol FROM daily
+), pair AS (
+  SELECT b.d,
+    CAST(round(abs((b.x - CAST(a.x AS DOUBLE)) / a.x) / b.vol * 1e12)
+      AS BIGINT) AS illiq_grid
+  FROM s a JOIN s b ON b.d = {s1}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+  round(SUM(illiq_grid) / CAST(COUNT(*) AS DOUBLE) / 1e6, 6)
+    AS amihud_illiq_x1e6
+FROM pair
+"""
+
+
+@register(
+    "q465_amihud_illiquidity",
+    oracle=_q465_sql("(a.d + {k})", "orders"),
+    tags=("timeseries", "finance"),
+)
+def q465_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud (2002) illiquidity ratio on the daily series — mean of
+    |daily return| / daily volume (×10⁶): the price-impact-per-unit-
+    flow measure, here 'how much does revenue level move per order of
+    activity', the standard liquidity screen in empirical finance.
+    Returns are double ratios of exact integers (calendar-lag pairs,
+    q450 machinery); each day's ratio snaps onto the 1e-12 grid
+    before the BIGINT mean — order-free."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("tw_orders")
+    return spark.sql(_q465_sql("date_add(a.d, {k})", "tw_orders"))
