@@ -6690,3 +6690,429 @@ def q470_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     together), and α is a single double expression — nothing to
     grid."""
     return _sql_twin(spark, sf_dir, _Q470_SQL, ["orders"])
+
+
+_Q471_SQL = """
+WITH cust AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS x,
+    CAST(floor(SUM(CAST(round(o_totalprice) AS BIGINT)) / 1000e0)
+      AS BIGINT) AS y
+  FROM {orders} GROUP BY o_custkey
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM cust
+), c AS (
+  SELECT n,
+    CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+      * (CAST(sx AS DOUBLE) / n) AS cxx,
+    CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n)
+      * (CAST(sy AS DOUBLE) / n) AS cyy,
+    CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+      * (CAST(sy AS DOUBLE) / n) AS cxy,
+    CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my
+  FROM m
+)
+SELECT n AS n_customers,
+  round((cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+      + 4e0 * cxy * cxy)) / (2e0 * cxy), 6) AS deming_slope,
+  round(my - ((cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+      + 4e0 * cxy * cxy)) / (2e0 * cxy)) * mx, 6) AS deming_intercept,
+  round(cxy / sqrt(cxx * cyy), 6) AS pearson_r
+FROM c
+"""
+
+
+@register(
+    "q471_deming_regression",
+    oracle=_Q471_SQL.format(orders="orders"),
+    tags=("analytics", "stats"),
+)
+def q471_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEMING (errors-in-variables, λ=1) regression of customer
+    revenue on order count — when BOTH axes are measured with error,
+    OLS attenuates the slope toward zero; Deming's closed form
+    (largest eigenvector of the centered scatter) is the method-
+    comparison standard (Passing-Bablok's parametric cousin). All
+    five moments ride as exact BIGINTs from one fold; slope,
+    intercept and the Pearson r reference value are single double
+    expressions over them."""
+    return _sql_twin(spark, sf_dir, _Q471_SQL, ["orders"])
+
+
+_Q472_SQL = """
+WITH cust AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey,
+    CAST(COUNT(*) AS BIGINT) AS x1,
+    CAST(floor(SUM(CAST(round(o.o_totalprice) AS BIGINT)) / 1000e0)
+      AS BIGINT) AS x2
+  FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY c.c_mktsegment, o.o_custkey
+), m AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+    CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+    CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+    CAST(SUM(x1 * x2) AS BIGINT) AS s12
+  FROM cust GROUP BY seg
+), ab AS (
+  SELECT
+    (SELECT n FROM m WHERE seg = 'BUILDING') AS na,
+    (SELECT n FROM m WHERE seg = 'MACHINERY') AS nb,
+    (SELECT CAST(s1 AS DOUBLE) / n FROM m WHERE seg = 'BUILDING')
+      - (SELECT CAST(s1 AS DOUBLE) / n FROM m WHERE seg = 'MACHINERY')
+      AS d1,
+    (SELECT CAST(s2 AS DOUBLE) / n FROM m WHERE seg = 'BUILDING')
+      - (SELECT CAST(s2 AS DOUBLE) / n FROM m WHERE seg = 'MACHINERY')
+      AS d2,
+    (SELECT s11 - CAST(s1 AS DOUBLE) * s1 / n FROM m
+      WHERE seg = 'BUILDING')
+      + (SELECT s11 - CAST(s1 AS DOUBLE) * s1 / n FROM m
+        WHERE seg = 'MACHINERY') AS w11,
+    (SELECT s22 - CAST(s2 AS DOUBLE) * s2 / n FROM m
+      WHERE seg = 'BUILDING')
+      + (SELECT s22 - CAST(s2 AS DOUBLE) * s2 / n FROM m
+        WHERE seg = 'MACHINERY') AS w22,
+    (SELECT s12 - CAST(s1 AS DOUBLE) * s2 / n FROM m
+      WHERE seg = 'BUILDING')
+      + (SELECT s12 - CAST(s1 AS DOUBLE) * s2 / n FROM m
+        WHERE seg = 'MACHINERY') AS w12
+), t AS (
+  SELECT na, nb,
+    (CAST(na AS DOUBLE) * nb / (na + nb))
+    * ((w22 / (na + nb - 2e0)) * d1 * d1
+       - 2e0 * (w12 / (na + nb - 2e0)) * d1 * d2
+       + (w11 / (na + nb - 2e0)) * d2 * d2)
+    / ((w11 / (na + nb - 2e0)) * (w22 / (na + nb - 2e0))
+       - (w12 / (na + nb - 2e0)) * (w12 / (na + nb - 2e0))) AS t2
+  FROM ab
+)
+SELECT na AS n_building, nb AS n_machinery,
+  round(t2, 4) AS hotelling_t2,
+  round(t2 * (na + nb - 3) / (2e0 * (na + nb - 2)), 4) AS f_stat,
+  t2 * (na + nb - 3) / (2e0 * (na + nb - 2)) > 2.996 AS reject_95
+FROM t
+"""
+
+
+@register(
+    "q472_hotelling_t2",
+    oracle=_Q472_SQL.format(orders="orders", customer="customer"),
+    tags=("analytics", "stats"),
+)
+def q472_hotelling_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hotelling's T² — the MULTIVARIATE two-sample mean test: do
+    BUILDING and MACHINERY customers differ jointly in (order count,
+    total revenue)? Two marginal t-tests at α each inflate the false-
+    positive rate and miss correlated displacement; T² tests the mean
+    VECTOR against the pooled 2×2 covariance (inverted in closed
+    form). All moments are exact BIGINTs per group; the quadratic
+    form and its F conversion are one double tree. χ²/F critical
+    value at p=2."""
+    return _sql_twin(spark, sf_dir, _Q472_SQL, ["orders", "customer"])
+
+
+_Q473_SQL = """
+WITH cell AS (
+  SELECT n.n_regionkey AS blk, c.c_mktsegment AS trt,
+    CAST(SUM(CAST(round(o.o_totalprice) AS BIGINT)) AS BIGINT) AS s,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
+  JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_regionkey, c.c_mktsegment
+), v AS (
+  SELECT blk, trt, CAST(s AS DOUBLE) / n AS av FROM cell
+), rk AS (
+  -- tie-averaged within-block rank x2 (exact integer)
+  SELECT a.blk, a.trt,
+    2 * CAST(SUM(CASE WHEN b.av < a.av THEN 1 ELSE 0 END) AS BIGINT)
+      + CAST(SUM(CASE WHEN b.av = a.av THEN 1 ELSE 0 END) AS BIGINT)
+      + 1 AS rx2
+  FROM v a JOIN v b ON a.blk = b.blk
+  GROUP BY a.blk, a.trt, a.av
+), rj AS (
+  SELECT trt, CAST(SUM(rx2) AS BIGINT) AS r2j,
+    CAST(COUNT(*) AS BIGINT) AS b
+  FROM rk GROUP BY trt
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, MAX(b) AS b,
+    SUM((CAST(r2j AS DOUBLE) / 2) * (CAST(r2j AS DOUBLE) / 2))
+      AS sum_rj2
+  FROM rj
+)
+SELECT b AS n_blocks, k AS n_treatments,
+  round(12e0 / (b * k * (k + 1e0)) * sum_rj2 - 3e0 * b * (k + 1), 6)
+    AS friedman_chi2,
+  12e0 / (b * k * (k + 1e0)) * sum_rj2 - 3e0 * b * (k + 1) > 9.487729
+    AS reject_95
+FROM s
+"""
+
+
+@register(
+    "q473_friedman_test",
+    oracle=_Q473_SQL.format(
+        orders="orders", customer="customer", nation="nation"
+    ),
+    tags=("analytics", "stats"),
+)
+def q473_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRIEDMAN rank test — do the five market segments' average
+    order values keep the same ordering across the five region
+    BLOCKS? The nonparametric repeated-measures ANOVA (blocks remove
+    region-level noise that q447's Kruskal-Wallis would absorb into
+    error). Within-block ranks use the 2×-rank tie device on cell
+    averages (identical doubles both engines, so <,= comparisons
+    agree); rank sums are exact integers; χ²_F over the 5×5 frame is
+    one double expression. The sum over 5 treatments of R²ⱼ is a
+    5-term double sum — exactly representable halves, so order-free."""
+    return _sql_twin(spark, sf_dir, _Q473_SQL, ["orders", "customer", "nation"])
+
+
+_Q474_SQL = """
+WITH mon AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+    CAST(month(o_orderdate) AS BIGINT) AS mo,
+    CAST(SUM(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+  FROM {orders} GROUP BY year(o_orderdate), month(o_orderdate)
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+    CAST(SUM(rev) AS BIGINT) AS tot
+  FROM mon
+), idx AS (
+  SELECT mo, CAST(COUNT(*) AS BIGINT) AS n_years,
+    CAST(SUM(rev) AS BIGINT) AS srev
+  FROM mon GROUP BY mo
+), yr AS (
+  SELECT yr, CAST(SUM(rev) AS BIGINT) AS arev FROM mon GROUP BY yr
+), trend AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(yr) AS BIGINT) AS sx,
+    CAST(SUM(CAST(floor(arev / 1000e0) AS BIGINT)) AS BIGINT) AS sy,
+    CAST(SUM(yr * CAST(floor(arev / 1000e0) AS BIGINT)) AS BIGINT) AS sxy,
+    CAST(SUM(yr * yr) AS BIGINT) AS sxx
+  FROM yr WHERE yr BETWEEN 1995 AND 2000
+)
+SELECT idx.mo AS month, idx.n_years,
+  round((CAST(idx.srev AS DOUBLE) / idx.n_years)
+      / (CAST(g.tot AS DOUBLE) / g.n_months), 6) AS seasonal_index,
+  round((trend.n * CAST(trend.sxy AS DOUBLE)
+       - CAST(trend.sx AS DOUBLE) * trend.sy)
+      / (trend.n * CAST(trend.sxx AS DOUBLE)
+       - CAST(trend.sx AS DOUBLE) * trend.sx), 2)
+    AS annual_trend_kusd
+FROM idx CROSS JOIN g CROSS JOIN trend
+"""
+
+
+@register(
+    "q474_seasonal_indices",
+    oracle=_Q474_SQL.format(orders="orders"),
+    tags=("analytics", "timeseries"),
+)
+def q474_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical multiplicative SEASONAL INDICES (12 calendar-month
+    ratios to the overall monthly mean) plus the annual OLS trend
+    slope over the complete 1995–2000 years — the decomposition every
+    forecasting pipeline starts from before reaching for STL. Month
+    and year aggregates are exact integers; each index and the trend
+    slope are single double expressions (the trend uses only complete
+    years, so partial first/last calendar years can't bias it)."""
+    return _sql_twin(spark, sf_dir, _Q474_SQL, ["orders"])
+
+
+_Q475_SQL = """
+WITH mon AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+      AS x,
+    CAST(floor(SUM(CAST(round(o_totalprice) AS BIGINT)) / 1000e0)
+      AS BIGINT) AS y
+  FROM {orders} GROUP BY year(o_orderdate) * 12 + month(o_orderdate)
+), slopes AS (
+  SELECT /*+ BROADCAST(b) */ CAST(floor(
+      -- GREATEST is a no-op under the b.x > a.x join predicate; it
+      -- exists because Spark's codegen can evaluate the projection
+      -- speculatively before the theta condition under ANSI mode
+      (b.y - a.y) * 1000e0 / GREATEST(b.x - a.x, 1)) AS BIGINT) AS s
+  FROM mon a JOIN mon b ON b.x > a.x
+), h AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM slopes GROUP BY s
+), np AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS np FROM h
+), med AS (
+  SELECT /*+ BROADCAST(b) */ a.s,
+    CAST(COALESCE(SUM(b.c), 0) AS BIGINT) AS less,
+    MIN(a.c) AS own
+  FROM h a LEFT JOIN h b ON b.s < a.s
+  GROUP BY a.s
+), pick AS (
+  SELECT med.s
+  FROM med CROSS JOIN np
+  WHERE med.less < (np.np + 1) / 2 AND med.less + med.own >= (np.np + 1) / 2
+)
+SELECT np.np AS n_pairs,
+  round(pick.s / 1000e0, 3) AS theil_sen_slope_kusd
+FROM np CROSS JOIN pick
+"""
+
+
+@register(
+    "q475_theil_sen",
+    oracle=_Q475_SQL.format(orders="orders"),
+    tags=("analytics", "stats", "timeseries"),
+)
+def q475_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN slope of monthly revenue — the median of all pairwise
+    slopes: the robust trend estimator (up to 29% contamination) that
+    the q428 Mann-Kendall test is usually paired with (MK says
+    'monotone trend exists', Sen says how steep). The ~84-month frame
+    makes all C(84,2) pairwise slopes a bounded broadcast theta-join;
+    each slope floors once onto a 1e-3 grid, and the MEDIAN is
+    selected exactly by cumulative counting over the slope histogram
+    (lower median — deterministic, no percentile approximation)."""
+    return _sql_twin(spark, sf_dir, _Q475_SQL, ["orders"])
+
+
+_Q476_SQL = """
+WITH r AS (
+  SELECT
+    CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS pred,
+    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         THEN 1 ELSE 0 END AS y
+  FROM {orders}
+), c AS (
+  SELECT
+    CAST(SUM(pred * y) AS BIGINT) AS tp,
+    CAST(SUM(pred * (1 - y)) AS BIGINT) AS fp,
+    CAST(SUM((1 - pred) * y) AS BIGINT) AS fn,
+    CAST(SUM((1 - pred) * (1 - y)) AS BIGINT) AS tn
+  FROM r
+)
+SELECT tp, fp, fn, tn,
+  round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision_,
+  round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall_,
+  round(2e0 * tp / (2e0 * tp + fp + fn), 6) AS f1,
+  round((CAST(tp AS DOUBLE) / (tp + fn)
+       + CAST(tn AS DOUBLE) / (tn + fp)) / 2e0, 6) AS balanced_acc,
+  round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+      / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+           * (tn + fp) * (tn + fn)), 6) AS mcc
+FROM c
+"""
+
+
+@register(
+    "q476_mcc_f1_suite",
+    oracle=_Q476_SQL.format(orders="orders"),
+    tags=("analytics", "ml"),
+)
+def q476_mcc_f1_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix metric suite — precision, recall, F1,
+    balanced accuracy and Matthews correlation for the price-threshold
+    classifier against the priority ground truth: MCC is the headline
+    because it is the only one of these that can't be gamed on
+    imbalanced classes (F1 ignores TN entirely). Counts are exact
+    from one fold; every metric is a single double expression (the
+    MCC denominator multiplies as doubles — the four marginals exceed
+    int64 products at replica scale, the q383 pair-product lesson)."""
+    return _sql_twin(spark, sf_dir, _Q476_SQL, ["orders"])
+
+
+_Q477_SQL = """
+WITH x AS (
+  SELECT c.c_mktsegment AS seg,
+    CAST(floor(o.o_totalprice / 1000e0) AS BIGINT) AS v
+  FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+), cnt AS (
+  SELECT seg, v, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY seg, v
+), n AS (
+  SELECT seg, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY seg
+), grid AS (SELECT DISTINCT v FROM cnt
+), cum AS (
+  SELECT /*+ BROADCAST(b) */ g.v,
+    CAST(SUM(CASE WHEN b.seg = 'BUILDING' THEN b.c ELSE 0 END)
+      AS BIGINT) AS ca,
+    CAST(SUM(CASE WHEN b.seg = 'MACHINERY' THEN b.c ELSE 0 END)
+      AS BIGINT) AS cb
+  FROM grid g LEFT JOIN cnt b ON b.v <= g.v GROUP BY g.v
+), ps AS (
+  SELECT 1 AS p UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL
+  SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL
+  SELECT 7 UNION ALL SELECT 8 UNION ALL SELECT 9
+), q AS (
+  SELECT ps.p,
+    MIN(CASE WHEN cum.ca * 10 >= ps.p * na.n THEN cum.v END) AS qa,
+    MIN(CASE WHEN cum.cb * 10 >= ps.p * nb.n THEN cum.v END) AS qb
+  FROM ps CROSS JOIN cum
+  CROSS JOIN (SELECT n FROM n WHERE seg = 'BUILDING') na
+  CROSS JOIN (SELECT n FROM n WHERE seg = 'MACHINERY') nb
+  GROUP BY ps.p
+)
+SELECT CAST(p AS BIGINT) AS decile, qa AS building_kusd,
+  qb AS machinery_kusd, qa - qb AS qq_gap_kusd
+FROM q
+"""
+
+
+@register(
+    "q477_qq_deciles",
+    oracle=_Q477_SQL.format(orders="orders", customer="customer"),
+    tags=("analytics", "stats"),
+)
+def q477_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q DECILE table comparing two segments' order-value
+    distributions — the quantile-by-quantile view that localizes
+    WHERE two distributions differ (q455's Wasserstein integrates the
+    gap; this shows its profile). Each decile is selected EXACTLY by
+    CDF inversion over the kilodollar bucket histogram — smallest
+    bucket whose cumulative count clears p·n/10, as integer
+    arithmetic (c·10 ≥ p·n, no float quantile approximation) — via
+    one broadcast theta-join on the ≤600-bucket grid."""
+    return _sql_twin(spark, sf_dir, _Q477_SQL, ["orders", "customer"])
+
+
+_Q478_SQL = """
+WITH items AS (
+  SELECT
+    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         THEN 1 ELSE 0 END AS i1,
+    CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END AS i2,
+    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS i3
+  FROM {orders}
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(i1) AS BIGINT) AS g1, CAST(SUM(i2) AS BIGINT) AS g2,
+    CAST(SUM(i3) AS BIGINT) AS g3,
+    CAST(SUM(i1 + i2 + i3) AS BIGINT) AS sl,
+    CAST(SUM((i1 + i2 + i3) * (i1 + i2 + i3)) AS BIGINT) AS sll
+  FROM items
+)
+SELECT n AS n_orders, g1 AS n_priority, g2 AS n_price100k, g3 AS n_status_f,
+  round(2e0 * (3e0 * (CAST(g1 AS DOUBLE) * g1 + CAST(g2 AS DOUBLE) * g2
+      + CAST(g3 AS DOUBLE) * g3) - CAST(sl AS DOUBLE) * sl)
+    / (3e0 * sl - sll), 4) AS cochran_q,
+  2e0 * (3e0 * (CAST(g1 AS DOUBLE) * g1 + CAST(g2 AS DOUBLE) * g2
+      + CAST(g3 AS DOUBLE) * g3) - CAST(sl AS DOUBLE) * sl)
+    / (3e0 * sl - sll) > 5.991465 AS reject_95
+FROM m
+"""
+
+
+@register(
+    "q478_cochran_q",
+    oracle=_Q478_SQL.format(orders="orders"),
+    tags=("analytics", "stats"),
+)
+def q478_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q — do three binary flags measured on the SAME orders
+    (priority-high, price>100k, status-finished) have equal marginal
+    proportions? The k-treatment generalization of q384's McNemar
+    (correlated binary outcomes — a χ² of independent proportions
+    would be wrong here because the flags share rows). Q is one
+    double expression over five exact integer sums collected in a
+    single fold; χ²₂ at 95%."""
+    return _sql_twin(spark, sf_dir, _Q478_SQL, ["orders"])
