@@ -5655,15 +5655,21 @@ WITH span AS (
     CAST(SUM(b.mt) AS BIGINT) AS nt
   FROM pooled a JOIN pooled b ON b.t >= a.t GROUP BY a.t
 ), risk1 AS (
+  -- at-risk count for group 1 per time; the group-1 death count
+  -- comes from its own t-grain CTE below — folding both into one
+  -- double LEFT JOIN cross-multiplied d1t by the at-risk row count
+  -- (caught by the round-10 NumPy twin, invisible to the shared-
+  -- template differential because the oracle shared the bug)
   SELECT /*+ BROADCAST(b) */ a.t,
-    CAST(SUM(CASE WHEN a2.g = 1 THEN a2.d ELSE 0 END) AS BIGINT) AS d1t,
     CAST(SUM(CASE WHEN b.g = 1 THEN b.m ELSE 0 END) AS BIGINT) AS n1t
   FROM (SELECT DISTINCT t FROM pooled) a
-  LEFT JOIN agg a2 ON a2.t = a.t
   LEFT JOIN agg b ON b.t >= a.t
   GROUP BY a.t
+), d1g AS (
+  SELECT t, CAST(SUM(CASE WHEN g = 1 THEN d ELSE 0 END) AS BIGINT) AS d1t
+  FROM agg GROUP BY t
 ), terms AS (
-  SELECT r.t, r1.d1t, r.dt, r.nt, r1.n1t,
+  SELECT r.t, d1g.d1t, r.dt, r.nt, r1.n1t,
     CAST(floor(CAST(r.dt AS DOUBLE) * r1.n1t / r.nt * 1e6) AS BIGINT)
       AS e_grid,
     CASE WHEN r.nt > 1 THEN
@@ -5673,6 +5679,7 @@ WITH span AS (
         * (r.nt - r.dt) / (r.nt - 1) * 1e6) AS BIGINT)
     ELSE CAST(0 AS BIGINT) END AS v_grid
   FROM risk r JOIN risk1 r1 ON r1.t = r.t
+  JOIN d1g ON d1g.t = r.t
   WHERE r.dt > 0
 ), s AS (
   SELECT CAST(SUM(d1t) AS BIGINT) AS o1, CAST(SUM(e_grid) AS BIGINT) AS e1,
@@ -6972,7 +6979,7 @@ def q475_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes all C(84,2) pairwise slopes a bounded broadcast theta-join;
     each slope floors once onto a 1e-3 grid, and the MEDIAN is
     selected exactly by cumulative counting over the slope histogram
-    (lower median — deterministic, no percentile approximation)."""
+    (upper median on even pair counts — deterministic, no percentile approximation)."""
     return _sql_twin(spark, sf_dir, _Q475_SQL, ["orders"])
 
 

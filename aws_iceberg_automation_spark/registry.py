@@ -78,64 +78,64 @@ _LOADED = False
 # The external driver verifies the FIRST 50 specs in queries() order and
 # stops (its per-round verification budget). Registration order is
 # therefore attestation budget: re-listing an already-green query
-# re-proves the proven. Round-9 rotation (VERDICT r08 ask #1): the
-# round-8 window went 50/50 green and attestation debt is zero, so
-# this window is exactly the 50 round-9 newcomers q379..q428 in
-# numeric order — led by the named asks (schema-evolution attestation
-# q379, MOR delete files + compaction q380, label-propagation
-# communities q381). Rows-only specs NEVER occupy a top-50 slot (they
-# cannot earn a hash row).
+# re-proves the proven. Round-10 rotation (VERDICT r09 ask #1): the
+# round-9 window went 50/50 green and attestation debt is zero, so
+# this window is exactly the 50 round-10 newcomers q429..q478 in
+# numeric order — led by the named asks (type-widening attestation
+# q429, resolved conflicted merge q430, mid-branch-ALTER merge q431,
+# add-after-drop name-reuse q432). Rows-only specs NEVER occupy a
+# top-50 slot (they cannot earn a hash row).
 _DRIVER_PRIORITY = [
-    "q379_schema_evolution_scan",
-    "q380_mor_delete_compaction",
-    "q381_label_propagation",
-    "q382_anderson_darling_ksample",
-    "q383_kendall_tau",
-    "q384_mcnemar_paired",
-    "q385_anova_oneway",
-    "q386_peak_detection",
-    "q387_lead_lag_xcorr",
-    "q388_ridge_regression_2f",
-    "q389_kmeans_1d_unrolled",
-    "q390_logistic_gd_unrolled",
-    "q391_kcore_decomposition",
-    "q392_personalized_pagerank",
-    "q393_cdc_netting",
-    "q394_slo_error_budget",
-    "q395_stream_ohlc_replay",
-    "q396_woe_iv",
-    "q397_permutation_entropy",
-    "q398_hurst_rs",
-    "q399_t_closeness",
-    "q400_randomized_response",
-    "q401_largest_remainder_alloc",
-    "q402_gram_matrix",
-    "q403_pca_power_iteration",
-    "q404_neyman_allocation",
-    "q405_rake_keyphrases",
-    "q406_haversine_distance",
-    "q407_golden_record_merge",
-    "q408_price_volume_mix",
-    "q409_branch_merge_3way",
-    "q410_scan_pruning_census",
-    "q411_binary_header_census",
-    "q412_stream_cdc_netting_replay",
-    "q413_poisson_rate_test",
-    "q414_james_stein_shrinkage",
-    "q415_conformal_interval",
-    "q416_gumbel_block_maxima",
-    "q417_stratified_kfold",
-    "q418_shapley_attribution",
-    "q419_whitening_isotropy",
-    "q420_rfm_migration",
-    "q421_runs_test",
-    "q422_diff_in_diff",
-    "q423_min_variance_portfolio",
-    "q424_var_cvar",
-    "q425_durbin_watson",
-    "q426_granger_1lag",
-    "q427_bpe_merge_rounds",
-    "q428_mann_kendall",
+    "q429_type_widening_scan",
+    "q430_branch_merge_resolve",
+    "q431_branch_alter_merge",
+    "q432_name_reuse_era_scan",
+    "q433_hits_authorities",
+    "q434_degree_assortativity",
+    "q435_bm25_ranking",
+    "q436_zipf_slope",
+    "q437_char_bigram_xent",
+    "q438_heaps_law",
+    "q439_edit_distance_blocking",
+    "q440_association_rules",
+    "q441_attribution_models",
+    "q442_cohort_retention",
+    "q443_kaplan_meier",
+    "q444_logrank_test",
+    "q445_cramers_v",
+    "q446_cohens_kappa",
+    "q447_kruskal_wallis",
+    "q448_levene_variance",
+    "q449_jarque_bera",
+    "q450_ljung_box",
+    "q451_variance_ratio",
+    "q452_acf_pacf",
+    "q453_psi_stability",
+    "q454_kl_js_divergence",
+    "q455_wasserstein_1d",
+    "q456_cusum_changepoint",
+    "q457_control_rules",
+    "q458_benford_digits",
+    "q459_gini_lorenz",
+    "q460_theil_index",
+    "q461_hhi_concentration",
+    "q462_max_drawdown",
+    "q463_garman_klass",
+    "q464_sharpe_beta",
+    "q465_amihud_illiquidity",
+    "q466_naive_bayes",
+    "q467_decision_stump",
+    "q468_brier_decomposition",
+    "q469_cmh_odds_ratio",
+    "q470_cronbach_alpha",
+    "q471_deming_regression",
+    "q472_hotelling_t2",
+    "q473_friedman_test",
+    "q474_seasonal_indices",
+    "q475_theil_sen",
+    "q476_mcc_f1_suite",
+    "q477_qq_deciles",
+    "q478_cochran_q",
 ]
 
 
