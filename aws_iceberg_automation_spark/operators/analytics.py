@@ -6123,7 +6123,7 @@ WITH x AS (
   FROM grid g LEFT JOIN c b ON b.v <= g.v
   GROUP BY g.v
 ), t AS (
-  SELECT CAST(SUM(CAST(round(abs(
+  SELECT /*+ BROADCAST(na, nb) */ CAST(SUM(CAST(round(abs(
       cum.ca / CAST(na.n AS DOUBLE) - cum.cb / CAST(nb.n AS DOUBLE))
       * 1e9) AS BIGINT)) AS BIGINT) AS w_grid
   FROM cum
@@ -6426,7 +6426,7 @@ WITH base AS (
   SELECT f2, y, CAST(COUNT(*) AS BIGINT) AS c
   FROM base WHERE is_train = 1 GROUP BY f2, y
 ), scored AS (
-  SELECT t.o_orderkey, t.y,
+  SELECT /*+ BROADCAST(p1, p0, a1, a0, b1, b0) */ t.o_orderkey, t.y,
     -- log-posterior up to the shared evidence term, Laplace +1;
     -- identical double tree both engines, compared directly
     ln((p1.nc + 1e0) / ((SELECT n FROM nn) + 2))
@@ -7051,7 +7051,7 @@ WITH x AS (
   SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL
   SELECT 7 UNION ALL SELECT 8 UNION ALL SELECT 9
 ), q AS (
-  SELECT ps.p,
+  SELECT /*+ BROADCAST(ps, na, nb) */ ps.p,
     MIN(CASE WHEN cum.ca * 10 >= ps.p * na.n THEN cum.v END) AS qa,
     MIN(CASE WHEN cum.cb * 10 >= ps.p * nb.n THEN cum.v END) AS qb
   FROM ps CROSS JOIN cum
