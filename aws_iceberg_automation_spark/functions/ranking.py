@@ -61,6 +61,33 @@ def cap_groups(
     )
 
 
+def _sql_num(v) -> str | None:
+    """Exact SQL-literal rendering of an int/float boundary for the
+    single-round-trip F.expr bucket strings, or None when the type has
+    no safe rendering (caller falls back to composed Columns).
+
+    - int → ``<v>L`` (BIGINT literal; int-vs-wider comparisons promote
+      exactly as the old ``F.lit(int)`` did)
+    - float → ``CAST('<repr>' AS DOUBLE)``: repr round-trips the exact
+      binary value and Java's string→double parse is correctly rounded,
+      so the literal is bit-identical to ``F.lit(float)``. (A bare
+      decimal literal would parse as DECIMAL and the decimal→double
+      coercion is not guaranteed correctly rounded.)"""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return f"{v}L" if -(2**63) <= v < 2**63 else None
+    if isinstance(v, float):
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        if v == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if v == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return f"CAST('{v!r}' AS DOUBLE)"
+    return None
+
+
 def quantile_bucket_ranks(
     df: DataFrame,
     ranks: list[tuple[Column, str]],
@@ -105,8 +132,22 @@ def quantile_bucket_ranks(
     # boundaries, i.e. silently wrong ranks on a real cluster. Literal
     # boundaries make the sharing unconditional; at any scale this is
     # one tiny job, same bytes moved as the broadcast it replaces.
-    out = df
-    for value, name in ranks:
+    # r10: each bucket column is built as ONE F.expr SQL string rather
+    # than a Python-composed chain of 63 when/otherwise Columns. In
+    # classic (py4j) mode every Column operation is a synchronous
+    # round-trip to the JVM; the composed form cost ~4,000 round-trips
+    # (~0.5 s of pure socket latency) per 3-dimension call at ANY data
+    # size (cProfile: 12k py4j sends = 2.1 s of q208's build). The
+    # value expression is materialized once under a scratch name so the
+    # SQL string can reference it; the parsed tree (CASE WHEN lit <=
+    # val THEN 1 ELSE 0 END summed left-associatively from 0) is
+    # semantically identical to the old when-chain, NULL → 0 included.
+    scratch = [f"_qbr_val_{name}" for _, name in ranks]
+    _check_names(df, *scratch)
+    out = df.select(
+        "*", *[value.alias(s) for (value, _), s in zip(ranks, scratch)]
+    )
+    for (value, name), sname in zip(ranks, scratch):
         bounds = stats_row[f"_bounds_{name}"]
         if bounds is None:  # empty input frame: no boundaries, bucket 0
             out = out.withColumn(name, F.lit(0))
@@ -125,17 +166,31 @@ def quantile_bucket_ranks(
         # (floats only: integer-typed boundaries must stay integers or
         # the literal would silently widen the comparison to double)
         bounds = [b + 0.0 if isinstance(b, float) else b for b in bounds]
-        # Sum of indicator terms, not filter(array<lit>, lambda):
-        # lambda outer-references break under Catalyst's self-join
-        # attribute dedup (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when the
-        # bucketed frame joins a frame derived from itself, as the rank
-        # decompositions do). Plain comparisons survive any rewrite.
-        bucket = sum(
-            (F.when(F.lit(b) <= value, 1).otherwise(0) for b in bounds),
-            start=F.lit(0),
-        ).cast("int")
+        lits = [_sql_num(b) for b in bounds]
+        if all(s is not None for s in lits):
+            # Sum of indicator terms, not filter(array<lit>, lambda):
+            # lambda outer-references break under Catalyst's self-join
+            # attribute dedup (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when
+            # the bucketed frame joins a frame derived from itself, as
+            # grouped consumers can). Plain comparisons survive any
+            # rewrite.
+            terms = " + ".join(
+                f"(CASE WHEN {s} <= `{sname}` THEN 1 ELSE 0 END)"
+                for s in lits
+            )
+            bucket = F.expr(f"CAST({terms} AS INT)")
+        else:
+            # non-int/float boundary type: fall back to the composed
+            # when-chain (correct for any orderable literal type)
+            bucket = sum(
+                (
+                    F.when(F.lit(b) <= F.col(sname), 1).otherwise(0)
+                    for b in bounds
+                ),
+                start=F.lit(0),
+            ).cast("int")
         out = out.withColumn(name, bucket)
-    return out
+    return out.drop(*scratch)
 
 
 def desc_as_asc(c: Column) -> Column:
@@ -161,6 +216,74 @@ def _le_pred(value: Column):
     return lambda b: b <= value
 
 
+def _eager_bucket_sums(
+    b: DataFrame,
+    specs: list[tuple[str, Column, str]],
+    n_buckets: int,
+) -> dict[str, list[int]]:
+    """Per-bucket integer sums for every ``(bucket_col, value_expr,
+    name)`` spec in ONE tiny eager job: a grouped aggregate over the
+    distinct bucket columns (map-side partial agg → at most
+    n_buckets^|distinct bucket cols| rows cross the wire — 64 for the
+    single-dimension helpers, capped at 64³ ≈ 262k tiny rows for
+    q208's three dimensions, INPUT-SIZE-INDEPENDENT), collected and
+    re-accumulated per dimension in Python.
+
+    This replaces the old in-plan scaffolding (per-bucket groupBy →
+    triangular broadcast self-join → broadcast back), which cost each
+    decomposition 2-3 extra Exchanges plus 1-2 BroadcastExchange jobs
+    PER DIMENSION at any scale (guide §2.4: remove shuffles outright).
+    (A one-row agg of n_buckets conditional sums per spec was measured
+    and rejected: 192 aggregate expressions took ~3.5 s of codegen
+    compile per call at any input size; the grouped form is ~1 s and
+    has no expression blow-up.)
+
+    Integer-exactness contract: every value_expr is integer-typed
+    (callers pass counts or integer-cent/micro columns), so the Python
+    prefix sums downstream are exact. NULL values contribute nothing
+    (SUM skips NULLs), matching the old per-bucket groupBy sums."""
+    bcs = list(dict.fromkeys(bc for bc, _, _ in specs))
+    if len(bcs) > 3:
+        raise ValueError(
+            f"{len(bcs)} bucket dimensions would collect up to "
+            f"{n_buckets}^{len(bcs)} group rows — cap is 3 dimensions"
+        )
+    aggs = [
+        F.sum(val).cast("bigint").alias(f"_ebs_{i}")
+        for i, (_, val, _) in enumerate(specs)
+    ]
+    rows = b.groupBy(*bcs).agg(*aggs).collect()
+    out: dict[str, list[int]] = {name: [0] * n_buckets for _, _, name in specs}
+    nb = len(bcs)
+    pos = [(bcs.index(bc), nb + i, name) for i, (bc, _, name) in enumerate(specs)]
+    for r in rows:  # positional access: Row.__getitem__(str) is slow × 262k
+        for bpos, vpos, name in pos:
+            v = r[vpos]
+            if v is not None:
+                out[name][r[bpos]] += v
+    return out
+
+
+def _exclusive_prefix(counts: list[int]) -> list[int]:
+    """Exclusive prefix sums of a per-bucket count/sum list (exact —
+    Python ints)."""
+    off = [0]
+    for v in counts[:-1]:
+        off.append(off[-1] + v)
+    return off
+
+
+def _offset_lookup(off: list[int], bucket_col: str) -> Column:
+    """The bucket's exclusive-prefix offset as a LITERAL array lookup —
+    no join, no broadcast, nothing new in the plan but one expression.
+    ``bucket_col`` is the 0-based int bucket column name; element_at is
+    1-based. Built as one F.expr string: the Column-composed form cost
+    ~130 py4j round-trips per call (offsets are exact Python ints, so
+    the BIGINT literals are exact)."""
+    arr = ",".join(f"{v}L" for v in off)
+    return F.expr(f"element_at(array({arr}), `{bucket_col}` + 1)")
+
+
 def _with_value_buckets(
     df: DataFrame, value: Column, n_buckets: int
 ) -> DataFrame:
@@ -177,7 +300,10 @@ def _bucket_offsets(
     """Exclusive prefix sums of ``cnt_cols`` over ``_bucket`` order —
     within each ``group_cols`` group when given — via a triangular
     broadcast self-join on the ≤|groups|·n_buckets bucket-total rows;
-    no WindowExec anywhere. Group equality is NULL-SAFE (a NULL group
+    no WindowExec anywhere. (r10: only ``grouped_row_number`` still
+    uses this — |groups|·n_buckets offsets can reach thousands×64,
+    too many for the literal-array inlining the ungrouped helpers
+    switched to; a broadcast join is the right shape there.) Group equality is NULL-SAFE (a NULL group
     key is a real group, exactly as PARTITION BY treats it). Returns
     (*group_cols, _bucket, _off_<col>...)."""
     group_cols = group_cols or []
@@ -220,25 +346,35 @@ def global_row_number(
     total order for a deterministic result.
 
     Pass budget: the plan reads the base three times (boundary agg,
-    bucket counts, main). A spark_partition_id()-based variant over
+    bucket-count agg, main — the first two are tiny one-row/one-array
+    eager jobs). A spark_partition_id()-based variant over
     repartitionByRange was measured and rejected — the nondeterministic
     partition-id expression blocks exchange reuse, so it also runs
     three scans while giving up deterministic, testable bucketing. At
     extreme input sizes, persist() the projected (value, tiebreaks)
     frame before calling; the decomposition itself never concentrates
-    data."""
-    _check_names(df, rank_name, "_bucket", "_off__cnt")
+    data.
+
+    r10 optimization (guide §2.4): per-bucket counts are ≤ n_buckets
+    bigints, so the offsets come from one tiny eager agg inlined as a
+    literal array lookup instead of the old groupBy → triangular
+    broadcast self-join → broadcast-join-back scaffolding. Identical
+    ranks (same integers, same window), 3 fewer Exchanges + 2 fewer
+    broadcast jobs in the plan."""
+    _check_names(df, rank_name, "_bucket")
     b = _with_value_buckets(df, value, n_buckets)
-    counts = b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_cnt"))
-    offsets = _bucket_offsets(counts, ["_cnt"])
+    counts = _eager_bucket_sums(
+        b, [("_bucket", F.lit(1), "cnt")], n_buckets
+    )["cnt"]
+    off = _exclusive_prefix(counts)
     w = Window.partitionBy("_bucket").orderBy(value, *tiebreaks)
     return (
-        b.join(F.broadcast(offsets), "_bucket")
-        .withColumn(
+        b.withColumn(
             rank_name,
-            (F.col("_off__cnt") + F.row_number().over(w)).cast("bigint"),
+            (_offset_lookup(off, "_bucket") + F.row_number().over(w))
+            .cast("bigint"),
         )
-        .drop("_bucket", "_off__cnt")
+        .drop("_bucket")
     )
 
 
@@ -256,44 +392,49 @@ def global_ntile(
     1..r hold q+1 rows, tiles r+1..k hold q (when n < k every rank
     lands in the first block, so the q=0 division branch is never
     evaluated). Same integer tiles as the window form, same hash.
-    The total row count is summed from the per-bucket counts frame the
-    rank decomposition already builds (an exchange Spark reuses), not
-    from an extra full scan of ``df``; all scaffolding uses ``_gn_``
-    names so caller columns — including one named like ``out_name``'s
-    default — can never be clobbered.
+    The total row count and the bucket offsets come from the same tiny
+    eager per-bucket-count agg (≤ n_buckets bigints — see
+    ``_eager_bucket_sums``), inlined as literals; all scaffolding uses
+    ``_gn_`` names so caller columns — including one named like
+    ``out_name``'s default — can never be clobbered.
     ``value`` must be NON-NULL (quantile_bucket_ranks contract: NULLs
     bucket to 0 and rank NULLS FIRST, diverging from ANSI NULLS LAST) —
     coalesce or filter nullable dimensions before tiling."""
-    _check_names(df, out_name, "_bucket", "_off__cnt", "_gn_rk", "_gn_n")
+    _check_names(df, out_name, "_bucket", "_gn_rk")
     b = _with_value_buckets(df, value, n_buckets)
-    counts = b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_cnt"))
-    offsets = _bucket_offsets(counts, ["_cnt"])
-    ntot = counts.agg(F.sum("_cnt").cast("bigint").alias("_gn_n"))
+    counts = _eager_bucket_sums(
+        b, [("_bucket", F.lit(1), "cnt")], n_buckets
+    )["cnt"]
+    off = _exclusive_prefix(counts)
+    n_total = sum(counts)
     w = Window.partitionBy("_bucket").orderBy(value, *tiebreaks)
     rn = (
-        b.join(F.broadcast(offsets), "_bucket")
-        .withColumn(
+        b.withColumn(
             "_gn_rk",
-            (F.col("_off__cnt") + F.row_number().over(w)).cast("bigint"),
+            (_offset_lookup(off, "_bucket") + F.row_number().over(w))
+            .cast("bigint"),
         )
-        .drop("_bucket", "_off__cnt")
+        .drop("_bucket")
     )
-    return (
-        rn.crossJoin(F.broadcast(ntot))
-        .withColumn(out_name, _ntile_expr(F.col("_gn_rk"), k))
-        .drop("_gn_rk", "_gn_n")
-    )
+    return rn.withColumn(
+        out_name, _ntile_expr(F.col("_gn_rk"), k, n_total)
+    ).drop("_gn_rk")
 
 
-def _ntile_expr(rank: Column, k: int) -> Column:
+def _ntile_expr(rank: Column, k: int, n_total: int) -> Column:
     """ntile's closed-form tile from an exact 1-based global rank and
-    the total-count column ``_gn_n`` (must be in scope): with
-    n = q·k + r, tiles 1..r hold q+1 rows, tiles r+1..k hold q."""
-    q_sz = F.floor(F.col("_gn_n") / k)
-    r_sz = F.col("_gn_n") % k
+    the exact total row count ``n_total`` (a Python int — the eager
+    count agg's sum, exact): with n = q·k + r, tiles 1..r hold q+1
+    rows, tiles r+1..k hold q. When n < k every rank lands in the
+    first block, so the q=0 division branch is never evaluated."""
+    q_sz, r_sz = divmod(n_total, k)
     first_block = r_sz * (q_sz + 1)
+    if q_sz == 0:
+        # n < k: every rank is in the first block — never emit the
+        # /q_sz branch (a /0 literal would raise under ANSI mode).
+        return F.ceil(rank / (q_sz + 1)).cast("int")
     return (
-        F.when(rank <= first_block, F.ceil(rank / (q_sz + 1)))
+        F.when(rank <= F.lit(first_block), F.ceil(rank / (q_sz + 1)))
         .otherwise(r_sz + F.ceil((rank - first_block) / q_sz))
         .cast("int")
     )
@@ -318,44 +459,41 @@ def global_ntiles(
     drags i-1 windows' worth of codegen and execution behind it (the
     74-shuffle q208 profile). This form hoists the eager part: ONE
     boundary job computes every dimension's bucket cuts over the plain
-    input frame, all per-bucket counts/offsets derive from that same
-    pre-bucketed base (one reused exchange), and only the cheap
+    input frame, ONE one-row eager agg computes every dimension's
+    per-bucket counts (≤ dims × n_buckets bigints, inlined as literal
+    offset/total lookups — no counts groupBys, no triangular broadcast
+    joins, no ntot cross join in the plan), and only the cheap
     partitioned rank windows chain — one repartition per dimension,
     which is the irreducible cost of k independent global orders.
     Tile semantics, determinism contract ((value_i, *tiebreaks) total
     order per dimension), the NON-NULL value contract, and hashes are
-    identical to ``global_ntile``.
+    identical to ``global_ntile``. (The r10 literal-offsets rewrite
+    took q208's AQE-final plan from 27 exchanges / 26 jobs to the
+    irreducible per-dimension windows — see OPTIMIZATION_r10.md.)
     """
     names = [n for _, n in specs]
     buckets = [f"_bucket_{n}" for n in names]
     rks = [f"_gn_rk_{n}" for n in names]
-    _check_names(df, *names, *buckets, *rks, "_gn_n", "_off__cnt")
+    _check_names(df, *names, *buckets, *rks)
     b = quantile_bucket_ranks(
         df, [(v, bc) for (v, _), bc in zip(specs, buckets)], n_buckets
     )
+    sums = _eager_bucket_sums(
+        b, [(bc, F.lit(1), bc) for bc in buckets], n_buckets
+    )
+    n_total = sum(sums[buckets[0]])
     out = b
-    ntot = None
     for (value, name), bcol, rk in zip(specs, buckets, rks):
-        counts = b.groupBy(F.col(bcol).alias("_bucket")).agg(
-            F.count(F.lit(1)).alias("_cnt")
-        )
-        if ntot is None:
-            ntot = counts.agg(F.sum("_cnt").cast("bigint").alias("_gn_n"))
-        offsets = _bucket_offsets(counts, ["_cnt"]).withColumnRenamed(
-            "_bucket", bcol
-        )
+        off = _exclusive_prefix(sums[bcol])
         w = Window.partitionBy(bcol).orderBy(value, *tiebreaks)
-        out = (
-            out.join(F.broadcast(offsets), bcol)
-            .withColumn(
-                rk, (F.col("_off__cnt") + F.row_number().over(w)).cast("bigint")
-            )
-            .drop("_off__cnt")
+        out = out.withColumn(
+            rk,
+            (_offset_lookup(off, bcol) + F.row_number().over(w))
+            .cast("bigint"),
         )
-    out = out.crossJoin(F.broadcast(ntot))
     for name, rk in zip(names, rks):
-        out = out.withColumn(name, _ntile_expr(F.col(rk), k))
-    return out.drop("_gn_n", *buckets, *rks)
+        out = out.withColumn(name, _ntile_expr(F.col(rk), k, n_total))
+    return out.drop(*buckets, *rks)
 
 
 def partitioned_prefix_sums(
@@ -376,29 +514,34 @@ def partitioned_prefix_sums(
     the global one. Passing tiebreaks instead of pre-ranking the frame
     (the old q209 shape: global_row_number → prefix sums over rk) is
     one decomposition instead of two chained ones — the second
-    boundary collect used to re-execute the whole rank plan."""
+    boundary collect used to re-execute the whole rank plan.
+
+    INTEGER ``sum_cols`` contract (every registered caller passes
+    counts or integer cents/micros): the per-bucket offsets are summed
+    exactly as Python ints in one tiny eager agg and inlined as
+    literals (see ``_eager_bucket_sums``) — same integers the old
+    in-plan triangular broadcast join produced, minus its 2-3
+    Exchanges and broadcast jobs."""
     tiebreaks = tiebreaks or []
-    _check_names(
-        df, "_bucket", *[f"_off_{c}" for c in sum_cols],
-        *[f"cum_{c}" for c in sum_cols],
-    )
+    _check_names(df, "_bucket", *[f"cum_{c}" for c in sum_cols])
     b = _with_value_buckets(df, value, n_buckets)
-    per_bucket = b.groupBy("_bucket").agg(
-        *[F.sum(c).alias(c) for c in sum_cols]
+    sums = _eager_bucket_sums(
+        b, [("_bucket", F.col(c), c) for c in sum_cols], n_buckets
     )
-    offsets = _bucket_offsets(per_bucket, sum_cols)
     w = (
         Window.partitionBy("_bucket")
         .orderBy(value, *tiebreaks)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = b.join(F.broadcast(offsets), "_bucket")
+    out = b
     for c in sum_cols:
+        off = _exclusive_prefix(sums[c])
         out = out.withColumn(
             f"cum_{c}",
-            (F.col(f"_off_{c}") + F.sum(c).over(w)).cast("bigint"),
+            (_offset_lookup(off, "_bucket") + F.sum(c).over(w))
+            .cast("bigint"),
         )
-    return out.drop("_bucket", *[f"_off_{c}" for c in sum_cols])
+    return out.drop("_bucket")
 
 
 def topn_ranked(
