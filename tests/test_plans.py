@@ -596,11 +596,12 @@ def test_headline_set_aqe_final_shapes(spark):
         "q92_shipping_priority": (["BroadcastHashJoin"], 2),
         "q93_forecast_revenue_change": ([], 2),
         "q94_returned_item_ranking": (["BroadcastHashJoin"], 2),
-        # q208's BNL entries are one-row broadcast scalar joins (the
-        # documented allowed shape); 39 exchanges = the 13-stage RFM
-        # pipeline's aggregation tree, all key-grain
-        "q208_rfm_segments": (
-            ["BroadcastHashJoin", "BroadcastNestedLoopJoin"], 39),
+        # r10 literal-offsets rewrite (functions/ranking.py): the RFM
+        # decomposition no longer joins at all — offsets/total are
+        # literal lookups; what remains is the per-customer agg, one
+        # partitioned rank window per dimension, and the final segment
+        # agg (was BHJ+BNL scaffolding with 39 exchanges)
+        "q208_rfm_segments": ([], 10),
         "q73_tumbling_window": ([], 2),
         "q82_minhash_lsh_neardup": (["BroadcastHashJoin"], 8),
         "q171_span_dedup_clean": (["BroadcastHashJoin"], 4),
