@@ -195,6 +195,29 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
+def rebalance_if_undersplit(df: DataFrame) -> DataFrame:
+    """Round-robin rebalance to the session's parallelism when the scan
+    undersplit the input (guide §2.5 input skew / §2.6 idle capacity).
+
+    The local fixtures are single-row-group parquet files, so every
+    scan is ONE input split and any per-row compute between the scan
+    and the first exchange serializes on one core while the other
+    N-1 idle. Queries whose pre-exchange compute dominates the scan
+    decode (shingling, vector scoring, decimal aggregation over wide
+    rows) route their scan through this guard. At production scale a
+    table's file set splits far past the session parallelism, the
+    probe sees enough partitions, and NO exchange is added — the
+    plan is unchanged exactly where the extra shuffle would hurt.
+    (Same pattern the LSH pipeline has carried since round 4; hoisted
+    here so every operator shares one audited implementation.)"""
+    if os.environ.get("SPARK_GRAFT_REBALANCE_UNDERSPLIT", "1") == "0":
+        return df  # measurement/ops kill-switch, parameterized per §2
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     """Register every fixture table as a temp view so pure-SQL users
     (spark.sql / the CLI ``sql`` command) can query the warehouse by

@@ -46,7 +46,10 @@ GROUP BY l_partkey
 )
 def q38_hash_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash aggregate on a mid-cardinality key (#38): partial+final
-    automatic; shuffle carries one row per (partition, key)."""
+    automatic; shuffle carries one row per (partition, key). (r10 A/B:
+    the undersplit rebalance guard was measured here and REJECTED —
+    0.871 s plain vs 1.015 s rebalanced min-of-6 at sf0.1; shuffling
+    600k full-width rows costs more than the partial agg saves.)"""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_items"),

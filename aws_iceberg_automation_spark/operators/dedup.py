@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.compat import split_bucket, sql_portable_hash64, sql_split_bucket
-from ..io import load_table
+from ..io import load_table, rebalance_if_undersplit
 from ..functions.ckpt import checkpoint_df
 from ..registry import register
 
@@ -218,10 +218,9 @@ def _lsh_candidate_pairs_frame(
     # shingle per doc); a small single-file scan arrives as ONE input
     # split and would serialize it. Rebalance to the session's
     # parallelism when the scan undersplits — at real scale the file
-    # set splits naturally and this branch never fires.
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    # set splits naturally and this branch never fires. (r10: routed
+    # through the shared io.rebalance_if_undersplit guard.)
+    docs = rebalance_if_undersplit(docs)
     sh = docs.select(
         "doc_id", word_shingles(F.col("text"), k).alias("shingles")
     )
@@ -1257,7 +1256,13 @@ def span_dedup_clean(d: DataFrame, k: int = 8) -> DataFrame:
     1× duplicated-span-grain + 1× doc-grain — measured 1.9× on the
     20× replica (18.3 s → 9.6 s; the remaining cost is the
     irreducible shingle-grain verdict agg) with identical output (the
-    brute-force differential fuzz pins the semantics)."""
+    brute-force differential fuzz pins the semantics).
+
+    r10: the input routes through the shared undersplit guard — the
+    shingle explode + verdict partial agg is the heavy pre-exchange
+    compute, and on the single-split fixtures it ran on one core
+    (no-op at production split counts)."""
+    d = rebalance_if_undersplit(d)
     w = d.select("doc_id", F.split("text", " ").alias("w"))
     occ = (
         w.filter(F.size("w") >= k)

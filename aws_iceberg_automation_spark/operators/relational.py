@@ -57,7 +57,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan notes: filter pushed to parquet; two-phase (partial+final)
     HashAggregate on low-cardinality keys ⇒ the single shuffle moves
     only |groups|×|partitions| rows; decimal sums stay inside
-    whole-stage codegen.
+    whole-stage codegen. (r10 A/B: the undersplit rebalance guard was
+    measured here and REJECTED — min-of-6 1.089 s plain vs 1.105 s
+    rebalanced at sf0.1; the single-task cost is parquet decode, which
+    an exchange cannot parallelize, not the partial agg.)
     """
     li = load_table(spark, sf_dir, "lineitem")
     return (

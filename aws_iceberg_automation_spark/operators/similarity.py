@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.ranking import topn_ranked
 from ..functions.vectors import cosine, dot
-from ..io import load_table
+from ..io import load_table, rebalance_if_undersplit
 from ..functions.ckpt import checkpoint_df
 from ..registry import register
 
@@ -68,8 +68,10 @@ WHERE rk <= {_TOP_K}
 )
 def q83_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k (#83 baseline): 10 query vectors vs the whole
-    corpus; broadcast the small query side so the corpus never shuffles;
-    TakeOrdered-style rank-filter per query."""
+    corpus; broadcast the small query side so the corpus never shuffles
+    (at scale — locally the undersplit guard rebalances the single-task
+    fixture scan so the |Q|·|corpus| cosine folds run on every core;
+    guide §2.6, r10); TakeOrdered-style rank-filter per query."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").alias("v")
     )
@@ -79,7 +81,7 @@ def q83_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         F.broadcast(q)
-        .join(e, F.col("vec_id") != F.col("q_id"))
+        .join(rebalance_if_undersplit(e), F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),

@@ -80,7 +80,11 @@ WHERE rk <= 50
 )
 def q85b_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequencies (#85): explode → two-phase count → top-50
-    (count desc, term asc — fully deterministic)."""
+    (count desc, term asc — fully deterministic). (r10 A/B: the
+    undersplit rebalance guard was measured here and REJECTED —
+    0.362 s plain vs 0.527 s rebalanced min-of-6 at sf0.1; the
+    explode's partial count is cheaper than an extra full-text
+    exchange.)"""
     d = load_table(spark, sf_dir, "documents")
     terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     counts = terms.groupBy("term").agg(

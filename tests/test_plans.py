@@ -604,8 +604,12 @@ def test_headline_set_aqe_final_shapes(spark):
         "q208_rfm_segments": ([], 10),
         "q73_tumbling_window": ([], 2),
         "q82_minhash_lsh_neardup": (["BroadcastHashJoin"], 8),
-        "q171_span_dedup_clean": (["BroadcastHashJoin"], 4),
-        "q83_cosine_topk_exact": (["BroadcastNestedLoopJoin"], 2),
+        # r10 undersplit guard (io.rebalance_if_undersplit): +1 round-robin
+        # exchange on the fixture scan (A/B 1.885->1.105 s at sf0.1);
+        # reused across the w/occ branches in the final-plan string
+        "q171_span_dedup_clean": (["BroadcastHashJoin"], 10),
+        # r10 undersplit guard on the corpus side (A/B 0.587->0.362 s)
+        "q83_cosine_topk_exact": (["BroadcastNestedLoopJoin"], 4),
         "q172_pq_adc_topk": (["BroadcastHashJoin"], 4),
         "q85b_top_terms": ([], 6),
     }
