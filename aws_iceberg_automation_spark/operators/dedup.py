@@ -751,10 +751,26 @@ def _banded_postings(
     else:
         sig = minhash_signature(F.col(shingle_col), num_hashes)
         signed = sh
-    return signed.select(
-        id_col,
-        F.explode(lsh_bands(sig, bands, rows, portable)).alias("b"),
-    ).select(id_col, "b.band", "b.band_hash")
+    # r10: materialize the signature as its OWN projected column before
+    # the banding explode. Inlined, the whole num_hashes-permutation
+    # map sits inside lsh_bands' per-band lambda (slice(sig, ...)) and
+    # re-evaluates once PER BAND per row — an 8× runtime multiplicity
+    # invisible to lexical refcounts, the same lambda-scope trap as
+    # minhash_from_base_hashes' base array (measured 1.4 s → 0.5 s for
+    # the banded job at sf0.1). The projection sits below the Generate
+    # (explode), which CollapseProject does not merge into — the
+    # "generator-shaped plans are safe" property this module already
+    # documents.
+    return (
+        signed.select(id_col, sig.alias("_sig"))
+        .select(
+            id_col,
+            F.explode(
+                lsh_bands(F.col("_sig"), bands, rows, portable)
+            ).alias("b"),
+        )
+        .select(id_col, "b.band", "b.band_hash")
+    )
 
 
 def build_lsh_index(
