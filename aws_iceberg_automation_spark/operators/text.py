@@ -81,10 +81,10 @@ WHERE rk <= 50
 def q85b_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequencies (#85): explode → two-phase count → top-50
     (count desc, term asc — fully deterministic). (r10 A/B: the
-    undersplit rebalance guard was measured here and REJECTED —
-    0.362 s plain vs 0.527 s rebalanced min-of-6 at sf0.1; the
-    explode's partial count is cheaper than an extra full-text
-    exchange.)"""
+    undersplit rebalance guard was measured here and REJECTED in both
+    forms — round-robin 0.527 s and doc_id-hash 0.395 s vs 0.389 s
+    plain at sf0.1; tokenize+count partials are too cheap to pay any
+    extra exchange for.)"""
     d = load_table(spark, sf_dir, "documents")
     terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     counts = terms.groupBy("term").agg(

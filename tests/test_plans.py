@@ -78,8 +78,10 @@ def test_topk_uses_take_ordered(spark):
 
 
 def test_flagship_single_data_shuffle(spark):
-    # one aggregate exchange + one tiny final-sort exchange, nothing else
-    assert count_exchanges(q("q01_pricing_summary", spark)) <= 2
+    # one aggregate exchange + one tiny final-sort exchange, plus the
+    # r10 undersplit-guard hash repartition (local fixtures only — the
+    # guard is a no-op once the scan splits past the parallelism)
+    assert count_exchanges(q("q01_pricing_summary", spark)) <= 3
 
 
 def test_partition_pruning_on_layout(spark, tmp_path_factory):
@@ -586,7 +588,7 @@ def test_headline_set_aqe_final_shapes(spark):
     from aws_iceberg_automation_spark.registry import all_specs
 
     expected = {
-        "q01_pricing_summary": ([], 4),
+        "q01_pricing_summary": ([], 6),  # +guard repartition (r10)
         "q28_inner_equi_join": (["BroadcastHashJoin"], 0),
         "q32_broadcast_dim_join": (["BroadcastHashJoin"], 2),
         "q37_star_join_revenue": (["BroadcastHashJoin"], 2),
@@ -601,14 +603,18 @@ def test_headline_set_aqe_final_shapes(spark):
         # literal lookups; what remains is the per-customer agg, one
         # partitioned rank window per dimension, and the final segment
         # agg (was BHJ+BNL scaffolding with 39 exchanges)
-        "q208_rfm_segments": ([], 10),
+        "q208_rfm_segments": ([], 8),  # r10: per_cust checkpointed, its agg exchange leaves the plan
         "q73_tumbling_window": ([], 2),
         "q82_minhash_lsh_neardup": (["BroadcastHashJoin"], 8),
-        # r10 undersplit guard (io.rebalance_if_undersplit): +1 round-robin
-        # exchange on the fixture scan (A/B 1.885->1.105 s at sf0.1);
-        # reused across the w/occ branches in the final-plan string
-        "q171_span_dedup_clean": (["BroadcastHashJoin"], 10),
-        # r10 undersplit guard on the corpus side (A/B 0.587->0.362 s)
+        # r10 undersplit guard, hash-keyed on doc_id (A/B 1.927->0.896 s
+        # at sf0.1): the ivs-back-to-w join is now CO-PARTITIONED on
+        # doc_id, so the planner picks a zero-exchange SortMergeJoin
+        # there instead of a broadcast — fewer exchanges than the
+        # round-robin form (10 -> 8). Local-fixture shape only: the
+        # guard no-ops at production split counts and the plan reverts
+        # to the pure-broadcast form.
+        "q171_span_dedup_clean": (["BroadcastHashJoin", "SortMergeJoin"], 8),
+        # r10 undersplit guard on the corpus side (hash A/B 0.607->0.297 s)
         "q83_cosine_topk_exact": (["BroadcastNestedLoopJoin"], 4),
         "q172_pq_adc_topk": (["BroadcastHashJoin"], 4),
         "q85b_top_terms": ([], 6),
