@@ -149,7 +149,10 @@ def quantile_bucket_ranks(
     )
     for (value, name), sname in zip(ranks, scratch):
         bounds = stats_row[f"_bounds_{name}"]
-        if bounds is None:  # empty input frame: no boundaries, bucket 0
+        # None: empty input frame. Empty list: n_buckets=1 (qs == []) —
+        # without this short-circuit the joined SQL string would be
+        # "CAST( AS INT)", a ParseException (ADVICE r10).
+        if not bounds:
             out = out.withColumn(name, F.lit(0))
             continue
         # Normalize -0.0 boundaries to +0.0 (x + 0.0 is the IEEE idiom;
@@ -166,31 +169,295 @@ def quantile_bucket_ranks(
         # (floats only: integer-typed boundaries must stay integers or
         # the literal would silently widen the comparison to double)
         bounds = [b + 0.0 if isinstance(b, float) else b for b in bounds]
-        lits = [_sql_num(b) for b in bounds]
-        if all(s is not None for s in lits):
-            # Sum of indicator terms, not filter(array<lit>, lambda):
-            # lambda outer-references break under Catalyst's self-join
-            # attribute dedup (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when
-            # the bucketed frame joins a frame derived from itself, as
-            # grouped consumers can). Plain comparisons survive any
-            # rewrite.
-            terms = " + ".join(
-                f"(CASE WHEN {s} <= `{sname}` THEN 1 ELSE 0 END)"
-                for s in lits
-            )
-            bucket = F.expr(f"CAST({terms} AS INT)")
-        else:
-            # non-int/float boundary type: fall back to the composed
-            # when-chain (correct for any orderable literal type)
-            bucket = sum(
-                (
-                    F.when(F.lit(b) <= F.col(sname), 1).otherwise(0)
-                    for b in bounds
-                ),
-                start=F.lit(0),
-            ).cast("int")
-        out = out.withColumn(name, bucket)
+        # Sum of indicator terms, not filter(array<lit>, lambda): lambda
+        # outer-references break under Catalyst's self-join attribute
+        # dedup (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when the bucketed
+        # frame joins a frame derived from itself, as grouped consumers
+        # can). Plain comparisons survive any rewrite. Non-int/float
+        # boundary types fall back to the composed when-chain inside
+        # _bucket_literal_expr (shared with the r11 histogram path).
+        out = out.withColumn(name, _bucket_literal_expr(sname, bounds))
     return out.drop(*scratch)
+
+
+# --------------------------------------------------------------------
+# r11: single-pass eager bucketization (guide §2.4 — remove shuffles/
+# jobs outright; VERDICT r10 ask #3). The r10 decomposition shape ran
+# TWO sequential eager jobs before the main query — a percentile_approx
+# boundary agg, then a per-bucket count/sum agg over the bucketed frame
+# — because bucket membership depends on the boundaries. This replaces
+# both with ONE exact histogram job: every value is quantized to a
+# bounded-cardinality integer CELL by an *exactly monotone* map
+# (bit tricks below — never floating log/quantile arithmetic, whose
+# 1-ulp wobble could misorder adjacent values and silently corrupt
+# ranks), the per-cell exact counts/sums are collected once, and both
+# the quantile-balanced bucket cuts AND the per-bucket offsets derive
+# from that one collected frame in Python. The cuts are then inverted
+# back to exact VALUE-space literals, so the main plan keeps the
+# identical r10 CASE-sum bucket expression (no reflect/bin anywhere in
+# the per-row path) and the decomposition executes its input TWICE
+# (histogram + main) instead of three times.
+#
+# Correctness: ranks/ntiles/prefix sums are exact under ANY monotone
+# bucketing (cross-bucket order = value order, ties never straddle a
+# bucket), so swapping percentile_approx cuts for histogram cuts is
+# results-identical by construction; only balance could differ, and the
+# cells are fine enough (≥256 cells per binary octave) that cut quality
+# matches approx-quantiles for any data spanning a few percent of
+# relative range. Deterministic-re-execution contract (ADVICE r10):
+# the input frame must produce identical rows on re-execution (static
+# files or checkpoint_df-pinned) — offsets collected here are inlined
+# into the main plan, so a frame that re-executes differently would
+# rank wrong. All registered callers read static fixtures or
+# checkpoints; q208 pins per_cust explicitly.
+
+_INT_KINDS = {"tinyint", "smallint", "int", "bigint"}
+_DBL_KINDS = {"float", "double"}
+_I64_MIN = -(2**63)
+_NAN_CELL = _I64_MIN  # NaN forced below every real cell → bucket 0,
+# matching the main plan's CASE (every `lit <= NaN` is false → 0)
+_DBL_CELL_SHIFT = 44  # sortable-bits >> 44: 256 cells/octave, ≤ ~1M
+# possible cells across the entire double range (the collect bound)
+
+
+def _int_cell_sql(s: str) -> str:
+    """Exactly monotone bounded-cardinality cell for a BIGINT scratch
+    column: packs (bit_length, top 10 mantissa bits) as
+    bit_length·1024 + (v >> (bit_length-10)) for v>0, mirrored for
+    v<0, 1024 for 0 — pure integer ops (length(bin(v)) is the exact
+    bit length), ≤ 2·65536 possible cells, ~512-1024 cells per binary
+    octave. INT64_MIN cannot be negated (ANSI would throw) and gets a
+    dedicated below-everything marker."""
+    pos = (
+        f"length(bin(`{s}`)) * 1024L + "
+        f"shiftright(`{s}`, greatest(length(bin(`{s}`)) - 10, 0))"
+    )
+    neg = (
+        f"-(length(bin(-`{s}`)) * 1024L + "
+        f"shiftright(-`{s}`, greatest(length(bin(-`{s}`)) - 10, 0)))"
+    )
+    return (
+        f"CASE WHEN `{s}` = {_I64_MIN}L THEN -66000L "
+        f"WHEN `{s}` < 0 THEN {neg} ELSE {pos} END"
+    )
+
+
+def _dbl_bits_sql(s: str) -> str:
+    """IEEE-754 bits of a DOUBLE scratch column as BIGINT (exact —
+    reflection into Double.doubleToRawLongBits; JVM-internal, no Python
+    boundary). +0.0 is added first so -0.0 and 0.0 share bits (the
+    engine-wide -0.0 normalization; x + 0.0 is the IEEE idiom)."""
+    return (
+        "CAST(reflect('java.lang.Double','doubleToRawLongBits', "
+        f"`{s}` + CAST(0.0 AS DOUBLE)) AS BIGINT)"
+    )
+
+
+def _dbl_cell_sql(val: str, bits: str) -> str:
+    """Monotone cell from the bits column: the standard sign-flip makes
+    the bit pattern totally ordered as a signed long (negative doubles
+    get their low 63 bits flipped), then >> 44 buckets it. NaN is
+    forced to the below-everything marker so the histogram agrees with
+    the main plan's CASE-sum (where every `lit <= NaN` is false)."""
+    flip = f"(`{bits}` ^ (shiftright(`{bits}`, 63) & {2**63 - 1}L))"
+    return (
+        f"CASE WHEN isnan(`{val}`) THEN {_NAN_CELL}L "
+        f"ELSE shiftright({flip}, {_DBL_CELL_SHIFT}) END"
+    )
+
+
+def _int_cell_max(k: int) -> int:
+    bl, top = divmod(k, 1024)
+    return top if bl <= 10 else ((top + 1) << (bl - 10)) - 1
+
+
+def _int_cell_min(k: int) -> int:
+    """Smallest int64 whose _int_cell_sql cell is ``k`` (exact inverse
+    — the cut-cell → value-space threshold conversion)."""
+    if k == -66000:
+        return _I64_MIN
+    if k < 0:
+        return -_int_cell_max(-k)
+    bl, top = divmod(k, 1024)
+    return top if bl <= 10 else top << (bl - 10)
+
+
+def _dbl_cell_min(k: int) -> float:
+    """Smallest double whose _dbl_cell_sql cell is ``k``: invert the
+    sign-flip on the cell's smallest sortable bit pattern. Exact."""
+    import struct
+
+    s = k << _DBL_CELL_SHIFT
+    bits = s if s >= 0 else s ^ (2**63 - 1)
+    v = struct.unpack("<d", struct.pack("<q", bits))[0]
+    if v != v:
+        # the cell containing -inf also spans the negative-NaN bit
+        # patterns below it; no real value sits under -inf, and NaN
+        # inputs are forced to _NAN_CELL, so -inf is the true minimum
+        return float("-inf")
+    return v + 0.0  # never emit a -0.0 literal (codegen CSE bug, r10)
+
+
+def _bucket_literal_expr(sname: str, bounds: list) -> Column:
+    """#(bound <= value) as one F.expr CASE-sum string over the scratch
+    column — the r10 single-round-trip literal form (see
+    quantile_bucket_ranks for the full rationale), shared by the
+    percentile and histogram bucketization paths."""
+    if not bounds:
+        return F.lit(0)
+    lits = [_sql_num(b) for b in bounds]
+    if all(s is not None for s in lits):
+        terms = " + ".join(
+            f"(CASE WHEN {s} <= `{sname}` THEN 1 ELSE 0 END)" for s in lits
+        )
+        return F.expr(f"CAST({terms} AS INT)")
+    return sum(
+        (F.when(F.lit(b) <= F.col(sname), 1).otherwise(0) for b in bounds),
+        start=F.lit(0),
+    ).cast("int")
+
+
+def _pick_cuts_and_totals(
+    entries: list[tuple], n_buckets: int, n_sums: int
+) -> tuple[list[int], list[int], list[list[int]]]:
+    """From ascending (cell, count, *sums) histogram entries (None cell
+    first): quantile-balanced cut cells (bucket b = #(cut <= cell)),
+    exact per-bucket counts, exact per-bucket sums. Pure integer
+    arithmetic — cum·n_buckets ≥ (len+1)·total is the exact form of
+    cum ≥ (len+1)·total/n_buckets."""
+    import bisect
+
+    total = sum(e[1] for e in entries)
+    cuts: list[int] = []
+    cum = 0
+    for i, e in enumerate(entries):
+        cum += e[1]
+        if (
+            len(cuts) < n_buckets - 1
+            and i + 1 < len(entries)
+            and cum * n_buckets >= (len(cuts) + 1) * total
+        ):
+            nxt = entries[i + 1][0]
+            if nxt is not None and nxt != _NAN_CELL:
+                cuts.append(nxt)
+    counts = [0] * n_buckets
+    sums = [[0] * n_buckets for _ in range(n_sums)]
+    for e in entries:
+        b = 0 if e[0] is None else bisect.bisect_right(cuts, e[0])
+        counts[b] += e[1]
+        for j in range(n_sums):
+            if e[2 + j] is not None:
+                sums[j][b] += e[2 + j]
+    return cuts, counts, sums
+
+
+def _cells_hist_bucketize(
+    df: DataFrame,
+    ranks: list[tuple[Column, str]],
+    n_buckets: int,
+    sum_cols: list[str] | None = None,
+):
+    """ONE eager job replacing the boundary-agg + bucket-sums pair:
+    exact per-cell histogram (explode-per-dimension when multi-rank, so
+    the collect is bounded by dims × cells, never a cell cross
+    product), Python-side balanced cuts + exact offsets, and bucket
+    columns rebuilt as value-space literal CASE-sums. Returns
+    ``(bucketed_df, counts_by_bucket_col, sums_by_col)`` or None when a
+    value dtype is outside the exact-cell domain (then callers fall
+    back to the r10 two-job percentile path — also the
+    SPARK_GRAFT_SINGLEPASS_BUCKETS=0 kill-switch, for A/Bs).
+    ``sum_cols`` requires a single rank and integer-typed columns
+    (the _eager_bucket_sums exactness contract)."""
+    import os
+
+    if df.isStreaming:
+        return None  # the legacy path raises the batch-only error
+    if os.environ.get("SPARK_GRAFT_SINGLEPASS_BUCKETS", "1") == "0":
+        return None
+    if sum_cols and len(ranks) != 1:
+        raise ValueError("sum_cols requires exactly one rank dimension")
+    names = [n for _, n in ranks]
+    probe = df.select(
+        *[v.alias(f"_p{i}") for i, (v, _) in enumerate(ranks)]
+    )
+    kinds: list[str] = []
+    for f in probe.schema.fields:
+        t = f.dataType.simpleString()
+        if t in _INT_KINDS:
+            kinds.append("int")
+        elif t in _DBL_KINDS:
+            kinds.append("dbl")
+        else:
+            return None
+    val_cols = [f"_qbr_val_{n}" for n in names]
+    cell_cols = [f"_qbr_cell_{n}" for n in names]
+    bits_cols = [f"_qbr_bits_{n}" for n in names]
+    _check_names(df, *val_cols, *cell_cols, *bits_cols)
+    out = df.select(
+        "*",
+        *[
+            (v.cast("bigint") if k == "int" else v.cast("double")).alias(s)
+            for (v, _), k, s in zip(ranks, kinds, val_cols)
+        ],
+    )
+    # Histogram branch: project only the needed columns before the agg
+    # (guide §2.3), materialize bits, then cells, then aggregate.
+    hist = out.select(*val_cols, *(sum_cols or []))
+    hist = hist.select(
+        "*",
+        *[
+            F.expr(_dbl_bits_sql(s)).alias(bc)
+            for k, s, bc in zip(kinds, val_cols, bits_cols)
+            if k == "dbl"
+        ],
+    )
+    hist = hist.select(
+        *(sum_cols or []),
+        *[
+            F.expr(
+                _int_cell_sql(s) if k == "int" else _dbl_cell_sql(s, bc)
+            ).alias(c)
+            for k, s, c, bc in zip(kinds, val_cols, cell_cols, bits_cols)
+        ],
+    )
+    if len(ranks) == 1:
+        aggs = [F.count(F.lit(1)).alias("_hcnt")] + [
+            F.sum(F.col(c)).cast("bigint").alias(f"_hsum_{i}")
+            for i, c in enumerate(sum_cols or [])
+        ]
+        rows = hist.groupBy(cell_cols[0]).agg(*aggs).collect()
+        per_dim = {0: [tuple(r) for r in rows]}
+    else:
+        ex = hist.select(
+            F.posexplode(F.array(*[F.col(c) for c in cell_cols])).alias(
+                "_hdim", "_hcell"
+            )
+        )
+        rows = (
+            ex.groupBy("_hdim", "_hcell")
+            .agg(F.count(F.lit(1)).alias("_hcnt"))
+            .collect()
+        )
+        per_dim = {i: [] for i in range(len(ranks))}
+        for r in rows:
+            per_dim[r[0]].append((r[1], r[2]))
+    counts_by: dict[str, list[int]] = {}
+    sums_by: dict[str, list[int]] = {}
+    for i, (name, kind, sname) in enumerate(zip(names, kinds, val_cols)):
+        entries = sorted(
+            per_dim[i], key=lambda e: (e[0] is not None, e[0] or 0)
+        )
+        n_sums = len(sum_cols or []) if len(ranks) == 1 else 0
+        cuts, counts, sums = _pick_cuts_and_totals(
+            entries, n_buckets, n_sums
+        )
+        inv = _int_cell_min if kind == "int" else _dbl_cell_min
+        bounds = [inv(c) for c in cuts]
+        out = out.withColumn(name, _bucket_literal_expr(sname, bounds))
+        counts_by[name] = counts
+        for j, c in enumerate(sum_cols or []):
+            sums_by[c] = sums[j]
+    return out.drop(*val_cols), counts_by, sums_by
 
 
 def desc_as_asc(c: Column) -> Column:
@@ -360,12 +627,20 @@ def global_row_number(
     literal array lookup instead of the old groupBy → triangular
     broadcast self-join → broadcast-join-back scaffolding. Identical
     ranks (same integers, same window), 3 fewer Exchanges + 2 fewer
-    broadcast jobs in the plan."""
+    broadcast jobs in the plan. r11: for int/double values the
+    boundary agg and the count agg merge into ONE exact-histogram
+    eager job (_cells_hist_bucketize) — same ranks (any monotone
+    bucketing is results-identical), one fewer eager job and one fewer
+    input execution at any scale."""
     _check_names(df, rank_name, "_bucket")
-    b = _with_value_buckets(df, value, n_buckets)
-    counts = _eager_bucket_sums(
-        b, [("_bucket", F.lit(1), "cnt")], n_buckets
-    )["cnt"]
+    res = _cells_hist_bucketize(df, [(value, "_bucket")], n_buckets)
+    if res is not None:
+        b, counts = res[0], res[1]["_bucket"]
+    else:
+        b = _with_value_buckets(df, value, n_buckets)
+        counts = _eager_bucket_sums(
+            b, [("_bucket", F.lit(1), "cnt")], n_buckets
+        )["cnt"]
     off = _exclusive_prefix(counts)
     w = Window.partitionBy("_bucket").orderBy(value, *tiebreaks)
     return (
@@ -401,10 +676,14 @@ def global_ntile(
     bucket to 0 and rank NULLS FIRST, diverging from ANSI NULLS LAST) —
     coalesce or filter nullable dimensions before tiling."""
     _check_names(df, out_name, "_bucket", "_gn_rk")
-    b = _with_value_buckets(df, value, n_buckets)
-    counts = _eager_bucket_sums(
-        b, [("_bucket", F.lit(1), "cnt")], n_buckets
-    )["cnt"]
+    res = _cells_hist_bucketize(df, [(value, "_bucket")], n_buckets)
+    if res is not None:
+        b, counts = res[0], res[1]["_bucket"]
+    else:
+        b = _with_value_buckets(df, value, n_buckets)
+        counts = _eager_bucket_sums(
+            b, [("_bucket", F.lit(1), "cnt")], n_buckets
+        )["cnt"]
     off = _exclusive_prefix(counts)
     n_total = sum(counts)
     w = Window.partitionBy("_bucket").orderBy(value, *tiebreaks)
@@ -475,12 +754,18 @@ def global_ntiles(
     buckets = [f"_bucket_{n}" for n in names]
     rks = [f"_gn_rk_{n}" for n in names]
     _check_names(df, *names, *buckets, *rks)
-    b = quantile_bucket_ranks(
+    res = _cells_hist_bucketize(
         df, [(v, bc) for (v, _), bc in zip(specs, buckets)], n_buckets
     )
-    sums = _eager_bucket_sums(
-        b, [(bc, F.lit(1), bc) for bc in buckets], n_buckets
-    )
+    if res is not None:
+        b, sums = res[0], res[1]
+    else:
+        b = quantile_bucket_ranks(
+            df, [(v, bc) for (v, _), bc in zip(specs, buckets)], n_buckets
+        )
+        sums = _eager_bucket_sums(
+            b, [(bc, F.lit(1), bc) for bc in buckets], n_buckets
+        )
     n_total = sum(sums[buckets[0]])
     out = b
     for (value, name), bcol, rk in zip(specs, buckets, rks):
@@ -524,10 +809,16 @@ def partitioned_prefix_sums(
     Exchanges and broadcast jobs."""
     tiebreaks = tiebreaks or []
     _check_names(df, "_bucket", *[f"cum_{c}" for c in sum_cols])
-    b = _with_value_buckets(df, value, n_buckets)
-    sums = _eager_bucket_sums(
-        b, [("_bucket", F.col(c), c) for c in sum_cols], n_buckets
+    res = _cells_hist_bucketize(
+        df, [(value, "_bucket")], n_buckets, sum_cols=sum_cols
     )
+    if res is not None:
+        b, sums = res[0], res[2]
+    else:
+        b = _with_value_buckets(df, value, n_buckets)
+        sums = _eager_bucket_sums(
+            b, [("_bucket", F.col(c), c) for c in sum_cols], n_buckets
+        )
     w = (
         Window.partitionBy("_bucket")
         .orderBy(value, *tiebreaks)

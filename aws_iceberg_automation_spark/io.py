@@ -213,7 +213,23 @@ def rebalance_if_undersplit(df: DataFrame, key=None) -> DataFrame:
     if os.environ.get("SPARK_GRAFT_REBALANCE_UNDERSPLIT", "1") == "0":
         return df  # measurement/ops kill-switch, parameterized per §2
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    # Probe with inputFiles() — pure plan metadata — NOT
+    # .rdd.getNumPartitions(): under AQE, .rdd on a frame with upstream
+    # shuffles eagerly EXECUTES those stages and discards the work when
+    # the frame is then used as a DataFrame (the _banded_postings
+    # lesson, ADVICE r10). Non-scan frames (inputFiles() empty) skip
+    # the guard: their upstream shuffle already wrote
+    # spark.sql.shuffle.partitions splits. Caveat vs the old probe: a
+    # single file BIGGER than maxPartitionBytes would split fine at
+    # scan yet still count as 1 here — acceptable, because the guard's
+    # keyed repartition is a no-op-cost exchange exactly when the scan
+    # was already parallel, and such tables don't occur in the fixture
+    # or any sane production layout (compaction targets < split size).
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plan (e.g. in-memory fixture)
+        n_files = par
+    if 0 < n_files < par:
         if key is not None:
             # HASH repartition on a high-cardinality deterministic key:
             # keyless round-robin pays a hidden local sort of the full

@@ -1284,12 +1284,22 @@ def q209_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ranking import desc_as_asc, partitioned_prefix_sums
 
     li = load_table(spark, sf_dir, "lineitem")
-    # one row per part. NOT checkpointed: pr is an agg, so its shuffle
-    # output is stage-skipped across the decomposition's boundary job
-    # anyway (20x A/B: checkpoint ~27 s vs ~24 s plain)
-    pr = li.groupBy("l_partkey").agg(
+    # one row per part, CHECKPOINTED (r11, ADVICE r10): the stage-skip
+    # claim the old comment made stopped holding after the r10
+    # literal-offsets rewrite — pr executes as SEPARATE query
+    # executions (decomposition histogram, main, and the tot broadcast)
+    # with no cross-execution shuffle reuse, i.e. three lineitem
+    # scans+aggs per query at any scale. Same-session A/B at sf0.1:
+    # plain 2.01 s vs checkpointed 1.57 s min-of-4; the pin also makes
+    # the decomposition's collected offsets consistent-by-construction
+    # (deterministic-re-execution contract). An undersplit-guard
+    # rebalance keyed on l_partkey was ALSO measured and rejected
+    # (1.27 plain vs 1.40 guarded): unlike q38, the per-split work
+    # here is one partial agg over 7 narrow columns — cheaper than the
+    # full-row exchange the guard adds.
+    pr = checkpoint_df(li.groupBy("l_partkey").agg(
         (F.sum(disc_price()) * 1000000).cast("bigint").alias("rev_micros")
-    )
+    ))
     cum = partitioned_prefix_sums(
         pr,
         desc_as_asc(F.col("rev_micros")),
