@@ -20,6 +20,7 @@ stream-static broadcast joins for dimension enrichment (#79), and an
 
 from __future__ import annotations
 
+import contextlib
 import os
 from collections.abc import Iterator
 from typing import Any
@@ -360,20 +361,62 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+STREAM_STATE_PARTITIONS_ENV = "SPARK_GRAFT_STREAM_STATE_PARTITIONS"
+
+
+@contextlib.contextmanager
+def _stream_state_partitions(spark: SparkSession):
+    """Pin the stateful-shuffle width for one streaming query (r11,
+    guide §2.2/§1 — measure first).
+
+    A stream's shuffle-partition count is not a batch tuning knob: it
+    is the number of LONG-LIVED STATE STORE INSTANCES per stateful
+    operator (a stream-stream join keeps FOUR stores per partition),
+    it is frozen into the checkpoint at the first microbatch, and AQE
+    never coalesces stateful exchanges — so inheriting the session's
+    batch width silently turns "more cores" into "more per-batch state
+    commits". Production sizes it to expected state volume/throughput
+    (Spark's own guidance) and so does this helper: the deployment
+    sets $SPARK_GRAFT_STREAM_STATE_PARTITIONS to its capacity number
+    ("0" = inherit the session conf, the measurement kill-switch); the
+    default 8 matches the replay fixtures' KB-scale state. Measured on
+    q122's stream-stream join at sf0.01 (5-microbatch replay,
+    local[32]): 32 partitions = 128 store instances whose local-FS
+    delta commits CONTEND — commitTimeMs 58 s summed, 16-21 s wall —
+    vs 8 partitions = 32 instances, 1.9 s commit, 4.7 s wall; 4 and 2
+    partitions give only 0.4-0.7 s more. The conf is restored after
+    the query terminates, so batch plans in the same session keep the
+    session's width (the hostile sweeps' overrides stay in force for
+    everything except stream execution, which a real deployment pins
+    per-stream anyway)."""
+    n = os.environ.get(STREAM_STATE_PARTITIONS_ENV, "8")
+    if n == "0":
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, n)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
     """Execute a streaming frame to completion with Trigger.AvailableNow
     into a memory sink; returns the materialized result table."""
     spark = sdf.sparkSession
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -405,13 +448,14 @@ def foreach_batch_upsert(
         )
         manager.merge_upsert(table, deduped, on=on)
 
-    q = (
-        sdf.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(sdf.sparkSession):
+        q = (
+            sdf.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def foreach_batch_versioned_upsert(
@@ -471,28 +515,30 @@ def foreach_batch_versioned_upsert(
             # in merge.
             versioned.merge(deduped, on=on, precedence=precedence)
 
-    q = (
-        sdf.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(sdf.sparkSession):
+        q = (
+            sdf.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def write_stream_parquet(sdf: DataFrame, path: str, checkpoint: str, output_mode: str = "append"):
     """Streaming sink (#22): parquet append with checkpointing (swap
     format('iceberg') when the runtime is on the classpath — identical
     call shape)."""
-    q = (
-        sdf.writeStream.format("parquet")
-        .option("path", path)
-        .option("checkpointLocation", checkpoint)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(sdf.sparkSession):
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return path
 
 
@@ -519,13 +565,14 @@ def foreach_batch_versioned_append(
             return  # redelivered microbatch — already committed
         versioned.write(batch_df, mode="append", _op=op)
 
-    q = (
-        sdf.writeStream.foreachBatch(append)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(sdf.sparkSession):
+        q = (
+            sdf.writeStream.foreachBatch(append)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def foreach_batch_validated_append(
@@ -576,13 +623,14 @@ def foreach_batch_validated_append(
             if not bad.isEmpty():
                 quarantine.write(bad, mode="append", _op=op)
 
-    q = (
-        sdf.writeStream.foreachBatch(split)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(sdf.sparkSession):
+        q = (
+            sdf.writeStream.foreachBatch(split)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def stream_stream_attribution(events: DataFrame, window_minutes: int = 30) -> DataFrame:
@@ -722,13 +770,14 @@ def foreach_batch_append_with_rollup(
             versioned.write(batch_df, mode="append", _op=op)
         view.refresh()
 
-    q = (
-        sdf.writeStream.foreachBatch(step)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(sdf.sparkSession):
+        q = (
+            sdf.writeStream.foreachBatch(step)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def stream_stream_attribution_outer(
@@ -904,15 +953,16 @@ def run_to_memory_with_metrics(
     listener = cap.make()
     spark.streams.addListener(listener)
     try:
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        cap.query_id = str(q.id)
-        q.awaitTermination()
+        with _stream_state_partitions(spark):
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            cap.query_id = str(q.id)
+            q.awaitTermination()
         # The listener bus is async: awaitTermination() returning does
         # not mean the last progress events reached Python yet. The
         # bus is FIFO, so once the Terminated event lands, every
