@@ -360,8 +360,34 @@ def q284_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    write_bucketed(o.withColumnRenamed("o_custkey", "k"), t_orders, "k")
-    write_bucketed(c.withColumnRenamed("c_custkey", "k"), t_cust, "k")
+    # r11 (guide §2.6 — overlap independent jobs): the two bucketed
+    # writes are independent; submitting them from a two-thread pool
+    # lets the small customer write back-fill executor slots the
+    # orders write's tail leaves idle, instead of paying the two jobs'
+    # walls sequentially. inheritable_thread_target propagates the
+    # driver thread's job-group/description locals per Spark docs.
+    # A/B at sf0.1 (min-of-4, interleaved, same session):
+    # 1.21 s sequential -> 0.88 s threaded. The in-query zero-exchange
+    # assertion below is untouched.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    @inheritable_thread_target
+    def _write(args) -> None:
+        df, name = args
+        write_bucketed(df, name, "k")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(
+            pool.map(
+                _write,
+                [
+                    (o.withColumnRenamed("o_custkey", "k"), t_orders),
+                    (c.withColumnRenamed("c_custkey", "k"), t_cust),
+                ],
+            )
+        )
     joined = bucketed_join(spark, t_orders, t_cust, "k")
     n_ex = exchange_count(joined)
     if n_ex != 0:
