@@ -1,9 +1,10 @@
-"""Dump .explain('formatted') for named queries to plans/r10/<q>_<tag>.txt.
+"""Dump .explain('formatted') for named queries to
+plans/$SPARK_GRAFT_PLANS_ROUND/<q>_<tag>.txt (round dir default r10).
 
 Also appends the AQE-final executedPlan (after a noop-sink run) so plan
 claims (exchange counts, join strategies) are checkable post-AQE.
 
-Usage: python scripts/dump_plans.py <tag> [sf_dir] [query ...]
+Usage: [SPARK_GRAFT_PLANS_ROUND=r11] python scripts/dump_plans.py <tag> [sf_dir] [query ...]
   tag = before | after
 """
 
@@ -31,19 +32,29 @@ def main() -> None:
     if not names:
         names = [n for n, s in specs.items() if "bench" in s.tags]
 
-    out_dir = os.path.join(REPO, "plans", "r10")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r10")
+    )
     os.makedirs(out_dir, exist_ok=True)
+    from aws_iceberg_automation_spark.plans.explain import final_plan_string
+
     for name in names:
         df = specs[name].fn(spark, sf_dir)
         formatted = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        df.write.format("noop").mode("overwrite").save()
-        final = df._jdf.queryExecution().executedPlan().toString()
+        # r11 fix: the old form ran a noop WRITE and then printed
+        # df.queryExecution().executedPlan() — but the write is its
+        # OWN QueryExecution, so the df's plan was never executed and
+        # the "AQE-final" section silently showed the pre-AQE shape
+        # (the q171 evidence contradiction VERDICT r10 flagged).
+        # final_plan_string collects THROUGH the df's own execution,
+        # which is the only way the printed plan is the one that ran.
+        final = final_plan_string(df)
         path = os.path.join(out_dir, f"{name}_{tag}.txt")
         with open(path, "w") as f:
             f.write(f"== explain(formatted), pre-execution ==\n{formatted}\n")
-            f.write(f"\n== AQE-final executedPlan after noop run ==\n{final}\n")
+            f.write(f"\n== AQE-final executedPlan (collected) ==\n{final}\n")
         print(f"wrote {path}", flush=True)
 
 
