@@ -631,7 +631,15 @@ def global_row_number(
     boundary agg and the count agg merge into ONE exact-histogram
     eager job (_cells_hist_bucketize) — same ranks (any monotone
     bucketing is results-identical), one fewer eager job and one fewer
-    input execution at any scale."""
+    input execution at any scale.
+    DETERMINISTIC-RE-EXECUTION CONTRACT (ADVICE r10): the eager
+    histogram/boundary job and the main query are separate executions
+    of ``df`` — the input must produce identical rows on re-execution
+    (static files or a checkpoint_df-pinned frame), or the inlined
+    offsets mismatch the ranked rows and results are silently wrong.
+    Every registered caller reads fixtures or checkpoints; pin any
+    non-deterministic upstream before calling.
+    """
     _check_names(df, rank_name, "_bucket")
     res = _cells_hist_bucketize(df, [(value, "_bucket")], n_buckets)
     if res is not None:
@@ -674,7 +682,15 @@ def global_ntile(
     ``out_name``'s default — can never be clobbered.
     ``value`` must be NON-NULL (quantile_bucket_ranks contract: NULLs
     bucket to 0 and rank NULLS FIRST, diverging from ANSI NULLS LAST) —
-    coalesce or filter nullable dimensions before tiling."""
+    coalesce or filter nullable dimensions before tiling.
+    DETERMINISTIC-RE-EXECUTION CONTRACT (ADVICE r10): the eager
+    histogram/boundary job and the main query are separate executions
+    of ``df`` — the input must produce identical rows on re-execution
+    (static files or a checkpoint_df-pinned frame), or the inlined
+    offsets mismatch the ranked rows and results are silently wrong.
+    Every registered caller reads fixtures or checkpoints; pin any
+    non-deterministic upstream before calling.
+    """
     _check_names(df, out_name, "_bucket", "_gn_rk")
     res = _cells_hist_bucketize(df, [(value, "_bucket")], n_buckets)
     if res is not None:
@@ -749,6 +765,14 @@ def global_ntiles(
     identical to ``global_ntile``. (The r10 literal-offsets rewrite
     took q208's AQE-final plan from 27 exchanges / 26 jobs to the
     irreducible per-dimension windows — see OPTIMIZATION_r10.md.)
+    
+    DETERMINISTIC-RE-EXECUTION CONTRACT (ADVICE r10): the eager
+    histogram/boundary job and the main query are separate executions
+    of ``df`` — the input must produce identical rows on re-execution
+    (static files or a checkpoint_df-pinned frame), or the inlined
+    offsets mismatch the ranked rows and results are silently wrong.
+    Every registered caller reads fixtures or checkpoints; pin any
+    non-deterministic upstream before calling.
     """
     names = [n for _, n in specs]
     buckets = [f"_bucket_{n}" for n in names]
@@ -806,7 +830,15 @@ def partitioned_prefix_sums(
     exactly as Python ints in one tiny eager agg and inlined as
     literals (see ``_eager_bucket_sums``) — same integers the old
     in-plan triangular broadcast join produced, minus its 2-3
-    Exchanges and broadcast jobs."""
+    Exchanges and broadcast jobs.
+    DETERMINISTIC-RE-EXECUTION CONTRACT (ADVICE r10): the eager
+    histogram/boundary job and the main query are separate executions
+    of ``df`` — the input must produce identical rows on re-execution
+    (static files or a checkpoint_df-pinned frame), or the inlined
+    offsets mismatch the ranked rows and results are silently wrong.
+    Every registered caller reads fixtures or checkpoints; pin any
+    non-deterministic upstream before calling.
+    """
     tiebreaks = tiebreaks or []
     _check_names(df, "_bucket", *[f"cum_{c}" for c in sum_cols])
     res = _cells_hist_bucketize(
